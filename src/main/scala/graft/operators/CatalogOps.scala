@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ingestion/catalog operators (SURVEY.md §2.1-§2.8, reference
+  * `aws_bucket.py` + `testing/check_bucket_files.py`).
+  *
+  * The reference walks an S3 listing imperatively — suffix filters
+  * (`aws_bucket.py:176`), dedup-vs-state anti membership (`:180-182`),
+  * per-year census (`check_bucket_files.py:56-59`), extension histograms
+  * (`:126-132`), top-N preview per year (`:104-109`). Here the "catalog"
+  * is a DataFrame and each of those loops becomes one declarative op that
+  * Catalyst pushes into the parquet scan. The documents/orders/events
+  * tables play the role of the object listing; where the reference's
+  * key-shape matters (extensions, path stems) we derive a deterministic
+  * synthetic key from stable columns so the op is exercised for real.
+  *
+  * Scale notes (100 TB): every query here is scan → (pushed) filter →
+  * partial agg → tiny shuffle. No wide row ever crosses the exchange:
+  * aggregations are map-side combined, top-N per group is a window over
+  * the group key (shuffle bounded by the grouping cardinality), and the
+  * anti join broadcasts the small "state" side.
+  */
+object CatalogOps {
+
+  /** Deterministic synthetic object key per document, covering the key
+    * shapes the reference filters on (`aws_bucket.py:176`,
+    * `transcription.py:431-432`, `check_bucket_files.py:129`):
+    * nested prefixes, mixed-case audio extensions, non-audio, and
+    * extensionless keys. SQL twin in [[keySql]]. */
+  private def keyCol = concat(
+    lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
+    element_at(
+      array(lit(".webm"), lit(".mp3"), lit(".txt"), lit(".WAV"), lit("")),
+      (col("doc_id") % 5 + 1).cast("int")))
+
+  private val keySql =
+    "concat('data/', source, '/doc_', doc_id, " +
+      "list_extract(['.webm','.mp3','.txt','.WAV',''], (doc_id % 5 + 1)::INT))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M0 flagship: corpus census. F5 non-empty filter (embedding_engine.py:64-68)
+    // + A1-shaped groupBy census.
+    "m0_corpus_census" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // F1: suffix predicate (aws_bucket.py:176 `key.lower().endswith`).
+    "f1_suffix_filter" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(lower(col("source")).endsWith("1"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // F2: multi-extension audio predicate (transcription.py:431-432).
+    "f2_multi_ext_filter" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("key", keyCol)
+        .withColumn("ext",
+          regexp_extract(lower(col("key")), "\\.(webm|mp3|wav|m4a|flac|ogg)$", 1))
+        .filter(col("ext") =!= "")
+        .groupBy(col("ext")).count()
+        .orderBy(col("ext"))),
+
+    // F4: year predicate (check_bucket_files.py:112-114).
+    "f4_year_filter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1997)
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("total_price"))),
+
+    // P1: catalog projection (check_bucket_files.py:50-54).
+    "p1_catalog_projection" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("key"),
+                col("o_totalprice").as("size"),
+                year(col("o_orderdate")).as("year"),
+                col("o_orderdate").as("last_modified"))
+        .orderBy(col("key")).limit(100)),
+
+    // P2: unit-conversion projection (bytes→MB, check_bucket_files.py:105).
+    "p2_unit_conversion" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), round(col("n_chars") / 1024.0, 6).as("size_kb"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // P3: path-stem projection (transcription.py:349, embedding_engine.py:60).
+    "p3_path_stem" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("key", keyCol)
+        .select(col("doc_id"),
+                regexp_extract(col("key"), "([^/]+)\\.[^.]+$", 1).as("stem"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // P4: extension projection with 'no extension' default
+    // (check_bucket_files.py:129).
+    "p4_extension" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("key", keyCol)
+        .select(col("doc_id"),
+          when(col("key").contains("."),
+               lower(regexp_extract(col("key"), "\\.([^.]+)$", 1)))
+            .otherwise("no extension").as("ext"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // A1+O1: group-by-year count, newest first (check_bucket_files.py:56-86).
+    "a1_count_by_year" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("year")).count()
+        .orderBy(desc("year"))),
+
+    // A2+O2: extension histogram sorted by count desc
+    // (check_bucket_files.py:126-132).
+    "a2_ext_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("key", keyCol)
+        .withColumn("ext",
+          when(col("key").contains("."),
+               lower(regexp_extract(col("key"), "\\.([^.]+)$", 1)))
+            .otherwise("no extension"))
+        .groupBy(col("ext")).count()
+        .orderBy(desc("count"), col("ext"))),
+
+    // A3/A4: conditional counts in one pass (check_bucket_files.py:39-80,
+    // main.py:57-88 success/failure counters).
+    "a3_conditional_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_total"),
+             count(when(col("event_type") === "error", 1)).as("n_error"),
+             count(when(col("value") > 100.0, 1)).as("n_big"),
+             countDistinct(col("user_id")).as("n_users"))),
+
+    // A6: max aggregate (latest year, check_bucket_files.py:119).
+    "a6_max_year" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .agg(max(year(col("o_orderdate"))).as("latest_year"))),
+
+    // A8: distinct-set aggregate (aws_bucket.py:62 `set`).
+    "a8_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang")).distinct()
+        .orderBy(col("lang"))),
+
+    // A9: group-collect, explicitly ordered inside the aggregate
+    // (check_bucket_files.py:93-99; collect_list is unordered in a
+    // distributed engine so the order is imposed by sort_array).
+    "a9_group_collect" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .groupBy(col("lang"))
+        .agg(array_join(
+               transform(sort_array(collect_list(col("doc_id"))),
+                         x => x.cast("string")), ",").as("doc_ids"))
+        .orderBy(col("lang"))),
+
+    // J2/F3: anti join vs downloaded-state (aws_bucket.py:180-182):
+    // new keys = listed − already-downloaded. The "state" side (every 7th
+    // doc, the reference's downloaded_files.json stand-in) is small →
+    // broadcast, so the listing side never shuffles.
+    "j2_anti_join" -> ((s, dir) => {
+      val listed = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val state = Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      listed.join(broadcast(state), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_new"),
+             min(col("doc_id")).as("first_new"),
+             max(col("doc_id")).as("last_new"))
+    }),
+
+    // §2.7 set ops: INTERSECT (generalization of the set-membership ops).
+    "set_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "signup").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // O3/O4/O5 + O6: limit with deterministic order (aws_bucket.py:186-191
+    // early pagination exit ≡ LocalLimit pushdown) and min_by argmin
+    // (transcription.py:205 np.argmin).
+    "o3_limit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(4)),
+
+    "o6_argmin" -> ((s, dir) =>
+      // per returnflag: the orderkey of the lineitem whose quantity is
+      // nearest 25 (argmin of |q-25|, ties → lowest key), reference
+      // nearest-timestamp argmin shape.
+      Tables.lineitem(s, dir)
+        .withColumn("d", abs(col("l_quantity") - 25.0))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+        .orderBy(col("l_returnflag"))),
+
+    // W2: top-N per group (check_bucket_files.py:104-109 first-5 preview).
+    "w2_topn_per_group" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("year"))
+            .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select(col("year"), col("rn"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("price"))
+        .orderBy(desc("year"), col("rn")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m0_corpus_census" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |round(avg(n_chars), 2) AS avg_chars
+        |FROM documents WHERE length(trim(text)) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "f1_suffix_filter" ->
+      "SELECT doc_id, source FROM documents WHERE lower(source) LIKE '%1' ORDER BY doc_id",
+    "f2_multi_ext_filter" ->
+      s"""WITH k AS (SELECT doc_id, $keySql AS key FROM documents),
+         |e AS (SELECT doc_id,
+         |  regexp_extract(lower(key), '\\.(webm|mp3|wav|m4a|flac|ogg)$$', 1) AS ext FROM k)
+         |SELECT ext, count(*) AS count FROM e WHERE ext <> ''
+         |GROUP BY ext ORDER BY ext""".stripMargin,
+    "f4_year_filter" ->
+      """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
+    "p1_catalog_projection" ->
+      """SELECT o_orderkey AS key, o_totalprice AS size,
+        |year(o_orderdate) AS year, o_orderdate AS last_modified
+        |FROM orders ORDER BY key LIMIT 100""".stripMargin,
+    "p2_unit_conversion" ->
+      "SELECT doc_id, round(n_chars / 1024.0, 6) AS size_kb FROM documents ORDER BY doc_id LIMIT 200",
+    "p3_path_stem" ->
+      s"""WITH k AS (SELECT doc_id, $keySql AS key FROM documents)
+         |SELECT doc_id, regexp_extract(key, '([^/]+)\\.[^.]+$$', 1) AS stem
+         |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+    "p4_extension" ->
+      s"""WITH k AS (SELECT doc_id, $keySql AS key FROM documents)
+         |SELECT doc_id, CASE WHEN key LIKE '%.%'
+         |  THEN lower(regexp_extract(key, '\\.([^.]+)$$', 1))
+         |  ELSE 'no extension' END AS ext
+         |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+    "a1_count_by_year" ->
+      """SELECT year(o_orderdate) AS year, count(*) AS count
+        |FROM orders GROUP BY 1 ORDER BY year DESC""".stripMargin,
+    "a2_ext_histogram" ->
+      s"""WITH k AS (SELECT doc_id, $keySql AS key FROM documents),
+         |e AS (SELECT CASE WHEN key LIKE '%.%'
+         |  THEN lower(regexp_extract(key, '\\.([^.]+)$$', 1))
+         |  ELSE 'no extension' END AS ext FROM k)
+         |SELECT ext, count(*) AS count FROM e
+         |GROUP BY ext ORDER BY count DESC, ext""".stripMargin,
+    "a3_conditional_counts" ->
+      """SELECT count(*) AS n_total,
+        |count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |count(*) FILTER (WHERE value > 100.0) AS n_big,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+    "a6_max_year" ->
+      "SELECT max(year(o_orderdate)) AS latest_year FROM orders WHERE o_orderstatus = 'F'",
+    "a8_distinct" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+    "a9_group_collect" ->
+      """SELECT lang, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        |FROM documents WHERE doc_id < 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "j2_anti_join" ->
+      """SELECT count(*) AS n_new, min(doc_id) AS first_new, max(doc_id) AS last_new
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents s WHERE s.doc_id % 7 = 0 AND s.doc_id = d.doc_id)""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'signup'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error') t
+        |ORDER BY user_id""".stripMargin,
+    "o3_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 4""".stripMargin,
+    "o6_argmin" ->
+      """WITH d AS (SELECT l_returnflag, l_orderkey, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY abs(l_quantity - 25.0), l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_quantity FROM d WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "w2_topn_per_group" ->
+      """WITH r AS (SELECT year(o_orderdate) AS year, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY year(o_orderdate)
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT year, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM r WHERE rn <= 3 ORDER BY year DESC, rn""".stripMargin
+  )
+}

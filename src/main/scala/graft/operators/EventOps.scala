@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics in batch-checkable form (SURVEY.md §2.10, §2.4).
+  *
+  * The reference's "streaming" is a poll loop with a downloaded-keys state
+  * set (`/root/reference/src/main.py:133-158`, `aws_bucket.py:55-68`); the
+  * idiomatic Spark generalizations over the `events` table are: tumbling
+  * event-time windows, gap-based sessionization, exactly-once keyed dedup
+  * (T2), and JSON property extraction (C14, the `downloaded_files.json` /
+  * `props` shape). The true Structured Streaming form of T1-T3 lives in
+  * [[graft.streaming.StreamingOps]]; these batch forms are the
+  * DuckDB-oracle-checkable semantics.
+  *
+  * Scale notes: tumbling windows and sessionization both shuffle once on
+  * their natural key (window start / user_id). Sessionization's window
+  * functions run inside one partition per user — no cross-user state. At
+  * 100 TB the events table would be date-partitioned parquet so the window
+  * queries prune to the partitions in range before any shuffle.
+  */
+object EventOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window counts (idiomatic T1; oracle via date_trunc).
+    "t1_tumbling_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum(col("value")), 2).as("total_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour"))),
+
+    // T2: exactly-once keyed dedup — first event per user by (ts, event_id).
+    "t2_dedup_first" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))),
+
+    // Gap-based sessionization (W1 generalized, 30-min inactivity gap):
+    // lag → new-session flag → running sum = session id → per-session agg.
+    "sessionize_30m" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          // exact integer microseconds on both sides (DuckDB epoch_us):
+          // sub-second truncation must not decide session boundaries.
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // C14: JSON property extraction (events.props `{"k": 87}` shape,
+    // mirrors aws_bucket.py:58-68 / transcription.py:351 JSON staging).
+    "c14_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             round(avg(col("k")), 2).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // A7: order-sensitive string-concat aggregate (transcription.py:207-208
+    // " ".join over chunks in order) — event-type journey per user.
+    "a7_ordered_concat" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("journey"))
+        .orderBy(col("user_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |round(sum(value), 2) AS total_value,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "t2_dedup_first" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "sessionize_30m" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL
+        |         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "c14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+        |round(avg(json_extract_string(props, '$.k')::INT), 2) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_ordered_concat" ->
+      """SELECT user_id,
+        |string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        |FROM events WHERE user_id < 10
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

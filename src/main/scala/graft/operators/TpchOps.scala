@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General relational proof on the star schema (SURVEY.md §7.2 M5) —
+  * classic TPC-H-shaped queries demonstrating scan→filter→join→agg→sort
+  * capability at bench scale.
+  *
+  * Scale notes (the part the optimizer can't decide for us):
+  *  - q1 is a pure scan + 4-group aggregate: partial aggregation map-side,
+  *    a 4-row shuffle. Scales linearly with input; the only knob that
+  *    matters at 100 TB is `files.maxPartitionBytes` (split size).
+  *  - q3/q5 join fact tables (lineitem, orders) against small dims.
+  *    customer/nation/region/supplier are orders-of-magnitude smaller →
+  *    `broadcast()` them explicitly so no shuffle of the fact side ever
+  *    happens on a dim key. orders↔lineitem is the one genuine shuffle
+  *    (both large, equi on orderkey) → sort-merge with AQE skew handling;
+  *    at the lake layer both sides would be bucketed by orderkey to make
+  *    it shuffle-free.
+  *  - Filters are applied before joins so Catalyst pushes them into the
+  *    parquet scans (`PushedFilters` on o_orderdate / l_shipdate /
+  *    c_mktsegment).
+  */
+object TpchOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: pricing summary report (scan + conditional agg).
+    "tpch_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+             round(avg(col("l_quantity")), 2).as("avg_qty"),
+             round(avg(col("l_extendedprice")), 2).as("avg_price"),
+             round(avg(col("l_discount")), 4).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Q3: shipping priority (selective dim filter → join → top-10 agg).
+    "tpch_q3" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shaped: local supplier volume per nation within one region/year.
+    // Dims (region→nation→supplier, customer) broadcast; the single big
+    // shuffle is lineitem⋈orders on orderkey.
+    "tpch_q5" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 2) AS avg_qty,
+        |round(avg(l_extendedprice), 2) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
