@@ -20,7 +20,8 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Module(CatalogOps.queries, CatalogOps.oracles),
     Module(EventOps.queries, EventOps.oracles),
-    Module(TpchOps.queries, TpchOps.oracles)
+    Module(TpchOps.queries, TpchOps.oracles),
+    Module(TranscriptOps.queries, TranscriptOps.oracles)
   )
 
   private case class Module(
