@@ -21,7 +21,11 @@ object SparkEntry {
     Module(CatalogOps.queries, CatalogOps.oracles),
     Module(EventOps.queries, EventOps.oracles),
     Module(TpchOps.queries, TpchOps.oracles),
-    Module(TranscriptOps.queries, TranscriptOps.oracles)
+    Module(TranscriptOps.queries, TranscriptOps.oracles),
+    Module(DedupOps.queries, DedupOps.oracles),
+    Module(RetrievalOps.queries, RetrievalOps.oracles),
+    Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
+    Module(MultimodalOps.queries, MultimodalOps.oracles)
   )
 
   private case class Module(

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — the north-star LLM-training-data operators
+  * (BASELINE.json): exact, MinHash+LSH, n-gram Jaccard, SimHash.
+  *
+  * The reference's only dedup is key-membership (`aws_bucket.py:180-182`);
+  * these generalize it to content dedup over the `documents` table.
+  *
+  * Scale design (the whole point of these ops at 100 TB):
+  *  - exact: hash-groupBy — one shuffle on a 128-bit digest, no text ever
+  *    crosses the wire (md5 computed map-side, text dropped before the
+  *    exchange).
+  *  - MinHash+LSH: per-doc signatures are computed in a single pass
+  *    (explode shingles × seeds → min-hash per seed = map-side partial
+  *    min), then docs are joined only within LSH band buckets — the
+  *    candidate join is |bucket|² per bucket instead of n² global. The
+  *    expensive exact-Jaccard verify runs ONLY on candidates.
+  *  - n-gram Jaccard: exact pairwise similarity, blocked by
+  *    (lang, length band) so the self-join never goes quadratic in n,
+  *    only in the block size.
+  *  - SimHash: 32-bit frequency-weighted signature; near-dup = hamming
+  *    distance ≤ 3 within a language block. Signature computation is one
+  *    aggregation; comparison is integer xor+popcount — cheapest of the
+  *    three at scale.
+  * All hashing is md5-based (lexicographic min over hex strings) —
+  * bit-identical in Spark and DuckDB, which keeps the oracle exact.
+  */
+object DedupOps {
+
+  /** Distinct word-bigram shingle set. Guarded for 1-token docs
+    * (sequence(1,0) would descend in Spark, unlike DuckDB range). */
+  private def bigramsCol(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 2,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val bigramsSqlExpr =
+    "list_distinct(list_transform(range(1, len(string_split(text,' '))), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+
+  /** Exact Jaccard over two distinct shingle arrays. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** doc_id → (doc_id, bigram shingles). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), bigramsCol(col("text")).as("bg"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: md5-groupBy summary + rows removed under keep-first.
+    "dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_total"),
+             countDistinct(col("h")).as("n_unique"),
+             (count(lit(1)) - countDistinct(col("h"))).as("n_removed"))),
+
+    // MinHash (12 perms as md5(seed:shingle) string-min) + LSH banding
+    // (6 bands × 2 rows) → candidate pairs → exact-Jaccard verify ≥ 0.5.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
+      val mh = sh
+        .select(col("doc_id"), explode(col("bg")).as("shingle"))
+        .select(col("doc_id"), col("shingle"),
+                explode(sequence(lit(0), lit(11))).as("seed"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("seed"), col("h")))),
+          x => x.getField("h")).as("mhs"))
+      val bands = mh.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(5)),
+          k => concat(k, lit(":"),
+                      element_at(col("mhs"), k * 2 + 1),
+                      element_at(col("mhs"), k * 2 + 2)))).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("bg").as("bg_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+                round(jaccard(col("bg_a"), col("bg_b")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Exact n-gram Jaccard, blocked by (lang, 128-char length band).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"), col("bg"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                round(jaccard(col("a.bg"), col("b.bg")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
+    // near-dup = hamming ≤ 3 within a language block.
+    "dedup_simhash" -> ((s, dir) => {
+      val sh = simhash32(Tables.documents(s, dir))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  /** 32-bit frequency-weighted SimHash per document. Bit j of a token's
+    * hash is nibble j/4 of its md5, shifted; each occurrence votes ±1. */
+  def simhash32(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("lang"), col("tok"), col("cnt"),
+              explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("bit", expr(
+        "(shiftright(cast(conv(substring(md5(tok), 1 + j div 4, 1), 16, 10) as int), 3 - j % 4)) & 1"))
+      .groupBy(col("doc_id"), col("lang"), col("j"))
+      .agg(when(sum(col("cnt") * (col("bit") * 2 - 1)) > 0, 1).otherwise(0).as("bit"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("cast(sum(bit * shiftleft(cast(1 as bigint), j)) as bigint)").as("simhash"))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique,
+        |count(*) - count(DISTINCT md5(text)) AS n_removed
+        |FROM documents""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs FROM mh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(6),
+         |  k -> k || ':' || mhs[2*k+1] || mhs[2*k+2])) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |v AS (SELECT a_id, b_id,
+         |  round(len(list_intersect(ta.bg, tb.bg))::DOUBLE / len(list_distinct(ta.bg || tb.bg)), 6) AS jaccard
+         |  FROM cand JOIN toks ta ON ta.doc_id = a_id JOIN toks tb ON tb.doc_id = b_id)
+         |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
+         |  FROM documents),
+         |v AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.bg, b.bg))::DOUBLE / len(list_distinct(a.bg || b.bg)), 6) AS jaccard
+         |  FROM toks a JOIN toks b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tf AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, lang, tok),
+        |bits AS (SELECT doc_id, lang, j,
+        |  CASE WHEN sum(cnt * (((strpos('0123456789abcdef', substr(md5(tok), 1 + j//4, 1)) - 1
+        |    >> (3 - j%4)) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tf CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, lang, j),
+        |sh AS (SELECT doc_id, lang, sum(bit * (1::BIGINT << j))::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id, lang)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

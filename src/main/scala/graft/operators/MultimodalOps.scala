@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star): treat media as opaque
+  * `BINARY` payload columns with typed metadata, decoded/feature-
+  * extracted via `mapPartitions` — mirroring how the reference hands
+  * audio bytes to ffmpeg/Whisper (`transcription.py:176-183`, S6/V4)
+  * as an opaque per-record transform outside the relational core.
+  *
+  * The actual codec is STUBBED (no media libs in this container) with a
+  * deterministic metadata extractor over the payload bytes; everything
+  * around it — binary column, schema, partition-wise batching, typed
+  * Dataset boundary — is real and is exactly the shape a Whisper/CLIP
+  * stage plugs into (model init amortized per partition, like the
+  * reference loading models once in `__init__`, `transcription.py:52`).
+  *
+  * Scale: mapPartitions keeps the ML boundary at one model init per
+  * partition and streams rows through it; payload bytes never shuffle
+  * (decode happens in the scan stage, metadata-only columns flow on).
+  */
+object MultimodalOps {
+
+  /** Deterministic stand-in for a media decoder: derives metadata from
+    * payload length + doc id. A real decoder replaces only this body. */
+  private def fakeDecode(docId: Long, payload: Array[Byte]): (Long, Long, Int, Int, Int, String) = {
+    val n = payload.length
+    (docId, n.toLong, n % 640, (n * 7) % 480, n / 100 + 1,
+     Seq("jpeg", "png", "webp")((docId % 3).toInt))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload → mapPartitions "decode" → typed metadata columns.
+    "mm_decode_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // model-per-partition init would happen here (transcription.py:52)
+          it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "n_frames", "format")
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Frame sampling: one row per sampled frame offset (UDTF shape —
+    // 1 media row → n frame rows, like transcription.py:168 chunking),
+    // re-aggregated to per-doc stats.
+    "mm_frame_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("n_bytes"),
+                explode(sequence(lit(0L), col("n_bytes"), lit(1000L))).as("frame_off"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             max(col("frame_off")).as("last_off"))
+        .orderBy(col("doc_id")).limit(200))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // ASCII text ⇒ octet length == char length; metadata is pure
+    // arithmetic over it, so the stubbed decode is SQL-checkable.
+    "mm_decode_meta" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+        |(length(text) % 640)::INT AS width,
+        |((length(text) * 7) % 480)::INT AS height,
+        |(length(text) // 100 + 1)::INT AS n_frames,
+        |list_extract(['jpeg','png','webp'], (doc_id % 3 + 1)::INT) AS format
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, (length(text) // 1000 + 1) AS n_frames,
+        |CAST((length(text) // 1000) * 1000 AS BIGINT) AS last_off
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
+}

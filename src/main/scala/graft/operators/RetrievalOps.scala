@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding & retrieval operators (SURVEY.md §2.9, reference
+  * `embedding_engine.py`): L2 normalization (C15), the flat
+  * inner-product index as a table (V2), brute-force cosine top-k (V3 —
+  * the search `IndexFlatIP` implies), an LSH-bucketed approximate
+  * variant, and embedding-space near-duplicate detection.
+  *
+  * All vector math is Catalyst higher-order functions over
+  * ARRAY<DOUBLE> — sequential left-to-right folds, bit-identical to
+  * DuckDB's list_dot_product, so scores hash-match the oracle exactly
+  * (rounded 6dp for output only; ranking uses the raw double).
+  *
+  * Scale design:
+  *  - V3 broadcast the (small) query set against the corpus: the corpus
+  *    never shuffles; per-partition partial top-k would come free via
+  *    TakeOrderedAndProject if k were global. With per-query window
+  *    top-k the shuffle is (n_queries × corpus) scored rows — bounded
+  *    by filtering to per-partition candidates at 1000× scale, or by
+  *    the LSH variant below.
+  *  - ANN: sign-random-projection buckets (first 4 axes as hyperplanes
+  *    — a degenerate but deterministic SRP). Corpus bucketed once;
+  *    queries probe only their bucket: the join is equi on bucket id,
+  *    shuffle ∝ bucket size not corpus size. The 100 TB path swaps the
+  *    hyperplanes for seeded random ones and adds multi-probe.
+  *  - near-dup: brute-force n² on the unit sphere, the exact baseline
+  *    the LSH-bucketed path approximates; blocked variants live in
+  *    DedupOps.
+  */
+object RetrievalOps {
+
+  /** Sign-bucket over the first 4 dimensions (deterministic SRP-LSH). */
+  private def signBucket(v: org.apache.spark.sql.Column) =
+    concat(
+      when(element_at(v, 1) > 0, "1").otherwise("0"),
+      when(element_at(v, 2) > 0, "1").otherwise("0"),
+      when(element_at(v, 3) > 0, "1").otherwise("0"),
+      when(element_at(v, 4) > 0, "1").otherwise("0"))
+
+  private val signBucketSql =
+    "(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || " +
+      "CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END)"
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C15: L2 normalization via higher-order fns (embedding_engine.py:20).
+    // Output in fixed-point micros: floor(x*1e6+0.5) is the same IEEE
+    // double sequence in both engines, unlike decimal round() whose
+    // tie-handling differs exactly at *.5 boundaries.
+    "c15_l2_normalize" -> ((s, dir) =>
+      corpus(s, dir)
+        .withColumn("norm", l2Norm(col("v")))
+        .select(col("vec_id"),
+                floor(col("norm") * 1e6 + 0.5).cast("long").as("norm_e6"),
+                floor(element_at(l2NormalizeBy(col("v"), col("norm")), 1) * 1e6 + 0.5)
+                  .cast("long").as("first_dim_e6"))
+        .orderBy(col("vec_id")).limit(100)),
+
+    // V2+V3: flat-IP index ≡ the table; search = broadcast query set ×
+    // corpus dot product + per-query window top-k (k=3).
+    "v3_cosine_topk" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN: SRP-bucketed top-k — queries probe only their own bucket.
+    "ann_lsh_topk" -> ((s, dir) => {
+      val c = corpus(s, dir).withColumn("bucket", signBucket(col("v")))
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup: exact n² baseline on unit vectors.
+    "neardup_embedding" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("score", dot(col("a.v"), col("b.v")))
+        .filter(col("score") >= 0.4)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+                round(col("score"), 6).as("score"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "c15_l2_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+        |SELECT vec_id, CAST(floor(norm * 1e6 + 0.5) AS BIGINT) AS norm_e6,
+        |CAST(floor(v[1] / norm * 1e6 + 0.5) AS BIGINT) AS first_dim_e6
+        |FROM n ORDER BY vec_id LIMIT 100""".stripMargin,
+
+    "v3_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vec_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, $signBucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM c WHERE vec_id < 5),
+         |scored AS (SELECT q.qid, c.vec_id, list_dot_product(q.qv, c.v) AS score
+         |  FROM c JOIN q USING (bucket) WHERE c.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vec_id, round(score, 6) AS score
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.v, b.v), 6) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

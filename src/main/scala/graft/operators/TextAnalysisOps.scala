@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text analysis for training-data pipelines (north-star extensions):
+  * language ID (n-gram profile scoring), quality scoring, token
+  * counting, and content fingerprinting over the `documents` table.
+  *
+  * Scale design: every op is a single pass over documents with map-side
+  * computation; langid's profile table is tiny (5 langs × 20 trigrams)
+  * and broadcast. Nothing here shuffles more than (doc_id, smallint)
+  * rows. At 100 TB these run as one scan each, column-pruned to `text`
+  * (+ lang), and compose into a single multi-output pass if desired.
+  */
+object TextAnalysisOps {
+
+  /** Distinct char-trigrams of a text column. */
+  private def trigramsCol(text: org.apache.spark.sql.Column) =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => substring(text, i, lit(3))))
+
+  private val trigramsSqlExpr =
+    "list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)), i -> substr(text, i, 3)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: textcat-style n-gram profiles. Per-language profile =
+    // top-20 trigrams by corpus frequency (deterministic tie-break);
+    // prediction = argmax profile overlap. Output = confusion matrix.
+    "ta_langid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docTri = docs.select(col("doc_id"), col("lang"),
+        explode(trigramsCol(col("text"))).as("tri"))
+      val profiles = docTri
+        .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(desc("cnt"), col("tri"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("profile_lang"), col("tri"))
+      val scores = docTri
+        .join(broadcast(profiles), Seq("tri"))
+        .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+        .agg(count(lit(1)).as("score"))
+      val pred = scores
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score"), col("profile_lang"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("lang"), col("profile_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Quality scoring: token stats + stopword ratio → composite score.
+    "ta_quality_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                size(toks).as("n_tokens"),
+                size(array_distinct(toks)).as("n_distinct"),
+                size(filter(toks, t => t.isin("the", "a"))).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"),
+          round(
+            (col("n_distinct").cast("double") / col("n_tokens")) * 0.4 +
+            least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3,
+            6).as("quality"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Token counting: whitespace tokens + regex word-ish tokens.
+    "ta_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).as("n_ws_tokens"),
+                size(regexp_extract_all(col("text"), lit("([a-z0-9]+)"), lit(1))).as("n_word_tokens"),
+                length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // Content fingerprint: md5 over the sorted distinct token set
+    // (order-insensitive bag-of-words identity).
+    "ta_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+            .as("fingerprint"))
+        .orderBy(col("doc_id")).limit(200))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ta_langid" ->
+      s"""WITH dt AS (SELECT doc_id, lang, unnest($trigramsSqlExpr) AS tri FROM documents),
+         |pf AS (SELECT lang AS profile_lang, tri FROM (
+         |  SELECT lang, tri, row_number() OVER (PARTITION BY lang
+         |    ORDER BY count(*) DESC, tri) AS rn
+         |  FROM dt GROUP BY lang, tri) t WHERE rn <= 20),
+         |sc AS (SELECT dt.doc_id, dt.lang, pf.profile_lang, count(*) AS score
+         |  FROM dt JOIN pf USING (tri) GROUP BY dt.doc_id, dt.lang, pf.profile_lang),
+         |pred AS (SELECT doc_id, lang, profile_lang, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn FROM sc)
+         |SELECT lang, profile_lang AS predicted, count(*) AS n_docs
+         |FROM pred WHERE rn = 1
+         |GROUP BY lang, profile_lang ORDER BY lang, predicted""".stripMargin,
+
+    "ta_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop FROM t)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+        |  round(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+        |  round((n_distinct::DOUBLE / n_tokens) * 0.4 +
+        |        least(n_tokens::DOUBLE / 50.0, 1.0) * 0.3 +
+        |        (1.0 - n_stop::DOUBLE / n_tokens) * 0.3, 6) AS quality
+        |FROM m ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |len(regexp_extract_all(text, '([a-z0-9]+)', 1)) AS n_word_tokens,
+        |length(text) AS n_chars_actual
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
+}
