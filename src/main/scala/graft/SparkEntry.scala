@@ -25,7 +25,8 @@ object SparkEntry {
     Module(DedupOps.queries, DedupOps.oracles),
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
-    Module(MultimodalOps.queries, MultimodalOps.oracles)
+    Module(MultimodalOps.queries, MultimodalOps.oracles),
+    Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles)
   )
 
   private case class Module(

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the reference's poll loop (SURVEY.md
+  * §2.10, `main.py:133-158`): the 15-second sleep/discover/process cycle
+  * becomes a file-source stream; `maxFilesPerTrigger` is the reference's
+  * micro-batch cap (T3, `main.py:67`); source checkpointing subsumes the
+  * downloaded-keys state file (T2, `aws_bucket.py:55-68`); per-batch
+  * error isolation (T4) is the engine's task-retry semantics.
+  *
+  * For the oracle gate the streams run with `Trigger.AvailableNow` and a
+  * complete-mode memory sink — the stream drains the source and its final
+  * state equals the batch aggregate, so the same DuckDB SQL checks it.
+  * In production the identical plan runs with
+  * `Trigger.ProcessingTime("15 seconds")` and a checkpointed sink.
+  *
+  * Scale: streaming aggregation state is keyed by (event_type) /
+  * (window, type) — bounded cardinality, partitioned across executors by
+  * the same shuffle as batch. File-source listing is incremental; at
+  * 100 TB the source would be a log-compacted listing or Kafka, not a
+  * directory scan.
+  */
+object StreamingOps {
+
+  /** events schema with ts as raw nanos (nanosAsLong read). */
+  private val eventsNanosSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String, maxFiles: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsNanosSchema)
+      .option("maxFilesPerTrigger", maxFiles) // T3 micro-batch sizing
+      .option("pathGlobFilter", "events.parquet") // S3-style suffix filter (F1)
+      .parquet(dir) // file source needs a directory basePath
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * final table. Unique sink name per invocation (Verify and Bench both
+    * call this in one JVM). */
+  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1/T2: drain the event stream, keyed counts (complete mode state).
+    "streaming_event_counts" -> ((s, dir) => {
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      drain(s, agg, "complete").orderBy(col("event_type"))
+    }),
+
+    // Event-time tumbling window over the stream (window() operator —
+    // the streaming twin of t1_tumbling_window's date_trunc form).
+    "streaming_windowed_counts" -> ((s, dir) => {
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      drain(s, agg, "complete").orderBy(col("win_start"), col("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "streaming_event_counts" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "streaming_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  )
+}
