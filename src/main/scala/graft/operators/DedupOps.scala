@@ -46,14 +46,27 @@ object DedupOps {
     "list_distinct(list_transform(range(1, len(string_split(text,' '))), " +
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
 
-  /** Exact Jaccard over two distinct shingle arrays. */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard over two SORTED distinct shingle arrays: one codegen
+    * merge walk for the intersection, union by inclusion-exclusion. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.SortedIntersectCount.sortedIntersectCount(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
-  /** doc_id → (doc_id, bigram shingles). */
+  /** doc_id → (doc_id, sorted bigram shingles), via the native
+    * [[graft.functions.TextSignatures.WordBigrams]] single-pass
+    * tokenizer (the HOF form costs ~1 ms/doc interpreted; see
+    * TextSignatures scaladoc). The repartition inserts an exchange that
+    * MATERIALIZES the shingle arrays before any self-join: without it
+    * Catalyst collapses this projection into the join and re-tokenizes
+    * both documents once per candidate PAIR instead of once per row.
+    * Sorting (inside WordBigrams, once per doc, pre-exchange) is what
+    * lets the per-pair intersect be a merge walk. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), bigramsCol(col("text")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+              graft.functions.TextSignatures.wordBigrams(col("text")).as("bg"))
+      .repartition(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5-groupBy summary + rows removed under keep-first.
@@ -68,21 +81,16 @@ object DedupOps {
     // (6 bands × 2 rows) → candidate pairs → exact-Jaccard verify ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
-      val mh = sh
-        .select(col("doc_id"), explode(col("bg")).as("shingle"))
-        .select(col("doc_id"), col("shingle"),
-                explode(sequence(lit(0), lit(11))).as("seed"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("seed"), col("h")))),
-          x => x.getField("h")).as("mhs"))
+      // full 12-hash signature in one native pass per doc — no
+      // explode-by-seed, no aggregation, nothing but (doc_id, 12 hashes)
+      // ever leaves the map side.
+      val mh = sh.select(col("doc_id"),
+        graft.functions.TextSignatures.minHashSig(col("bg"), 12).as("mhs"))
       val bands = mh.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(5)),
-          k => concat(k, lit(":"),
-                      element_at(col("mhs"), k * 2 + 1),
-                      element_at(col("mhs"), k * 2 + 2)))).as("band"))
+        explode(array((0 until 6).map(k =>
+          concat(lit(s"$k:"),
+                 element_at(col("mhs"), 2 * k + 1),
+                 element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -110,9 +118,14 @@ object DedupOps {
     }),
 
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
-    // near-dup = hamming ≤ 3 within a language block.
+    // near-dup = hamming ≤ 3 within a language block. Signature is one
+    // native pass per doc, materialized (repartition) before the
+    // self-join so it computes n times, not n² times.
     "dedup_simhash" -> ((s, dir) => {
-      val sh = simhash32(Tables.documents(s, dir))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                graft.functions.TextSignatures.simHash32(col("text")).as("simhash"))
+        .repartition(col("doc_id"))
       sh.as("a").join(sh.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),

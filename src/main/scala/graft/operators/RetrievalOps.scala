@@ -47,8 +47,12 @@ object RetrievalOps {
     "(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || " +
       "CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END)"
 
+  /** vec_id → double vector. Repartition materializes the float→double
+    * cast before self-joins (otherwise the collapsed projection re-casts
+    * both 64-dim arrays once per candidate pair). */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .repartition(col("vec_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15: L2 normalization via higher-order fns (embedding_engine.py:20).

@@ -31,25 +31,35 @@ object TextAnalysisOps {
     // top-20 trigrams by corpus frequency (deterministic tie-break);
     // prediction = argmax profile overlap. Output = confusion matrix.
     "ta_langid" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val docTri = docs.select(col("doc_id"), col("lang"),
-        explode(trigramsCol(col("text"))).as("tri"))
-      val profiles = docTri
+      val docTriArr = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                graft.functions.TextSignatures.charTrigrams(col("text")).as("tri"))
+        .repartition(col("doc_id")) // materialize trigram sets once
+      // profiles: top-20 trigrams per language by document frequency,
+      // aggregated back to one sorted array per language (5 tiny rows).
+      val profiles = docTriArr
+        .select(col("lang"), explode(col("tri")).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang")).orderBy(desc("cnt"), col("tri"))))
         .filter(col("rn") <= 20)
-        .select(col("lang").as("profile_lang"), col("tri"))
-      val scores = docTri
-        .join(broadcast(profiles), Seq("tri"))
-        .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
-        .agg(count(lit(1)).as("score"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(col("tri"))).as("ptri"))
+        .select(col("lang").as("profile_lang"), col("ptri"))
+      // score = |doc trigrams ∩ profile| via one merge walk per
+      // (doc, lang) — 5n comparisons instead of a 1.4M-row explode join.
+      val scores = docTriArr.crossJoin(broadcast(profiles))
+        .select(col("doc_id"), col("lang"), col("profile_lang"),
+          graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("tri"), col("ptri")).as("score"))
+        .filter(col("score") > 0) // oracle's inner join drops no-overlap rows
+      // argmax via lexicographic struct-min on (-score, lang): partial-
+      // aggregatable, no per-doc window sort.
       val pred = scores
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(desc("score"), col("profile_lang"))))
-        .filter(col("rn") === 1)
-      pred.groupBy(col("lang"), col("profile_lang").as("predicted"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min(struct((-col("score")).as("ns"), col("profile_lang"))).as("m"))
+        .select(col("lang"), col("m.profile_lang").as("predicted"))
+      pred.groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("predicted"))
     }),
