@@ -26,7 +26,10 @@ object SparkEntry {
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
-    Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles)
+    Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
+    // file-format sources/sinks: rows-only check (no oracle tables exist
+    // for ad-hoc files; exact contents asserted in FileSourcesSpec)
+    Module(graft.sources.FileSources.queries, Map.empty)
   )
 
   private case class Module(

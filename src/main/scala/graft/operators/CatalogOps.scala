@@ -209,6 +209,58 @@ object CatalogOps {
                 col("m.l_quantity").as("l_quantity"))
         .orderBy(col("l_returnflag"))),
 
+    // J3: positional zip join (main.py:75 zip(batch, results)) — pair
+    // the i-th doc by size with the i-th doc by id via row_number.
+    "j3_zip_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      val bySize = docs.select(col("doc_id").as("size_rank_doc"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("i"))
+      val byId = docs.select(col("doc_id").as("id_rank_doc"),
+        row_number().over(Window.orderBy(col("doc_id"))).as("i"))
+      bySize.join(byId, "i")
+        .select(col("i"), col("size_rank_doc"), col("id_rank_doc"))
+        .orderBy(col("i"))
+    }),
+
+    // J4: semi join (EXISTS) — orders with a late-shipped lineitem.
+    "j4_semi_join" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("2001-06-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // C1-C13 scalar-function suite in one projection (lower/trim/
+    // concat_ws/format_string/substring/substring_index/regexp/abs/
+    // length/year/arithmetic — the reference's string toolbox).
+    "c_scalar_functions" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("key", keyCol)
+        .select(col("doc_id"),
+          lower(col("source")).as("c1_lower"),
+          col("source").endsWith("1").as("c2_endswith"),
+          length(trim(col("text"))).as("c3_trimlen"),
+          concat_ws("|", col("lang"), col("source")).as("c4_concat"),
+          format_string("%s/%05d", col("lang"), col("doc_id")).as("c5_format"),
+          substring(col("text"), 1, 10).as("c6_substr"),
+          substring_index(concat(col("source"), lit("."), col("lang")), ".", -1).as("c7_ext"),
+          abs(col("n_chars") - 256).as("c11_abs"),
+          (col("n_chars") % 7).as("c_mod"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // §2.4 generalization: ROLLUP census over (lang, source) with
+    // count_distinct — subtotals + grand total in one pass.
+    "a_rollup_census" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
     // W2: top-N per group (check_bucket_files.py:104-109 first-5 preview).
     "w2_topn_per_group" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -300,6 +352,38 @@ object CatalogOps {
         |  FROM lineitem)
         |SELECT l_returnflag, l_orderkey, l_quantity FROM d WHERE rn = 1
         |ORDER BY l_returnflag""".stripMargin,
+    "j3_zip_join" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 100),
+        |a AS (SELECT doc_id AS size_rank_doc,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS i FROM d),
+        |b AS (SELECT doc_id AS id_rank_doc,
+        |  row_number() OVER (ORDER BY doc_id) AS i FROM d)
+        |SELECT i, size_rank_doc, id_rank_doc FROM a JOIN b USING (i)
+        |ORDER BY i""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2001-06-01')
+        |ORDER BY o_orderkey""".stripMargin,
+    "c_scalar_functions" ->
+      s"""WITH k AS (SELECT *, $keySql AS key FROM documents)
+         |SELECT doc_id,
+         |  lower(source) AS c1_lower,
+         |  (source LIKE '%1') AS c2_endswith,
+         |  length(trim(text)) AS c3_trimlen,
+         |  concat_ws('|', lang, source) AS c4_concat,
+         |  printf('%s/%05d', lang, doc_id) AS c5_format,
+         |  substr(text, 1, 10) AS c6_substr,
+         |  regexp_extract(source || '.' || lang, '([^.]+)$$', 1) AS c7_ext,
+         |  abs(n_chars - 256) AS c11_abs,
+         |  n_chars % 7 AS c_mod
+         |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+    "a_rollup_census" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |count(DISTINCT doc_id) AS n_distinct
+        |FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "w2_topn_per_group" ->
       """WITH r AS (SELECT year(o_orderdate) AS year, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY year(o_orderdate)

@@ -98,6 +98,29 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V1: deterministic hashing embedder — the compute-an-embedding path
+    // (reference: SentenceTransformer encode, embedding_engine.py:15-22).
+    // 8-dim HashingTF-style: dim d = #tokens whose md5-derived hash ≡ d
+    // (mod 8), L2-normalized; fixed-point output for oracle exactness.
+    "v1_hash_embed" -> ((s, dir) => {
+      val dims = (0 until 8).map(d =>
+        count(when(col("h") % 8 === d, 1)).cast("double").as(s"d$d"))
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int)"))
+        .groupBy(col("doc_id"))
+        .agg(dims.head, dims.tail: _*)
+      val vec = array((0 until 8).map(d => col(s"d$d")): _*)
+      counts
+        .withColumn("norm", l2Norm(vec))
+        .select(col("doc_id"),
+          floor(element_at(l2NormalizeBy(vec, col("norm")), 1) * 1e6 + 0.5)
+            .cast("long").as("e0_e6"),
+          floor(element_at(l2NormalizeBy(vec, col("norm")), 2) * 1e6 + 0.5)
+            .cast("long").as("e1_e6"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // Embedding-cosine near-dup: exact n² baseline on unit vectors.
     "neardup_embedding" -> ((s, dir) => {
       val c = corpus(s, dir)
@@ -140,6 +163,28 @@ object RetrievalOps {
          |  FROM scored)
          |SELECT qid, rank, vec_id, round(score, 6) AS score
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "v1_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 4))::INT % 8 AS INT) AS hd FROM tok),
+        |c AS (SELECT doc_id,
+        |  count(*) FILTER (WHERE hd = 0)::DOUBLE AS d0,
+        |  count(*) FILTER (WHERE hd = 1)::DOUBLE AS d1,
+        |  count(*) FILTER (WHERE hd = 2)::DOUBLE AS d2,
+        |  count(*) FILTER (WHERE hd = 3)::DOUBLE AS d3,
+        |  count(*) FILTER (WHERE hd = 4)::DOUBLE AS d4,
+        |  count(*) FILTER (WHERE hd = 5)::DOUBLE AS d5,
+        |  count(*) FILTER (WHERE hd = 6)::DOUBLE AS d6,
+        |  count(*) FILTER (WHERE hd = 7)::DOUBLE AS d7
+        |  FROM h GROUP BY doc_id),
+        |n AS (SELECT doc_id, d0, d1,
+        |  sqrt(d0*d0 + d1*d1 + d2*d2 + d3*d3 + d4*d4 + d5*d5 + d6*d6 + d7*d7) AS norm
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(floor(d0 / norm * 1e6 + 0.5) AS BIGINT) AS e0_e6,
+        |  CAST(floor(d1 / norm * 1e6 + 0.5) AS BIGINT) AS e1_e6
+        |FROM n ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-shaped sources/sinks from SURVEY.md §2.1 (S3/S4/S5, K1/K5),
+  * exercised against deterministic self-written fixtures (the driver
+  * testdata is parquet-only; these ops are about *formats*). Registered
+  * without oracleSql — the driver records a rows-only check; ScalaTest
+  * asserts exact contents.
+  *
+  *  - S3: recursive glob scan over a nested dir of media files via the
+  *    `binaryFile` source (`main.py:136` rglob; 6-extension scan
+  *    `transcription.py:431-432`).
+  *  - S4: whole-file text scan (`embedding_engine.py:63-64`).
+  *  - S5/K5: JSON state file round-trip (`aws_bucket.py:55-68`).
+  *  - K1: JSON sink of aligned utterances (`transcription.py:349-351`).
+  */
+object FileSources {
+
+  /** Idempotently materialize the fixture tree under /tmp. */
+  private def fixtureDir(): String = {
+    val root = Paths.get("/tmp/graft_file_fixtures")
+    if (!Files.exists(root)) {
+      val d1 = root.resolve("downloads/a"); val d2 = root.resolve("downloads/b")
+      Files.createDirectories(d1); Files.createDirectories(d2)
+      Files.write(d1.resolve("x.webm"), "WEBMDATA-X".getBytes)
+      Files.write(d1.resolve("y.mp3"), "MP3DATA-YY".getBytes)
+      Files.write(d2.resolve("z.WEBM"), "WEBMDATA-ZZZ".getBytes)
+      Files.write(d2.resolve("w.webm"), "WEBMDATA-NEW".getBytes) // not in state
+      Files.write(d2.resolve("notes.txt"), "not audio".getBytes)
+      val t = root.resolve("transcriptions")
+      Files.createDirectories(t)
+      Files.write(t.resolve("x_dialogue.txt"),
+        "[0.00-6.10] SPEAKER_00: hello there how are you\n".getBytes)
+      Files.write(t.resolve("y_dialogue.txt"), "[0.00-2.00] SPEAKER_00: solo\n".getBytes)
+      Files.write(t.resolve("empty_dialogue.txt"), "".getBytes)
+      Files.write(root.resolve("downloaded_files.json"),
+        """["downloads/a/x.webm", "downloads/b/z.WEBM"]""".getBytes)
+    }
+    root.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3+F2: recursive binaryFile scan, audio-extension filter, stable
+    // projection (filename + size; path/mtime are host-dependent).
+    "s3_binary_glob_scan" -> ((s, _) => {
+      val dir = fixtureDir()
+      s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(s"$dir/downloads")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+                col("length"),
+                length(col("content")).as("content_bytes"))
+        .filter(lower(col("filename")).rlike("\\.(webm|mp3|wav|m4a|flac|ogg)$"))
+        .orderBy(col("filename"))
+    }),
+
+    // S4+F5: whole-file text scan, skip empties (embedding_engine.py:66-68).
+    "s4_wholetext_scan" -> ((s, _) => {
+      val dir = fixtureDir()
+      s.read.option("wholetext", "true").text(s"$dir/transcriptions")
+        .withColumn("n_chars", length(col("value")))
+        .filter(length(trim(col("value"))) > 0)
+        .select(col("n_chars"), substring(col("value"), 1, 20).as("head"))
+        .orderBy(col("n_chars"))
+    }),
+
+    // S5+J2+K5: JSON state scan + anti-join dedup against a live listing
+    // — the reference's "skip already-downloaded keys" exactly
+    // (aws_bucket.py:180-182), with the state file as the state table.
+    "s5_json_state_antijoin" -> ((s, _) => {
+      val dir = fixtureDir()
+      val listing = s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(s"$dir/downloads")
+        .select(regexp_extract(col("path"), "(downloads/.*)$", 1).as("key"))
+        .filter(lower(col("key")).endsWith(".webm"))
+      val state = readStateFile(s, s"$dir/downloaded_files.json")
+      listing.join(broadcast(state), Seq("key"), "left_anti")
+        .orderBy(col("key"))
+    }),
+
+    // K1: JSON sink round-trip — write aligned utterances as JSON
+    // (transcription.py:349-351), read back, verify through the scan.
+    "k1_json_sink_roundtrip" -> ((s, _) => {
+      val out = "/tmp/graft_file_fixtures/out_utterances_json"
+      graft.operators.TranscriptOps.queries("j1_asof_alignment")(s, "")
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("file_id"), col("utt_idx"), col("speaker"), col("text"))
+        .orderBy(col("file_id"), col("utt_idx"))
+    })
+  )
+
+  /** JSON array-of-strings state file → DataFrame(key). */
+  def readStateFile(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    // whole file is one JSON array (aws_bucket.py:58-63): read as text,
+    // parse with from_json, explode to rows — schema-explicit, no
+    // corrupt-record fallbacks.
+    s.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))).as("key"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+
+  test("minhash-LSH candidates contain every true near-dup pair (recall vs brute force)") {
+    val lsh = DedupOps.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded-exact pairs are a subset of what LSH+verify finds (the
+    // band blocking can only lose pairs LSH also scores >= 0.5)
+    assert(exact.subsetOf(lsh))
+    assert(lsh.nonEmpty)
+  }
+
+  test("dedup is idempotent: removing dups then re-deduping removes nothing") {
+    val docs = Tables.documents(spark, sf)
+    val deduped = docs.dropDuplicates("text")
+    assert(deduped.count() == deduped.dropDuplicates("text").count())
+  }
+
+  test("simhash of identical texts is identical; hamming to self is 0") {
+    import spark.implicits._
+    val two = Seq((1L, "en", "the fast key order"), (2L, "en", "the fast key order"))
+      .toDF("doc_id", "lang", "text")
+    val sh = two.select(graft.functions.TextSignatures.simHash32(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(sh(0) == sh(1))
+  }
+
+  test("native simhash expression matches the SQL-algebra reference implementation") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val native = docs
+      .select(col("doc_id"), graft.functions.TextSignatures.simHash32(col("text")).as("simhash"))
+    val reference = DedupOps.simhash32(docs).select(col("doc_id"), col("simhash"))
+    assert(native.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(native).count() == 0)
+  }
+
+  test("word bigrams native == HOF formulation") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val toks = split(col("text"), " ")
+    val hof = array_sort(array_distinct(transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+    val both = docs.select(
+      graft.functions.TextSignatures.wordBigrams(col("text")).as("native"),
+      hof.as("hof"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.sources.FileSources
+
+class FileSourcesSpec extends SparkSpec {
+
+  private def run(name: String) = FileSources.queries(name)(spark, sf)
+
+  test("s3 binaryFile glob scan finds audio files recursively, case-insensitively") {
+    val rows = run("s3_binary_glob_scan").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq("w.webm", "x.webm", "y.mp3", "z.WEBM"))
+    assert(rows.forall { case (_, len) => len > 0 })
+  }
+
+  test("s4 wholetext scan reads each file as one row and skips empties") {
+    val rows = run("s4_wholetext_scan").collect()
+    assert(rows.length == 2) // empty_dialogue.txt filtered (F5)
+    assert(rows.forall(_.getString(1).startsWith("[0.00-")))
+  }
+
+  test("s5 json state anti-join yields only the undownloaded key") {
+    val keys = run("s5_json_state_antijoin").collect().map(_.getString(0))
+    assert(keys.toSeq == Seq("downloads/b/w.webm"))
+  }
+
+  test("k1 json sink roundtrip preserves aligned utterances") {
+    val rows = run("k1_json_sink_roundtrip").collect()
+    assert(rows.length == 4)
+    assert(rows.head.getString(3) == "hello there how are you")
+  }
+}
