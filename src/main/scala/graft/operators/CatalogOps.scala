@@ -70,10 +70,15 @@ object CatalogOps {
         .groupBy(col("ext")).count()
         .orderBy(col("ext"))),
 
-    // F4: year predicate (check_bucket_files.py:112-114).
+    // F4: year predicate (check_bucket_files.py:112-114). Written as a
+    // range, not year(col)=1997: an opaque function call never reaches
+    // PushedFilters, a range does — at 100 TB that's the difference
+    // between skipping row groups at the footer and decoding the year
+    // column for every row.
     "f4_year_filter" -> ((s, dir) =>
       Tables.orders(s, dir)
-        .filter(year(col("o_orderdate")) === 1997)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .agg(count(lit(1)).as("n_orders"),
              round(sum(col("o_totalprice")), 2).as("total_price"))),
 

@@ -47,12 +47,16 @@ object RetrievalOps {
     "(CASE WHEN v[1] > 0 THEN '1' ELSE '0' END || CASE WHEN v[2] > 0 THEN '1' ELSE '0' END || " +
       "CASE WHEN v[3] > 0 THEN '1' ELSE '0' END || CASE WHEN v[4] > 0 THEN '1' ELSE '0' END)"
 
-  /** vec_id → double vector. Repartition materializes the float→double
-    * cast before self-joins (otherwise the collapsed projection re-casts
-    * both 64-dim arrays once per candidate pair). */
+  /** vec_id → double vector. No exchange here: the broadcast top-k
+    * queries must stream the corpus straight out of the scan. */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .repartition(col("vec_id"))
+
+  /** Materialized corpus for self-joins ONLY: the exchange forces the
+    * float→double cast to happen once per row; without it the collapsed
+    * projection re-casts both 64-dim arrays once per candidate pair. */
+  private def corpusMat(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).repartition(col("vec_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15: L2 normalization via higher-order fns (embedding_engine.py:20).
@@ -123,7 +127,7 @@ object RetrievalOps {
 
     // Embedding-cosine near-dup: exact n² baseline on unit vectors.
     "neardup_embedding" -> ((s, dir) => {
-      val c = corpus(s, dir)
+      val c = corpusMat(s, dir)
       c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("score", dot(col("a.v"), col("b.v")))
         .filter(col("score") >= 0.4)

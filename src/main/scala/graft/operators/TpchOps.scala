@@ -70,7 +70,9 @@ object TpchOps {
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
       val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
       val ord = Tables.orders(s, dir)
-        .filter(year(col("o_orderdate")) === 1996)
+        // range form pushes to the parquet scan; year(col) would not
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"))
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
