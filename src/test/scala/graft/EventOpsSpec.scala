@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+
+  test("tumbling windows partition all events exactly once") {
+    val windows = EventOps.queries("t1_tumbling_window")(spark, sf)
+    val total = windows.agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("sessionization: session count per user <= event count; gaps split sessions") {
+    import spark.implicits._
+    val sessions = EventOps.queries("sessionize_30m")(spark, sf)
+    val perUser = sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    assert(perUser.filter($"n_sessions" > $"n_events").count() == 0)
+    // every session respects the gap: start-to-end duration sanity
+    val bad = sessions.filter(unix_micros($"session_end") < unix_micros($"session_start"))
+    assert(bad.count() == 0)
+  }
+
+  test("t2 keyed dedup keeps exactly one row per user") {
+    val d = EventOps.queries("t2_dedup_first")(spark, sf)
+    assert(d.count() == d.select("user_id").distinct().count())
+  }
+
+  test("json extraction matches raw substring parse") {
+    import spark.implicits._
+    val viaJson = Tables.events(spark, sf)
+      .select(get_json_object($"props", "$.k").cast("int").as("k"))
+    val viaRegex = Tables.events(spark, sf)
+      .select(regexp_extract($"props", "\\\"k\\\": (\\d+)", 1).cast("int").as("k"))
+    assert(viaJson.exceptAll(viaRegex).count() == 0)
+  }
+
+  test("islands-per-user count never exceeds events-per-user (W1 property)") {
+    import spark.implicits._
+    val runs = graft.operators.TranscriptOps.queries("w1_islands_events")(spark, sf)
+    val events = Tables.events(spark, sf).groupBy($"user_id").count()
+    val joined = runs.join(events, "user_id")
+    assert(joined.filter($"n_runs" > $"count").count() == 0)
+  }
+}

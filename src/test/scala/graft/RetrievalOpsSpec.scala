@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.RetrievalOps
+import graft.functions.VectorFns._
+import org.apache.spark.sql.functions._
+
+class RetrievalOpsSpec extends SparkSpec {
+
+  test("exact 2-d cosine: hand-computed golden (FIXTURES.md §6)") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("id", "v")
+    val q = Seq((Seq(1.0, 0.0))).toDF("qv")
+    val scored = corpus.crossJoin(q)
+      .select($"id", (dot($"qv", $"v") / (l2Norm($"qv") * l2Norm($"v"))).as("cos"))
+      .orderBy(desc("cos"), $"id").collect()
+    assert(scored(0).getLong(0) == 1L && math.abs(scored(0).getDouble(1) - 1.0) < 1e-12)
+    assert(scored(1).getLong(0) == 3L &&
+      math.abs(scored(1).getDouble(1) - math.sqrt(0.5)) < 1e-12)
+    assert(scored(2).getLong(0) == 2L && scored(2).getDouble(1) == 0.0)
+  }
+
+  test("top-k is a prefix of the full ranking (V3 property)") {
+    import spark.implicits._
+    val topk = RetrievalOps.queries("v3_cosine_topk")(spark, sf)
+      .filter($"qid" === 0).collect().map(r => (r.getInt(1), r.getLong(2)))
+    val c = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val q = c.filter($"vec_id" === 0).select($"v".as("qv"))
+    val full = c.filter($"vec_id" =!= 0).crossJoin(q)
+      .select($"vec_id", dot($"qv", $"v").as("s"))
+      .orderBy(desc("s"), $"vec_id").limit(3).collect().map(_.getLong(0))
+    assert(topk.sortBy(_._1).map(_._2).toSeq == full.toSeq)
+  }
+
+  test("ANN bucketed results are a subset of brute-force candidates with same scores") {
+    import spark.implicits._
+    val ann = RetrievalOps.queries("ann_lsh_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val exactPairs = RetrievalOps.queries("v3_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // any (qid, vec) the ANN ranks that exact top-3 also ranks must agree on score
+    ann.foreach { case (qid, vid, s) =>
+      exactPairs.get((qid, vid)).foreach(es => assert(es == s))
+    }
+  }
+
+  test("v1 hashing embedder emits unit-normalized vectors (fixed-point)") {
+    val rows = RetrievalOps.queries("v1_hash_embed")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // components in [-1e6, 1e6] micros after normalization
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1)) <= 1000000L && math.abs(r.getLong(2)) <= 1000000L)
+    }
+  }
+}

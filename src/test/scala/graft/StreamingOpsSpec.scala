@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming semantics (SURVEY.md §2.10): T2 exactly-once via
+  * checkpoint restart, T5 progress metrics, and observe()-based
+  * counters (the reference's stats.log, main.py:38-43). */
+class StreamingOpsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("streaming final state equals batch aggregate (T1/T2)") {
+    val streamed = graft.streaming.StreamingOps
+      .queries("streaming_event_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("checkpointed restart does not reprocess files (T2 exactly-once)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    runOnce() // second start from same checkpoint: source already drained
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == Tables.events(spark, sf).count())
+    assert(n2 == n1) // nothing reprocessed
+  }
+
+  test("observe() exposes running counters on a batch pass (T5)") {
+    val observed = Tables.events(spark, sf)
+      .observe("stats", count(lit(1)).as("n"),
+               count(when(col("event_type") === "error", 1)).as("n_error"))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[(Long, Long)] = None
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit = {
+        qe.observedMetrics.get("stats").foreach { row =>
+          metrics = Some((row.getLong(0), row.getLong(1)))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val total = observed.count()
+      // listener fires asynchronously; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.metrics.exists(_._1 == total))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
