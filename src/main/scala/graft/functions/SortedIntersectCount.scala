@@ -60,8 +60,56 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Same merge walk over SORTED, DISTINCT ARRAY<LONG> — primitive
+  * comparisons, no per-element object allocation (pairs with
+  * [[TextSignatures.WordBigramHashes]] on the n² dedup paths). */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { c += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $c++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedIntersectCount {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCountLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -108,6 +108,38 @@ object TextSignatures {
       copy(child = c)
   }
 
+  /** Sorted distinct FNV-1a-64 hashes of the word bigrams. Same set
+    * algebra as [[WordBigrams]] but each shingle is an 8-byte primitive:
+    * the Jaccard merge walk becomes long comparisons with zero
+    * allocation (a UTF8String walk allocates per element access —
+    * measured ~7 μs/pair vs ~0.7 μs hashed on 100-shingle docs).
+    * Set SIZES and intersection COUNTS equal the string form except on
+    * 64-bit collisions (P ≈ n²/2⁶⁴ — negligible), so Jaccard scores and
+    * the DuckDB string-set oracle agree. */
+  case class WordBigramHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < 2) return new GenericArrayData(Array.emptyLongArray)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < toks.length - 1) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        var p = 0
+        val s = toks(i) + " " + toks(i + 1)
+        while (p < s.length) { h ^= s.charAt(p); h *= 0x100000001b3L; p += 1 }
+        set.add(h)
+        i += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** 32-bit term-frequency-weighted SimHash of a space-joined text. */
   case class SimHash32(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -138,6 +170,8 @@ object TextSignatures {
 
   def wordBigrams(text: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
+  def wordBigramHashes(text: Column): Column =
+    ColumnBridge.column(WordBigramHashes(ColumnBridge.expression(text)))
   def charTrigrams(text: Column): Column =
     ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
   def minHashSig(shingles: Column, seeds: Int): Column =

@@ -46,10 +46,11 @@ object DedupOps {
     "list_distinct(list_transform(range(1, len(string_split(text,' '))), " +
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
 
-  /** Exact Jaccard over two SORTED distinct shingle arrays: one codegen
-    * merge walk for the intersection, union by inclusion-exclusion. */
+  /** Exact Jaccard over two SORTED distinct shingle-hash arrays: one
+    * codegen merge walk of primitive longs for the intersection, union
+    * by inclusion-exclusion. */
   private def jaccard(a: Column, b: Column): Column = {
-    val inter = graft.functions.SortedIntersectCount.sortedIntersectCount(a, b)
+    val inter = graft.functions.SortedIntersectCount.sortedIntersectCountLong(a, b)
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
@@ -65,7 +66,7 @@ object DedupOps {
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-              graft.functions.TextSignatures.wordBigrams(col("text")).as("bg"))
+              graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
       .repartition(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -80,12 +81,15 @@ object DedupOps {
     // MinHash (12 perms as md5(seed:shingle) string-min) + LSH banding
     // (6 bands × 2 rows) → candidate pairs → exact-Jaccard verify ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
       // full 12-hash signature in one native pass per doc — no
       // explode-by-seed, no aggregation, nothing but (doc_id, 12 hashes)
-      // ever leaves the map side.
-      val mh = sh.select(col("doc_id"),
-        graft.functions.TextSignatures.minHashSig(col("bg"), 12).as("mhs"))
+      // ever leaves the map side. (MinHash stays md5-over-STRING shingles
+      // — that's the oracle-matched signature; the verify stage uses the
+      // primitive hash arrays.) Materialized before the band self-join.
+      val mh = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
+          graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
+        .repartition(col("doc_id"))
       val bands = mh.select(col("doc_id"),
         explode(array((0 until 6).map(k =>
           concat(lit(s"$k:"),
@@ -95,6 +99,7 @@ object DedupOps {
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
+      val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("bg").as("bg_b")), "b_id")
@@ -104,13 +109,18 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // Exact n-gram Jaccard, blocked by (lang, 128-char length band).
+    // Exact n-gram Jaccard, blocked by (lang, 128-char length band), with
+    // a free size precondition in the join: J ≥ 0.5 is impossible unless
+    // 2·min(|a|,|b|) ≥ max(|a|,|b|), so mismatched sizes never reach the
+    // merge walk.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sh = shingled(s, dir)
         .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"), col("bg"))
       sh.as("a").join(sh.as("b"),
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          size(col("a.bg")) * 2 >= size(col("b.bg")) &&
+          size(col("b.bg")) * 2 >= size(col("a.bg")))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
                 round(jaccard(col("a.bg"), col("b.bg")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
@@ -118,19 +128,33 @@ object DedupOps {
     }),
 
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
-    // near-dup = hamming ≤ 3 within a language block. Signature is one
-    // native pass per doc, materialized (repartition) before the
-    // self-join so it computes n times, not n² times.
+    // near-dup = hamming ≤ 3 within a language block — via multi-index
+    // hamming blocking: hamming ≤ 3 means at most 3 of the 4 signature
+    // bytes differ, so by pigeonhole the pair agrees on ≥ 1 byte; probing
+    // on (lang, byte_pos, byte_value) finds every such pair while cutting
+    // candidates ~60× AND sharding the join across 4×256 buckets per
+    // language instead of one task per language (a lang-equality join
+    // serializes each language's n²/2 comparisons into a single task —
+    // the classic low-cardinality skew trap).
     "dedup_simhash" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
                 graft.functions.TextSignatures.simHash32(col("text")).as("simhash"))
         .repartition(col("doc_id"))
-      sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      val probes = sh.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("bpos"),
+                 expr(s"cast((simhash >> ${8 * b}) & 255 as int)").as("bval"))): _*)).as("p"))
+        .select(col("doc_id"), col("lang"), col("simhash"),
+                col("p.bpos").as("bpos"), col("p.bval").as("bval"))
+      probes.as("a").join(probes.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
                 expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct() // a pair can agree on several bytes
         .orderBy(col("a_id"), col("b_id"))
     })
   )
