@@ -41,6 +41,17 @@ object TpchOps {
              count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // Q6: forecasting revenue change — pure pushed-filter scan + one
+    // global agg, the canonical "filters must reach the footer" query.
+    "tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_items"))),
+
     // Q3: shipping priority (selective dim filter → join → top-10 agg).
     "tpch_q3" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -101,6 +112,14 @@ object TpchOps {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey,
         |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
