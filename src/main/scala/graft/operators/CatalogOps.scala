@@ -181,6 +181,17 @@ object CatalogOps {
              max(col("doc_id")).as("last_new"))
     }),
 
+    // §2.7 set ops: UNION ALL — the reference's per-file loop outputs
+    // combined into one relation (embedding_engine.py:58-84 loops files;
+    // Spark = one union-all scan).
+    "set_union_all" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("lang") === "en").select(col("doc_id"), col("lang"))
+        .unionAll(docs.filter(col("lang") === "de").select(col("doc_id"), col("lang")))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // §2.7 set ops: INTERSECT (generalization of the set-membership ops).
     "set_intersect" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -341,6 +352,12 @@ object CatalogOps {
         |FROM documents d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents s WHERE s.doc_id % 7 = 0 AND s.doc_id = d.doc_id)""".stripMargin,
+    "set_union_all" ->
+      """SELECT lang, count(*) AS n FROM (
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'de') t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'signup'

@@ -31,17 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct word-bigram shingle set. Guarded for 1-token docs
-    * (sequence(1,0) would descend in Spark, unlike DuckDB range). */
-  private def bigramsCol(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 2,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   private val bigramsSqlExpr =
     "list_distinct(list_transform(range(1, len(string_split(text,' '))), " +
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"

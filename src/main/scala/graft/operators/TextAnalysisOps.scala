@@ -17,12 +17,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysisOps {
 
-  /** Distinct char-trigrams of a text column. */
-  private def trigramsCol(text: org.apache.spark.sql.Column) =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 2, lit(1))),
-      i => substring(text, i, lit(3))))
-
   private val trigramsSqlExpr =
     "list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)), i -> substr(text, i, 3)))"
 

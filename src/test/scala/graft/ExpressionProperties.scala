@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{DotProductD, SortedIntersectCount, SortedIntersectCountLong}
+import graft.functions.TextSignatures
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties over the custom expressions' eval functions
+  * (no SparkSession: pure interpreter-path checks against Scala
+  * reference semantics; plan-level equivalence lives in the specs). */
+object ExpressionProperties extends Properties("graft.expressions") {
+
+  private val lit = Literal(1) // placeholder child, never evaluated
+  private def longs(a: Seq[Long]) = new GenericArrayData(a.toArray)
+  private def doubles(a: Seq[Double]) = new GenericArrayData(a.toArray)
+  private def strings(a: Seq[String]) =
+    new GenericArrayData(a.map(UTF8String.fromString(_): AnyRef).toArray)
+
+  private val longSet = Gen.listOf(Gen.choose(-1000L, 1000L)).map(_.distinct.sorted)
+  private val vec = Gen.listOfN(8, Gen.choose(-100.0, 100.0))
+  private val text = Gen.listOf(Gen.oneOf("the", "a", "spark", "join", "sort", "key"))
+    .map(_.mkString(" "))
+
+  property("sortedIntersectCountLong == Set.intersect.size") =
+    Prop.forAll(longSet, longSet) { (a, b) =>
+      SortedIntersectCountLong(lit, lit)
+        .nullSafeEval(longs(a), longs(b)) == a.toSet.intersect(b.toSet).size
+    }
+
+  property("sortedIntersectCount (strings) == Set.intersect.size") =
+    Prop.forAll(Gen.listOf(Gen.identifier).map(_.distinct.sorted)) { a =>
+      val half = a.filter(_.hashCode % 2 == 0)
+      SortedIntersectCount(lit, lit)
+        .nullSafeEval(strings(a), strings(half)) == half.toSet.intersect(a.toSet).size
+    }
+
+  property("dot == sequential fold, symmetric") = Prop.forAll(vec, vec) { (a, b) =>
+    val d = DotProductD(lit, lit)
+    val fold = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    d.nullSafeEval(doubles(a), doubles(b)) == fold &&
+      d.nullSafeEval(doubles(a), doubles(b)) == d.nullSafeEval(doubles(b), doubles(a))
+  }
+
+  property("wordBigrams == reference set semantics") = Prop.forAll(text) { t =>
+    val toks = t.split(" ", -1)
+    val expected = toks.sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq.distinct.sorted
+    val got = TextSignatures.WordBigrams(lit)
+      .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+    (0 until got.numElements()).map(got.getUTF8String(_).toString) == expected
+  }
+
+  property("wordBigramHashes size == wordBigrams size (no collisions at this scale)") =
+    Prop.forAll(text) { t =>
+      val s = TextSignatures.WordBigrams(lit)
+        .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+      val h = TextSignatures.WordBigramHashes(lit)
+        .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+      s.numElements() == h.numElements()
+    }
+
+  property("simhash is permutation-invariant (bag semantics)") = Prop.forAll(text) { t =>
+    val toks = t.split(" ", -1)
+    val shuffled = scala.util.Random.shuffle(toks.toList).mkString(" ")
+    val e = TextSignatures.SimHash32(lit)
+    e.nullSafeEval(UTF8String.fromString(t)) ==
+      e.nullSafeEval(UTF8String.fromString(shuffled))
+  }
+
+  property("minhash signature entries are min over per-seed hashes") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)) { shingles =>
+      val got = TextSignatures.MinHashSig(lit, 4)
+        .nullSafeEval(strings(shingles)).asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String) =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 4).forall { k =>
+        got.getUTF8String(k).toString == shingles.map(sh => md5hex(s"$k:$sh")).min
+      }
+    }
+}
