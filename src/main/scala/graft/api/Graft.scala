@@ -1,0 +1,167 @@
+package graft.api
+
+import graft.functions.{SortedIntersectCount, TextSignatures, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Public library facade: the engine's operators as reusable functions
+  * over caller-supplied DataFrames (the `SparkEntry.queries` registry
+  * binds these same operators to the driver testdata; a user of the
+  * reference pipeline switches by calling these on their own tables).
+  *
+  * Column-name contracts are documented per method; every operator is a
+  * lazy plan — composable, optimizer-visible, nothing executes until an
+  * action.
+  */
+object Graft {
+
+  // ---- transcript (reference transcription.py semantics) -----------
+
+  /** W1: merge consecutive same-speaker segments per file.
+    * In: (file_id, seg_idx, spk_start, spk_end, speaker).
+    * Out: (file_id, island, speaker, isl_start, isl_end). */
+  def coalesceSpeakerIslands(segments: DataFrame): DataFrame =
+    graft.operators.TranscriptOps.islands(segments)
+
+  /** J1: consume-prefix as-of alignment of transcript chunks to speaker
+    * segments (exact reference-loop semantics).
+    * In: segments as above; chunks (file_id, chunk_idx, text, t_start,
+    * t_end, confidence). Out: (file_id, utt_idx, speaker, text,
+    * t_start, t_end, confidence). */
+  def alignTranscript(segments: DataFrame, chunks: DataFrame): DataFrame =
+    graft.operators.TranscriptOps.align(segments, chunks)
+
+  /** K2: render aligned utterances as "[start-end] SPEAKER: text". */
+  def renderDialogue(utterances: DataFrame): Column =
+    format_string("[%.2f-%.2f] %s: %s",
+      col("t_start"), col("t_end"), col("speaker"), col("text"))
+
+  // ---- dedup (north-star) ------------------------------------------
+
+  /** Exact content dedup: keep the first row per distinct `textCol`. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * In: docs(idCol, textCol). Out: (a_id, b_id, jaccard ≥ minJaccard). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double = 0.5, hashes: Int = 12,
+                      bands: Int = 6): DataFrame = {
+    require(hashes % bands == 0, "bands must divide hashes")
+    val rows = hashes / bands
+    val mh = docs.select(col(idCol).as("doc_id"),
+        TextSignatures.minHashSig(TextSignatures.wordBigrams(col(textCol)), hashes).as("mhs"))
+      .repartition(col("doc_id"))
+    val bandCols = (0 until bands).map { k =>
+      concat((lit(s"$k:") +: (0 until rows).map(r =>
+        element_at(col("mhs"), k * rows + r + 1))): _*)
+    }
+    val banded = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    val sh = docs.select(col(idCol).as("doc_id"),
+        TextSignatures.wordBigramHashes(col(textCol)).as("bg"))
+      .repartition(col("doc_id"))
+    val inter = SortedIntersectCount.sortedIntersectCountLong(col("bg_a"), col("bg_b"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("bg").as("bg_b")), "b_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("bg_a")) + size(col("bg_b")) - inter))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs (multi-index hamming blocking, lossless for
+    * maxHamming ≤ 3 over the 4 signature bytes). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "byte multi-index is lossless only for hamming <= 3")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        TextSignatures.simHash32(col(textCol)).as("simhash"))
+      .repartition(col("doc_id"))
+    val probes = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bpos"),
+               expr(s"cast((simhash >> ${8 * b}) & 255 as int)").as("bval"))): _*)).as("p"))
+      .select(col("doc_id"), col("simhash"), col("p.bpos").as("bpos"), col("p.bval").as("bval"))
+    probes.as("a").join(probes.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---- retrieval (north-star + reference faiss semantics) ----------
+
+  /** V3: exact cosine top-k. queries(qid, qvec ARRAY<FLOAT|DOUBLE>),
+    * corpus(vec_id, embedding). Query set is broadcast. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("qid"), VectorFns.asDouble(col("qvec")).as("qv"))
+    c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("score", VectorFns.dot(col("qv"), col("v")) /
+        (VectorFns.l2Norm(col("qv")) * VectorFns.l2Norm(col("v"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** L2-normalize an array column (adds unit-norm `outCol`). */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__norm", VectorFns.l2Norm(VectorFns.asDouble(col(vecCol))))
+      .withColumn(outCol,
+        VectorFns.l2NormalizeBy(VectorFns.asDouble(col(vecCol)), col("__norm")))
+      .drop("__norm")
+
+  // ---- events ------------------------------------------------------
+
+  /** Gap-based sessionization. In: (keyCol, tsCol timestamp, ordCol).
+    * Out: per-session (keyCol, session_id, n_events, session_start,
+    * session_end). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 ordCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+             unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col(tsCol)).as("session_start"),
+           max(col(tsCol)).as("session_end"))
+  }
+
+  // ---- text analysis -----------------------------------------------
+
+  /** Whitespace + regex token counts and a composite quality score. */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => t.isin("the", "a"))).cast("double") / size(toks))
+      .withColumn("quality",
+        col("distinct_ratio") * 0.4 +
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - col("stopword_ratio")) * 0.3)
+  }
+
+  /** Order-insensitive bag-of-words content fingerprint. */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+
+/** The public facade must agree with the registered query operators. */
+class GraftApiSpec extends SparkSpec {
+
+  test("minhashNearDups via API == dedup_minhash_lsh query") {
+    val api = Graft.minhashNearDups(
+        Tables.documents(spark, sf), "doc_id", "text", minJaccard = 0.5)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.operators.DedupOps.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api == q)
+  }
+
+  test("simhashNearDups via API == dedup_simhash query (modulo lang blocking)") {
+    val api = Graft.simhashNearDups(Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.operators.DedupOps.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the query blocks by language; the API is unblocked → superset
+    assert(q.subsetOf(api))
+  }
+
+  test("dedupExact keeps first id per text and is idempotent") {
+    import spark.implicits._
+    val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val d = Graft.dedupExact(docs, "doc_id", "text")
+    val kept = d.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    assert(Graft.dedupExact(d, "doc_id", "text").count() == d.count())
+  }
+
+  test("cosineTopK via API == v3_cosine_topk query (same ranking)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val api = Graft.cosineTopK(q, e, 3)
+      .select($"qid", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val reg = graft.operators.RetrievalOps.queries("v3_cosine_topk")(spark, sf)
+      .select($"qid", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(api == reg)
+  }
+
+  test("sessionize via API == sessionize_30m query") {
+    import spark.implicits._
+    val api = Graft.sessionize(Tables.events(spark, sf), "user_id", "ts", "event_id")
+      .select($"user_id", $"session_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reg = graft.operators.EventOps.queries("sessionize_30m")(spark, sf)
+      .select($"user_id", $"session_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api == reg)
+  }
+}
