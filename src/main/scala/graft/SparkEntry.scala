@@ -22,6 +22,7 @@ object SparkEntry {
     Module(EventOps.queries, EventOps.oracles),
     Module(TpchOps.queries, TpchOps.oracles),
     Module(TranscriptOps.queries, TranscriptOps.oracles),
+    Module(PipelineOps.queries, PipelineOps.oracles),
     Module(DedupOps.queries, DedupOps.oracles),
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),

@@ -91,8 +91,35 @@ object TranscriptOps {
     "files(file_id, n_samples) AS (VALUES " +
       fileRows.map { case (f, n) => s"($f, CAST($n AS BIGINT))" }.mkString(", ") + ")"
 
+  /** Shared J1 alignment SQL chain (CTEs `ch`→`utt`) over source CTEs
+    * named `chunks` + `isl`; composable by any oracle that generates its
+    * own chunk/segment relations (see PipelineOps). */
+  private[operators] val alignSqlCtes =
+    """ch AS (SELECT file_id, text, t_start, t_end, confidence,
+      |  row_number() OVER (PARTITION BY file_id ORDER BY chunk_idx) - 1 AS p
+      |  FROM chunks WHERE t_end IS NOT NULL),
+      |n AS (SELECT file_id, count(*) AS n_chunks FROM ch GROUP BY file_id),
+      |gg AS (SELECT i.file_id, i.island, i.speaker, c.p,
+      |  row_number() OVER (PARTITION BY i.file_id, i.island
+      |    ORDER BY abs(c.t_end - i.isl_end), c.p) AS rn
+      |  FROM isl i JOIN ch c ON c.file_id = i.file_id),
+      |g AS (SELECT file_id, island, speaker, p AS gpos FROM gg WHERE rn = 1),
+      |cuts0 AS (SELECT file_id, island, speaker,
+      |  island - 1 + max(gpos - (island - 1)) OVER (PARTITION BY file_id ORDER BY island
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      |  FROM g),
+      |cuts AS (SELECT *, coalesce(lag(cpos) OVER (PARTITION BY file_id ORDER BY island) + 1, 0) AS rpos
+      |  FROM cuts0),
+      |emit AS (SELECT cuts.* FROM cuts JOIN n USING (file_id) WHERE rpos <= n_chunks - 1),
+      |utt AS (SELECT e.file_id, e.island AS utt_idx, e.speaker,
+      |  string_agg(trim(c.text), ' ' ORDER BY c.p) AS text,
+      |  min_by(c.t_start, c.p) AS t_start, max_by(c.t_end, c.p) AS t_end,
+      |  round(avg(coalesce(c.confidence, 1.0)), 6) AS confidence
+      |FROM emit e JOIN ch c ON c.file_id = e.file_id AND c.p BETWEEN e.rpos AND e.cpos
+      |GROUP BY e.file_id, e.island, e.speaker)""".stripMargin
+
   /** Shared W1 island SQL chain (CTEs `l`→`isl`), used by several oracles. */
-  private val islandsSqlCtes =
+  private[operators] val islandsSqlCtes =
     """l AS (SELECT *, lag(speaker) OVER (PARTITION BY file_id ORDER BY seg_idx) AS prev_spk FROM segments),
       |ff AS (SELECT *, CASE WHEN prev_spk IS NULL OR speaker <> prev_spk THEN 1 ELSE 0 END AS is_new FROM l),
       |isl0 AS (SELECT *, sum(is_new) OVER (PARTITION BY file_id ORDER BY seg_idx
@@ -240,57 +267,18 @@ object TranscriptOps {
       s"""WITH $segmentsSql,
          |$chunksSql,
          |$islandsSqlCtes,
-         |ch AS (SELECT file_id, text, t_start, t_end, confidence,
-         |  row_number() OVER (PARTITION BY file_id ORDER BY chunk_idx) - 1 AS p
-         |  FROM chunks WHERE t_end IS NOT NULL),
-         |n AS (SELECT file_id, count(*) AS n_chunks FROM ch GROUP BY file_id),
-         |gg AS (SELECT i.file_id, i.island, i.speaker, c.p,
-         |  row_number() OVER (PARTITION BY i.file_id, i.island
-         |    ORDER BY abs(c.t_end - i.isl_end), c.p) AS rn
-         |  FROM isl i JOIN ch c ON c.file_id = i.file_id),
-         |g AS (SELECT file_id, island, speaker, p AS gpos FROM gg WHERE rn = 1),
-         |cuts0 AS (SELECT file_id, island, speaker,
-         |  island - 1 + max(gpos - (island - 1)) OVER (PARTITION BY file_id ORDER BY island
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
-         |  FROM g),
-         |cuts AS (SELECT *, coalesce(lag(cpos) OVER (PARTITION BY file_id ORDER BY island) + 1, 0) AS rpos
-         |  FROM cuts0),
-         |emit AS (SELECT cuts.* FROM cuts JOIN n USING (file_id) WHERE rpos <= n_chunks - 1)
-         |SELECT e.file_id, e.island AS utt_idx, e.speaker,
-         |  string_agg(trim(c.text), ' ' ORDER BY c.p) AS text,
-         |  min_by(c.t_start, c.p) AS t_start, max_by(c.t_end, c.p) AS t_end,
-         |  round(avg(coalesce(c.confidence, 1.0)), 6) AS confidence
-         |FROM emit e JOIN ch c ON c.file_id = e.file_id AND c.p BETWEEN e.rpos AND e.cpos
-         |GROUP BY e.file_id, e.island, e.speaker
-         |ORDER BY e.file_id, utt_idx""".stripMargin,
+         |$alignSqlCtes
+         |SELECT file_id, utt_idx, speaker, text, t_start, t_end, confidence
+         |FROM utt ORDER BY file_id, utt_idx""".stripMargin,
 
-    "k2_dialogue_render" -> {
-      val j1 = s"""WITH $segmentsSql,
+    "k2_dialogue_render" ->
+      s"""WITH $segmentsSql,
          |$chunksSql,
          |$islandsSqlCtes,
-         |ch AS (SELECT file_id, text, t_start, t_end, confidence,
-         |  row_number() OVER (PARTITION BY file_id ORDER BY chunk_idx) - 1 AS p
-         |  FROM chunks WHERE t_end IS NOT NULL),
-         |n AS (SELECT file_id, count(*) AS n_chunks FROM ch GROUP BY file_id),
-         |gg AS (SELECT i.file_id, i.island, i.speaker, c.p,
-         |  row_number() OVER (PARTITION BY i.file_id, i.island
-         |    ORDER BY abs(c.t_end - i.isl_end), c.p) AS rn
-         |  FROM isl i JOIN ch c ON c.file_id = i.file_id),
-         |g AS (SELECT file_id, island, speaker, p AS gpos FROM gg WHERE rn = 1),
-         |cuts0 AS (SELECT file_id, island, speaker,
-         |  island - 1 + max(gpos - (island - 1)) OVER (PARTITION BY file_id ORDER BY island
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
-         |  FROM g),
-         |cuts AS (SELECT *, coalesce(lag(cpos) OVER (PARTITION BY file_id ORDER BY island) + 1, 0) AS rpos
-         |  FROM cuts0),
-         |emit AS (SELECT cuts.* FROM cuts JOIN n USING (file_id) WHERE rpos <= n_chunks - 1),
-         |utt AS (SELECT e.file_id, e.island AS utt_idx, e.speaker,
-         |  string_agg(trim(c.text), ' ' ORDER BY c.p) AS text,
-         |  min_by(c.t_start, c.p) AS t_start, max_by(c.t_end, c.p) AS t_end
-         |FROM emit e JOIN ch c ON c.file_id = e.file_id AND c.p BETWEEN e.rpos AND e.cpos
-         |GROUP BY e.file_id, e.island, e.speaker)""".stripMargin
-      j1 + "\nSELECT file_id, utt_idx, printf('[%.2f-%.2f] %s: %s', t_start, t_end, speaker, text) AS line\nFROM utt ORDER BY file_id, utt_idx"
-    },
+         |$alignSqlCtes
+         |SELECT file_id, utt_idx,
+         |  printf('[%.2f-%.2f] %s: %s', t_start, t_end, speaker, text) AS line
+         |FROM utt ORDER BY file_id, utt_idx""".stripMargin,
 
     "a5_mean_confidence" ->
       s"""WITH $chunksSql
