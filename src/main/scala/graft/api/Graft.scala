@@ -144,6 +144,20 @@ object Graft {
            max(col(tsCol)).as("session_end"))
   }
 
+  /** Two-phase salted aggregation for skewed grouping keys: counts per
+    * (key, salt) first — spreading one hot key over `salts` reducers —
+    * then sums the partials. Identical result to `groupBy(key).count()`;
+    * use when one key dominates (AQE handles skewed JOINS at runtime,
+    * but a skewed AGGREGATION key still funnels into one partial-agg
+    * reducer without salting). `saltSource` must be any column that
+    * varies within a key (an id, a timestamp). */
+  def saltedCount(df: DataFrame, keyCol: String, saltSource: String,
+                  salts: Int = 16): DataFrame =
+    df.groupBy(col(keyCol), pmod(hash(col(saltSource)), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("count"))
+
   // ---- text analysis -----------------------------------------------
 
   /** Whitespace + regex token counts and a composite quality score. */

@@ -102,6 +102,41 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN, IVF variant: inverted-file search with the `label` column as
+    // the coarse quantizer's cell assignment (the testdata's stand-in
+    // for k-means output). Cells are summarized by their mean vector;
+    // a query scores the 10 centroids (broadcast, trivial), probes the
+    // top-2 cells, and scans ONLY those cells' vectors — at 100 TB the
+    // corpus is partitioned/bucketed by cell so a probe reads ~nprobe/k
+    // of the data instead of all of it.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val c = corpus(s, dir).join(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      val centroids = c
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cscore", dot(col("qv"), col("cv")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("label"))))
+        .filter(col("crank") <= 2) // nprobe = 2
+        .select(col("qid"), col("qv"), col("label"))
+      c.join(broadcast(probed), Seq("label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V1: deterministic hashing embedder — the compute-an-embedding path
     // (reference: SentenceTransformer encode, embedding_engine.py:15-22).
     // 8-dim HashingTF-style: dim d = #tokens whose md5-derived hash ≡ d
@@ -168,6 +203,24 @@ object RetrievalOps {
          |SELECT qid, rank, vec_id, round(score, 6) AS score
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT label, dim, avg(x) AS cx FROM (
+        |    SELECT label, unnest(v) AS x,
+        |           unnest(range(1, len(v) + 1)) AS dim FROM e)
+        |  GROUP BY label, dim),
+        |cv AS (SELECT label, list(cx ORDER BY dim) AS cv FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |pr AS (SELECT qid, qv, label, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_dot_product(qv, cv) DESC, label) AS crank
+        |  FROM q CROSS JOIN cv),
+        |probed AS (SELECT qid, qv, label FROM pr WHERE crank <= 2),
+        |scored AS (SELECT p.qid, e.vec_id, list_dot_product(p.qv, e.v) AS score
+        |  FROM e JOIN probed p USING (label) WHERE e.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, vec_id) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "v1_hash_embed" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id,

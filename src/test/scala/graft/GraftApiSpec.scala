@@ -48,6 +48,16 @@ class GraftApiSpec extends SparkSpec {
     assert(api == reg)
   }
 
+  test("saltedCount == plain groupBy count (skew-safe aggregation)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val salted = Graft.saltedCount(ev, "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = ev.groupBy($"event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+
   test("sessionize via API == sessionize_30m query") {
     import spark.implicits._
     val api = Graft.sessionize(Tables.events(spark, sf), "user_id", "ts", "event_id")
