@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
-  /** Idempotently materialize the fixture tree under /tmp. */
+  /** Idempotently materialize the fixture tree under target/ (kept
+    * inside the repo; gitignored). */
   private def fixtureDir(): String = {
-    val root = Paths.get("/tmp/graft_file_fixtures")
+    val root = Paths.get("target/graft_file_fixtures")
     if (!Files.exists(root)) {
       val d1 = root.resolve("downloads/a"); val d2 = root.resolve("downloads/b")
       Files.createDirectories(d1); Files.createDirectories(d2)
@@ -86,7 +87,7 @@ object FileSources {
     // K1: JSON sink round-trip — write aligned utterances as JSON
     // (transcription.py:349-351), read back, verify through the scan.
     "k1_json_sink_roundtrip" -> ((s, _) => {
-      val out = "/tmp/graft_file_fixtures/out_utterances_json"
+      val out = "target/graft_file_fixtures/out_utterances_json"
       graft.operators.TranscriptOps.queries("j1_asof_alignment")(s, "")
         .write.mode("overwrite").json(out)
       s.read.json(out)

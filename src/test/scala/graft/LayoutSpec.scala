@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
 
   test("date-partitioned events: filters become PartitionFilters, directories prune") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft_part").toString
     Tables.events(spark, sf)
       .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(out)

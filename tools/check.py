@@ -14,7 +14,7 @@ from pathlib import Path
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+OUT = "/root/repo/target/graft_verify"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
