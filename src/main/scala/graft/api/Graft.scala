@@ -53,7 +53,9 @@ object Graft {
                       bands: Int = 6): DataFrame = {
     require(hashes % bands == 0, "bands must divide hashes")
     val rows = hashes / bands
-    val mh = docs.select(col(idCol).as("doc_id"),
+    val mh = docs
+      .filter(size(split(col(textCol), " ")) >= 2) // shingle-less docs can't near-dup
+      .select(col(idCol).as("doc_id"),
         TextSignatures.minHashSig(TextSignatures.wordBigrams(col(textCol)), hashes).as("mhs"))
       .repartition(col("doc_id"))
     val bandCols = (0 until bands).map { k =>

@@ -76,6 +76,11 @@ object DedupOps {
       // — that's the oracle-matched signature; the verify stage uses the
       // primitive hash arrays.) Materialized before the band self-join.
       val mh = Tables.documents(s, dir)
+        // <2-token docs have no shingles: without this filter their empty
+        // signatures would all share identical bands (n² false candidates
+        // and a 0/0 Jaccard, an ANSI division error); the oracle drops
+        // them naturally in its shingle explode.
+        .filter(size(split(col("text"), " ")) >= 2)
         .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
           graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
         .repartition(col("doc_id"))
@@ -109,7 +114,8 @@ object DedupOps {
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id") &&
           size(col("a.bg")) * 2 >= size(col("b.bg")) &&
-          size(col("b.bg")) * 2 >= size(col("a.bg")))
+          size(col("b.bg")) * 2 >= size(col("a.bg")) &&
+          size(col("a.bg")) > 0) // shingle-less docs: no pairs, no 0/0
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
                 round(jaccard(col("a.bg"), col("b.bg")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)

@@ -25,6 +25,18 @@ class GraftApiSpec extends SparkSpec {
     assert(q.subsetOf(api))
   }
 
+  test("degenerate 1-token docs neither crash nor become false candidates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "solo"), (2L, "solo"), // no bigrams → must be excluded, not paired
+      (3L, "a b a b a b"), (4L, "a b a b a c"))
+      .toDF("doc_id", "text")
+    val pairs = Graft.minhashNearDups(docs, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 <= 2 || p._2 <= 2))
+    assert(pairs.contains((3L, 4L)))
+  }
+
   test("dedupExact keeps first id per text and is idempotent") {
     import spark.implicits._
     val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other"))
