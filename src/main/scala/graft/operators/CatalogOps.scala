@@ -309,7 +309,7 @@ object CatalogOps {
         |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
     "p1_catalog_projection" ->
       """SELECT o_orderkey AS key, o_totalprice AS size,
-        |year(o_orderdate) AS year, o_orderdate AS last_modified
+        |year(o_orderdate)::INT AS year, o_orderdate AS last_modified
         |FROM orders ORDER BY key LIMIT 100""".stripMargin,
     "p2_unit_conversion" ->
       "SELECT doc_id, round(n_chars / 1024.0, 6) AS size_kb FROM documents ORDER BY doc_id LIMIT 200",
@@ -324,7 +324,7 @@ object CatalogOps {
          |  ELSE 'no extension' END AS ext
          |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
     "a1_count_by_year" ->
-      """SELECT year(o_orderdate) AS year, count(*) AS count
+      """SELECT year(o_orderdate)::INT AS year, count(*) AS count
         |FROM orders GROUP BY 1 ORDER BY year DESC""".stripMargin,
     "a2_ext_histogram" ->
       s"""WITH k AS (SELECT doc_id, $keySql AS key FROM documents),
@@ -340,7 +340,7 @@ object CatalogOps {
         |count(DISTINCT user_id) AS n_users
         |FROM events""".stripMargin,
     "a6_max_year" ->
-      "SELECT max(year(o_orderdate)) AS latest_year FROM orders WHERE o_orderstatus = 'F'",
+      "SELECT CAST(max(year(o_orderdate)) AS INT) AS latest_year FROM orders WHERE o_orderstatus = 'F'",
     "a8_distinct" ->
       "SELECT DISTINCT lang FROM documents ORDER BY lang",
     "a9_group_collect" ->
@@ -380,7 +380,7 @@ object CatalogOps {
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS i FROM d),
         |b AS (SELECT doc_id AS id_rank_doc,
         |  row_number() OVER (ORDER BY doc_id) AS i FROM d)
-        |SELECT i, size_rank_doc, id_rank_doc FROM a JOIN b USING (i)
+        |SELECT i::INT AS i, size_rank_doc, id_rank_doc FROM a JOIN b USING (i)
         |ORDER BY i""".stripMargin,
     "j4_semi_join" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
@@ -392,7 +392,7 @@ object CatalogOps {
          |SELECT doc_id,
          |  lower(source) AS c1_lower,
          |  (source LIKE '%1') AS c2_endswith,
-         |  length(trim(text)) AS c3_trimlen,
+         |  length(trim(text))::INT AS c3_trimlen,
          |  concat_ws('|', lang, source) AS c4_concat,
          |  printf('%s/%05d', lang, doc_id) AS c5_format,
          |  substr(text, 1, 10) AS c6_substr,
@@ -407,11 +407,11 @@ object CatalogOps {
         |GROUP BY ROLLUP(lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "w2_topn_per_group" ->
-      """WITH r AS (SELECT year(o_orderdate) AS year, o_orderkey, o_totalprice,
+      """WITH r AS (SELECT year(o_orderdate)::INT AS year, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY year(o_orderdate)
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
-        |SELECT year, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |SELECT year, rn::INT AS rn, o_orderkey, round(o_totalprice, 2) AS price
         |FROM r WHERE rn <= 3 ORDER BY year DESC, rn""".stripMargin
   )
 }

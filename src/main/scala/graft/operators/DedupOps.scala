@@ -213,7 +213,7 @@ object DedupOps {
         |sh AS (SELECT doc_id, lang, sum(bit * (1::BIGINT << j))::BIGINT AS simhash
         |  FROM bits GROUP BY doc_id, lang)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY a_id, b_id""".stripMargin

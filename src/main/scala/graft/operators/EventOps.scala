@@ -113,7 +113,7 @@ object EventOps {
         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM f)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,

@@ -188,7 +188,7 @@ object RetrievalOps {
         |r AS (SELECT qid, vec_id, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
         |  FROM scored)
-        |SELECT qid, rank, vec_id, round(score, 6) AS score
+        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_lsh_topk" ->
@@ -200,7 +200,7 @@ object RetrievalOps {
          |r AS (SELECT qid, vec_id, score,
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
          |  FROM scored)
-         |SELECT qid, rank, vec_id, round(score, 6) AS score
+         |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_topk" ->
@@ -219,7 +219,7 @@ object RetrievalOps {
         |  FROM e JOIN probed p USING (label) WHERE e.vec_id <> p.qid),
         |r AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid
         |    ORDER BY score DESC, vec_id) AS rank FROM scored)
-        |SELECT qid, rank, vec_id, round(score, 6) AS score
+        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "v1_hash_embed" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

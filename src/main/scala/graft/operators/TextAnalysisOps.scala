@@ -116,7 +116,7 @@ object TextAnalysisOps {
         |m AS (SELECT doc_id, len(toks) AS n_tokens,
         |  len(list_distinct(toks)) AS n_distinct,
         |  len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop FROM t)
-        |SELECT doc_id, n_tokens, n_distinct,
+        |SELECT doc_id, n_tokens::INT AS n_tokens, n_distinct::INT AS n_distinct,
         |  round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
         |  round(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
         |  round((n_distinct::DOUBLE / n_tokens) * 0.4 +
@@ -125,9 +125,9 @@ object TextAnalysisOps {
         |FROM m ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "ta_token_count" ->
-      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
-        |len(regexp_extract_all(text, '([a-z0-9]+)', 1)) AS n_word_tokens,
-        |length(text) AS n_chars_actual
+      """SELECT doc_id, len(string_split(text, ' '))::INT AS n_ws_tokens,
+        |len(regexp_extract_all(text, '([a-z0-9]+)', 1))::INT AS n_word_tokens,
+        |length(text)::INT AS n_chars_actual
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "ta_fingerprint" ->

@@ -260,7 +260,7 @@ object TranscriptOps {
     "w1_islands" ->
       s"""WITH $segmentsSql,
          |$islandsSqlCtes
-         |SELECT file_id, island, speaker, isl_start, isl_end
+         |SELECT file_id, island::BIGINT AS island, speaker, isl_start, isl_end
          |FROM isl ORDER BY file_id, island""".stripMargin,
 
     "j1_asof_alignment" ->
@@ -268,7 +268,7 @@ object TranscriptOps {
          |$chunksSql,
          |$islandsSqlCtes,
          |$alignSqlCtes
-         |SELECT file_id, utt_idx, speaker, text, t_start, t_end, confidence
+         |SELECT file_id, utt_idx::BIGINT AS utt_idx, speaker, text, t_start, t_end, confidence
          |FROM utt ORDER BY file_id, utt_idx""".stripMargin,
 
     "k2_dialogue_render" ->
@@ -276,7 +276,7 @@ object TranscriptOps {
          |$chunksSql,
          |$islandsSqlCtes,
          |$alignSqlCtes
-         |SELECT file_id, utt_idx,
+         |SELECT file_id, utt_idx::BIGINT AS utt_idx,
          |  printf('[%.2f-%.2f] %s: %s', t_start, t_end, speaker, text) AS line
          |FROM utt ORDER BY file_id, utt_idx""".stripMargin,
 

@@ -56,6 +56,13 @@ for name, sql in sorted(oracle.items()):
     g_cols, e_cols = sorted(got_df.columns), sorted(exp_df.columns)
     if g_cols != e_cols:
         print(f"FAIL {name}: cols {g_cols} != {e_cols}"); fails += 1; continue
+    # dtype parity (a stricter driver may hash typed values)
+    g_types = dict(zip(got_df.columns, (str(t) for t in got_df.dtypes)))
+    e_types = dict(zip(exp_df.columns, (str(t) for t in exp_df.dtypes)))
+    mism = {c: (g_types[c], e_types[c]) for c in g_types
+            if g_types[c] != e_types[c]}
+    if mism:
+        print(f"WARN {name}: dtype mismatch {mism}")
     got = norm(got_df[g_cols].itertuples(index=False, name=None))
     exp = norm(exp_df[e_cols].itertuples(index=False, name=None))
     if len(got) != len(exp):
