@@ -16,13 +16,16 @@ object Bench {
     // Two passes, min per query: reports steady-state latency (first
     // pass pays per-query codegen compilation + JIT, which is noise at
     // this scale and absent in any long-running deployment).
+    // a failed query reports -1, never a bogus fast timing
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0 }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val (a, b) = (once(fn), once(fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -106,11 +106,17 @@ object Graft {
   /** V3: exact cosine top-k. queries(qid, qvec ARRAY<FLOAT|DOUBLE>),
     * corpus(vec_id, embedding). Query set is broadcast. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // norms are computed once per row BEFORE the join — folded into the
+    // per-pair score expression they would be re-evaluated once per
+    // (query, corpus) pair after Catalyst collapses the projection
     val c = corpus.select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("v_norm", VectorFns.l2Norm(col("v")))
+      .repartition(col("vec_id")) // materialization barrier
     val q = queries.select(col("qid"), VectorFns.asDouble(col("qvec")).as("qv"))
+      .withColumn("q_norm", VectorFns.l2Norm(col("qv")))
     c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("score", VectorFns.dot(col("qv"), col("v")) /
-        (VectorFns.l2Norm(col("qv")) * VectorFns.l2Norm(col("v"))))
+      .withColumn("score",
+        VectorFns.dot(col("qv"), col("v")) / (col("q_norm") * col("v_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
       .filter(col("rank") <= k)

@@ -123,13 +123,13 @@ object TranscriptOps {
     """l AS (SELECT *, lag(speaker) OVER (PARTITION BY file_id ORDER BY seg_idx) AS prev_spk FROM segments),
       |ff AS (SELECT *, CASE WHEN prev_spk IS NULL OR speaker <> prev_spk THEN 1 ELSE 0 END AS is_new FROM l),
       |isl0 AS (SELECT *, sum(is_new) OVER (PARTITION BY file_id ORDER BY seg_idx
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl0_src),
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM ff),
       |isl1 AS (SELECT file_id, island, min_by(speaker, seg_idx) AS speaker,
       |  min_by(spk_start, seg_idx) AS isl_start, max_by(spk_end, seg_idx) AS raw_end
       |  FROM isl0 GROUP BY file_id, island),
       |isl AS (SELECT file_id, island, speaker, isl_start,
       |  coalesce(lead(isl_start) OVER (PARTITION BY file_id ORDER BY island), raw_end) AS isl_end
-      |  FROM isl1)""".stripMargin.replace("isl0_src", "ff")
+      |  FROM isl1)""".stripMargin
 
   // ---- W1: gaps-and-islands speaker coalescing ---------------------
 
@@ -246,9 +246,7 @@ object TranscriptOps {
         .withColumn("run_id", sum(col("is_new")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("run_id"))
-        .agg(min(col("event_type")).as("event_type"),
-             count(lit(1)).as("run_len"),
-             min(col("ts")).as("run_start"))
+        .agg(count(lit(1)).as("run_len"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_runs"),
              max(col("run_len")).as("longest_run"))

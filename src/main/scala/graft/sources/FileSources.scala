@@ -24,7 +24,14 @@ object FileSources {
     * inside the repo; gitignored). */
   private def fixtureDir(): String = {
     val root = Paths.get("target/graft_file_fixtures")
-    if (!Files.exists(root)) {
+    // sentinel-based idempotence: a crash mid-creation leaves no marker,
+    // so the partial tree is rebuilt rather than silently accepted
+    val sentinel = root.resolve(".complete")
+    if (!Files.exists(sentinel)) {
+      if (Files.exists(root)) { // partial leftover: wipe and rebuild
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       val d1 = root.resolve("downloads/a"); val d2 = root.resolve("downloads/b")
       Files.createDirectories(d1); Files.createDirectories(d2)
       Files.write(d1.resolve("x.webm"), "WEBMDATA-X".getBytes)
@@ -40,6 +47,7 @@ object FileSources {
       Files.write(t.resolve("empty_dialogue.txt"), "".getBytes)
       Files.write(root.resolve("downloaded_files.json"),
         """["downloads/a/x.webm", "downloads/b/z.WEBM"]""".getBytes)
+      Files.write(sentinel, Array.emptyByteArray)
     }
     root.toString
   }
