@@ -60,6 +60,19 @@ class GraftApiSpec extends SparkSpec {
     assert(api == reg)
   }
 
+  test("annTopK via API == ann_lsh_topk query") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val api = Graft.annTopK(q, e, 3)
+      .select($"qid", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val reg = graft.operators.RetrievalOps.queries("ann_lsh_topk")(spark, sf)
+      .select($"qid", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(api == reg)
+  }
+
   test("saltedCount == plain groupBy count (skew-safe aggregation)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
