@@ -92,6 +92,35 @@ object FileSources {
         .orderBy(col("key"))
     }),
 
+    // CSV round-trip with explicit schema (header, typed read-back) —
+    // the interchange format the relational surface needs beyond
+    // parquet/JSON. Deterministic subset, ordered.
+    "s_csv_roundtrip" -> ((s, dir) => {
+      val out = "target/graft_file_fixtures/out_docs_csv"
+      graft.Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("header", "true").csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip — the other columnar format in the lake toolbox;
+    // predicate pushdown applies on read-back like parquet.
+    "s_orc_roundtrip" -> ((s, dir) => {
+      val out = "target/graft_file_fixtures/out_docs_orc"
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("doc_id") < 50)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // K1: JSON sink round-trip — write aligned utterances as JSON
     // (transcription.py:349-351), read back, verify through the scan.
     "k1_json_sink_roundtrip" -> ((s, _) => {

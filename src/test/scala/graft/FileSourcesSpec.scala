@@ -24,6 +24,31 @@ class FileSourcesSpec extends SparkSpec {
     assert(keys.toSeq == Seq("downloads/b/w.webm"))
   }
 
+  test("csv roundtrip preserves typed rows") {
+    val rows = run("s_csv_roundtrip").collect()
+    assert(rows.length == 50)
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(2) > 0)
+  }
+
+  test("orc roundtrip aggregates match parquet source") {
+    val viaOrc = run("s_orc_roundtrip").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaOrc == direct)
+  }
+
+  test("typed Aggregator mean matches builtin avg with null->1.0 default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val conf = Seq(Some(0.98), Some(0.95), None, Some(0.90)).toDS()
+    val got = conf.select(graft.functions.WeightedMeanAgg.toColumn).collect().head
+    val exp = (0.98 + 0.95 + 1.0 + 0.90) / 4
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
   test("k1 json sink roundtrip preserves aligned utterances") {
     val rows = run("k1_json_sink_roundtrip").collect()
     assert(rows.length == 4)
