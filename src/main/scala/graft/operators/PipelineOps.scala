@@ -57,7 +57,45 @@ object PipelineOps {
         concat(lit("SPEAKER_0"), (col("file_id") + col("j")) % 2).as("speaker"))
   }
 
+  /** 8-dim hashing embedding per document, L2-normalized (the
+    * deterministic stand-in for SentenceTransformer encode — same
+    * math as RetrievalOps.v1_hash_embed, exposed as a vector). */
+  private[operators] def hashEmbeddings(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFns
+    val dims = (0 until 8).map(d =>
+      count(when(col("h") % 8 === d, 1)).cast("double").as(s"d$d"))
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int)"))
+      .groupBy(col("doc_id"))
+      .agg(dims.head, dims.tail: _*)
+    val vec = array((0 until 8).map(d => col(s"d$d")): _*)
+    counts
+      .withColumn("norm", VectorFns.l2Norm(vec))
+      .select(col("doc_id"), VectorFns.l2NormalizeBy(vec, col("norm")).as("vec"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's end purpose in one DAG: corpus → embed (V1 stub) →
+    // flat IP index (V2 ≡ the table) → cosine top-k retrieval (V3) —
+    // text in, ranked neighbors out, no staging between stages.
+    "pipeline_rag_retrieval" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      val emb = hashEmbeddings(Tables.documents(s, dir))
+        .repartition(col("doc_id")) // materialize embeddings once
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("vec").as("qv"))
+      emb.join(broadcast(q), col("doc_id") =!= col("qid"))
+        .withColumn("score", VectorFns.dot(col("qv"), col("vec")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(desc("score"), col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("doc_id").as("match_id"),
+                floor(col("score") * 1e6 + 0.5).cast("long").as("score_e6"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "pipeline_e2e" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
       val utt = TranscriptOps.align(fakeSegments(docs), fakeChunks(docs))
@@ -80,6 +118,34 @@ object PipelineOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "pipeline_rag_retrieval" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 4))::INT % 8 AS INT) AS hd FROM tok),
+        |c AS (SELECT doc_id,
+        |  count(*) FILTER (WHERE hd = 0)::DOUBLE AS d0,
+        |  count(*) FILTER (WHERE hd = 1)::DOUBLE AS d1,
+        |  count(*) FILTER (WHERE hd = 2)::DOUBLE AS d2,
+        |  count(*) FILTER (WHERE hd = 3)::DOUBLE AS d3,
+        |  count(*) FILTER (WHERE hd = 4)::DOUBLE AS d4,
+        |  count(*) FILTER (WHERE hd = 5)::DOUBLE AS d5,
+        |  count(*) FILTER (WHERE hd = 6)::DOUBLE AS d6,
+        |  count(*) FILTER (WHERE hd = 7)::DOUBLE AS d7
+        |  FROM h GROUP BY doc_id),
+        |e AS (SELECT doc_id,
+        |  [d0, d1, d2, d3, d4, d5, d6, d7] AS raw,
+        |  sqrt(d0*d0 + d1*d1 + d2*d2 + d3*d3 + d4*d4 + d5*d5 + d6*d6 + d7*d7) AS norm
+        |  FROM c),
+        |v AS (SELECT doc_id, list_transform(raw, x -> x / norm) AS vec FROM e),
+        |q AS (SELECT doc_id AS qid, vec AS qv FROM v WHERE doc_id < 3),
+        |scored AS (SELECT q.qid, v.doc_id, list_dot_product(q.qv, v.vec) AS score
+        |  FROM v CROSS JOIN q WHERE v.doc_id <> q.qid),
+        |r AS (SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+        |  ORDER BY score DESC, doc_id) AS rank FROM scored)
+        |SELECT qid, rank::INT AS rank, doc_id AS match_id,
+        |  CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "pipeline_e2e" ->
       s"""WITH base AS (SELECT doc_id AS file_id, string_split(text, ' ') AS toks,
          |  ((len(string_split(text, ' ')) + 9) // 10)::INT AS c
