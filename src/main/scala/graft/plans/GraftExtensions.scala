@@ -1,0 +1,62 @@
+package graft.plans
+
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType}
+
+/** Catalyst optimizer extension (SURVEY.md §4.3 escalation path,
+  * registered via `spark.sql.extensions`).
+  *
+  * [[YearPredicateRewrite]] rewrites `year(col) = <literal>` into the
+  * equivalent half-open range predicate on the underlying column:
+  *
+  * {{{ year(o_orderdate) = 1997  ⇒  o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01' }}}
+  *
+  * A function call over a column is opaque to parquet — it never reaches
+  * `PushedFilters`, so every row group decodes the column just to
+  * evaluate the year. The range form row-group-skips at the footer: at
+  * 100 TB with date-partitioned or min/max-indexed data that is the
+  * difference between reading one year and scanning the lake. The
+  * engine's own queries write ranges by hand (f4/q5); this rule makes
+  * the optimization automatic for ad-hoc user SQL too.
+  *
+  * Only timezone-free types (DATE, TIMESTAMP_NTZ) are rewritten —
+  * `year(TIMESTAMP)` depends on the session zone and is left alone.
+  */
+object YearPredicateRewrite extends Rule[LogicalPlan] {
+
+  private def bounds(col: Expression, y: Int): Option[Expression] = col.dataType match {
+    case TimestampNTZType =>
+      Some(And(
+        GreaterThanOrEqual(col, Literal(LocalDateTime.of(y, 1, 1, 0, 0))),
+        LessThan(col, Literal(LocalDateTime.of(y + 1, 1, 1, 0, 0)))))
+    case DateType =>
+      Some(And(
+        GreaterThanOrEqual(col, Literal(LocalDate.of(y, 1, 1))),
+        LessThan(col, Literal(LocalDate.of(y + 1, 1, 1)))))
+    case _ => None
+  }
+
+  /** year(x) analyzes as Year(Cast(x, DateType)) for (NTZ) timestamps. */
+  private def unwrap(e: Expression): Expression = e match {
+    case Cast(inner, DateType, _, _) if inner.dataType == TimestampNTZType => inner
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case eq @ EqualTo(Year(c), Literal(y: Int, IntegerType)) =>
+      bounds(unwrap(c), y).getOrElse(eq)
+    case eq @ EqualTo(Literal(y: Int, IntegerType), Year(c)) =>
+      bounds(unwrap(c), y).getOrElse(eq)
+  }
+}
+
+/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => YearPredicateRewrite)
+}
