@@ -122,6 +122,31 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Edit-distance verification of the banded near-dup candidates:
+    // exact levenshtein over the full texts, but ONLY for the ~dozens of
+    // pairs the cheap Jaccard pass already surfaced — the two-tier
+    // cheap-filter→expensive-verify shape every dedup pipeline uses
+    // (running O(n·m) DP on all pairs would never scale; on survivors it
+    // is trivial).
+    "dedup_edit_distance" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+        .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"), col("bg"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") && size(col("a.bg")) > 0)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                jaccard(col("a.bg"), col("b.bg")).as("j"))
+        .filter(col("j") >= 0.5)
+      val texts = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      pairs
+        .join(texts.select(col("doc_id").as("a_id"), col("text").as("text_a")), "a_id")
+        .join(texts.select(col("doc_id").as("b_id"), col("text").as("text_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+                levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+                round(col("j"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
     // near-dup = hamming ≤ 3 within a language block — via multi-index
     // hamming blocking: hamming ≤ 3 means at most 3 of the 4 signature
@@ -200,6 +225,22 @@ object DedupOps {
          |  FROM toks a JOIN toks b
          |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.bg, b.bg))::DOUBLE / len(list_distinct(a.bg || b.bg)) AS j
+         |  FROM toks a JOIN toks b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |  AND len(a.bg) > 0),
+         |k AS (SELECT a_id, b_id, j FROM p WHERE j >= 0.5)
+         |SELECT a_id, b_id,
+         |  levenshtein(da.text, db.text)::INT AS edit_dist,
+         |  round(j, 6) AS jaccard
+         |FROM k JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_simhash" ->

@@ -76,6 +76,18 @@ object EventOps {
              round(avg(col("k")), 2).as("avg_k"))
         .orderBy(col("event_type"))),
 
+    // Exact percentiles (continuous interpolation — same definition as
+    // DuckDB quantile_cont): distributional stats per event type, the
+    // agg family the reference's census scripts lack entirely.
+    "a_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+             round(expr("percentile(value, 0.9)"), 6).as("p90"),
+             round(min(col("value")), 6).as("vmin"),
+             round(max(col("value")), 6).as("vmax"))
+        .orderBy(col("event_type"))),
+
     // A7: order-sensitive string-concat aggregate (transcription.py:207-208
     // " ".join over chunks in order) — event-type journey per user.
     "a7_ordered_concat" -> ((s, dir) =>
@@ -121,6 +133,12 @@ object EventOps {
       """SELECT event_type, count(*) AS n,
         |CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
         |round(avg(json_extract_string(props, '$.k')::INT), 2) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.5), 6) AS p50,
+        |round(quantile_cont(value, 0.9), 6) AS p90,
+        |round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a7_ordered_concat" ->
       """SELECT user_id,

@@ -68,6 +68,8 @@ object TpchOps {
         .limit(10)
     }),
 
+    "tpch_q17" -> ((s, dir) => q17(s, dir)),
+
     // Q5-shaped: local supplier volume per nation within one region/year.
     // Dims (region→nation→supplier, customer) broadcast; the single big
     // shuffle is lineitem⋈orders on orderkey.
@@ -98,7 +100,28 @@ object TpchOps {
     })
   )
 
+  /** Q17-shaped: revenue from lineitems below 50% of their part's average
+    * quantity — a correlated scalar subquery, which Catalyst decorrelates
+    * into an aggregate + join (SURVEY §4.2: subquery planning is free in
+    * the declarative form; the reference could not express this at all).
+    * Expressed via spark.sql to exercise the SQL front end too. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q17")
+    s.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM li_q17 outer_li
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM li_q17 WHERE l_partkey = outer_li.l_partkey)""".stripMargin)
+  }
+
   def oracles: Map[String, String] = Map(
+    "tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |count(*) AS n_items
+        |FROM lineitem outer_li
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem WHERE l_partkey = outer_li.l_partkey)""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity), 2) AS sum_qty,
