@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the scale properties claimed in
+  * SCALE.md/PLANS.md, asserted on the actual physical plans so a future
+  * refactor cannot silently lose them. */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("tpch_q1/q6: ship-date predicates reach PushedFilters") {
+    assert(plan("tpch_q1").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // PushedFilters renders truncated; the pushed range is visible in
+    // the Filter condition text
+    assert(plan("tpch_q6").contains(">= 1997-01-01 00:00:00"))
+  }
+
+  test("tpch_q3/q5: dimension sides broadcast, fact scans column-pruned") {
+    val q3 = plan("tpch_q3")
+    assert(q3.contains("BroadcastHashJoin"))
+    assert(q3.contains("EqualTo(c_mktsegment,BUILDING)"))
+    // lineitem scan must not read all 11 columns
+    assert(q3.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double,l_shipdate"))
+    assert(plan("tpch_q5").contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("v3 top-k: corpus has no exchange before the broadcast join") {
+    val p = plan("v3_cosine_topk")
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, p.take(400))
+    // the stream (corpus) side below the join must be a bare scan+filter,
+    // not an Exchange
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning(vec_id"), below.take(600))
+  }
+
+  test("dedup self-joins keep their materialization exchanges") {
+    assert(plan("dedup_ngram_jaccard").contains("REPARTITION_BY_COL"))
+    assert(plan("dedup_simhash").contains("REPARTITION_BY_COL"))
+  }
+
+  test("o6 argmin is a partial aggregate, not a window sort") {
+    val p = plan("o6_argmin")
+    assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))
+    assert(!p.contains("Window"), p.take(400))
+  }
+
+  test("year-equality predicates are range-rewritten by the extension") {
+    val p = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1998)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1998-01-01"))
+  }
+}

@@ -45,6 +45,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(n2 == n1) // nothing reprocessed
   }
 
+  test("streaming dropDuplicates holds exactly-once state across micro-batches (T2)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = "dedup_sink_" + System.nanoTime()
+    val q = src.toDF().toDF("key", "v")
+      .dropDuplicates("key")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    src.addData((1L, "a"), (2L, "b"), (1L, "dup-in-batch"))
+    q.processAllAvailable()
+    src.addData((2L, "dup-across-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table(name).collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 2L, 3L)) // each key exactly once, ever
+  }
+
   test("observe() exposes running counters on a batch pass (T5)") {
     val observed = Tables.events(spark, sf)
       .observe("stats", count(lit(1)).as("n"),
