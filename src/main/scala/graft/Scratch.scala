@@ -1,7 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns._
 
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,18 +14,31 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"${(System.nanoTime()-t0)/1e9}%8.2f  $name ($n rows)")
     }
-    val e = Tables.embeddings(spark, dir)
-    time("warm scan")(e.count())
-    time("scan again")(e.count())
-    val c = e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    time("cast all")(c.filter(element_at(col("v"),1) > -100).count())
-    val q = c.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val joined = c.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("score", dot(col("qv"), col("v")))
-    time("join+dot")(joined.count())
-    import org.apache.spark.sql.expressions.Window
-    time("full v3")(operators.RetrievalOps.queries("v3_cosine_topk")(spark, dir).count())
-    time("full v3 again")(operators.RetrievalOps.queries("v3_cosine_topk")(spark, dir).count())
+    import graft.functions.SortedIntersectCount.sortedIntersectCountLong
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (col("n_chars")/128).cast("long").as("band"),
+              graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
+      .repartition(col("doc_id"))
+    def inter(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = sortedIntersectCountLong(a, b)
+    def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val i = inter(a, b); i.cast("double") / (size(a) + size(b) - i)
+    }
+    time("warm")(sh.count())
+    // current shape: filter after join output
+    time("current")(
+      sh.as("a").join(sh.as("b"),
+        col("a.lang")===col("b.lang") && col("a.band")===col("b.band") &&
+        col("a.doc_id")<col("b.doc_id") && size(col("a.bg")) > 0)
+      .select(col("a.doc_id"), col("b.doc_id"), round(jac(col("a.bg"), col("b.bg")),6).as("j"))
+      .filter(col("j") >= 0.5).count())
+    // threshold inside the join condition
+    time("threshold-in-join")(
+      sh.as("a").join(sh.as("b"),
+        col("a.lang")===col("b.lang") && col("a.band")===col("b.band") &&
+        col("a.doc_id")<col("b.doc_id") && size(col("a.bg")) > 0 &&
+        jac(col("a.bg"), col("b.bg")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), round(jac(col("a.bg"), col("b.bg")),6).as("j"))
+      .count())
     spark.stop()
   }
 }
