@@ -7,6 +7,16 @@ class CatalogOpsSpec extends SparkSpec {
 
   private def run(name: String) = CatalogOps.queries(name)(spark, sf)
 
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry (driver gate totality)") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
   test("m0 census: one row per language, counts sum to corpus size") {
     val rows = run("m0_corpus_census").collect()
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
