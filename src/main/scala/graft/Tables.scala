@@ -16,6 +16,19 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+
+  /** documents, round-robin spread across all cores BEFORE expensive
+    * per-document compute (signatures, shingling, hashing).
+    *
+    * Why: at 100 TB the scan has thousands of splits and per-doc CPU work
+    * parallelizes for free; locally the whole table is one small parquet
+    * file = ONE split, so any signature computed before the first
+    * exchange runs single-threaded (measured: the entire MinHash cost of
+    * dedup_minhash_lsh serialized on one core). The round-robin exchange
+    * moves only raw (doc_id, text) rows — a few hundred bytes each —
+    * and buys full-width parallelism for everything downstream. */
+  def documentsSpread(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects

@@ -82,27 +82,59 @@ object TextSignatures {
   }
 
   /** All `seeds` min-hashes of a shingle array in one pass:
-    * min over shingles of md5("k:" + shingle), per seed k. */
+    * min over shingles of md5("k:" + shingle), per seed k.
+    *
+    * Works on raw 16-byte digests: hex('0'-'9','a'-'f') is monotone in
+    * the byte value, so lexicographic hex order == unsigned byte order —
+    * the min runs on byte arrays and only the final `seeds` winners are
+    * hex-encoded. Per (seed, shingle) there is no string concat, no
+    * getBytes, no hex conversion: just two MessageDigest.update calls
+    * (precomputed "k:" prefix + shingle bytes) and a digest. */
   case class MinHashSig(child: Expression, seeds: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+      Array.tabulate(seeds)(k =>
+        (k + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val mins = new Array[String](seeds)
+      val mins = new Array[Array[Byte]](seeds)
       val md = MessageDigest.getInstance("MD5")
       var i = 0
       while (i < arr.numElements()) {
-        val sh = arr.getUTF8String(i).toString
+        val shBytes = arr.getUTF8String(i).getBytes
         var k = 0
         while (k < seeds) {
-          val h = md5Hex(md, k + ":" + sh)
-          if (mins(k) == null || h.compareTo(mins(k)) < 0) mins(k) = h
+          md.update(seedPrefixes(k))
+          md.update(shBytes)
+          val h = md.digest()
+          if (mins(k) == null || unsignedLt(h, mins(k))) mins(k) = h
           k += 1
         }
         i += 1
       }
-      new GenericArrayData(mins.map(m =>
-        UTF8String.fromString(if (m == null) "" else m): AnyRef))
+      new GenericArrayData(mins.map { m =>
+        if (m == null) UTF8String.EMPTY_UTF8
+        else {
+          val sb = new java.lang.StringBuilder(32)
+          var b = 0
+          while (b < m.length) {
+            sb.append(Character.forDigit((m(b) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(m(b) & 0xf, 16))
+            b += 1
+          }
+          UTF8String.fromString(sb.toString)
+        }: AnyRef
+      })
+    }
+    private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length) {
+        val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+        if (cmp != 0) return cmp < 0
+        i += 1
+      }
+      false
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -168,6 +200,33 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** 8-bucket hashing-trick term-frequency vector of a space-split text:
+    * bucket d counts tokens whose md5-first-4-hex-chars ≡ d (mod 8) —
+    * the exact arithmetic of the explode/groupBy formulation
+    * (`conv(substring(md5(tok),1,4),16,10) % 8`) and its DuckDB oracle,
+    * in one pass per document. Replaces a token explode (~50× row blowup)
+    * + hash aggregate + shuffle with map-side-only work: the V1 embed
+    * stage (reference: `embedding_engine.py:15-22`) becomes shuffle-FREE,
+    * which at 100 TB means the embedding pass is pure scan throughput. */
+  case class HashEmbed8(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val counts = new Array[Double](8)
+      val md = MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < toks.length) {
+        val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 4 hex chars == first 2 bytes; % 8 == low 3 bits of byte 1
+        counts((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 8) += 1.0
+        i += 1
+      }
+      new GenericArrayData(counts)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   def wordBigrams(text: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
   def wordBigramHashes(text: Column): Column =
@@ -178,4 +237,6 @@ object TextSignatures {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), seeds))
   def simHash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+  def hashEmbed8(text: Column): Column =
+    ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
 }

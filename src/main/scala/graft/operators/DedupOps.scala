@@ -51,9 +51,13 @@ object DedupOps {
     * Catalyst collapses this projection into the join and re-tokenizes
     * both documents once per candidate PAIR instead of once per row.
     * Sorting (inside WordBigrams, once per doc, pre-exchange) is what
-    * lets the per-pair intersect be a merge walk. */
+    * lets the per-pair intersect be a merge walk. The inner
+    * documentsSpread round-robin exchange parallelizes the shingling
+    * itself (the local scan is one split — see Tables.documentsSpread);
+    * the projection sits between two differently-keyed exchanges so it
+    * runs exactly once per document, on all cores. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
               graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
       .repartition(col("doc_id"))
@@ -75,7 +79,7 @@ object DedupOps {
       // ever leaves the map side. (MinHash stays md5-over-STRING shingles
       // — that's the oracle-matched signature; the verify stage uses the
       // primitive hash arrays.) Materialized before the band self-join.
-      val mh = Tables.documents(s, dir)
+      val mh = Tables.documentsSpread(s, dir)
         // <2-token docs have no shingles: without this filter their empty
         // signatures would all share identical bands (n² false candidates
         // and a 0/0 Jaccard, an ANSI division error); the oracle drops
@@ -161,7 +165,7 @@ object DedupOps {
     // serializes each language's n²/2 comparisons into a single task —
     // the classic low-cardinality skew trap).
     "dedup_simhash" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
+      val sh = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("lang"),
                 graft.functions.TextSignatures.simHash32(col("text")).as("simhash"))
         .repartition(col("doc_id"))

@@ -59,20 +59,17 @@ object PipelineOps {
 
   /** 8-dim hashing embedding per document, L2-normalized (the
     * deterministic stand-in for SentenceTransformer encode — same
-    * math as RetrievalOps.v1_hash_embed, exposed as a vector). */
+    * math as RetrievalOps.v1_hash_embed, exposed as a vector).
+    * Single native pass ([[graft.functions.TextSignatures.HashEmbed8]]):
+    * the embed stage is map-side-only — no token explode, no aggregate,
+    * no shuffle. At 100 TB the embedding pass is pure scan throughput. */
   private[operators] def hashEmbeddings(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFns
-    val dims = (0 until 8).map(d =>
-      count(when(col("h") % 8 === d, 1)).cast("double").as(s"d$d"))
-    val counts = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int)"))
-      .groupBy(col("doc_id"))
-      .agg(dims.head, dims.tail: _*)
-    val vec = array((0 until 8).map(d => col(s"d$d")): _*)
-    counts
-      .withColumn("norm", VectorFns.l2Norm(vec))
-      .select(col("doc_id"), VectorFns.l2NormalizeBy(vec, col("norm")).as("vec"))
+    val raw = graft.functions.TextSignatures.hashEmbed8(col("text"))
+    docs
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("norm", VectorFns.l2Norm(col("raw")))
+      .select(col("doc_id"), VectorFns.l2NormalizeBy(col("raw"), col("norm")).as("vec"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -81,7 +78,7 @@ object PipelineOps {
     // text in, ranked neighbors out, no staging between stages.
     "pipeline_rag_retrieval" -> ((s, dir) => {
       import graft.functions.VectorFns
-      val emb = hashEmbeddings(Tables.documents(s, dir))
+      val emb = hashEmbeddings(Tables.documentsSpread(s, dir))
         .repartition(col("doc_id")) // materialize embeddings once
       val q = emb.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("vec").as("qv"))

@@ -142,20 +142,17 @@ object RetrievalOps {
     // 8-dim HashingTF-style: dim d = #tokens whose md5-derived hash ≡ d
     // (mod 8), L2-normalized; fixed-point output for oracle exactness.
     "v1_hash_embed" -> ((s, dir) => {
-      val dims = (0 until 8).map(d =>
-        count(when(col("h") % 8 === d, 1)).cast("double").as(s"d$d"))
-      val counts = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 4), 16, 10) as int)"))
-        .groupBy(col("doc_id"))
-        .agg(dims.head, dims.tail: _*)
-      val vec = array((0 until 8).map(d => col(s"d$d")): _*)
-      counts
-        .withColumn("norm", l2Norm(vec))
+      // single native pass (TextSignatures.HashEmbed8): identical
+      // arithmetic to the oracle's explode/groupBy form, but the embed
+      // stage is map-side-only — no token explode, no aggregate shuffle.
+      val vec = graft.functions.TextSignatures.hashEmbed8(col("text"))
+      Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), vec.as("raw"))
+        .withColumn("norm", l2Norm(col("raw")))
         .select(col("doc_id"),
-          floor(element_at(l2NormalizeBy(vec, col("norm")), 1) * 1e6 + 0.5)
+          floor(element_at(l2NormalizeBy(col("raw"), col("norm")), 1) * 1e6 + 0.5)
             .cast("long").as("e0_e6"),
-          floor(element_at(l2NormalizeBy(vec, col("norm")), 2) * 1e6 + 0.5)
+          floor(element_at(l2NormalizeBy(col("raw"), col("norm")), 2) * 1e6 + 0.5)
             .cast("long").as("e1_e6"))
         .orderBy(col("doc_id")).limit(200)
     }),

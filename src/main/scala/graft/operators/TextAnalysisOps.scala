@@ -25,7 +25,7 @@ object TextAnalysisOps {
     // top-20 trigrams by corpus frequency (deterministic tie-break);
     // prediction = argmax profile overlap. Output = confusion matrix.
     "ta_langid" -> ((s, dir) => {
-      val docTriArr = Tables.documents(s, dir)
+      val docTriArr = Tables.documentsSpread(s, dir) // parallelize trigram compute
         .select(col("doc_id"), col("lang"),
                 graft.functions.TextSignatures.charTrigrams(col("text")).as("tri"))
         .repartition(col("doc_id")) // materialize trigram sets once
