@@ -62,6 +62,47 @@ object DedupOps {
               graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
       .repartition(col("doc_id"))
 
+  /** Blocked + SALTED self-join emitting (a_id, b_id, j) pairs with
+    * exact Jaccard ≥ `threshold`, blocked by (lang, 128-char band).
+    *
+    * Salting is the skew fix for n² blocks: pair work concentrates in
+    * the biggest (lang, band) block (sf0.1: the top `en` block alone is
+    * 155k of 740k pairs, and several `en` blocks can hash to the SAME
+    * task — the slowest partition serializes ~0.9 s of merge walks).
+    * Side `a` keeps one salt = hash(doc_id) % S; side `b` is replicated
+    * to all S salts, so every (x, y), x<y pair matches exactly once on
+    * (block, salt(x)) — identical output, S× finer task granularity.
+    * The explicit fixed-width repartition doubles as the materialization
+    * barrier for `bg` AND pins the partition count: AQE's bytes-based
+    * coalescing would see a few MB of shuffle and fold this CPU-bound
+    * join into one task. At 100 TB: S scales with the square of the
+    * biggest block / target task time; bytes-based AQE stays wrong for
+    * compute-bound pair joins, so the explicit layout stays. */
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val salts = 8
+    val width = s.sparkContext.defaultParallelism
+    val sh = Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"),
+              graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
+    val a = sh.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+      .repartition(width, col("lang"), col("band"), col("salt"))
+    val b = sh.withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      .repartition(width, col("lang"), col("band"), col("salt"))
+    // J >= threshold sits INSIDE the join condition: the join emits only
+    // surviving pairs, never materializing the 10^5-10^6 banded pairs.
+    // The 2·min >= max size precondition short-circuits before the walk.
+    a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        size(col("a.bg")) * 2 >= size(col("b.bg")) &&
+        size(col("b.bg")) * 2 >= size(col("a.bg")) &&
+        size(col("a.bg")) > 0 && // shingle-less docs: no pairs, no 0/0
+        jaccard(col("a.bg"), col("b.bg")) >= threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              jaccard(col("a.bg"), col("b.bg")).as("j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5-groupBy summary + rows removed under keep-first.
     "dedup_exact" -> ((s, dir) =>
@@ -93,7 +134,13 @@ object DedupOps {
           concat(lit(s"$k:"),
                  element_at(col("mhs"), 2 * k + 1),
                  element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
-      val cand = bands.as("a").join(bands.as("b"),
+      // broadcast one side of the band self-join: bands is tiny (6 rows
+      // per doc), and a broadcast-hash join probes it in place — no
+      // band-keyed shuffle for AQE to mistakenly coalesce into one task
+      // (the pair generation is CPU-bound, not bytes-bound). At 100 TB
+      // bands outgrows a broadcast and this becomes the salted-shuffle
+      // pattern of jaccardPairs instead.
+      val cand = bands.as("a").join(broadcast(bands.as("b")),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
@@ -107,28 +154,12 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // Exact n-gram Jaccard, blocked by (lang, 128-char length band), with
-    // a free size precondition in the join: J ≥ 0.5 is impossible unless
-    // 2·min(|a|,|b|) ≥ max(|a|,|b|), so mismatched sizes never reach the
-    // merge walk.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"), col("bg"))
-      // the J >= 0.5 threshold sits INSIDE the join condition: SMJ then
-      // emits only the ~dozens of surviving pairs instead of
-      // materializing all ~10^5-10^6 banded pairs (two 800-byte shingle
-      // arrays each) for a downstream filter — measured 2.7x on sf0.1
-      sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          size(col("a.bg")) * 2 >= size(col("b.bg")) &&
-          size(col("b.bg")) * 2 >= size(col("a.bg")) &&
-          size(col("a.bg")) > 0 && // shingle-less docs: no pairs, no 0/0
-          jaccard(col("a.bg"), col("b.bg")) >= 0.5)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                round(jaccard(col("a.bg"), col("b.bg")), 6).as("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    // Exact n-gram Jaccard, blocked by (lang, 128-char length band) and
+    // salted (see jaccardPairs) so no single block's n² serializes.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir, 0.5)
+        .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))),
 
     // Edit-distance verification of the banded near-dup candidates:
     // exact levenshtein over the full texts, but ONLY for the ~dozens of
@@ -137,16 +168,11 @@ object DedupOps {
     // (running O(n·m) DP on all pairs would never scale; on survivors it
     // is trivial).
     "dedup_edit_distance" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-        .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"), col("bg"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id") && size(col("a.bg")) > 0 &&
-          jaccard(col("a.bg"), col("b.bg")) >= 0.5) // threshold in-join
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                jaccard(col("a.bg"), col("b.bg")).as("j"))
+      val pairs = jaccardPairs(s, dir, 0.5)
       val texts = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      pairs
+      // survivors are ~dozens: broadcast them against the texts so the
+      // expensive levenshtein stage adds no shuffle at all.
+      broadcast(pairs)
         .join(texts.select(col("doc_id").as("a_id"), col("text").as("text_a")), "a_id")
         .join(texts.select(col("doc_id").as("b_id"), col("text").as("text_b")), "b_id")
         .select(col("a_id"), col("b_id"),

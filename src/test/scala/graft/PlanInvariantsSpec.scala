@@ -37,7 +37,12 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("dedup self-joins keep their materialization exchanges") {
-    assert(plan("dedup_ngram_jaccard").contains("REPARTITION_BY_COL"))
+    // salted Jaccard join: both sides pinned to a fixed-width exchange on
+    // (lang, band, salt) — the barrier that materializes the shingle
+    // arrays AND defeats AQE's bytes-based coalescing of a CPU-bound join
+    val j = plan("dedup_ngram_jaccard")
+    assert(j.contains("REPARTITION_BY_NUM"), j.take(600))
+    assert(j.contains("salt"), j.take(600))
     assert(plan("dedup_simhash").contains("REPARTITION_BY_COL"))
   }
 
