@@ -69,6 +69,20 @@ object ExpressionProperties extends Properties("graft.expressions") {
       e.nullSafeEval(UTF8String.fromString(shuffled))
   }
 
+  property("hashEmbed8 == md5-bucket histogram of the token bag") =
+    Prop.forAll(text) { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(tok: String): Int = {
+        val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Integer.parseInt(hex.take(4), 16) % 8
+      }
+      val expected = Array.fill(8)(0.0)
+      t.split(" ", -1).foreach(tok => expected(bucket(tok)) += 1.0)
+      val got = TextSignatures.HashEmbed8(lit)
+        .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+      (0 until 8).map(got.getDouble) == expected.toSeq
+    }
+
   property("minhash signature entries are min over per-seed hashes") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)) { shingles =>
       val got = TextSignatures.MinHashSig(lit, 4)
