@@ -26,6 +26,7 @@ object SparkEntry {
     Module(DedupOps.queries, DedupOps.oracles),
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
+    Module(CurationOps.queries, CurationOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: rows-only check (no oracle tables exist

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus curation for training-data pipelines (north-star extensions):
+  * deterministic stratified sampling and quality-quota selection.
+  *
+  * These are the two selection primitives every LLM data pipeline runs
+  * after dedup: rebalance a skewed language/source mix (sampling) and
+  * cap each stratum at its best-k documents (quota). The reference has
+  * no selection stage at all — it ingests everything it lists
+  * (`/root/reference/src/aws_bucket.py:160-195`); these generalize its
+  * key-membership gate to content-aware selection.
+  *
+  * Scale design:
+  *  - sampling is a map-side-only predicate on a per-row hash — zero
+  *    shuffle, no RNG state: `md5(doc_id)`-derived basis points make
+  *    the sample a deterministic FUNCTION of the row, so re-runs,
+  *    retries, and incremental jobs select the identical subset (the
+  *    reason `df.sample()`'s seeded-but-partition-dependent RNG is the
+  *    wrong tool at 100 TB — its selection changes with the split
+  *    layout).
+  *  - quota is one shuffle per stratum key (the window partition); at
+  *    extreme per-stratum cardinality swap row_number for a bounded
+  *    top-k aggregate, but strata counts (languages, sources) are tiny.
+  */
+object CurationOps {
+
+  /** Deterministic per-row basis points in [0, 10000): first 8 hex chars
+    * of md5(doc_id) mod 10⁴ — identical arithmetic in DuckDB. */
+  private def hashBps(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") % 10000
+
+  private val hashBpsSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
+
+  /** Per-language sampling rate in basis points: downsample the
+    * over-represented language, keep the tail. */
+  private def rateBps(lang: Column): Column =
+    when(lang === "en", lit(500)).otherwise(lit(2000))
+
+  private val rateBpsSql = "CASE WHEN lang = 'en' THEN 500 ELSE 2000 END"
+
+  private def quality(toks: Column): Column = {
+    val nTokens = size(toks).cast("double")
+    (size(array_distinct(toks)).cast("double") / nTokens) * 0.4 +
+      least(nTokens / 50.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTokens) * 0.3
+  }
+
+  private val qualitySql =
+    """(len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4 +
+      |least(len(toks)::DOUBLE / 50.0, 1.0) * 0.3 +
+      |(1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)) * 0.3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic stratified sample: keep doc iff hash_bps < rate(lang).
+    // Selection is a pure function of doc_id — no RNG, no shuffle; the
+    // census below is the only aggregation.
+    "sample_stratified" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), (hashBps(col("doc_id")) < rateBps(col("lang"))).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             count(when(col("keep"), 1)).as("n_sampled"))
+        .orderBy(col("lang"))),
+
+    // Quality-quota curation: exact-dedup keep-first by content hash,
+    // then keep each language's top-50 by (quality desc, doc_id), and
+    // report the kept mass per stratum. Fixed-point quality (e6) keeps
+    // the double sums integral ⇒ order-independent ⇒ oracle-exact.
+    "curate_quota" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+                size(toks).as("n_tokens"),
+                floor(quality(toks) * 1e6 + 0.5).cast("long").as("quality_e6"))
+      val deduped = scored
+        .withColumn("dup_rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("dup_rn") === 1)
+      deduped
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(desc("quality_e6"), col("doc_id"))))
+        .filter(col("rn") <= 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("quality_e6")).as("sum_quality_e6"),
+             sum(col("n_tokens").cast("long")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_total,
+         |count(*) FILTER (WHERE $hashBpsSql < $rateBpsSql) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "curate_quota" ->
+      s"""WITH t AS (SELECT doc_id, lang, md5(text) AS h,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |scored AS (SELECT doc_id, lang, h, len(toks) AS n_tokens,
+         |    CAST(floor(($qualitySql) * 1e6 + 0.5) AS BIGINT) AS quality_e6
+         |  FROM t),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS dup_rn
+         |  FROM scored),
+         |q AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality_e6 DESC, doc_id) AS rn
+         |  FROM dd WHERE dup_rn = 1)
+         |SELECT lang, count(*) AS n_kept,
+         |  sum(quality_e6)::BIGINT AS sum_quality_e6,
+         |  sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM q WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation operators beyond the oracle hash-match. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("stratified sample is a pure function of the row (layout-invariant)") {
+    val once = CurationOps.queries("sample_stratified")(spark, sf).collect()
+    // same query over a differently-partitioned scan selects the SAME rows
+    // — the property df.sample()'s partition-dependent RNG does not have
+    val spread = Tables.documents(spark, sf).repartition(7)
+      .select(col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 10000 <
+          when(col("lang") === "en", lit(500)).otherwise(lit(2000))).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"), count(when(col("keep"), 1)).as("n_sampled"))
+      .orderBy(col("lang")).collect()
+    assert(once.toSeq == spread.toSeq)
+  }
+
+  test("stratified sample downsamples en below the tail rate") {
+    val rows = CurationOps.queries("sample_stratified")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (enTotal, enKept) = rows("en")
+    assert(enKept.toDouble / enTotal < 0.12) // 5% nominal
+    rows.filterNot(_._1 == "en").foreach { case (_, (total, kept)) =>
+      assert(kept.toDouble / total > 0.10 && kept < total) // 20% nominal
+    }
+  }
+
+  test("quota keeps at most 50 per language and respects exact dedup") {
+    val rows = CurationOps.queries("curate_quota")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= 50))
+    // n_kept can never exceed the stratum's distinct-content count
+    val distinctByLang = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(countDistinct(md5(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) <= distinctByLang(r.getString(0))))
+  }
+}
