@@ -82,6 +82,14 @@ object DedupOps {
     val salts = 8
     val width = s.sparkContext.defaultParallelism
     val sh = Tables.documentsSpread(s, dir)
+      // shingle-less (<2-token) docs can form no qualifying pair: their
+      // Jaccard is 0 or 0/0=NaN, both < threshold. Excluding them HERE —
+      // as a cheap token-count predicate, not `size(bg) > 0` in the join
+      // condition — matters for the plan: a join-condition guard on `bg`
+      // gets predicate-pushed below the exchanges and re-evaluates
+      // wordBigramHashes inside the single-split scan filter (observed:
+      // the whole corpus re-shingled single-threaded, twice).
+      .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"),
               graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
     val a = sh.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
@@ -97,7 +105,6 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id") &&
         size(col("a.bg")) * 2 >= size(col("b.bg")) &&
         size(col("b.bg")) * 2 >= size(col("a.bg")) &&
-        size(col("a.bg")) > 0 && // shingle-less docs: no pairs, no 0/0
         jaccard(col("a.bg"), col("b.bg")) >= threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
               jaccard(col("a.bg"), col("b.bg")).as("j"))
