@@ -206,4 +206,29 @@ object Graft {
   /** Order-insensitive bag-of-words content fingerprint. */
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
+
+  // ---- curation ----------------------------------------------------
+
+  /** Deterministic hash sample: keeps a row iff its md5(idCol)-derived
+    * basis points fall under `rateBps` (a per-row Column, e.g. a CASE
+    * over a stratum column for stratified rates, or `lit(500)` for a
+    * flat 5%). Selection is a pure function of the row — layout- and
+    * retry-invariant, unlike `df.sample()`'s partition-dependent RNG —
+    * and a map-side-only predicate: zero shuffle at any scale. */
+  def sampleDeterministic(df: DataFrame, idCol: String, rateBps: Column): DataFrame =
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000 < rateBps)
+
+  /** Quality-quota curation: exact dedup (keep first id per content),
+    * then each stratum's top `k` rows by (`scoreCol` desc, idCol).
+    * One window shuffle per stage; strata (languages, sources) are
+    * low-cardinality so the quota window partitions stay wide. */
+  def curateQuota(docs: DataFrame, idCol: String, textCol: String,
+                  stratumCol: String, scoreCol: String, k: Int): DataFrame =
+    dedupExact(docs, idCol, textCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(desc(scoreCol), col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn")
 }

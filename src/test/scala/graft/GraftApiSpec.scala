@@ -93,4 +93,35 @@ class GraftApiSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(api == reg)
   }
+
+  test("sampleDeterministic via API == sample_stratified query counts") {
+    import spark.implicits._
+    val api = Graft.sampleDeterministic(
+        Tables.documents(spark, sf), "doc_id",
+        when($"lang" === "en", lit(500)).otherwise(lit(2000)))
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val reg = graft.operators.CurationOps.queries("sample_stratified")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // queries report zero-sample strata too; the API filter just drops rows
+    assert(reg.filter(_._2 > 0) == api)
+  }
+
+  test("curateQuota via API == curate_quota query aggregates") {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val scored = Tables.documents(spark, sf)
+      .withColumn("quality_e6", floor((
+        (size(array_distinct(toks)).cast("double") / size(toks)) * 0.4 +
+        least(size(toks).cast("double") / 50.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - size(filter(toks, t => t.isin("the", "a"))).cast("double") / size(toks)) * 0.3
+        ) * 1e6 + 0.5).cast("long"))
+    val api = Graft.curateQuota(scored, "doc_id", "text", "lang", "quality_e6", 50)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"quality_e6").as("sum_quality_e6"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val reg = graft.operators.CurationOps.queries("curate_quota")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(api == reg)
+  }
 }
