@@ -40,6 +40,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(reference.exceptAll(native).count() == 0)
   }
 
+  test("salted jaccard join == unsalted brute-force blocked join") {
+    // the salting (side a keeps hash(doc_id)%S, side b replicated to all
+    // S salts) must be a pure re-layout: identical surviving pairs
+    def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val i = graft.functions.SortedIntersectCount.sortedIntersectCountLong(a, b)
+      i.cast("double") / (size(a) + size(b) - i)
+    }
+    val sh = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("lang"),
+              (col("n_chars") / 128).cast("long").as("band"),
+              graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        jac(col("a.bg"), col("b.bg")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = DedupOps.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("word bigrams native == HOF formulation") {
     val docs = Tables.documents(spark, sf).limit(50)
     val toks = split(col("text"), " ")
