@@ -188,7 +188,9 @@ object Graft {
 
   // ---- text analysis -----------------------------------------------
 
-  /** Whitespace + regex token counts and a composite quality score. */
+  /** Whitespace token stats and the canonical composite quality score
+    * ([[graft.functions.TextMetrics.quality]] — the same formula
+    * curate_quota selects on). */
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     docs
@@ -197,10 +199,7 @@ object Graft {
         size(array_distinct(toks)).cast("double") / size(toks))
       .withColumn("stopword_ratio",
         size(filter(toks, t => t.isin("the", "a"))).cast("double") / size(toks))
-      .withColumn("quality",
-        col("distinct_ratio") * 0.4 +
-        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - col("stopword_ratio")) * 0.3)
+      .withColumn("quality", graft.functions.TextMetrics.quality(toks))
   }
 
   /** Order-insensitive bag-of-words content fingerprint. */
@@ -216,9 +215,7 @@ object Graft {
     * retry-invariant, unlike `df.sample()`'s partition-dependent RNG —
     * and a map-side-only predicate: zero shuffle at any scale. */
   def sampleDeterministic(df: DataFrame, idCol: String, rateBps: Column): DataFrame =
-    df.filter(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10000 < rateBps)
+    df.filter(graft.functions.TextMetrics.hashBps(col(idCol)) < rateBps)
 
   /** Quality-quota curation: exact dedup (keep first id per content),
     * then each stratum's top `k` rows by (`scoreCol` desc, idCol).

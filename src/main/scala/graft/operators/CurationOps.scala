@@ -29,10 +29,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object CurationOps {
 
-  /** Deterministic per-row basis points in [0, 10000): first 8 hex chars
-    * of md5(doc_id) mod 10⁴ — identical arithmetic in DuckDB. */
+  /** Deterministic per-row basis points — the canonical definition
+    * lives in [[graft.functions.TextMetrics.hashBps]]. */
   private def hashBps(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") % 10000
+    graft.functions.TextMetrics.hashBps(id)
 
   private val hashBpsSql =
     "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
@@ -44,12 +44,8 @@ object CurationOps {
 
   private val rateBpsSql = "CASE WHEN lang = 'en' THEN 500 ELSE 2000 END"
 
-  private def quality(toks: Column): Column = {
-    val nTokens = size(toks).cast("double")
-    (size(array_distinct(toks)).cast("double") / nTokens) * 0.4 +
-      least(nTokens / 50.0, lit(1.0)) * 0.3 +
-      (lit(1.0) - size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTokens) * 0.3
-  }
+  private def quality(toks: Column): Column =
+    graft.functions.TextMetrics.quality(toks)
 
   private val qualitySql =
     """(len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4 +

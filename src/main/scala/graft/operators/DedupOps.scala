@@ -92,19 +92,24 @@ object DedupOps {
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 128).cast("long").as("band"),
               graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
+      // shared materialization: both salted sides fan out from this ONE
+      // exchange (ReusedExchange), so shingling runs once per document,
+      // not once per join side.
+      .repartition(col("doc_id"))
     val a = sh.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
       .repartition(width, col("lang"), col("band"), col("salt"))
     val b = sh.withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
       .repartition(width, col("lang"), col("band"), col("salt"))
     // J >= threshold sits INSIDE the join condition: the join emits only
     // surviving pairs, never materializing the 10^5-10^6 banded pairs.
-    // The 2·min >= max size precondition short-circuits before the walk.
+    // Size precondition short-circuits before the walk: J >= t implies
+    // |a| >= t·|b| and |b| >= t·|a| (intersection <= min, union >= max).
     a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
         col("a.salt") === col("b.salt") &&
         col("a.doc_id") < col("b.doc_id") &&
-        size(col("a.bg")) * 2 >= size(col("b.bg")) &&
-        size(col("b.bg")) * 2 >= size(col("a.bg")) &&
+        size(col("a.bg")).cast("double") >= lit(threshold) * size(col("b.bg")) &&
+        size(col("b.bg")).cast("double") >= lit(threshold) * size(col("a.bg")) &&
         jaccard(col("a.bg"), col("b.bg")) >= threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
               jaccard(col("a.bg"), col("b.bg")).as("j"))
@@ -178,9 +183,11 @@ object DedupOps {
       val pairs = jaccardPairs(s, dir, 0.5)
       val texts = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       // survivors are ~dozens: broadcast them against the texts so the
-      // expensive levenshtein stage adds no shuffle at all.
-      broadcast(pairs)
-        .join(texts.select(col("doc_id").as("a_id"), col("text").as("text_a")), "a_id")
+      // expensive levenshtein stage adds no shuffle at all. The hint
+      // does NOT propagate through the first join's result, so the
+      // second probe re-broadcasts pairs+text_a explicitly.
+      broadcast(broadcast(pairs)
+          .join(texts.select(col("doc_id").as("a_id"), col("text").as("text_a")), "a_id"))
         .join(texts.select(col("doc_id").as("b_id"), col("text").as("text_b")), "b_id")
         .select(col("a_id"), col("b_id"),
                 levenshtein(col("text_a"), col("text_b")).as("edit_dist"),

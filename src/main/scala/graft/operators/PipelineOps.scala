@@ -67,6 +67,7 @@ object PipelineOps {
     import graft.functions.VectorFns
     val raw = graft.functions.TextSignatures.hashEmbed8(col("text"))
     docs
+      .filter(col("text").isNotNull) // oracle's unnest drops null-text docs
       .select(col("doc_id"), raw.as("raw"))
       .withColumn("norm", VectorFns.l2Norm(col("raw")))
       .select(col("doc_id"), VectorFns.l2NormalizeBy(col("raw"), col("norm")).as("vec"))

@@ -29,20 +29,26 @@ object PrepOps {
   private val chunkLen = 32
   private val stride = 24 // 8-token overlap between consecutive windows
 
+  /** Overlapping token windows: window i covers tokens
+    * [i*stride+1, i*stride+chunkLen], i in [0, ceil(n/stride)).
+    * In: (doc_id, text). Out: (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_text). Explode-only — map-side row generation, no shuffle. */
+  def chunkDocuments(docs: DataFrame,
+                     chunkLen: Int = chunkLen, stride: Int = stride): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), ((col("n") + stride - 1) / stride).cast("int") - 1)).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_idx"),
+        least(lit(chunkLen), col("n") - col("i") * stride).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("i") * stride + 1, lit(chunkLen)), " ").as("chunk_text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Overlapping token windows: window i covers tokens
-    // [i*stride+1, i*stride+chunkLen], i in [0, ceil(n/stride)).
-    "chunk_documents" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-        .select(col("doc_id"), col("toks"), col("n"),
-          explode(sequence(lit(0), ((col("n") + stride - 1) / stride).cast("int") - 1)).as("i"))
-        .select(col("doc_id"), col("i").as("chunk_idx"),
-          least(lit(chunkLen), col("n") - col("i") * stride).as("n_chunk_tokens"),
-          array_join(slice(col("toks"), col("i") * stride + 1, lit(chunkLen)), " ").as("chunk_text"))
-        .orderBy(col("doc_id"), col("chunk_idx")).limit(200)
-    }),
+    "chunk_documents" -> ((s, dir) =>
+      chunkDocuments(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("chunk_idx")).limit(200)),
 
     // Fixed-budget batch assignment: running token count per language
     // (ordered by doc_id), batch = (cum-1) div 4096. Deterministic

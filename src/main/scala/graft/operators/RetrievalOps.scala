@@ -145,8 +145,12 @@ object RetrievalOps {
       // single native pass (TextSignatures.HashEmbed8): identical
       // arithmetic to the oracle's explode/groupBy form, but the embed
       // stage is map-side-only — no token explode, no aggregate shuffle.
+      // NULL-text parity with the oracle: the explode form (and the
+      // oracle's unnest) DROPS null-text docs; the native expression
+      // would keep them with a NULL vector, so filter explicitly.
       val vec = graft.functions.TextSignatures.hashEmbed8(col("text"))
       Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), vec.as("raw"))
         .withColumn("norm", l2Norm(col("raw")))
         .select(col("doc_id"),

@@ -38,8 +38,7 @@ object TextAnalysisOps {
       // runs/layouts (the oracle samples with the same arithmetic).
       // Scoring below still covers ALL documents.
       val profiles = docTriArr
-        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("bigint") % 10000 < 2000)
+        .filter(graft.functions.TextMetrics.hashBps(col("doc_id")) < 2000)
         .select(col("lang"), explode(col("tri")).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
@@ -73,15 +72,14 @@ object TextAnalysisOps {
         .select(col("doc_id"),
                 size(toks).as("n_tokens"),
                 size(array_distinct(toks)).as("n_distinct"),
-                size(filter(toks, t => t.isin("the", "a"))).as("n_stop"))
+                size(filter(toks, t => t.isin("the", "a"))).as("n_stop"),
+                // canonical composite (TextMetrics.quality) — the same
+                // expression curate_quota and Graft.qualityScore select on
+                round(graft.functions.TextMetrics.quality(toks), 6).as("quality"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
           round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"),
-          round(
-            (col("n_distinct").cast("double") / col("n_tokens")) * 0.4 +
-            least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3 +
-            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3,
-            6).as("quality"))
+          col("quality"))
         .orderBy(col("doc_id")).limit(200)
     }),
 

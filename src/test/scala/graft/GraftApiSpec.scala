@@ -111,11 +111,8 @@ class GraftApiSpec extends SparkSpec {
     import spark.implicits._
     val toks = split($"text", " ")
     val scored = Tables.documents(spark, sf)
-      .withColumn("quality_e6", floor((
-        (size(array_distinct(toks)).cast("double") / size(toks)) * 0.4 +
-        least(size(toks).cast("double") / 50.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - size(filter(toks, t => t.isin("the", "a"))).cast("double") / size(toks)) * 0.3
-        ) * 1e6 + 0.5).cast("long"))
+      .withColumn("quality_e6",
+        floor(graft.functions.TextMetrics.quality(toks) * 1e6 + 0.5).cast("long"))
     val api = Graft.curateQuota(scored, "doc_id", "text", "lang", "quality_e6", 50)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_kept"), sum($"quality_e6").as("sum_quality_e6"))

@@ -10,15 +10,8 @@ class PrepOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, (1 to 80).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
-    // run the registered query shape over a fixture via a temp view swap:
-    // easiest is to recompute with the same constants
-    val toks = split($"text", " ")
-    val chunks = docs
-      .select($"doc_id", toks.as("toks"), size(toks).as("n"))
-      .select($"doc_id", $"toks", $"n",
-        explode(sequence(lit(0), (($"n" + 23) / 24).cast("int") - 1)).as("i"))
-      .select($"doc_id", $"i",
-        array_join(slice($"toks", $"i" * 24 + 1, lit(32)), " ").as("chunk_text"))
+    val chunks = PrepOps.chunkDocuments(docs)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
       .collect().sortBy(_.getInt(1))
     // 80 tokens, stride 24 -> 4 windows starting at 1, 25, 49, 73
     assert(chunks.length == 4)
