@@ -47,6 +47,12 @@ object CurationOps {
   private def quality(toks: Column): Column =
     graft.functions.TextMetrics.quality(toks)
 
+  /** documents + fixed-point quality score: the selection input for
+    * quota curation (used by curate_quota and the RagPipeline app). */
+  private[graft] def scored(docs: DataFrame): DataFrame =
+    docs.withColumn("quality_e6",
+      floor(quality(split(col("text"), " ")) * 1e6 + 0.5).cast("long"))
+
   private val qualitySql =
     """(len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4 +
       |least(len(toks)::DOUBLE / 50.0, 1.0) * 0.3 +
@@ -69,12 +75,9 @@ object CurationOps {
     // report the kept mass per stratum. Fixed-point quality (e6) keeps
     // the double sums integral ⇒ order-independent ⇒ oracle-exact.
     "curate_quota" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val scored = Tables.documents(s, dir)
+      val deduped = scored(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
-                size(toks).as("n_tokens"),
-                floor(quality(toks) * 1e6 + 0.5).cast("long").as("quality_e6"))
-      val deduped = scored
+                size(split(col("text"), " ")).as("n_tokens"), col("quality_e6"))
         .withColumn("dup_rn", row_number().over(
           Window.partitionBy(col("h")).orderBy(col("doc_id"))))
         .filter(col("dup_rn") === 1)

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
 
   /** Deterministic "transcription": 10-token chunks, 3 s apart. */
-  private[operators] def fakeChunks(docs: DataFrame): DataFrame = {
+  private[graft] def fakeChunks(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .select(col("doc_id").as("file_id"), toks.as("toks"))
@@ -44,7 +44,7 @@ object PipelineOps {
   }
 
   /** Deterministic "diarization": 6 s alternating-speaker turns. */
-  private[operators] def fakeSegments(docs: DataFrame): DataFrame = {
+  private[graft] def fakeSegments(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .select(col("doc_id").as("file_id"), toks.as("toks"))
@@ -63,7 +63,7 @@ object PipelineOps {
     * Single native pass ([[graft.functions.TextSignatures.HashEmbed8]]):
     * the embed stage is map-side-only — no token explode, no aggregate,
     * no shuffle. At 100 TB the embedding pass is pure scan throughput. */
-  private[operators] def hashEmbeddings(docs: DataFrame): DataFrame = {
+  private[graft] def hashEmbeddings(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFns
     val raw = graft.functions.TextSignatures.hashEmbed8(col("text"))
     docs
