@@ -46,6 +46,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan("dedup_simhash").contains("REPARTITION_BY_COL"))
   }
 
+  test("q4 EXISTS plans as a semi join; q10 top-20 avoids a global sort") {
+    val q4 = plan("tpch_q4")
+    assert(q4.contains("LeftSemi"), q4.take(400))
+    val q10 = plan("tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(400))
+  }
+
   test("o6 argmin is a partial aggregate, not a window sort") {
     val p = plan("o6_argmin")
     assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))

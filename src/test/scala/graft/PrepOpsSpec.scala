@@ -23,6 +23,30 @@ class PrepOpsSpec extends SparkSpec {
     assert(texts.flatten.toSet.size == 80)
   }
 
+  test("chunk invariants hold across random document lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val sizes = Seq(1, 2, 23, 24, 25, 31, 32, 33) ++ Seq.fill(8)(rnd.nextInt(300) + 1)
+    val docs = sizes.zipWithIndex
+      .map { case (n, id) => (id.toLong, (1 to n).map(i => s"w$i").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val chunks = PrepOps.chunkDocuments(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    sizes.zipWithIndex.foreach { case (n, id) =>
+      val cs = chunks(id.toLong)
+      assert(cs.length == (n + 23) / 24, s"n=$n")         // ceil(n/stride) windows
+      assert(cs.map(_.getInt(1)).toSeq == (0 until cs.length)) // contiguous idx
+      val toks = cs.flatMap(_.getString(3).split(" ").filter(_.nonEmpty))
+      assert(toks.toSet.size == n, s"n=$n")                // full coverage
+      // declared length == min(chunkLen, remaining) == actual word count
+      cs.foreach { c =>
+        val i = c.getInt(1)
+        assert(c.getInt(2) == math.min(32, n - i * 24), s"n=$n i=$i")
+        assert(c.getString(3).split(" ").count(_.nonEmpty) == c.getInt(2), s"n=$n i=$i")
+      }
+    }
+  }
+
   test("packing partitions each stratum's token mass exactly") {
     val batches = PrepOps.queries("pack_sequences")(spark, sf).collect()
     val byLang = batches.groupBy(_.getString(0))
