@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32-thread local mode on the full 74-query bench needs headroom:
+  // at 8g the G1 old-gen fills from accumulated broadcast/codegen state
+  // and later queries pay 2x in GC (measured: ta_langid 1.7s -> 3.5s)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

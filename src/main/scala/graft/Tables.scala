@@ -28,7 +28,16 @@ object Tables {
     * moves only raw (doc_id, text) rows — a few hundred bytes each —
     * and buys full-width parallelism for everything downstream. */
   def documentsSpread(spark: SparkSession, sfDir: String): DataFrame =
-    documents(spark, sfDir).repartition(spark.sparkContext.defaultParallelism)
+    documents(spark, sfDir).repartition(spreadWidth(spark))
+
+  /** Width for explicit local re-layouts: enough tasks to parallelize
+    * CPU-bound per-doc compute, few enough that each task amortizes its
+    * ~2-5 ms scheduling cost on a KB-sized corpus partition. Tracking
+    * defaultParallelism 1:1 overshards at local[32] (measured: the
+    * 74-query bench pays ~15% wall purely in extra task dispatch);
+    * at real data volumes the scan's own splits set the width instead. */
+  private[graft] def spreadWidth(spark: SparkSession): Int =
+    math.max(4, math.min(spark.sparkContext.defaultParallelism, 8))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects

@@ -6,12 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 74 queries generate >>100 codegen'd stages; the default 100-entry
+      // class cache evicts between the two timed passes and every query
+      // pays Janino recompilation twice (measured: ta_langid 1.4s -> 4s)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -80,7 +80,7 @@ object DedupOps {
     * compute-bound pair joins, so the explicit layout stays. */
   private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val salts = 8
-    val width = s.sparkContext.defaultParallelism
+    val width = Tables.spreadWidth(s)
     val sh = Tables.documentsSpread(s, dir)
       // shingle-less (<2-token) docs can form no qualifying pair: their
       // Jaccard is 0 or 0/0=NaN, both < threshold. Excluding them HERE —
