@@ -172,6 +172,40 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Sorted distinct FNV-1a-64 hashes of word n-grams — the general-n
+    * form of [[WordBigramHashes]] (same set algebra, same collision
+    * argument). Used by decontamination, where the overlap unit is a
+    * longer n-gram (5 here) than near-dup shingling uses. */
+  case class WordNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i <= toks.length - n) {
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < n) {
+          if (k > 0) { h ^= ' '; h *= 0x100000001b3L }
+          val s = toks(i + k)
+          var p = 0
+          while (p < s.length) { h ^= s.charAt(p); h *= 0x100000001b3L; p += 1 }
+          k += 1
+        }
+        set.add(h)
+        i += 1
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator(); var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 32-bit term-frequency-weighted SimHash of a space-joined text. */
   case class SimHash32(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -239,4 +273,6 @@ object TextSignatures {
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
   def hashEmbed8(text: Column): Column =
     ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
+  def wordNgramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(text), n))
 }

@@ -91,6 +91,31 @@ object CurationOps {
              sum(col("quality_e6")).as("sum_quality_e6"),
              sum(col("n_tokens").cast("long")).as("sum_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 5-gram with the held-out "benchmark" set (doc_id % 97 == 3 stands
+    // in for an eval suite). The benchmark's distinct n-gram hashes are
+    // BROADCAST (eval suites are tiny vs the corpus); the corpus side is
+    // an explode + broadcast-semi-join + distinct — no corpus self-join,
+    // no shuffle of text. The n-gram unit is longer than dedup shingles
+    // (5 vs 2): decontamination wants verbatim leakage, not similarity.
+    "curate_decontaminate" -> ((s, dir) => {
+      val ngrams = graft.functions.TextSignatures.wordNgramHashes(col("text"), 5)
+      val docs = Tables.documentsSpread(s, dir)
+      val benchGrams = docs.filter(col("doc_id") % 97 === 3)
+        .select(explode(ngrams).as("g")).distinct()
+      val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      val contaminated = corpus
+        .select(col("doc_id"), col("lang"), explode(ngrams).as("g"))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .select(col("doc_id"), col("lang")).distinct()
+      corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(contaminated.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated")),
+              Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+                coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -114,6 +139,21 @@ object CurationOps {
          |SELECT lang, count(*) AS n_kept,
          |  sum(quality_e6)::BIGINT AS sum_quality_e6,
          |  sum(n_tokens)::BIGINT AS sum_tokens
-         |FROM q WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM q WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "curate_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |ng AS (SELECT doc_id, lang, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM toks, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 3),
+        |corpus AS (SELECT doc_id, lang FROM documents WHERE doc_id % 97 <> 3),
+        |cont AS (SELECT DISTINCT ng.doc_id, ng.lang FROM ng
+        |  JOIN bench USING (g) WHERE ng.doc_id % 97 <> 3)
+        |SELECT c.lang, count(*) AS n_docs,
+        |  coalesce(any_value(k.n), 0)::BIGINT AS n_contaminated
+        |FROM corpus c LEFT JOIN (
+        |  SELECT lang, count(*) AS n FROM cont GROUP BY lang) k
+        |  ON c.lang = k.lang
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin
   )
 }

@@ -31,6 +31,17 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: benchmark docs excluded, counts bounded, nonzero signal") {
+    val rows = CurationOps.queries("curate_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // contaminated <= docs
+    // the tiny synthetic vocabulary guarantees real 5-gram overlap exists
+    assert(rows.map(_.getLong(2)).sum > 0)
+    val corpusTotal = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 3).count()
+    assert(rows.map(_.getLong(1)).sum == corpusTotal)
+  }
+
   test("quota keeps at most 50 per language and respects exact dedup") {
     val rows = CurationOps.queries("curate_quota")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -61,6 +61,24 @@ object ExpressionProperties extends Properties("graft.expressions") {
       s.numElements() == h.numElements()
     }
 
+  property("wordNgramHashes(n=2) == wordBigramHashes") = Prop.forAll(text) { t =>
+    val a = TextSignatures.WordNgramHashes(lit, 2)
+      .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+    val b = TextSignatures.WordBigramHashes(lit)
+      .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(a.getLong) == (0 until b.numElements()).map(b.getLong)
+  }
+
+  property("wordNgramHashes counts sliding distinct n-grams") =
+    Prop.forAll(text, Gen.choose(2, 6)) { (t, n) =>
+      val toks = t.split(" ", -1)
+      val expected = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet.size
+      TextSignatures.WordNgramHashes(lit, n)
+        .nullSafeEval(UTF8String.fromString(t))
+        .asInstanceOf[ArrayData].numElements() == expected
+    }
+
   property("simhash is permutation-invariant (bag semantics)") = Prop.forAll(text) { t =>
     val toks = t.split(" ", -1)
     val shuffled = scala.util.Random.shuffle(toks.toList).mkString(" ")
