@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev scratchpad for perf attribution experiments (not part of the
-  * driver contract). */
+  * driver contract). Pattern: build the candidate plan variants inline,
+  * time each with `time(...)`, compare. See commit history for the
+  * experiments that shaped DedupOps/RetrievalOps (HOF vs native
+  * signatures, threshold-in-join, materialization barriers, spread-
+  * before-compute, salted layouts, codegen-cache sizing). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -13,14 +17,11 @@ object Scratch {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($n rows)")
     }
-    SparkEntry.entry(spark).count()
-    val q = SparkEntry.queries
-    for (i <- 1 to 8) time(s"langid $i")(q("ta_langid")(spark, dir).count())
+    time("entry smoke")(SparkEntry.entry(spark).count())
     spark.stop()
   }
 }
