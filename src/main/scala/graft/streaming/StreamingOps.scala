@@ -72,6 +72,24 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("win_start"), col("event_type"), col("n"))
       drain(s, agg, "complete").orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Stream–static dimension join: each micro-batch broadcast-joins the
+    // (static, tiny) event_type → category dim — the streaming-enrichment
+    // shape of every event pipeline. The static side never shuffles and
+    // is re-broadcast per batch only if it changes; state is only the
+    // downstream aggregate's.
+    "streaming_dim_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "commerce"), ("signup", "commerce"),
+        ("error", "ops")).toDF("event_type", "category")
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      drain(s, agg, "complete").orderBy(col("category"))
     })
   )
 
@@ -81,6 +99,14 @@ object StreamingOps {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "streaming_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "streaming_dim_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('purchase', 'commerce'), ('signup', 'commerce'),
+        |  ('error', 'ops'))
+        |SELECT category, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin
   )
 }
