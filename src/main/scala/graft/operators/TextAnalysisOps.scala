@@ -92,6 +92,31 @@ object TextAnalysisOps {
                 length(col("text")).as("n_chars_actual"))
         .orderBy(col("doc_id")).limit(200)),
 
+    // Repetition signals (the Gopher-rule family): duplicate-bigram
+    // fraction and most-frequent-token share — the standard cheap
+    // filters for degenerate/boilerplate text. Bigram stats come from
+    // the native signature (size of the distinct set vs n-1 total);
+    // the token mode needs one explode + per-doc max count.
+    "ta_repetition" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(graft.functions.TextSignatures.wordBigramHashes(col("text")))
+            .as("n_distinct_bigrams"))
+      val topTok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok_count"))
+      base.join(topTok, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(when(col("n_tokens") > 1,
+            lit(1.0) - col("n_distinct_bigrams").cast("double") / (col("n_tokens") - 1))
+            .otherwise(0.0), 6).as("dup_bigram_frac"),
+          round(col("top_tok_count").cast("double") / col("n_tokens"), 6)
+            .as("top_tok_frac"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // Content fingerprint: md5 over the sorted distinct token set
     // (order-insensitive bag-of-words identity).
     "ta_fingerprint" -> ((s, dir) =>
@@ -137,6 +162,24 @@ object TextAnalysisOps {
         |len(regexp_extract_all(text, '([a-z0-9]+)', 1))::INT AS n_word_tokens,
         |length(text)::INT AS n_chars_actual
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_bigrams
+        |  FROM t),
+        |tf AS (SELECT doc_id, max(c) AS top_tok_count FROM (
+        |  SELECT doc_id, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t)
+        |  GROUP BY doc_id, tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens::INT AS n_tokens,
+        |  round(CASE WHEN n_tokens > 1
+        |    THEN 1.0 - n_distinct_bigrams::DOUBLE / (n_tokens - 1)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(top_tok_count::DOUBLE / n_tokens, 6) AS top_tok_frac
+        |FROM bg JOIN tf USING (doc_id)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "ta_fingerprint" ->
       """SELECT doc_id,
