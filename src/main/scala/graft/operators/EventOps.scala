@@ -65,6 +65,36 @@ object EventOps {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Generalized as-of join (J1's shape freed from the transcript
+    // fixtures): each click is decorated with the user's most recent
+    // purchase at-or-before it. Implemented as the union-sort trick —
+    // tag both sides, ONE shuffle on user_id, carry the right side
+    // forward with last(ignoreNulls) — instead of a per-row range join.
+    // At 100 TB this is the only shape that survives: a range join is
+    // O(clicks × purchases) per user and un-broadcastable when both
+    // sides are large; the union form is a single sort-based window
+    // pass with shuffle volume = |clicks| + |purchases|, no join
+    // explosion, and AQE-coalescible output. (user_id, ts) is unique
+    // in the events table, so ordering by (ts, event_id) is total and
+    // the carried value is deterministic.
+    "asof_join_events" -> ((s, dir) => {
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("last_purchase_ts",
+          last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(cum))
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(cum))
+        .filter(col("event_type") === "click")
+        // -1.0 sentinel for "no prior purchase": NULL doubles round-trip
+        // as NaN through pandas/parquet and NaN != NaN in any value
+        // comparator; the NULL timestamp is fine (stringifies stably).
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"),
+                coalesce(col("last_purchase_value"), lit(-1.0)).as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // C14: JSON property extraction (events.props `{"k": 87}` shape,
     // mirrors aws_bucket.py:58-68 / transcription.py:351 JSON staging).
     "c14_json_extract" -> ((s, dir) =>
@@ -129,6 +159,19 @@ object EventOps {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "asof_join_events" ->
+      """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |  FROM cp)
+        |SELECT event_id, user_id, ts, last_purchase_ts,
+        |  coalesce(last_purchase_value, -1.0) AS last_purchase_value
+        |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "c14_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,

@@ -36,6 +36,24 @@ class EventOpsSpec extends SparkSpec {
     assert(viaJson.exceptAll(viaRegex).count() == 0)
   }
 
+  test("as-of join (union-sort form) == brute-force range join") {
+    import spark.implicits._
+    val fast = EventOps.queries("asof_join_events")(spark, sf)
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value".as("p_value"))
+    // reference semantics: most recent purchase at-or-before each click
+    val brute = clicks.join(purchases,
+        $"user_id" === $"p_user" && $"p_ts" <= $"ts", "left")
+      .groupBy($"event_id", $"user_id", $"ts")
+      .agg(max($"p_ts").as("last_purchase_ts"),
+           coalesce(max_by($"p_value", $"p_ts"), lit(-1.0)).as("last_purchase_value"))
+    assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
+    assert(fast.count() == clicks.count()) // left semantics: every click kept
+  }
+
   test("islands-per-user count never exceeds events-per-user (W1 property)") {
     import spark.implicits._
     val runs = graft.operators.TranscriptOps.queries("w1_islands_events")(spark, sf)
