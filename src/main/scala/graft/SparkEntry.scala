@@ -25,6 +25,7 @@ object SparkEntry {
     Module(PipelineOps.queries, PipelineOps.oracles),
     Module(DedupOps.queries, DedupOps.oracles),
     Module(RetrievalOps.queries, RetrievalOps.oracles),
+    Module(LexicalOps.queries, LexicalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
     Module(CurationOps.queries, CurationOps.oracles),
     Module(PrepOps.queries, PrepOps.oracles),

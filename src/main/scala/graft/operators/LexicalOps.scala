@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextSignatures
+import graft.functions.VectorFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lexical & hybrid retrieval over the `documents` table — the retrieval
+  * stack the reference's FAISS index implies but never ships (its
+  * `load_index` has no search function, `embedding_engine.py:88-99`): a
+  * BM25 ranker and reciprocal-rank fusion of BM25 with embedding-cosine,
+  * the standard hybrid-retrieval recipe of a production RAG system.
+  *
+  * Scale design:
+  *  - Document-frequency stats are computed ONLY for the query
+  *    vocabulary: the term-frequency table is semi-joined against the
+  *    (broadcast, tiny) query-term set before any stats aggregation, so
+  *    the df/idf shuffle is proportional to matching postings, not the
+  *    corpus vocabulary. At 100 TB the postings table would be
+  *    bucket-partitioned by term; the probe stays a broadcast join.
+  *  - avgdl is two exact long aggregates (sum, count) — one scalar row,
+  *    broadcast back. No double accumulation, so the value (and
+  *    everything derived) is order-independent and cross-engine exact.
+  *  - Per-term BM25 weights are quantized to integers BEFORE the
+  *    per-document sum (idf_e6 × tfw_e6 → w_e12): integer addition is
+  *    associative, so the aggregate is deterministic under any shuffle /
+  *    partial-agg order, and DuckDB reproduces it bit-for-bit. Ranking
+  *    uses the integer score with doc_id tiebreak — no float-tie risk.
+  *  - The dense leg reuses the shuffle-free single-pass HashEmbed8
+  *    signature (map-side only); cosine is quantized to e9 for the same
+  *    reason. RRF then only consumes integer ranks: 1/(60+r) terms are
+  *    single IEEE divisions in a fixed order.
+  *  - Fusion joins two per-query top-20 lists — ~k rows per query —
+  *    a full-outer join on (qid, doc_id) whose inputs are already
+  *    negligible; at any scale the expensive part is the rankers, and
+  *    each shuffles once on its natural key.
+  */
+object LexicalOps {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val RRF_K = 60
+  private val FUSE_DEPTH = 20
+
+  /** The benchmark query set: (qid, query text) over the corpus vocab. */
+  private val querySet: Seq[(Int, String)] = Seq(
+    1 -> "spark hash join",
+    2 -> "table scan fast",
+    3 -> "sort merge batch")
+
+  private val queryValuesSql =
+    querySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  private def queriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    querySet.toDF("qid", "qtext")
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
+
+  /** (qid, doc_id, score_e12): BM25 with integer-quantized term weights. */
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = queriesDf(s)
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    // exact long aggregates -> one scalar avgdl row, broadcast back
+    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      .select((col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"),
+              col("n"))
+    // postings restricted to the query vocabulary BEFORE any stats work
+    val tf = toks.join(broadcast(q.select("term").distinct()), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6 + 0.5)
+          .as("idf_e6"))
+    tf.join(broadcast(q), "term")
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("w_e12", col("idf_e6") *
+        floor(col("tf") * lit(K1 + 1.0) /
+                (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))) *
+              1e6 + 0.5))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w_e12")).as("score_e12"))
+  }
+
+  private def rankTop(df: DataFrame, score: Column, depth: Int): DataFrame =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(score.desc, col("doc_id"))))
+      .filter(col("rank") <= depth)
+
+  /** (qid, doc_id, cos_e9): dense leg — single-pass hash embeddings,
+    * quantized cosine. The embed is map-side-only on both sides. */
+  private def denseScores(s: SparkSession, dir: String): DataFrame = {
+    val dv = docs(s, dir)
+      .select(col("doc_id"), TextSignatures.hashEmbed8(col("text")).as("dv"))
+    val qv = queriesDf(s)
+      .select(col("qid"), TextSignatures.hashEmbed8(col("qtext")).as("qv"))
+    dv.crossJoin(broadcast(qv))
+      .select(col("qid"), col("doc_id"),
+        floor(dot(col("qv"), col("dv")) / (l2Norm(col("qv")) * l2Norm(col("dv"))) * 1e9 + 0.5)
+          .as("cos_e9"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-5 per query (k1=1.2, b=0.75).
+    "retrieval_bm25_topk" -> ((s, dir) =>
+      rankTop(bm25(s, dir), col("score_e12"), 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("score_e12"))
+        .orderBy(col("qid"), col("rank"))),
+
+    // Hybrid retrieval: RRF fusion of the BM25 and embedding-cosine
+    // rankers, rrf = Σ 1/(60 + rank), top-10 per query.
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      val lex = rankTop(bm25(s, dir), col("score_e12"), FUSE_DEPTH)
+        .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+      val den = rankTop(denseScores(s, dir), col("cos_e9"), FUSE_DEPTH)
+        .select(col("qid"), col("doc_id"), col("rank").as("vec_rank"))
+      lex.join(den, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_e9", floor(
+          (coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(RRF_K) + col("vec_rank")), lit(0.0))) * 1e9 + 0.5))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rrf_e9").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf_e9"),
+          coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(-1)).as("vec_rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  /** Shared oracle CTE prefix: tokenized corpus, doc lengths, avgdl, and
+    * integer-quantized BM25 scores — the same arithmetic sequence as the
+    * Spark side (every float op in identical order; weights integer
+    * before summation). */
+  private val bm25Cte =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |q(qid, qtext) AS (VALUES $queryValuesSql),
+       |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM d),
+       |stats AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl, count(*) AS n FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+       |idf AS (SELECT term,
+       |    floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5)::BIGINT AS idf_e6
+       |  FROM (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term)
+       |  CROSS JOIN stats),
+       |bm25 AS (SELECT qt.qid, tf.doc_id,
+       |    CAST(sum(idf.idf_e6 *
+       |      floor(tf.tf * ${K1 + 1.0} /
+       |              (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / avgdl)) *
+       |            1e6 + 0.5)::BIGINT) AS BIGINT) AS score_e12
+       |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY qt.qid, tf.doc_id)""".stripMargin
+
+  /** 8-dim md5-bucket embedding as a DuckDB subquery — the oracle twin
+    * of [[TextSignatures.hashEmbed8]] (same bucketing as v1_hash_embed). */
+  private def embedSql(src: String, idCol: String, textCol: String): String = {
+    val dims = (0 until 8).map { k =>
+      s"count(*) FILTER (WHERE ('0x' || substr(md5(tok), 1, 4))::INT % 8 = $k)::DOUBLE"
+    }.mkString(", ")
+    s"SELECT $idCol, [$dims] AS v FROM (SELECT $idCol, " +
+      s"unnest(string_split($textCol, ' ')) AS tok FROM $src) GROUP BY $idCol"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "retrieval_bm25_topk" ->
+      s"""$bm25Cte,
+         |r AS (SELECT qid, doc_id, score_e12,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score_e12 DESC, doc_id) AS rank
+         |  FROM bm25)
+         |SELECT qid, rank::INT AS rank, doc_id, score_e12
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "retrieval_hybrid_rrf" ->
+      s"""$bm25Cte,
+         |lex AS (SELECT qid, doc_id, rank AS lex_rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score_e12 DESC, doc_id) AS rank
+         |    FROM bm25) WHERE rank <= $FUSE_DEPTH),
+         |dv AS (${embedSql("d", "doc_id", "text")}),
+         |qv AS (${embedSql("q", "qid", "qtext")}),
+         |cos AS (SELECT qv.qid, dv.doc_id,
+         |    floor(list_dot_product(qv.v, dv.v) /
+         |          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(dv.v, dv.v))) *
+         |          1e9 + 0.5)::BIGINT AS cos_e9
+         |  FROM dv CROSS JOIN qv),
+         |den AS (SELECT qid, doc_id, rank AS vec_rank FROM (
+         |    SELECT qid, doc_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_e9 DESC, doc_id) AS rank
+         |    FROM cos) WHERE rank <= $FUSE_DEPTH),
+         |fused AS (SELECT coalesce(lex.qid, den.qid) AS qid,
+         |    coalesce(lex.doc_id, den.doc_id) AS doc_id, lex_rank, vec_rank,
+         |    floor((coalesce(1.0 / ($RRF_K + lex_rank), 0.0) +
+         |           coalesce(1.0 / ($RRF_K + vec_rank), 0.0)) * 1e9 + 0.5)::BIGINT AS rrf_e9
+         |  FROM lex FULL OUTER JOIN den
+         |    ON lex.qid = den.qid AND lex.doc_id = den.doc_id),
+         |rr AS (SELECT qid, doc_id, rrf_e9, lex_rank, vec_rank,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_e9 DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT qid, rank::INT AS rank, doc_id, rrf_e9,
+         |  coalesce(lex_rank, -1)::INT AS lex_rank,
+         |  coalesce(vec_rank, -1)::INT AS vec_rank
+         |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  )
+}

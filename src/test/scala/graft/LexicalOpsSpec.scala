@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.LexicalOps
+import org.apache.spark.sql.functions._
+
+/** BM25 + hybrid-RRF retrieval semantics (LexicalOps).
+  *
+  * The reference ships a FAISS index with no search function
+  * (`embedding_engine.py:88-99`); LexicalOps supplies the retrieval stack
+  * that index implies. These specs pin the ranking invariants a user of
+  * that stack would rely on.
+  */
+class LexicalOpsSpec extends SparkSpec {
+
+  test("bm25 top-k: ranks are dense 1..k per query, scores non-increasing") {
+    val rows = LexicalOps.queries("retrieval_bm25_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25: every ranked doc contains at least one query term") {
+    import spark.implicits._
+    val ranked = LexicalOps.queries("retrieval_bm25_topk")(spark, sf)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val terms = Seq("spark", "hash", "join", "table", "scan", "fast",
+      "sort", "merge", "batch")
+    val hasTerm = Tables.documentsSpread(spark, sf)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        arrays_overlap(split($"text", " "), lit(terms.toArray)).as("hit"))
+      .filter($"hit").select($"doc_id").as[Long].collect().toSet
+    assert(ranked.subsetOf(hasTerm))
+  }
+
+  test("rrf fusion: score equals 1/(60+lex)+1/(60+vec) over the input ranks") {
+    val rows = LexicalOps.queries("retrieval_hybrid_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lex, vec) = (r.getInt(4), r.getInt(5))
+      assert(lex != -1 || vec != -1) // full-outer join never emits an orphan
+      val expect = math.floor(
+        ((if (lex == -1) 0.0 else 1.0 / (60 + lex)) +
+          (if (vec == -1) 0.0 else 1.0 / (60 + vec))) * 1e9 + 0.5).toLong
+      assert(r.getLong(3) == expect)
+    }
+  }
+
+  test("rrf: a doc ranked top-1 by both legs outranks any single-leg doc") {
+    val rows = LexicalOps.queries("retrieval_hybrid_rrf")(spark, sf).collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      val scores = byRank.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // any doc present in BOTH legs beats every doc present in only one
+      // leg at strictly worse ranks — spot-check the invariant that fused
+      // score is monotone in each leg rank
+      val both = byRank.filter(r => r.getInt(4) != -1 && r.getInt(5) != -1)
+      val onlyWorse = byRank.filter(r =>
+        (r.getInt(4) == -1 || r.getInt(4) > 20) && r.getInt(5) == -1)
+      if (both.nonEmpty && onlyWorse.nonEmpty)
+        assert(both.map(_.getLong(3)).min >= onlyWorse.map(_.getLong(3)).max)
+    }
+  }
+}
