@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Document deduplication — the north-star LLM-training-data operators
   * (BASELINE.json): exact, MinHash+LSH, n-gram Jaccard, SimHash.
@@ -195,6 +196,47 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Near-dup CLUSTER resolution — the step that actually deletes
+    // duplicates: connected components over the Jaccard pair graph via
+    // iterative min-label propagation, canonical doc = min doc_id per
+    // component, keep-one-per-cluster decision as keep = (doc == canon).
+    // Each iteration is one join + one aggregate, both shuffling on
+    // node id; lineage is truncated per round (localCheckpoint) so the
+    // plan never grows with iteration count. Rounds ≤ graph diameter —
+    // near-dup components are shallow (pairs share a common ancestor
+    // text), so 2-3 rounds in practice; at 100 TB the same loop runs
+    // with reliable checkpointing, or the large-star/small-star variant
+    // (Kiveris et al., MapReduce CC) to force O(log n) rounds.
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir, 0.5)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      // both directions: label(u) can flow across an edge either way
+      val edges = pairs
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("u", "v")
+      var labels = edges.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges
+          .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
+          .groupBy(col("u")).agg(min(col("nlbl")).as("plbl"))
+        val next = labels.join(prop, Seq("u"), "left")
+          .select(col("u"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
+          .filter(col("lbl") < col("old")).count()
+        labels = next
+      }
+      labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("int"))
+        .select(col("lbl").as("cluster_id"), col("u").as("doc_id"),
+                col("cluster_size"),
+                (col("u") === col("lbl")).cast("int").as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
     // near-dup = hamming ≤ 3 within a language block — via multi-index
     // hamming blocking: hamming ≤ 3 means at most 3 of the 4 signature
@@ -290,6 +332,29 @@ object DedupOps {
          |FROM k JOIN documents da ON da.doc_id = a_id
          |JOIN documents db ON db.doc_id = b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_cluster_canonical" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM toks a JOIN toks b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |  AND len(a.bg) > 0
+         |  WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
+         |        / len(list_distinct(a.bg || b.bg)) >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT cluster_id, doc_id,
+         |  (count(*) OVER (PARTITION BY cluster_id))::INT AS cluster_size,
+         |  (doc_id = cluster_id)::INT AS keep
+         |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tf AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM

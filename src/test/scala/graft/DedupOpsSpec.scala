@@ -64,6 +64,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("cluster resolution == driver-side union-find over the same pairs") {
+    val pairs = DedupOps.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: plain union-find on the collected edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    // union-find roots are not guaranteed minimal; normalize to min-of-component
+    val minOf = expect.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val want = expect.map { case (x, r) => x -> minOf(r) }
+
+    val got = DedupOps.queries("dedup_cluster_canonical")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(got.map(t => t._1 -> t._2).toMap == want)
+    // keep flag marks exactly the canonical member; sizes are consistent
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.count(_._4 == 1) == 1)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("word bigrams native == HOF formulation") {
     val docs = Tables.documents(spark, sf).limit(50)
     val toks = split(col("text"), " ")
