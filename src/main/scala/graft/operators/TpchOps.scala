@@ -117,6 +117,88 @@ object TpchOps {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Q12-shaped: priority-split line counts (adapted: this schema has no
+    // l_shipmode, so the grouping key is l_returnflag). The interesting
+    // plan property: the conditional split happens AFTER the l⋈o shuffle
+    // join as two map-side-combinable conditional sums — one pass, no
+    // second aggregation per priority class.
+    "tpch_q12" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      li.join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+               .otherwise(0)).as("high_line_count"),
+             sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+               .otherwise(0)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q14-shaped: promo revenue share — broadcast dim join + conditional
+    // ratio aggregate. part is the only dim that reaches lineitem scale
+    // in real TPC-H; still orders of magnitude under the fact table, so
+    // broadcast (at 100 TB: the largest dim that fits the driver's
+    // broadcast budget; beyond that, shuffle on partkey with bucketing).
+    "tpch_q14" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+              col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+               sum(when(col("p_type") === "PROMO",
+                 col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+               sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("promo_revenue_pct"),
+            count(lit(1)).as("n_items"))
+    }),
+
+    // Q18-shaped: large-volume customers — HAVING over a fact aggregate,
+    // then joined back to orders/customer. The aggregate-then-semi-join
+    // order matters at scale: the groupBy reduces lineitem to one row
+    // per qualifying order BEFORE any join touches the wider tables, and
+    // the qualifying set (rare orders) broadcasts.
+    "tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, dir)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19-shaped: disjunctive multi-clause predicate join — three OR'd
+    // (brand, size-range, quantity-range) clauses. Catalyst extracts the
+    // common l_partkey=p_partkey equi-condition so this plans as a hash
+    // join with a residual OR filter, NOT a nested-loop join; the
+    // disjunction also yields a partkey-independent scan filter on
+    // l_quantity (range union) pushed to parquet.
+    "tpch_q19" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(Tables.part(s, dir)
+                .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+             col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+             col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+             col("l_quantity").between(20, 30))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
     // Q10-shaped: returned-item reporting — top 20 customers by lost
     // revenue. customer/nation broadcast; TakeOrderedAndProject bounds
     // the sort to 20 rows (no global sort materializes).
@@ -214,6 +296,40 @@ object TpchOps {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -53,6 +53,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(q10.contains("TakeOrderedAndProject"), q10.take(400))
   }
 
+  test("q19 disjunctive join extracts the equi-condition (hash, not nested-loop)") {
+    val p = plan("tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("NestedLoop"), p.take(600))
+  }
+
+  test("q18 aggregates lineitem before joining the wider tables") {
+    val p = plan("tpch_q18")
+    // the HAVING filter sits on the aggregate output, which then builds
+    // a broadcast side — orders is never shuffled on orderkey
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(900))
+  }
+
   test("o6 argmin is a partial aggregate, not a window sort") {
     val p = plan("o6_argmin")
     assert(p.contains("partial_min") || p.contains("partial_"), p.take(400))
