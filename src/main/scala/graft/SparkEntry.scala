@@ -27,6 +27,7 @@ object SparkEntry {
     Module(RetrievalOps.queries, RetrievalOps.oracles),
     Module(LexicalOps.queries, LexicalOps.oracles),
     Module(TextAnalysisOps.queries, TextAnalysisOps.oracles),
+    Module(CleanOps.queries, CleanOps.oracles),
     Module(CurationOps.queries, CurationOps.oracles),
     Module(PrepOps.queries, PrepOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),

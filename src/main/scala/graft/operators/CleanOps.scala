@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus cleaning — the normalize/prune/mixture stage of a training-data
+  * pipeline, sitting between ingestion (reference `aws_bucket.py`) and
+  * embedding (`embedding_engine.py:63-71`, which consumes raw `.txt`
+  * content with only an emptiness check — no normalization exists in the
+  * reference at all).
+  *
+  * Scale design:
+  *  - normalization is pure map-side expression work (no shuffle); the
+  *    output carries an md5 of the cleaned text, not the text, so
+  *    nothing wide ever leaves the scan stage.
+  *  - token pruning uses a RELATIVE frequency cut (≥ 0.1% of all corpus
+  *    tokens): the frequent vocabulary is tiny by Zipf's law, so it
+  *    aggregates to one short list and broadcasts; the rare tail — the
+  *    part that grows with corpus size — is never collected anywhere.
+  *    One shuffle (token counts, map-side combined), then map-side
+  *    membership filtering.
+  *  - mixture stats are one groupBy on (source, lang) plus two scalar
+  *    aggregates; cumulative shares come from exact long sums (the
+  *    division happens once per output row, after the rollup), so the
+  *    numbers are order-independent and cross-engine exact.
+  */
+object CleanOps {
+
+  private val stopwords = Seq("the", "a")
+  private val freqFraction = 0.001
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text normalization: trim → lowercase → collapse runs of spaces →
+    // strip stopwords. Emits token counts before/after + content hash.
+    "clean_normalize" -> ((s, dir) => {
+      val cleaned = regexp_replace(trim(lower(col("text"))), " +", " ")
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(cleaned, " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          filter(col("toks"), t => !t.isin(stopwords: _*)).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Rare-token pruning: drop tokens whose corpus count is under 0.1%
+    // of all token occurrences. The frequent vocab (small) is broadcast
+    // as one sorted list; membership runs map-side per token.
+    "clean_rare_tokens" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val vocab = t.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val freq = vocab
+        .crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
+        .filter(col("cnt") >= col("total") * freqFraction)
+        .agg(sort_array(collect_list(col("tok"))).as("vs"))
+      t.crossJoin(broadcast(freq))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_total"),
+          filter(col("toks"), x => array_contains(col("vs"), x)).as("kept"))
+        .select(col("doc_id"), col("n_total"),
+          size(col("kept")).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("kept_md5"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Mixture statistics: per (source, lang) doc/token totals, token
+    // share of corpus, and cumulative share in descending-token order —
+    // the table a mixture-weighting/sampling stage consumes.
+    "clean_mixture_stats" -> ((s, dir) => {
+      val grouped = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " "))).as("n_tokens"))
+      val w = Window.orderBy(desc("n_tokens"), col("source"), col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped
+        .crossJoin(broadcast(grouped.agg(sum(col("n_tokens")).as("total"))))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"),
+          round(col("cum_tokens").cast("double") / col("total"), 6).as("cum_share"))
+        .orderBy(desc("n_tokens"), col("source"), col("lang"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "clean_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  list_filter(toks, x -> x NOT IN ('the', 'a')) AS kept FROM t)
+        |SELECT doc_id, n_tokens::INT AS n_tokens, len(kept)::INT AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS clean_md5
+        |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "clean_rare_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM
+        |  (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |freq AS (SELECT list_sort(list(tok)) AS vs FROM vocab
+        |  CROSS JOIN (SELECT sum(cnt) AS total FROM vocab)
+        |  WHERE cnt >= total * 0.001),
+        |k AS (SELECT doc_id, len(toks) AS n_total,
+        |  list_filter(toks, x -> list_contains(vs, x)) AS kept
+        |  FROM t CROSS JOIN freq)
+        |SELECT doc_id, n_total::INT AS n_total, len(kept)::INT AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS kept_md5
+        |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "clean_mixture_stats" ->
+      """WITH g AS (SELECT source, lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM g), 6) AS token_share,
+        |  round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+        |    ROWS UNBOUNDED PRECEDING)::DOUBLE / (SELECT sum(n_tokens) FROM g), 6)
+        |    AS cum_share
+        |FROM g ORDER BY n_tokens DESC, source, lang""".stripMargin
+  )
+}
