@@ -118,6 +118,51 @@ object EventOps {
              round(max(col("value")), 6).as("vmax"))
         .orderBy(col("event_type"))),
 
+    // Day-over-day retention: for each day, how many active users return
+    // the next day. One distinct pass to (day, user), one per-user window
+    // for the next active day, one aggregate — the canonical cohort shape.
+    // Scale: the distinct collapses events to at most |users|×|days| rows
+    // BEFORE the user-keyed window shuffle; nothing downstream sees raw
+    // event volume.
+    "retention_daily" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      daily.withColumn("next_day", lead(col("day"), 1).over(w))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+             sum(when(col("next_day") === date_add(col("day"), 1), 1).otherwise(0))
+               .as("n_retained"))
+        .select(col("day"), col("n_active"), col("n_retained"),
+          round(col("n_retained").cast("double") / col("n_active"), 6).as("retention"))
+        .orderBy(col("day"))
+    }),
+
+    // Ordered funnel: signup → first view at-or-after signup → first
+    // purchase at-or-after that view. Each stage is a per-user min-ts
+    // aggregate joined to the next stage's events — stage outputs are
+    // user-cardinality (tiny vs events), so they broadcast and the event
+    // scan is filtered by type before any join.
+    "funnel_signup_view_purchase" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val vi = e.filter(col("event_type") === "view")
+        .join(broadcast(su), "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(broadcast(vi), "user_id")
+        .filter(col("ts") >= col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(vi.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_purchased")))
+        .select(col("n_signup"), col("n_viewed"), col("n_purchased"),
+          round(col("n_purchased").cast("double") / col("n_signup"), 6)
+            .as("conversion"))
+    }),
+
     // A7: order-sensitive string-concat aggregate (transcription.py:207-208
     // " ".join over chunks in order) — event-type journey per user.
     "a7_ordered_concat" -> ((s, dir) =>
@@ -183,6 +228,32 @@ object EventOps {
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "retention_daily" ->
+      """WITH daily AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+        |  FROM events),
+        |l AS (SELECT day, user_id,
+        |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day FROM daily)
+        |SELECT day, count(*) AS n_active,
+        |  sum(CASE WHEN next_day = day + 1 THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |  round(sum(CASE WHEN next_day = day + 1 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS retention
+        |FROM l GROUP BY day ORDER BY day""".stripMargin,
+    "funnel_signup_view_purchase" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |vi AS (SELECT e.user_id, min(e.ts) AS view_ts FROM events e
+        |  JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= su.signup_ts
+        |  GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |  JOIN vi ON e.user_id = vi.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= vi.view_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM su) AS n_signup,
+        |  (SELECT count(*) FROM vi) AS n_viewed,
+        |  (SELECT count(*) FROM pu) AS n_purchased,
+        |  round((SELECT count(*) FROM pu)::DOUBLE
+        |        / (SELECT count(*) FROM su), 6) AS conversion""".stripMargin,
     "a7_ordered_concat" ->
       """SELECT user_id,
         |string_agg(event_type, '>' ORDER BY ts, event_id) AS journey

@@ -61,4 +61,28 @@ class EventOpsSpec extends SparkSpec {
     val joined = runs.join(events, "user_id")
     assert(joined.filter($"n_runs" > $"count").count() == 0)
   }
+
+  test("retention: retained <= active, rate in [0,1], retained users are next-day actives") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("retention_daily")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // cross-check one day against a direct set intersection
+    val daily = Tables.events(spark, sf)
+      .select(to_date($"ts").as("day"), $"user_id").distinct().collect()
+      .groupBy(_.getDate(0).toString).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val mid = rows(rows.length / 2)
+    val d = mid.getDate(0).toLocalDate
+    val expect = (daily(d.toString) intersect daily.getOrElse(d.plusDays(1).toString, Set.empty)).size
+    assert(mid.getLong(2) == expect)
+  }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val r = operators.EventOps.queries("funnel_signup_view_purchase")(spark, sf).head()
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
+    assert(r.getLong(2) > 0, "fixture should have at least one full conversion")
+  }
 }
