@@ -46,6 +46,18 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 symmetric quantization preserves the exact top-3 (recall on fixture)") {
+    val exact = RetrievalOps.queries("v3_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = RetrievalOps.queries("ann_int8_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(quant.size == exact.size)
+    // symmetric scaling preserves IP ordering up to quantization noise;
+    // on the fixture the sets coincide exactly (measured while choosing
+    // the scheme — see the query's scaladoc)
+    assert((exact intersect quant).size == exact.size)
+  }
+
   test("v1 hashing embedder emits unit-normalized vectors (fixed-point)") {
     val rows = RetrievalOps.queries("v1_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
