@@ -200,6 +200,39 @@ object CatalogOps {
         .orderBy(col("user_id"))
     }),
 
+    // §2.7 EXCEPT — the relational form of the reference's set-minus
+    // dedup (aws_bucket.py:180-182, Python `set` difference): users who
+    // signed up but never purchased. Catalyst plans EXCEPT as a
+    // left-anti join — same physical shape as J2, by construction.
+    "set_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // (user, day) grain: days a user browsed but bought nothing —
+      // user-level would be vacuous here (every synthetic user has every
+      // event type; the GRAIN of a set op is part of its semantics)
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .except(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day")))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // CUBE census with grouping markers — the full generalization of the
+    // reference's three separate census loops (A1 by year + A2 by ext +
+    // A3 totals, check_bucket_files.py:39-132): every (lang, source)
+    // margin in ONE pass. Spark plans cube as a single Expand + one
+    // aggregate — 4× the rows into the same shuffle, not 4 scans.
+    "a_cube_census" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(grouping(col("lang")).cast("int").as("g_lang"),
+             grouping(col("source")).cast("int").as("g_source"),
+             count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select(col("g_lang"), col("g_source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_chars"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))),
+
     // O3/O4/O5 + O6: limit with deterministic order (aws_bucket.py:186-191
     // early pagination exit ≡ LocalLimit pushdown) and min_by argmin
     // (transcription.py:205 np.argmin).
@@ -363,6 +396,19 @@ object CatalogOps {
         |  UNION ALL
         |  SELECT doc_id, lang FROM documents WHERE lang = 'de') t
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "set_except" ->
+      """SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, day""".stripMargin,
+    "a_cube_census" ->
+      """SELECT grouping(lang)::INT AS g_lang, grouping(source)::INT AS g_source,
+        |coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'signup'
