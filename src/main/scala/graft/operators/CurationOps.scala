@@ -116,10 +116,71 @@ object CurationOps {
         .select(col("lang"), col("n_docs"),
                 coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
         .orderBy(col("lang"))
+    }),
+
+    // Temperature-smoothed mixture resampling (α = 0.5): the standard
+    // rebalancing for multilingual/multi-source corpora — target share
+    // ∝ share^α, which upweights tails and downweights the head. All
+    // mixture math runs on INTEGER-quantized weights (w_e6 = round(√share
+    // ·1e6)): the cross-stratum normalizer is then an exact long sum, so
+    // target shares and bps rates are identical under any aggregation
+    // order and in the oracle. Selection stays the deterministic
+    // hash-bps predicate — a pure doc_id function, layout-invariant,
+    // no RNG state anywhere (`sample_stratified`'s machinery).
+    "curate_temperature_mix" -> ((s, dir) => {
+      val byLang = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " "))).as("n_tokens"))
+      val withW = byLang
+        .crossJoin(broadcast(byLang.agg(
+          sum(col("n_tokens")).as("tok_total"), sum(col("n_docs")).as("doc_total"))))
+        .withColumn("w_e6",
+          floor(sqrt(col("n_tokens").cast("double") / col("tok_total")) * 1e6 + 0.5)
+            .cast("long"))
+      val rates = withW
+        .crossJoin(broadcast(withW.agg(sum(col("w_e6")).as("w_sum"))))
+        .withColumn("rate_bps", least(lit(10000L),
+          floor(col("w_e6") * lit(1.0) / col("w_sum") * col("doc_total")
+                * lit(10000.0) / col("n_docs")).cast("long")))
+      val selected = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"))
+        .join(broadcast(rates.select(col("lang"), col("rate_bps"))), "lang")
+        .filter(hashBps(col("doc_id")) < col("rate_bps"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"))
+      rates.join(selected, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tok_total"), 6).as("token_share"),
+          round(col("w_e6").cast("double") / col("w_sum"), 6).as("target_share"),
+          col("rate_bps"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+        .orderBy(col("lang"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "curate_temperature_mix" ->
+      s"""WITH g AS (SELECT lang, count(*) AS n_docs,
+         |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS tok_total,
+         |    sum(n_docs)::BIGINT AS doc_total FROM g),
+         |w AS (SELECT lang, n_docs, n_tokens, tok_total, doc_total,
+         |    floor(sqrt(n_tokens::DOUBLE / tok_total) * 1e6 + 0.5)::BIGINT AS w_e6
+         |  FROM g CROSS JOIN tot),
+         |r AS (SELECT *, least(10000,
+         |    floor(w_e6 * 1.0 / (SELECT sum(w_e6) FROM w) * doc_total
+         |          * 10000.0 / n_docs)::BIGINT) AS rate_bps,
+         |    (SELECT sum(w_e6) FROM w)::BIGINT AS w_sum FROM w),
+         |sel AS (SELECT d.lang, count(*) AS n_selected
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE $hashBpsSql < r.rate_bps GROUP BY d.lang)
+         |SELECT r.lang, r.n_docs, r.n_tokens,
+         |  round(r.n_tokens::DOUBLE / r.tok_total, 6) AS token_share,
+         |  round(r.w_e6::DOUBLE / r.w_sum, 6) AS target_share,
+         |  r.rate_bps, coalesce(sel.n_selected, 0)::BIGINT AS n_selected
+         |FROM r LEFT JOIN sel ON r.lang = sel.lang
+         |ORDER BY r.lang""".stripMargin,
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n_total,
          |count(*) FILTER (WHERE $hashBpsSql < $rateBpsSql) AS n_sampled

@@ -118,6 +118,28 @@ object EventOps {
              round(max(col("value")), 6).as("vmax"))
         .orderBy(col("event_type"))),
 
+    // Sketch aggregates under a CONTRACT oracle: HLL distinct counts and
+    // t-digest/KLL quantiles differ sketch-by-sketch across engines, so
+    // the comparable output is the error-bound CLAIM, not the estimate —
+    // each engine checks its own approximation against its own exact
+    // value. At 100 TB these sketches replace exact countDistinct's
+    // expand pass and exact percentile's per-group sort: both become
+    // constant-size mergeable state. (SCALE.md §2's "swap for HLL at
+    // extreme cardinality", made runnable.)
+    "a_approx_sketch_contract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+             approx_count_distinct(col("user_id")).as("n_approx"),
+             expr("percentile(value, 0.5)").as("p50_exact"),
+             expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05)
+            .cast("int").as("cd_within_5pct"),
+          (abs(col("p50_approx") - col("p50_exact")) <= abs(col("p50_exact")) * 0.05)
+            .cast("int").as("p50_within_5pct"))
+        .orderBy(col("event_type"))),
+
     // Day-over-day retention: for each day, how many active users return
     // the next day. One distinct pass to (day, user), one per-user window
     // for the next active day, one aggregate — the canonical cohort shape.
@@ -227,6 +249,13 @@ object EventOps {
         |round(quantile_cont(value, 0.5), 6) AS p50,
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a_approx_sketch_contract" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |  <= count(DISTINCT user_id) * 0.05)::INT AS cd_within_5pct,
+        |(abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |  <= abs(quantile_cont(value, 0.5)) * 0.05)::INT AS p50_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "retention_daily" ->
       """WITH daily AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id

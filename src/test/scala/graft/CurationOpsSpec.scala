@@ -52,4 +52,23 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) <= distinctByLang(r.getString(0))))
   }
+
+  test("temperature mix: α=0.5 compresses shares toward uniform") {
+    val rows = operators.CurationOps.queries("curate_temperature_mix")(spark, sf)
+      .collect()
+    assert(rows.length >= 3)
+    val tok = rows.map(_.getDouble(3))
+    val tgt = rows.map(_.getDouble(4))
+    assert(math.abs(tok.sum - 1.0) < 1e-3 && math.abs(tgt.sum - 1.0) < 1e-3)
+    // smoothing: the head loses share, the tail gains (strictly, since
+    // shares differ across langs on the fixture)
+    assert(tgt.max < tok.max)
+    assert(tgt.min > tok.min)
+    // order is preserved: bigger source stays bigger after smoothing
+    val byTok = rows.sortBy(_.getDouble(3)).map(_.getString(0)).toSeq
+    val byTgt = rows.sortBy(_.getDouble(4)).map(_.getString(0)).toSeq
+    assert(byTok == byTgt)
+    // selection never exceeds the stratum
+    rows.foreach(r => assert(r.getLong(6) <= r.getLong(1)))
+  }
 }
