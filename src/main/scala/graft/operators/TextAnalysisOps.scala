@@ -117,6 +117,28 @@ object TextAnalysisOps {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // Quality decile profile per language: ntile(10) within each lang
+    // stratum (PARTITIONED window — per-key state, scales horizontally;
+    // a global ntile would serialize the corpus into one task). Fixed-
+    // point quality + doc_id tiebreak make tile assignment exactly
+    // reproducible. This is the quality-threshold table a filtering
+    // stage reads ("drop the bottom 2 deciles per language").
+    "ta_quality_deciles" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          floor(graft.functions.TextMetrics.quality(split(col("text"), " ")) * 1e6 + 0.5)
+            .cast("long").as("q_e6"))
+      scored
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("lang")).orderBy(col("q_e6"), col("doc_id"))))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("q_e6")).as("q_min_e6"),
+             max(col("q_e6")).as("q_max_e6"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     // Content fingerprint: md5 over the sorted distinct token set
     // (order-insensitive bag-of-words identity).
     "ta_fingerprint" -> ((s, dir) =>
@@ -180,6 +202,21 @@ object TextAnalysisOps {
         |  round(top_tok_count::DOUBLE / n_tokens, 6) AS top_tok_frac
         |FROM bg JOIN tf USING (doc_id)
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_quality_deciles" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, lang,
+        |  floor(((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4 +
+        |    least(len(toks)::DOUBLE / 50.0, 1.0) * 0.3 +
+        |    (1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)) * 0.3)
+        |    * 1e6 + 0.5)::BIGINT AS q_e6
+        |  FROM t),
+        |d AS (SELECT lang, q_e6,
+        |  ntile(10) OVER (PARTITION BY lang ORDER BY q_e6, doc_id) AS decile FROM s)
+        |SELECT lang, decile::INT AS decile, count(*) AS n_docs,
+        |  min(q_e6) AS q_min_e6, max(q_e6) AS q_max_e6
+        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
 
     "ta_fingerprint" ->
       """SELECT doc_id,
