@@ -228,4 +228,46 @@ object Graft {
         Window.partitionBy(col(stratumCol))
           .orderBy(desc(scoreCol), col(idCol))))
       .filter(col("__rn") <= k).drop("__rn")
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: returns (id, cluster_id) for every node in a
+    * pair, cluster_id = min member id. Per round: one node-keyed join +
+    * one min-aggregate, lineage truncated so the plan stays flat across
+    * rounds; rounds ≤ component diameter (near-dup graphs: 2-3). Backs
+    * `dedup_cluster_canonical`. */
+  def clusterNearDups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+                         col(bCol).cast("long").as("b")).localCheckpoint()
+    val edges = p.union(p.select(col("b"), col("a"))).toDF("u", "v")
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy(col("u")).agg(min(col("nlbl")).as("plbl"))
+      val next = labels.join(prop, Seq("u"), "left")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Symmetric int8 scalar quantization of an array column: one global
+    * maxabs scale (positive rescaling preserves inner-product order, so
+    * integer-dot ranking tracks the float ranking up to quantization
+    * noise — an asymmetric min-max scheme does not; see
+    * `ann_int8_topk`). Output adds `qCol ARRAY<LONG>` in [-127, 127]. */
+  def quantizeInt8(df: DataFrame, vecCol: String, qCol: String): DataFrame = {
+    val scale = df.select(explode(col(vecCol)).as("__x"))
+      .agg(max(abs(col("__x"))).as("__gm"))
+    df.crossJoin(broadcast(scale))
+      .withColumn(qCol,
+        transform(col(vecCol), x => floor(x * lit(127.0) / col("__gm") + 0.5)))
+      .drop("__gm")
+  }
 }

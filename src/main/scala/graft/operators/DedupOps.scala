@@ -208,32 +208,14 @@ object DedupOps {
     // with reliable checkpointing, or the large-star/small-star variant
     // (Kiveris et al., MapReduce CC) to force O(log n) rounds.
     "dedup_cluster_canonical" -> ((s, dir) => {
-      val pairs = jaccardPairs(s, dir, 0.5)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
-      // both directions: label(u) can flow across an edge either way
-      val edges = pairs
-        .union(pairs.select(col("b_id"), col("a_id")))
-        .toDF("u", "v")
-      var labels = edges.groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges
-          .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
-          .groupBy(col("u")).agg(min(col("nlbl")).as("plbl"))
-        val next = labels.join(prop, Seq("u"), "left")
-          .select(col("u"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
-          .filter(col("lbl") < col("old")).count()
-        labels = next
-      }
+      val labels = graft.api.Graft.clusterNearDups(
+        jaccardPairs(s, dir, 0.5), "a_id", "b_id")
       labels
         .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("lbl"))).cast("int"))
-        .select(col("lbl").as("cluster_id"), col("u").as("doc_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("int"))
+        .select(col("cluster_id"), col("id").as("doc_id"),
                 col("cluster_size"),
-                (col("u") === col("lbl")).cast("int").as("keep"))
+                (col("id") === col("cluster_id")).cast("int").as("keep"))
         .orderBy(col("cluster_id"), col("doc_id"))
     }),
 

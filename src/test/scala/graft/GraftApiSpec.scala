@@ -121,4 +121,25 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(api == reg)
   }
+
+  test("quantizeInt8: values bounded by ±127, maxabs element maps to exactly ±127") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.VectorFns.asDouble($"embedding").as("v"))
+    val q = Graft.quantizeInt8(e, "v", "qv")
+    val stats = q.select(explode($"qv").as("x"))
+      .agg(min($"x"), max($"x")).head()
+    assert(stats.getLong(0) >= -127 && stats.getLong(1) <= 127)
+    assert(stats.getLong(0) == -127 || stats.getLong(1) == 127,
+      "the maxabs element must hit full scale")
+  }
+
+  test("clusterNearDups on a hand graph: chain + singleton-pair components") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain; 10-11 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Graft.clusterNearDups(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
