@@ -62,6 +62,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(keys.toSeq == Seq(1L, 2L, 3L)) // each key exactly once, ever
   }
 
+  test("stream-stream join: clicks attach to purchases within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    // both sides watermarked; join condition bounds purchase time within
+    // [click, click + 30 min] so state for either side is droppable —
+    // the shape Spark REQUIRES for unbounded stream-stream inner joins
+    val cd = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val bd = buys.toDF().toDF("buyer_id", "buy_ts")
+      .withWatermark("buy_ts", "1 hour")
+    val joined = cd.join(bd,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = "ss_join_" + System.nanoTime()
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+    buys.addData((1L, ts(10)), (2L, ts(45)), (9L, ts(5)))
+    q.processAllAvailable()
+    // second micro-batch: a late-but-in-bound purchase still joins
+    buys.addData((3L, ts(29)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime / 60000 % 1440)).sorted
+    // user 1 (10 min, in bound) and user 3 (29 min, across batches) join;
+    // user 2's purchase at +45 min is out of bound; user 9 never clicked
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+  }
+
   test("observe() exposes running counters on a batch pass (T5)") {
     val observed = Tables.events(spark, sf)
       .observe("stats", count(lit(1)).as("n"),
