@@ -118,6 +118,31 @@ object EventOps {
              round(max(col("value")), 6).as("vmax"))
         .orderBy(col("event_type"))),
 
+    // PIVOT: per-user event-type counts as columns. The value list is
+    // EXPLICIT — with it, pivot is one pass of conditional aggregates
+    // (no extra distinct-values job, and the schema is static, which is
+    // what makes the op sane at scale and the oracle expressible).
+    "pivot_user_event_matrix" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    // UNPIVOT (melt): per-type value stats back to long form — the
+    // inverse reshape, an Expand node (rows×measures), no shuffle beyond
+    // the input aggregate.
+    "unpivot_value_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(min(col("value")), 6).as("v_min"),
+             round(avg(col("value")), 6).as("v_avg"),
+             round(max(col("value")), 6).as("v_max"))
+        .unpivot(Array(col("event_type")),
+                 Array(col("v_min"), col("v_avg"), col("v_max")),
+                 "stat", "value")
+        .orderBy(col("event_type"), col("stat"))),
+
     // Sketch aggregates under a CONTRACT oracle: HLL distinct counts and
     // t-digest/KLL quantiles differ sketch-by-sketch across engines, so
     // the comparable output is the error-bound CLAIM, not the estimate —
@@ -250,6 +275,24 @@ object EventOps {
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pivot_user_event_matrix" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+        |count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+        |count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+        |count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "unpivot_value_stats" ->
+      """WITH g AS (SELECT event_type,
+        |  round(min(value), 6) AS v_min, round(avg(value), 6) AS v_avg,
+        |  round(max(value), 6) AS v_max
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, stat, value FROM (
+        |  SELECT event_type, 'v_min' AS stat, v_min AS value FROM g
+        |  UNION ALL SELECT event_type, 'v_avg', v_avg FROM g
+        |  UNION ALL SELECT event_type, 'v_max', v_max FROM g)
+        |ORDER BY event_type, stat""".stripMargin,
     "a_approx_sketch_contract" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
