@@ -1,0 +1,57 @@
+package graft
+
+import graft.api.Graft
+import org.scalacheck.Gen
+
+/** Property coverage for connected-components clustering: random edge
+  * lists vs a driver-side union-find reference. Runs through the real
+  * Spark path (MemoryStream-free, tiny graphs), so it exercises the
+  * iterative join/aggregate loop and its termination, not just the
+  * algebra. Uses a bounded number of ScalaCheck samples via explicit
+  * iteration — each case is a full Spark fixpoint loop, so the sample
+  * count is kept small. */
+class ClusterProperties extends SparkSpec {
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val roots = parent.keys.map(x => x -> find(x)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    roots.map { case (x, r) => x -> minOf(r) }
+  }
+
+  test("clusterNearDups == union-find on random graphs (incl. chains and cliques)") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(1, 12)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    val cases = Seq(
+      // deterministic worst cases: a long chain (max diameter) + a clique
+      (0L until 9L).map(i => (i, i + 1)).toSeq,
+      (for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)).toSeq
+    ) ++ (1 to 6).map(i =>
+      edgeGen(Gen.Parameters.default.withSize(10),
+              org.scalacheck.rng.Seed(42L + i)).get)
+    cases.foreach { pairs =>
+      val got = Graft.clusterNearDups(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"pairs=$pairs")
+    }
+  }
+
+  test("clusterNearDups on an empty pair list returns an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graft.clusterNearDups(empty, "a", "b").count() == 0)
+  }
+}
