@@ -99,8 +99,17 @@ object RagPipeline {
     //    it cannot be computed on the fresh increment alone (the
     //    reference also re-embeds everything each loop, main.py:106;
     //    at 100 TB this stage gates on a curation-state table instead).
+    //    3a. near-dup CLUSTER dedup before quota selection: LSH pairs →
+    //    connected components → drop every non-canonical member. The
+    //    non-canonical id set is dedup OUTPUT-sized (tiny), so it
+    //    broadcasts into a left-anti join against the corpus.
+    val nonCanonical = Graft.clusterNearDups(
+        Graft.minhashNearDups(docs, "doc_id", "text"), "a_id", "b_id")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val deduped = docs.join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
     val curated = Graft.curateQuota(
-      graft.operators.CurationOps.scored(docs), "doc_id", "text", "lang", "quality_e6", 50)
+      graft.operators.CurationOps.scored(deduped), "doc_id", "text", "lang", "quality_e6", 50)
     val chunks = PrepOps.chunkDocuments(curated.select(col("doc_id"), col("text")))
 
     // 4. embed chunks (deterministic hashing embedder standing in for the
