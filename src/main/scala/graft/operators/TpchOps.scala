@@ -195,7 +195,10 @@ object TpchOps {
              col("l_quantity").between(10, 20)) ||
             (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
              col("l_quantity").between(20, 30))))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // coalesce: the selective disjunction can match zero rows at tiny
+        // SFs — an empty sum must be 0.0, not NULL (NaN-poisoned compare)
+        .agg(round(coalesce(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+                            lit(0.0)), 2).as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -321,7 +324,7 @@ object TpchOps {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "tpch_q19" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 2) AS revenue,
         |count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
