@@ -55,8 +55,37 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, the engine's native expressions are
+  * registered as SQL functions so plain-SQL users get the same codegen
+  * hot paths the DataFrame facade uses (`SELECT graft_dot(a, b)` etc.)
+  * — the library surface isn't Scala-only. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+     new ExpressionInfo("graft", name, usage),
+     builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
+    Seq(
+      fn("graft_dot", "dot product of two double arrays (sequential fold)",
+        { case Seq(a, b) => DotProductD(a, b) }),
+      fn("graft_sorted_intersect", "intersection size of two sorted string arrays",
+        { case Seq(a, b) => SortedIntersectCount(a, b) }),
+      fn("graft_word_bigrams", "sorted distinct word-bigram shingles of a string",
+        { case Seq(c) => TextSignatures.WordBigrams(c) }),
+      fn("graft_char_trigrams", "sorted distinct char trigrams of a string",
+        { case Seq(c) => TextSignatures.CharTrigrams(c) }),
+      fn("graft_simhash32", "32-bit TF-weighted SimHash of a string",
+        { case Seq(c) => TextSignatures.SimHash32(c) }),
+      fn("graft_hash_embed8", "8-dim md5-bucket hashing embedding of a string",
+        { case Seq(c) => TextSignatures.HashEmbed8(c) })
+    ).foreach(ext.injectFunction)
+  }
 }

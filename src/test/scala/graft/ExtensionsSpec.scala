@@ -30,4 +30,26 @@ class ExtensionsSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
   }
+
+  test("native expressions are callable from plain SQL (injectFunction)") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+    val inter = spark.sql(
+      "SELECT graft_sorted_intersect(array('a','b','c'), array('b','c','d')) AS n")
+      .head().getInt(0)
+    assert(inter == 2)
+    // SQL path produces the same signatures as the Column facade
+    val viaSql = spark.sql("SELECT graft_simhash32('a b a c') AS s, " +
+      "graft_word_bigrams('x y z') AS bg, graft_hash_embed8('x y z') AS e")
+      .head()
+    val viaCol = Tables.documents(spark, sf).limit(1).select(
+      graft.functions.TextSignatures.simHash32(lit("a b a c")).as("s"),
+      graft.functions.TextSignatures.wordBigrams(lit("x y z")).as("bg"),
+      graft.functions.TextSignatures.hashEmbed8(lit("x y z")).as("e")).head()
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getSeq[String](1) == viaCol.getSeq[String](1))
+    assert(viaSql.getSeq[Double](2) == viaCol.getSeq[Double](2))
+  }
 }
