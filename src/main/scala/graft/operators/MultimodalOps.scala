@@ -46,6 +46,43 @@ object MultimodalOps {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // Feature extraction: payload bytes → fixed-dim feature vector (the
+    // CLIP-embedding shape: binary in, ARRAY<DOUBLE> out, model init
+    // amortized per partition). Stub = 8-bin byte histogram; a real
+    // encoder replaces only the lambda body, the schema/batching stay.
+    "mm_feature_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val hist = new Array[Double](8)
+            bytes.foreach(b => hist((b & 0xff) % 8) += 1.0)
+            (id, hist.toSeq)
+          }
+        }
+        .toDF("doc_id", "features")
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Resize: metadata-level transform — fit (width, height) into a
+    // 224×224 box preserving aspect ratio (integer floor arithmetic, the
+    // standard vision-preprocess step). Pure map-side expression work
+    // over the decoded metadata; payloads never move.
+    "mm_resize" -> ((s, dir) => {
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (length(col("text")) % 640 + 1).cast("long").as("width"),
+          ((length(col("text")) * 7) % 480 + 1).cast("long").as("height"))
+      meta.select(col("doc_id"), col("width"), col("height"),
+          least(lit(224.0) / col("width"), lit(224.0) / col("height")).as("scale"))
+        .select(col("doc_id"), col("width"), col("height"),
+          floor(col("width") * col("scale")).cast("long").as("out_w"),
+          floor(col("height") * col("scale")).cast("long").as("out_h"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // Frame sampling: one row per sampled frame offset (UDTF shape —
     // 1 media row → n frame rows, like transcription.py:168 chunking),
     // re-aggregated to per-doc stats.
@@ -70,6 +107,23 @@ object MultimodalOps {
         |(length(text) // 100 + 1)::INT AS n_frames,
         |list_extract(['jpeg','png','webp'], (doc_id % 3 + 1)::INT) AS format
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_feature_extract" ->
+      """SELECT doc_id, list_transform(range(0, 8), k ->
+        |  len(list_filter(list_transform(string_split(text, ''),
+        |    c -> ascii(c) % 8), x -> x = k))::DOUBLE) AS features
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  (length(text) % 640 + 1)::BIGINT AS width,
+        |  ((length(text) * 7) % 480 + 1)::BIGINT AS height FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |  least(224.0 / width, 224.0 / height) AS scale FROM m)
+        |SELECT doc_id, width, height,
+        |  floor(width * scale)::BIGINT AS out_w,
+        |  floor(height * scale)::BIGINT AS out_h
+        |FROM s ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id, (length(text) // 1000 + 1) AS n_frames,
