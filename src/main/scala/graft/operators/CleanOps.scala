@@ -71,6 +71,21 @@ object CleanOps {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // Privacy: pseudonymize user identifiers with a salted hash before
+    // a corpus leaves the pipeline — irreversible without the pepper,
+    // but cardinality- and join-preserving (the same user maps to the
+    // same pseudonym everywhere). Map-side only; the aggregate proves
+    // the mapping is injective on the fixture (n_pseudo == n_users) and
+    // gives the k-anonymity census (smallest pseudonym group size).
+    "privacy_pseudonymize" -> ((s, dir) => {
+      val pseudo = sha2(concat(lit("graft-pepper:"), col("user_id").cast("string")), 256)
+      val ev = Tables.events(s, dir).select(pseudo.as("user_pseudo"))
+        .groupBy(col("user_pseudo")).agg(count(lit(1)).as("n_events"))
+      ev.agg(count(lit(1)).as("n_pseudonyms"),
+             min(col("n_events")).as("k_anonymity"),
+             sum(col("n_events")).as("n_total"))
+    }),
+
     // Mixture statistics: per (source, lang) doc/token totals, token
     // share of corpus, and cumulative share in descending-token order —
     // the table a mixture-weighting/sampling stage consumes.
@@ -117,6 +132,13 @@ object CleanOps {
         |SELECT doc_id, n_total::INT AS n_total, len(kept)::INT AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS kept_md5
         |FROM k ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "privacy_pseudonymize" ->
+      """WITH p AS (SELECT sha256('graft-pepper:' || user_id::VARCHAR) AS user_pseudo,
+        |  count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT count(*) AS n_pseudonyms,
+        |  min(n_events)::BIGINT AS k_anonymity,
+        |  sum(n_events)::BIGINT AS n_total FROM p""".stripMargin,
 
     "clean_mixture_stats" ->
       """WITH g AS (SELECT source, lang, count(*) AS n_docs,
