@@ -118,6 +118,27 @@ object EventOps {
              round(max(col("value")), 6).as("vmax"))
         .orderBy(col("event_type"))),
 
+    // Event-type transition matrix (first-order Markov counts): per-user
+    // lead() over event time, then a count per (from, to) pair with each
+    // row's share of its source state. The per-user window shuffle is
+    // the only data-scale exchange; the transition matrix itself is
+    // |types|² rows.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("row_total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     // RANGE-frame sliding window: per event, the user's trailing-1-hour
     // value sum — the frame is bounded by the ORDER-BY VALUE (epoch
     // seconds), not row position, so irregular event spacing is handled
@@ -298,6 +319,15 @@ object EventOps {
         |round(quantile_cont(value, 0.9), 6) AS p90,
         |round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |g AS (SELECT event_type, next_type, count(*) AS n FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type)), 6) AS p
+        |FROM g ORDER BY event_type, next_type""".stripMargin,
     "w_sliding_hour_sum" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(ts) // 1000000 AS epoch_s,
