@@ -252,6 +252,10 @@ object Graft {
         .localCheckpoint()
       changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
         .filter(col("lbl") < col("old")).count()
+      // the superseded label snapshot is dead once `changed` is
+      // materialized — drop its blocks so an N-round run holds two
+      // label generations, not N (bounded executor storage at scale)
+      labels.unpersist()
       labels = next
     }
     labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
