@@ -45,15 +45,15 @@ object LexicalOps {
   private val FUSE_DEPTH = 20
 
   /** The benchmark query set: (qid, query text) over the corpus vocab. */
-  private val querySet: Seq[(Int, String)] = Seq(
+  private[operators] val querySet: Seq[(Int, String)] = Seq(
     1 -> "spark hash join",
     2 -> "table scan fast",
     3 -> "sort merge batch")
 
-  private val queryValuesSql =
+  private[operators] val queryValuesSql =
     querySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
-  private def queriesDf(s: SparkSession): DataFrame = {
+  private[operators] def queriesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     querySet.toDF("qid", "qtext")
   }
@@ -168,7 +168,7 @@ object LexicalOps {
 
   /** 8-dim md5-bucket embedding as a DuckDB subquery — the oracle twin
     * of [[TextSignatures.hashEmbed8]] (same bucketing as v1_hash_embed). */
-  private def embedSql(src: String, idCol: String, textCol: String): String = {
+  private[operators] def embedSql(src: String, idCol: String, textCol: String): String = {
     val dims = (0 until 8).map { k =>
       s"count(*) FILTER (WHERE ('0x' || substr(md5(tok), 1, 4))::INT % 8 = $k)::DOUBLE"
     }.mkString(", ")

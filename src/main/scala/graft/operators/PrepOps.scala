@@ -50,6 +50,35 @@ object PrepOps {
       chunkDocuments(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("chunk_idx")).limit(200)),
 
+    // Chunk-level retrieval with doc-level max-pooling ("maxP"): the
+    // standard RAG ranking over a chunked index — score every chunk,
+    // keep each document's best chunk score, rank documents. Composes
+    // the chunking stage with the shuffle-free hash embed; the maxP
+    // aggregate is partial-aggregatable (map-side max per doc), so the
+    // per-chunk score volume never crosses the exchange.
+    "retrieval_chunk_maxp" -> ((s, dir) => {
+      val chunks = chunkDocuments(
+          Tables.documentsSpread(s, dir).filter(col("text").isNotNull))
+        .select(((col("doc_id") * 1000) + col("chunk_idx")).as("cid"), col("chunk_text"))
+      val cv = chunks.select(col("cid"),
+          graft.functions.TextSignatures.hashEmbed8(col("chunk_text")).as("cv"))
+        .repartition(col("cid")) // materialize chunk signatures once
+      val qv = LexicalOps.queriesDf(s)
+        .select(col("qid"), graft.functions.TextSignatures.hashEmbed8(col("qtext")).as("qv"))
+      import graft.functions.VectorFns.{dot, l2Norm}
+      cv.crossJoin(broadcast(qv))
+        .select(col("qid"), (col("cid") / 1000).cast("long").as("doc_id"),
+          floor(dot(col("qv"), col("cv")) / (l2Norm(col("qv")) * l2Norm(col("cv"))) * 1e9 + 0.5)
+            .cast("long").as("cos_e9"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(max(col("cos_e9")).as("best_cos_e9"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("best_cos_e9").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("best_cos_e9"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Fixed-budget batch assignment: running token count per language
     // (ordered by doc_id), batch = (cum-1) div 4096. Deterministic
     // integer arithmetic end to end; reports per-batch fill.
@@ -77,6 +106,31 @@ object PrepOps {
          |  least($chunkLen, n - i * $stride)::INT AS n_chunk_tokens,
          |  array_to_string(toks[(i*$stride+1):(i*$stride+$chunkLen)], ' ') AS chunk_text
          |FROM ci ORDER BY doc_id, chunk_idx LIMIT 200""".stripMargin,
+
+    "retrieval_chunk_maxp" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n FROM d),
+         |ci AS (SELECT doc_id, toks, n,
+         |    unnest(range(((n + ${stride - 1}) // $stride)::INT)) AS i FROM base),
+         |ch AS (SELECT doc_id * 1000 + i AS cid,
+         |    array_to_string(toks[(i*$stride+1):(i*$stride+$chunkLen)], ' ') AS chunk_text
+         |  FROM ci),
+         |cv AS (${graft.operators.LexicalOps.embedSql("ch", "cid", "chunk_text")}),
+         |q(qid, qtext) AS (VALUES ${graft.operators.LexicalOps.queryValuesSql}),
+         |qv AS (${graft.operators.LexicalOps.embedSql("q", "qid", "qtext")}),
+         |cos AS (SELECT qv.qid, cv.cid // 1000 AS doc_id,
+         |    floor(list_dot_product(qv.v, cv.v) /
+         |          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) *
+         |          1e9 + 0.5)::BIGINT AS cos_e9
+         |  FROM cv CROSS JOIN qv),
+         |mx AS (SELECT qid, doc_id, max(cos_e9) AS best_cos_e9 FROM cos
+         |  GROUP BY qid, doc_id),
+         |r AS (SELECT qid, doc_id, best_cos_e9,
+         |    row_number() OVER (PARTITION BY qid ORDER BY best_cos_e9 DESC, doc_id) AS rank
+         |  FROM mx)
+         |SELECT qid, rank::INT AS rank, doc_id, best_cos_e9
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,

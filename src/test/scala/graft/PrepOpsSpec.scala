@@ -67,4 +67,28 @@ class PrepOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunk maxP: doc score equals the max over its chunks' scores") {
+    import spark.implicits._
+    import graft.functions.VectorFns.{dot, l2Norm}
+    val got = operators.PrepOps.queries("retrieval_chunk_maxp")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+    // recompute one (qid, doc) pair brute-force over all its chunks
+    val pick = got.head
+    val chunks = operators.PrepOps.chunkDocuments(
+        Tables.documents(spark, sf).filter($"doc_id" === pick.getLong(2)))
+      .select(graft.functions.TextSignatures.hashEmbed8($"chunk_text").as("cv"))
+    val qv = Seq(1 -> "spark hash join", 2 -> "table scan fast", 3 -> "sort merge batch")
+      .toDF("qid", "qtext")
+      .filter($"qid" === pick.getInt(0))
+      .select(graft.functions.TextSignatures.hashEmbed8($"qtext").as("qv"))
+    val best = chunks.crossJoin(qv)
+      .select(floor(dot($"qv", $"cv") / (l2Norm($"qv") * l2Norm($"cv")) * 1e9 + 0.5)
+        .cast("long").as("c"))
+      .agg(max($"c")).head().getLong(0)
+    assert(best == pick.getLong(3))
+  }
 }
