@@ -202,6 +202,81 @@ object TpchOps {
              count(lit(1)).as("n_items"))
     }),
 
+    // Q7-shaped: volume shipping between two nations — the same dim
+    // (nation) plays TWO roles (supplier's and customer's), so it joins
+    // twice under different aliases; both roles broadcast. The year
+    // projection happens AFTER the filters so the shipdate range still
+    // pushes to the scan.
+    "tpch_q7" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+                col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8-shaped: market share — a share-of-total conditional ratio per
+    // year (sum(case)/sum), computed in ONE aggregate pass after the
+    // join tree; every dim broadcasts, lineitem⋈orders is the only
+    // data-scale shuffle.
+    "tpch_q8" -> ((s, dir) => {
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+                .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+                      col("n_regionkey") === col("r_regionkey"))
+                .select(col("n_nationkey"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+                .select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val std = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(std), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+                .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+                .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("n_name") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_year"))
+    }),
+
     // Q10-shaped: returned-item reporting — top 20 customers by lost
     // revenue. customer/nation broadcast; TakeOrderedAndProject bounds
     // the sort to 20 rows (no global sort materializes).
@@ -333,6 +408,41 @@ object TpchOps {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |year(l_shipdate)::INT AS l_year,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q8" ->
+      """SELECT year(o_orderdate)::INT AS o_year,
+        |round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+        |count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
