@@ -196,6 +196,40 @@ object DedupOps {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // INCREMENTAL near-dup: a new batch (here the doc_id%10==0 slice)
+    // checked against the existing corpus — the shape a continuously-
+    // ingesting pipeline actually runs: bands of the SMALL new batch
+    // broadcast against the corpus banding, so the probe cost is
+    // proportional to the increment, never corpus², and the corpus-side
+    // signature table would be a precomputed artifact at 100 TB (computed
+    // here inline from one shared exchange).
+    "dedup_incremental" -> ((s, dir) => {
+      val sigs = Tables.documentsSpread(s, dir)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
+          graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
+        .repartition(col("doc_id"))
+      def bands(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(array((0 until 6).map(k =>
+          concat(lit(s"$k:"),
+                 element_at(col("mhs"), 2 * k + 1),
+                 element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
+      val newB = bands(sigs.filter(col("doc_id") % 10 === 0))
+      val corpusB = bands(sigs.filter(col("doc_id") % 10 =!= 0))
+      val cand = corpusB.as("c").join(
+          broadcast(newB.as("n")), col("c.band") === col("n.band"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+        .distinct()
+      val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
+      cand
+        .join(sh.select(col("doc_id").as("new_id"), col("bg").as("bg_n")), "new_id")
+        .join(sh.select(col("doc_id").as("corpus_id"), col("bg").as("bg_c")), "corpus_id")
+        .select(col("new_id"), col("corpus_id"),
+                round(jaccard(col("bg_n"), col("bg_c")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // Near-dup CLUSTER resolution — the step that actually deletes
     // duplicates: connected components over the Jaccard pair graph via
     // iterative min-label propagation, canonical doc = min doc_id per
@@ -314,6 +348,25 @@ object DedupOps {
          |FROM k JOIN documents da ON da.doc_id = a_id
          |JOIN documents db ON db.doc_id = b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs FROM mh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(6),
+         |  k -> k || ':' || mhs[2*k+1] || mhs[2*k+2])) AS band FROM sig),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bands n JOIN bands c ON n.band = c.band
+         |  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+         |v AS (SELECT new_id, corpus_id,
+         |  round(len(list_intersect(tn.bg, tc.bg))::DOUBLE / len(list_distinct(tn.bg || tc.bg)), 6) AS jaccard
+         |  FROM cand JOIN toks tn ON tn.doc_id = new_id
+         |  JOIN toks tc ON tc.doc_id = corpus_id)
+         |SELECT new_id, corpus_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     "dedup_cluster_canonical" ->
       s"""WITH RECURSIVE
