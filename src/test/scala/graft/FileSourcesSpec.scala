@@ -24,6 +24,33 @@ class FileSourcesSpec extends SparkSpec {
     assert(keys.toSeq == Seq("downloads/b/w.webm"))
   }
 
+  test("malformed JSON lines isolate to corrupt-record rows, not job failure (T4)") {
+    import spark.implicits._
+    // reference behavior: one bad file logs an error and the loop
+    // continues (main.py:75-95). Relational form: PERMISSIVE mode parks
+    // bad rows in a corrupt-record column; good rows flow through.
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      """{"key": "k1", "size": 10}
+        |not json at all
+        |{"key": "k2", "size": 20}
+        |{"key": "k3", "size": "NaN-ish"}
+        |""".stripMargin.getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, size LONG, _corrupt STRING")
+    val parsed = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema)
+      .json(dir.toString)
+      .cache() // corrupt-record column requires a materialized parse
+    val good = parsed.filter($"_corrupt".isNull && $"size".isNotNull)
+    val bad = parsed.filter($"_corrupt".isNotNull || $"size".isNull)
+    assert(good.select($"key").as[String].collect().sorted.toSeq == Seq("k1", "k2"))
+    assert(bad.count() == 2) // the non-JSON line and the type-mismatched row
+    parsed.unpersist()
+  }
+
   test("csv roundtrip preserves typed rows") {
     val rows = run("s_csv_roundtrip").collect()
     assert(rows.length == 50)
