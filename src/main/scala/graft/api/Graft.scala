@@ -229,6 +229,50 @@ object Graft {
           .orderBy(desc(scoreCol), col(idCol))))
       .filter(col("__rn") <= k).drop("__rn")
 
+  /** BM25 ranking of documents against a query set (k1 = 1.2, b = 0.75).
+    * In: docs(idCol, textCol), queries(qid, qtext) — whitespace
+    * tokenization on both. Out: (qid, rank, doc_id, score_e12), top-k
+    * per query. Same determinism discipline as `retrieval_bm25_topk`:
+    * postings are restricted to the (broadcast) query vocabulary before
+    * any statistics work, and per-term weights are integer-quantized
+    * BEFORE the per-document sum, so ranking is reproducible under any
+    * shuffle order. */
+  def bm25Rank(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val q = queries.select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      .select((col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"),
+              col("n"))
+    val tf = toks.join(broadcast(q.select("term").distinct()), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6 + 0.5)
+          .as("idf_e6"))
+    tf.join(broadcast(q), "term")
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("w_e12", col("idf_e6") *
+        floor(col("tf") * lit(k1 + 1.0) /
+                (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) *
+              1e6 + 0.5))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("w_e12")).as("score_e12"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score_e12").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_e12"))
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: returns (id, cluster_id) for every node in a
     * pair, cluster_id = min member id. Per round: one node-keyed join +

@@ -61,38 +61,11 @@ object LexicalOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
 
-  /** (qid, doc_id, score_e12): BM25 with integer-quantized term weights. */
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val q = queriesDf(s)
-      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
-    // exact long aggregates -> one scalar avgdl row, broadcast back
-    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-      .select((col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"),
-              col("n"))
-    // postings restricted to the query vocabulary BEFORE any stats work
-    val tf = toks.join(broadcast(q.select("term").distinct()), "term")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val idf = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-      .crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("term"),
-        floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6 + 0.5)
-          .as("idf_e6"))
-    tf.join(broadcast(q), "term")
-      .join(broadcast(idf), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("w_e12", col("idf_e6") *
-        floor(col("tf") * lit(K1 + 1.0) /
-                (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))) *
-              1e6 + 0.5))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("w_e12")).as("score_e12"))
-  }
+  /** (qid, rank, doc_id, score_e12): the canonical BM25 implementation
+    * lives in [[graft.api.Graft.bm25Rank]] (k1/b constants there); this
+    * module binds it to the corpus + benchmark query set. */
+  private def bm25Top(s: SparkSession, dir: String, k: Int): DataFrame =
+    graft.api.Graft.bm25Rank(docs(s, dir), queriesDf(s), k)
 
   private def rankTop(df: DataFrame, score: Column, depth: Int): DataFrame =
     df.withColumn("rank", row_number().over(
@@ -115,14 +88,12 @@ object LexicalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-5 per query (k1=1.2, b=0.75).
     "retrieval_bm25_topk" -> ((s, dir) =>
-      rankTop(bm25(s, dir), col("score_e12"), 5)
-        .select(col("qid"), col("rank"), col("doc_id"), col("score_e12"))
-        .orderBy(col("qid"), col("rank"))),
+      bm25Top(s, dir, 5).orderBy(col("qid"), col("rank"))),
 
     // Hybrid retrieval: RRF fusion of the BM25 and embedding-cosine
     // rankers, rrf = Σ 1/(60 + rank), top-10 per query.
     "retrieval_hybrid_rrf" -> ((s, dir) => {
-      val lex = rankTop(bm25(s, dir), col("score_e12"), FUSE_DEPTH)
+      val lex = bm25Top(s, dir, FUSE_DEPTH)
         .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
       val den = rankTop(denseScores(s, dir), col("cos_e9"), FUSE_DEPTH)
         .select(col("qid"), col("doc_id"), col("rank").as("vec_rank"))

@@ -50,6 +50,28 @@ class LexicalOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Rank on a constructed corpus: tf monotonicity and idf ordering") {
+    import spark.implicits._
+    import graft.api.Graft
+    // same length docs; d1 has the query term once, d2 twice, d3 zero
+    val docs = Seq(
+      (1L, "apple pear plum kiwi"),
+      (2L, "apple apple plum kiwi"),
+      (3L, "pear plum kiwi grape")).toDF("doc_id", "text")
+    val q = Seq((1, "apple")).toDF("qid", "qtext")
+    val ranked = Graft.bm25Rank(docs, q, 10).collect()
+    // only term-matching docs appear; higher tf ranks first
+    assert(ranked.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    assert(ranked.head.getLong(3) > ranked(1).getLong(3))
+
+    // rarer term outscores a common term for the same tf (idf ordering):
+    // 'kiwi' is in 3/3 docs, 'grape' in 1/3
+    val q2 = Seq((1, "kiwi"), (2, "grape")).toDF("qid", "qtext")
+    val r2 = Graft.bm25Rank(docs, q2, 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(r2(2) > r2(1))
+  }
+
   test("rrf: a doc ranked top-1 by both legs outranks any single-leg doc") {
     val rows = LexicalOps.queries("retrieval_hybrid_rrf")(spark, sf).collect()
     rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
