@@ -134,6 +134,37 @@ class GraftApiSpec extends SparkSpec {
       "the maxabs element must hit full scale")
   }
 
+  test("quantizeInt8 is invariant under positive rescaling of the corpus") {
+    import spark.implicits._
+    // values chosen OFF the exact .5 code boundaries: at a boundary
+    // (e.g. -1.5/3.0 ⇒ code -63.5) the rescaled ratio can land an ulp
+    // away and flip the floor — invariance is exact only away from ties
+    val base = Seq(
+      (1L, Seq(0.53, -1.48, 3.0)),
+      (2L, Seq(-2.97, 0.26, 1.01)),
+      (3L, Seq(0.0, 2.04, -0.73))).toDF("vec_id", "v")
+    val scaled = base.select($"vec_id", transform($"v", x => x * 3.7).as("v"))
+    val qa = Graft.quantizeInt8(base, "v", "qv")
+      .select($"vec_id", $"qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qb = Graft.quantizeInt8(scaled, "v", "qv")
+      .select($"vec_id", $"qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // one global maxabs scale ⇒ quantized codes depend only on the
+    // DIRECTIONS of the data, not its magnitude
+    assert(qa == qb)
+  }
+
+  test("bm25Rank edge cases: no matching term and empty query set") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val noHit = Graft.bm25Rank(docs, Seq((1, "zebra")).toDF("qid", "qtext"), 5)
+    assert(noHit.count() == 0)
+    val noQ = Graft.bm25Rank(docs,
+      Seq.empty[(Int, String)].toDF("qid", "qtext"), 5)
+    assert(noQ.count() == 0)
+  }
+
   test("clusterNearDups on a hand graph: chain + singleton-pair components") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain; 10-11 pair
