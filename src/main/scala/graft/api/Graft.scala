@@ -273,6 +273,23 @@ object Graft {
       .select(col("qid"), col("rank"), col("doc_id"), col("score_e12"))
   }
 
+  /** Benchmark decontamination: ids of corpus docs sharing at least one
+    * word-n-gram with any benchmark doc (the verbatim-leakage filter a
+    * training corpus runs against its eval sets). The benchmark's
+    * distinct n-gram set is eval-set-sized → broadcast; the corpus side
+    * is a left-semi probe, so nothing corpus-scale ever shuffles. Drop
+    * the returned ids with a left-anti join. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = TextSignatures.wordNgramHashes(col(textCol), n)
+    val benchGrams = benchmark.filter(col(textCol).isNotNull)
+      .select(explode(grams).as("g")).distinct()
+    corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(grams).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: returns (id, cluster_id) for every node in a
     * pair, cluster_id = min member id. Per round: one node-keyed join +

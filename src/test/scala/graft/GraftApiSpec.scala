@@ -134,6 +134,28 @@ class GraftApiSpec extends SparkSpec {
       "the maxabs element must hit full scale")
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps suffix"), // shares a 5-gram
+      (2L, "quick brown fox jumps over"),              // shares a 5-gram
+      (3L, "totally unrelated words here now ok"),     // clean
+      (4L, "the quick brown fox leaps over dogs")      // 4-gram overlap only
+    ).toDF("doc_id", "text")
+    val flagged = Graft.decontaminate(corpus, bench, 5)
+      .as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(1L, 2L))
+    // equivalence vs the registered query's census on the real corpus
+    val docs = Tables.documents(spark, sf)
+    val api = Graft.decontaminate(
+      docs.filter($"doc_id" % 97 =!= 3), docs.filter($"doc_id" % 97 === 3))
+      .count()
+    val reg = operators.CurationOps.queries("curate_decontaminate")(spark, sf)
+      .agg(sum($"n_contaminated")).head().getLong(0)
+    assert(api == reg)
+  }
+
   test("quantizeInt8 is invariant under positive rescaling of the corpus") {
     import spark.implicits._
     // values chosen OFF the exact .5 code boundaries: at a boundary
