@@ -238,8 +238,8 @@ object Graft {
     * BEFORE the per-document sum, so ranking is reproducible under any
     * shuffle order. */
   def bm25Rank(docs: DataFrame, queries: DataFrame, k: Int,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val k1 = 1.2; val b = 0.75
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val q = queries.select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
@@ -297,27 +297,38 @@ object Graft {
     * rounds; rounds ≤ component diameter (near-dup graphs: 2-3). Backs
     * `dedup_cluster_canonical`. */
   def clusterNearDups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
+    // Dataset.unpersist cannot free it; track the RDD ids each
+    // checkpoint creates and unpersist THOSE when superseded, bounding
+    // an N-round run to two label generations of executor storage.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val p = pairs.select(col(aCol).cast("long").as("a"),
                          col(bCol).cast("long").as("b")).localCheckpoint()
     val edges = p.union(p.select(col("b"), col("a"))).toDF("u", "v")
-    var labels = edges.groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl")))
     var changed = 1L
     while (changed > 0) {
       val prop = edges
         .join(labels.select(col("u").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u")).agg(min(col("nlbl")).as("plbl"))
-      val next = labels.join(prop, Seq("u"), "left")
-        .select(col("u"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.join(prop, Seq("u"), "left")
+          .select(col("u"),
+            least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")))
       changed = next.join(labels.select(col("u"), col("lbl").as("old")), "u")
         .filter(col("lbl") < col("old")).count()
-      // the superseded label snapshot is dead once `changed` is
-      // materialized — drop its blocks so an N-round run holds two
-      // label generations, not N (bounded executor storage at scale)
-      labels.unpersist()
+      free(labelIds) // superseded generation is dead once `changed` is materialized
       labels = next
+      labelIds = nextIds
     }
     labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
   }

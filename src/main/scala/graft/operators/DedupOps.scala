@@ -44,6 +44,25 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Shared MinHash signature table (12 perms) + 6×2 LSH banding —
+    * the ONE definition both the self-join (`dedup_minhash_lsh`) and
+    * incremental (`dedup_incremental`) variants band with; a band-layout
+    * change in one place cannot silently desynchronize their candidate
+    * sets. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(s, dir)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
+        graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
+      .repartition(col("doc_id"))
+
+  private def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 6).map(k =>
+        concat(lit(s"$k:"),
+               element_at(col("mhs"), 2 * k + 1),
+               element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
+
   /** doc_id → (doc_id, sorted bigram shingles), via the native
     * [[graft.functions.TextSignatures.WordBigrams]] single-pass
     * tokenizer (the HOF form costs ~1 ms/doc interpreted; see
@@ -128,25 +147,12 @@ object DedupOps {
     // MinHash (12 perms as md5(seed:shingle) string-min) + LSH banding
     // (6 bands × 2 rows) → candidate pairs → exact-Jaccard verify ≥ 0.5.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // full 12-hash signature in one native pass per doc — no
-      // explode-by-seed, no aggregation, nothing but (doc_id, 12 hashes)
-      // ever leaves the map side. (MinHash stays md5-over-STRING shingles
-      // — that's the oracle-matched signature; the verify stage uses the
-      // primitive hash arrays.) Materialized before the band self-join.
-      val mh = Tables.documentsSpread(s, dir)
-        // <2-token docs have no shingles: without this filter their empty
-        // signatures would all share identical bands (n² false candidates
-        // and a 0/0 Jaccard, an ANSI division error); the oracle drops
-        // them naturally in its shingle explode.
-        .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
-          graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
-        .repartition(col("doc_id"))
-      val bands = mh.select(col("doc_id"),
-        explode(array((0 until 6).map(k =>
-          concat(lit(s"$k:"),
-                 element_at(col("mhs"), 2 * k + 1),
-                 element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
+      // full 12-hash signature in one native pass per doc (minhashSigs:
+      // nothing but (doc_id, 12 hashes) leaves the map side; <2-token
+      // docs excluded — empty signatures would share identical bands,
+      // n² false candidates and a 0/0 Jaccard), banded by the shared
+      // lshBands layout.
+      val bands = lshBands(minhashSigs(s, dir))
       // broadcast one side of the band self-join: bands is tiny (6 rows
       // per doc), and a broadcast-hash join probes it in place — no
       // band-keyed shuffle for AQE to mistakenly coalesce into one task
@@ -204,18 +210,9 @@ object DedupOps {
     // signature table would be a precomputed artifact at 100 TB (computed
     // here inline from one shared exchange).
     "dedup_incremental" -> ((s, dir) => {
-      val sigs = Tables.documentsSpread(s, dir)
-        .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
-          graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
-        .repartition(col("doc_id"))
-      def bands(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(array((0 until 6).map(k =>
-          concat(lit(s"$k:"),
-                 element_at(col("mhs"), 2 * k + 1),
-                 element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
-      val newB = bands(sigs.filter(col("doc_id") % 10 === 0))
-      val corpusB = bands(sigs.filter(col("doc_id") % 10 =!= 0))
+      val sigs = minhashSigs(s, dir)
+      val newB = lshBands(sigs.filter(col("doc_id") % 10 === 0))
+      val corpusB = lshBands(sigs.filter(col("doc_id") % 10 =!= 0))
       val cand = corpusB.as("c").join(
           broadcast(newB.as("n")), col("c.band") === col("n.band"))
         .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))

@@ -62,10 +62,11 @@ object LexicalOps {
     Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
 
   /** (qid, rank, doc_id, score_e12): the canonical BM25 implementation
-    * lives in [[graft.api.Graft.bm25Rank]] (k1/b constants there); this
-    * module binds it to the corpus + benchmark query set. */
+    * lives in [[graft.api.Graft.bm25Rank]]; this module binds it to the
+    * corpus + benchmark query set, passing the SAME K1/B constants the
+    * oracle SQL below interpolates — one definition for both engines. */
   private def bm25Top(s: SparkSession, dir: String, k: Int): DataFrame =
-    graft.api.Graft.bm25Rank(docs(s, dir), queriesDf(s), k)
+    graft.api.Graft.bm25Rank(docs(s, dir), queriesDf(s), k, k1 = K1, b = B)
 
   private def rankTop(df: DataFrame, score: Column, depth: Int): DataFrame =
     df.withColumn("rank", row_number().over(

@@ -52,13 +52,18 @@ object MultimodalOps {
     // encoder replaces only the lambda body, the schema/batching stay.
     "mm_feature_extract" -> ((s, dir) => {
       import s.implicits._
+      // histogram over CODE POINTS (not UTF-8 bytes): the oracle's
+      // ascii(c) is a code point, and byte-level binning would diverge
+      // on any non-ASCII payload; NULL payloads are filtered like every
+      // sibling operator (the lambda is not null-safe)
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (id, bytes) =>
+          it.map { case (id, text) =>
             val hist = new Array[Double](8)
-            bytes.foreach(b => hist((b & 0xff) % 8) += 1.0)
+            text.codePoints().forEach(cp => hist(cp % 8) += 1.0)
             (id, hist.toSeq)
           }
         }
@@ -112,7 +117,8 @@ object MultimodalOps {
       """SELECT doc_id, list_transform(range(0, 8), k ->
         |  len(list_filter(list_transform(string_split(text, ''),
         |    c -> ascii(c) % 8), x -> x = k))::DOUBLE) AS features
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "mm_resize" ->
       """WITH m AS (SELECT doc_id,

@@ -57,17 +57,21 @@ object PrepOps {
     // aggregate is partial-aggregatable (map-side max per doc), so the
     // per-chunk score volume never crosses the exchange.
     "retrieval_chunk_maxp" -> ((s, dir) => {
+      // (doc_id, chunk_idx) stays a two-column key end to end — a
+      // synthetic doc_id*K+chunk_idx id would silently collide once a
+      // document exceeds K chunks (review finding; stride 24 ⇒ 24K-token
+      // docs at K=1000), corrupting the maxP pooling
       val chunks = chunkDocuments(
           Tables.documentsSpread(s, dir).filter(col("text").isNotNull))
-        .select(((col("doc_id") * 1000) + col("chunk_idx")).as("cid"), col("chunk_text"))
-      val cv = chunks.select(col("cid"),
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      val cv = chunks.select(col("doc_id"), col("chunk_idx"),
           graft.functions.TextSignatures.hashEmbed8(col("chunk_text")).as("cv"))
-        .repartition(col("cid")) // materialize chunk signatures once
+        .repartition(col("doc_id"), col("chunk_idx")) // materialize signatures once
       val qv = LexicalOps.queriesDf(s)
         .select(col("qid"), graft.functions.TextSignatures.hashEmbed8(col("qtext")).as("qv"))
       import graft.functions.VectorFns.{dot, l2Norm}
       cv.crossJoin(broadcast(qv))
-        .select(col("qid"), (col("cid") / 1000).cast("long").as("doc_id"),
+        .select(col("qid"), col("doc_id"),
           floor(dot(col("qv"), col("cv")) / (l2Norm(col("qv")) * l2Norm(col("cv"))) * 1e9 + 0.5)
             .cast("long").as("cos_e9"))
         .groupBy(col("qid"), col("doc_id"))
@@ -113,13 +117,18 @@ object PrepOps {
          |    len(string_split(text, ' ')) AS n FROM d),
          |ci AS (SELECT doc_id, toks, n,
          |    unnest(range(((n + ${stride - 1}) // $stride)::INT)) AS i FROM base),
-         |ch AS (SELECT doc_id * 1000 + i AS cid,
+         |ch AS (SELECT doc_id, i AS chunk_idx,
          |    array_to_string(toks[(i*$stride+1):(i*$stride+$chunkLen)], ' ') AS chunk_text
          |  FROM ci),
-         |cv AS (${graft.operators.LexicalOps.embedSql("ch", "cid", "chunk_text")}),
+         |ctk AS (SELECT doc_id, chunk_idx,
+         |    unnest(string_split(chunk_text, ' ')) AS tok FROM ch),
+         |cv AS (SELECT doc_id, chunk_idx, [${(0 until 8).map(k =>
+                  s"count(*) FILTER (WHERE ('0x' || substr(md5(tok), 1, 4))::INT % 8 = $k)::DOUBLE")
+                  .mkString(", ")}] AS v
+         |  FROM ctk GROUP BY doc_id, chunk_idx),
          |q(qid, qtext) AS (VALUES ${graft.operators.LexicalOps.queryValuesSql}),
          |qv AS (${graft.operators.LexicalOps.embedSql("q", "qid", "qtext")}),
-         |cos AS (SELECT qv.qid, cv.cid // 1000 AS doc_id,
+         |cos AS (SELECT qv.qid, cv.doc_id,
          |    floor(list_dot_product(qv.v, cv.v) /
          |          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) *
          |          1e9 + 0.5)::BIGINT AS cos_e9

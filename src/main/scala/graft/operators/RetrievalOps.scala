@@ -151,13 +151,11 @@ object RetrievalOps {
     // table you scan; re-ranking survivors against full precision is the
     // standard second stage (here: the exact family above).
     "ann_int8_topk" -> ((s, dir) => {
-      val c = corpus(s, dir)
-      val params = c
-        .select(explode(col("v")).as("x"))
-        .agg(max(abs(col("x"))).as("gm"))
-      val qd = c.crossJoin(broadcast(params))
-        .select(col("vec_id"),
-          transform(col("v"), x => floor(x * lit(127.0) / col("gm") + 0.5)).as("qv"))
+      // quantization delegated to the facade — one canonical int8
+      // contract (see Graft.quantizeInt8's scaladoc for the symmetric-
+      // scheme rationale measured here)
+      val qd = graft.api.Graft.quantizeInt8(corpus(s, dir), "v", "qv")
+        .select(col("vec_id"), col("qv"))
         .repartition(col("vec_id")) // materialize quantized vectors once
       val q = qd.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
