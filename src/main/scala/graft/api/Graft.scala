@@ -123,20 +123,15 @@ object Graft {
       .select(col("qid"), col("rank"), col("vec_id"), col("score"))
   }
 
-  /** ANN top-k via sign-random-projection buckets over the given
-    * dimensions: corpus bucketed once, queries probe only their own
-    * bucket (approximate — recall trades against the bucket count). */
-  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              signDims: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
-    def bucket(v: Column): Column =
-      concat(signDims.map(d => when(element_at(v, d) > 0, "1").otherwise("0")): _*)
+  /** ANN top-k via seeded multi-table sign-random-projection LSH with
+    * multi-probe (own bucket + nearest-flip bucket per table) —
+    * approximate; recall trades against table/bit counts, fixed here by
+    * the engine-wide seeded planes (see RetrievalOps.lshPlanes).
+    * In: queries (qid, qvec), corpus (vec_id, embedding). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", bucket(col("v")))
     val q = queries.select(col("qid"), VectorFns.asDouble(col("qvec")).as("qv"))
-      .withColumn("bucket", bucket(col("qv")))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", VectorFns.dot(col("qv"), col("v")))
+    graft.operators.RetrievalOps.lshScoredCandidates(q, c)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
       .filter(col("rank") <= k)

@@ -247,8 +247,8 @@ object EventOps {
         .filter(col("ts") >= col("view_ts"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
       su.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(vi.agg(count(lit(1)).as("n_viewed")))
-        .crossJoin(pu.agg(count(lit(1)).as("n_purchased")))
+        .crossJoin(broadcast(vi.agg(count(lit(1)).as("n_viewed"))))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchased"))))
         .select(col("n_signup"), col("n_viewed"), col("n_purchased"),
           round(col("n_purchased").cast("double") / col("n_signup"), 6)
             .as("conversion"))

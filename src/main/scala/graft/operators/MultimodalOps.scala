@@ -47,9 +47,11 @@ object MultimodalOps {
     }),
 
     // Feature extraction: payload bytes → fixed-dim feature vector (the
-    // CLIP-embedding shape: binary in, ARRAY<DOUBLE> out, model init
-    // amortized per partition). Stub = 8-bin byte histogram; a real
-    // encoder replaces only the lambda body, the schema/batching stay.
+    // CLIP-embedding shape: binary in, model init amortized per
+    // partition). Stub = 8-bin byte histogram; a real encoder replaces
+    // only the lambda body, the schema/batching stay. Output is
+    // scalarized to (doc_id, k, value) rows so the oracle comparator can
+    // hash it (arrays are unhashable in the driver's pandas compare).
     "mm_feature_extract" -> ((s, dir) => {
       import s.implicits._
       // histogram over CODE POINTS (not UTF-8 bytes): the oracle's
@@ -61,14 +63,14 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (id, text) =>
+          it.flatMap { case (id, text) =>
             val hist = new Array[Double](8)
             text.codePoints().forEach(cp => hist(cp % 8) += 1.0)
-            (id, hist.toSeq)
+            hist.iterator.zipWithIndex.map { case (v, k) => (id, k.toLong, v) }
           }
         }
-        .toDF("doc_id", "features")
-        .orderBy(col("doc_id")).limit(200)
+        .toDF("doc_id", "k", "value")
+        .orderBy(col("doc_id"), col("k")).limit(200)
     }),
 
     // Resize: metadata-level transform — fit (width, height) into a
@@ -114,11 +116,11 @@ object MultimodalOps {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "mm_feature_extract" ->
-      """SELECT doc_id, list_transform(range(0, 8), k ->
+      """SELECT doc_id, t.k::BIGINT AS k,
         |  len(list_filter(list_transform(string_split(text, ''),
-        |    c -> ascii(c) % 8), x -> x = k))::DOUBLE) AS features
-        |FROM documents WHERE text IS NOT NULL
-        |ORDER BY doc_id LIMIT 200""".stripMargin,
+        |    c -> ascii(c) % 8), x -> x = t.k))::DOUBLE AS value
+        |FROM documents, range(0, 8) t(k) WHERE text IS NOT NULL
+        |ORDER BY doc_id, k LIMIT 200""".stripMargin,
 
     "mm_resize" ->
       """WITH m AS (SELECT doc_id,

@@ -73,6 +73,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(400))
   }
 
+  test("neardup_embedding joins equi on the triangle cell, never nested-loop") {
+    val p = plan("neardup_embedding")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the pair join itself must be hash/sort-merge on the cell id; the
+    // only broadcasts are the 36-row cell map
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
+  test("no registered query plans a CartesianProduct (sweep)") {
+    // BroadcastNestedLoopJoin with a provably-tiny broadcast side is
+    // acceptable (e.g. v3's 5-row query set against the streamed corpus);
+    // an unhinted CartesianProduct never is.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("year-equality predicates are range-rewritten by the extension") {
     val p = Tables.orders(spark, sf)
       .filter(year(col("o_orderdate")) === 1998)

@@ -58,6 +58,32 @@ class RetrievalOpsSpec extends SparkSpec {
     assert((exact intersect quant).size == exact.size)
   }
 
+  test("neardup triangle blocking ≡ brute-force all-pairs (recall oracle)") {
+    import spark.implicits._
+    val blocked = RetrievalOps.queries("neardup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val c = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val brute = c.as("a").join(c.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+        round(dot($"a.v", $"b.v"), 6).as("score"))
+      .filter(dot($"a.v", $"b.v") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(blocked.sorted == brute.sorted)
+  }
+
+  test("ann_lsh_topk recall ≥ 0.5 vs exact top-3 (seeded planes, sf0.001 and sf0.1)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val exact = RetrievalOps.queries("v3_cosine_topk")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ann = RetrievalOps.queries("ann_lsh_topk")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exact intersect ann).size.toDouble / exact.size
+      // deterministic: seed 22 measured 0.53 / 0.53 at these SFs
+      assert(recall >= 0.5, s"recall $recall at $dir")
+    }
+  }
+
   test("v1 hashing embedder emits unit-normalized vectors (fixed-point)") {
     val rows = RetrievalOps.queries("v1_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
