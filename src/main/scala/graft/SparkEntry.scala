@@ -32,9 +32,9 @@ object SparkEntry {
     Module(PrepOps.queries, PrepOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
-    // file-format sources/sinks: rows-only check (no oracle tables exist
-    // for ad-hoc files; exact contents asserted in FileSourcesSpec)
-    Module(graft.sources.FileSources.queries, Map.empty)
+    // file-format sources/sinks: oracle-checked via DuckDB's file readers
+    // over the same fixture tree (ORC stays rows-only — no DuckDB reader)
+    Module(graft.sources.FileSources.queries, graft.sources.FileSources.oracles)
   )
 
   private case class Module(

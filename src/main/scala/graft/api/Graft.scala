@@ -291,19 +291,24 @@ object Graft {
     * one min-aggregate, lineage truncated so the plan stays flat across
     * rounds; rounds ≤ component diameter (near-dup graphs: 2-3). Backs
     * `dedup_cluster_canonical`. */
+  // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
+  // Dataset.unpersist cannot free it; track the RDD ids each checkpoint
+  // creates and unpersist THOSE when superseded, bounding an N-round
+  // fixpoint loop to two generations of executor storage.
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def freeCheckpoints(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
   def clusterNearDups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint persists its RDD OUTSIDE the CacheManager, so
-    // Dataset.unpersist cannot free it; track the RDD ids each
-    // checkpoint creates and unpersist THOSE when superseded, bounding
-    // an N-round run to two label generations of executor storage.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    def free(ids: Set[Int]): Unit = freeCheckpoints(pairs, ids)
 
     val p = pairs.select(col(aCol).cast("long").as("a"),
                          col(bCol).cast("long").as("b")).localCheckpoint()
@@ -326,6 +331,68 @@ object Graft {
       labelIds = nextIds
     }
     labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — same contract as [[clusterNearDups]] (every
+    * node in a pair → (id, cluster_id = min member id)), different round
+    * complexity: O(log n) rounds regardless of component diameter, where
+    * min-label propagation needs diameter rounds. Use this for
+    * high-diameter graphs (chains of near-identical revisions, citation
+    * paths); propagation wins on the shallow 2-3-hop clusters typical of
+    * near-dup output. Per round each step is one groupBy + one join at
+    * edge cardinality; the edge set is localCheckpoint-truncated per
+    * round under the same generation-freeing discipline. */
+  def clusterNearDupsStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    starContract(pairs, aCol, bCol)._1
+
+  /** [[clusterNearDupsStar]] plus the round count, for the O(log n)
+    * termination property spec. */
+  private[graft] def starContract(pairs: DataFrame, aCol: String,
+                                  bCol: String): (DataFrame, Int) = {
+    val p0 = pairs.select(col(aCol).cast("long").as("u"),
+                          col(bCol).cast("long").as("v"))
+    val nodes = p0.select(col("u")).union(p0.select(col("v")))
+      .distinct().toDF("id").localCheckpoint()
+    // canonical (larger, smaller) orientation; self-loops contribute
+    // nothing to connectivity (their nodes re-enter via `nodes`)
+    var (edges, edgeIds) = checkpointTracked(
+      p0.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+                least(col("u"), col("v")).as("v"))
+        .distinct())
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      // large-star: over BOTH directions, hang every strictly-larger
+      // neighbor off the neighborhood min (keeps (larger, smaller)
+      // orientation: emitted (v, m) has v > u ≥ m)
+      val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = both.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: on (larger, smaller) edges, reconnect the node and
+      // all its smaller neighbors directly to the neighborhood min
+      val ssMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbrPart = large.join(ssMin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val selfPart = ssMin.select(col("u"), col("m").as("v"))
+      val (next, nextIds) = checkpointTracked(nbrPart.union(selfPart).distinct())
+      // fixpoint: both steps are no-ops ⇔ the edge set is stable
+      changed = next.except(edges).count() + edges.except(next).count()
+      freeCheckpoints(pairs, edgeIds)
+      edges = next
+      edgeIds = nextIds
+      rounds += 1
+    }
+    // converged: every edge is (member, component-min center)
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    (out, rounds)
   }
 
   /** Symmetric int8 scalar quantization of an array column: one global

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** File-shaped sources/sinks from SURVEY.md §2.1 (S3/S4/S5, K1/K5),
   * exercised against deterministic self-written fixtures (the driver
-  * testdata is parquet-only; these ops are about *formats*). Registered
-  * without oracleSql — the driver records a rows-only check; ScalaTest
-  * asserts exact contents.
+  * testdata is parquet-only; these ops are about *formats*). Oracle-
+  * checked via DuckDB's own file readers (`read_blob`/`read_text`/
+  * `glob`/`read_csv`-equivalents) over the same fixture tree, except ORC
+  * (no DuckDB reader — rows-only + ScalaTest golden).
   *
   *  - S3: recursive glob scan over a nested dir of media files via the
   *    `binaryFile` source (`main.py:136` rglob; 6-extension scan
@@ -62,7 +63,7 @@ object FileSources {
         .load(s"$dir/downloads")
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
                 col("length"),
-                length(col("content")).as("content_bytes"))
+                length(col("content")).cast("long").as("content_bytes"))
         .filter(lower(col("filename")).rlike("\\.(webm|mp3|wav|m4a|flac|ogg)$"))
         .orderBy(col("filename"))
     }),
@@ -71,7 +72,7 @@ object FileSources {
     "s4_wholetext_scan" -> ((s, _) => {
       val dir = fixtureDir()
       s.read.option("wholetext", "true").text(s"$dir/transcriptions")
-        .withColumn("n_chars", length(col("value")))
+        .withColumn("n_chars", length(col("value")).cast("long"))
         .filter(length(trim(col("value"))) > 0)
         .select(col("n_chars"), substring(col("value"), 1, 20).as("head"))
         .orderBy(col("n_chars"))
@@ -132,6 +133,47 @@ object FileSources {
         .orderBy(col("file_id"), col("utt_idx"))
     })
   )
+
+  /** DuckDB oracles over the same fixture tree / source tables. Paths
+    * are resolved to absolute at generation time (same JVM + cwd that
+    * wrote the fixtures), so the driver's DuckDB can run from any cwd. */
+  def oracles: Map[String, String] = {
+    val root = Paths.get("target/graft_file_fixtures").toAbsolutePath.toString
+    Map(
+      // binaryFile scan ≡ read_blob over the same tree
+      "s3_binary_glob_scan" ->
+        s"""SELECT fn AS filename, size AS length, octet_length(content)::BIGINT AS content_bytes
+           |FROM (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fn, size, content
+           |      FROM read_blob('$root/downloads/**'))
+           |WHERE regexp_matches(lower(fn), '\\.(webm|mp3|wav|m4a|flac|ogg)$$')
+           |ORDER BY filename""".stripMargin,
+
+      // wholetext scan ≡ read_text
+      "s4_wholetext_scan" ->
+        s"""SELECT length(content)::BIGINT AS n_chars, substr(content, 1, 20) AS head
+           |FROM read_text('$root/transcriptions/*.txt')
+           |WHERE length(trim(content)) > 0 ORDER BY n_chars""".stripMargin,
+
+      // state anti-join ≡ glob listing ANTI JOIN json_transform'd state
+      "s5_json_state_antijoin" ->
+        s"""WITH listing AS (SELECT regexp_extract(file, '(downloads/.*)$$', 1) AS key
+           |  FROM glob('$root/downloads/**') WHERE lower(file) LIKE '%.webm'),
+           |state AS (SELECT unnest(json_transform(content, '["VARCHAR"]')) AS key
+           |  FROM read_text('$root/downloaded_files.json'))
+           |SELECT key FROM listing ANTI JOIN state USING (key) ORDER BY key""".stripMargin,
+
+      // CSV round-trip must preserve the source parquet selection exactly
+      "s_csv_roundtrip" ->
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+
+      // JSON sink round-trip must preserve the aligned utterances the
+      // (already oracle-green) j1 query computes
+      "k1_json_sink_roundtrip" ->
+        s"""SELECT file_id::BIGINT AS file_id, utt_idx, speaker, text
+           |FROM (${graft.operators.TranscriptOps.oracles("j1_asof_alignment")})
+           |ORDER BY file_id, utt_idx""".stripMargin
+    )
+  }
 
   /** JSON array-of-strings state file → DataFrame(key). */
   def readStateFile(s: SparkSession, path: String): DataFrame = {

@@ -90,6 +90,33 @@ object StreamingOps {
         .groupBy(col("category"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       drain(s, agg, "complete").orderBy(col("category"))
+    }),
+
+    // T5: progress metrics as a first-class op — `df.observe()`
+    // accumulators ride the processing pass for free (no second scan),
+    // the success/failure counters of the reference's poll loop
+    // (main.py:38-43,85). Batch form: metrics retrieved through the
+    // Observation helper after a terminal no-op write; the metrics ARE
+    // the query result, so the oracle checks them as conditional
+    // aggregates. The streaming twin (observedMetrics surfaced per
+    // micro-batch via StreamingQueryProgress) is asserted in
+    // StreamingOpsSpec.
+    "t5_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      graft.Tables.documents(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_docs"),
+          count(when(col("text").isNull ||
+            length(trim(col("text"))) === 0, 1)).as("n_failed"),
+          count(when(col("text").isNotNull &&
+            length(trim(col("text"))) > 0, 1)).as("n_ok"),
+          sum(col("n_chars")).as("total_chars"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_docs").asInstanceOf[Long], m("n_failed").asInstanceOf[Long],
+           m("n_ok").asInstanceOf[Long], m("total_chars").asInstanceOf[Long]))
+        .toDF("n_docs", "n_failed", "n_ok", "total_chars")
     })
   )
 
@@ -107,6 +134,11 @@ object StreamingOps {
         |  ('error', 'ops'))
         |SELECT category, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events JOIN dim USING (event_type)
-        |GROUP BY category ORDER BY category""".stripMargin
+        |GROUP BY category ORDER BY category""".stripMargin,
+    "t5_observe_metrics" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        |count(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 END)::BIGINT AS n_failed,
+        |count(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 END)::BIGINT AS n_ok,
+        |sum(n_chars)::BIGINT AS total_chars FROM documents""".stripMargin
   )
 }

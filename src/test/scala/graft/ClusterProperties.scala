@@ -43,15 +43,41 @@ class ClusterProperties extends SparkSpec {
       edgeGen(Gen.Parameters.default.withSize(10),
               org.scalacheck.rng.Seed(42L + i)).get)
     cases.foreach { pairs =>
+      val expected = unionFind(pairs)
       val got = Graft.clusterNearDups(pairs.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFind(pairs), s"pairs=$pairs")
+      assert(got == expected, s"propagation, pairs=$pairs")
+      val gotStar = Graft.clusterNearDupsStar(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == expected, s"star contraction, pairs=$pairs")
     }
   }
 
-  test("clusterNearDups on an empty pair list returns an empty frame") {
+  test("star contraction converges in O(log n) rounds on a path graph") {
+    import spark.implicits._
+    // a 33-node path is the worst case for label propagation (diameter
+    // 32 → ~32 rounds); star contraction must stay logarithmic
+    val n = 32L
+    val path = (0L until n).map(i => (i, i + 1))
+    val (labels, rounds) = Graft.starContract(path.toDF("a", "b"), "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to n).map(_ -> 0L).toMap)
+    val bound = 2 * (math.log(n.toDouble + 1) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"rounds=$rounds bound=$bound")
+  }
+
+  test("clusterNearDups{,Star} on an empty pair list return an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Graft.clusterNearDups(empty, "a", "b").count() == 0)
+    assert(Graft.clusterNearDupsStar(empty, "a", "b").count() == 0)
+  }
+
+  test("star contraction handles self-pairs and singleton components") {
+    import spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("a", "b")
+    val got = Graft.clusterNearDupsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 }

@@ -99,6 +99,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 3L))
   }
 
+  test("t5_observe_metrics query: observed counters equal direct aggregates") {
+    val row = graft.streaming.StreamingOps
+      .queries("t5_observe_metrics")(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf)
+    assert(row.getLong(0) == docs.count())
+    assert(row.getLong(1) + row.getLong(2) == row.getLong(0)) // failed + ok = all
+    assert(row.getLong(3) == docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+  }
+
+  test("streaming observedMetrics surface per micro-batch (T5 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val name = "obs_sink_" + System.nanoTime()
+    val q = src.toDF().toDF("id", "kind")
+      .observe("batch_stats", count(lit(1)).as("n"),
+               count(when(col("kind") === "err", 1)).as("n_err"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    src.addData((1L, "ok"), (2L, "err"), (3L, "ok"))
+    q.processAllAvailable()
+    q.stop()
+    // the data-carrying micro-batch reports the counters in its progress
+    val stats = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("batch_stats")))
+    assert(stats.exists(r => r.getLong(0) == 3L && r.getLong(1) == 1L), stats)
+  }
+
   test("observe() exposes running counters on a batch pass (T5)") {
     val observed = Tables.events(spark, sf)
       .observe("stats", count(lit(1)).as("n"),
