@@ -399,13 +399,17 @@ object Graft {
     * maxabs scale (positive rescaling preserves inner-product order, so
     * integer-dot ranking tracks the float ranking up to quantization
     * noise — an asymmetric min-max scheme does not; see
-    * `ann_int8_topk`). Output adds `qCol ARRAY<LONG>` in [-127, 127]. */
+    * `ann_int8_topk`). Output adds `qCol ARRAY<LONG>` in [-127, 127].
+    * Degenerate inputs (all-zero corpus → maxabs 0, or empty/all-null →
+    * maxabs NULL) quantize to zero vectors instead of NaN codes. */
   def quantizeInt8(df: DataFrame, vecCol: String, qCol: String): DataFrame = {
     val scale = df.select(explode(col(vecCol)).as("__x"))
       .agg(max(abs(col("__x"))).as("__gm"))
     df.crossJoin(broadcast(scale))
       .withColumn(qCol,
-        transform(col(vecCol), x => floor(x * lit(127.0) / col("__gm") + 0.5)))
+        when(col("__gm") > 0,
+          transform(col(vecCol), x => floor(x * lit(127.0) / col("__gm") + 0.5)))
+        .otherwise(transform(col(vecCol), _ => lit(0L))))
       .drop("__gm")
   }
 }

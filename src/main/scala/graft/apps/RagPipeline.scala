@@ -31,20 +31,39 @@ import org.apache.spark.sql.functions._
   */
 object RagPipeline {
 
+  /** A missing-path read failure (no state yet) vs a real one (corrupt
+    * or unreadable state, which must FAIL the run rather than silently
+    * re-ingest everything). */
+  private def isPathMissing(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getMessage.contains("PATH_NOT_FOUND") ||
+      e.getMessage.contains("Path does not exist")
+
+  /** Current ingestion state: `stateDir`, else the `_old` generation a
+    * crash mid-swap may have left behind, else empty (first run). */
+  private def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType))
+    try spark.read.parquet(stateDir)
+    catch { case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) =>
+      try spark.read.parquet(stateDir + "_old")
+      catch { case e2: org.apache.spark.sql.AnalysisException if isPathMissing(e2) =>
+        empty
+      }
+    }
+  }
+
   /** Exactly-once ingestion: new docs = corpus ∖ state (J2/T2 batch
     * form — the reference's downloaded_files.json, `aws_bucket.py:55-68`).
-    * Writes the updated state beside the current one and atomically swaps
-    * (parquet can't overwrite a path it is reading), then returns the new
-    * docs. A second run over the same corpus ingests nothing. */
+    * Writes the updated state beside the current one and swaps by
+    * renaming the current generation aside (never delete-then-rename: a
+    * crash between the renames still leaves `_old`, which readState
+    * falls back to — no window where no state exists and the run would
+    * re-ingest + duplicate the appended dialogues). A second run over
+    * the same corpus ingests nothing. */
   def ingest(spark: SparkSession, docs: DataFrame, stateDir: String): DataFrame = {
-    val state =
-      try spark.read.parquet(stateDir)
-      catch { case _: Exception =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          new org.apache.spark.sql.types.StructType()
-            .add("doc_id", org.apache.spark.sql.types.LongType))
-      }
+    val state = readState(spark, stateDir)
     val fresh = docs.join(broadcast(state), Seq("doc_id"), "left_anti")
       .localCheckpoint() // pin: `fresh` must not observe the state swap below
     fresh.select(col("doc_id")).union(state)
@@ -52,8 +71,11 @@ object RagPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(stateDir)
-    fs.delete(cur, true)
+    val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
     fs.rename(new org.apache.hadoop.fs.Path(stateDir + "_next"), cur)
+    fs.delete(old, true) // new generation durable; retire the fallback
     fresh
   }
 
@@ -114,21 +136,25 @@ object RagPipeline {
 
     // 4. embed chunks (deterministic hashing embedder standing in for the
     //    model, V1) → the flat-IP index IS the parquet table (K3), with
-    //    chunk text as metadata alongside (K4)
+    //    chunk text as metadata alongside (K4). The index key is the
+    //    COMPOSITE (doc_id, chunk_idx) struct — a derived scalar like
+    //    doc_id*1000+chunk_idx collides once a document reaches 1000
+    //    chunks and silently cross-attributes vectors to chunk text
+    //    (PrepOps.chunkDocuments documents the same trap).
+    val chunkKey = struct(col("doc_id"), col("chunk_idx"))
     val emb = PipelineOps.hashEmbeddings(
-      chunks.select(
-        (col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
-        col("chunk_text").as("text")))
-    emb.write.mode(SaveMode.Overwrite).parquet(s"$outDir/index")
-    chunks.select((col("doc_id") * 1000 + col("chunk_idx")).as("id"),
-                  col("chunk_text"))
+      chunks.select(chunkKey.as("doc_id"), col("chunk_text").as("text")))
+    emb.select(col("doc_id").as("chunk_key"), col("vec"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index")
+    chunks.select(chunkKey.as("chunk_key"), col("chunk_text"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
 
-    // 5. retrieval demo over the written index (K6 + V3)
+    // 5. retrieval demo over the written index (K6 + V3) — the struct
+    //    key flows through cosineTopK's join/window unchanged
     val index = spark.read.parquet(s"$outDir/index")
-    val q = index.limit(3).select(col("doc_id").as("qid"), col("vec").as("qvec"))
+    val q = index.limit(3).select(col("chunk_key").as("qid"), col("vec").as("qvec"))
     Graft.cosineTopK(q,
-        index.select(col("doc_id").as("vec_id"), col("vec").as("embedding")), 3)
+        index.select(col("chunk_key").as("vec_id"), col("vec").as("embedding")), 3)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/retrieval_demo")
 
     println(s"[rag-pipeline] staged artifacts under $outDir")

@@ -66,25 +66,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import graft.functions._
 
-  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+  /** Wraps each builder with arity validation: a plain-SQL call with the
+    * wrong argument count gets an AnalysisException naming the expected
+    * arity, not a raw scala.MatchError out of the partial function. */
+  private def fn(name: String, usage: String, arity: Int,
+                 builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
      new ExpressionInfo("graft", name, usage),
-     builder)
+     (args: Seq[Expression]) =>
+       if (args.length == arity) builder(args)
+       else throw new org.apache.spark.sql.AnalysisException(
+         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+         messageParameters = Map(
+           "functionName" -> name,
+           "expectedNum" -> arity.toString,
+           "actualNum" -> args.length.toString,
+           "docroot" -> "https://spark.apache.org/docs/latest")))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
     Seq(
-      fn("graft_dot", "dot product of two double arrays (sequential fold)",
+      fn("graft_dot", "dot product of two double arrays (sequential fold)", 2,
         { case Seq(a, b) => DotProductD(a, b) }),
-      fn("graft_sorted_intersect", "intersection size of two sorted string arrays",
+      fn("graft_sorted_intersect", "intersection size of two sorted string arrays", 2,
         { case Seq(a, b) => SortedIntersectCount(a, b) }),
-      fn("graft_word_bigrams", "sorted distinct word-bigram shingles of a string",
+      fn("graft_word_bigrams", "sorted distinct word-bigram shingles of a string", 1,
         { case Seq(c) => TextSignatures.WordBigrams(c) }),
-      fn("graft_char_trigrams", "sorted distinct char trigrams of a string",
+      fn("graft_char_trigrams", "sorted distinct char trigrams of a string", 1,
         { case Seq(c) => TextSignatures.CharTrigrams(c) }),
-      fn("graft_simhash32", "32-bit TF-weighted SimHash of a string",
+      fn("graft_simhash32", "32-bit TF-weighted SimHash of a string", 1,
         { case Seq(c) => TextSignatures.SimHash32(c) }),
-      fn("graft_hash_embed8", "8-dim md5-bucket hashing embedding of a string",
+      fn("graft_hash_embed8", "8-dim md5-bucket hashing embedding of a string", 1,
         { case Seq(c) => TextSignatures.HashEmbed8(c) })
     ).foreach(ext.injectFunction)
   }

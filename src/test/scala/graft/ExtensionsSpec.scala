@@ -52,4 +52,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[String](1) == viaCol.getSeq[String](1))
     assert(viaSql.getSeq[Double](2) == viaCol.getSeq[Double](2))
   }
+
+  test("wrong arity raises a proper analysis error, not a MatchError") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+    assert(e.getMessage.contains("2") && e.getMessage.contains("1"))
+  }
 }

@@ -177,6 +177,14 @@ class GraftApiSpec extends SparkSpec {
     assert(qa == qb)
   }
 
+  test("quantizeInt8 on an all-zero corpus yields zero codes, not NaN") {
+    import spark.implicits._
+    val zeros = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val q = Graft.quantizeInt8(zeros, "v", "qv")
+      .select($"qv").collect().map(_.getSeq[Long](0))
+    assert(q.forall(_ == Seq(0L, 0L)))
+  }
+
   test("bm25Rank edge cases: no matching term and empty query set") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")

@@ -16,11 +16,17 @@ class RagPipelineSpec extends SparkSpec {
     val index1 = spark.read.parquet(s"$out/index").count()
     val retr = spark.read.parquet(s"$out/retrieval_demo")
     assert(dialogues1 > 0 && index1 > 0)
-    // every query returns ranks 1..3
-    val byQ = retr.collect().groupBy(_.getLong(0))
+    // every query returns ranks 1..3 (qid is the composite chunk key)
+    val byQ = retr.collect().groupBy(_.getStruct(0))
     assert(byQ.nonEmpty)
     byQ.values.foreach(rows =>
       assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3)))
+    // index and metadata agree key-for-key (the collision-free contract:
+    // every vector joins exactly one chunk text)
+    val meta = spark.read.parquet(s"$out/index_meta")
+    assert(meta.count() == index1)
+    assert(spark.read.parquet(s"$out/index")
+      .join(meta, "chunk_key").count() == index1)
     // index rows carry unit vectors
     val norms = spark.read.parquet(s"$out/index")
       .select(graft.functions.VectorFns.l2Norm(
