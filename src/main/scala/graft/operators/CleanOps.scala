@@ -86,6 +86,59 @@ object CleanOps {
              sum(col("n_events")).as("n_total"))
     }),
 
+    // C4/CCNet-style corpus-frequency boilerplate removal, at fixed
+    // 10-word chunk granularity (the corpus has no newlines, so chunks
+    // stand in for lines): count each chunk's exact occurrences across
+    // the WHOLE corpus, drop chunks appearing ≥2 times (headers,
+    // footers, duplicated passages), reassemble survivors in order.
+    // Scale: chunking is map-side; the frequency pass shuffles md5
+    // digests (never text); the boilerplate set is tiny by construction
+    // (only repeated chunks) → broadcast anti-join; one final groupBy
+    // per doc. This is the line-level dedup every web-scale corpus runs
+    // (C4 "three-sentence" rule, CCNet paragraph hashes).
+    "clean_boilerplate_chunks" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy(col("doc_id"), expr("pos div 10").as("cidx"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("chunk"))
+      val boiler = chunks.groupBy(md5(col("chunk")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("h"))
+      chunks.join(broadcast(boiler), md5(col("chunk")) === col("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept_chunks"),
+          md5(array_join(transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
+            x => x.getField("chunk")), " ")).as("clean_md5"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // PII redaction: email/phone → placeholder tokens, with match
+    // counts. Map-side regexp only. The synthetic corpus carries no
+    // PII, so a deterministic contact string is injected for
+    // doc_id % 7 == 0 in BOTH engines (fixture-in-the-query, like the
+    // transcription stubs); patterns are written in the Java∩RE2
+    // dialect so Spark and DuckDB match identically.
+    "clean_redact_pii" -> ((s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val withPii = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+                   lit("@example.com or 555-867-5309")))
+            .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+                             phonePat, "<PHONE>")).as("red_md5"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // Mixture statistics: per (source, lang) doc/token totals, token
     // share of corpus, and cumulative share in descending-token order —
     // the table a mixture-weighting/sampling stage consumes.
@@ -139,6 +192,33 @@ object CleanOps {
         |SELECT count(*) AS n_pseudonyms,
         |  min(n_events)::BIGINT AS k_anonymity,
         |  sum(n_events)::BIGINT AS n_total FROM p""".stripMargin,
+
+    "clean_boilerplate_chunks" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |  generate_subscripts(string_split(text, ' '), 1) AS sub
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, (sub - 1) // 10 AS cidx,
+        |  string_agg(w, ' ' ORDER BY sub) AS chunk
+        |  FROM w GROUP BY doc_id, (sub - 1) // 10),
+        |boiler AS (SELECT chunk FROM
+        |  (SELECT chunk, count(*) AS n FROM c GROUP BY chunk) WHERE n >= 2),
+        |kept AS (SELECT doc_id, cidx, chunk FROM c ANTI JOIN boiler USING (chunk))
+        |SELECT doc_id, count(*)::BIGINT AS n_kept_chunks,
+        |  md5(string_agg(chunk, ' ' ORDER BY cidx)) AS clean_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "clean_redact_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+        |    || '@example.com or 555-867-5309' ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+        |FROM p ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "clean_mixture_stats" ->
       """WITH g AS (SELECT source, lang, count(*) AS n_docs,

@@ -142,6 +142,48 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // V3 at the 100 TB shape: same exact top-k, but selection via the
+    // typed TopKAgg aggregator instead of a window — the k-capped buffer
+    // PARTIAL-aggregates map-side, so the exchange moves ≤ k rows per
+    // (query, partition) instead of every scored corpus row, and no task
+    // ever sorts a full per-query group. Same oracle as v3_cosine_topk.
+    "v3_cosine_topk_partial" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.Encoders.product[(Double, Long)])
+      val c = corpus(s, dir)
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dot(col("qv"), col("v")).as("score"))
+        .groupBy(col("qid")).agg(topk(col("score"), col("vec_id")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+                col("col._2").as("vec_id"), round(col("col._1"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Incremental ANN maintenance: the production freshness pattern —
+    // the bucketed main index serves candidates while a small fresh
+    // delta (not yet folded into the index) is searched exactly and
+    // merged at rank time. Probe cost stays ∝ bucket size + |delta|;
+    // the delta folds into the index on the next rebuild (the same
+    // increment-vs-corpus asymmetry as dedup_incremental).
+    "ann_incremental_topk" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val main = c.filter(col("vec_id") % 10 =!= 9)
+      val delta = c.filter(col("vec_id") % 10 === 9)
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val deltaScored = delta.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dot(col("qv"), col("v")).as("score"))
+      lshScoredCandidates(q, main).union(deltaScored)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN: seeded multi-table SRP with multi-probe (shared with the
     // Graft.annTopK facade via lshScoredCandidates).
     "ann_lsh_topk" -> ((s, dir) => {
@@ -248,6 +290,25 @@ object RetrievalOps {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // Per-dimension corpus statistics — the centering/whitening table a
+    // PCA/OPQ preprocessing stage trains on before quantization. One
+    // posexplode + groupBy(dim): map-side partials reduce every task to
+    // 64 rows, so the shuffle is O(dims × partitions) regardless of
+    // corpus size. Fixed-point outputs for oracle exactness (min/max
+    // exact; mean rounded at 1e-6 where the partial-sum order cannot
+    // flip the floor).
+    "v_dim_stats" -> ((s, dir) =>
+      corpus(s, dir)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+             floor(avg(col("x")) * 1e6 + 0.5).cast("long").as("mean_e6"),
+             floor(min(col("x")) * 1e6 + 0.5).cast("long").as("min_e6"),
+             floor(max(col("x")) * 1e6 + 0.5).cast("long").as("max_e6"))
+        .select((col("dim") + 1).cast("int").as("dim"), col("n"),
+                col("mean_e6"), col("min_e6"), col("max_e6"))
+        .orderBy(col("dim"))),
+
     // Embedding-cosine near-dup, EXACT, triangle-block-partitioned.
     // LSH banding cannot prune losslessly at τ=0.4 on near-isotropic
     // data (measured on the fixtures: survivor pairs hug the threshold
@@ -286,12 +347,15 @@ object RetrievalOps {
     })
   )
 
-  /** DuckDB mirror of `ann_lsh_topk`, generated from the same seeded
-    * plane constants (`Double.toString` literals parse back to the
-    * identical IEEE double) so both engines bucket and score the exact
-    * same values. The OR-probe join is fine for the oracle — the Spark
-    * side keeps it equi via the exploded (table, bucket) key. */
-  private lazy val annLshOracleSql: String = {
+  /** DuckDB mirror of the seeded-LSH candidate scoring, generated from
+    * the same plane constants (`Double.toString` literals parse back to
+    * the identical IEEE double) so both engines bucket and score the
+    * exact same values. The OR-probe join is fine for the oracle — the
+    * Spark side keeps it equi via the exploded (table, bucket) key.
+    * Emits the WITH-prefix through `sc(qid, vec_id, score)`;
+    * `corpusWhere` restricts which vectors are "in the index" (the
+    * incremental variant brute-forces the rest). */
+  private def annLshCandidateCtes(corpusWhere: String): String = {
     def planeLit(t: Int, p: Int): String =
       lshPlanes(t * LshBits + p).map(_.toString).mkString("[", ", ", "]")
     val dotCols = (for (t <- 0 until LshTables; p <- 0 until LshBits)
@@ -317,15 +381,41 @@ object RetrievalOps {
     ).mkString(" UNION ")
     s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       s"d AS (SELECT vec_id, v, $dotCols FROM e), " +
-      s"b AS (SELECT vec_id, v, $bCols FROM d), " +
+      s"b AS (SELECT vec_id, v, $bCols FROM d $corpusWhere), " +
       s"q AS (SELECT vec_id AS qid, v AS qv, $bCols, $fCols FROM d WHERE vec_id < 5), " +
       s"cand AS ($unions), " +
-      "sc AS (SELECT qid, vec_id, list_dot_product(qv, v) AS score FROM cand), " +
-      "r AS (SELECT qid, vec_id, score, row_number() OVER " +
-      "(PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM sc) " +
+      "sc AS (SELECT qid, vec_id, list_dot_product(qv, v) AS score FROM cand)"
+  }
+
+  private val v3OracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS score
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, vec_id, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
+      |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val annRankSql =
+    ", r AS (SELECT qid, vec_id, score, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM allsc) " +
       "SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score " +
       "FROM r WHERE rank <= 3 ORDER BY qid, rank"
-  }
+
+  private lazy val annLshOracleSql: String =
+    annLshCandidateCtes("") +
+      ", allsc AS (SELECT qid, vec_id, score FROM sc)" + annRankSql
+
+  /** Incremental ANN oracle: bucketed main index (vec_id % 10 <> 9)
+    * UNION the brute-forced fresh delta (vec_id % 10 = 9). */
+  private lazy val annIncrementalOracleSql: String =
+    annLshCandidateCtes("WHERE (vec_id % 10) <> 9") +
+      ", delta AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS score" +
+      " FROM e JOIN q ON e.vec_id <> q.qid WHERE (e.vec_id % 10) = 9)" +
+      ", allsc AS (SELECT qid, vec_id, score FROM sc" +
+      " UNION ALL SELECT qid, vec_id, score FROM delta)" + annRankSql
 
   def oracles: Map[String, String] = Map(
     "c15_l2_normalize" ->
@@ -335,18 +425,10 @@ object RetrievalOps {
         |CAST(floor(v[1] / norm * 1e6 + 0.5) AS BIGINT) AS first_dim_e6
         |FROM n ORDER BY vec_id LIMIT 100""".stripMargin,
 
-    "v3_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |scored AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS score
-        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
-        |r AS (SELECT qid, vec_id, score,
-        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
-        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-
+    "v3_cosine_topk" -> v3OracleSql,
+    "v3_cosine_topk_partial" -> v3OracleSql, // same semantics, different plan
     "ann_lsh_topk" -> annLshOracleSql,
+    "ann_incremental_topk" -> annIncrementalOracleSql,
 
     "ann_int8_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -404,6 +486,15 @@ object RetrievalOps {
         |  CAST(floor(d0 / norm * 1e6 + 0.5) AS BIGINT) AS e0_e6,
         |  CAST(floor(d1 / norm * 1e6 + 0.5) AS BIGINT) AS e1_e6
         |FROM n ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "v_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+        |SELECT dim::INT AS dim, count(*)::BIGINT AS n,
+        |  CAST(floor(avg(x) * 1e6 + 0.5) AS BIGINT) AS mean_e6,
+        |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
+        |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -43,6 +43,34 @@ class CleanOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate chunks: kept count bounded by chunk count; repeats drop") {
+    import spark.implicits._
+    val out = CleanOps.queries("clean_boilerplate_chunks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, kept) =>
+      val chunks = (words(id) + 9) / 10
+      assert(kept >= 0 && kept <= chunks, s"doc $id: kept=$kept chunks=$chunks")
+    }
+    // the near-dup fixtures share 10-word windows: something must drop
+    assert(out.exists { case (id, kept) => kept < (words(id) + 9) / 10 })
+  }
+
+  test("pii redaction: injected contacts counted and replaced, others untouched") {
+    val rows = CleanOps.queries("clean_redact_pii")(spark, sf).collect()
+    rows.foreach { r =>
+      val (id, emails, phones) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (id % 7 == 0) assert(emails == 1 && phones == 1, s"doc $id")
+      else assert(emails == 0 && phones == 0, s"doc $id")
+    }
+    assert(rows.exists(_.getLong(0) % 7 == 0))
+  }
+
   test("mixture stats: shares sum to ~1 and cum_share is monotone to 1") {
     val rows = CleanOps.queries("clean_mixture_stats")(spark, sf).collect()
     assert(rows.length > 10)

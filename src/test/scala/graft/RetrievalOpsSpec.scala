@@ -84,6 +84,36 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("partial-aggregate top-k ≡ window top-k, with no Window in the plan") {
+    val win = RetrievalOps.queries("v3_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val agg = RetrievalOps.queries("v3_cosine_topk_partial")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(agg == win)
+    val plan = RetrievalOps.queries("v3_cosine_topk_partial")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+  }
+
+  test("incremental ANN: delta vectors scored exactly, main via the index") {
+    import spark.implicits._
+    val res = RetrievalOps.queries("ann_incremental_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    // any returned delta vector (vec_id % 10 == 9) must carry the exact
+    // brute-force score — the freshness path does not approximate
+    val c = Tables.embeddings(spark, sf)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    val q = c.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val exact = c.join(q, $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", round(dot($"qv", $"v"), 6).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.filter(_._2 % 10 == 9).foreach { case (qid, vid, s) =>
+      assert(exact((qid, vid)) == s)
+    }
+  }
+
   test("v1 hashing embedder emits unit-normalized vectors (fixed-point)") {
     val rows = RetrievalOps.queries("v1_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
