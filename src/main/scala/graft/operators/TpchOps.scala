@@ -298,6 +298,63 @@ object TpchOps {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
+    }),
+
+    // Q13 (adapted: the testdata schema has no o_comment, so the
+    // qualifying-order predicate is o_orderpriority <> 'URGENT'):
+    // customer order-count distribution — LEFT OUTER with the predicate
+    // on the ORDER side of the join (zero-order customers must survive),
+    // then a second aggregate over the counts. Both aggregates partial
+    // map-side; the outer join is the only shuffle (customer ↔ orders on
+    // custkey — at the lake layer both bucketed by custkey).
+    "tpch_q13" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // Q15: top supplier(s) by quarterly revenue — the revenue "view" is
+    // one fact aggregate; the max is a 1-row broadcast joined back as an
+    // equality filter (Catalyst's decorrelation of the standard scalar
+    // subquery). supplier is a broadcast dim.
+    "tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+                round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q22 (adapted: no c_phone in the testdata, so "sales opportunity"
+    // cohorts are nations, and the dormancy predicate is "no orders
+    // since 1998"): positive-balance average as a 1-row broadcast, anti
+    // join for dormancy (NOT EXISTS → LeftAnti), nation dim broadcast.
+    "tpch_q22" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -317,6 +374,34 @@ object TpchOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "tpch_q13" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |  sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > ab AND NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "tpch_q17" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
         |count(*) AS n_items

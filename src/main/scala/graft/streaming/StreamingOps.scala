@@ -92,6 +92,26 @@ object StreamingOps {
       drain(s, agg, "complete").orderBy(col("category"))
     }),
 
+    // Native session windows over the stream (the streaming twin of
+    // sessionize_30m's gap-islands): `session_window` keeps per-user
+    // session state that MERGES on arrival and finalizes when the
+    // watermark passes session end — append mode emits exactly the
+    // finalized sessions. The oracle mirrors both halves honestly:
+    // gap-sessionization (new session at gap ≥ 30 min, session_window's
+    // end-exclusive boundary) AND the watermark cut (sessions whose
+    // end ≤ max(ts) − 10 s; later ones are still open when the stream
+    // drains — that withholding IS the production semantics).
+    "streaming_session_window" -> ((s, dir) => {
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("user_id"), col("n"))
+      drain(s, agg, "append").orderBy(col("user_id"), col("session_start"))
+    }),
+
     // T5: progress metrics as a first-class op — `df.observe()`
     // accumulators ride the processing pass for free (no second scan),
     // the success/failure counters of the reference's poll loop
@@ -135,6 +155,26 @@ object StreamingOps {
         |SELECT category, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
+    "streaming_session_window" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (SELECT user_id, ts,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |g AS (SELECT user_id, session_id, count(*) AS n,
+        |  min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM sess GROUP BY user_id, session_id),
+        |wm AS (SELECT max(ts) - INTERVAL 10 SECOND AS w FROM events)
+        |SELECT session_start, session_end, user_id, n
+        |FROM g CROSS JOIN wm WHERE session_end <= w
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "t5_observe_metrics" ->
       """SELECT count(*)::BIGINT AS n_docs,
         |count(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 END)::BIGINT AS n_failed,
