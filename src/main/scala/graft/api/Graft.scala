@@ -201,6 +201,53 @@ object Graft {
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(split(textCol, " "))), " "))
 
+  // ---- cleaning ----------------------------------------------------
+
+  /** Email/phone patterns in the Java∩RE2 dialect (Spark and DuckDB
+    * match identically) — shared by [[redactPii]] and the
+    * `clean_redact_pii` oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** C4/CCNet-style corpus-frequency boilerplate removal at fixed
+    * `chunkWords`-word chunk granularity: any chunk whose exact text
+    * occurs ≥ `minCount` times across the corpus is dropped from EVERY
+    * document; the survivors reassemble in order. Returns (idCol,
+    * n_kept_chunks, cleanCol); documents whose every chunk is
+    * boilerplate drop entirely.
+    * Scale: chunking is map-side; the frequency pass shuffles md5
+    * digests, never text; the repeated-chunk set is small by
+    * construction → broadcast anti-join; one final per-doc groupBy. */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        chunkWords: Int = 10, minCount: Long = 2,
+                        cleanCol: String = "clean_text"): DataFrame = {
+    val chunks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .groupBy(col(idCol), expr(s"__pos div $chunkWords").as("__cidx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+        x => x.getField("__w")), " ").as("__chunk"))
+    val boiler = chunks.groupBy(md5(col("__chunk")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select(col("__h"))
+    chunks.join(broadcast(boiler), md5(col("__chunk")) === col("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        array_join(transform(array_sort(collect_list(struct(col("__cidx"), col("__chunk")))),
+          x => x.getField("__chunk")), " ").as(cleanCol))
+  }
+
+  /** Email/phone redaction: adds `n_emails`/`n_phones` match counts and
+    * `outCol` with matches replaced by <EMAIL>/<PHONE>. Pure map-side
+    * regexp — no shuffle at any scale. */
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn(outCol,
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+                       PhonePattern, "<PHONE>"))
+
   // ---- curation ----------------------------------------------------
 
   /** Deterministic hash sample: keeps a row iff its md5(idCol)-derived

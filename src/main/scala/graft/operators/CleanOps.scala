@@ -96,23 +96,12 @@ object CleanOps {
     // (only repeated chunks) → broadcast anti-join; one final groupBy
     // per doc. This is the line-level dedup every web-scale corpus runs
     // (C4 "three-sentence" rule, CCNet paragraph hashes).
-    "clean_boilerplate_chunks" -> ((s, dir) => {
-      val chunks = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .groupBy(col("doc_id"), expr("pos div 10").as("cidx"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("chunk"))
-      val boiler = chunks.groupBy(md5(col("chunk")).as("h"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select(col("h"))
-      chunks.join(broadcast(boiler), md5(col("chunk")) === col("h"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept_chunks"),
-          md5(array_join(transform(array_sort(collect_list(struct(col("cidx"), col("chunk")))),
-            x => x.getField("chunk")), " ")).as("clean_md5"))
-        .orderBy(col("doc_id")).limit(200)
-    }),
+    "clean_boilerplate_chunks" -> ((s, dir) =>
+      graft.api.Graft.removeBoilerplate(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_kept_chunks"),
+                md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id")).limit(200)),
 
     // PII redaction: email/phone → placeholder tokens, with match
     // counts. Map-side regexp only. The synthetic corpus carries no
@@ -121,21 +110,15 @@ object CleanOps {
     // transcription stubs); patterns are written in the Java∩RE2
     // dialect so Spark and DuckDB match identically.
     "clean_redact_pii" -> ((s, dir) => {
-      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
       val withPii = Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
                    lit("@example.com or 555-867-5309")))
             .otherwise(col("text")).as("text"))
-      withPii.select(col("doc_id"),
-          size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
-            .cast("long").as("n_phones"),
-          md5(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
-                             phonePat, "<PHONE>")).as("red_md5"))
+      graft.api.Graft.redactPii(withPii, "text", "red")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+                md5(col("red")).as("red_md5"))
         .orderBy(col("doc_id")).limit(200)
     }),
 

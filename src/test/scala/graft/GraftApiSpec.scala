@@ -177,6 +177,32 @@ class GraftApiSpec extends SparkSpec {
     assert(qa == qb)
   }
 
+  test("removeBoilerplate drops exactly the repeated chunks, in order") {
+    import spark.implicits._
+    // two docs share their first 10 words (boilerplate header); tails unique
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, header + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, header + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Graft.removeBoilerplate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (1L, (1 to 10).map(i => s"a$i").mkString(" ")))
+    assert(out(2L) == (1L, (1 to 10).map(i => s"b$i").mkString(" ")))
+    assert(out(3L) == (1L, (1 to 5).map(i => s"c$i").mkString(" ")))
+  }
+
+  test("redactPii counts and replaces emails/phones, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 555-123-4567 today"),
+      (2L, "no contact info here")).toDF("id", "text")
+    val out = Graft.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == (1L, 1L, "reach me at <EMAIL> or <PHONE> today"))
+    assert(out(2L) == (0L, 0L, "no contact info here"))
+  }
+
   test("quantizeInt8 on an all-zero corpus yields zero codes, not NaN") {
     import spark.implicits._
     val zeros = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "v")
