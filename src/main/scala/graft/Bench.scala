@@ -38,7 +38,7 @@ object Bench {
     // values rounded to ms so the ONE JSON line fits the capture window
     // complete and parseable (the full-precision dump goes to a file)
     def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
