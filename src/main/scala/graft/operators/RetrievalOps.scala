@@ -266,6 +266,34 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Two-stage retrieval: int8 integer-dot candidate generation
+    // (top-20 per query over the quantized corpus — the compressed
+    // representation IS the scanned table at 100 TB) followed by exact
+    // full-precision re-ranking of the survivors only. The standard
+    // production ANN serving shape (quantized recall stage + float
+    // re-rank stage); re-rank cost is 20 dots per query regardless of
+    // corpus size.
+    "retrieval_two_stage" -> ((s, dir) => {
+      val qd = graft.api.Graft.quantizeInt8(corpus(s, dir), "v", "qv8")
+        .select(col("vec_id"), col("v"), col("qv8"))
+        .repartition(col("vec_id")) // materialize quantized vectors once
+      val q = qd.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qfull"), col("qv8").as("qq"))
+      qd.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("iscore",
+          aggregate(zip_with(col("qq"), col("qv8"), (a, b) => a * b),
+                    lit(0L), (acc, y) => acc + y))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("iscore"), col("vec_id"))))
+        .filter(col("crank") <= 20) // stage-1 candidates
+        .withColumn("score", dot(col("qfull"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)   // stage-2 exact re-rank
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V1: deterministic hashing embedder — the compute-an-embedding path
     // (reference: SentenceTransformer encode, embedding_engine.py:15-22).
     // 8-dim HashingTF-style: dim d = #tokens whose md5-derived hash ≡ d
@@ -465,6 +493,27 @@ object RetrievalOps {
         |    ORDER BY score DESC, vec_id) AS rank FROM scored)
         |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "retrieval_two_stage" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT max(abs(x)) AS gm FROM (SELECT unnest(v) AS x FROM e)),
+        |qd AS (SELECT vec_id,
+        |    list_transform(v, x -> floor(x * 127.0 / gm + 0.5)::BIGINT) AS qv
+        |  FROM e CROSS JOIN cb),
+        |q AS (SELECT vec_id AS qid, qv AS qq FROM qd WHERE vec_id < 5),
+        |sc AS (SELECT q.qid, qd.vec_id,
+        |    list_sum(list_transform(range(1, len(qd.qv) + 1),
+        |      i -> qq[i] * qd.qv[i]))::BIGINT AS iscore
+        |  FROM qd CROSS JOIN q WHERE qd.vec_id <> q.qid),
+        |c20 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY iscore DESC, vec_id) AS crank
+        |  FROM sc) WHERE crank <= 20),
+        |re AS (SELECT c.qid, c.vec_id, list_dot_product(eq.v, ev.v) AS score
+        |  FROM c20 c JOIN e eq ON eq.vec_id = c.qid JOIN e ev ON ev.vec_id = c.vec_id),
+        |r AS (SELECT qid, vec_id, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM re)
+        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "v1_hash_embed" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id,

@@ -114,6 +114,17 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("two-stage retrieval reproduces the exact top-3 on the fixture") {
+    // int8 stage-1 at depth 20 must contain the exact top-3 (the int8
+    // top-3 already coincides — see the quantization spec), so the
+    // re-ranked output equals brute force bit-for-bit
+    val exact = RetrievalOps.queries("v3_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val two = RetrievalOps.queries("retrieval_two_stage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(two == exact)
+  }
+
   test("v1 hashing embedder emits unit-normalized vectors (fixed-point)") {
     val rows = RetrievalOps.queries("v1_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
