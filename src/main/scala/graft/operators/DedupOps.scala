@@ -279,6 +279,35 @@ object DedupOps {
         .filter(col("hamming") <= 3)
         .distinct() // a pair can agree on several bytes
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Repeated-n-gram scoring (the Lee et al. 2022 "Deduplicating
+    // Training Data" signal at document granularity): fraction of a
+    // doc's distinct word n-grams that occur in ≥ 2 documents. n = 4 is
+    // calibrated to this corpus' ~30-word vocabulary (production text
+    // uses 50-token windows; the dataflow is identical). Shape matches
+    // clean_boilerplate_chunks: the corpus-frequency pass shuffles ONLY
+    // 8-byte FNV digests (text never crosses the wire), the repeated
+    // set is df≥2-bounded, and the per-doc rollups are count aggregates
+    // — at 100 TB this is one digest shuffle + one semi join, no text
+    // movement, no pair blowup (frequency, not pairing, is the unit).
+    "dedup_repeated_ngrams" -> ((s, dir) => {
+      val grams = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.functions.TextSignatures.wordNgramHashes(col("text"), 4)).as("g"))
+      val repeated = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("g"))
+      val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      val rep = grams.join(repeated, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+      perDoc.join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+                coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+        .withColumn("repeated_frac",
+          round(col("n_repeated").cast("double") / col("n_ngrams"), 6))
+        .withColumn("flag_dup", (col("repeated_frac") >= 0.2).cast("int"))
+        .orderBy(col("doc_id")).limit(300)
     })
   )
 
@@ -402,6 +431,24 @@ object DedupOps {
         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_repeated_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |ng AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1)),
+        |    i -> array_to_string(toks[i:i+3], ' '))) AS gs FROM t),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM ng),
+        |rep AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g)
+        |  WHERE df >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY doc_id),
+        |pr AS (SELECT g.doc_id, count(*) AS n_repeated
+        |  FROM g JOIN rep USING (g) GROUP BY g.doc_id)
+        |SELECT doc_id, n_ngrams, coalesce(n_repeated, 0)::BIGINT AS n_repeated,
+        |  round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) AS repeated_frac,
+        |  (round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) >= 0.2)::INT AS flag_dup
+        |FROM pd LEFT JOIN pr USING (doc_id)
+        |ORDER BY doc_id LIMIT 300""".stripMargin
   )
 }

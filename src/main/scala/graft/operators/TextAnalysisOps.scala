@@ -146,7 +146,47 @@ object TextAnalysisOps {
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
             .as("fingerprint"))
-        .orderBy(col("doc_id")).limit(200))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // Gopher-style rule-ensemble quality filter (Rae et al. 2021 §A1.1
+    // heuristics, thresholds calibrated to this corpus): word-count
+    // bounds, mean word length, symbol ratio, stopword floor,
+    // duplicate-bigram ceiling → keep flag + FIRST failing reason (the
+    // audit trail a curation pipeline logs per drop). Everything is one
+    // map-side pass — five rules, zero shuffles, column-pruned to
+    // (doc_id, text); at 100 TB this runs at scan throughput and the
+    // `reason` histogram is the standard data-quality dashboard feed.
+    // Rules compare the ROUNDED metrics (6dp) so engine and oracle
+    // decide borderline docs identically.
+    "ta_gopher_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(toks).as("n_words"),
+          aggregate(toks, lit(0L), (a, x) => a + length(x)).as("char_sum"),
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_sym"),
+          length(col("text")).as("n_chars_t"),
+          size(filter(toks, t => t.isin("the", "a", "of", "to", "and"))).as("n_stop"),
+          size(graft.functions.TextSignatures.wordBigramHashes(col("text")))
+            .as("n_distinct_bigrams"))
+      val m = base.select(col("doc_id"), col("n_words"),
+        round(col("char_sum").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(col("n_sym").cast("double") / col("n_chars_t"), 6).as("symbol_ratio"),
+        col("n_stop"),
+        round(when(col("n_words") > 1,
+            lit(1.0) - col("n_distinct_bigrams").cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+      m.withColumn("reason",
+          when(col("n_words") < 30 || col("n_words") > 100000, "word_count")
+            .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "mean_word_len")
+            .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+            .when(col("n_stop") < 2, "stopwords")
+            .when(col("dup_bigram_frac") > 0.2, "repetition")
+            .otherwise("ok"))
+        .withColumn("keep", (col("reason") === "ok").cast("int"))
+        .orderBy(col("doc_id")).limit(300)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -221,6 +261,31 @@ object TextAnalysisOps {
     "ta_fingerprint" ->
       """SELECT doc_id,
         |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |m AS (SELECT doc_id, len(toks)::INT AS n_words,
+        |  round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+        |    AS mean_word_len,
+        |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6)
+        |    AS symbol_ratio,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','to','and')))::INT AS n_stop,
+        |  round(CASE WHEN len(toks) > 1
+        |    THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac
+        |  FROM t),
+        |r AS (SELECT *, CASE
+        |  WHEN n_words < 30 OR n_words > 100000 THEN 'word_count'
+        |  WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'mean_word_len'
+        |  WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |  WHEN n_stop < 2 THEN 'stopwords'
+        |  WHEN dup_bigram_frac > 0.2 THEN 'repetition'
+        |  ELSE 'ok' END AS reason FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop, dup_bigram_frac,
+        |  (reason = 'ok')::INT AS keep, reason
+        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin
   )
 }

@@ -112,6 +112,68 @@ object StreamingOps {
       drain(s, agg, "append").orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Streaming state dedup: `dropDuplicatesWithinWatermark` keeps a
+    // per-key first-arrival state row and EVICTS it once the watermark
+    // passes (bounded state — the streaming form of t2_dedup_first;
+    // plain dropDuplicates state grows forever). Emitted set = one row
+    // per distinct (user_id, event_type); the kept row's timestamp is
+    // arrival-order-dependent, so the query projects the key columns
+    // only — that set is deterministic and equals batch DISTINCT.
+    // Scale: state is hash-partitioned by the dedup key across
+    // executors; watermark eviction bounds it to the churn window, not
+    // corpus history.
+    "streaming_dedup_watermark" -> ((s, dir) => {
+      val ded = eventsStream(s, dir, maxFiles = 1)
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      drain(s, ded, "append")
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Custom per-key state (§2.10 / north-star): flatMapGroupsWithState
+    // over the event stream — per-user running spend with a milestone
+    // detector (first event where the cumulative total crosses $50),
+    // the kind of stateful logic session_window/window can't express.
+    // All money math runs on integer CENTS (round(value*100)) so the
+    // running sum and the threshold crossing are EXACT and order-robust
+    // in both engines — no float accumulation anywhere near a branch.
+    // The group walk sorts by (event-time, event_id): deterministic
+    // under any arrival order. With AvailableNow + a single fixture
+    // file each key sees all its events in one micro-batch; in
+    // production the state handle carries (cum_cents, first_cross)
+    // across batches and an event-time timeout finalizes each user —
+    // same function body, state-read/write instead of a fresh fold.
+    // Scale: groupByKey shuffles (user_id, 24 B) rows; state is one
+    // small row per active user, hash-partitioned.
+    "streaming_stateful_milestones" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ev = eventsStream(s, dir, maxFiles = 1)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Option[Long]), (Long, Int, Long, Option[Long])](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          val (prevCum, prevFirst) = state.getOption.getOrElse((0L, Option.empty[Long]))
+          var cum = prevCum; var first = prevFirst
+          rows.foreach { r =>
+            cum += r._4
+            if (first.isEmpty && cum >= 5000L) first = Some(r._2)
+          }
+          state.update((cum, first))
+          Iterator((uid, rows.length, cum, first))
+        }
+      drain(s, out.toDF("user_id", "n_events", "total_cents", "first_cross_event"), "append")
+        .select(col("user_id"), col("n_events"),
+                round(col("total_cents") / 100.0, 2).as("total_value"),
+                col("first_cross_event"))
+        .orderBy(col("user_id"))
+    }),
+
     // T5: progress metrics as a first-class op — `df.observe()`
     // accumulators ride the processing pass for free (no second scan),
     // the success/failure counters of the reference's poll loop
@@ -174,6 +236,23 @@ object StreamingOps {
         |SELECT session_start, session_end, user_id, n
         |FROM g CROSS JOIN wm WHERE session_end <= w
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "streaming_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "streaming_stateful_milestones" ->
+      """WITH c AS (SELECT user_id, event_id,
+        |  round(value * 100)::BIGINT AS cents,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |  sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events)
+        |SELECT user_id, count(*)::INT AS n_events,
+        |  round(sum(cents) / 100.0, 2) AS total_value,
+        |  arg_min(event_id, rn) FILTER (WHERE cum >= 5000) AS first_cross_event
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t5_observe_metrics" ->
       """SELECT count(*)::BIGINT AS n_docs,

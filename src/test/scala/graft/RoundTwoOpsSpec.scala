@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 additions: streaming state dedup, custom flatMapGroupsWithState
+  * milestones, Gopher rule-ensemble filter, repeated-n-gram scoring.
+  * Each is checked against an independent batch/brute-force formulation.
+  */
+class RoundTwoOpsSpec extends SparkSpec {
+
+  test("streaming_dedup_watermark equals batch DISTINCT on the dedup key") {
+    val streamed = graft.streaming.StreamingOps
+      .queries("streaming_dedup_watermark")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming_stateful_milestones equals the batch window formulation") {
+    val got = graft.streaming.StreamingOps
+      .queries("streaming_stateful_milestones")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = round(col("value") * 100).cast("long")
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), cents.as("cents"),
+              sum(cents).over(w).as("cum"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("cents")) / 100.0, 2).as("total_value"),
+        min(when(col("cum") >= 5000L, col("event_id"))).as("first_cross"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // min-event_id-after-crossing equals first-crossing-event only because
+    // cum is monotone *at* the crossing walk — assert the count/total pair
+    // exactly and the crossing event via the walk below instead.
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (u, (n, tot, _)) =>
+      assert((n, tot) == (want(u)._1, want(u)._2), s"user $u")
+    }
+    // exact first-crossing check: replay the per-user walk on collected rows
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+              cents.as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expectFirst = rows.groupBy(_._1).map { case (u, rs) =>
+      var cum = 0L; var first = -1L
+      rs.sortBy(r => (r._3, r._2)).foreach { r =>
+        cum += r._4; if (first < 0 && cum >= 5000L) first = r._2
+      }
+      u -> first
+    }
+    got.foreach { case (u, (_, _, f)) => assert(f == expectFirst(u), s"user $u") }
+  }
+
+  test("ta_gopher_filter: keep iff ok, rule priority holds, drops and keeps both occur") {
+    val rows = graft.operators.TextAnalysisOps
+      .queries("ta_gopher_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, reason, keep) =
+        (r.getInt(r.fieldIndex("n_words")), r.getString(r.fieldIndex("reason")),
+         r.getInt(r.fieldIndex("keep")))
+      assert((keep == 1) == (reason == "ok"))
+      // word_count outranks every later rule
+      if (nWords < 30) assert(reason == "word_count")
+    }
+    val reasons = rows.map(_.getString(rows.head.fieldIndex("reason"))).toSet
+    assert(reasons.contains("ok") && reasons.size > 1, reasons.toString)
+  }
+
+  test("dedup_repeated_ngrams matches a raw-string brute force") {
+    val toks = split(col("text"), " ")
+    val rawGrams = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 3, lit(0))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2), element_at(toks, i + 3))))).as("g"))
+    val rep = rawGrams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val want = rawGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).as("pd")
+      .join(rawGrams.join(rep, Seq("g"), "left_semi")
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("r")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("r"), lit(0L)).as("r"))
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    val got = graft.operators.DedupOps
+      .queries("dedup_repeated_ngrams")(spark, sf).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(got == want.filter { case (id, _) => got.contains(id) } && got.nonEmpty)
+    // limit(300) may truncate; every surviving id must agree and ids must
+    // be the 300 smallest
+    assert(got.keySet == want.keySet.toSeq.sorted.take(got.size).toSet)
+  }
+}
