@@ -31,6 +31,7 @@ object SparkEntry {
     Module(CurationOps.queries, CurationOps.oracles),
     Module(PrepOps.queries, PrepOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
+    Module(GraphOps.queries, GraphOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
     // over the same fixture tree (ORC stays rows-only — no DuckDB reader)

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Iterative graph analytics over event-derived graphs — the curation
+  * signal family (domain/source authority ranking is a standard web-
+  * corpus quality input; Gopher and CCNet both weight by link-graph
+  * rank). The graph here is the event-type transition graph (edges =
+  * consecutive-event pairs per user, the `event_transitions` matrix);
+  * the algorithm is power-iteration PageRank with damping 0.85, a FIXED
+  * 3 iterations so the computation is closed-form and oracle-checkable
+  * (the DuckDB oracle unrolls the same 3 steps).
+  *
+  * Scale design: each iteration is one equi-join of the rank vector
+  * (|V| rows) with the normalized edge list (|E| rows) plus one
+  * sum-by-dst — both hash-partitioned on the join key; nothing is ever
+  * collected to the driver. Convergence-loop form at 100 TB adds the
+  * same lineage discipline as `Graft.clusterNearDups`: localCheckpoint
+  * every k rounds and unpersist of the previous generation. Edge
+  * weights and out-degree normalization are computed once, outside the
+  * loop, and reused across iterations (one materialized exchange).
+  */
+object GraphOps {
+
+  private val damping = 0.85
+  private val iterations = 3
+
+  /** 3-step power iteration over a (src, dst, p) edge list; `nodes` is
+    * one column `node`. Returns (node, rank) unrounded. */
+  def pageRank(nodes: DataFrame, edgeP: DataFrame): DataFrame = {
+    val n1 = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes"))))
+    var rank = n1.select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = rank.join(edgeP, rank("node") === edgeP("src"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("in_rank"))
+      rank = n1.join(contrib, n1("node") === contrib("dst"), "left")
+        .select(n1("node"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_event_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("wgt"))
+      val out = edges.groupBy(col("src")).agg(sum(col("wgt")).as("out_w"))
+      val edgeP = edges.join(out, "src")
+        .select(col("src"), col("dst"),
+                (col("wgt").cast("double") / col("out_w")).as("p"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      pageRank(nodes, edgeP)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "graph_event_rank" ->
+      """WITH t AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |e AS (SELECT event_type AS src, next_type AS dst, count(*) AS wgt FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY src, dst),
+        |o AS (SELECT src, sum(wgt) AS out_w FROM e GROUP BY src),
+        |p AS (SELECT e.src, e.dst, e.wgt::DOUBLE / o.out_w AS p
+        |  FROM e JOIN o USING (src)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*)::DOUBLE AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT p.dst AS node, sum(r0.rank * p.p) AS in_rank
+        |  FROM p JOIN r0 ON r0.node = p.src GROUP BY p.dst),
+        |r1 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c1.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT p.dst AS node, sum(r1.rank * p.p) AS in_rank
+        |  FROM p JOIN r1 ON r1.node = p.src GROUP BY p.dst),
+        |r2 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c2.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT p.dst AS node, sum(r2.rank * p.p) AS in_rank
+        |  FROM p JOIN r2 ON r2.node = p.src GROUP BY p.dst),
+        |r3 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c3.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c3 USING (node))
+        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+  )
+}

@@ -97,6 +97,48 @@ object PrepOps {
         .groupBy(col("lang"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("lang"), col("batch_id"))
+    }),
+
+    // Byte-balanced output sharding: assign docs (in doc_id order) to
+    // fixed-size output shards by GLOBAL running byte count — the
+    // writer-side layout step for training shards ("each file ≈ 16 KiB
+    // here, ≈ 1 GiB in production"). Spark has no scalable global
+    // cumulative sum (a global window serializes the corpus into ONE
+    // task), so this is the canonical two-pass distributed prefix sum:
+    //   pass 1: range-partition by the sort key, per-partition byte
+    //           totals (numPartitions rows) → running offsets on that
+    //           TINY table (the only single-partition window, 8 rows);
+    //   pass 2: within-partition running sum (window PARTITIONED by
+    //           pid — parallelism = partition count) + broadcast
+    //           offset join.
+    // Output is invariant to the (sampled) range boundaries: offsets
+    // are computed from the actual partition sums, so cum_bytes depends
+    // only on doc_id order. At 100 TB: two narrow shuffles of
+    // (doc_id, long) rows — text never moves; the same pattern gives
+    // global row_number / ntile / histogram-equalized bucketing.
+    "shard_by_bytes" -> ((s, dir) => {
+      val target = 16384L
+      val parts = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_bytes"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val offsets = parts.groupBy(col("pid")).agg(sum(col("n_bytes")).as("part_sum"))
+        .withColumn("offset", coalesce(sum(col("part_sum")).over(
+          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts.withColumn("local_cum", sum(col("n_bytes")).over(w))
+        .join(broadcast(offsets), Seq("pid"))
+        .select(col("doc_id"), col("n_bytes"),
+                (col("local_cum") + col("offset")).as("cum_bytes"))
+        // greatest() guard: a leading zero-byte doc has cum 0, and
+        // (0-1)/target floor-divides to -1 in DuckDB but truncates to 0
+        // in Spark — pin both to shard 0
+        .withColumn("shard",
+          ((greatest(col("cum_bytes"), lit(1L)) - 1) / target).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -150,6 +192,16 @@ object PrepOps {
         |b AS (SELECT lang, ((cum - 1) // 4096)::BIGINT AS batch_id, n_tokens FROM c)
         |SELECT lang, batch_id, count(*) AS n_docs,
         |  sum(n_tokens)::BIGINT AS sum_tokens
-        |FROM b GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin
+        |FROM b GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
+
+    "shard_by_bytes" ->
+      """WITH t AS (SELECT doc_id, coalesce(n_chars, 0)::BIGINT AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_bytes,
+        |  sum(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
+        |  FROM t)
+        |SELECT doc_id, n_bytes, cum_bytes::BIGINT AS cum_bytes,
+        |  ((greatest(cum_bytes, 1) - 1) // 16384)::BIGINT AS shard
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -100,4 +100,58 @@ class RoundTwoOpsSpec extends SparkSpec {
     // be the 300 smallest
     assert(got.keySet == want.keySet.toSeq.sorted.take(got.size).toSet)
   }
+
+  test("shard_by_bytes two-pass prefix sum equals a global window, stays multi-partition") {
+    val got = graft.operators.PrepOps.queries("shard_by_bytes")(spark, sf)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // naive single-partition reference
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .collect().map { r =>
+        val cum = r.getLong(2)
+        (r.getLong(0), (r.getLong(1), cum, (math.max(cum, 1L) - 1) / 16384L))
+      }.toMap
+    assert(rows == want && rows.nonEmpty)
+    // the full-data window must be partitioned by pid, never SinglePartition:
+    // the only single-partition exchange allowed is the 8-row offsets table
+    val plan = got.queryExecution.executedPlan.toString
+    val winSpecs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.exists(_.contains("pid")), plan.take(600))
+    // shards are contiguous and byte-bounded
+    val byShard = rows.values.groupBy(_._3).view.mapValues(_.map(_._1).sum)
+    byShard.foreach { case (s, bytes) =>
+      assert(bytes <= 16384L + rows.values.map(_._1).max, s"shard $s overflows")
+    }
+  }
+
+  test("graph_event_rank: ranks sum to 1 and match a dense in-memory power iteration") {
+    val got = graft.operators.GraphOps.queries("graph_event_rank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got.nonEmpty)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, got.toString) // no dangling nodes here
+    // dense reference on the collected edge list
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2).toDouble))
+    val nodes = edges.flatMap { case ((a, b), _) => Seq(a, b) }.distinct.sorted
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    var rank = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._1._2).view.mapValues(
+        _.map { case ((s2, _), n2) => rank(s2) * n2 / outW(s2) }.sum).toMap
+      rank = nodes.map(v => v -> (0.15 / nodes.size + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-5, s"node $v: ${got(v)} vs ${rank(v)}")
+    }
+  }
 }
