@@ -308,6 +308,25 @@ object DedupOps {
           round(col("n_repeated").cast("double") / col("n_ngrams"), 6))
         .withColumn("flag_dup", (col("repeated_frac") >= 0.2).cast("int"))
         .orderBy(col("doc_id")).limit(300)
+    }),
+
+    // Cross-source contamination matrix: near-dup pairs (the blocked
+    // salted Jaccard join above) rolled up to (source_a, source_b)
+    // counts — the table that tells a curation pipeline which sources
+    // re-host each other's content (mirror detection / license
+    // laundering). Reuses jaccardPairs end to end, then joins the pair
+    // list (tiny relative to the corpus) to the doc→source projection
+    // twice; the rollup key is the unordered source pair.
+    "dedup_cross_source" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir, 0.5)
+        .join(src.toDF("a_id", "src_a"), "a_id")
+        .join(src.toDF("b_id", "src_b"), "b_id")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+                greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -449,6 +468,21 @@ object DedupOps {
         |  round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) AS repeated_frac,
         |  (round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) >= 0.2)::INT AS flag_dup
         |FROM pd LEFT JOIN pr USING (doc_id)
-        |ORDER BY doc_id LIMIT 300""".stripMargin
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "dedup_cross_source" ->
+      s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM toks a JOIN toks b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
+         |        / len(list_distinct(a.bg || b.bg)) >= 0.5),
+         |s AS (SELECT doc_id, source FROM documents),
+         |m AS (SELECT least(sa.source, sb.source) AS source_a,
+         |             greatest(sa.source, sb.source) AS source_b
+         |  FROM p JOIN s sa ON sa.doc_id = p.a_id JOIN s sb ON sb.doc_id = p.b_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -264,7 +264,48 @@ object EventOps {
           transform(
             array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type")), ">").as("journey"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // J5 interval (range) join: count events falling inside irregular
+    // time windows — the op Spark has no native operator for (a raw
+    // `a.ts BETWEEN b.start AND b.end` join plans BroadcastNestedLoop /
+    // Cartesian). The scalable decomposition: explode each interval
+    // into the 1-hour BUCKETS it touches (intervals here span ≤ 2
+    // buckets), key events by their bucket, EQUI-join on the bucket,
+    // re-check the exact range. Pair blowup is bounded by
+    // buckets-per-interval, the join hash-partitions on the bucket key,
+    // and the plan never degenerates to a nested loop — same trick at
+    // 100 TB with both sides large (broadcast handles the small-window
+    // case; the bucket key is what saves the big-big case). Window set
+    // is a deterministic fixture derived from min(ts): 20 windows,
+    // irregular spacing/length, all integer epoch-second arithmetic.
+    "j5_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+                expr("unix_micros(ts) div 1000000").as("es"))
+      // 1-row scalar broadcast (house pattern — the funnel fixture):
+      // Catalyst constant-folds any dummy equi key away, so this is a
+      // BroadcastNestedLoopJoin of exactly one row per side-table row
+      val t0 = ev.agg(expr("min(es) div 86400 * 86400").as("t0"))
+      val wins = s.range(20).select(col("id").as("window_id"))
+        .crossJoin(broadcast(t0))
+        .select(col("window_id"), (col("t0") + col("window_id") * 4831L).as("w_start"))
+        .withColumn("w_end",
+          col("w_start") + (pmod(col("window_id"), lit(7)) + 1) * 600L)
+      val winBuckets = wins.withColumn("bkt",
+        explode(expr("sequence(w_start div 3600, (w_end - 1) div 3600)")))
+      val joined = ev
+        .join(winBuckets,
+          expr("es div 3600") === col("bkt") &&
+          col("es") >= col("w_start") && col("es") < col("w_end"))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      wins.join(joined, Seq("window_id"), "left")
+        .select(col("window_id"), col("w_start"), col("w_end"),
+                coalesce(col("n_events"), lit(0L)).as("n_events"),
+                coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy(col("window_id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -391,6 +432,21 @@ object EventOps {
       """SELECT user_id,
         |string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
         |FROM events WHERE user_id < 10
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "j5_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es FROM events),
+        |t0 AS (SELECT min(es) // 86400 * 86400 AS t0 FROM e),
+        |w AS (SELECT i AS window_id, t0.t0 + i * 4831 AS w_start,
+        |             t0.t0 + i * 4831 + (i % 7 + 1) * 600 AS w_end
+        |      FROM range(20) r(i) CROSS JOIN t0),
+        |j AS (SELECT w.window_id, e.event_id, e.user_id FROM w JOIN e
+        |      ON e.es >= w.w_start AND e.es < w.w_end)
+        |SELECT w.window_id, w.w_start, w.w_end,
+        |  count(j.event_id)::BIGINT AS n_events,
+        |  count(DISTINCT j.user_id)::BIGINT AS n_users
+        |FROM w LEFT JOIN j USING (window_id)
+        |GROUP BY w.window_id, w.w_start, w.w_end
+        |ORDER BY w.window_id""".stripMargin
   )
 }

@@ -109,6 +109,25 @@ object LexicalOps {
           coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
           coalesce(col("vec_rank"), lit(-1)).as("vec_rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Corpus vocabulary builder: top-50 tokens by frequency with dense
+    // ranks — the first pass of every tokenizer-training / vocab-prune
+    // stage (BPE seeds, rare-token thresholds). groupBy(token) partial-
+    // aggregates map-side so the shuffle carries one row per distinct
+    // token per partition (vocab-bounded, NOT corpus-bounded); the
+    // final top-k sorts only the aggregated vocab and the rank window
+    // runs on 50 rows. At 100 TB the shuffle volume is the vocabulary
+    // size — millions of rows, not trillions.
+    "vocab_topk" -> ((s, dir) => {
+      val freqs = graft.Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token")).limit(50)
+      freqs.withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), col("token"))))
+        .orderBy(col("rank"))
     })
   )
 
@@ -156,6 +175,15 @@ object LexicalOps {
          |  FROM bm25)
          |SELECT qid, rank::INT AS rank, doc_id, score_e12
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT token, count(*) AS freq,
+        |  row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+        |  FROM t GROUP BY token)
+        |SELECT token, freq, rank::INT AS rank
+        |FROM f WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "retrieval_hybrid_rrf" ->
       s"""$bm25Cte,

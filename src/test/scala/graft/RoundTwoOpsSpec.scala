@@ -154,4 +154,60 @@ class RoundTwoOpsSpec extends SparkSpec {
       assert(math.abs(got(v) - rank(v)) < 1e-5, s"node $v: ${got(v)} vs ${rank(v)}")
     }
   }
+
+  test("j5_interval_join: bucket decomposition equals naive range join, no nested loop") {
+    val df = graft.operators.EventOps.queries("j5_interval_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the EVENT join must be an equi hash join keyed on the bucket (the
+    // range predicates ride along as residual conditions); the only
+    // nested loops are the 1-row t0 scalar broadcasts (funnel pattern)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[\\(es#\\d+L div 3600\\)\\]".r
+             .findFirstIn(plan).isDefined, plan.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val scalarAggs = "functions=\\[min\\(es#\\d+L\\)\\]".r.findAllIn(plan).length
+    assert(bnlj <= scalarAggs, s"$bnlj nested loops vs $scalarAggs scalar fixtures\n" + plan.take(800))
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 20)
+    // naive reference: collect events, scan each window
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t0 = ev.map(_._2).min / 86400 * 86400
+    (0L until 20L).foreach { i =>
+      val ws = t0 + i * 4831; val we = ws + (i % 7 + 1) * 600
+      val hit = ev.filter(e => e._2 >= ws && e._2 < we)
+      assert(got(i) == (ws, we, hit.length.toLong, hit.map(_._1).distinct.length.toLong),
+             s"window $i")
+    }
+  }
+
+  test("dedup_cross_source n_pairs roll-up conserves the pair count") {
+    val matrix = graft.operators.DedupOps.queries("dedup_cross_source")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    matrix.foreach { case ((a, b), _) => assert(a <= b) } // unordered key
+    val total = graft.operators.DedupOps.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(matrix.map(_._2).sum == total && total > 0)
+  }
+
+  test("vocab_topk is rank-consistent and frequency-dominant") {
+    val rows = graft.operators.LexicalOps.queries("vocab_topk")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // sf0.001's synthetic vocabulary is smaller than the k=50 cap
+    val vocabSize = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(rows.length == math.min(50L, vocabSize) && rows.nonEmpty)
+    assert(rows.map(_._3).toSeq == (1 to rows.length))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    }
+    // top token frequency must match an independent count
+    val top = rows.head
+    val n = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top._1).count()
+    assert(n == top._2)
+  }
 }
