@@ -459,4 +459,102 @@ object Graft {
         .otherwise(transform(col(vecCol), _ => lit(0L))))
       .drop("__gm")
   }
+
+  /** Gopher-style rule-ensemble quality filter (Rae et al. 2021 §A1.1,
+    * thresholds as parameters): adds the metric columns, a `keep` flag,
+    * and the FIRST failing rule as `reason` — the per-drop audit trail.
+    * One map-side pass, column-pruned to (idCol, textCol); null/blank
+    * text rows are dropped (they have no measurable metrics). Metrics
+    * are rounded to 6dp BEFORE rule evaluation so borderline decisions
+    * are reproducible across engines. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   minWords: Int = 30, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minStopwords: Int = 2,
+                   maxDupBigramFrac: Double = 0.2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        size(toks).as("n_words"),
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).as("__char_sum"),
+        size(regexp_extract_all(col(textCol), lit("[^a-z0-9 ]"), lit(0))).as("__n_sym"),
+        length(col(textCol)).as("__n_chars"),
+        size(filter(toks, t => t.isin("the", "a", "of", "to", "and"))).as("n_stop"),
+        size(TextSignatures.wordBigramHashes(col(textCol))).as("__n_dbg"))
+    base.select(col(idCol), col("n_words"),
+        round(col("__char_sum").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(col("__n_sym").cast("double") / col("__n_chars"), 6).as("symbol_ratio"),
+        col("n_stop"),
+        round(when(col("n_words") > 1,
+            lit(1.0) - col("__n_dbg").cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+      .withColumn("reason",
+        when(col("n_words") < minWords || col("n_words") > maxWords, "word_count")
+          .when(col("mean_word_len") < minMeanWordLen ||
+                col("mean_word_len") > maxMeanWordLen, "mean_word_len")
+          .when(col("symbol_ratio") > maxSymbolRatio, "symbol_ratio")
+          .when(col("n_stop") < minStopwords, "stopwords")
+          .when(col("dup_bigram_frac") > maxDupBigramFrac, "repetition")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+  }
+
+  /** Byte-balanced output sharding by GLOBAL running sum in `idCol`
+    * order — the canonical two-pass distributed prefix sum (Spark has
+    * no scalable global window): range-partition on the sort key,
+    * per-partition totals → running offsets on the numParts-row table
+    * (the only single-partition window), then a pid-PARTITIONED window
+    * + broadcast offset join. Output (idCol, n_bytes, cum_bytes, shard)
+    * is invariant to the sampled range boundaries. Same pattern yields
+    * scalable global row_number / ntile. */
+  def shardByBytes(df: DataFrame, idCol: String, bytesCol: String,
+                   targetBytes: Long, numParts: Int = 8): DataFrame = {
+    val parts = df
+      .select(col(idCol), coalesce(col(bytesCol).cast("long"), lit(0L)).as("n_bytes"))
+      .repartitionByRange(numParts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parts.groupBy(col("__pid")).agg(sum(col("n_bytes")).as("__part_sum"))
+      .withColumn("__offset", coalesce(sum(col("__part_sum")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.withColumn("__local_cum", sum(col("n_bytes")).over(w))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col(idCol), col("n_bytes"),
+              (col("__local_cum") + col("__offset")).as("cum_bytes"))
+      .withColumn("shard",
+        ((greatest(col("cum_bytes"), lit(1L)) - 1) / targetBytes).cast("long"))
+  }
+
+  /** Fixed-iteration power-method PageRank over a weighted edge list.
+    * In: (srcCol, dstCol, wgtCol). Out: (node, rank), unrounded. Per
+    * iteration one equi-join of the rank vector with the out-degree-
+    * normalized edges + one sum-by-dst; normalization is hoisted out of
+    * the loop. For a convergence-loop form, add the localCheckpoint
+    * generation discipline of [[clusterNearDups]]. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wgtCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(wgtCol).cast("double").as("wgt"))
+    val out = e.groupBy(col("src")).agg(sum(col("wgt")).as("__out_w"))
+    val edgeP = e.join(out, "src")
+      .select(col("src"), col("dst"), (col("wgt") / col("__out_w")).as("p"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val n1 = nodes.crossJoin(
+      broadcast(nodes.agg(count(lit(1)).cast("double").as("__n_nodes"))))
+    var rank = n1.select(col("node"), (lit(1.0) / col("__n_nodes")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = rank.join(edgeP, rank("node") === edgeP("src"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("__in_rank"))
+      rank = n1.join(contrib, n1("node") === contrib("dst"), "left")
+        .select(n1("node"),
+          (lit(1.0 - damping) / col("__n_nodes") +
+            lit(damping) * coalesce(col("__in_rank"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
 }

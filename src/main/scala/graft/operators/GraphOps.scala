@@ -25,25 +25,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object GraphOps {
 
-  private val damping = 0.85
-  private val iterations = 3
-
-  /** 3-step power iteration over a (src, dst, p) edge list; `nodes` is
-    * one column `node`. Returns (node, rank) unrounded. */
-  def pageRank(nodes: DataFrame, edgeP: DataFrame): DataFrame = {
-    val n1 = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes"))))
-    var rank = n1.select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contrib = rank.join(edgeP, rank("node") === edgeP("src"))
-        .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("in_rank"))
-      rank = n1.join(contrib, n1("node") === contrib("dst"), "left")
-        .select(n1("node"),
-          (lit(1.0 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
-    }
-    rank
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_event_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -53,13 +34,7 @@ object GraphOps {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("wgt"))
-      val out = edges.groupBy(col("src")).agg(sum(col("wgt")).as("out_w"))
-      val edgeP = edges.join(out, "src")
-        .select(col("src"), col("dst"),
-                (col("wgt").cast("double") / col("out_w")).as("p"))
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-      pageRank(nodes, edgeP)
+      graft.api.Graft.pageRank(edges, "src", "dst", "wgt")
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
     })

@@ -116,30 +116,13 @@ object PrepOps {
     // only on doc_id order. At 100 TB: two narrow shuffles of
     // (doc_id, long) rows — text never moves; the same pattern gives
     // global row_number / ntile / histogram-equalized bucketing.
-    "shard_by_bytes" -> ((s, dir) => {
-      val target = 16384L
-      val parts = Tables.documents(s, dir)
-        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_bytes"))
-        .repartitionByRange(8, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val offsets = parts.groupBy(col("pid")).agg(sum(col("n_bytes")).as("part_sum"))
-        .withColumn("offset", coalesce(sum(col("part_sum")).over(
-          Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("offset"))
-      val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parts.withColumn("local_cum", sum(col("n_bytes")).over(w))
-        .join(broadcast(offsets), Seq("pid"))
-        .select(col("doc_id"), col("n_bytes"),
-                (col("local_cum") + col("offset")).as("cum_bytes"))
-        // greatest() guard: a leading zero-byte doc has cum 0, and
-        // (0-1)/target floor-divides to -1 in DuckDB but truncates to 0
-        // in Spark — pin both to shard 0
-        .withColumn("shard",
-          ((greatest(col("cum_bytes"), lit(1L)) - 1) / target).cast("long"))
-        .orderBy(col("doc_id"))
-    })
+    // greatest() guard inside the facade: a leading zero-byte doc has
+    // cum 0, and (0-1)/target floor-divides to -1 in DuckDB but
+    // truncates to 0 in Spark — both pin to shard 0
+    "shard_by_bytes" -> ((s, dir) =>
+      graft.api.Graft.shardByBytes(
+          Tables.documents(s, dir), "doc_id", "n_chars", targetBytes = 16384L)
+        .orderBy(col("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(

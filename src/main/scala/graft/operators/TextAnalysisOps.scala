@@ -158,35 +158,9 @@ object TextAnalysisOps {
     // `reason` histogram is the standard data-quality dashboard feed.
     // Rules compare the ROUNDED metrics (6dp) so engine and oracle
     // decide borderline docs identically.
-    "ta_gopher_filter" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val base = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          size(toks).as("n_words"),
-          aggregate(toks, lit(0L), (a, x) => a + length(x)).as("char_sum"),
-          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).as("n_sym"),
-          length(col("text")).as("n_chars_t"),
-          size(filter(toks, t => t.isin("the", "a", "of", "to", "and"))).as("n_stop"),
-          size(graft.functions.TextSignatures.wordBigramHashes(col("text")))
-            .as("n_distinct_bigrams"))
-      val m = base.select(col("doc_id"), col("n_words"),
-        round(col("char_sum").cast("double") / col("n_words"), 6).as("mean_word_len"),
-        round(col("n_sym").cast("double") / col("n_chars_t"), 6).as("symbol_ratio"),
-        col("n_stop"),
-        round(when(col("n_words") > 1,
-            lit(1.0) - col("n_distinct_bigrams").cast("double") / (col("n_words") - 1))
-          .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
-      m.withColumn("reason",
-          when(col("n_words") < 30 || col("n_words") > 100000, "word_count")
-            .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "mean_word_len")
-            .when(col("symbol_ratio") > 0.1, "symbol_ratio")
-            .when(col("n_stop") < 2, "stopwords")
-            .when(col("dup_bigram_frac") > 0.2, "repetition")
-            .otherwise("ok"))
-        .withColumn("keep", (col("reason") === "ok").cast("int"))
-        .orderBy(col("doc_id")).limit(300)
-    })
+    "ta_gopher_filter" -> ((s, dir) =>
+      graft.api.Graft.gopherFilter(Tables.documents(s, dir))
+        .orderBy(col("doc_id")).limit(300))
   )
 
   def oracles: Map[String, String] = Map(

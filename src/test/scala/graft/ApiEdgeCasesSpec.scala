@@ -59,4 +59,42 @@ class ApiEdgeCasesSpec extends SparkSpec {
     val s = Graft.sessionize(one, "user_id", "ts", "event_id").collect()
     assert(s.length == 1 && s.head.getAs[Long]("n_events") == 1L)
   }
+
+  test("gopherFilter drops null/blank rows, classifies the rest, never throws") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
+                   (3L, "one two"), (4L, ("the fox and dog jumped over " * 20).trim))
+      .toDF("doc_id", "text")
+    val out = Graft.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("reason"))).toMap
+    assert(out.keySet == Set(3L, 4L)) // null and blank rows dropped
+    assert(out(3L) == "word_count")   // 2 words < 30
+    assert(out(4L) == "repetition")   // 120 words cycling 6 bigrams
+  }
+
+  test("shardByBytes: empty input, single row, and null bytes are safe") {
+    import spark.implicits._
+    assert(Graft.shardByBytes(emptyDocs.withColumn("n", lit(1L)),
+                              "doc_id", "n", 100L).count() == 0)
+    val one = Graft.shardByBytes(Seq((5L, 42L)).toDF("doc_id", "n"),
+                                 "doc_id", "n", 100L).collect()
+    assert(one.length == 1 && one.head.getLong(2) == 42L && one.head.getLong(3) == 0L)
+    // null bytes coalesce to 0 and land in the current shard
+    val nulls = Graft.shardByBytes(
+      Seq((1L, Some(0L)), (2L, None)).toDF("doc_id", "n"), "doc_id", "n", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(nulls.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
+  test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
+    import spark.implicits._
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      new StructType().add("src", StringType).add("dst", StringType)
+        .add("wgt", LongType))
+    assert(Graft.pageRank(empty, "src", "dst", "wgt").count() == 0)
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "wgt")
+    val r = Graft.pageRank(cyc, "src", "dst", "wgt").collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+  }
 }
