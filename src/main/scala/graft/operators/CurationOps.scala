@@ -155,6 +155,30 @@ object CurationOps {
           col("rate_bps"),
           coalesce(col("n_selected"), lit(0L)).as("n_selected"))
         .orderBy(col("lang"))
+    }),
+
+    // Dynamic quality gate: per-language 20th-percentile cutoff COMPUTED
+    // FROM THE CORPUS (exact interpolated percentile over the e6-fixed-
+    // point score), broadcast back as the filter threshold — the
+    // two-stage "derive the threshold, then gate" shape every adaptive
+    // filter uses (static thresholds rot as the corpus mix drifts). The
+    // threshold table is one row per language (broadcast); the gate is
+    // a map-side comparison. Integer-valued inputs keep Spark
+    // percentile() and DuckDB quantile_cont() bit-identical (both
+    // interpolate lower + (upper-lower)*frac in doubles).
+    "curate_quality_gate" -> ((s, dir) => {
+      val sc = scored(Tables.documents(s, dir).filter(col("text").isNotNull))
+        .select(col("doc_id"), col("lang"), col("quality_e6"))
+      val thr = sc.groupBy(col("lang"))
+        .agg(expr("percentile(quality_e6, 0.2)").as("q20"))
+      sc.join(broadcast(thr), "lang")
+        .withColumn("keep",
+          (col("quality_e6").cast("double") >= col("q20")).cast("int"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("keep")).cast("long").as("n_kept"),
+             round(min(col("q20")), 6).as("q20"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -201,6 +225,18 @@ object CurationOps {
          |  sum(quality_e6)::BIGINT AS sum_quality_e6,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM q WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "curate_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST(floor(($qualitySql) * 1e6 + 0.5) AS BIGINT) AS q_e6 FROM t),
+         |thr AS (SELECT lang, quantile_cont(q_e6, 0.2) AS q20 FROM sc GROUP BY lang),
+         |k AS (SELECT sc.lang, (sc.q_e6 >= thr.q20)::INT AS keep, thr.q20
+         |  FROM sc JOIN thr USING (lang))
+         |SELECT lang, count(*) AS n_docs, sum(keep)::BIGINT AS n_kept,
+         |  round(min(q20), 6) AS q20
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "curate_decontaminate" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),

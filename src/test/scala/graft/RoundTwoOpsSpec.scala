@@ -192,6 +192,29 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(matrix.map(_._2).sum == total && total > 0)
   }
 
+  test("curate_quality_gate keeps ~80% per language and thresholds consistently") {
+    val rows = graft.operators.CurationOps.queries("curate_quality_gate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, kept, q20) =>
+      // exact-percentile gate: at least 80% survive (ties at the cutoff
+      // can only ADD survivors), and never everything when n > 5
+      assert(kept >= math.ceil(0.8 * n).toLong - 1, s"$lang kept $kept of $n")
+      assert(kept <= n)
+      assert(q20 > 0)
+    }
+    // recompute one language's threshold independently
+    val (lang0, _, _, q20got) = rows.head
+    val qs = Tables.documents(spark, sf).filter(col("text").isNotNull && col("lang") === lang0)
+      .select(floor(graft.functions.TextMetrics.quality(split(col("text"), " ")) * 1e6 + 0.5)
+        .cast("long").as("q")).collect().map(_.getLong(0)).sorted
+    val idx = 0.2 * (qs.length - 1)
+    val lo = qs(idx.toInt); val hi = qs(math.ceil(idx).toInt)
+    val expect = lo + (hi - lo) * (idx - idx.toInt)
+    assert(math.abs(q20got - (math.rint(expect * 1e6) / 1e6)) < 1e-6,
+           s"$lang0: $q20got vs $expect")
+  }
+
   test("vocab_topk is rank-consistent and frequency-dominant") {
     val rows = graft.operators.LexicalOps.queries("vocab_topk")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
