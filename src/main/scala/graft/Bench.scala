@@ -34,17 +34,21 @@ object Bench {
       val (a, b) = (once(fn), once(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // the driver keeps only the last ~3 KB of output: keys sorted and
-    // values rounded to ms so the ONE JSON line fits the capture window
-    // complete and parseable (the full-precision dump goes to a file)
+    // the driver keeps only the last ~3 KB of output: keys sorted,
+    // per-query values as INTEGER MILLISECONDS (q_unit field says so)
+    // so the ONE JSON line fits the capture window complete and
+    // parseable at 128 queries (the full-precision dump goes to a file;
+    // 2dp seconds at this query count is 3.1 KB — decapitated)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfName"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
