@@ -341,6 +341,34 @@ object TpchOps {
     // cohorts are nations, and the dormancy predicate is "no orders
     // since 1998"): positive-balance average as a 1-row broadcast, anti
     // join for dormancy (NOT EXISTS → LeftAnti), nation dim broadcast.
+    // Q21-shaped (schema-adapted: no receipt/commit dates, so "late" =
+    // shipped > 90 days after order date; n_name in the output group
+    // instead of a single-nation filter): suppliers who were the ONLY
+    // late supplier on a multi-supplier 'F' order. The hard part is the
+    // double fact self-join — EXISTS → left-semi, NOT EXISTS → left-anti,
+    // both equi on l_orderkey with the suppkey-inequality as residual;
+    // dims broadcast. At scale the two probes reuse the same shuffled
+    // l1 relation.
+    "tpch_q21" -> ((s, dir) => {
+      val l1 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+              col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), col("o_orderdate"))
+      val late = l1.filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      val others = l1.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"))
+      val lateOthers = late.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"))
+      late
+        .join(others,
+          col("o_k") === col("l_orderkey") && col("o_s") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers,
+          col("o_k") === col("l_orderkey") && col("o_s") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+    }),
+
     "tpch_q22" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
       val avgBal = cust.filter(col("c_acctbal") > 0)
@@ -392,6 +420,22 @@ object TpchOps {
         |FROM supplier JOIN rev ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q21" ->
+      """WITH l1 AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT * FROM l1
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM late
+        |JOIN supplier ON s_suppkey = late.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE EXISTS (SELECT 1 FROM l1 l2
+        |  WHERE l2.l_orderkey = late.l_orderkey AND l2.l_suppkey <> late.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM late l3
+        |  WHERE l3.l_orderkey = late.l_orderkey AND l3.l_suppkey <> late.l_suppkey)
+        |GROUP BY s_name, n_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "tpch_q22" ->
       """WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)

@@ -53,6 +53,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(q10.contains("TakeOrderedAndProject"), q10.take(400))
   }
 
+  test("q21 double self-probe plans semi + anti equi joins, never nested-loop") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q19 disjunctive join extracts the equi-condition (hash, not nested-loop)") {
     val p = plan("tpch_q19")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
