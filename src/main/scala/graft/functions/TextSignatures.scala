@@ -206,6 +206,27 @@ object TextSignatures {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer). Canonical
+    * composition is the precondition for every content-identity op on
+    * multilingual text — "café" in NFC and NFD hash differently, so
+    * exact dedup, fingerprints, and decontamination silently miss
+    * equal documents unless the corpus is normalized first. Spark has
+    * no built-in; this is the same CodegenFallback unary shape as the
+    * signature family. The fast path skips the (allocating) normalize
+    * call when `Normalizer.isNormalized` already holds — true for
+    * ASCII-dominant corpora, so the common case is a scan-speed no-op. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** 32-bit term-frequency-weighted SimHash of a space-joined text. */
   case class SimHash32(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -275,4 +296,6 @@ object TextSignatures {
     ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
   def wordNgramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(text), n))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

@@ -140,6 +140,31 @@ object CleanOps {
           round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"),
           round(col("cum_tokens").cast("double") / col("total"), 6).as("cum_share"))
         .orderBy(desc("n_tokens"), col("source"), col("lang"))
+    }),
+
+    // Unicode NFC normalization: canonical composition BEFORE any
+    // content-identity op — "café" in NFC vs NFD hashes differently, so
+    // unnormalized corpora silently miss exact dups / fingerprints /
+    // decontamination hits. Native expression with an isNormalized fast
+    // path (ASCII-dominant corpora pay ~nothing). The synthetic corpus
+    // is pure ASCII, so decomposed combining sequences are injected for
+    // doc_id % 11 == 0 in BOTH engines (fixture-in-the-query, the
+    // redact_pii pattern); the oracle is DuckDB's own nfc_normalize.
+    "clean_unicode_nfc" -> ((s, dir) => {
+      val withAccents = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            // DECOMPOSED sequences: e+U+0301, i+U+0308 (the NFD forms)
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve")))
+            .otherwise(col("text")).as("text"))
+      withAccents
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextSignatures.nfcNormalize(col("text")).as("norm"))
+        .select(col("doc_id"),
+          (col("norm") =!= col("text")).cast("int").as("changed"),
+          (length(col("text")) - length(col("norm"))).as("len_delta"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id")).limit(300)
     })
   )
 
@@ -212,6 +237,16 @@ object CleanOps {
         |  round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
         |    ROWS UNBOUNDED PRECEDING)::DOUBLE / (SELECT sum(n_tokens) FROM g), 6)
         |    AS cum_share
-        |FROM g ORDER BY n_tokens DESC, source, lang""".stripMargin
+        |FROM g ORDER BY n_tokens DESC, source, lang""".stripMargin,
+
+    "clean_unicode_nfc" ->
+      """WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, (nfc_normalize(text) <> text)::INT AS changed,
+        |  (length(text) - length(nfc_normalize(text)))::INT AS len_delta,
+        |  md5(nfc_normalize(text)) AS norm_md5
+        |FROM p ORDER BY doc_id LIMIT 300""".stripMargin
   )
 }

@@ -337,6 +337,30 @@ object RetrievalOps {
                 col("mean_e6"), col("min_e6"), col("max_e6"))
         .orderBy(col("dim"))),
 
+    // Embedding outlier detection: distance-to-centroid flagging — the
+    // vector-space twin of the quality gate (encoder glitches / OOD
+    // inputs sit far from the corpus mass). Centroid = per-dim mean
+    // (one posexplode agg, dim-count rows) reassembled into ONE array
+    // and BROADCAST; the distance is an ordered zip_with fold, so the
+    // 64-term sum runs in identical order in both engines, and the e6
+    // fixed-point output absorbs partial-agg summation noise (the
+    // v_dim_stats discipline). At 100 TB: one agg pass + one map-side
+    // pass — the centroid is bytes, the corpus never re-shuffles.
+    "v_outliers" -> ((s, dir) => {
+      val centroid = corpus(s, dir)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(avg(col("x")).as("m"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("cm"))
+        .select(transform(col("cm"), x => x.getField("m")).as("c"))
+      corpus(s, dir).crossJoin(broadcast(centroid))
+        .select(col("vec_id"),
+          floor(aggregate(zip_with(col("v"), col("c"), (x, c) => (x - c) * (x - c)),
+                          lit(0.0), (a, t) => a + t) * 1e6 + 0.5)
+            .cast("long").as("dist2_e6"))
+        .withColumn("is_outlier", (col("dist2_e6") > 1020000L).cast("int"))
+        .orderBy(col("vec_id")).limit(500)
+    }),
+
     // Embedding-cosine near-dup, EXACT, triangle-block-partitioned.
     // LSH banding cannot prune losslessly at τ=0.4 on near-isotropic
     // data (measured on the fixtures: survivor pairs hug the threshold
@@ -544,6 +568,18 @@ object RetrievalOps {
         |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
         |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "v_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e),
+        |m AS (SELECT dim, avg(x) AS m FROM x GROUP BY dim),
+        |c AS (SELECT list(m ORDER BY dim) AS c FROM m),
+        |d AS (SELECT vec_id, CAST(floor(list_sum(list_transform(
+        |    range(1, len(v) + 1), i -> (v[i] - c.c[i]) * (v[i] - c.c[i])))
+        |    * 1e6 + 0.5) AS BIGINT) AS dist2_e6
+        |  FROM e CROSS JOIN c)
+        |SELECT vec_id, dist2_e6, (dist2_e6 > 1020000)::INT AS is_outlier
+        |FROM d ORDER BY vec_id LIMIT 500""".stripMargin,
 
     "neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

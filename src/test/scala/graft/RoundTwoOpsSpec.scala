@@ -192,6 +192,40 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(matrix.map(_._2).sum == total && total > 0)
   }
 
+  test("NfcNormalize: NFD composes to precomposed, ASCII is identity, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cafe\u0301 nai\u0308ve"),         // NFD → é ï
+      (2L, "plain ascii text"),               // fast path: unchanged
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.TextSignatures.nfcNormalize(col("t")).as("n"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).contains("caf\u00e9 na\u00efve"))
+    assert(rows(2L).contains("plain ascii text"))
+    assert(rows(3L).isEmpty)
+  }
+
+  test("v_outliers: distances match a driver-side recomputation") {
+    val got = graft.operators.RetrievalOps.queries("v_outliers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val dims = vecs.values.head.length
+    val centroid = Array.tabulate(dims)(d => vecs.values.map(_(d)).sum / vecs.size)
+    got.foreach { case (id, d2e6, flag) =>
+      var d2 = 0.0
+      val v = vecs(id)
+      var i = 0
+      while (i < dims) { val t = v(i) - centroid(i); d2 += t * t; i += 1 }
+      assert(math.abs(d2e6 - math.floor(d2 * 1e6 + 0.5)) <= 1,
+             s"vec $id: $d2e6 vs $d2") // ±1ulp of e6 fixed point
+      assert(flag == (if (d2e6 > 1020000L) 1 else 0))
+    }
+  }
+
   test("curate_quality_gate keeps ~80% per language and thresholds consistently") {
     val rows = graft.operators.CurationOps.queries("curate_quality_gate")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
