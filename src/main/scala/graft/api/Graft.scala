@@ -529,6 +529,28 @@ object Graft {
         ((greatest(col("cum_bytes"), lit(1L)) - 1) / targetBytes).cast("long"))
   }
 
+  /** Interval (range) join without a nested loop. A raw
+    * `t BETWEEN lo AND hi` join has no equi key, so Spark plans
+    * BroadcastNestedLoop/Cartesian; decomposing each interval into the
+    * fixed-width buckets it touches makes the bucket the EQUI key and
+    * the range check a residual predicate on the hash join. Blowup =
+    * buckets per interval; pick `bucketSeconds` near the typical
+    * interval length. In: facts with `factTime`, intervals with
+    * `[startCol, endCol)` — all integer epoch seconds. Zero/negative-
+    * length intervals are dropped (Spark's `sequence` would DESCEND for
+    * end < start and fabricate buckets). Returns facts ⋈ intervals. */
+  def intervalJoin(facts: DataFrame, intervals: DataFrame,
+                   factTime: String, startCol: String, endCol: String,
+                   bucketSeconds: Long = 3600L): DataFrame = {
+    val b = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bkt", explode(expr(
+        s"sequence($startCol div $bucketSeconds, ($endCol - 1) div $bucketSeconds)")))
+    facts.join(b,
+        expr(s"$factTime div $bucketSeconds") === col("__bkt") &&
+        col(factTime) >= col(startCol) && col(factTime) < col(endCol))
+      .drop("__bkt")
+  }
+
   /** Fixed-iteration power-method PageRank over a weighted edge list.
     * In: (srcCol, dstCol, wgtCol). Out: (node, rank), unrounded. Per
     * iteration one equi-join of the rank vector with the out-degree-

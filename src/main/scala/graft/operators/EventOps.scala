@@ -266,6 +266,49 @@ object EventOps {
             x => x.getField("event_type")), ">").as("journey"))
         .orderBy(col("user_id"))),
 
+    // SCD2 dimension build: collapse the event stream into slowly-
+    // changing "current state" periods per user — one row per state
+    // CHANGE with [valid_from, valid_to) effective ranges and an
+    // is_current flag (valid_to NULL). The standard warehouse
+    // dimension-maintenance shape: change detection is one lag() per
+    // user partition, range assembly one lead() on the change rows —
+    // two partitioned windows, per-key state, horizontal scale. The
+    // change_event_id column keeps lineage AND makes row identity
+    // deterministic under timestamp ties.
+    "scd2_user_state" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+                col("ts").as("valid_from"), col("valid_to"),
+                col("event_id").as("change_event_id"),
+                col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("change_event_id"))
+    }),
+
+    // Telemetry debounce: drop events arriving within 6 h of the
+    // previous event of the same (user, type) — the duplicate-burst
+    // cleaner every event pipeline runs before sessionization. Gap is
+    // measured to the previous RAW event (one lag, stateless per row);
+    // the chained-to-previous-KEPT variant needs the stateful walk
+    // (`streaming_stateful_milestones` machinery). Integer microsecond
+    // arithmetic; reported as a per-type census.
+    "event_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("keep",
+          (col("prev_ts").isNull ||
+           expr("unix_micros(ts) - unix_micros(prev_ts)") > 21600L * 1000000L).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_kept"))
+        .orderBy(col("event_type"))
+    }),
+
     // J5 interval (range) join: count events falling inside irregular
     // time windows — the op Spark has no native operator for (a raw
     // `a.ts BETWEEN b.start AND b.end` join plans BroadcastNestedLoop /
@@ -292,12 +335,8 @@ object EventOps {
         .select(col("window_id"), (col("t0") + col("window_id") * 4831L).as("w_start"))
         .withColumn("w_end",
           col("w_start") + (pmod(col("window_id"), lit(7)) + 1) * 600L)
-      val winBuckets = wins.withColumn("bkt",
-        explode(expr("sequence(w_start div 3600, (w_end - 1) div 3600)")))
-      val joined = ev
-        .join(winBuckets,
-          expr("es div 3600") === col("bkt") &&
-          col("es") >= col("w_start") && col("es") < col("w_end"))
+      val joined = graft.api.Graft
+        .intervalJoin(ev, wins, "es", "w_start", "w_end", bucketSeconds = 3600L)
         .groupBy(col("window_id"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
       wins.join(joined, Seq("window_id"), "left")
@@ -433,6 +472,29 @@ object EventOps {
         |string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
         |FROM events WHERE user_id < 10
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "scd2_user_state" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 20),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |r AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  event_id AS change_event_id FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to, change_event_id,
+        |  (valid_to IS NULL)::INT AS is_current
+        |FROM r ORDER BY user_id, valid_from, change_event_id""".stripMargin,
+
+    "event_debounce" ->
+      """WITH l AS (SELECT user_id, event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) > 21600::BIGINT * 1000000 THEN 1 END)::BIGINT
+        |    AS n_kept
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j5_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es FROM events),

@@ -86,6 +86,22 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(nulls.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
 
+  test("intervalJoin: boundary semantics, zero-length intervals dropped, empty facts safe") {
+    import spark.implicits._
+    val facts = Seq((1L, 100L), (2L, 3600L), (3L, 7199L), (4L, 7200L))
+      .toDF("fact_id", "t")
+    val ivals = Seq((10L, 3600L, 7200L),  // [3600, 7200) spans 2 buckets
+                    (11L, 50L, 50L),      // zero-length → dropped
+                    (12L, 99L, 98L))      // negative → dropped
+      .toDF("ival_id", "lo", "hi")
+    val joined = Graft.intervalJoin(facts, ivals, "t", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // start inclusive (t=3600), end exclusive (t=7200 out), interior in
+    assert(joined.toSet == Set((2L, 10L), (3L, 10L)))
+    val none = Graft.intervalJoin(facts.limit(0), ivals, "t", "lo", "hi")
+    assert(none.count() == 0)
+  }
+
   test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
     import spark.implicits._
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

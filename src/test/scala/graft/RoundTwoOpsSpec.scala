@@ -192,6 +192,48 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(matrix.map(_._2).sum == total && total > 0)
   }
 
+  test("scd2_user_state: ranges tile each user's timeline, one current row per user") {
+    val rows = graft.operators.EventOps.queries("scd2_user_state")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, periods) =>
+      val sorted = periods.sortBy(p => (p._3.getTime, p._5))
+      // exactly one open (current) period, and it is the last
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty, s"user $u")
+      // each valid_to equals the next valid_from (gapless tiling)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $u gap")
+        case _ => ()
+      }
+      // consecutive periods change state
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"user $u no-op period")
+        case _ => ()
+      }
+    }
+  }
+
+  test("event_debounce census matches a driver-side replay") {
+    val got = graft.operators.EventOps.queries("event_debounce")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"),
+              col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(e => e._2).map { case (t, es) =>
+      val kept = es.groupBy(_._1).values.map { per =>
+        val s = per.sortBy(e => (e._3, e._4))
+        1 + s.sliding(2).count {
+          case Array(a, b) => b._3 - a._3 > 21600L * 1000000L
+          case _ => false
+        }
+      }.sum
+      t -> (es.length.toLong, kept.toLong)
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
   test("NfcNormalize: NFD composes to precomposed, ASCII is identity, null-safe") {
     import spark.implicits._
     val df = Seq(
