@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -227,6 +227,39 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Apply one BPE merge (A, B) → "A_B" to a space-tokenized text:
+    * greedy left-to-right non-overlapping pair replacement — the merge
+    * step of byte-pair-encoding tokenizer training. Equivalent to the
+    * sequential fold `acc, t → if last(acc)=A ∧ t=B then merge else
+    * append` (the form the DuckDB oracle runs via list_reduce); the
+    * imperative walk here is the fast path — no per-step string scans.
+    * '_' is safe as the join glue for this corpus ([a-z0-9] vocab). */
+  case class BpeMergeApply(text: Expression, a: Expression, b: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = text
+    override def second: Expression = a
+    override def third: Expression = b
+    override def dataType: DataType = StringType
+    override def nullSafeEval(tIn: Any, aIn: Any, bIn: Any): Any = {
+      val toks = tIn.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val av = aIn.asInstanceOf[UTF8String].toString
+      val bv = bIn.asInstanceOf[UTF8String].toString
+      val merged = av + "_" + bv
+      val out = new StringBuilder(toks.length * 8)
+      var i = 0
+      while (i < toks.length) {
+        if (out.nonEmpty) out.append(' ')
+        if (i < toks.length - 1 && toks(i) == av && toks(i + 1) == bv) {
+          out.append(merged); i += 2
+        } else { out.append(toks(i)); i += 1 }
+      }
+      UTF8String.fromString(out.toString)
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(text = f, a = s, b = t)
+  }
+
   /** 32-bit term-frequency-weighted SimHash of a space-joined text. */
   case class SimHash32(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -298,4 +331,7 @@ object TextSignatures {
     ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(text), n))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+  def bpeMergeApply(text: Column, a: Column, b: Column): Column =
+    ColumnBridge.column(BpeMergeApply(ColumnBridge.expression(text),
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -128,6 +128,57 @@ object LexicalOps {
       freqs.withColumn("rank",
         row_number().over(Window.orderBy(desc("freq"), col("token"))))
         .orderBy(col("rank"))
+    }),
+
+    // Distributed BPE merge training, 2 rounds: per round, count every
+    // adjacent token pair across the corpus (map-side partial agg →
+    // pair-digest-sized shuffle), pick the argmax pair (count desc,
+    // lexicographic tie-break), BROADCAST it, and apply the greedy
+    // left-to-right merge with the native BpeMergeApply expression.
+    // This IS the tokenizer-training loop (Sennrich et al. 2016) at
+    // corpus scale: per round one shuffle of (pair, count) rows — the
+    // corpus text itself never moves, and the merged corpus stays
+    // partitioned for the next round. The DuckDB oracle runs the same
+    // two rounds with a list_reduce fold (equivalence of walk and fold
+    // is spec-tested). Output: per round the merge chosen, its count,
+    // and the post-merge token/vocab totals.
+    "bpe_train_merges" -> ((s, dir) => {
+      import graft.functions.TextSignatures.bpeMergeApply
+      def toks(c: Column) = split(c, " ")
+      def pairs(c: Column) = {
+        val t = toks(c)
+        explode(transform(
+          when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      }
+      def topPair(docs: DataFrame): DataFrame = docs
+        .select(pairs(col("text")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+      def stats(docs: DataFrame): DataFrame = docs
+        .select(explode(toks(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("tokens_after"),
+             countDistinct(col("tok")).as("vocab_after"))
+      val d0 = graft.Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      val m1 = topPair(d0)
+      val d1 = d0.crossJoin(broadcast(m1))
+        .select(col("doc_id"),
+          bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
+        .repartition(col("doc_id")) // d1 feeds round-2 count, merge, stats
+      val m2 = topPair(d1)
+      val d2 = d1.crossJoin(broadcast(m2))
+        .select(col("doc_id"),
+          bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
+      val r1 = m1.crossJoin(broadcast(stats(d1)))
+        .select(lit(1).as("round"), col("a"), col("b"), col("cnt"),
+                col("tokens_after"), col("vocab_after"))
+      val r2 = m2.crossJoin(broadcast(stats(d2)))
+        .select(lit(2).as("round"), col("a"), col("b"), col("cnt"),
+                col("tokens_after"), col("vocab_after"))
+      r1.unionByName(r2).orderBy(col("round"))
     })
   )
 
@@ -184,6 +235,40 @@ object LexicalOps {
         |  FROM t GROUP BY token)
         |SELECT token, freq, rank::INT AS rank
         |FROM f WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "bpe_train_merges" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |t0 AS (SELECT string_split(text, ' ') AS toks FROM d0),
+        |p0 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
+        |  FROM t0, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+        |d1 AS (SELECT doc_id, list_reduce(string_split(d0.text, ' '), (acc, t) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m1.a AND t = m1.b
+        |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
+        |           || m1.a || '_' || m1.b
+        |      ELSE acc || ' ' || t END) AS text
+        |  FROM d0 CROSS JOIN m1),
+        |t1 AS (SELECT string_split(text, ' ') AS toks FROM d1),
+        |s1 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
+        |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t1))::BIGINT
+        |    AS vocab_after FROM t1),
+        |p1 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
+        |  FROM t1, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |d2 AS (SELECT doc_id, list_reduce(string_split(d1.text, ' '), (acc, t) ->
+        |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m2.a AND t = m2.b
+        |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
+        |           || m2.a || '_' || m2.b
+        |      ELSE acc || ' ' || t END) AS text
+        |  FROM d1 CROSS JOIN m2),
+        |t2 AS (SELECT string_split(text, ' ') AS toks FROM d2),
+        |s2 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
+        |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t2))::BIGINT
+        |    AS vocab_after FROM t2)
+        |SELECT 1 AS round, a, b, cnt, tokens_after, vocab_after FROM m1 CROSS JOIN s1
+        |UNION ALL
+        |SELECT 2 AS round, a, b, cnt, tokens_after, vocab_after FROM m2 CROSS JOIN s2
+        |ORDER BY round""".stripMargin,
 
     "retrieval_hybrid_rrf" ->
       s"""$bm25Cte,

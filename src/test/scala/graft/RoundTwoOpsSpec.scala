@@ -234,6 +234,47 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("BpeMergeApply walk equals the sequential fold on edge strings") {
+    import spark.implicits._
+    val cases = Seq("a a b", "a b a b", "b b a", "a", "a b", "x a b b a b")
+    val df = cases.toDF("t").select(col("t"),
+      graft.functions.TextSignatures.bpeMergeApply(col("t"), lit("a"), lit("b")).as("m"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def fold(s: String): String =
+      s.split(" ").toList match {
+        case h :: rest => rest.foldLeft(h) { (acc, t) =>
+          val last = acc.split(" ").last
+          if (last == "a" && t == "b")
+            acc.dropRight(last.length) + "a_b"
+          else acc + " " + t
+        }
+        case Nil => ""
+      }
+    cases.foreach(c => assert(got(c) == fold(c), s"case '$c'"))
+  }
+
+  test("bpe_train_merges: chosen pair vanishes after its round, tokens monotone down") {
+    val rows = graft.operators.LexicalOps.queries("bpe_train_merges")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    val Seq(r1, r2) = rows.toSeq
+    assert(r1._4 >= r2._4)              // argmax counts never grow round-over-round
+    assert(r1._5 > r2._5)               // each merge strictly shrinks the corpus
+    assert(r1._5 - r2._5 == r2._4)      // round-2 merge removes exactly cnt tokens
+    // the round-1 pair no longer occurs adjacently in the merged corpus
+    val toks = split(col("text"), " ")
+    val merged = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(graft.functions.TextSignatures
+        .bpeMergeApply(col("text"), lit(r1._2), lit(r1._3)).as("text"))
+    val remaining = merged.select(explode(transform(
+        when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b")))).as("p"))
+      .filter(col("p.a") === r1._2 && col("p.b") === r1._3).count()
+    assert(remaining == 0)
+  }
+
   test("NfcNormalize: NFD composes to precomposed, ASCII is identity, null-safe") {
     import spark.implicits._
     val df = Seq(
