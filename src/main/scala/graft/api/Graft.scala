@@ -529,6 +529,38 @@ object Graft {
         ((greatest(col("cum_bytes"), lit(1L)) - 1) / targetBytes).cast("long"))
   }
 
+  /** Distributed BPE merge training, N rounds (Sennrich et al. 2016):
+    * per round count every adjacent token pair across the corpus
+    * (map-side partial agg — the shuffle carries (pair, count) rows,
+    * never text), broadcast the argmax pair (count desc, lexicographic
+    * tie-break), and apply the greedy left-to-right merge with the
+    * native BpeMergeApply expression. Returns the learned merge table
+    * (round, a, b, cnt). Each round's 1-row argmax is localCheckpointed
+    * so the pair-count subtree is not replanned into every later round;
+    * at production round counts (tens of thousands) the corpus itself
+    * also checkpoints on a cadence, [[clusterNearDups]]-style. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var corpus = docs.filter(col(textCol).isNotNull).select(col(textCol).as("text"))
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val t = split(col("text"), " ")
+      val pairs = explode(transform(
+        when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+      val m = corpus.select(pairs.as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+        .select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+        .localCheckpoint()
+      corpus = corpus.crossJoin(broadcast(m))
+        .select(TextSignatures.bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
+      merges = if (merges == null) m else merges.unionByName(m)
+    }
+    merges.orderBy(col("round"))
+  }
+
   /** Interval (range) join without a nested loop. A raw
     * `t BETWEEN lo AND hi` join has no equi key, so Spark plans
     * BroadcastNestedLoop/Cartesian; decomposing each interval into the

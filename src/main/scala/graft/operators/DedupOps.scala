@@ -238,17 +238,19 @@ object DedupOps {
     // text), so 2-3 rounds in practice; at 100 TB the same loop runs
     // with reliable checkpointing, or the large-star/small-star variant
     // (Kiveris et al., MapReduce CC) to force O(log n) rounds.
-    "dedup_cluster_canonical" -> ((s, dir) => {
-      val labels = graft.api.Graft.clusterNearDups(
-        jaccardPairs(s, dir, 0.5), "a_id", "b_id")
-      labels
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("int"))
-        .select(col("cluster_id"), col("id").as("doc_id"),
-                col("cluster_size"),
-                (col("id") === col("cluster_id")).cast("int").as("keep"))
-        .orderBy(col("cluster_id"), col("doc_id"))
-    }),
+    "dedup_cluster_canonical" -> ((s, dir) =>
+      canonicalClusters(graft.api.Graft.clusterNearDups(
+        jaccardPairs(s, dir, 0.5), "a_id", "b_id"))),
+
+    // Same labels by a different algorithm: large-/small-star
+    // contraction (O(log n) rounds vs propagation's O(diameter)) —
+    // both reduce to cluster = min member, so ONE oracle checks both
+    // implementations. The star path is the 100 TB choice for deep
+    // components (revision chains); propagation stays the default for
+    // the shallow near-dup graphs this corpus produces.
+    "dedup_cluster_star" -> ((s, dir) =>
+      canonicalClusters(graft.api.Graft.clusterNearDupsStar(
+        jaccardPairs(s, dir, 0.5), "a_id", "b_id"))),
 
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
     // near-dup = hamming ≤ 3 within a language block — via multi-index
@@ -346,6 +348,39 @@ object DedupOps {
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("cast(sum(bit * shiftleft(cast(1 as bigint), j)) as bigint)").as("simhash"))
 
+  /** (id, cluster_id) labels → the canonical-keep census shape. */
+  private def canonicalClusters(labels: DataFrame): DataFrame =
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("int"))
+      .select(col("cluster_id"), col("id").as("doc_id"),
+              col("cluster_size"),
+              (col("id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+
+  private lazy val clusterCanonicalSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
+       |  FROM documents),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM toks a JOIN toks b
+       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |  AND len(a.bg) > 0
+       |  WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
+       |        / len(list_distinct(a.bg || b.bg)) >= 0.5),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM p
+       |  UNION SELECT b_id, a_id FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u)
+       |SELECT cluster_id, doc_id,
+       |  (count(*) OVER (PARTITION BY cluster_id))::INT AS cluster_size,
+       |  (doc_id = cluster_id)::INT AS keep
+       |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique,
@@ -413,28 +448,11 @@ object DedupOps {
          |SELECT new_id, corpus_id, jaccard FROM v WHERE jaccard >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
 
-    "dedup_cluster_canonical" ->
-      s"""WITH RECURSIVE
-         |toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
-         |  FROM documents),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM toks a JOIN toks b
-         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-         |  AND len(a.bg) > 0
-         |  WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
-         |        / len(list_distinct(a.bg || b.bg)) >= 0.5),
-         |edges AS (SELECT a_id AS u, b_id AS v FROM p
-         |  UNION SELECT b_id, a_id FROM p),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |  FROM reach GROUP BY u)
-         |SELECT cluster_id, doc_id,
-         |  (count(*) OVER (PARTITION BY cluster_id))::INT AS cluster_size,
-         |  (doc_id = cluster_id)::INT AS keep
-         |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin,
+    "dedup_cluster_canonical" -> clusterCanonicalSql,
+
+    // star contraction computes the SAME labels (cluster = min member)
+    // by a different algorithm — one oracle, two implementations
+    "dedup_cluster_star" -> clusterCanonicalSql,
 
     "dedup_simhash" ->
       """WITH tf AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM

@@ -275,6 +275,23 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(remaining == 0)
   }
 
+  test("Graft.bpeTrain(rounds=2) learns the same merges as the registered query") {
+    val facade = graft.api.Graft
+      .bpeTrain(Tables.documents(spark, sf), "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val query = graft.operators.LexicalOps.queries("bpe_train_merges")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(facade.toSeq == query.toSeq && facade.length == 2)
+  }
+
+  test("dedup_cluster_star labels equal propagation labels") {
+    val star = graft.operators.DedupOps.queries("dedup_cluster_star")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    val prop = graft.operators.DedupOps.queries("dedup_cluster_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    assert(star == prop && star.nonEmpty)
+  }
+
   test("NfcNormalize: NFD composes to precomposed, ASCII is identity, null-safe") {
     import spark.implicits._
     val df = Seq(
