@@ -34,21 +34,32 @@ object Bench {
       val (a, b) = (once(fn), once(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // the driver keeps only the last ~3 KB of output: keys sorted,
-    // per-query values as INTEGER MILLISECONDS (q_unit field says so)
-    // so the ONE JSON line fits the capture window complete and
-    // parseable at 128 queries (the full-precision dump goes to a file;
-    // 2dp seconds at this query count is 3.1 KB — decapitated)
+    // The driver keeps only the LAST ~3 KB of output, so a line that
+    // outgrows the window gets its HEAD cut and stops parsing (the r01
+    // failure). At 135 queries even integer-ms values overflow 3 KB, so
+    // the stdout line is ADAPTIVE: slowest-first entries until a 2.6 KB
+    // budget, then an explicit `omitted` count — always parseable, and
+    // the perf-graded (slow) keys always visible. The COMPLETE
+    // full-precision map goes to target/bench_full.json, a snapshot of
+    // which is committed per round (BENCH_LOCAL_r{N}.json) so every key
+    // stays diffable round-over-round regardless of capture size.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
-    }.mkString("{", ",", "}")
+    val bySlow = results.sortBy { case (_, v) => (-v, "") }
+    val budget = 2600
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlow.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val qs = entries.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","queries":$qs,"sf":"$sfName"}"""
+    val omitted = results.size - entries.size
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"BENCH_LOCAL (repo) / target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
