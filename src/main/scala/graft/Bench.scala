@@ -45,7 +45,11 @@ object Bench {
     // stays diffable round-over-round regardless of capture size.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val bySlow = results.sortBy { case (_, v) => (-v, "") }
+    // failures (-1) sort FIRST so a regression marker can never fall
+    // into the omitted tail of the capture window
+    val bySlow = results.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v
+    }
     val budget = 2600
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

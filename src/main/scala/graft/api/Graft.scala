@@ -466,7 +466,14 @@ object Graft {
     * One map-side pass, column-pruned to (idCol, textCol); null/blank
     * text rows are dropped (they have no measurable metrics). Metrics
     * are rounded to 6dp BEFORE rule evaluation so borderline decisions
-    * are reproducible across engines. */
+    * are reproducible across engines.
+    *
+    * PRECONDITION: expects normalized lowercase text (the post-
+    * `clean_normalize` stage) — the symbol alphabet is `[^a-z0-9 ]` and
+    * the stopword list is lowercase, so cased input inflates
+    * symbol_ratio and misses stopwords. Lowercase upstream (cheap,
+    * map-side) rather than per-rule here, where it would run five
+    * times. */
   def gopherFilter(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    minWords: Int = 30, maxWords: Int = 100000,
                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
@@ -525,8 +532,11 @@ object Graft {
       .join(broadcast(offsets), Seq("__pid"))
       .select(col(idCol), col("n_bytes"),
               (col("__local_cum") + col("__offset")).as("cum_bytes"))
+      // integral `div`, not `/`: double division loses exactness past
+      // 2^53 cumulative bytes — real at the multi-PB corpus this
+      // pattern is pitched for
       .withColumn("shard",
-        ((greatest(col("cum_bytes"), lit(1L)) - 1) / targetBytes).cast("long"))
+        expr(s"(greatest(cum_bytes, 1L) - 1L) div ${targetBytes}L"))
   }
 
   /** Distributed BPE merge training, N rounds (Sennrich et al. 2016):
@@ -544,14 +554,7 @@ object Graft {
     var corpus = docs.filter(col(textCol).isNotNull).select(col(textCol).as("text"))
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
-      val t = split(col("text"), " ")
-      val pairs = explode(transform(
-        when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-          .otherwise(array().cast("array<int>")),
-        i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
-      val m = corpus.select(pairs.as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+      val m = bpeTopPair(corpus, "text")
         .select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
         .localCheckpoint()
       corpus = corpus.crossJoin(broadcast(m))
@@ -560,6 +563,26 @@ object Graft {
     }
     merges.orderBy(col("round"))
   }
+
+  /** Corpus-wide adjacent-token-pair counts of a space-tokenized text
+    * column — the BPE statistic. Shared by [[bpeTrain]] and the
+    * registered `bpe_train_merges` query so tokenization and tie-break
+    * semantics cannot diverge. */
+  private[graft] def bpeAdjacentPairCounts(corpus: DataFrame, textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    val pairs = explode(transform(
+      when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+    corpus.select(pairs.as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Argmax pair (count desc, lexicographic tie-break) of
+    * [[bpeAdjacentPairCounts]]. */
+  private[graft] def bpeTopPair(corpus: DataFrame, textCol: String): DataFrame =
+    bpeAdjacentPairCounts(corpus, textCol)
+      .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
 
   /** Interval (range) join without a nested loop. A raw
     * `t BETWEEN lo AND hi` join has no equi key, so Spark plans
@@ -574,13 +597,21 @@ object Graft {
   def intervalJoin(facts: DataFrame, intervals: DataFrame,
                    factTime: String, startCol: String, endCol: String,
                    bucketSeconds: Long = 3600L): DataFrame = {
-    val b = intervals.filter(col(endCol) > col(startCol))
+    require(!intervals.columns.contains("__bkt"),
+      "intervals must not carry a __bkt column")
+    // side-qualified references: facts and intervals may legally share
+    // column names (e.g. both carry a `ts`) — unqualified col() would
+    // raise AMBIGUOUS_REFERENCE at analysis
+    val fa = facts.alias("__f")
+    val ia = intervals.filter(col(endCol) > col(startCol))
       .withColumn("__bkt", explode(expr(
-        s"sequence($startCol div $bucketSeconds, ($endCol - 1) div $bucketSeconds)")))
-    facts.join(b,
-        expr(s"$factTime div $bucketSeconds") === col("__bkt") &&
-        col(factTime) >= col(startCol) && col(factTime) < col(endCol))
-      .drop("__bkt")
+        s"sequence(`$startCol` div $bucketSeconds, (`$endCol` - 1) div $bucketSeconds)")))
+      .alias("__i")
+    fa.join(ia,
+        expr(s"__f.`$factTime` div $bucketSeconds") === col("__i.__bkt") &&
+        col(s"__f.$factTime") >= col(s"__i.$startCol") &&
+        col(s"__f.$factTime") < col(s"__i.$endCol"))
+      .drop(col("__i.__bkt"))
   }
 
   /** Fixed-iteration power-method PageRank over a weighted edge list.

@@ -494,6 +494,7 @@ object DedupOps {
          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM toks a JOIN toks b
          |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |  AND len(a.bg) > 0
          |  WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
          |        / len(list_distinct(a.bg || b.bg)) >= 0.5),
          |s AS (SELECT doc_id, source FROM documents),

@@ -144,21 +144,12 @@ object LexicalOps {
     // and the post-merge token/vocab totals.
     "bpe_train_merges" -> ((s, dir) => {
       import graft.functions.TextSignatures.bpeMergeApply
-      def toks(c: Column) = split(c, " ")
-      def pairs(c: Column) = {
-        val t = toks(c)
-        explode(transform(
-          when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-            .otherwise(array().cast("array<int>")),
-          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
-      }
-      def topPair(docs: DataFrame): DataFrame = docs
-        .select(pairs(col("text")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+      // pair extraction + argmax live in Graft.bpeTopPair — ONE
+      // implementation for the facade and this query
+      def topPair(docs: DataFrame): DataFrame =
+        graft.api.Graft.bpeTopPair(docs, "text")
       def stats(docs: DataFrame): DataFrame = docs
-        .select(explode(toks(col("text"))).as("tok"))
+        .select(explode(split(col("text"), " ")).as("tok"))
         .agg(count(lit(1)).as("tokens_after"),
              countDistinct(col("tok")).as("vocab_after"))
       val d0 = graft.Tables.documentsSpread(s, dir).filter(col("text").isNotNull)

@@ -155,22 +155,30 @@ object StreamingOps {
                 round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, Long, Long, Long)]
       val out = ev.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Option[Long]), (Long, Int, Long, Option[Long])](
+        .flatMapGroupsWithState[(Long, Long, Option[Long]), (Long, Long, Long, Option[Long])](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
           val rows = it.toArray.sortBy(r => (r._3, r._2))
-          val (prevCum, prevFirst) = state.getOption.getOrElse((0L, Option.empty[Long]))
+          val (prevN, prevCum, prevFirst) =
+            state.getOption.getOrElse((0L, 0L, Option.empty[Long]))
           var cum = prevCum; var first = prevFirst
           rows.foreach { r =>
             cum += r._4
             if (first.isEmpty && cum >= 5000L) first = Some(r._2)
           }
-          state.update((cum, first))
-          Iterator((uid, rows.length, cum, first))
+          val n = prevN + rows.length
+          state.update((n, cum, first))
+          Iterator((uid, n, cum, first))
         }
+      // one snapshot row per user per micro-batch; keep the LATEST
+      // (strictly-largest n_events) so the result is correct whether
+      // the source drains in one batch or many — not fixture-dependent
       drain(s, out.toDF("user_id", "n_events", "total_cents", "first_cross_event"), "append")
-        .select(col("user_id"), col("n_events"),
-                round(col("total_cents") / 100.0, 2).as("total_value"),
-                col("first_cross_event"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_cents"),
+                        col("first_cross_event"))).as("s"))
+        .select(col("user_id"), col("s.n_events").cast("int").as("n_events"),
+                round(col("s.total_cents") / 100.0, 2).as("total_value"),
+                col("s.first_cross_event").as("first_cross_event"))
         .orderBy(col("user_id"))
     }),
 
