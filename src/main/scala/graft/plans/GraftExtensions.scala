@@ -97,7 +97,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_simhash32", "32-bit TF-weighted SimHash of a string", 1,
         { case Seq(c) => TextSignatures.SimHash32(c) }),
       fn("graft_hash_embed8", "8-dim md5-bucket hashing embedding of a string", 1,
-        { case Seq(c) => TextSignatures.HashEmbed8(c) })
+        { case Seq(c) => TextSignatures.HashEmbed8(c) }),
+      fn("graft_nfc", "Unicode NFC canonical composition of a string", 1,
+        { case Seq(c) => TextSignatures.NfcNormalize(c) }),
+      fn("graft_bpe_merge", "apply one BPE merge (a,b)->'a_b' to a space-tokenized string", 3,
+        { case Seq(t, a, b) => TextSignatures.BpeMergeApply(t, a, b) })
     ).foreach(ext.injectFunction)
   }
 }

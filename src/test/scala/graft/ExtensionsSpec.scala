@@ -53,6 +53,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Double](2) == viaCol.getSeq[Double](2))
   }
 
+  test("graft_nfc and graft_bpe_merge are callable from plain SQL") {
+    val r = spark.sql(
+      "SELECT graft_nfc('café') AS n, graft_bpe_merge('a a b', 'a', 'b') AS m").head()
+    assert(r.getString(0) == "café")
+    assert(r.getString(1) == "a a_b")
+  }
+
   test("wrong arity raises a proper analysis error, not a MatchError") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()
