@@ -55,8 +55,8 @@ class ExtensionsSpec extends SparkSpec {
 
   test("graft_nfc and graft_bpe_merge are callable from plain SQL") {
     val r = spark.sql(
-      "SELECT graft_nfc('café') AS n, graft_bpe_merge('a a b', 'a', 'b') AS m").head()
-    assert(r.getString(0) == "café")
+      "SELECT graft_nfc('cafe\u0301') AS n, graft_bpe_merge('a a b', 'a', 'b') AS m").head()
+    assert(r.getString(0) == "caf\u00e9")
     assert(r.getString(1) == "a a_b")
   }
 
