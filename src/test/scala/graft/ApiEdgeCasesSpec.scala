@@ -102,6 +102,25 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("intervalJoin equals the naive range filter on seeded random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val facts = (1L to 200L).map(i => (i, rnd.nextInt(100000).toLong)).toSeq
+    val ivals = (1L to 50L).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i, lo, lo + rnd.nextInt(8000).toLong) // includes zero-length
+    }.toSeq
+    val got = Graft.intervalJoin(
+        facts.toDF("fact_id", "t"), ivals.toDF("ival_id", "lo", "hi"),
+        "t", "lo", "hi", bucketSeconds = 3600L)
+      .select(col("fact_id"), col("ival_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (f, t) <- facts; (iv, lo, hi) <- ivals if t >= lo && t < hi
+    } yield (f, iv)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
     import spark.implicits._
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -112,4 +112,45 @@ object ExpressionProperties extends Properties("graft.expressions") {
         got.getUTF8String(k).toString == shingles.map(sh => md5hex(s"$k:$sh")).min
       }
     }
+
+  private val bpeToks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+  private def bpeApply(t: String, a: String, b: String): String =
+    TextSignatures.BpeMergeApply(lit, lit, lit)
+      .nullSafeEval(UTF8String.fromString(t),
+        UTF8String.fromString(a), UTF8String.fromString(b)).toString
+
+  property("bpe merge walk == sequential fold (any text, any pair incl. a==b)") =
+    Prop.forAll(bpeToks, Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c")) { (t, a, b) =>
+      def fold(s: String): String = s.split(" ", -1).toList match {
+        case h :: rest => rest.foldLeft(h) { (acc, tok) =>
+          val last = acc.split(" ", -1).last
+          if (last == a && tok == b) acc.dropRight(last.length) + a + "_" + b
+          else acc + " " + tok
+        }
+        case Nil => ""
+      }
+      bpeApply(t, a, b) == fold(t)
+    }
+
+  property("bpe merge leaves no adjacent (a,b) pair behind") =
+    Prop.forAll(bpeToks, Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c")) { (t, a, b) =>
+      val out = bpeApply(t, a, b).split(" ", -1)
+      !out.sliding(2).exists {
+        case Array(x, y) => x == a && y == b
+        case _           => false
+      }
+    }
+
+  private val accented = Gen.listOf(Gen.oneOf(
+    "é", "ï", "plain", "a", "ô")).map(_.mkString(" "))
+
+  property("nfc normalize == java.text.Normalizer and is idempotent") =
+    Prop.forAll(accented) { t =>
+      val got = TextSignatures.NfcNormalize(lit)
+        .nullSafeEval(UTF8String.fromString(t)).toString
+      val ref = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      val twice = TextSignatures.NfcNormalize(lit)
+        .nullSafeEval(UTF8String.fromString(got)).toString
+      got == ref && twice == got
+    }
 }
