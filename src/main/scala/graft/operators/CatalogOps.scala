@@ -233,6 +233,24 @@ object CatalogOps {
           col("n_docs"), col("n_chars"))
         .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))),
 
+    // Explicit GROUPING SETS (the general form cube/rollup specialize):
+    // exactly the margins asked for — per-language, per-source, and the
+    // grand total, WITHOUT the (lang, source) cross that cube would add.
+    // One Expand pass; output rows = sum of the named sets' grains. Via
+    // spark.sql to exercise the SQL front end's grouping-analysis path.
+    "a_grouping_sets" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("docs_gs")
+      s.sql(
+        """SELECT grouping(lang) AS g_lang, grouping(source) AS g_source,
+          |  coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+          |  count(*) AS n_docs, sum(n_chars) AS n_chars
+          |FROM docs_gs
+          |GROUP BY GROUPING SETS ((lang), (source), ())
+          |ORDER BY g_lang, g_source, lang, source""".stripMargin)
+        .selectExpr("cast(g_lang as int) g_lang", "cast(g_source as int) g_source",
+                    "lang", "source", "n_docs", "n_chars")
+    }),
+
     // O3/O4/O5 + O6: limit with deterministic order (aws_bucket.py:186-191
     // early pagination exit ≡ LocalLimit pushdown) and min_by argmin
     // (transcription.py:205 np.argmin).
@@ -408,6 +426,12 @@ object CatalogOps {
         |coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
         |count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
         |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "a_grouping_sets" ->
+      """SELECT grouping(lang)::INT AS g_lang, grouping(source)::INT AS g_source,
+        |coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     "set_intersect" ->
       """SELECT user_id FROM (
