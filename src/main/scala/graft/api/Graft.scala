@@ -539,6 +539,44 @@ object Graft {
         expr(s"(greatest(cum_bytes, 1L) - 1L) div ${targetBytes}L"))
   }
 
+  /** SCD2 dimension build: collapse an ordered event stream into
+    * slowly-changing current-state periods per key — one row per state
+    * CHANGE with [valid_from, valid_to) ranges, the change row's id for
+    * lineage/determinism, and is_current (valid_to NULL). Two windows
+    * partitioned by the key: per-key state, horizontal scale. */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+           stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    events
+      .select(col(keyCol), col(tsCol), col(ordCol), col(stateCol))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol),
+              col(tsCol).as("valid_from"), col("valid_to"),
+              col(ordCol).as("change_id"),
+              col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
+  /** Telemetry debounce: keep a row iff it is the first of its
+    * (key, kind) or arrived more than `gapMicros` after the PREVIOUS
+    * raw row of that (key, kind). Adds a `keep` flag (0/1); filter on
+    * it to drop the bursts. Gap-to-previous-raw semantics — the
+    * chained-to-previous-KEPT variant needs a stateful walk
+    * (flatMapGroupsWithState). */
+  def debounce(events: DataFrame, keyCol: String, kindCol: String,
+               tsCol: String, ordCol: String, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(kindCol))
+      .orderBy(col(tsCol), col(ordCol))
+    events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("keep",
+        (col("__prev_ts").isNull ||
+         expr(s"unix_micros(`$tsCol`) - unix_micros(__prev_ts)") > gapMicros)
+          .cast("int"))
+      .drop("__prev_ts")
+  }
+
   /** Distributed BPE merge training, N rounds (Sennrich et al. 2016):
     * per round count every adjacent token pair across the corpus
     * (map-side partial agg — the shuffle carries (pair, count) rows,

@@ -275,19 +275,11 @@ object EventOps {
     // two partitioned windows, per-key state, horizontal scale. The
     // change_event_id column keeps lineage AND makes row identity
     // deterministic under timestamp ties.
-    "scd2_user_state" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir).filter(col("user_id") < 20)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
-        .select(col("user_id"), col("event_type"),
-                col("ts").as("valid_from"), col("valid_to"),
-                col("event_id").as("change_event_id"),
-                col("valid_to").isNull.cast("int").as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("change_event_id"))
-    }),
+    "scd2_user_state" -> ((s, dir) =>
+      graft.api.Graft.scd2(Tables.events(s, dir).filter(col("user_id") < 20),
+          "user_id", "ts", "event_id", "event_type")
+        .withColumnRenamed("change_id", "change_event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("change_event_id"))),
 
     // Telemetry debounce: drop events arriving within 6 h of the
     // previous event of the same (user, type) — the duplicate-burst
@@ -296,18 +288,12 @@ object EventOps {
     // the chained-to-previous-KEPT variant needs the stateful walk
     // (`streaming_stateful_milestones` machinery). Integer microsecond
     // arithmetic; reported as a per-type census.
-    "event_debounce" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("keep",
-          (col("prev_ts").isNull ||
-           expr("unix_micros(ts) - unix_micros(prev_ts)") > 21600L * 1000000L).cast("long"))
+    "event_debounce" -> ((s, dir) =>
+      graft.api.Graft.debounce(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", gapMicros = 21600L * 1000000L)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_kept"))
-        .orderBy(col("event_type"))
-    }),
+        .agg(count(lit(1)).as("n_total"), sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy(col("event_type"))),
 
     // J5 interval (range) join: count events falling inside irregular
     // time windows — the op Spark has no native operator for (a raw

@@ -86,6 +86,22 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(nulls.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
 
+  test("scd2 and debounce on single-row and steady-state inputs") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val one = Seq((7L, ts, 1L, "active")).toDF("k", "ts", "ord", "state")
+    val s1 = Graft.scd2(one, "k", "ts", "ord", "state").collect()
+    assert(s1.length == 1 && s1.head.getInt(5) == 1 && s1.head.isNullAt(3))
+    // constant state stream collapses to ONE period
+    val const = Seq((7L, ts, 1L, "x"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L, "x"))
+      .toDF("k", "ts", "ord", "state")
+    assert(Graft.scd2(const, "k", "ts", "ord", "state").count() == 1)
+    val d = Graft.debounce(one.withColumnRenamed("state", "kind"),
+      "k", "kind", "ts", "ord", gapMicros = 1000000L).collect()
+    assert(d.length == 1 && d.head.getAs[Int]("keep") == 1)
+  }
+
   test("intervalJoin: boundary semantics, zero-length intervals dropped, empty facts safe") {
     import spark.implicits._
     val facts = Seq((1L, 100L), (2L, 3600L), (3L, 7199L), (4L, 7200L))
