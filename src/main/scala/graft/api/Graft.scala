@@ -546,11 +546,18 @@ object Graft {
     * partitioned by the key: per-key state, horizontal scale. */
   def scd2(events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
            stateCol: String): DataFrame = {
+    val reserved = Seq("valid_from", "valid_to", "change_id", "is_current", "__prev", "__rn")
+    require(!Seq(keyCol, tsCol, ordCol, stateCol).exists(reserved.contains),
+      s"input columns must not be named any of ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
     events
       .select(col(keyCol), col(tsCol), col(ordCol), col(stateCol))
       .withColumn("__prev", lag(col(stateCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      // null-safe inequality: a NULL state is a real period (a plain =!=
+      // drops it AND then flags the next row as a spurious change),
+      // except on the first row where __prev is NULL by construction
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(stateCol),
               col(tsCol).as("valid_from"), col("valid_to"),
@@ -566,13 +573,15 @@ object Graft {
     * (flatMapGroupsWithState). */
   def debounce(events: DataFrame, keyCol: String, kindCol: String,
                tsCol: String, ordCol: String, gapMicros: Long): DataFrame = {
+    require(!events.columns.contains("keep") && !events.columns.contains("__prev_ts"),
+      "input must not carry a keep or __prev_ts column")
     val w = Window.partitionBy(col(keyCol), col(kindCol))
       .orderBy(col(tsCol), col(ordCol))
     events
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
       .withColumn("keep",
         (col("__prev_ts").isNull ||
-         expr(s"unix_micros(`$tsCol`) - unix_micros(__prev_ts)") > gapMicros)
+         unix_micros(col(tsCol)) - unix_micros(col("__prev_ts")) > gapMicros)
           .cast("int"))
       .drop("__prev_ts")
   }

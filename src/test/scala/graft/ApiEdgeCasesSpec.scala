@@ -100,6 +100,23 @@ class ApiEdgeCasesSpec extends SparkSpec {
     val d = Graft.debounce(one.withColumnRenamed("state", "kind"),
       "k", "kind", "ts", "ord", gapMicros = 1000000L).collect()
     assert(d.length == 1 && d.head.getAs[Int]("keep") == 1)
+    // NULL state is a real period, not a dropped row + spurious change
+    val withNull = Seq(
+      (7L, ts, 1L, "A"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L, null.asInstanceOf[String]),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3L, "A"))
+      .toDF("k", "ts", "ord", "state")
+    val periods = Graft.scd2(withNull, "k", "ts", "ord", "state").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(4)))
+    assert(periods.toSeq.sortBy(_._2) ==
+      Seq((Some("A"), 1L), (None, 2L), (Some("A"), 3L)))
+    // reserved/collision guards reject rather than clobber
+    intercept[IllegalArgumentException] {
+      Graft.debounce(one.withColumnRenamed("state", "keep"), "k", "keep", "ts", "ord", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.scd2(one.withColumnRenamed("state", "valid_to"), "k", "ts", "ord", "valid_to")
+    }
   }
 
   test("intervalJoin: boundary semantics, zero-length intervals dropped, empty facts safe") {
@@ -126,14 +143,16 @@ class ApiEdgeCasesSpec extends SparkSpec {
       val lo = rnd.nextInt(100000).toLong
       (i, lo, lo + rnd.nextInt(8000).toLong) // includes zero-length
     }.toSeq
+    // multiset compare: a Set would mask duplicate-pair regressions
+    // (e.g. a pair matching on more than one exploded bucket)
     val got = Graft.intervalJoin(
         facts.toDF("fact_id", "t"), ivals.toDF("ival_id", "lo", "hi"),
         "t", "lo", "hi", bucketSeconds = 3600L)
       .select(col("fact_id"), col("ival_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val want = (for {
       (f, t) <- facts; (iv, lo, hi) <- ivals if t >= lo && t < hi
-    } yield (f, iv)).toSet
+    } yield (f, iv)).sorted
     assert(got == want && want.nonEmpty)
   }
 
