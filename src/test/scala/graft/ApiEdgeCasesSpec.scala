@@ -119,6 +119,56 @@ class ApiEdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("scd2 fuzz: 200 random multi-key streams with nulls match a driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val states = Array("A", "B", null)
+    val rows = (1L to 200L).map { i =>
+      (rnd.nextInt(5).toLong,
+       new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+       i, states(rnd.nextInt(3)))
+    }
+    val got = Graft.scd2(rows.toDF("k", "ts", "ord", "state"), "k", "ts", "ord", "state")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getTimestamp(2),
+                 Option(r.getTimestamp(3)), r.getLong(4)))
+      .sortBy(p => (p._1, p._3.getTime, p._5))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val s = rs.sortBy(r => (r._2.getTime, r._3))
+      val changes = s.zipWithIndex.filter { case (r, i) =>
+        i == 0 || s(i - 1)._4 != r._4
+      }.map(_._1)
+      changes.zipWithIndex.map { case (c, i) =>
+        (k, Option(c._4), c._2,
+         if (i < changes.length - 1) Some(changes(i + 1)._2) else None, c._3)
+      }
+    }.sortBy(p => (p._1, p._3.getTime, p._5))
+    assert(got.toSeq == want && want.nonEmpty)
+  }
+
+  test("debounce fuzz: keep flags match a driver replay on bursty streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 300L).map { i =>
+      (rnd.nextInt(4).toLong, s"t${rnd.nextInt(3)}",
+       new java.sql.Timestamp(1700000000000L + rnd.nextInt(2000) * 500L), i)
+    }
+    val gap = 120L * 1000000L
+    val got = Graft.debounce(rows.toDF("k", "kind", "ts", "ord"),
+        "k", "kind", "ts", "ord", gapMicros = gap)
+      .collect().map(r => (r.getLong(3), r.getAs[Int]("keep"))).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      val s = rs.sortBy(r => (r._3.getTime, r._4))
+      s.zipWithIndex.foreach { case (r, i) =>
+        val expect =
+          if (i == 0) 1
+          else if ((r._3.getTime - s(i - 1)._3.getTime) * 1000L > gap) 1
+          else 0
+        assert(got(r._4) == expect, s"row ${r._4}")
+      }
+    }
+  }
+
   test("intervalJoin: boundary semantics, zero-length intervals dropped, empty facts safe") {
     import spark.implicits._
     val facts = Seq((1L, 100L), (2L, 3600L), (3L, 7199L), (4L, 7200L))
