@@ -34,12 +34,15 @@ object Bench {
       val (a, b) = (once(fn), once(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // The driver keeps only the LAST ~3 KB of output, so a line that
-    // outgrows the window gets its HEAD cut and stops parsing (the r01
-    // failure). At 135 queries even integer-ms values overflow 3 KB, so
-    // the stdout line is ADAPTIVE: slowest-first entries until a 2.6 KB
-    // budget, then an explicit `omitted` count — always parseable, and
-    // the perf-graded (slow) keys always visible. The COMPLETE
+    // The driver keeps only the LAST ~2.9 KB of output, so the ENTIRE
+    // line plus sbt's trailing "[success] Total time: ..." suffix must
+    // fit inside that window or the line's HEAD (metric/value/slowest
+    // keys) is cut and parsing fails (the r01/r02 failure: a 2.6 KB
+    // entry budget + ~160 B of metadata + the sbt suffix overflowed).
+    // Budget is now 1700 B of entries → line ≈1.9 KB, leaving ≈1 KB of
+    // slack for sbt/log suffix lines. Entries stay slowest-first so the
+    // perf-graded (slow) keys are always the ones that survive the
+    // budget; `omitted` counts the fast tail. The COMPLETE
     // full-precision map goes to target/bench_full.json, a snapshot of
     // which is committed per round (BENCH_LOCAL_r{N}.json) so every key
     // stays diffable round-over-round regardless of capture size.
@@ -50,7 +53,7 @@ object Bench {
     val bySlow = results.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v
     }
-    val budget = 2600
+    val budget = 1700
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     bySlow.foreach { case (k, v) =>
@@ -63,7 +66,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val omitted = results.size - entries.size
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"BENCH_LOCAL (repo) / target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
+    // Hard guard: if the line ever outgrows the capture window again,
+    // fail loudly at bench time instead of silently shipping a
+    // head-decapitated artifact to the driver.
+    require(line.length <= 2200,
+      s"bench line ${line.length}B exceeds driver capture budget")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")

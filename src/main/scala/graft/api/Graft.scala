@@ -426,8 +426,16 @@ object Graft {
         .select(col("v").as("u"), col("m").as("v"))
       val selfPart = ssMin.select(col("u"), col("m").as("v"))
       val (next, nextIds) = checkpointTracked(nbrPart.union(selfPart).distinct())
-      // fixpoint: both steps are no-ops ⇔ the edge set is stable
-      changed = next.except(edges).count() + edges.except(next).count()
+      // fixpoint: both steps are no-ops ⇔ the edge set is stable.
+      // Detected as ONE job — a full-outer join of the two (distinct)
+      // edge sets counting rows missing on either side — instead of the
+      // former two except().count() jobs per round (each an edge-scale
+      // anti-join); both inputs are localCheckpointed so the join reads
+      // cached partitions, not recomputed lineage.
+      changed = next.withColumn("__r", lit(1))
+        .join(edges.withColumn("__l", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .count()
       freeCheckpoints(pairs, edgeIds)
       edges = next
       edgeIds = nextIds
@@ -593,21 +601,51 @@ object Graft {
     * tie-break), and apply the greedy left-to-right merge with the
     * native BpeMergeApply expression. Returns the learned merge table
     * (round, a, b, cnt). Each round's 1-row argmax is localCheckpointed
-    * so the pair-count subtree is not replanned into every later round;
-    * at production round counts (tens of thousands) the corpus itself
-    * also checkpoints on a cadence, [[clusterNearDups]]-style. */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    * so the pair-count subtree is not replanned into every later round,
+    * and the corpus itself localCheckpoints every `checkpointEvery`
+    * rounds (freeing the superseded generation,
+    * [[clusterNearDups]]-style) so production round counts (tens of
+    * thousands) never accumulate an unbounded narrow-map lineage — and
+    * NEVER re-shuffle the text: the only per-round exchange is the
+    * (pair, count) aggregate.
+    *
+    * Stops early (returning the merges learned so far) once no adjacent
+    * pair remains — a fully-merged or all-single-token corpus; training
+    * an EMPTY corpus (no round-1 pair at all) is an error, not an empty
+    * result: the old crossJoin-against-empty-argmax silently emptied
+    * the corpus AND the merge table. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
+               checkpointEvery: Int = 16): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     var corpus = docs.filter(col(textCol).isNotNull).select(col(textCol).as("text"))
+    var corpusIds = Set.empty[Int]
     var merges: DataFrame = null
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val m = bpeTopPair(corpus, "text")
         .select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
         .localCheckpoint()
-      corpus = corpus.crossJoin(broadcast(m))
-        .select(TextSignatures.bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
-      merges = if (merges == null) m else merges.unionByName(m)
+      if (m.isEmpty) {
+        // no adjacent pair left: merging against an empty argmax would
+        // cross-join the corpus to zero rows — stop instead
+        exhausted = true
+      } else {
+        corpus = corpus.crossJoin(broadcast(m))
+          .select(TextSignatures.bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
+        if (r % checkpointEvery == 0) {
+          val (cp, ids) = checkpointTracked(corpus) // eager: old gen dead after this
+          freeCheckpoints(corpus, corpusIds)
+          corpus = cp
+          corpusIds = ids
+        }
+        merges = if (merges == null) m else merges.unionByName(m)
+        r += 1
+      }
     }
+    require(merges != null,
+      "bpeTrain: corpus has no adjacent token pair (empty or all-single-token input)")
     merges.orderBy(col("round"))
   }
 
@@ -630,6 +668,35 @@ object Graft {
   private[graft] def bpeTopPair(corpus: DataFrame, textCol: String): DataFrame =
     bpeAdjacentPairCounts(corpus, textCol)
       .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+
+  /** ENCODE with a learned BPE merge table ([[bpeTrain]]'s output, or
+    * any (round, a, b) table): apply the merges in rank order to a text
+    * column — the tokenizer-apply stage between vocabulary training and
+    * sequence packing in every training-data pipeline.
+    *
+    * The merge table is aggregated into ONE sorted array row and
+    * broadcast; encoding is then a single higher-order `aggregate` fold
+    * per document, each step the native BpeMergeApply greedy walk.
+    * One map-side pass over the corpus: zero shuffles of text, zero
+    * driver-side collection, and no per-merge join rounds (a 30k-merge
+    * production table is 30k lambda steps inside one expression, not
+    * 30k plan nodes or 30k broadcasts). Null text encodes to null; an
+    * EMPTY merge table is the identity encode (fold over zero merges),
+    * not an error — re-encoding with `limit(0)` merges is a legitimate
+    * no-op. */
+  def bpeEncode(docs: DataFrame, textCol: String, merges: DataFrame,
+                outCol: String = "encoded"): DataFrame = {
+    require(!docs.columns.contains("__merges"),
+      "docs must not carry a __merges column")
+    val tbl = merges.agg(sort_array(collect_list(struct(
+      col("round"), col("a"), col("b")))).as("__merges"))
+    docs.crossJoin(broadcast(tbl))
+      .withColumn(outCol,
+        aggregate(col("__merges"), col(textCol),
+          (acc, m) => TextSignatures.bpeMergeApply(
+            acc, m.getField("a"), m.getField("b"))))
+      .drop("__merges")
+  }
 
   /** Interval (range) join without a nested loop. A raw
     * `t BETWEEN lo AND hi` join has no equi key, so Spark plans

@@ -137,13 +137,18 @@ object LexicalOps {
     // left-to-right merge with the native BpeMergeApply expression.
     // This IS the tokenizer-training loop (Sennrich et al. 2016) at
     // corpus scale: per round one shuffle of (pair, count) rows — the
-    // corpus text itself never moves, and the merged corpus stays
-    // partitioned for the next round. The DuckDB oracle runs the same
-    // two rounds with a list_reduce fold (equivalence of walk and fold
-    // is spec-tested). Output: per round the merge chosen, its count,
-    // and the post-merge token/vocab totals.
+    // corpus TEXT never crosses the wire. The merged corpus is
+    // persisted DISK_ONLY per round (not repartitioned: a repartition
+    // barrier moves the full corpus once per round, the 100 TB
+    // scale-killer — real BPE runs 30k+ rounds), so its three
+    // consumers (round-2 counts, round-2 merge, stats) read one
+    // materialization with zero exchanges of text. The DuckDB oracle
+    // runs the same two rounds with a list_reduce fold (equivalence of
+    // walk and fold is spec-tested). Output: per round the merge
+    // chosen, its count, and the post-merge token/vocab totals.
     "bpe_train_merges" -> ((s, dir) => {
       import graft.functions.TextSignatures.bpeMergeApply
+      import org.apache.spark.storage.StorageLevel
       // pair extraction + argmax live in Graft.bpeTopPair — ONE
       // implementation for the facade and this query
       def topPair(docs: DataFrame): DataFrame =
@@ -152,13 +157,21 @@ object LexicalOps {
         .select(explode(split(col("text"), " ")).as("tok"))
         .agg(count(lit(1)).as("tokens_after"),
              countDistinct(col("tok")).as("vocab_after"))
+      // d0 is a bare projected scan — reading it twice (round-1 counts +
+      // round-1 merge) is two map-side parquet scans, cheaper than any
+      // barrier that would move the text.
       val d0 = graft.Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"))
       val m1 = topPair(d0)
       val d1 = d0.crossJoin(broadcast(m1))
         .select(col("doc_id"),
           bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
-        .repartition(col("doc_id")) // d1 feeds round-2 count, merge, stats
+      // fresh materialization each run: drop any cached generation from a
+      // prior invocation (Bench runs every query twice in one session;
+      // CacheManager would otherwise serve run 2 from run 1's cache and
+      // the timing would skip the merge work)
+      d1.unpersist(blocking = false)
+      d1.persist(StorageLevel.DISK_ONLY)
       val m2 = topPair(d1)
       val d2 = d1.crossJoin(broadcast(m2))
         .select(col("doc_id"),
@@ -170,6 +183,29 @@ object LexicalOps {
         .select(lit(2).as("round"), col("a"), col("b"), col("cnt"),
                 col("tokens_after"), col("vocab_after"))
       r1.unionByName(r2).orderBy(col("round"))
+    }),
+
+    // BPE APPLY — the encode stage between merge training and
+    // pack_sequences: train the 2-round merge table (Graft.bpeTrain),
+    // then encode every document with it via Graft.bpeEncode — the
+    // merge table folded per document inside ONE higher-order
+    // `aggregate` expression (merge table broadcast as a single sorted
+    // array row; no per-merge joins, no text shuffle, no driver
+    // collection — a 30k-merge production table is 30k lambda steps in
+    // one map-side pass). Output is digest-compressed (md5 of the
+    // encoded text + its token count); the round-trip property
+    // (Σ n_tokens == the train query's round-2 tokens_after) is
+    // spec-asserted in LexicalOpsSpec.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = graft.Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val merges = graft.api.Graft.bpeTrain(docs, "text", rounds = 2)
+      graft.api.Graft.bpeEncode(docs, "text", merges)
+        .select(col("doc_id"),
+          size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
+          md5(col("encoded")).as("enc_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -199,6 +235,41 @@ object LexicalOps {
        |       JOIN dl USING (doc_id) CROSS JOIN stats
        |  GROUP BY qt.qid, tf.doc_id)""".stripMargin
 
+  /** Two BPE training rounds as a DuckDB CTE chain (d0 → m1 → d1 → m2 →
+    * d2, with per-round stats): the shared oracle prefix of
+    * `bpe_train_merges` (which reads m1/m2/s1/s2) and `bpe_encode`
+    * (which reads the encoded corpus d2). DuckDB prunes unreferenced
+    * CTEs, so each query pays only for what it selects. */
+  private val bpeTwoRoundsCte =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |t0 AS (SELECT string_split(text, ' ') AS toks FROM d0),
+      |p0 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
+      |  FROM t0, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
+      |m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
+      |d1 AS (SELECT doc_id, list_reduce(string_split(d0.text, ' '), (acc, t) ->
+      |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m1.a AND t = m1.b
+      |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
+      |           || m1.a || '_' || m1.b
+      |      ELSE acc || ' ' || t END) AS text
+      |  FROM d0 CROSS JOIN m1),
+      |t1 AS (SELECT string_split(text, ' ') AS toks FROM d1),
+      |s1 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
+      |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t1))::BIGINT
+      |    AS vocab_after FROM t1),
+      |p1 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
+      |  FROM t1, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
+      |m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      |d2 AS (SELECT doc_id, list_reduce(string_split(d1.text, ' '), (acc, t) ->
+      |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m2.a AND t = m2.b
+      |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
+      |           || m2.a || '_' || m2.b
+      |      ELSE acc || ' ' || t END) AS text
+      |  FROM d1 CROSS JOIN m2),
+      |t2 AS (SELECT string_split(text, ' ') AS toks FROM d2),
+      |s2 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
+      |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t2))::BIGINT
+      |    AS vocab_after FROM t2)""".stripMargin
+
   /** 8-dim md5-bucket embedding as a DuckDB subquery — the oracle twin
     * of [[TextSignatures.hashEmbed8]] (same bucketing as v1_hash_embed). */
   private[operators] def embedSql(src: String, idCol: String, textCol: String): String = {
@@ -227,39 +298,23 @@ object LexicalOps {
         |SELECT token, freq, rank::INT AS rank
         |FROM f WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // NOTE: the CTE prefix is concatenated, NOT re-stripMargin'd — its
+    // SQL `||` operators would be eaten by a second margin strip.
     "bpe_train_merges" ->
-      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-        |t0 AS (SELECT string_split(text, ' ') AS toks FROM d0),
-        |p0 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
-        |  FROM t0, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
-        |m1 AS (SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1),
-        |d1 AS (SELECT doc_id, list_reduce(string_split(d0.text, ' '), (acc, t) ->
-        |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m1.a AND t = m1.b
-        |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
-        |           || m1.a || '_' || m1.b
-        |      ELSE acc || ' ' || t END) AS text
-        |  FROM d0 CROSS JOIN m1),
-        |t1 AS (SELECT string_split(text, ' ') AS toks FROM d1),
-        |s1 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
-        |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t1))::BIGINT
-        |    AS vocab_after FROM t1),
-        |p1 AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS cnt
-        |  FROM t1, unnest(range(1, greatest(len(toks), 1))) u(i) GROUP BY 1, 2),
-        |m2 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        |d2 AS (SELECT doc_id, list_reduce(string_split(d1.text, ' '), (acc, t) ->
-        |    CASE WHEN regexp_extract(acc, '[^ ]*$') = m2.a AND t = m2.b
-        |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$')))
-        |           || m2.a || '_' || m2.b
-        |      ELSE acc || ' ' || t END) AS text
-        |  FROM d1 CROSS JOIN m2),
-        |t2 AS (SELECT string_split(text, ' ') AS toks FROM d2),
-        |s2 AS (SELECT sum(len(toks))::BIGINT AS tokens_after,
-        |  (SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t2))::BIGINT
-        |    AS vocab_after FROM t2)
-        |SELECT 1 AS round, a, b, cnt, tokens_after, vocab_after FROM m1 CROSS JOIN s1
-        |UNION ALL
-        |SELECT 2 AS round, a, b, cnt, tokens_after, vocab_after FROM m2 CROSS JOIN s2
-        |ORDER BY round""".stripMargin,
+      (bpeTwoRoundsCte + "\n" +
+       """SELECT 1 AS round, a, b, cnt, tokens_after, vocab_after FROM m1 CROSS JOIN s1
+         |UNION ALL
+         |SELECT 2 AS round, a, b, cnt, tokens_after, vocab_after FROM m2 CROSS JOIN s2
+         |ORDER BY round""".stripMargin),
+
+    // same two training rounds, then the ENCODED corpus itself: d2 IS
+    // the merge table applied in rank order (walk ≡ fold is
+    // property-tested in ExpressionProperties)
+    "bpe_encode" ->
+      (bpeTwoRoundsCte + "\n" +
+       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  md5(text) AS enc_md5
+         |FROM d2 ORDER BY doc_id""".stripMargin),
 
     "retrieval_hybrid_rrf" ->
       s"""$bm25Cte,
