@@ -63,7 +63,9 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures are flagged as -1 entries; they must not SUBTRACT from
+    // the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val omitted = results.size - entries.size
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"target/bench_full.json","queries":$qs,"sf":"$sfName"}"""

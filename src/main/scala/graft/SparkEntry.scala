@@ -34,7 +34,8 @@ object SparkEntry {
     Module(GraphOps.queries, GraphOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
-    // over the same fixture tree (ORC stays rows-only — no DuckDB reader)
+    // over the same fixture tree (ORC via round-trip ≡ identity on the
+    // source parquet — DuckDB has no ORC reader)
     Module(graft.sources.FileSources.queries, graft.sources.FileSources.oracles)
   )
 

@@ -732,8 +732,15 @@ object Graft {
     * In: (srcCol, dstCol, wgtCol). Out: (node, rank), unrounded. Per
     * iteration one equi-join of the rank vector with the out-degree-
     * normalized edges + one sum-by-dst; normalization is hoisted out of
-    * the loop. For a convergence-loop form, add the localCheckpoint
-    * generation discipline of [[clusterNearDups]]. */
+    * the loop. Dangling nodes (no out-edges) redistribute their rank
+    * mass uniformly each iteration — standard PageRank semantics, so
+    * ranks sum to 1 on ANY graph, sinks included; the redistribution is
+    * one scalar aggregate over the (tiny) dangling-rank slice,
+    * broadcast back — never a driver-side action. On a sink-free graph
+    * the dangling term is exactly 0 and the iteration reduces to the
+    * plain form (the `graph_event_rank` oracle exercises that case).
+    * For a convergence-loop form, add the localCheckpoint generation
+    * discipline of [[clusterNearDups]]. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wgtCol: String,
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -743,16 +750,24 @@ object Graft {
       .select(col("src"), col("dst"), (col("wgt") / col("__out_w")).as("p"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
+    // dangling = nodes that never appear as a src (no out-edges)
+    val dangling = nodes.join(
+      e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
     val n1 = nodes.crossJoin(
       broadcast(nodes.agg(count(lit(1)).cast("double").as("__n_nodes"))))
     var rank = n1.select(col("node"), (lit(1.0) / col("__n_nodes")).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = rank.join(edgeP, rank("node") === edgeP("src"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("p")).as("__in_rank"))
+      // sink mass this iteration: one scalar row (empty slice → 0.0)
+      val sinkMass = rank.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__sink_mass"))
       rank = n1.join(contrib, n1("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(sinkMass))
         .select(n1("node"),
           (lit(1.0 - damping) / col("__n_nodes") +
-            lit(damping) * coalesce(col("__in_rank"), lit(0.0))).as("rank"))
+            lit(damping) * (coalesce(col("__in_rank"), lit(0.0)) +
+              col("__sink_mass") / col("__n_nodes"))).as("rank"))
     }
     rank
   }

@@ -312,6 +312,59 @@ object DedupOps {
         .orderBy(col("doc_id")).limit(300)
     }),
 
+    // Exact-substring dedup (Lee et al. 2022 "ExactSubstr"): find long
+    // VERBATIM spans repeated anywhere in the corpus and score each doc
+    // by the fraction of its tokens covered by such spans — the dedup
+    // family production pipelines (RefinedWeb, Dolma) run alongside
+    // MinHash, and the span-level generalization of the reference's
+    // key-identity dedup (aws_bucket.py:180-182). The suffix-array of
+    // the paper is re-expressed relationally as sorted k-gram seeding:
+    // a span duplicated verbatim has ALL its k-grams duplicated, so
+    // k-grams with corpus frequency ≥ 2, merged where they overlap,
+    // recover exactly the maximal duplicated regions (k = 5 words here;
+    // production uses 50-token windows — same dataflow).
+    // Scale: the frequency pass shuffles only 8-byte xxhash64 digests
+    // (never text, never pairs — frequency is the unit, so no n²
+    // anywhere); the span merge is a per-doc window partitioned by
+    // doc_id. With fixed k and strictly increasing positions, "overlaps
+    // the running span" reduces to pos <= lag(pos) + k - 1 — one lag,
+    // no running-max state.
+    "dedup_exact_substring" -> ((s, dir) => {
+      val k = 5
+      val toks = split(col("text"), " ")
+      val grams = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(transform(
+            when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+              .otherwise(array().cast("array<int>")),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2).select(col("g"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = grams.join(dup, Seq("g"), "left_semi")
+        .withColumn("new_span",
+          (col("pos") > coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue)) + (k - 1))
+            .cast("int"))
+        .withColumn("span_id", sum(col("new_span")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1).cast("long").as("covered"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("covered")).as("dup_tokens"),
+             count(lit(1)).cast("int").as("n_spans"))
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("n_spans"), lit(0)).as("n_spans"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+            .as("dup_frac"))
+        .orderBy(col("doc_id")).limit(300)
+    }),
+
     // Cross-source contamination matrix: near-dup pairs (the blocked
     // salted Jaccard join above) rolled up to (source_a, source_b)
     // counts — the table that tells a curation pipeline which sources
@@ -486,6 +539,35 @@ object DedupOps {
         |  round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) AS repeated_frac,
         |  (round(coalesce(n_repeated, 0)::DOUBLE / n_ngrams, 6) >= 0.2)::INT AS flag_dup
         |FROM pd LEFT JOIN pr USING (doc_id)
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // Spark seeds with xxhash64 digests, the oracle with the gram TEXT —
+    // same equivalence classes barring a 64-bit collision (the accepted
+    // risk dedup_repeated_ngrams already carries).
+    "dedup_exact_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS g
+        |  FROM t, unnest(range(1, greatest(len(toks) - 3, 1))) u(i)),
+        |dup AS (SELECT g FROM (SELECT g, count(*) AS freq FROM g GROUP BY g)
+        |  WHERE freq >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |sp AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                           -2147483648) + 4 THEN 1 ELSE 0 END AS new_span
+        |  FROM h),
+        |si AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM sp),
+        |sv AS (SELECT doc_id, span_id, max(pos) + 4 - min(pos) + 1 AS covered
+        |  FROM si GROUP BY doc_id, span_id),
+        |pd AS (SELECT doc_id, sum(covered)::BIGINT AS dup_tokens,
+        |  count(*)::INT AS n_spans FROM sv GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_tokens, coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  coalesce(n_spans, 0)::INT AS n_spans,
+        |  round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6) AS dup_frac
+        |FROM base LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id LIMIT 300""".stripMargin,
 
     "dedup_cross_source" ->

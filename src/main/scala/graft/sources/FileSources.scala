@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * exercised against deterministic self-written fixtures (the driver
   * testdata is parquet-only; these ops are about *formats*). Oracle-
   * checked via DuckDB's own file readers (`read_blob`/`read_text`/
-  * `glob`/`read_csv`-equivalents) over the same fixture tree, except ORC
-  * (no DuckDB reader — rows-only + ScalaTest golden).
+  * `glob`/`read_csv`-equivalents) over the same fixture tree; ORC (no
+  * DuckDB reader) is oracle-checked as round-trip ≡ identity against
+  * the source parquet.
   *
   *  - S3: recursive glob scan over a nested dir of media files via the
   *    `binaryFile` source (`main.py:136` rglob; 6-extension scan
@@ -165,6 +166,14 @@ object FileSources {
       // CSV round-trip must preserve the source parquet selection exactly
       "s_csv_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+
+      // ORC round-trip: DuckDB has no ORC reader, but round-trip ≡
+      // identity, so the oracle is the same aggregate over the SOURCE
+      // parquet — any write/read corruption (row loss, type drift,
+      // pushdown misfire on read-back) breaks the match.
+      "s_orc_roundtrip" ->
+        """SELECT lang, count(*) AS n FROM documents
+          |WHERE doc_id < 50 GROUP BY lang ORDER BY lang""".stripMargin,
 
       // JSON sink round-trip must preserve the aligned utterances the
       // (already oracle-green) j1 query computes

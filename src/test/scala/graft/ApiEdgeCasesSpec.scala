@@ -206,6 +206,57 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bpeTrain: pairless corpus errors; exhaustion stops early; cadence preserves output") {
+    import spark.implicits._
+    // all-single-token corpus: round-1 argmax is empty → hard error, not
+    // a silently-empty merge table (the old crossJoin-vs-empty path)
+    intercept[IllegalArgumentException] {
+      Graft.bpeTrain(Seq("a", "b").toDF("text"), "text", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.bpeTrain(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        new StructType().add("text", StringType)), "text", 2)
+    }
+    // exhaustion mid-training: "a b" fully merges after round 1; asking
+    // for 5 rounds returns the single learned merge
+    val m = Graft.bpeTrain(Seq("a b").toDF("text"), "text", 5).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b")
+    // the checkpoint cadence is a pure lineage/storage decision — the
+    // learned table is identical at any cadence
+    val docs = Seq("x y x y z", "x y z w x y").toDF("text")
+    def table(every: Int) =
+      Graft.bpeTrain(docs, "text", 3, checkpointEvery = every).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(table(1) == table(100))
+  }
+
+  test("bpeEncode: merges apply in rank order; empty table = identity; null text → null") {
+    import spark.implicits._
+    val docs = Seq(Option("a b c a b"), None).toDF("text")
+    val merges = Seq((1, "a", "b"), (2, "a_b", "c")).toDF("round", "a", "b")
+    val got = Graft.bpeEncode(docs, "text", merges)
+      .select(col("encoded")).collect().map(r => Option(r.getString(0))).toSet
+    // (a,b) first: "a_b c a_b"; then (a_b,c): "a_b_c a_b"
+    assert(got == Set(Some("a_b_c a_b"), None))
+    val idty = Graft.bpeEncode(docs, "text", merges.limit(0))
+      .select(col("encoded")).collect().map(r => Option(r.getString(0))).toSet
+    assert(idty == Set(Some("a b c a b"), None))
+  }
+
+  test("pageRank: dangling-node graph still sums to 1 (sink mass redistributed)") {
+    import spark.implicits._
+    // c and d are sinks (no out-edges): without redistribution their
+    // rank mass leaks every iteration and the total drifts below 1
+    val g = Seq(("a", "b", 1L), ("b", "c", 2L), ("b", "d", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "wgt")
+    val r = Graft.pageRank(g, "src", "dst", "wgt", iterations = 5).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(r.size == 4 && r.values.forall(_ > 0))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"sum=${r.values.sum}")
+    // sinks receive rank; the hub b outranks the leaf a
+    assert(r("b") > r("a"))
+  }
+
   test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
     import spark.implicits._
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -66,6 +66,44 @@ class ClusterProperties extends SparkSpec {
     assert(rounds <= bound, s"rounds=$rounds bound=$bound")
   }
 
+  test("star-contraction change detector: symmetric-difference count is ONE job") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // the fixpoint detector used inside starContract — a full-outer join
+    // of the two checkpointed edge generations counting one-sided rows —
+    // must be a single action (the old form was two except().count()
+    // jobs per round). AQE off: it splits one action into per-stage
+    // jobs and would make the count non-deterministic.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val a = Seq((1L, 2L), (2L, 3L)).toDF("u", "v").localCheckpoint()
+    val b = Seq((1L, 2L), (3L, 4L)).toDF("u", "v").localCheckpoint()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val changed = a.withColumn("__r", lit(1))
+        .join(b.withColumn("__l", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .count()
+      assert(changed == 2) // (2,3) only in a, (3,4) only in b
+      // listener delivery is async — poll until the count settles
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (jobs.get() != last && System.currentTimeMillis() < deadline) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+      assert(jobs.get() == 1, s"detector ran ${jobs.get()} jobs, want 1")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("clusterNearDups{,Star} on an empty pair list return an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -16,6 +16,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("exact-substring: planted verbatim spans are recovered exactly") {
+    import spark.implicits._
+    // docs 1/2 share one 7-token span (at different offsets); docs 4/5
+    // share two disjoint 5-token spans; doc 3 is all-unique filler.
+    val docs = Seq(
+      (1L, "A B C D E F G w1 w2"),
+      (2L, "z1 z2 A B C D E F G"),
+      (3L, "u1 u2 u3 u4 u5 u6"),
+      (4L, "A2 B2 C2 D2 E2 x1 x2 P Q R S T"),
+      (5L, "y1 A2 B2 C2 D2 E2 y2 y3 P Q R S T"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_exsub").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.queries("dedup_exact_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // (n_tokens, dup_tokens, n_spans): the shared 7-token span is
+    // covered by merged 5-gram seeds on both sides; disjoint spans
+    // stay two islands; the unique doc scores zero
+    assert(got(1L) == ((9L, 7L, 1)))
+    assert(got(2L) == ((9L, 7L, 1)))
+    assert(got(3L) == ((6L, 0L, 0)))
+    assert(got(4L) == ((12L, 10L, 2)))
+    assert(got(5L) == ((13L, 10L, 2)))
+  }
+
   test("dedup is idempotent: removing dups then re-deduping removes nothing") {
     val docs = Tables.documents(spark, sf)
     val deduped = docs.dropDuplicates("text")

@@ -88,4 +88,15 @@ class LexicalOpsSpec extends SparkSpec {
         assert(both.map(_.getLong(3)).min >= onlyWorse.map(_.getLong(3)).max)
     }
   }
+
+  test("bpe train → encode round-trip: encoded token totals match round-2 tokens_after") {
+    val train = LexicalOps.queries("bpe_train_merges")(spark, sf).collect()
+    val tokensAfter2 = train.filter(_.getInt(0) == 2).head
+      .getAs[Long]("tokens_after")
+    val enc = LexicalOps.queries("bpe_encode")(spark, sf)
+    val total = enc.agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(total == tokensAfter2, s"encode=$total train=$tokensAfter2")
+    // every doc present exactly once, digests non-null
+    assert(enc.filter(col("enc_md5").isNull).count() == 0)
+  }
 }

@@ -89,6 +89,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(800))
   }
 
+  test("bpe rounds never hash-shuffle the corpus text (checkpoint, not repartition)") {
+    val p = plan("bpe_train_merges")
+    // the merged round-1 corpus is served from one localCheckpoint
+    // materialization (an ExistingRDD scan) to all three consumers...
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      p.take(800))
+    // ...and no per-round hash exchange carries the text column (the
+    // only permissible text movers are the initial scan-spread
+    // round-robin; pair-count exchanges carry (a, b) digest rows only)
+    val offenders = p.split('\n').filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("no registered query plans a CartesianProduct (sweep)") {
     // BroadcastNestedLoopJoin with a provably-tiny broadcast side is
     // acceptable (e.g. v3's 5-row query set against the streamed corpus);

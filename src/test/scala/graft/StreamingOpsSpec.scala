@@ -151,4 +151,17 @@ class StreamingOpsSpec extends SparkSpec {
       assert(listener.metrics.exists(_._1 == total))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("t4 foreachBatch: poisoned batch quarantined as 'failed', stream drains, rest 'ok'") {
+    val rows = graft.streaming.StreamingOps
+      .queries("t4_foreachbatch_isolation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the stream completed despite the raise_error batch, and no row was
+    // lost: the poisoned batch (b2, 3 rows incl. the negative amount) is
+    // quarantined whole; clean batches land as ok
+    assert(rows.toSet == Set(
+      ("b1", "ok", 2L, 1450L),
+      ("b2", "failed", 3L, 1550L),
+      ("b3", "ok", 1L, 4000L)))
+  }
 }
