@@ -257,6 +257,54 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(r("b") > r("a"))
   }
 
+  test("pageRank fuzz: seeded random digraphs (with and without sinks) match a dense replay") {
+    import spark.implicits._
+    def ref(edges: Seq[(String, String, Long)], iters: Int, d: Double): Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.size
+      val idx = nodes.zipWithIndex.toMap
+      val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3.toDouble).sum).toMap
+      var r = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val in = Array.fill(n)(0.0)
+        edges.foreach { case (s, t, w) =>
+          in(idx(t)) += r(idx(s)) * (w.toDouble / outW(s)) }
+        val sink = nodes.filterNot(outW.contains).map(x => r(idx(x))).sum
+        r = nodes.map(x => (1 - d) / n + d * (in(idx(x)) + sink / n)).toArray
+      }
+      nodes.zip(r).toMap
+    }
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(77L + seed)
+      val names = ('a' to 'j').map(_.toString)
+      // ~60% of node pairs get an edge; leave the last 3 nodes src-less
+      // so the graph HAS sinks (and a separate pass without sinks)
+      def gen(withSinks: Boolean): Seq[(String, String, Long)] = {
+        val srcs = if (withSinks) names.dropRight(3) else names
+        val es = for {
+          s <- srcs; t <- names
+          if s != t && rnd.nextDouble() < 0.6
+        } yield (s, t, 1L + rnd.nextInt(3))
+        // guarantee every named src actually keeps one out-edge
+        val covered = es.map(_._1).toSet
+        es ++ srcs.filterNot(covered).map(s =>
+          (s, names((names.indexOf(s) + 1) % names.size), 1L))
+      }
+      Seq(true, false).foreach { withSinks =>
+        val edges = gen(withSinks)
+        val got = Graft.pageRank(edges.toDF("src", "dst", "wgt"), "src", "dst", "wgt",
+            iterations = 4).collect()
+          .map(x => x.getString(0) -> x.getDouble(1)).toMap
+        val want = ref(edges, 4, 0.85)
+        assert(got.keySet == want.keySet, s"seed=$seed sinks=$withSinks")
+        got.foreach { case (k, v) =>
+          assert(math.abs(v - want(k)) < 1e-9,
+            s"seed=$seed sinks=$withSinks node=$k got=$v want=${want(k)}") }
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+    }
+  }
+
   test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
     import spark.implicits._
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -43,6 +43,50 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(5L) == ((13L, 10L, 2)))
   }
 
+  test("exact-substring fuzz: seeded random corpora match a driver-side replay") {
+    import spark.implicits._
+    val k = 5
+    // driver-side reference: gram positions via string equality (the
+    // Spark side seeds with xxhash64 — collision-free at these sizes),
+    // span merge via the sorted-positions walk
+    def ref(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Int)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ")
+        (0 to ts.length - k).map(i => (id, i + 1, ts.slice(i, i + k).mkString(" ")))
+      }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      docs.map { case (id, t) =>
+        val n = t.split(" ").length.toLong
+        val dupPos = grams.collect {
+          case (d, p, g) if d == id && freq(g) >= 2 => p }.sorted
+        var spans = List.empty[(Int, Int)] // (first, last) gram starts
+        dupPos.foreach { p =>
+          spans match {
+            case (s0, l0) :: rest if p <= l0 + k - 1 => spans = (s0, p) :: rest
+            case _ => spans = (p, p) :: spans
+          }
+        }
+        val dupTok = spans.map { case (s, l) => (l + k - 1) - s + 1 }.sum.toLong
+        id -> ((n, dupTok, spans.size))
+      }.toMap
+    }
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(1234L + seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val docs = (1L to 30L).map { id =>
+        val len = 3 + rnd.nextInt(18)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_exsub_f$seed").toString
+      docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = DedupOps.queries("dedup_exact_substring")(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(got == ref(docs), s"seed=$seed")
+    }
+  }
+
   test("dedup is idempotent: removing dups then re-deduping removes nothing") {
     val docs = Tables.documents(spark, sf)
     val deduped = docs.dropDuplicates("text")
