@@ -172,6 +172,39 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** ORDERED, non-distinct word n-gram FNV-1a-64 hashes: slot i
+    * (0-based) is the gram starting at token i+1 — the positioned form
+    * [[WordNgramHashes]] discards, for span-resolving ops
+    * (exact-substring dedup) where a gram's OFFSET is the payload.
+    * Same one-pass-per-document cost model; the contract
+    * sort(distinct(this)) == WordNgramHashes is property-tested. */
+  case class WordNgramPosHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < n) {
+          if (k > 0) { h ^= ' '; h *= 0x100000001b3L }
+          val s = toks(i + k)
+          var p = 0
+          while (p < s.length) { h ^= s.charAt(p); h *= 0x100000001b3L; p += 1 }
+          k += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Sorted distinct FNV-1a-64 hashes of word n-grams — the general-n
     * form of [[WordBigramHashes]] (same set algebra, same collision
     * argument). Used by decontamination, where the overlap unit is a
@@ -329,6 +362,8 @@ object TextSignatures {
     ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
   def wordNgramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(text), n))
+  def wordNgramPosHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramPosHashes(ColumnBridge.expression(text), n))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def bpeMergeApply(text: Column, a: Column, b: Column): Column =

@@ -331,14 +331,14 @@ object DedupOps {
     // no running-max state.
     "dedup_exact_substring" -> ((s, dir) => {
       val k = 5
-      val toks = split(col("text"), " ")
+      // positioned gram digests via the native single-pass expression
+      // (the HOF slice/concat_ws/hash formulation pays interpreted
+      // lambda + boxing per gram — the TextSignatures cost argument);
+      // slot index + 1 = 1-based token offset of the gram
       val grams = Tables.documentsSpread(s, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
-          posexplode(transform(
-            when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-              .otherwise(array().cast("array<int>")),
-            i => xxhash64(concat_ws(" ", slice(toks, i, lit(k)))))))
+          posexplode(graft.functions.TextSignatures.wordNgramPosHashes(col("text"), k)))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
       val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= 2).select(col("g"))

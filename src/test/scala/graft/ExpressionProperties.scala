@@ -79,6 +79,23 @@ object ExpressionProperties extends Properties("graft.expressions") {
         .asInstanceOf[ArrayData].numElements() == expected
     }
 
+  property("wordNgramPosHashes: slot i = hash of gram at token i+1; sort∘distinct == wordNgramHashes") =
+    Prop.forAll(text, Gen.choose(2, 6)) { (t, n) =>
+      val toks = t.split(" ", -1)
+      val pos = TextSignatures.WordNgramPosHashes(lit, n)
+        .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+      val posSeq = (0 until pos.numElements()).map(pos.getLong)
+      val set = TextSignatures.WordNgramHashes(lit, n)
+        .nullSafeEval(UTF8String.fromString(t)).asInstanceOf[ArrayData]
+      val setSeq = (0 until set.numElements()).map(set.getLong)
+      // length = sliding-window count; order = token order (two texts
+      // sharing a gram at different offsets hash identically, which is
+      // exactly what span seeding needs); collapsing to a sorted set
+      // reproduces the distinct form bit-for-bit
+      posSeq.length == math.max(0, toks.length - n + 1) &&
+        posSeq.distinct.sorted == setSeq
+    }
+
   property("simhash is permutation-invariant (bag semantics)") = Prop.forAll(text) { t =>
     val toks = t.split(" ", -1)
     val shuffled = scala.util.Random.shuffle(toks.toList).mkString(" ")
