@@ -83,6 +83,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
            "actualNum" -> args.length.toString,
            "docroot" -> "https://spark.apache.org/docs/latest")))
 
+  /** The n-gram width is a constructor Int, not a child expression — it
+    * must be a foldable integer literal at the SQL call site. */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$name: n must be an INT literal, got ${e.sql}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
     Seq(
@@ -101,7 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_nfc", "Unicode NFC canonical composition of a string", 1,
         { case Seq(c) => TextSignatures.NfcNormalize(c) }),
       fn("graft_bpe_merge", "apply one BPE merge (a,b)->'a_b' to a space-tokenized string", 3,
-        { case Seq(t, a, b) => TextSignatures.BpeMergeApply(t, a, b) })
+        { case Seq(t, a, b) => TextSignatures.BpeMergeApply(t, a, b) }),
+      fn("graft_word_ngram_hashes", "sorted distinct FNV64 word n-gram hashes (n = int literal)", 2,
+        { case Seq(c, n) => TextSignatures.WordNgramHashes(c, intLit("graft_word_ngram_hashes", n)) }),
+      fn("graft_word_ngram_pos_hashes", "per-offset FNV64 word n-gram hashes, slot i = gram at token i+1 (n = int literal)", 2,
+        { case Seq(c, n) => TextSignatures.WordNgramPosHashes(c, intLit("graft_word_ngram_pos_hashes", n)) })
     ).foreach(ext.injectFunction)
   }
 }

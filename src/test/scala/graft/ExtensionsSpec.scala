@@ -60,6 +60,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "a a_b")
   }
 
+  test("graft_word_ngram{,_pos}_hashes: SQL == expression path; non-literal n rejected") {
+    val r = spark.sql(
+      "SELECT graft_word_ngram_hashes('a b a b c', 2) AS s, " +
+      "graft_word_ngram_pos_hashes('a b a b c', 2) AS p").head()
+    val s = r.getSeq[Long](0)
+    val p = r.getSeq[Long](1)
+    // 4 sliding bigrams, 3 distinct ('a b' repeats at offsets 1 and 3)
+    assert(p.length == 4 && s.length == 3)
+    assert(p(0) == p(2) && p.distinct.sorted == s.sorted)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_ngram_pos_hashes('a b c', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("INT literal"))
+  }
+
   test("wrong arity raises a proper analysis error, not a MatchError") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()
