@@ -46,6 +46,53 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact-substring duplicated-span scoring (Lee et al. 2022
+    * "ExactSubstr", re-expressed relationally): score each doc by the
+    * fraction of its tokens covered by word spans repeated VERBATIM
+    * (≥ minFreq occurrences corpus-wide, within-doc repeats included),
+    * seeded by k-token grams and merged to maximal spans. Out:
+    * (idCol, n_tokens, dup_tokens, n_spans, dup_frac), unrounded.
+    *
+    * Scale: the frequency pass shuffles only 8-byte FNV digests — text
+    * never moves, and no pair join exists anywhere (frequency, not
+    * pairing, is the unit, so there is no n²); span merge is one lag
+    * window per doc (fixed k + strictly increasing positions ⇒ the
+    * overlap test is `pos ≤ lag(pos)+k−1`, no running-max state).
+    * Parallelism comes from the caller's layout — spread CPU-heavy
+    * single-file corpora before calling (Tables.documentsSpread
+    * rationale). */
+  def exactSubstringDups(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, minFreq: Int = 2): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minFreq >= 2, "minFreq must be >= 2")
+    val base = docs.filter(col(textCol).isNotNull)
+    val grams = base
+      .select(col(idCol).as("__id"),
+        posexplode(TextSignatures.wordNgramPosHashes(col(textCol), k)))
+      .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq).select(col("g"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val spans = grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("__new", (col("pos") >
+        coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue)) + (k - 1)).cast("int"))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__span"))
+      .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1).cast("long").as("__cov"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__cov")).as("dup_tokens"),
+           count(lit(1)).cast("int").as("n_spans"))
+    base.select(col(idCol).as("__id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(spans, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * In: docs(idCol, textCol). Out: (a_id, b_id, jaccard ≥ minJaccard). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,

@@ -329,41 +329,15 @@ object DedupOps {
     // doc_id. With fixed k and strictly increasing positions, "overlaps
     // the running span" reduces to pos <= lag(pos) + k - 1 — one lag,
     // no running-max state.
-    "dedup_exact_substring" -> ((s, dir) => {
-      val k = 5
-      // positioned gram digests via the native single-pass expression
-      // (the HOF slice/concat_ws/hash formulation pays interpreted
-      // lambda + boxing per gram — the TextSignatures cost argument);
-      // slot index + 1 = 1-based token offset of the gram
-      val grams = Tables.documentsSpread(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextSignatures.wordNgramPosHashes(col("text"), k)))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
-        .filter(col("freq") >= 2).select(col("g"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = grams.join(dup, Seq("g"), "left_semi")
-        .withColumn("new_span",
-          (col("pos") > coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue)) + (k - 1))
-            .cast("int"))
-        .withColumn("span_id", sum(col("new_span")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("span_id"))
-        .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1).cast("long").as("covered"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("covered")).as("dup_tokens"),
-             count(lit(1)).cast("int").as("n_spans"))
-      Tables.documents(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          coalesce(col("n_spans"), lit(0)).as("n_spans"),
-          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
-            .as("dup_frac"))
-        .orderBy(col("doc_id")).limit(300)
-    }),
+    // the ONE implementation lives in Graft.exactSubstringDups (native
+    // positioned-gram digests via WordNgramPosHashes — the HOF
+    // slice/concat_ws/hash formulation pays interpreted lambda + boxing
+    // per gram); the query binds it to the spread corpus at k=5
+    "dedup_exact_substring" -> ((s, dir) =>
+      graft.api.Graft.exactSubstringDups(
+          Tables.documentsSpread(s, dir), "doc_id", "text", k = 5)
+        .withColumn("dup_frac", round(col("dup_frac"), 6))
+        .orderBy(col("doc_id")).limit(300)),
 
     // Cross-source contamination matrix: near-dup pairs (the blocked
     // salted Jaccard join above) rolled up to (source_a, source_b)

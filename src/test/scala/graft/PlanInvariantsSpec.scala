@@ -103,6 +103,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("exact-substring: no exchange carries text; dup-seed membership is broadcast") {
+    val p = plan("dedup_exact_substring")
+    // the corpus text moves only in the initial scan-spread round-robin;
+    // every hash exchange carries digests/positions, never the document
+    val offenders = p.split('\n').filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(offenders.isEmpty, offenders.mkString("; "))
+    // the df>=minFreq seed set probes in place (no pair join exists)
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
+  }
+
   test("no registered query plans a CartesianProduct (sweep)") {
     // BroadcastNestedLoopJoin with a provably-tiny broadcast side is
     // acceptable (e.g. v3's 5-row query set against the streamed corpus);
