@@ -206,6 +206,23 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("exactSubstringDups: empty corpus, sub-k docs, and within-doc repeats are safe") {
+    import spark.implicits._
+    assert(Graft.exactSubstringDups(emptyDocs, "doc_id", "text").count() == 0)
+    // every doc shorter than k: zero grams, zero spans, never a throw
+    val short = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val s0 = Graft.exactSubstringDups(short, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(s0 == Map(1L -> ((0L, 0)), 2L -> ((0L, 0))))
+    // within-doc verbatim repeat counts (ExactSubstr semantics): the
+    // 5-gram at pos 1 recurs at pos 6 → two disjoint spans cover all 10
+    // tokens of the single document
+    val self = Seq((7L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = Graft.exactSubstringDups(self, "doc_id", "text").head()
+    assert((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)) ==
+      ((10L, 10L, 2, 1.0)))
+  }
+
   test("bpeTrain: pairless corpus errors; exhaustion stops early; cadence preserves output") {
     import spark.implicits._
     // all-single-token corpus: round-1 argmax is empty → hard error, not
