@@ -58,9 +58,17 @@ object Graft {
     * pairing, is the unit, so there is no n²); span merge is one lag
     * window per doc (fixed k + strictly increasing positions ⇒ the
     * overlap test is `pos ≤ lag(pos)+k−1`, no running-max state).
-    * Parallelism comes from the caller's layout — spread CPU-heavy
-    * single-file corpora before calling (Tables.documentsSpread
-    * rationale). */
+    * The gram scan runs TWICE (frequency side + probe side) by
+    * deliberate choice: a (id, pos, digest) row is ~16 B/token, so a
+    * materialization barrier would exchange roughly corpus-scale bytes
+    * to save one map-side rescan — the same trade the BPE d0 scan makes
+    * (rescans are pure scan throughput; barriers are network+disk). The
+    * dup-seed membership join carries NO broadcast hint: locally the
+    * df≥minFreq set broadcasts; at 100 TB the planner degrades it to a
+    * digest-keyed shuffled semi join automatically — still no text
+    * movement. Parallelism comes from the caller's layout — spread
+    * CPU-heavy single-file corpora before calling
+    * (Tables.documentsSpread rationale). */
   def exactSubstringDups(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, minFreq: Int = 2): DataFrame = {
     require(k >= 2, "k must be >= 2")
