@@ -213,8 +213,34 @@ object LexicalOps {
           size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
           md5(col("encoded")).as("enc_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The PRODUCTION encode shape: apply a PERSISTED merge table (here
+    // a fixed 3-merge literal, incl. a stacked merge consuming an
+    // earlier merge's output token) without retraining — one broadcast
+    // of the table + one map-side fold pass over the corpus, nothing
+    // else. Also the pure-encode bench number (`bpe_encode` above is
+    // dominated by its 2-round re-train).
+    "bpe_encode_pretrained" -> ((s, dir) => {
+      import s.implicits._
+      val merges = pretrainedMerges.toDF("round", "a", "b")
+      graft.api.Graft.bpeEncode(
+          graft.Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          "text", merges)
+        .select(col("doc_id"),
+          size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
+          md5(col("encoded")).as("enc_md5"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** The fixed "persisted tokenizer" merge table for
+    * `bpe_encode_pretrained`: corpus-vocabulary tokens, with merge 3
+    * consuming merge 1's output (stacking). ONE definition feeds both
+    * the Spark query and the generated oracle fold chain. */
+  private val pretrainedMerges =
+    Seq((1, "hash", "join"), (2, "row", "batch"), (3, "hash_join", "scan"))
 
   /** Shared oracle CTE prefix: tokenized corpus, doc lengths, avgdl, and
     * integer-quantized BM25 scores — the same arithmetic sequence as the
@@ -322,6 +348,25 @@ object LexicalOps {
        """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
          |  md5(text) AS enc_md5
          |FROM d2 ORDER BY doc_id""".stripMargin),
+
+    // fixed merge table applied in rank order: a generated chain of
+    // list_reduce folds, one per merge, from the SAME pretrainedMerges
+    // the Spark query broadcasts
+    "bpe_encode_pretrained" -> {
+      val steps = pretrainedMerges.zipWithIndex.map { case ((_, a, b), i) =>
+        val src = if (i == 0) "e0" else s"e$i"
+        s"""e${i + 1} AS (SELECT doc_id, list_reduce(string_split($src.text, ' '), (acc, t) ->
+           |    CASE WHEN regexp_extract(acc, '[^ ]*$$') = '$a' AND t = '$b'
+           |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$$')))
+           |           || '$a' || '_' || '$b'
+           |      ELSE acc || ' ' || t END) AS text
+           |  FROM $src)""".stripMargin
+      }
+      s"WITH e0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),\n" +
+        steps.mkString(",\n") + "\n" +
+        s"SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,\n" +
+        s"  md5(text) AS enc_md5\nFROM e${pretrainedMerges.size} ORDER BY doc_id"
+    },
 
     "retrieval_hybrid_rrf" ->
       s"""$bm25Cte,

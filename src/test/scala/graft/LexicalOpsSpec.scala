@@ -89,6 +89,18 @@ class LexicalOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode_pretrained: fixed merges fire (corpus shrinks) and stack") {
+    import org.apache.spark.sql.functions.sum
+    val enc = LexicalOps.queries("bpe_encode_pretrained")(spark, sf)
+    val encTok = enc.agg(sum(col("n_tokens"))).head().getLong(0)
+    val rawTok = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")))
+      .count()
+    // every fired merge removes one token; the fixture vocabulary
+    // guarantees 'hash join' / 'row batch' adjacencies exist
+    assert(encTok < rawTok, s"enc=$encTok raw=$rawTok")
+  }
+
   test("bpe train → encode round-trip: encoded token totals match round-2 tokens_after") {
     val train = LexicalOps.queries("bpe_train_merges")(spark, sf).collect()
     val tokensAfter2 = train.filter(_.getInt(0) == 2).head
