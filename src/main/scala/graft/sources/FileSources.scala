@@ -123,6 +123,24 @@ object FileSources {
         .orderBy(col("lang"))
     }),
 
+    // XML round-trip — Spark 4's in-core XML source (the spark-xml
+    // merge): write a deterministic selection with rowTag rows, read
+    // back with an explicit schema. DuckDB has no XML reader, so the
+    // oracle is the identity trick (≡ source parquet selection), same
+    // as ORC.
+    "s_xml_roundtrip" -> ((s, dir) => {
+      val out = "target/graft_file_fixtures/out_docs_xml"
+      graft.Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("rowTag", "doc").format("xml").load(out)
+        .orderBy(col("doc_id"))
+    }),
+
     // K1: JSON sink round-trip — write aligned utterances as JSON
     // (transcription.py:349-351), read back, verify through the scan.
     "k1_json_sink_roundtrip" -> ((s, _) => {
@@ -174,6 +192,11 @@ object FileSources {
       "s_orc_roundtrip" ->
         """SELECT lang, count(*) AS n FROM documents
           |WHERE doc_id < 50 GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // XML round-trip ≡ identity on the same selection (no DuckDB XML
+      // reader, same trick as ORC/CSV)
+      "s_xml_roundtrip" ->
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id",
 
       // JSON sink round-trip must preserve the aligned utterances the
       // (already oracle-green) j1 query computes

@@ -67,6 +67,17 @@ class FileSourcesSpec extends SparkSpec {
     assert(viaOrc == direct)
   }
 
+  test("xml roundtrip preserves typed rows (Spark 4 in-core XML source)") {
+    val viaXml = run("s_xml_roundtrip").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val direct = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaXml.toSeq == direct.toSeq && viaXml.length == 50)
+  }
+
   test("typed Aggregator mean matches builtin avg with null->1.0 default") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
