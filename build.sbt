@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the bench JSON line from the tail of sbt's
+// stdout. sbt's default LoggedOutput strategy decorates even FORKED
+// process output with "[info] " (the r01-r03 parsed:null failure) and
+// appends "[success] Total time ..." after it. StdoutOutput inherits
+// the parent's raw stdout (no logger), and showSuccess drops the
+// trailing banner, so the JSON line is emitted bare and last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,6 +17,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // t4's INTENTIONALLY poisoned micro-batch logs a full stack trace
+    // through the (async) streaming thread at WARN; if that interleaves
+    // after the bench JSON line it pushes the line's head out of the
+    // driver's ~2.9 KB tail capture. Streaming progress is not bench
+    // output — drop the whole subtree to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.streaming", org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JIT + whole-stage-codegen compilation and parquet
     // footer reads otherwise land entirely on the first measured query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -69,15 +79,20 @@ object Bench {
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val omitted = results.size - entries.size
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
+    // Full-precision artifact FIRST: even if the capture-budget guard
+    // below trips, the complete results survive on disk.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
     // Hard guard: if the line ever outgrows the capture window again,
     // fail loudly at bench time instead of silently shipping a
     // head-decapitated artifact to the driver.
     require(line.length <= 2200,
       s"bench line ${line.length}B exceeds driver capture budget")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: nothing (executor shutdown chatter,
+    // lingering streaming threads) can print after the JSON line, so it
+    // is the final stdout line the driver sees.
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
   }
 }
