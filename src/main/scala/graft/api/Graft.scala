@@ -412,8 +412,15 @@ object Graft {
   def clusterNearDups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     def free(ids: Set[Int]): Unit = freeCheckpoints(pairs, ids)
 
+    // Null node ids carry no identity to cluster by (and SQL set ops
+    // treat NULL=NULL while joins do not, so a null id inside the
+    // fixpoint's change-detection join could keep `changed` > 0
+    // forever). Excluded up front; a null-id row contributes nothing to
+    // connectivity by contract.
     val p = pairs.select(col(aCol).cast("long").as("a"),
-                         col(bCol).cast("long").as("b")).localCheckpoint()
+                         col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint()
     val edges = p.union(p.select(col("b"), col("a"))).toDF("u", "v")
     var (labels, labelIds) = checkpointTracked(
       edges.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("lbl")))
@@ -453,8 +460,12 @@ object Graft {
     * termination property spec. */
   private[graft] def starContract(pairs: DataFrame, aCol: String,
                                   bCol: String): (DataFrame, Int) = {
+    // Same null-id contract as [[clusterNearDups]]: a null id would
+    // never match itself in the full-outer fixpoint join below (joins
+    // are not null-safe), so the while-loop could never terminate.
     val p0 = pairs.select(col(aCol).cast("long").as("u"),
                           col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
     val nodes = p0.select(col("u")).union(p0.select(col("v")))
       .distinct().toDF("id").localCheckpoint()
     // canonical (larger, smaller) orientation; self-loops contribute
@@ -670,16 +681,33 @@ object Graft {
     * result: the old crossJoin-against-empty-argmax silently emptied
     * the corpus AND the merge table. */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
-               checkpointEvery: Int = 16): DataFrame = {
+               checkpointEvery: Int = 16): DataFrame =
+    // train-only callers carry just the text column through the loop's
+    // checkpoint generations — nothing else is needed for the statistic
+    bpeTrainEncode(docs.filter(col(textCol).isNotNull)
+      .select(col(textCol).as("text")), "text", rounds, checkpointEvery)._1
+
+  /** [[bpeTrain]] AND the encoded corpus in one pass: the training
+    * loop's final merged corpus IS the encode of the input under the
+    * learned table, so callers that want both (train-then-tokenize, the
+    * standard pipeline shape) must not pay a second full re-fold of the
+    * raw text ([[bpeEncode]] exists for applying a PERSISTED table).
+    * Returns (merge table, input rows with textCol merged in place);
+    * non-text columns (doc ids, metadata) ride along untouched. */
+  def bpeTrainEncode(docs: DataFrame, textCol: String, rounds: Int,
+                     checkpointEvery: Int = 16): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    var corpus = docs.filter(col(textCol).isNotNull).select(col(textCol).as("text"))
+    val reserved = Seq("__bpe_round", "__bpe_a", "__bpe_b", "__bpe_cnt")
+    require(!docs.columns.exists(reserved.contains),
+      s"docs must not carry a ${reserved.mkString("/")} column")
+    var corpus = docs.filter(col(textCol).isNotNull)
     var corpusIds = Set.empty[Int]
     var merges: DataFrame = null
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val m = bpeTopPair(corpus, "text")
+      val m = bpeTopPair(corpus, textCol)
         .select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
         .localCheckpoint()
       if (m.isEmpty) {
@@ -687,8 +715,12 @@ object Graft {
         // cross-join the corpus to zero rows — stop instead
         exhausted = true
       } else {
-        corpus = corpus.crossJoin(broadcast(m))
-          .select(TextSignatures.bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
+        corpus = corpus.crossJoin(broadcast(m.select(
+            col("round").as("__bpe_round"), col("a").as("__bpe_a"),
+            col("b").as("__bpe_b"), col("cnt").as("__bpe_cnt"))))
+          .withColumn(textCol, TextSignatures.bpeMergeApply(
+            col(textCol), col("__bpe_a"), col("__bpe_b")))
+          .drop("__bpe_round", "__bpe_a", "__bpe_b", "__bpe_cnt")
         if (r % checkpointEvery == 0) {
           val (cp, ids) = checkpointTracked(corpus) // eager: old gen dead after this
           freeCheckpoints(corpus, corpusIds)
@@ -701,7 +733,7 @@ object Graft {
     }
     require(merges != null,
       "bpeTrain: corpus has no adjacent token pair (empty or all-single-token input)")
-    merges.orderBy(col("round"))
+    (merges.orderBy(col("round")), corpus)
   }
 
   /** Corpus-wide adjacent-token-pair counts of a space-tokenized text
@@ -803,8 +835,19 @@ object Graft {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          col(wgtCol).cast("double").as("wgt"))
     val out = e.groupBy(col("src")).agg(sum(col("wgt")).as("__out_w"))
+    // A node whose out-weights sum to 0 (or null) cannot be normalized:
+    // its p would be null, its contributions would silently vanish from
+    // sum(__in_rank), and the conservation form would misclassify its
+    // whole rank as dangling mass. Degenerate weights are bad INPUT —
+    // fail loudly at execution time (no extra validation job; the check
+    // rides the normalization projection itself).
     val edgeP = e.join(out, "src")
-      .select(col("src"), col("dst"), (col("wgt") / col("__out_w")).as("p"))
+      .select(col("src"), col("dst"), (col("wgt") /
+        when(col("__out_w").isNotNull && col("__out_w") =!= 0.0, col("__out_w"))
+          .otherwise(raise_error(concat(
+            lit("pageRank: out-weights of node "), col("src").cast("string"),
+            lit(" sum to 0 or null; edge weights must sum nonzero per source"))))
+        ).as("p"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     // one up-front probe: does the graph have sinks at all? Sink-free

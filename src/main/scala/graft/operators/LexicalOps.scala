@@ -177,7 +177,6 @@ object LexicalOps {
       val d1 = d0.crossJoin(broadcast(m1))
         .select(col("doc_id"),
           bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
-      d1.unpersist(blocking = false)
       d1.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val m2 = topPair(d1).localCheckpoint()
       val d2 = d1.crossJoin(broadcast(m2))
@@ -189,7 +188,12 @@ object LexicalOps {
       val r2 = m2.crossJoin(broadcast(stats(d2)))
         .select(lit(2).as("round"), col("a"), col("b"), col("cnt"),
                 col("tokens_after"), col("vocab_after"))
-      r1.unionByName(r2).orderBy(col("round"))
+      // eager 2-row checkpoint of the answer, then FREE the DISK_ONLY
+      // merged corpus — without this the corpus cache lingers in the
+      // shared bench JVM for the rest of the 141-query sweep
+      val res = r1.unionByName(r2).orderBy(col("round")).localCheckpoint()
+      d1.unpersist(blocking = false)
+      res
     }),
 
     // BPE APPLY — the encode stage between merge training and
@@ -207,11 +211,14 @@ object LexicalOps {
       val docs = graft.Tables.documentsSpread(s, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
-      val merges = graft.api.Graft.bpeTrain(docs, "text", rounds = 2)
-      graft.api.Graft.bpeEncode(docs, "text", merges)
+      // train-AND-encode in one pass: the training loop's final merged
+      // corpus IS the encode — no second fold of the raw text
+      // (bpe_encode_pretrained covers the apply-a-persisted-table shape)
+      val (_, encoded) = graft.api.Graft.bpeTrainEncode(docs, "text", rounds = 2)
+      encoded
         .select(col("doc_id"),
-          size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
-          md5(col("encoded")).as("enc_md5"))
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("text")).as("enc_md5"))
         .orderBy(col("doc_id"))
     }),
 

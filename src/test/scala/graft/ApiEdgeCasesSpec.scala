@@ -322,6 +322,37 @@ class ApiEdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: zero-sum out-weights fail loudly, not as silent dangling mass") {
+    import spark.implicits._
+    // b's weights sum to 0: normalization is undefined; pre-guard its
+    // contributions vanished and its rank was reclassified as dangling
+    val g = Seq(("a", "b", 1L), ("b", "c", 1L), ("b", "d", -1L))
+      .toDF("src", "dst", "wgt")
+    val e = intercept[Exception] {
+      Graft.pageRank(g, "src", "dst", "wgt", iterations = 2).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out-weights")), messages(e).mkString(" | "))
+  }
+
+  test("cluster fixpoints exclude null node ids and terminate") {
+    import spark.implicits._
+    // null ids never match themselves in a (non-null-safe) join: left
+    // inside the fixpoint they could keep `changed` > 0 forever. The
+    // contract: a null-id pair row contributes nothing to connectivity.
+    val pairs = Seq((Option(1L), Option(2L)), (Option(2L), Option(3L)),
+        (Option.empty[Long], Option(4L)), (Option(5L), Option.empty[Long]),
+        (Option.empty[Long], Option.empty[Long]))
+      .toDF("a", "b")
+    Seq[(org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame](
+      Graft.clusterNearDups, Graft.clusterNearDupsStar).foreach { f =>
+      val got = f(pairs, "a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+    }
+  }
+
   test("pageRank: empty edges yield empty ranks; a 2-cycle is uniform") {
     import spark.implicits._
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
