@@ -284,6 +284,20 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(facade.toSeq == query.toSeq && facade.length == 2)
   }
 
+  test("Graft.bpeTrainEncode corpus equals bpeEncode of the learned table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val (merges, encoded) = graft.api.Graft.bpeTrainEncode(docs, "text", rounds = 2)
+    // one-pass corpus ≡ the two-pass re-fold of the raw text; doc ids
+    // ride along untouched
+    val onePass = encoded.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val twoPass = graft.api.Graft.bpeEncode(docs, "text", merges)
+      .select(col("doc_id"), col("encoded")).as[(Long, String)].collect().toMap
+    assert(onePass == twoPass && onePass.nonEmpty)
+  }
+
   test("dedup_cluster_star labels equal propagation labels") {
     val star = graft.operators.DedupOps.queries("dedup_cluster_star")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2), r.getInt(3))).toSet
