@@ -54,6 +54,10 @@ object StreamingOps {
     root.toString
   }
 
+  private val t4Schema = StructType(Seq(
+    StructField("batch_key", StringType), StructField("event_id", LongType),
+    StructField("amount_cents", LongType)))
+
   /** events schema with ts as raw nanos (nanosAsLong read). */
   private val eventsNanosSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -235,10 +239,7 @@ object StreamingOps {
         Files.walk(sinkPath).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
       }
-      val schema = StructType(Seq(
-        StructField("batch_key", StringType), StructField("event_id", LongType),
-        StructField("amount_cents", LongType)))
-      val stream = s.readStream.schema(schema)
+      val stream = s.readStream.schema(t4Schema)
         .option("maxFilesPerTrigger", 1).json(srcDir)
       def writeBatch(df: DataFrame): Unit =
         df.write.mode("overwrite")
@@ -262,6 +263,43 @@ object StreamingOps {
         .groupBy(col("batch_key"), col("status"))
         .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("total_cents"))
         .orderBy(col("batch_key"))
+    }),
+
+    // T4 at ROW grain — the reference's actual isolation unit
+    // (main.py:75-95: one bad file doesn't fail its batch-mates; here
+    // one bad ROW doesn't fail its batch): each row is validated in the
+    // transform itself (status column, no raise), so the poisoned batch
+    // b2 lands with its 2 healthy rows 'ok' and ONLY the bad row
+    // 'failed' — finer quarantine than t4_foreachbatch_isolation, which
+    // marks b2 whole. Same idempotent dynamic-partition-overwrite sink;
+    // per-row validation is pure map-side (no try/catch, no driver
+    // decision), which is also the cheaper production shape: the batch
+    // pipeline never tears down and rebuilds on poison.
+    "t4_row_isolation" -> ((s, _) => {
+      import java.nio.file.{Files, Paths}
+      val srcDir = t4FixtureDir()
+      val sink = "target/graft_stream_fixtures/t4_row_sink"
+      val sinkPath = Paths.get(sink)
+      if (Files.exists(sinkPath)) { // fresh run (Bench runs twice per JVM)
+        Files.walk(sinkPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      val stream = s.readStream.schema(t4Schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.withColumn("status",
+              when(col("amount_cents") >= 0, lit("ok")).otherwise(lit("failed")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_key").parquet(sink)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("batch_key"), col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("total_cents"))
+        .orderBy(col("batch_key"), col("status"))
     }),
 
     // T5: progress metrics as a first-class op — `df.observe()`
@@ -359,6 +397,19 @@ object StreamingOps {
          |  count(*) AS n, sum(amount_cents)::BIGINT AS total_cents
          |FROM r JOIN f USING (batch_key)
          |GROUP BY r.batch_key, bad ORDER BY batch_key""".stripMargin
+    },
+
+    // row grain: each row's own validity decides its status
+    "t4_row_isolation" -> {
+      val root = java.nio.file.Paths.get("target/graft_stream_fixtures/t4_batches")
+        .toAbsolutePath.toString
+      s"""WITH r AS (SELECT batch_key, event_id, amount_cents
+         |  FROM read_json('$root/*.json',
+         |    columns = {batch_key: 'VARCHAR', event_id: 'BIGINT', amount_cents: 'BIGINT'}))
+         |SELECT batch_key,
+         |  CASE WHEN amount_cents < 0 THEN 'failed' ELSE 'ok' END AS status,
+         |  count(*) AS n, sum(amount_cents)::BIGINT AS total_cents
+         |FROM r GROUP BY 1, 2 ORDER BY batch_key, status""".stripMargin
     },
 
     "t5_observe_metrics" ->

@@ -164,4 +164,18 @@ class StreamingOpsSpec extends SparkSpec {
       ("b2", "failed", 3L, 1550L),
       ("b3", "ok", 1L, 4000L)))
   }
+
+  test("t4 row grain: healthy rows in a poisoned batch stay ok, only the bad row fails") {
+    val rows = graft.streaming.StreamingOps
+      .queries("t4_row_isolation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // b2 carries the poisoned row: at row grain its two healthy rows
+    // land 'ok' and ONLY event 4 is quarantined — nothing is lost and
+    // nothing healthy is dragged down with the bad row
+    assert(rows.toSet == Set(
+      ("b1", "ok", 2L, 1450L),
+      ("b2", "failed", 1L, -50L),
+      ("b2", "ok", 2L, 1600L),
+      ("b3", "ok", 1L, 4000L)))
+  }
 }
