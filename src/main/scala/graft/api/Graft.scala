@@ -74,22 +74,9 @@ object Graft {
     require(k >= 2, "k must be >= 2")
     require(minFreq >= 2, "minFreq must be >= 2")
     val base = docs.filter(col(textCol).isNotNull)
-    val grams = base
-      .select(col(idCol).as("__id"),
-        posexplode(TextSignatures.wordNgramPosHashes(col(textCol), k)))
-      .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq).select(col("g"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    val spans = grams.join(dup, Seq("g"), "left_semi")
-      .withColumn("__new", (col("pos") >
-        coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue)) + (k - 1)).cast("int"))
-      .withColumn("__span", sum(col("__new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("__id"), col("__span"))
-      .agg((max(col("pos")) + (k - 1) - min(col("pos")) + 1).cast("long").as("__cov"))
+    val spans = exactSubstringSpanBounds(base, idCol, textCol, k, minFreq)
       .groupBy(col("__id"))
-      .agg(sum(col("__cov")).as("dup_tokens"),
+      .agg(sum(col("hi") - col("lo") + 1).cast("long").as("dup_tokens"),
            count(lit(1)).cast("int").as("n_spans"))
     base.select(col(idCol).as("__id"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
@@ -99,6 +86,67 @@ object Graft {
         coalesce(col("n_spans"), lit(0)).as("n_spans"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
+  }
+
+  /** Maximal duplicated-span bounds per doc: (__id, lo, hi) in 1-based
+    * token positions, spans already merged (disjoint). The k-gram
+    * seeding of [[exactSubstringDups]]: every k-gram with corpus
+    * frequency ≥ minFreq marks positions pos..pos+k-1 as duplicated;
+    * overlapping marks coalesce under one lag + running-sum window
+    * after the single doc_id exchange. Shuffles carry only (digest) and
+    * (id, pos) rows — never text, never pairs. */
+  private[graft] def exactSubstringSpanBounds(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minFreq: Int): DataFrame = {
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(TextSignatures.wordNgramPosHashes(col(textCol), k)))
+      .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq).select(col("g"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("__new", (col("pos") >
+        coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue)) + (k - 1)).cast("int"))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__span"))
+      .agg(min(col("pos")).as("lo"), (max(col("pos")) + (k - 1)).as("hi"))
+      .select(col("__id"), col("lo"), col("hi"))
+  }
+
+  /** The CUT stage of Lee et al. ExactSubstr: REMOVE every token
+    * covered by a duplicated span (the span table of
+    * [[exactSubstringDups]]), returning the input rows with `outCol` =
+    * the cleaned text and `n_kept` = its surviving token count
+    * (counted on the token ARRAY, so a lone empty token — text "" —
+    * counts 1, matching `split` semantics on both engines). Docs with
+    * no duplicated span pass through verbatim.
+    * Scale: the span table is bounded by duplicated-gram volume (tiny
+    * vs the corpus), collected per doc (spans are disjoint and merged,
+    * so per-doc cardinality is small by construction) and joined back
+    * on the same doc_id key; the cut itself is one map-side
+    * higher-order filter over the token array — no new shuffle beyond
+    * the score pass's own. */
+  def exactSubstringCut(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, minFreq: Int = 2,
+                        outCol: String = "clean_text"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minFreq >= 2, "minFreq must be >= 2")
+    require(!docs.columns.contains("__spans") && !docs.columns.contains("__id"),
+      "docs must not carry __spans/__id columns")
+    val base = docs.filter(col(textCol).isNotNull)
+    val spans = exactSubstringSpanBounds(base, idCol, textCol, k, minFreq)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("__spans"))
+    base.join(spans.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"), array().cast("array<struct<lo:int,hi:int>>")))
+      .withColumn("__kept", filter(split(col(textCol), " "), (_, i) =>
+        !exists(col("__spans"), sp =>
+          (i + 1) >= sp.getField("lo") && (i + 1) <= sp.getField("hi"))))
+      .withColumn(outCol, concat_ws(" ", col("__kept")))
+      .withColumn("n_kept", size(col("__kept")))
+      .drop("__spans", "__kept")
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.

@@ -339,6 +339,21 @@ object DedupOps {
         .withColumn("dup_frac", round(col("dup_frac"), 6))
         .orderBy(col("doc_id")).limit(300)),
 
+    // The CUT stage (Lee et al. pipelines don't just SCORE duplicated
+    // spans, they remove them): tokens covered by any merged dup span
+    // are dropped from the text; everything else passes through
+    // verbatim. Digest-compressed output (md5 of the cleaned text) —
+    // the span arithmetic is plain SQL, so the DuckDB oracle replays
+    // the identical seed→merge→cut chain on literal k-grams.
+    "dedup_exact_substring_cut" -> ((s, dir) =>
+      graft.api.Graft.exactSubstringCut(
+          Tables.documentsSpread(s, dir), "doc_id", "text", k = 5)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_kept").cast("long").as("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id")).limit(300)),
+
     // Cross-source contamination matrix: near-dup pairs (the blocked
     // salted Jaccard join above) rolled up to (source_a, source_b)
     // counts — the table that tells a curation pipeline which sources
@@ -542,6 +557,37 @@ object DedupOps {
         |  coalesce(n_spans, 0)::INT AS n_spans,
         |  round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6) AS dup_frac
         |FROM base LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "dedup_exact_substring_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS g
+        |  FROM t, unnest(range(1, greatest(len(toks) - 3, 1))) u(i)),
+        |dup AS (SELECT g FROM (SELECT g, count(*) AS freq FROM g GROUP BY g)
+        |  WHERE freq >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |sp AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                           -2147483648) + 4 THEN 1 ELSE 0 END AS new_span
+        |  FROM h),
+        |si AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM sp),
+        |sb AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) + 4 AS hi
+        |  FROM si GROUP BY doc_id, span_id),
+        |cov AS (SELECT doc_id, i FROM sb, unnest(range(lo, hi + 1)) u(i)),
+        |tt AS (SELECT doc_id, i, toks[i] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+        |keep AS (SELECT tt.doc_id, tt.i, tt.tok FROM tt
+        |  LEFT JOIN cov ON tt.doc_id = cov.doc_id AND tt.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY i) AS clean FROM keep GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_tokens, coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  md5(coalesce(clean, '')) AS clean_md5
+        |FROM base LEFT JOIN k USING (doc_id)
         |ORDER BY doc_id LIMIT 300""".stripMargin,
 
     "dedup_cross_source" ->

@@ -223,6 +223,29 @@ class ApiEdgeCasesSpec extends SparkSpec {
       ((10L, 10L, 2, 1.0)))
   }
 
+  test("exactSubstringCut drops exactly the planted duplicated span, keeps the rest") {
+    import spark.implicits._
+    val shared = "one two three four five six" // 6 tokens duplicated verbatim
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"), // span at token 3..8
+      (2L, s"$shared tail1 tail2"),            // span at token 1..6
+      (3L, "totally unique text with no duplicated spans at all"))
+      .toDF("doc_id", "text")
+    val got = Graft.exactSubstringCut(docs, "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("clean_text"), col("n_kept"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("alpha beta gamma delta", 4)))
+    assert(got(2L) == (("tail1 tail2", 2)))
+    // an untouched doc passes through verbatim
+    assert(got(3L) == (("totally unique text with no duplicated spans at all", 9)))
+    // a fully-duplicated doc cuts to the empty string, not a crash
+    val twin = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val all = Graft.exactSubstringCut(twin, "doc_id", "text", k = 5)
+      .select(col("clean_text"), col("n_kept"))
+      .as[(String, Int)].collect().toSet
+    assert(all == Set(("", 0)))
+  }
+
   test("bpeTrain: pairless corpus errors; exhaustion stops early; cadence preserves output") {
     import spark.implicits._
     // all-single-token corpus: round-1 argmax is empty → hard error, not
