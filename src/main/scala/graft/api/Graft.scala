@@ -149,11 +149,57 @@ object Graft {
       .drop("__spans", "__kept")
   }
 
+  /** Candidate pairs within equal-key buckets, with a hot-bucket cap:
+    * buckets at or below `maxBucketSize` members emit ALL ordered pairs
+    * (a_id < b_id); larger ones fall back to a STAR around the bucket's
+    * min id — O(B) candidates instead of O(B²). The adversarial case
+    * this bounds: a viral duplicate (millions of byte-identical docs →
+    * one hot LSH band) would otherwise go quadratic inside its bucket
+    * at 100 TB. Hot buckets arise precisely from (near-)identical
+    * content, so the star keeps every true member connected to the
+    * representative — which is all downstream cluster resolution needs;
+    * pair-level completeness inside the hot bucket is the explicit
+    * trade for linear work. One exchange on the bucket key feeds the
+    * size/representative window; the normal-bucket self-join reads the
+    * same partitioning (reused exchange, co-partitioned join — no
+    * second shuffle of the bucket table). */
+  private[graft] def cappedBucketPairs(items: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucketSize: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize must be >= 2")
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    // carryCols ride along as <c>_a/<c>_b on each emitted pair (payload
+    // functionally determined by the id, e.g. a signature) so callers
+    // verify inline instead of re-joining the source per side; the
+    // star's representative payload comes off the same window (min_by).
+    val tagged = carryCols.foldLeft(items
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__rep", min(col(idCol)).over(w))) { (df, c) =>
+      df.withColumn(s"__rep_$c", min_by(col(c), col(idCol)).over(w))
+    }
+    val normal = tagged.filter(col("__bn") <= maxBucketSize)
+    val candNormal = normal.as("a").join(normal.as("b"),
+        (bucketCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+          (col(s"a.$idCol") < col(s"b.$idCol"))).reduce(_ && _))
+      .select(col(s"a.$idCol").as("a_id") +: col(s"b.$idCol").as("b_id") +:
+        carryCols.flatMap(c => Seq(
+          col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+    val candHot = tagged
+      .filter(col("__bn") > maxBucketSize && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("a_id") +: col(idCol).as("b_id") +:
+        carryCols.flatMap(c => Seq(
+          col(s"__rep_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
+    candNormal.union(candHot).distinct()
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * In: docs(idCol, textCol). Out: (a_id, b_id, jaccard ≥ minJaccard). */
+    * In: docs(idCol, textCol). Out: (a_id, b_id, jaccard ≥ minJaccard).
+    * `maxBandSize` caps hot-band candidate generation
+    * ([[cappedBucketPairs]]): above it a band degrades from all-pairs
+    * to a star around its min id. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double = 0.5, hashes: Int = 12,
-                      bands: Int = 6): DataFrame = {
+                      bands: Int = 6, maxBandSize: Int = 4096): DataFrame = {
     require(hashes % bands == 0, "bands must divide hashes")
     val rows = hashes / bands
     val mh = docs
@@ -166,9 +212,7 @@ object Graft {
         element_at(col("mhs"), k * rows + r + 1))): _*)
     }
     val banded = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    val cand = cappedBucketPairs(banded, Seq("band"), "doc_id", maxBandSize)
     val sh = docs.select(col(idCol).as("doc_id"),
         TextSignatures.wordBigramHashes(col(textCol)).as("bg"))
       .repartition(col("doc_id"))
@@ -185,7 +229,7 @@ object Graft {
   /** SimHash near-dup pairs (multi-index hamming blocking, lossless for
     * maxHamming ≤ 3 over the 4 signature bytes). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBandSize: Int = 4096): DataFrame = {
     require(maxHamming <= 3, "byte multi-index is lossless only for hamming <= 3")
     val sh = docs.select(col(idCol).as("doc_id"),
         TextSignatures.simHash32(col(textCol)).as("simhash"))
@@ -194,14 +238,16 @@ object Graft {
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("bpos"),
                expr(s"cast((simhash >> ${8 * b}) & 255 as int)").as("bval"))): _*)).as("p"))
-      .select(col("doc_id"), col("simhash"), col("p.bpos").as("bpos"), col("p.bval").as("bval"))
-    probes.as("a").join(probes.as("b"),
-        col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .select(col("doc_id"), col("simhash"),
+              col("p.bpos").as("bpos"), col("p.bval").as("bval"))
+    // capped candidates with the signatures carried through the pair
+    // generation (the byte buckets only SEED; bit_count decides) — no
+    // per-side re-join of the signature table
+    cappedBucketPairs(probes, Seq("bpos", "bval"), "doc_id", maxBandSize,
+        carryCols = Seq("simhash"))
+      .select(col("a_id"), col("b_id"),
+              expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ---- retrieval (north-star + reference faiss semantics) ----------

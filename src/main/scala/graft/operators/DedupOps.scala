@@ -153,16 +153,14 @@ object DedupOps {
       // n² false candidates and a 0/0 Jaccard), banded by the shared
       // lshBands layout.
       val bands = lshBands(minhashSigs(s, dir))
-      // broadcast one side of the band self-join: bands is tiny (6 rows
-      // per doc), and a broadcast-hash join probes it in place — no
-      // band-keyed shuffle for AQE to mistakenly coalesce into one task
-      // (the pair generation is CPU-bound, not bytes-bound). At 100 TB
-      // bands outgrows a broadcast and this becomes the salted-shuffle
-      // pattern of jaccardPairs instead.
-      val cand = bands.as("a").join(broadcast(bands.as("b")),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      // ONE band-keyed exchange feeds the hot-band cap window and the
+      // (exchange-reused, co-partitioned) self-join — the shape that
+      // holds at 100 TB, where the band table outgrows any broadcast.
+      // Bands above the cap (a viral duplicate) degrade from all-pairs
+      // to a star around the band min: linear candidates, connectivity
+      // preserved for the downstream cluster resolution.
+      val cand = graft.api.Graft.cappedBucketPairs(
+        bands, Seq("band"), "doc_id", maxBucketSize = 4096)
       val sh = shingled(s, dir).select(col("doc_id"), col("bg"))
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
@@ -272,14 +270,15 @@ object DedupOps {
                  expr(s"cast((simhash >> ${8 * b}) & 255 as int)").as("bval"))): _*)).as("p"))
         .select(col("doc_id"), col("lang"), col("simhash"),
                 col("p.bpos").as("bpos"), col("p.bval").as("bval"))
-      probes.as("a").join(probes.as("b"),
-          col("a.lang") === col("b.lang") &&
-          col("a.bpos") === col("b.bpos") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      // hot-bucket-capped candidates (a pair can agree on several
+      // bytes — cappedBucketPairs distincts) with signatures carried
+      // through the pair generation; hamming verify is inline
+      graft.api.Graft.cappedBucketPairs(
+          probes, Seq("lang", "bpos", "bval"), "doc_id",
+          maxBucketSize = 4096, carryCols = Seq("simhash"))
+        .select(col("a_id"), col("b_id"),
+                expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
         .filter(col("hamming") <= 3)
-        .distinct() // a pair can agree on several bytes
         .orderBy(col("a_id"), col("b_id"))
     }),
 

@@ -223,6 +223,38 @@ class ApiEdgeCasesSpec extends SparkSpec {
       ((10L, 10L, 2, 1.0)))
   }
 
+  test("hot LSH bands degrade to a star: linear candidates, connectivity kept") {
+    import spark.implicits._
+    // 300 byte-identical docs: every band is one hot bucket. Uncapped,
+    // that is 300*299/2 = 44850 candidate pairs; the cap bounds it to a
+    // 299-pair star around the min id — still ONE cluster downstream.
+    val viral = (1L to 300L).map(i =>
+      (i, "the same viral text repeated verbatim everywhere across mirrors"))
+    val normal = Seq(
+      (1001L, "completely different content alpha beta gamma"),
+      (1002L, "completely different content alpha beta gamma"), // near-dup pair
+      (1003L, "unrelated third document entirely on its own"))
+    val docs = (viral ++ normal).toDF("doc_id", "text")
+    val pairs = Graft.minhashNearDups(docs, "doc_id", "text", maxBandSize = 64)
+    val got = pairs.select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val viralPairs = got.filter(_._2 <= 300L)
+    assert(viralPairs.length == 299 && viralPairs.forall(_._1 == 1L),
+      s"viral pairs: ${viralPairs.length}")
+    // the small-band pair is still found by the all-pairs path
+    assert(got.contains((1001L, 1002L)))
+    val labels = Graft.clusterNearDups(pairs, "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 300L).forall(labels(_) == 1L))
+
+    // same adversarial corpus through the simhash byte index
+    val sPairs = Graft.simhashNearDups(docs, "doc_id", "text", maxBandSize = 64)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val sViral = sPairs.filter(_._2 <= 300L)
+    assert(sViral.length == 299 && sViral.forall(_._1 == 1L),
+      s"simhash viral pairs: ${sViral.length}")
+    assert(sPairs.contains((1001L, 1002L)))
+  }
+
   test("exactSubstringCut drops exactly the planted duplicated span, keeps the rest") {
     import spark.implicits._
     val shared = "one two three four five six" // 6 tokens duplicated verbatim
