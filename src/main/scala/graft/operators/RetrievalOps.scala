@@ -206,24 +206,49 @@ object RetrievalOps {
     // corpus is partitioned/bucketed by cell so a probe reads ~nprobe/k
     // of the data instead of all of it.
     "ann_ivf_topk" -> ((s, dir) => {
-      val c = corpus(s, dir).join(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
-      val centroids = c
-        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("cx"))
-        .groupBy(col("label"))
+      // IVF with a LEARNED coarse quantizer: deterministic k-means
+      // (K=8 cells, init = vec_id % K, two unrolled Lloyd iterations,
+      // final-centroid list assignment, nprobe=3). The earlier
+      // label-cell quantizer used the synthetic label column, which
+      // carries no cosine geometry — measured recall 0.13 at sf0.1
+      // (nprobe=2) vs 0.53/0.60 (sf0.001/sf0.1) for learned cells;
+      // the recall floor is spec-asserted at both SFs.
+      // Scale: per Lloyd iteration ONE (cell, dim)-keyed digest shuffle
+      // (64 rows/vector) to re-average centroids + one broadcast of the
+      // K×dim centroid table back for the map-side argmax assignment —
+      // vectors never shuffle. Each centroid generation is ≤K rows,
+      // eagerly checkpointed so the unrolled iterations never nest
+      // lineage. At 100 TB the training pass runs on a sample and the
+      // assignment pass streams — the same two plan shapes.
+      val K = 8
+      val c = corpusMat(s, dir) // reused by every pass: cast + exchange once
+      def centroidsOf(assign: DataFrame): DataFrame = c.join(assign, "vec_id")
+        .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("g"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cx")))),
           p => p.getField("cx")).as("cv"))
+        .localCheckpoint()
+      def assignTo(cent: DataFrame): DataFrame = c.crossJoin(broadcast(cent))
+        .withColumn("cs", dot(col("v"), col("cv")))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("g"))))
+        .filter(col("cr") === 1).select(col("vec_id"), col("g"))
+      val cent0 = centroidsOf(
+        c.select(col("vec_id"), pmod(col("vec_id"), lit(K)).as("g")))
+      val cent1 = centroidsOf(assignTo(cent0))
+      val cent2 = centroidsOf(assignTo(cent1))
+      val lists = assignTo(cent2) // inverted lists under the final centroids
       val q = c.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val probed = q.crossJoin(broadcast(centroids))
+      val probed = q.crossJoin(broadcast(cent2))
         .withColumn("cscore", dot(col("qv"), col("cv")))
         .withColumn("crank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("label"))))
-        .filter(col("crank") <= 2) // nprobe = 2
-        .select(col("qid"), col("qv"), col("label"))
-      c.join(broadcast(probed), Seq("label"))
+          Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("g"))))
+        .filter(col("crank") <= 3) // nprobe = 3
+        .select(col("qid"), col("qv"), col("g"))
+      c.join(lists, "vec_id").join(broadcast(probed), Seq("g"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("score", dot(col("qv"), col("v")))
         .withColumn("rank", row_number().over(
@@ -499,20 +524,43 @@ object RetrievalOps {
         |SELECT qid, rank::INT AS rank, vec_id, iscore
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // deterministic k-means replayed exactly: init vec_id % 8, two
+    // unrolled Lloyd iterations, final-centroid assignment, nprobe=3
     "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        |cent AS (SELECT label, dim, avg(x) AS cx FROM (
-        |    SELECT label, unnest(v) AS x,
-        |           unnest(range(1, len(v) + 1)) AS dim FROM e)
-        |  GROUP BY label, dim),
-        |cv AS (SELECT label, list(cx ORDER BY dim) AS cv FROM cent GROUP BY label),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a0 AS (SELECT vec_id, vec_id % 8 AS g FROM e),
+        |c0 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT g, dim, avg(x) AS cx FROM (
+        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+        |      FROM e JOIN a0 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+        |a1 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+        |    FROM e CROSS JOIN c0 c) WHERE cr = 1),
+        |c1 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT g, dim, avg(x) AS cx FROM (
+        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+        |      FROM e JOIN a1 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+        |a2 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+        |    FROM e CROSS JOIN c1 c) WHERE cr = 1),
+        |c2 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT g, dim, avg(x) AS cx FROM (
+        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+        |      FROM e JOIN a2 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+        |a3 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+        |    FROM e CROSS JOIN c2 c) WHERE cr = 1),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |pr AS (SELECT qid, qv, label, row_number() OVER (PARTITION BY qid
-        |    ORDER BY list_dot_product(qv, cv) DESC, label) AS crank
-        |  FROM q CROSS JOIN cv),
-        |probed AS (SELECT qid, qv, label FROM pr WHERE crank <= 2),
+        |pr AS (SELECT qid, qv, g, row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_dot_product(qv, cv) DESC, g) AS crank
+        |  FROM q CROSS JOIN c2),
+        |probed AS (SELECT qid, qv, g FROM pr WHERE crank <= 3),
         |scored AS (SELECT p.qid, e.vec_id, list_dot_product(p.qv, e.v) AS score
-        |  FROM e JOIN probed p USING (label) WHERE e.vec_id <> p.qid),
+        |  FROM e JOIN a3 USING (vec_id) JOIN probed p USING (g)
+        |  WHERE e.vec_id <> p.qid),
         |r AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid
         |    ORDER BY score DESC, vec_id) AS rank FROM scored)
         |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
