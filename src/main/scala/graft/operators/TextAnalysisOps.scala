@@ -160,7 +160,48 @@ object TextAnalysisOps {
     // decide borderline docs identically.
     "ta_gopher_filter" -> ((s, dir) =>
       graft.api.Graft.gopherFilter(Tables.documents(s, dir))
-        .orderBy(col("doc_id")).limit(300))
+        .orderBy(col("doc_id")).limit(300)),
+
+    // CCNet-style LM quality scoring: train a bigram language model on
+    // the corpus itself (add-one smoothing over the bigram vocabulary)
+    // and score every document by its average bigram negative
+    // log-likelihood — the perplexity filter every web-scale curation
+    // pipeline runs (CCNet trains KenLM on Wikipedia; the dataflow is
+    // identical, the reference model here is the corpus). Each bigram's
+    // NLL is quantized to integer MICROS before the per-doc sum, so
+    // aggregation is exact long arithmetic — deterministic under any
+    // shuffle order and bit-identical in the oracle (the BM25 integer-
+    // weight discipline).
+    // Scale: counts partial-aggregate map-side to vocab-bounded tables;
+    // scoring is ONE bigram-keyed exchange of (doc_id, bigram) rows
+    // (∝ corpus tokens) joined against the count tables — no broadcast
+    // needed (at 100 TB the count tables outgrow one), then one
+    // doc-keyed re-aggregation. Three linear exchanges, no text moves
+    // after tokenization.
+    "ta_lm_perplexity" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bg = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+                      element_at(toks, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = bg.select(col("w1").as("tok"))
+        .unionAll(bg.select(col("w2").as("tok")))
+        .agg(countDistinct(col("tok")).as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", floor(-log((col("c2") + lit(1.0)) /
+          (col("c1") + col("v"))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+             sum(col("nll")).as("nll_e6"))
+        .withColumn("avg_nll_e6", expr("nll_e6 div n_bigrams"))
+        .orderBy(col("doc_id")).limit(200)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -260,6 +301,24 @@ object TextAnalysisOps {
         |  ELSE 'ok' END AS reason FROM m)
         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop, dup_bigram_frac,
         |  (reason = 'ok')::INT AS keep, reason
-        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin
+        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // identical bigram-LM arithmetic: per-bigram NLL floored to integer
+    // micros BEFORE the per-doc sum (exact bigint aggregation)
+    "ta_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |  SELECT w1 AS tok FROM bg UNION ALL SELECT w2 FROM bg)),
+        |sc AS (SELECT bg.doc_id,
+        |  floor(-ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1e6 + 0.5)::BIGINT AS nll
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*)::INT AS n_bigrams, sum(nll)::BIGINT AS nll_e6,
+        |  (sum(nll) // count(*))::BIGINT AS avg_nll_e6
+        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

@@ -77,6 +77,30 @@ class RoundTwoOpsSpec extends SparkSpec {
     assert(reasons.contains("ok") && reasons.size > 1, reasons.toString)
   }
 
+  test("ta_lm_perplexity matches a driver-side bigram-LM replay") {
+    val rows = graft.operators.TextAnalysisOps.queries("ta_lm_perplexity")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => t._2 != null && t._2.split(" ", -1).length >= 2)
+    val docBg = texts.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      (id, tk.sliding(2).map(a => (a(0), a(1))).toSeq)
+    }
+    val allBg = docBg.flatMap(_._2)
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = allBg.groupBy(_._1).view.mapValues(_.size).toMap
+    val v = (allBg.map(_._1) ++ allBg.map(_._2)).distinct.size
+    docBg.foreach { case (id, bgs) =>
+      val nll = bgs.map(b => math.floor(
+        -math.log((c2(b) + 1.0) / (c1(b._1) + v)) * 1e6 + 0.5).toLong).sum
+      // query output is LIMIT 200 — check the ids it covers
+      rows.get(id).foreach { got =>
+        assert(got == ((bgs.size, nll, nll / bgs.size)), s"doc $id") }
+    }
+  }
+
   test("dedup_repeated_ngrams matches a raw-string brute force") {
     val toks = split(col("text"), " ")
     val rawGrams = Tables.documents(spark, sf)
