@@ -179,6 +179,51 @@ object CurationOps {
              sum(col("keep")).cast("long").as("n_kept"),
              round(min(col("q20")), 6).as("q20"))
         .orderBy(col("lang"))
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every doc
+    // by how target-domain-like it is under hashed-n-gram bag models —
+    // sum over the doc's hashed word-bigram features of
+    // log P_target(b) − log P_raw(b), add-one smoothed over B=1024
+    // buckets. The target domain here is one source (src1, standing in
+    // for the curated exemplar corpus — Wikipedia in the paper); the
+    // raw model is the whole corpus. Per-feature log-ratios are floored
+    // to integer micros before the per-doc sum (exact long arithmetic,
+    // oracle-bit-identical); md5-prefix bucketing is the cross-engine
+    // hash idiom used by sample_stratified.
+    // Scale: THIS is why DSIR uses hashed features — both count tables
+    // are fixed at B rows regardless of corpus size, so they broadcast
+    // at any scale; scoring is map-side against the broadcasts and the
+    // only exchanges are the two count aggregations (map-side partial,
+    // B-bounded) and the final doc_id re-agg.
+    "curate_dsir_weights" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val B = 1024
+      val feats = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), col("source"), explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => conv(substring(md5(concat_ws(" ",
+                 element_at(toks, i), element_at(toks, i + 1))), 1, 8), 16, 10)
+               .cast("long") % B)).as("b"))
+      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("source") === "src1")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val totals = feats.agg(
+        count(lit(1)).as("nr"),
+        count(when(col("source") === "src1", 1)).as("nt"))
+      feats.join(broadcast(raw), Seq("b"))
+        .join(broadcast(tgt), Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("lr", floor((
+            log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + B)) -
+            log((col("cr") + 1.0) / (col("nr") + B))) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_feats"),
+             sum(col("lr")).as("dsir_e6"))
+        .withColumn("target_like", (col("dsir_e6") > 0).cast("int"))
+        .orderBy(col("doc_id")).limit(200)
     })
   )
 
@@ -251,6 +296,27 @@ object CurationOps {
         |FROM corpus c LEFT JOIN (
         |  SELECT lang, count(*) AS n FROM cont GROUP BY lang) k
         |  ON c.lang = k.lang
-        |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+
+    // identical arithmetic: md5-prefix bucket, add-one smoothing over
+    // 1024 buckets, per-feature log-ratio floored to micros pre-sum
+    "curate_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT doc_id, source,
+        |  (('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT % 1024) AS b
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |raw AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM f WHERE source = 'src1' GROUP BY b),
+        |tot AS (SELECT count(*) AS nr,
+        |  count(*) FILTER (WHERE source = 'src1') AS nt FROM f),
+        |sc AS (SELECT f.doc_id,
+        |  floor((ln((coalesce(ct, 0) + 1.0) / (nt + 1024)) -
+        |         ln((cr + 1.0) / (nr + 1024))) * 1e6 + 0.5)::BIGINT AS lr
+        |  FROM f JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, count(*)::INT AS n_feats, sum(lr)::BIGINT AS dsir_e6,
+        |  (sum(lr) > 0)::INT AS target_like
+        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

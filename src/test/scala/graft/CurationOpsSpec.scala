@@ -71,4 +71,22 @@ class CurationOpsSpec extends SparkSpec {
     // selection never exceeds the stratum
     rows.foreach(r => assert(r.getLong(6) <= r.getLong(1)))
   }
+
+  test("curate_dsir_weights: target-source docs score higher than the rest") {
+    // importance weights must discriminate: docs from the target domain
+    // (the model's own training slice) average a higher normalized
+    // log-ratio than the rest of the corpus (measured gap ~287k micros
+    // per feature at sf0.001 — this asserts the sign structure, not the
+    // magnitude)
+    val w = CurationOps.queries("curate_dsir_weights")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy((col("source") === "src1").as("is_tgt"))
+      .agg(avg(col("dsir_e6").cast("double") / col("n_feats")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(w(true) > w(false), w.toString)
+    // and the flag column agrees with the score's sign
+    CurationOps.queries("curate_dsir_weights")(spark, sf).collect().foreach { r =>
+      assert((r.getLong(2) > 0) == (r.getInt(3) == 1))
+    }
+  }
 }
