@@ -53,7 +53,7 @@ object CurationOps {
     docs.withColumn("quality_e6",
       floor(quality(split(col("text"), " ")) * 1e6 + 0.5).cast("long"))
 
-  private val qualitySql =
+  private[graft] val qualitySql =
     """(len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4 +
       |least(len(toks)::DOUBLE / 50.0, 1.0) * 0.3 +
       |(1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)) * 0.3""".stripMargin

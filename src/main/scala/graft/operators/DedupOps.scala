@@ -250,6 +250,30 @@ object DedupOps {
       canonicalClusters(graft.api.Graft.clusterNearDupsStar(
         jaccardPairs(s, dir, 0.5), "a_id", "b_id"))),
 
+    // Quality-aware canonical selection: production dedup keeps the
+    // BEST document per near-dup cluster (longest / highest quality —
+    // RefinedWeb, FineWeb), not an arbitrary min-id representative.
+    // Same cluster labels as dedup_cluster_canonical, then keep =
+    // argmax (quality_e6, doc_id tie-break) per cluster via one
+    // cluster-keyed window. The label table is pair-derived (tiny vs
+    // the corpus) and broadcast into the scored-docs join; quality is
+    // the shared fixed-point score (CurationOps.scored), so selection
+    // is exact integer comparison — no float ties.
+    "dedup_keep_best" -> ((s, dir) => {
+      val labels = graft.api.Graft.clusterNearDups(
+          jaccardPairs(s, dir, 0.5), "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      CurationOps.scored(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_e6"))
+        .join(broadcast(labels), "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(desc("quality_e6"), col("doc_id"))))
+        .select(col("cluster_id"), col("doc_id"), col("quality_e6"),
+                (col("rn") === 1).cast("int").as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
     // SimHash-32 (term-frequency weighted, bits from md5 hex nibbles),
     // near-dup = hamming ≤ 3 within a language block — via multi-index
     // hamming blocking: hamming ≤ 3 means at most 3 of the 4 signature
@@ -399,7 +423,10 @@ object DedupOps {
               (col("id") === col("cluster_id")).cast("int").as("keep"))
       .orderBy(col("cluster_id"), col("doc_id"))
 
-  private lazy val clusterCanonicalSql: String =
+  /** Shared recursive-CTE prefix computing (doc_id, cluster_id) labels
+    * from the banded Jaccard pair graph — ends with the `lbl` CTE so
+    * consumers append their own CTEs/SELECT. */
+  private lazy val clusterLblCte: String =
     s"""WITH RECURSIVE
        |toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg
        |  FROM documents),
@@ -416,7 +443,10 @@ object DedupOps {
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-       |  FROM reach GROUP BY u)
+       |  FROM reach GROUP BY u)""".stripMargin
+
+  private lazy val clusterCanonicalSql: String =
+    s"""$clusterLblCte
        |SELECT cluster_id, doc_id,
        |  (count(*) OVER (PARTITION BY cluster_id))::INT AS cluster_size,
        |  (doc_id = cluster_id)::INT AS keep
@@ -557,6 +587,19 @@ object DedupOps {
         |  round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6) AS dup_frac
         |FROM base LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""$clusterLblCte,
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(floor((${CurationOps.qualitySql}) * 1e6 + 0.5) AS BIGINT) AS quality_e6
+         |  FROM tq),
+         |j AS (SELECT cluster_id, l.doc_id, quality_e6,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_e6 DESC, l.doc_id) AS rn
+         |  FROM lbl l JOIN q USING (doc_id))
+         |SELECT cluster_id, doc_id, quality_e6, (rn = 1)::INT AS keep
+         |FROM j ORDER BY cluster_id, doc_id""".stripMargin,
 
     "dedup_exact_substring_cut" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -176,4 +176,20 @@ class DedupOpsSpec extends SparkSpec {
       hof.as("hof"))
     assert(both.filter(not(col("native") === col("hof"))).count() == 0)
   }
+
+  test("dedup_keep_best keeps exactly the argmax-quality doc per cluster") {
+    val rows = graft.operators.DedupOps.queries("dedup_keep_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      assert(members.count(_._4 == 1) == 1, s"cluster $cid")
+      val kept = members.find(_._4 == 1).get
+      // argmax quality, min doc_id on ties — exact integer comparison
+      assert(kept == members.maxBy(m => (m._3, -m._2)), s"cluster $cid")
+    }
+    // same membership as the min-id canonical census
+    val canon = graft.operators.DedupOps.queries("dedup_cluster_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == canon)
+  }
 }
