@@ -207,17 +207,20 @@ object CurationOps {
           i => conv(substring(md5(concat_ws(" ",
                  element_at(toks, i), element_at(toks, i + 1))), 1, 8), 16, 10)
                .cast("long") % B)).as("b"))
-      val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgt = feats.filter(col("source") === "src1")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val totals = feats.agg(
-        count(lit(1)).as("nr"),
-        count(when(col("source") === "src1", 1)).as("nt"))
-      feats.join(broadcast(raw), Seq("b"))
-        .join(broadcast(tgt), Seq("b"), "left")
+      // ONE aggregation pass trains BOTH models (conditional count);
+      // totals derive from the B-row table, so the text is tokenized
+      // exactly twice overall: once for counts, once for scoring. The
+      // checkpoint pins the ≤B-row artifact so its three consumers
+      // don't re-derive the feature stream.
+      val counts = feats.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          count(when(col("source") === "src1", 1)).as("ct"))
+        .localCheckpoint()
+      val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      feats.join(broadcast(counts), Seq("b"))
         .crossJoin(broadcast(totals))
         .withColumn("lr", floor((
-            log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + B)) -
+            log((col("ct") + 1.0) / (col("nt") + B)) -
             log((col("cr") + 1.0) / (col("nr") + B))) * 1e6 + 0.5).cast("long"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("int").as("n_feats"),

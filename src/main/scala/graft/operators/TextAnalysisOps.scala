@@ -187,12 +187,22 @@ object TextAnalysisOps {
           i => struct(element_at(toks, i).as("w1"),
                       element_at(toks, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // ONE aggregation pass trains the model; context counts and the
+      // vocabulary derive from the bigram table itself (c1 = Σ_w2 c2;
+      // V = distinct tokens among c2 keys — integer-identical to
+      // counting over the stream), so the corpus is tokenized exactly
+      // twice: once for counts, once for scoring. The checkpoint pins
+      // the vocab²-bounded table for its three consumers. Count-table
+      // broadcasts are the right local plan; at corpus scales where c2
+      // outgrows a broadcast the same joins degrade to bigram-keyed
+      // shuffles of the (doc_id, bigram) stream.
       val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val vocab = bg.select(col("w1").as("tok"))
-        .unionAll(bg.select(col("w2").as("tok")))
+        .localCheckpoint()
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = c2.select(col("w1").as("tok"))
+        .unionAll(c2.select(col("w2").as("tok")))
         .agg(countDistinct(col("tok")).as("v"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      bg.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
         .crossJoin(broadcast(vocab))
         .withColumn("nll", floor(-log((col("c2") + lit(1.0)) /
           (col("c1") + col("v"))) * 1e6 + 0.5).cast("long"))
