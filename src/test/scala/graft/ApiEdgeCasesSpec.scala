@@ -278,6 +278,56 @@ class ApiEdgeCasesSpec extends SparkSpec {
     assert(all == Set(("", 0)))
   }
 
+  test("cappedBucketPairs fuzz: all-pairs below the cap, star above, exact sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val items = (1 to 150).map(_ =>
+        (s"b${rnd.nextInt(6)}", rnd.nextInt(40).toLong)).distinct
+      val cap = 8
+      val want = items.groupBy(_._1).iterator.flatMap { case (_, ms) =>
+        val ids = ms.map(_._2).sorted
+        if (ids.size <= cap) for (a <- ids; b <- ids if a < b) yield (a, b)
+        else ids.tail.map(m => (ids.head, m))
+      }.toSet
+      val got = graft.api.Graft.cappedBucketPairs(
+          items.toDF("bucket", "id"), Seq("bucket"), "id", cap)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("exactSubstringCut fuzz: random corpora match a brute-force span cover") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 3
+    (1 to 5).foreach { trial =>
+      val docs = (1L to 12L).map(id =>
+        (id, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // reference: every k-gram occurrence (within-doc repeats included)
+      // counts toward corpus frequency; positions under a duplicated
+      // gram are covered; cut drops covered tokens
+      val grams = docs.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        id -> (if (tk.length >= k) tk.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty[String])
+      }.toMap
+      val freq = grams.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        val covered = Array.fill(tk.length)(false)
+        grams(id).zipWithIndex.foreach { case (g, i) =>
+          if (freq(g) >= 2) (i until i + k).foreach(covered(_) = true) }
+        id -> tk.indices.filterNot(covered).map(tk).mkString(" ")
+      }.toMap
+      val got = Graft.exactSubstringCut(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = k)
+        .select(col("doc_id"), col("clean_text")).as[(Long, String)]
+        .collect().toMap
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
+
   test("bpeTrain: pairless corpus errors; exhaustion stops early; cadence preserves output") {
     import spark.implicits._
     // all-single-token corpus: round-1 argmax is empty → hard error, not
