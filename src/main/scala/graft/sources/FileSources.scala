@@ -150,8 +150,63 @@ object FileSources {
       s.read.json(out)
         .select(col("file_id"), col("utt_idx"), col("speaker"), col("text"))
         .orderBy(col("file_id"), col("utt_idx"))
+    }),
+
+    // Malformed-INPUT quarantine (the parse-side complement of
+    // t4_row_isolation's value-side quarantine): PERMISSIVE JSON read
+    // with columnNameOfCorruptRecord — a broken line becomes a row with
+    // the raw text in the corrupt column and nulls elsewhere instead of
+    // failing the scan, so one bad producer can't take down ingestion.
+    // Census: ok/corrupt counts + the sums the ok slice supports. At
+    // 100 TB this IS the ingest contract — corrupt rows route to a
+    // quarantine sink with their raw payload for replay, and the scan
+    // stays one pass, no pre-validation read.
+    "s_json_corrupt_quarantine" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val dir = corruptJsonFixture()
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("amount", LongType),
+        StructField("tag", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/events.jsonl")
+        .select(when(col("_corrupt_record").isNull, lit("ok"))
+                  .otherwise(lit("corrupt")).as("status"),
+                col("id"), col("amount"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             // corrupt group sums all-null -> coalesce keeps the census
+             // NaN-free (typed-null vs NaN comparison traps)
+             coalesce(sum(col("amount")), lit(0L)).as("total_amount"),
+             count(col("id")).as("n_with_id"))
+        .orderBy(col("status"))
     })
   )
+
+  /** Own sentinel dir (separate from fixtureDir: adding files there
+    * would not regenerate under an existing sentinel). */
+  private def corruptJsonFixture(): String = {
+    val root = Paths.get("target/graft_file_fixtures_jsonq")
+    val sentinel = root.resolve(".complete")
+    if (!Files.exists(sentinel)) {
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(root)
+      Files.write(root.resolve("events.jsonl"), (
+        """{"id":1,"amount":100,"tag":"a"}""" + "\n" +
+        """{"id":2,"amount":250,"tag":"b"}""" + "\n" +
+        """{"id":3,"amount":,"tag"}""" + "\n" + // malformed: missing value
+        "not json at all\n" +
+        """{"id":5,"amount":70,"tag":"c"}""" + "\n" +
+        """{"id":6,"amount":null,"tag":"d"}""" + "\n").getBytes)
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    root.toString
+  }
 
   /** DuckDB oracles over the same fixture tree / source tables. Paths
     * are resolved to absolute at generation time (same JVM + cwd that
@@ -203,7 +258,22 @@ object FileSources {
       "k1_json_sink_roundtrip" ->
         s"""SELECT file_id::BIGINT AS file_id, utt_idx, speaker, text
            |FROM (${graft.operators.TranscriptOps.oracles("j1_asof_alignment")})
-           |ORDER BY file_id, utt_idx""".stripMargin
+           |ORDER BY file_id, utt_idx""".stripMargin,
+
+      // raw-line read + json_valid replays the PERMISSIVE parse split
+      "s_json_corrupt_quarantine" -> {
+        val jq = Paths.get("target/graft_file_fixtures_jsonq").toAbsolutePath.toString
+        s"""WITH lines AS (SELECT * FROM read_csv('$jq/events.jsonl',
+           |  columns = {line: 'VARCHAR'}, delim = chr(1), header = false, quote = '')),
+           |c AS (SELECT CASE WHEN json_valid(line) THEN 'ok' ELSE 'corrupt' END AS status,
+           |  CASE WHEN json_valid(line) THEN (line->>'$$.id')::BIGINT END AS id,
+           |  CASE WHEN json_valid(line) THEN (line->>'$$.amount')::BIGINT END AS amount
+           |  FROM lines)
+           |SELECT status, count(*) AS n,
+           |  coalesce(sum(amount), 0)::BIGINT AS total_amount,
+           |  count(id)::BIGINT AS n_with_id
+           |FROM c GROUP BY status ORDER BY status""".stripMargin
+      }
     )
   }
 

@@ -92,4 +92,12 @@ class FileSourcesSpec extends SparkSpec {
     assert(rows.length == 4)
     assert(rows.head.getString(3) == "hello there how are you")
   }
+
+  test("corrupt-json quarantine: scan survives, bad lines counted, good sums intact") {
+    val rows = run("s_json_corrupt_quarantine").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 2 malformed lines quarantined with no id/amount; the 4 parseable
+    // rows (one with a legitimate null amount) keep their sums
+    assert(rows == Map("corrupt" -> ((2L, 0L, 0L)), "ok" -> ((4L, 420L, 4L))))
+  }
 }
