@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill on tmpfs: this host's /tmp adds ~400 ms latency
+      // per exchange (see BenchEnv.localDir), which is pure noise for
+      // sub-second queries
+      .config("spark.local.dir", BenchEnv.localDir)
       // 74 queries generate >>100 codegen'd stages; the default 100-entry
       // class cache evicts between the two timed passes and every query
       // pays Janino recompilation twice (measured: ta_langid 1.4s -> 4s)
@@ -18,15 +22,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // t4's INTENTIONALLY poisoned micro-batch logs a full stack trace
-    // through the (async) streaming thread at WARN; if that interleaves
-    // after the bench JSON line it pushes the line's head out of the
-    // driver's ~2.9 KB tail capture. Streaming progress is not bench
-    // output — drop the whole subtree to ERROR.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.streaming", org.apache.logging.log4j.Level.ERROR)
+    // through the (async) streaming thread — at ERROR level, so ERROR
+    // silencing still let it through in r4 (it landed before the JSON
+    // line only because println follows spark.stop()). Streaming
+    // progress/termination is not bench output — drop both subtrees to
+    // OFF so the ~2.9 KB capture window stays deterministic.
+    // The poison surfaces through TASK-side loggers too (Executor,
+    // TaskSetManager, Utils "Aborting task", FileFormatWriter "Aborting
+    // job"), each with a full stack trace — r5 measured those four, not
+    // the streaming subtree, as the remaining tail noise. A real query
+    // failure still reaches the artifact as its -1 entry plus the
+    // "[bench] query failed" stderr line from `once`, so benching loses
+    // no signal by silencing them here.
+    Seq("org.apache.spark.sql.execution.streaming",
+        "org.apache.spark.sql.streaming",
+        "org.apache.spark.executor.Executor",
+        "org.apache.spark.scheduler.TaskSetManager",
+        "org.apache.spark.util.Utils",
+        "org.apache.spark.sql.execution.datasources.FileFormatWriter",
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitter")
+      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.OFF))
     // Untimed warmup: JIT + whole-stage-codegen compilation and parquet
     // footer reads otherwise land entirely on the first measured query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

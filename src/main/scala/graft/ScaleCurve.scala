@@ -15,7 +15,12 @@ object ScaleCurve {
     "dedup_cluster_star", "dedup_cluster_canonical", "bpe_encode",
     "bpe_train_merges", "retrieval_hybrid_rrf", "ta_langid",
     "graph_event_rank", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_exact_substring", "streaming_session_window")
+    "dedup_exact_substring", "streaming_session_window",
+    // round-4/5 additions (VERDICT r4 #7): the corpus-bound ones scale
+    // with sfDir; t4_row_isolation reads a fixed fixture, so its
+    // exponent ≈ 0 documents the micro-batch floor, not data scaling
+    "dedup_keep_best", "curate_dsir_weights", "ta_lm_perplexity",
+    "dedup_exact_substring_cut", "t4_row_isolation", "dedup_simhash64")
 
   def main(args: Array[String]): Unit = {
     val keys = if (args.nonEmpty) args.toSeq else defaultKeys
@@ -26,6 +31,7 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", BenchEnv.localDir)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

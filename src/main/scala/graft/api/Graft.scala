@@ -227,9 +227,18 @@ object Graft {
   }
 
   /** SimHash near-dup pairs (multi-index hamming blocking, lossless for
-    * maxHamming ≤ 3 over the 4 signature bytes). */
+    * maxHamming ≤ 3 over the 4 signature bytes — ONLY while every
+    * (bpos,bval) bucket stays under `maxBandSize`; the default leaves
+    * buckets uncapped to keep the guarantee). A byte bucket colliding
+    * does NOT imply similarity (unlike an LSH band), and the key space
+    * is just 4×256, so past ~1M docs buckets fill with heterogeneous
+    * non-duplicates and a capped star would drop true pairs. At that
+    * scale use [[simhash64NearDups]]: same pigeonhole over 4×16-bit
+    * chunks (65536 values each), which keeps buckets duplicate-
+    * dominated ~256× longer for the same candidate bound. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBandSize: Int = 4096): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBandSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "byte multi-index is lossless only for hamming <= 3")
     val sh = docs.select(col(idCol).as("doc_id"),
         TextSignatures.simHash32(col(textCol)).as("simhash"))
@@ -244,6 +253,37 @@ object Graft {
     // generation (the byte buckets only SEED; bit_count decides) — no
     // per-side re-join of the signature table
     cappedBucketPairs(probes, Seq("bpos", "bval"), "doc_id", maxBandSize,
+        carryCols = Seq("simhash"))
+      .select(col("a_id"), col("b_id"),
+              expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash near-dup pairs — the scale path of
+    * [[simhashNearDups]]. Multi-index blocking on the 4 16-bit chunks
+    * of the signature: hamming ≤ 3 bit errors touch at most 3 chunks,
+    * so by pigeonhole every qualifying pair agrees on ≥ 1 chunk —
+    * lossless, same argument as the byte index, but each chunk position
+    * has 65536 bucket values instead of 256, so buckets stay duplicate-
+    * dominated into the hundreds of millions of docs per block (avg
+    * bucket = N/65536 per position). Uncapped by default for the same
+    * reason as the 32-bit variant: chunk collision does not imply
+    * similarity, so a star fallback costs recall — the wider key space
+    * IS the work bound. */
+  def simhash64NearDups(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3,
+                        maxBandSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3, "chunk multi-index is lossless only for hamming <= 3")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        TextSignatures.simHash64(col(textCol)).as("simhash"))
+      .repartition(col("doc_id"))
+    val probes = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("cpos"),
+               expr(s"cast((simhash >> ${16 * c}) & 65535 as int)").as("cval"))): _*)).as("p"))
+      .select(col("doc_id"), col("simhash"),
+              col("p.cpos").as("cpos"), col("p.cval").as("cval"))
+    cappedBucketPairs(probes, Seq("cpos", "cval"), "doc_id", maxBandSize,
         carryCols = Seq("simhash"))
       .select(col("a_id"), col("b_id"),
               expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
@@ -787,7 +827,11 @@ object Graft {
     * standard pipeline shape) must not pay a second full re-fold of the
     * raw text ([[bpeEncode]] exists for applying a PERSISTED table).
     * Returns (merge table, input rows with textCol merged in place);
-    * non-text columns (doc ids, metadata) ride along untouched. */
+    * non-text columns (doc ids, metadata) ride along untouched. NOTE:
+    * rows whose textCol is NULL are DROPPED from the returned corpus
+    * (null text carries no pairs to train on and no tokens to emit) —
+    * callers that need row preservation must split nulls off first and
+    * union them back. */
   def bpeTrainEncode(docs: DataFrame, textCol: String, rounds: Int,
                      checkpointEvery: Int = 16): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")

@@ -321,6 +321,40 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** 64-bit SimHash: same vote arithmetic as [[SimHash32]] but over 64
+    * bit positions (hex chars 0-15 of the md5, 4 bits per char): bit
+    * j's vote uses nibble j/4, bit (3 - j%4). The
+    * wider signature exists for the 16-bit-chunk multi-index
+    * (Graft.simhash64NearDups): 4 chunks × 65536 values keeps blocking
+    * buckets duplicate-dominated at corpus sizes where the byte index
+    * saturates. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+      val counts = new java.util.HashMap[String, Int]()
+      toks.foreach(t => counts.merge(t, 1, Integer.sum))
+      val votes = new Array[Long](64)
+      val md = MessageDigest.getInstance("MD5")
+      counts.forEach { (tok, cnt) =>
+        val hex = md5Hex(md, tok)
+        var j = 0
+        while (j < 64) {
+          val nibble = Character.digit(hex.charAt(j / 4), 16)
+          val bit = (nibble >> (3 - j % 4)) & 1
+          votes(j) += cnt.toLong * (bit * 2 - 1)
+          j += 1
+        }
+      }
+      var sh = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sh |= 1L << j; j += 1 }
+      sh
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** 8-bucket hashing-trick term-frequency vector of a space-split text:
     * bucket d counts tokens whose md5-first-4-hex-chars ≡ d (mod 8) —
     * the exact arithmetic of the explode/groupBy formulation
@@ -358,6 +392,8 @@ object TextSignatures {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), seeds))
   def simHash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
   def hashEmbed8(text: Column): Column =
     ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
   def wordNgramHashes(text: Column, n: Int): Column =

@@ -70,6 +70,28 @@ object CurationOps {
              count(when(col("keep"), 1)).as("n_sampled"))
         .orderBy(col("lang"))),
 
+    // Deterministic train/val/test holdout split — the assignment every
+    // training pipeline needs before anything touches the data. Split
+    // is a pure function of doc_id (md5 basis points: <9000 train,
+    // <9500 val, else test), so it needs NO stored assignment table, is
+    // stable under corpus growth (a doc's split never changes when new
+    // docs arrive — the property RNG sampling lacks), and any later
+    // stage can recompute membership map-side with zero joins. The
+    // census (per-split doc/token/char mass) is the only aggregation:
+    // 3 groups, one exchange of partial sums.
+    "curate_holdout_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(when(hashBps(col("doc_id")) < 9000, lit("train"))
+                  .when(hashBps(col("doc_id")) < 9500, lit("val"))
+                  .otherwise(lit("test")).as("split"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))),
+
     // Quality-quota curation: exact-dedup keep-first by content hash,
     // then keep each language's top-50 by (quality desc, doc_id), and
     // report the kept mass per stratum. Fixed-point quality (e6) keeps
@@ -257,6 +279,14 @@ object CurationOps {
       s"""SELECT lang, count(*) AS n_total,
          |count(*) FILTER (WHERE $hashBpsSql < $rateBpsSql) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "curate_holdout_split" ->
+      s"""SELECT CASE WHEN $hashBpsSql < 9000 THEN 'train'
+         |  WHEN $hashBpsSql < 9500 THEN 'val' ELSE 'test' END AS split,
+         |count(*) AS n_docs,
+         |sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+         |sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
 
     "curate_quota" ->
       s"""WITH t AS (SELECT doc_id, lang, md5(text) AS h,

@@ -49,14 +49,14 @@ object DedupOps {
     * incremental (`dedup_incremental`) variants band with; a band-layout
     * change in one place cannot silently desynchronize their candidate
     * sets. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Tables.documentsSpread(s, dir)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), graft.functions.TextSignatures.minHashSig(
         graft.functions.TextSignatures.wordBigrams(col("text")), 12).as("mhs"))
       .repartition(col("doc_id"))
 
-  private def lshBands(sigs: DataFrame): DataFrame =
+  private[graft] def lshBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(array((0 until 6).map(k =>
         concat(lit(s"$k:"),
@@ -255,17 +255,22 @@ object DedupOps {
     // RefinedWeb, FineWeb), not an arbitrary min-id representative.
     // Same cluster labels as dedup_cluster_canonical, then keep =
     // argmax (quality_e6, doc_id tie-break) per cluster via one
-    // cluster-keyed window. The label table is pair-derived (tiny vs
-    // the corpus) and broadcast into the scored-docs join; quality is
-    // the shared fixed-point score (CurationOps.scored), so selection
-    // is exact integer comparison — no float ties.
+    // cluster-keyed window. The labels join carries NO broadcast hint:
+    // label cardinality = number of docs in near-dup clusters, which at
+    // web-scale dup rates (30-50%) is corpus-proportional — a forced
+    // broadcast would die at the 8 GB ceiling long before 100 TB. AQE
+    // broadcasts when labels actually fit; otherwise the join degrades
+    // to a doc_id shuffle (not a failure), which is the plan you'd want
+    // anyway since `scored` is already doc_id-keyed. Quality is the
+    // shared fixed-point score (CurationOps.scored), so selection is
+    // exact integer comparison — no float ties.
     "dedup_keep_best" -> ((s, dir) => {
       val labels = graft.api.Graft.clusterNearDups(
           jaccardPairs(s, dir, 0.5), "a_id", "b_id")
         .select(col("id").as("doc_id"), col("cluster_id"))
       CurationOps.scored(Tables.documents(s, dir))
         .select(col("doc_id"), col("quality_e6"))
-        .join(broadcast(labels), "doc_id")
+        .join(labels, "doc_id")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("cluster_id"))
             .orderBy(desc("quality_e6"), col("doc_id"))))
@@ -294,12 +299,48 @@ object DedupOps {
                  expr(s"cast((simhash >> ${8 * b}) & 255 as int)").as("bval"))): _*)).as("p"))
         .select(col("doc_id"), col("lang"), col("simhash"),
                 col("p.bpos").as("bpos"), col("p.bval").as("bval"))
-      // hot-bucket-capped candidates (a pair can agree on several
-      // bytes — cappedBucketPairs distincts) with signatures carried
-      // through the pair generation; hamming verify is inline
+      // UNCAPPED candidates (a pair can agree on several bytes —
+      // cappedBucketPairs distincts) with signatures carried through
+      // the pair generation; hamming verify is inline. No hot-bucket
+      // cap here: unlike LSH bands (collision ⇒ similarity), a single
+      // signature byte colliding says nothing — (bpos,bval) has only
+      // 4×256 values, so buckets fill with heterogeneous NON-duplicates
+      // once a lang block exceeds ~1M docs, and a star fallback would
+      // drop true pairs. The cap-free byte index is what keeps the
+      // documented "lossless for hamming ≤ 3" guarantee; the work bound
+      // at that scale comes from dedup_simhash64's 16-bit chunk index
+      // (4×65536 buckets), not from capping this one.
       graft.api.Graft.cappedBucketPairs(
           probes, Seq("lang", "bpos", "bval"), "doc_id",
-          maxBucketSize = 4096, carryCols = Seq("simhash"))
+          maxBucketSize = Int.MaxValue, carryCols = Seq("simhash"))
+        .select(col("a_id"), col("b_id"),
+                expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // 64-bit SimHash, blocked on (lang, 16-bit chunk pos, chunk value)
+    // — the scale path of dedup_simhash: same pigeonhole losslessness
+    // for hamming ≤ 3 (3 bit errors touch ≤ 3 of the 4 chunks), but
+    // 65536 bucket values per chunk position instead of 256, so
+    // blocking buckets stay duplicate-dominated ~256× deeper into the
+    // corpus before heterogeneous content makes them hot. The wider
+    // signature also separates better: at 64 bits, unrelated docs sit
+    // near hamming ~32, far above the ≤ 3 near-dup band.
+    "dedup_simhash64" -> ((s, dir) => {
+      val sh = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("lang"),
+                graft.functions.TextSignatures.simHash64(col("text")).as("simhash"))
+        .repartition(col("doc_id"))
+      val probes = sh.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("cpos"),
+                 expr(s"cast((simhash >> ${16 * c}) & 65535 as int)").as("cval"))): _*)).as("p"))
+        .select(col("doc_id"), col("lang"), col("simhash"),
+                col("p.cpos").as("cpos"), col("p.cval").as("cval"))
+      graft.api.Graft.cappedBucketPairs(
+          probes, Seq("lang", "cpos", "cval"), "doc_id",
+          maxBucketSize = Int.MaxValue, carryCols = Seq("simhash"))
         .select(col("a_id"), col("b_id"),
                 expr("bit_count(simhash_a ^ simhash_b)").as("hamming"))
         .filter(col("hamming") <= 3)
@@ -539,6 +580,27 @@ object DedupOps {
         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // 64-bit twin: signature built as two 32-bit halves (bit 63 via
+    // 1<<63 would overflow a signed BIGINT sum), hamming = sum of the
+    // halves' bit_counts — identical to the packed-64 xor
+    "dedup_simhash64" ->
+      """WITH tf AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, lang, tok),
+        |bits AS (SELECT doc_id, lang, j,
+        |  CASE WHEN sum(cnt * (((strpos('0123456789abcdef', substr(md5(tok), 1 + j//4, 1)) - 1
+        |    >> (3 - j%4)) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tf CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, lang, j),
+        |sh AS (SELECT doc_id, lang,
+        |  sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j) ELSE 0 END)::BIGINT AS lo,
+        |  sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32)) ELSE 0 END)::BIGINT AS hi
+        |  FROM bits GROUP BY doc_id, lang)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_repeated_ngrams" ->

@@ -122,7 +122,35 @@ object PrepOps {
     "shard_by_bytes" -> ((s, dir) =>
       graft.api.Graft.shardByBytes(
           Tables.documents(s, dir), "doc_id", "n_chars", targetBytes = 16384L)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic epoch shuffle: the 100 TB answer to "globally
+    // shuffle the corpus once per epoch". No RNG, no global sort —
+    // shard = md5("epoch1:" || doc_id) mod 8 (uniform regardless of
+    // input order/clustering), within-shard order = the same hash.
+    // That is ONE hash-keyed exchange + a per-shard local sort
+    // (repartition + sortWithinPartitions on the write path), fully
+    // reproducible from the epoch seed alone — rerunning epoch 1 after
+    // a failure yields byte-identical shards, and epoch 2 is a new seed
+    // string, not new state. The census proves the exact permutation:
+    // order_checksum = Σ pos·doc_id over the hash order catches any
+    // reordering, not just membership drift. Window is per-shard (8
+    // here, thousands at scale) — never a global row_number.
+    "prep_epoch_shuffle" -> ((s, dir) => {
+      val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                h.as("h"))
+        .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             sum(col("pos") * col("doc_id")).as("order_checksum"))
+        .orderBy(col("shard"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -185,6 +213,17 @@ object PrepOps {
         |  FROM t)
         |SELECT doc_id, n_bytes, cum_bytes::BIGINT AS cum_bytes,
         |  ((greatest(cum_bytes, 1) - 1) // 16384)::BIGINT AS shard
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "prep_epoch_shuffle" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    md5('epoch1:' || doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |    (('0x' || substr(h, 1, 8))::BIGINT % 8) AS shard FROM t),
+        |p AS (SELECT shard, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos FROM s)
+        |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+        |  sum(pos * doc_id)::BIGINT AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

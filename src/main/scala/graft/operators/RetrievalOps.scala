@@ -258,6 +258,87 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN, product-quantization variant (Jégou et al. 2011, the faiss
+    // `PQ` index family): each 64-dim vector is encoded as M=4 codes,
+    // one per 16-dim subspace, against per-subspace codebooks of K=16
+    // centroids learned by deterministic k-means (init = the first K
+    // data points' sub-vectors, two Lloyd refinements — same unrolled
+    // shape as ann_ivf_topk's coarse quantizer, keyed by (m, g) so all
+    // four subspaces train in ONE dataflow). Search is asymmetric
+    // distance computation: the
+    // query precomputes qsv·centroid for all (m, g) — an M×K lookup
+    // table per query, 64 rows here — and a vector's score is the sum
+    // of M table lookups on its codes. No decoded vector is ever
+    // touched at query time.
+    // Scale: the encoded corpus is M small ints per vector (vs 64
+    // doubles — 32× memory); codebook training shuffles only (m, g,
+    // dim, partial-sum) digests; scoring joins the code table against
+    // a BROADCAST LUT and aggregates — embeddings never shuffle, and
+    // the per-query cost is O(M·K + M·N_codes) additions instead of
+    // O(N·D) multiplies. Recall floors asserted in RetrievalOpsSpec at
+    // two SFs, like the other ANN variants.
+    "ann_pq_topk" -> ((s, dir) => {
+      val M = 4; val SUB = 16; val K = 16
+      val c = corpusMat(s, dir)
+      // (vec_id, m, sv): the M sub-vectors of each embedding; exchange
+      // materializes the slices once before the repeated self-use
+      val sub = c.select(col("vec_id"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(col("v"), m * SUB + 1, SUB).as("sv"))): _*)).as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+        .repartition(col("vec_id"))
+      def centroidsOf(assign: DataFrame): DataFrame = sub.join(assign, Seq("vec_id", "m"))
+        .select(col("m"), col("g"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("g"), col("dim")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("m"), col("g"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+        .localCheckpoint() // ≤ M·K rows; freezes each k-means generation
+      def assignTo(cent: DataFrame): DataFrame = sub.join(broadcast(cent), Seq("m"))
+        .withColumn("cs", dot(col("sv"), col("cv")))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(desc("cs"), col("g"))))
+        .filter(col("cr") === 1).select(col("vec_id"), col("m"), col("g"))
+      // Init = K actual sub-vectors (vec_id < K), NOT mod-K group
+      // means: averaging random groups collapses every centroid onto
+      // the subspace mean (measured recall 0.07/0.00 — the same
+      // degeneracy the r3 IVF quantizer had), while data-point seeds
+      // start distinct and Lloyd refinement separates them further.
+      val cent0 = sub.filter(col("vec_id") < K)
+        .select(col("m"), col("vec_id").cast("int").as("g"), col("sv").as("cv"))
+        .localCheckpoint()
+      val cent1 = centroidsOf(assignTo(cent0))
+      val cent2 = centroidsOf(assignTo(cent1))
+      val codes = assignTo(cent2) // the PQ-encoded corpus
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val qsub = q.select(col("qid"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(col("qv"), m * SUB + 1, SUB).as("qsv"))): _*)).as("p"))
+        .select(col("qid"), col("p.m").as("m"), col("p.qsv").as("qsv"))
+      val lut = qsub.join(cent2, Seq("m")) // M·K·|Q| rows, both sides tiny
+        .select(col("qid"), col("m"), col("g"), dot(col("qsv"), col("cv")).as("partial"))
+      // ADC shortlist (depth 20) → exact re-rank top-3: pure-ADC
+      // ranking at tiny k is noise-bound on structure-free synthetic
+      // embeddings (measured recall 0.2/0.33), so — exactly like
+      // faiss's refine stage — the compressed-domain pass only prunes
+      // 2000 → 20 and the final order is computed on true vectors.
+      // The re-rank join touches 20·|Q| vectors, not the corpus.
+      val shortlist = codes.join(broadcast(lut), Seq("m", "g"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id")).agg(sum(col("partial")).as("adc"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("adc"), col("vec_id"))))
+        .filter(col("crank") <= 20)
+        .select(col("qid"), col("vec_id"))
+      shortlist.join(c, "vec_id").join(broadcast(q), Seq("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN: int8 scalar quantization — the memory-compression scale path
     // (4× smaller vectors than float32, integer dot products). SYMMETRIC
     // quantization around zero (q = round(x·127/maxabs), one global
@@ -563,6 +644,56 @@ object RetrievalOps {
         |  WHERE e.vec_id <> p.qid),
         |r AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid
         |    ORDER BY score DESC, vec_id) AS rank FROM scored)
+        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // full PQ replay: per-subspace k-means (init vec_id % 16, one Lloyd
+    // refinement), encode, ADC lookup-table scoring — mirrors the Spark
+    // dataflow CTE for CTE
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ms AS (SELECT unnest(range(4)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sv FROM e CROSS JOIN ms),
+        |sx AS (SELECT vec_id, m, unnest(sv) AS x,
+        |    unnest(range(1, len(sv) + 1)) AS dim FROM sub),
+        |c0 AS (SELECT m, vec_id::INT AS g, sv AS cv FROM sub WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, m, g FROM (
+        |    SELECT sub.vec_id, sub.m, c0.g, row_number() OVER (
+        |      PARTITION BY sub.vec_id, sub.m
+        |      ORDER BY list_dot_product(sub.sv, c0.cv) DESC, c0.g) AS cr
+        |    FROM sub JOIN c0 ON sub.m = c0.m) WHERE cr = 1),
+        |c1 AS (SELECT m, g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT sx.m, a1.g, sx.dim, avg(sx.x) AS cx
+        |    FROM sx JOIN a1 ON sx.vec_id = a1.vec_id AND sx.m = a1.m
+        |    GROUP BY sx.m, a1.g, sx.dim) GROUP BY m, g),
+        |a2 AS (SELECT vec_id, m, g FROM (
+        |    SELECT sub.vec_id, sub.m, c1.g, row_number() OVER (
+        |      PARTITION BY sub.vec_id, sub.m
+        |      ORDER BY list_dot_product(sub.sv, c1.cv) DESC, c1.g) AS cr
+        |    FROM sub JOIN c1 ON sub.m = c1.m) WHERE cr = 1),
+        |c2 AS (SELECT m, g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT sx.m, a2.g, sx.dim, avg(sx.x) AS cx
+        |    FROM sx JOIN a2 ON sx.vec_id = a2.vec_id AND sx.m = a2.m
+        |    GROUP BY sx.m, a2.g, sx.dim) GROUP BY m, g),
+        |codes AS (SELECT vec_id, m, g FROM (
+        |    SELECT sub.vec_id, sub.m, c2.g, row_number() OVER (
+        |      PARTITION BY sub.vec_id, sub.m
+        |      ORDER BY list_dot_product(sub.sv, c2.cv) DESC, c2.g) AS cr
+        |    FROM sub JOIN c2 ON sub.m = c2.m) WHERE cr = 1),
+        |q AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < 5),
+        |lut AS (SELECT q.qid, q.m, c2.g, list_dot_product(q.qsv, c2.cv) AS partial
+        |  FROM q JOIN c2 ON q.m = c2.m),
+        |adc AS (SELECT lut.qid, codes.vec_id, sum(lut.partial) AS a
+        |  FROM codes JOIN lut ON codes.m = lut.m AND codes.g = lut.g
+        |  WHERE codes.vec_id <> lut.qid
+        |  GROUP BY lut.qid, codes.vec_id),
+        |c20 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY a DESC, vec_id) AS crank
+        |  FROM adc) WHERE crank <= 20),
+        |re AS (SELECT sl.qid, sl.vec_id, list_dot_product(eq.v, ev.v) AS score
+        |  FROM c20 sl JOIN e eq ON eq.vec_id = sl.qid JOIN e ev ON ev.vec_id = sl.vec_id),
+        |r AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, vec_id) AS rank FROM re)
         |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "retrieval_two_stage" ->

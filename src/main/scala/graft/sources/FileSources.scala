@@ -141,6 +141,33 @@ object FileSources {
         .orderBy(col("doc_id"))
     }),
 
+    // Schema evolution across parquet generations — the lake reality
+    // that a 100 TB corpus is written over months by evolving jobs: a
+    // v1 layout (doc_id, lang) and a widened v2 (+ n_chars) must read
+    // back as ONE table. `mergeSchema` unions the footers' schemas;
+    // v1 rows surface the added column as null (count(n_chars) exposes
+    // exactly the v2 mass). At scale mergeSchema is a footer-only
+    // operation (no data rewrite) — the alternative, rewriting 100 TB
+    // to backfill a column, is the anti-pattern this op exists to
+    // avoid. Oracle = identity over the source selection with the v1
+    // nulls modeled as a CASE on the version predicate.
+    "s_schema_evolution_union" -> ((s, dir) => {
+      val root = "target/graft_file_fixtures/out_docs_evo"
+      val docs = graft.Tables.documents(s, dir)
+      docs.filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("n_chars")).as("n_with_chars"),
+             coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // K1: JSON sink round-trip — write aligned utterances as JSON
     // (transcription.py:349-351), read back, verify through the scan.
     "k1_json_sink_roundtrip" -> ((s, _) => {
@@ -153,14 +180,26 @@ object FileSources {
     }),
 
     // Malformed-INPUT quarantine (the parse-side complement of
-    // t4_row_isolation's value-side quarantine): PERMISSIVE JSON read
+    // t4_row_isolation's value-side quarantine): text scan + from_json
     // with columnNameOfCorruptRecord — a broken line becomes a row with
-    // the raw text in the corrupt column and nulls elsewhere instead of
+    // the raw text in the corrupt field and nulls elsewhere instead of
     // failing the scan, so one bad producer can't take down ingestion.
     // Census: ok/corrupt counts + the sums the ok slice supports. At
     // 100 TB this IS the ingest contract — corrupt rows route to a
     // quarantine sink with their raw payload for replay, and the scan
     // stays one pass, no pre-validation read.
+    //
+    // Deliberately NOT the JSON datasource with a _corrupt_record scan
+    // column: under `.count()` Catalyst prunes unreferenced aggregate
+    // inputs, the scan's referenced set collapses to _corrupt_record
+    // alone, and Spark throws UNSUPPORTED_FEATURE
+    // .QUERY_ONLY_CORRUPT_RECORD_COLUMN (the r4 bench -1). A text scan
+    // always references `value`, so the plan survives any pruning, and
+    // the from_json null-split mirrors the DuckDB oracle's
+    // `json_valid(line)` structure exactly. (Boundary: a type-mismatch
+    // field inside VALID json — e.g. {"id":"abc"} — is corrupt to
+    // from_json but json_valid-ok; the contract here is "parses into
+    // the declared schema", and the fixture pins it.)
     "s_json_corrupt_quarantine" -> ((s, _) => {
       import org.apache.spark.sql.types._
       val dir = corruptJsonFixture()
@@ -168,17 +207,46 @@ object FileSources {
         StructField("id", LongType), StructField("amount", LongType),
         StructField("tag", StringType),
         StructField("_corrupt_record", StringType)))
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(s"$dir/events.jsonl")
-        .select(when(col("_corrupt_record").isNull, lit("ok"))
+      s.read.text(s"$dir/events.jsonl")
+        .select(from_json(col("value"), schema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+        .select(when(col("j._corrupt_record").isNull, lit("ok"))
                   .otherwise(lit("corrupt")).as("status"),
-                col("id"), col("amount"))
+                col("j.id").as("id"), col("j.amount").as("amount"))
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
              // corrupt group sums all-null -> coalesce keeps the census
              // NaN-free (typed-null vs NaN comparison traps)
+             coalesce(sum(col("amount")), lit(0L)).as("total_amount"),
+             count(col("id")).as("n_with_id"))
+        .orderBy(col("status"))
+    }),
+
+    // CSV twin of the quarantine contract: same text + from_csv(
+    // PERMISSIVE, columnNameOfCorruptRecord) pattern — benches clean
+    // under `.count()` pruning by construction. from_csv marks a line
+    // corrupt on type mismatch, missing columns, or extra columns
+    // (empty fields are legitimate nulls); the census trusts NO field
+    // of a corrupt line (values gated on status), which is the
+    // quarantine semantics — route the raw line, don't half-ingest it.
+    "s_csv_corrupt_quarantine" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val dir = corruptCsvFixture()
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("amount", LongType),
+        StructField("tag", StringType),
+        StructField("_corrupt_record", StringType)))
+      val ok = col("j._corrupt_record").isNull
+      s.read.text(s"$dir/events.csv")
+        .select(from_csv(col("value"), schema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+        .select(when(ok, lit("ok")).otherwise(lit("corrupt")).as("status"),
+                when(ok, col("j.id")).as("id"),
+                when(ok, col("j.amount")).as("amount"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
              coalesce(sum(col("amount")), lit(0L)).as("total_amount"),
              count(col("id")).as("n_with_id"))
         .orderBy(col("status"))
@@ -203,6 +271,30 @@ object FileSources {
         "not json at all\n" +
         """{"id":5,"amount":70,"tag":"c"}""" + "\n" +
         """{"id":6,"amount":null,"tag":"d"}""" + "\n").getBytes)
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
+  /** CSV quarantine fixture: one clean majority + the three corruption
+    * classes from_csv distinguishes (type mismatch, too-few columns,
+    * too-many columns) + an empty-field row that must stay `ok`. */
+  private def corruptCsvFixture(): String = {
+    val root = Paths.get("target/graft_file_fixtures_csvq")
+    val sentinel = root.resolve(".complete")
+    if (!Files.exists(sentinel)) {
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(root)
+      Files.write(root.resolve("events.csv"), (
+        "1,100,a\n" +
+        "2,250,b\n" +
+        "3,notanumber,c\n" + // type mismatch -> corrupt
+        "4,70\n" +           // too few columns -> corrupt
+        "5,80,d,extra\n" +   // too many columns -> corrupt
+        "6,,e\n").getBytes)  // empty amount = legitimate null -> ok
       Files.write(sentinel, Array.emptyByteArray)
     }
     root.toString
@@ -253,6 +345,15 @@ object FileSources {
       "s_xml_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id",
 
+      // merged two-generation read ≡ the source selection, with the v1
+      // rows' missing column modeled by the version predicate
+      "s_schema_evolution_union" ->
+        """SELECT lang, count(*) AS n_rows,
+          |  count(CASE WHEN doc_id >= 30 THEN n_chars END)::BIGINT AS n_with_chars,
+          |  coalesce(sum(CASE WHEN doc_id >= 30 THEN n_chars END), 0)::BIGINT AS sum_chars
+          |FROM documents WHERE doc_id < 60
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+
       // JSON sink round-trip must preserve the aligned utterances the
       // (already oracle-green) j1 query computes
       "k1_json_sink_roundtrip" ->
@@ -269,6 +370,30 @@ object FileSources {
            |  CASE WHEN json_valid(line) THEN (line->>'$$.id')::BIGINT END AS id,
            |  CASE WHEN json_valid(line) THEN (line->>'$$.amount')::BIGINT END AS amount
            |  FROM lines)
+           |SELECT status, count(*) AS n,
+           |  coalesce(sum(amount), 0)::BIGINT AS total_amount,
+           |  count(id)::BIGINT AS n_with_id
+           |FROM c GROUP BY status ORDER BY status""".stripMargin
+      },
+
+      // raw-line read + token/cast checks replay from_csv's PERMISSIVE
+      // malformed test: exactly 3 tokens, numeric (or empty) id/amount
+      "s_csv_corrupt_quarantine" -> {
+        val cq = Paths.get("target/graft_file_fixtures_csvq").toAbsolutePath.toString
+        s"""WITH lines AS (SELECT * FROM read_csv('$cq/events.csv',
+           |  columns = {line: 'VARCHAR'}, delim = chr(1), header = false, quote = '')),
+           |p AS (SELECT line, string_split(line, ',') AS t FROM lines),
+           |c AS (SELECT CASE WHEN len(t) = 3
+           |    AND (t[1] = '' OR try_cast(t[1] AS BIGINT) IS NOT NULL)
+           |    AND (t[2] = '' OR try_cast(t[2] AS BIGINT) IS NOT NULL)
+           |  THEN 'ok' ELSE 'corrupt' END AS status,
+           |  CASE WHEN len(t) = 3 AND (t[1] = '' OR try_cast(t[1] AS BIGINT) IS NOT NULL)
+           |    AND (t[2] = '' OR try_cast(t[2] AS BIGINT) IS NOT NULL)
+           |  THEN try_cast(t[1] AS BIGINT) END AS id,
+           |  CASE WHEN len(t) = 3 AND (t[1] = '' OR try_cast(t[1] AS BIGINT) IS NOT NULL)
+           |    AND (t[2] = '' OR try_cast(t[2] AS BIGINT) IS NOT NULL)
+           |  THEN try_cast(t[2] AS BIGINT) END AS amount
+           |  FROM p)
            |SELECT status, count(*) AS n,
            |  coalesce(sum(amount), 0)::BIGINT AS total_amount,
            |  count(id)::BIGINT AS n_with_id

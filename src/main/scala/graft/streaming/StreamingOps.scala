@@ -288,8 +288,12 @@ object StreamingOps {
         .option("maxFilesPerTrigger", 1).json(srcDir)
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // null-explicit: a missing amount (e.g. a malformed row under
+          // a PERMISSIVE-style read) is quarantined, not silently 'ok'
+          // — mirrored verbatim by the oracle's IS NULL OR < 0 branch
           batch.withColumn("status",
-              when(col("amount_cents") >= 0, lit("ok")).otherwise(lit("failed")))
+              when(col("amount_cents").isNotNull && col("amount_cents") >= 0,
+                lit("ok")).otherwise(lit("failed")))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_key").parquet(sink)
@@ -407,7 +411,7 @@ object StreamingOps {
          |  FROM read_json('$root/*.json',
          |    columns = {batch_key: 'VARCHAR', event_id: 'BIGINT', amount_cents: 'BIGINT'}))
          |SELECT batch_key,
-         |  CASE WHEN amount_cents < 0 THEN 'failed' ELSE 'ok' END AS status,
+         |  CASE WHEN amount_cents IS NULL OR amount_cents < 0 THEN 'failed' ELSE 'ok' END AS status,
          |  count(*) AS n, sum(amount_cents)::BIGINT AS total_cents
          |FROM r GROUP BY 1, 2 ORDER BY batch_key, status""".stripMargin
     },

@@ -111,6 +111,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(reference.exceptAll(native).count() == 0)
   }
 
+  test("simhash64 chunk blocking is lossless: pairs == brute-force all-pairs hamming<=3") {
+    // the pigeonhole claim itself: 3 bit errors touch at most 3 of the
+    // 4 16-bit chunks, so the (lang, cpos, cval) multi-index must find
+    // EXACTLY the pairs an unblocked all-pairs scan finds
+    val sh = Tables.documentsSpread(spark, sf)
+      .select(col("doc_id"), col("lang"),
+              graft.functions.TextSignatures.simHash64(col("text")).as("simhash"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val blocked = SparkEntry.queries("dedup_simhash64")(spark, sf)
+    assert(blocked.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(blocked).count() == 0)
+  }
+
   test("salted jaccard join == unsalted brute-force blocked join") {
     // the salting (side a keeps hash(doc_id)%S, side b replicated to all
     // S salts) must be a pure re-layout: identical surviving pairs

@@ -100,4 +100,15 @@ class FileSourcesSpec extends SparkSpec {
     // rows (one with a legitimate null amount) keep their sums
     assert(rows == Map("corrupt" -> ((2L, 0L, 0L)), "ok" -> ((4L, 420L, 4L))))
   }
+
+  test("corrupt-csv quarantine: type/arity breakage quarantined, empty field stays ok") {
+    val rows = run("s_csv_corrupt_quarantine").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // corrupt: type mismatch + too-few + too-many columns (all three
+    // from_csv malformed classes); ok: 2 clean rows + the empty-amount
+    // row (legitimate null). Corrupt rows contribute NO values (their
+    // partial parses are gated out) — quarantine means replay the raw
+    // line, not half-ingest it.
+    assert(rows == Map("corrupt" -> ((3L, 0L, 0L)), "ok" -> ((3L, 350L, 3L))))
+  }
 }

@@ -72,7 +72,7 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(blocked.sorted == brute.sorted)
   }
 
-  test("ANN recall vs exact top-3 at sf0.001 AND sf0.1 — all four variants") {
+  test("ANN recall vs exact top-3 at sf0.001 AND sf0.1 — all five variants") {
     // deterministic corpora + seeded constructions → these are fixed
     // numbers, not flaky bounds. Floors leave margin under the measured
     // values (sf0.001 / sf0.1):
@@ -80,9 +80,11 @@ class RetrievalOpsSpec extends SparkSpec {
     //   ivf  — nprobe=2 of 4 coarse cells
     //   int8 — symmetric quantization ranking noise only
     //   incremental — bucketed main + EXACT delta
+    //   pq   0.60 / 0.60  (ADC depth-20 shortlist + exact re-rank)
     val floors = Seq(
       "ann_lsh_topk" -> 0.5, "ann_ivf_topk" -> 0.5,
-      "ann_int8_topk" -> 0.8, "ann_incremental_topk" -> 0.5)
+      "ann_int8_topk" -> 0.8, "ann_incremental_topk" -> 0.5,
+      "ann_pq_topk" -> 0.5)
     for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
       val exact = RetrievalOps.queries("v3_cosine_topk")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
