@@ -281,6 +281,41 @@ object EventOps {
         .withColumnRenamed("change_id", "change_event_id")
         .orderBy(col("user_id"), col("valid_from"), col("change_event_id"))),
 
+    // Incremental SCD2 merge — the lakehouse MERGE INTO: a dimension
+    // built from events up to a cutoff (midpoint of the time range,
+    // derived as a 1-row broadcast scalar) absorbs the post-cutoff
+    // delta WITHOUT recomputing history. Untouched keys pass through
+    // by anti join; for delta keys only the CURRENT row is reopened as
+    // a pseudo-event and re-run through scd2 together with that key's
+    // delta — scd2 is prefix-decomposable from the last change row, so
+    // the tail reproduces exactly what a full rebuild would emit, and
+    // the ORACLE IS THE FULL REBUILD (same SQL as scd2_user_state):
+    // incremental ≡ batch is the asserted contract, not a hope. At
+    // 100 TB the nightly merge cost is ∝ |delta| + |delta keys'
+    // current rows| — the dimension's closed history never reshuffles.
+    "scd2_incremental_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cut = ev.agg(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("cut"))
+      val evC = ev.crossJoin(broadcast(cut))
+      val hist = evC.filter(unix_micros(col("ts")) <= col("cut")).drop("cut")
+      val delta = evC.filter(unix_micros(col("ts")) > col("cut")).drop("cut")
+      val dim = graft.api.Graft.scd2(hist, "user_id", "ts", "event_id", "event_type")
+      val deltaKeys = delta.select(col("user_id")).distinct()
+      val untouched = dim.join(deltaKeys, Seq("user_id"), "left_anti")
+      val affected = dim.join(deltaKeys, Seq("user_id"), "left_semi")
+      val closedHist = affected.filter(col("is_current") === 0)
+      val seed = affected.filter(col("is_current") === 1)
+        .select(col("user_id"), col("valid_from").as("ts"),
+                col("change_id").as("event_id"), col("event_type"))
+      val tail = graft.api.Graft.scd2(
+        seed.unionByName(delta), "user_id", "ts", "event_id", "event_type")
+      untouched.unionByName(closedHist).unionByName(tail)
+        .withColumnRenamed("change_id", "change_event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("change_event_id"))
+    }),
+
     // Telemetry debounce: drop events arriving within 6 h of the
     // previous event of the same (user, type) — the duplicate-burst
     // cleaner every event pipeline runs before sessionization. Gap is
@@ -460,6 +495,20 @@ object EventOps {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "scd2_user_state" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 20),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |r AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  event_id AS change_event_id FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to, change_event_id,
+        |  (valid_to IS NULL)::INT AS is_current
+        |FROM r ORDER BY user_id, valid_from, change_event_id""".stripMargin,
+
+    // incremental merge must equal the batch rebuild — same oracle SQL
+    "scd2_incremental_merge" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |  FROM events WHERE user_id < 20),

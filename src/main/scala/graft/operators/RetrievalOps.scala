@@ -339,6 +339,53 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space with k-means (K=8 cells, data-point init — see
+    // ann_pq_topk's degeneracy note — two Lloyd refinements), then
+    // inside each cell prune every vector DOMINATED by a lower-id
+    // vector at similarity ≥ 0.4 (a deterministic variant of the
+    // paper's greedy ε-ball keep: EXISTS is order-free, so both
+    // engines compute the identical set with no sequential walk).
+    // Census: per-cell survivors vs pruned.
+    // Scale: the quadratic pair join is CONFINED to cells (thousands
+    // of cells at 100 TB, each memory-bounded) — the same blocked-n²
+    // shape as dedup_ngram_jaccard, but the blocking key is LEARNED
+    // geometry instead of (lang, length). Cross-cell near-dups are the
+    // documented recall trade; raising K tightens cells and cost
+    // simultaneously. Clustering itself is linear: per Lloyd round one
+    // (cell, dim)-keyed digest shuffle + a broadcast argmax — vectors
+    // never shuffle.
+    "dedup_semantic" -> ((s, dir) => {
+      val K = 8
+      val c = corpusMat(s, dir)
+      def centroidsOf(assign: DataFrame): DataFrame = c.join(assign, "vec_id")
+        .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("g"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cx")))),
+          p => p.getField("cx")).as("cv"))
+        .localCheckpoint()
+      def assignTo(cent: DataFrame): DataFrame = c.crossJoin(broadcast(cent))
+        .withColumn("cs", dot(col("v"), col("cv")))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("g"))))
+        .filter(col("cr") === 1).select(col("vec_id"), col("g"))
+      val cent0 = c.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("g"), col("v").as("cv"))
+        .localCheckpoint()
+      val cent2 = centroidsOf(assignTo(centroidsOf(assignTo(cent0))))
+      val m = c.join(assignTo(cent2), "vec_id")
+      val pruned = m.as("a").join(m.as("b"),
+          col("a.g") === col("b.g") && col("a.vec_id") < col("b.vec_id") &&
+          dot(col("a.v"), col("b.v")) >= 0.4)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      m.join(pruned.withColumn("p", lit(1)), Seq("vec_id"), "left")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_vectors"), count(col("p")).as("n_pruned"))
+        .orderBy(col("g"))
+    }),
+
     // ANN: int8 scalar quantization — the memory-compression scale path
     // (4× smaller vectors than float32, integer dot products). SYMMETRIC
     // quantization around zero (q = round(x·127/maxabs), one global
@@ -696,6 +743,39 @@ object RetrievalOps {
         |    ORDER BY score DESC, vec_id) AS rank FROM re)
         |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // k-means cells (data-point init, two Lloyd refinements) + within-
+    // cell dominance prune, mirrored CTE for CTE
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sx AS (SELECT vec_id, unnest(v) AS x,
+        |    unnest(range(1, len(v) + 1)) AS dim FROM e),
+        |c0 AS (SELECT vec_id::INT AS g, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c0.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.g) AS cr
+        |    FROM e CROSS JOIN c0) WHERE cr = 1),
+        |c1 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT a1.g, sx.dim, avg(sx.x) AS cx
+        |    FROM sx JOIN a1 USING (vec_id) GROUP BY a1.g, sx.dim) GROUP BY g),
+        |a2 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c1.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c1.cv) DESC, c1.g) AS cr
+        |    FROM e CROSS JOIN c1) WHERE cr = 1),
+        |c2 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT a2.g, sx.dim, avg(sx.x) AS cx
+        |    FROM sx JOIN a2 USING (vec_id) GROUP BY a2.g, sx.dim) GROUP BY g),
+        |a3 AS (SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c2.g, row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c2.cv) DESC, c2.g) AS cr
+        |    FROM e CROSS JOIN c2) WHERE cr = 1),
+        |m AS (SELECT e.vec_id, e.v, a3.g FROM e JOIN a3 USING (vec_id)),
+        |pruned AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+        |  ON a.g = b.g AND a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) >= 0.4)
+        |SELECT m.g, count(*) AS n_vectors, count(p.vec_id)::BIGINT AS n_pruned
+        |FROM m LEFT JOIN pruned p ON m.vec_id = p.vec_id
+        |GROUP BY m.g ORDER BY g""".stripMargin,
     "retrieval_two_stage" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS (SELECT max(abs(x)) AS gm FROM (SELECT unnest(v) AS x FROM e)),

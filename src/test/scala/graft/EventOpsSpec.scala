@@ -85,4 +85,22 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
     assert(r.getLong(2) > 0, "fixture should have at least one full conversion")
   }
+
+  test("scd2 incremental merge == full batch rebuild, and the delta actually split keys") {
+    import spark.implicits._
+    val inc = operators.EventOps.queries("scd2_incremental_merge")(spark, sf)
+    val ev = Tables.events(spark, sf).filter($"user_id" < 20)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val full = graft.api.Graft.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .withColumnRenamed("change_id", "change_event_id")
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // the fixture must exercise the interesting path: at least one key with
+    // rows on BOTH sides of the cutoff (else the merge degenerates to union)
+    val cut = ev.agg(expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")).head.getLong(0)
+    val both = ev.groupBy($"user_id")
+      .agg(sum(when(unix_micros($"ts") <= cut, 1).otherwise(0)).as("pre"),
+           sum(when(unix_micros($"ts") > cut, 1).otherwise(0)).as("post"))
+      .filter($"pre" > 0 && $"post" > 0).count()
+    assert(both > 0, "cutoff should split at least one user's history")
+  }
 }

@@ -146,4 +146,19 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(math.abs(r.getLong(1)) <= 1000000L && math.abs(r.getLong(2)) <= 1000000L)
     }
   }
+
+  test("semantic dedup: census partitions the corpus and is deterministic") {
+    import spark.implicits._
+    val a = RetrievalOps.queries("dedup_semantic")(spark, sf)
+    val total = Tables.embeddings(spark, sf).count()
+    val agg = a.agg(sum($"n_vectors"), sum($"n_pruned")).head
+    assert(agg.getLong(0) == total, "every vector lands in exactly one cell")
+    assert(agg.getLong(1) > 0 && agg.getLong(1) < total,
+      "fixture should prune some but not all vectors")
+    a.collect().foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // k-means init is data-point-seeded, so two runs must agree exactly
+    // (oracle hash-compare depends on this determinism)
+    val b = RetrievalOps.queries("dedup_semantic")(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
