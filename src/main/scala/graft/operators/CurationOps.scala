@@ -249,6 +249,72 @@ object CurationOps {
              sum(col("lr")).as("dsir_e6"))
         .withColumn("target_like", (col("dsir_e6") > 0).cast("int"))
         .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Trained Naive Bayes language classifier — the third in-engine
+    // trained model (after the DSIR bag models and the bigram LM), and
+    // the first with a real TRAIN/TEST protocol: docs split by the
+    // deterministic hash-bps gate (80/20, the holdout idiom), hashed
+    // word-unigram features (B=4096), Laplace-smoothed per-class
+    // likelihoods + doc priors, integer-micro log scores (exact
+    // cross-engine ties), argmax per test doc, confusion-matrix census.
+    // Unlike ta_langid (a FIXED trigram heuristic) this LEARNS its
+    // model from the corpus itself.
+    // Scale: the model is ≤ B×L rows + L priors — bounded by the hash
+    // width, NOT the corpus — so it broadcasts at any data size; one
+    // training aggregation, one linear scoring pass (test tokens × L
+    // with L = #languages ~ dozens). This is fastText-shape supervised
+    // classification reduced to two groupBys and a broadcast join.
+    // Honest-fixture note: the synthetic corpus draws every language
+    // from ONE shared vocabulary (measured: per-lang top-word lists are
+    // interchangeable), so the learned model correctly collapses to the
+    // class prior and the confusion census shows majority-class
+    // prediction — the spec asserts exactly that, which is the right
+    // answer on signal-free data (a classifier that "won" here would be
+    // leaking the label).
+    "curate_nb_langid" -> ((s, dir) => {
+      val B = 4096
+      val docs = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          (hashBps(col("doc_id")) < 8000).as("is_train"), col("text"))
+      val toks = docs.select(col("doc_id"), col("lang"), col("is_train"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
+        .drop("w")
+      val train = toks.filter(col("is_train"))
+      // ≤ B×L rows: the whole likelihood model in one aggregation
+      val counts = train.groupBy(col("b"), col("lang"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val priorsN = docs.filter(col("is_train"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val priors = priorsN
+        .crossJoin(broadcast(priorsN.agg(sum(col("nd")).as("ndt"))))
+        .select(col("lang"),
+          floor(log(col("nd") / col("ndt")) * 1e6 + 0.5).cast("long").as("plr"))
+      val scored = toks.filter(!col("is_train"))
+        .withColumnRenamed("lang", "actual")
+        // L-way expansion: every test token scored under every class
+        .crossJoin(broadcast(totals))
+        .join(broadcast(counts), Seq("b", "lang"), "left")
+        .withColumn("lr", floor(
+            log((coalesce(col("c"), lit(0L)) + 1.0) / (col("t") + B)) * 1e6
+            + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("actual"), col("lang"))
+        .agg(sum(col("lr")).as("ll"))
+        .join(broadcast(priors), Seq("lang"))
+        .withColumn("score", col("ll") + col("plr"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score"), col("lang"))))
+        .filter(col("rn") === 1)
+        .withColumnRenamed("lang", "predicted")
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
     })
   )
 
@@ -350,6 +416,40 @@ object CurationOps {
         |  FROM f JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot)
         |SELECT doc_id, count(*)::INT AS n_feats, sum(lr)::BIGINT AS dsir_e6,
         |  (sum(lr) > 0)::INT AS target_like
-        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // NB train/score mirrored stage for stage; integer-micro log scores
+    // make the argmax tie-exact across engines
+    "curate_nb_langid" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ($hashBpsSql < 8000) AS is_train
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, lang, is_train,
+         |    (('0x' || substr(md5(w), 1, 8))::BIGINT % 4096) AS b
+         |  FROM d, unnest(string_split(text, ' ')) u(w) WHERE w <> ''),
+         |cnt AS (SELECT b, lang, count(*) AS c FROM tok
+         |  WHERE is_train GROUP BY b, lang),
+         |tot AS (SELECT lang, count(*) AS t FROM tok
+         |  WHERE is_train GROUP BY lang),
+         |pri AS (SELECT lang, count(*) AS nd FROM d
+         |  WHERE is_train GROUP BY lang),
+         |pr AS (SELECT lang,
+         |    floor(ln(nd / (SELECT sum(nd) FROM pri)) * 1e6 + 0.5)::BIGINT
+         |      AS plr FROM pri),
+         |sc AS (SELECT tt.doc_id, tt.lang AS actual, tot.lang AS cls,
+         |    floor(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + 4096)) * 1e6
+         |      + 0.5)::BIGINT AS lr
+         |  FROM (SELECT * FROM tok WHERE NOT is_train) tt
+         |  CROSS JOIN tot
+         |  LEFT JOIN cnt ON cnt.b = tt.b AND cnt.lang = tot.lang),
+         |agg AS (SELECT doc_id, actual, cls, sum(lr) AS ll
+         |  FROM sc GROUP BY 1, 2, 3),
+         |fin AS (SELECT doc_id, actual, cls, ll + plr AS score
+         |  FROM agg JOIN pr ON pr.lang = agg.cls),
+         |win AS (SELECT doc_id, actual, cls AS predicted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn FROM fin)
+         |SELECT actual, predicted, count(*)::BIGINT AS n
+         |FROM win WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

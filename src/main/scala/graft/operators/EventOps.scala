@@ -139,6 +139,26 @@ object EventOps {
         .orderBy(col("event_type"), col("next_type"))
     }),
 
+    // Market-basket co-occurrence: for every unordered pair of event
+    // types, how many users emitted BOTH — the support table behind
+    // association mining / "users who did X also did Y".
+    // Scale: the self-join is blocked on user_id AFTER a distinct that
+    // caps each user at |type-domain| rows, so the quadratic factor is
+    // bounded by the (small, fixed) type vocabulary, never by a user's
+    // event volume; both sides share one shuffle partitioning. Output
+    // is ≤ |types|² rows.
+    "a_cooccurrence_types" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+                 col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // RANGE-frame sliding window: per event, the user's trailing-1-hour
     // value sum — the frame is bounded by the ORDER-BY VALUE (epoch
     // seconds), not row position, so irregular event spacing is handled
@@ -429,6 +449,14 @@ object EventOps {
         |SELECT event_type, next_type, n,
         |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type)), 6) AS p
         |FROM g ORDER BY event_type, next_type""".stripMargin,
+
+    "a_cooccurrence_types" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*)::BIGINT AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w_sliding_hour_sum" ->
       """WITH e AS (SELECT event_id, user_id,
         |  epoch_us(ts) // 1000000 AS epoch_s,

@@ -386,6 +386,42 @@ object RetrievalOps {
         .orderBy(col("g"))
     }),
 
+    // Embedding-quality EVAL: k-NN label consistency (k=5 majority
+    // vote, ties to the smaller label) for a fixed probe set against
+    // the full corpus, per-class census of n_queries / n_correct. This
+    // is the standard "does the embedding space respect the labels"
+    // probe run before training a classifier head on frozen embeddings.
+    // Honest-fixture note: the synthetic embeddings are label-
+    // independent (measured 1-NN consistency ≈ the 10% chance floor),
+    // so the census correctly reports ~chance accuracy — the op
+    // MEASURES structure, it doesn't assume it.
+    // Scale: identical shape to v3_cosine_topk — probe set broadcasts,
+    // corpus streams out of the scan once, per-probe window top-k; the
+    // vote and census aggregate k×|Q| rows. The corpus never shuffles.
+    "retrieval_knn_label_eval" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val c = corpus(s, dir).join(lab, "vec_id")
+      val q = c.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("label").as("actual"))
+      val nn = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+      nn.groupBy(col("qid"), col("actual"), col("label"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("nv"), col("label"))))
+        .filter(col("vr") === 1)
+        .withColumnRenamed("label", "predicted")
+        .groupBy(col("actual"))
+        .agg(count(lit(1)).as("n_queries"),
+             sum(when(col("predicted") === col("actual"), 1).otherwise(0))
+               .as("n_correct"))
+        .orderBy(col("actual"))
+    }),
+
     // ANN: int8 scalar quantization — the memory-compression scale path
     // (4× smaller vectors than float32, integer dot products). SYMMETRIC
     // quantization around zero (q = round(x·127/maxabs), one global
@@ -776,6 +812,25 @@ object RetrievalOps {
         |SELECT m.g, count(*) AS n_vectors, count(p.vec_id)::BIGINT AS n_pruned
         |FROM m LEFT JOIN pruned p ON m.vec_id = p.vec_id
         |GROUP BY m.g ORDER BY g""".stripMargin,
+
+    // k-NN majority vote (ties to smaller label), per-class census
+    "retrieval_knn_label_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS actual
+        |  FROM e WHERE vec_id < 50),
+        |nn AS (SELECT qid, actual, e.label, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_dot_product(qv, v) DESC, vec_id) AS rank
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |vote AS (SELECT qid, actual, label, count(*) AS nv
+        |  FROM nn WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |win AS (SELECT qid, actual, label AS predicted, row_number() OVER (
+        |    PARTITION BY qid ORDER BY nv DESC, label) AS vr FROM vote)
+        |SELECT actual, count(*) AS n_queries,
+        |  sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct
+        |FROM win WHERE vr = 1 GROUP BY actual ORDER BY actual""".stripMargin,
     "retrieval_two_stage" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS (SELECT max(abs(x)) AS gm FROM (SELECT unnest(v) AS x FROM e)),

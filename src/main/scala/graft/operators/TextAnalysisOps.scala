@@ -211,6 +211,41 @@ object TextAnalysisOps {
              sum(col("nll")).as("nll_e6"))
         .withColumn("avg_nll_e6", expr("nll_e6 div n_bigrams"))
         .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // Corpus-statistics: least-squares slope of ln(freq) vs ln(rank)
+    // over the top-1000 vocabulary — the Zipf exponent, the standard
+    // one-number corpus health check (natural text ≈ −1; a bot-spam or
+    // template-heavy crawl flattens it; the synthetic fixture's
+    // uniform word draw correctly yields a shallow slope).
+    // Determinism: rank/freq enter as e6 fixed-point logs, the four
+    // regression sums are EXACT integer aggregates (order-free), and
+    // only the final slope ratio is floating — one identical IEEE
+    // division in both engines. The e6 scale cancels in the ratio.
+    // Scale: top-1000 via orderBy+limit = distributed TakeOrdered (no
+    // global sort); the rank window then sees ≤1000 rows. One shuffle
+    // for the word count, nothing corpus-sized past it.
+    "ta_zipf_slope" -> ((s, dir) => {
+      val freq = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(desc("f"), col("w")).limit(1000)
+      val pts = top.withColumn("r", row_number().over(
+          Window.orderBy(desc("f"), col("w"))))
+        .select(
+          floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+          floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+              sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+              sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_points"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
     })
   )
 
@@ -329,6 +364,26 @@ object TextAnalysisOps {
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*)::INT AS n_bigrams, sum(nll)::BIGINT AS nll_e6,
         |  (sum(nll) // count(*))::BIGINT AS avg_nll_e6
-        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // same e6 fixed-point logs, exact integer regression sums, one
+    // final double division
+    "ta_zipf_slope" ->
+      """WITH w AS (SELECT u.w FROM documents,
+        |    unnest(string_split(text, ' ')) u(w)
+        |  WHERE text IS NOT NULL AND u.w <> ''),
+        |f AS (SELECT w, count(*) AS f FROM w GROUP BY w
+        |  ORDER BY f DESC, w LIMIT 1000),
+        |p AS (SELECT floor(ln(row_number() OVER (ORDER BY f DESC, w))
+        |      * 1e6 + 0.5)::BIGINT AS x,
+        |    floor(ln(f) * 1e6 + 0.5)::BIGINT AS y FROM f),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx FROM p)
+        |SELECT n AS n_points,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    AS zipf_slope
+        |FROM a""".stripMargin
   )
 }

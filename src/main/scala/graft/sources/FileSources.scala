@@ -110,6 +110,26 @@ object FileSources {
         .orderBy(col("doc_id"))
     }),
 
+    // Partitioned-lake layout: dynamic-partition parquet write
+    // (one directory per lang) + a partition-pruned read-back. At
+    // 100 TB this IS the table layout — the lang predicate must prune
+    // directories at planning time so the scan never lists, let alone
+    // reads, the other partitions (PartitionPruningSpec asserts
+    // PartitionFilters on this exact shape; the day-partitioned events
+    // variant there also proves dynamic pruning through a join). The
+    // oracle is the same aggregate over the unpartitioned source —
+    // layout must never change answers.
+    "s_partitioned_sink_prune" -> ((s, dir) => {
+      val out = "target/graft_file_fixtures/out_docs_partitioned"
+      graft.Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ORC round-trip — the other columnar format in the lake toolbox;
     // predicate pushdown applies on read-back like parquet.
     "s_orc_roundtrip" -> ((s, dir) => {
@@ -331,6 +351,14 @@ object FileSources {
       // CSV round-trip must preserve the source parquet selection exactly
       "s_csv_roundtrip" ->
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+
+      // layout-invariance: partitioned write + pruned read-back must
+      // equal the same aggregate over the unpartitioned source
+      "s_partitioned_sink_prune" ->
+        """SELECT lang, count(*)::BIGINT AS n_docs,
+          |  sum(n_chars)::BIGINT AS total_chars
+          |FROM documents WHERE lang IN ('en', 'fr')
+          |GROUP BY lang ORDER BY lang""".stripMargin,
 
       // ORC round-trip: DuckDB has no ORC reader, but round-trip ≡
       // identity, so the oracle is the same aggregate over the SOURCE

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Targeted properties for the round-5 operators (each also runs under
+  * the CountSweep/PlanInvariants sweeps and the DuckDB oracle gate). */
+class RoundFiveOpsSpec extends SparkSpec {
+
+  test("curate_nb_langid: census covers exactly the test split; signal-free corpus collapses to the prior") {
+    import spark.implicits._
+    val cm = operators.CurationOps.queries("curate_nb_langid")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).filter($"text".isNotNull)
+    val nTest = docs.filter(functions.TextMetrics.hashBps($"doc_id") >= 8000).count()
+    assert(cm.map(_.getLong(2)).sum == nTest, "every test doc is classified exactly once")
+    // the synthetic corpus draws all languages from one vocabulary, so a
+    // correctly-trained NB must predict the majority training class for
+    // every doc — the honest no-signal outcome, asserted not hoped
+    val majority = docs
+      .filter(functions.TextMetrics.hashBps($"doc_id") < 8000)
+      .groupBy($"lang").count().orderBy(desc("count"), $"lang")
+      .head.getString(0)
+    assert(cm.forall(_.getString(1) == majority),
+      s"expected all predictions = training-majority class '$majority'")
+  }
+
+  test("retrieval_knn_label_eval: probe census is complete and bounded") {
+    import spark.implicits._
+    val rows = operators.RetrievalOps.queries("retrieval_knn_label_eval")(spark, sf).collect()
+    val nProbes = Tables.embeddings(spark, sf).filter($"vec_id" < 50).count()
+    assert(rows.map(_.getLong(1)).sum == nProbes, "every probe voted exactly once")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("a_cooccurrence_types: pair support <= each type's own user support") {
+    import spark.implicits._
+    val pairs = operators.EventOps.queries("a_cooccurrence_types")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    val perType = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct()
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "unordered pairs, canonical order")
+      assert(r.getLong(2) <= math.min(perType(r.getString(0)), perType(r.getString(1))))
+    }
+  }
+
+  test("ta_zipf_slope: slope is negative and matches a driver-side replay") {
+    import spark.implicits._
+    val row = operators.TextAnalysisOps.queries("ta_zipf_slope")(spark, sf).head
+    val (n, slope) = (row.getLong(0), row.getDouble(1))
+    assert(n > 10 && slope < 0.0, s"n=$n slope=$slope")
+    // replay: exact integer regression sums over the same e6 logs
+    val freqs = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .groupBy($"w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, f) => (-f, w) }.take(1000)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong,
+       math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val nn = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val expect = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - expect) < 1e-6, s"$slope vs $expect")
+  }
+
+  test("s_partitioned_sink_prune: the lang predicate prunes partitions in the plan") {
+    val df = sources.FileSources.queries("s_partitioned_sink_prune")(spark, sf)
+    assert(df.count() == 2)
+    // re-read the sink and check the filter lands in PartitionFilters,
+    // not as a post-scan row filter
+    val plan = spark.read.parquet("target/graft_file_fixtures/out_docs_partitioned")
+      .filter(col("lang").isin("en", "fr"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [lang"), plan.take(600))
+  }
+}
