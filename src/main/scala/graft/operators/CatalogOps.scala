@@ -305,6 +305,37 @@ object CatalogOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Bloom-prefiltered semi join — the explicit runtime-filter pattern
+    // for fact⋉dim at 100 TB: a fixed-size bitset (2^17 bits = 16 KB
+    // here, key-count independent on the wire) built distributed over
+    // the dim keys ([[graft.functions.BloomAgg]]), broadcast to the
+    // probe scan, and tested with pure builtin expressions BEFORE any
+    // probe-side shuffle; the residual exact semi join then runs on the
+    // survivors only, so false positives never reach the result. The
+    // answer is identical to the plain semi join (the oracle) — the
+    // bloom changes the plan, never the semantics. Mirrors what
+    // InjectRuntimeFilter does implicitly; expressed explicitly so the
+    // pruning survives any plan shape (e.g. pre-aggregated probes).
+    "j_bloom_prefilter_semi" -> ((s, dir) => {
+      import s.implicits._
+      val numBits = 1 << 17; val numHashes = 5
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val (h1, h2) = graft.functions.BloomFns.keyHashes(col("c_custkey"))
+      val bloom = dim.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+        .select(new graft.functions.BloomAgg(numBits, numHashes).toColumn.name("bloom"))
+      Tables.orders(s, dir)
+        .crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomFns.mightContain("bloom", "o_custkey", numBits, numHashes))
+        .drop("bloom")
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // C1-C13 scalar-function suite in one projection (lower/trim/
     // concat_ws/format_string/substring/substring_index/regexp/abs/
     // length/year/arithmetic — the reference's string toolbox).
@@ -462,6 +493,14 @@ object CatalogOps {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2001-06-01')
         |ORDER BY o_orderkey""".stripMargin,
+    // bloom is a pure plan optimization: the oracle is the plain semi join
+    "j_bloom_prefilter_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "c_scalar_functions" ->
       s"""WITH k AS (SELECT *, $keySql AS key FROM documents)
          |SELECT doc_id,

@@ -68,6 +68,32 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(math.abs(slope - expect) < 1e-6, s"$slope vs $expect")
   }
 
+  test("BloomAgg: zero false negatives; false-positive rate near theory; bloom semi join == plain semi join") {
+    import spark.implicits._
+    val numBits = 1 << 14; val numHashes = 5
+    val keys = spark.range(0, 1000).select($"id")
+    val (h1, h2) = functions.BloomFns.keyHashes($"id")
+    val bloom = keys.select(h1.as("h1"), h2.as("h2")).as[(Long, Long)]
+      .select(new functions.BloomAgg(numBits, numHashes).toColumn.name("bloom"))
+    val probes = spark.range(0, 100000)
+      .crossJoin(broadcast(bloom))
+      .filter(functions.BloomFns.mightContain("bloom", "id", numBits, numHashes))
+    // all 1000 real keys must pass (bloom filters never false-negative)
+    assert(probes.filter($"id" < 1000).count() == 1000)
+    // fp rate at 16.4 bits/key, k=5: theory ~0.6%; allow generous slack
+    val fp = probes.filter($"id" >= 1000).count().toDouble / 99000.0
+    assert(fp < 0.03, s"false-positive rate $fp")
+    // the registered query is plan-only sugar over the exact semi join
+    val bloomQ = operators.CatalogOps.queries("j_bloom_prefilter_semi")(spark, sf).collect()
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter($"c_mktsegment" === "BUILDING"),
+            $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"o_orderpriority").collect()
+    assert(bloomQ.toSeq == plain.toSeq)
+  }
+
   test("s_partitioned_sink_prune: the lang predicate prunes partitions in the plan") {
     val df = sources.FileSources.queries("s_partitioned_sink_prune")(spark, sf)
     assert(df.count() == 2)
