@@ -385,6 +385,36 @@ object EventOps {
                 coalesce(col("n_events"), lit(0L)).as("n_events"),
                 coalesce(col("n_users"), lit(0L)).as("n_users"))
         .orderBy(col("window_id"))
+    }),
+
+    // Salted shuffle join — the standing skew-mitigation recipe for the
+    // case AQE's skew-join split can't reach (a single hot key inside
+    // one shuffle block, e.g. the null-user or a viral doc at 100 TB):
+    // replicate the DIM side across `nSalt` deterministic salts and key
+    // the PROBE side by `pmod(xxhash64(row_id), nSalt)`, so one hot
+    // join key's rows spread over `nSalt` reducers instead of one. Each
+    // probe row still meets exactly the one dim replica with its salt —
+    // the join RESULT is identical to the unsalted join, which is the
+    // oracle; only the partition layout changes. The shuffle_hash hint
+    // pins the shuffled join (a broadcast would make salting moot —
+    // at real scale the dim is too big to broadcast, which is when you
+    // reach for this). Cost: dim ×nSalt replication — bounded, chosen
+    // per observed skew ratio.
+    "j_skew_salted_join" -> ((s, dir) => {
+      val nSalt = 8
+      val ev = Tables.events(s, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val saltedDim = signup.crossJoin(
+        s.range(nSalt).select(col("id").cast("int").as("salt")))
+      val probe = ev.withColumn("salt",
+        pmod(xxhash64(col("event_id")), lit(nSalt)).cast("int"))
+      probe.join(saltedDim.hint("shuffle_hash"), Seq("user_id", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("ts") >= col("signup_ts"), 1).otherwise(0))
+               .as("n_after_signup"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -572,6 +602,15 @@ object EventOps {
         |  count(DISTINCT j.user_id)::BIGINT AS n_users
         |FROM w LEFT JOIN j USING (window_id)
         |GROUP BY w.window_id, w.w_start, w.w_end
-        |ORDER BY w.window_id""".stripMargin
+        |ORDER BY w.window_id""".stripMargin,
+
+    // salting is a partition-layout change only: oracle = unsalted join
+    "j_skew_salted_join" ->
+      """WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT event_type, count(*) AS n_events,
+        |  sum(CASE WHEN ts >= signup_ts THEN 1 ELSE 0 END)::BIGINT AS n_after_signup
+        |FROM events JOIN su USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -246,6 +246,38 @@ object TextAnalysisOps {
                 (col("n").cast("double") * col("sxx").cast("double") -
                  col("sx").cast("double") * col("sx").cast("double")), 6)
             .as("zipf_slope"))
+    }),
+
+    // Per-group closed-form least squares — tokens regressed on chars
+    // per language, the grouped-model-fit shape (per-domain trend, per-
+    // source calibration) done the SCALABLE way: not mapGroups over
+    // materialized groups but five exact integer sum aggregates
+    // (n, Σx, Σy, Σxy, Σx²) that partial-aggregate map-side, then the
+    // closed-form slope/intercept ratios computed per group row. Same
+    // determinism contract as ta_zipf_slope: all accumulation is
+    // order-free integer arithmetic; the only floating math is one
+    // identical IEEE expression per group in both engines. Scale: one
+    // shuffle of 5 longs per (lang) key — group count, not corpus size.
+    "a_regr_slope_by_lang" -> ((s, dir) => {
+      val pts = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("n_chars").as("x"),
+                size(split(col("text"), " ")).cast("long").as("y"))
+      pts.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("lang"), col("n").as("n_docs"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("tokens_per_char_slope"),
+          round((col("sy").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sxy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("tokens_intercept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -384,6 +416,24 @@ object TextAnalysisOps {
         |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
         |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
         |    AS zipf_slope
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // exact integer regression sums per lang, identical closed-form
+    // double expressions for slope/intercept
+    "a_regr_slope_by_lang" ->
+      """WITH p AS (SELECT lang, n_chars AS x,
+        |    len(string_split(text, ' '))::BIGINT AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT lang, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx FROM p GROUP BY lang)
+        |SELECT lang, n AS n_docs,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    AS tokens_per_char_slope,
+        |  round((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE) /
+        |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    AS tokens_intercept
+        |FROM a ORDER BY lang""".stripMargin
   )
 }

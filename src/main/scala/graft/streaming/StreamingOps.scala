@@ -306,6 +306,46 @@ object StreamingOps {
         .orderBy(col("batch_key"), col("status"))
     }),
 
+    // Stream–stream inner join — the one join class where BOTH sides
+    // are unbounded: click→purchase attribution, each purchase matched
+    // to every click by the same user in the preceding hour. The time-
+    // range predicate + per-side watermarks are what make this bounded:
+    // Spark buffers each side's rows in join state only until the other
+    // side's watermark passes the end of their match window, then evicts
+    // — state ∝ one hour of traffic per side, not stream history. With
+    // the single-file AvailableNow source everything lands in one
+    // micro-batch (no cross-batch arrivals), so the emitted pair set
+    // equals the batch interval join and the plain-SQL oracle below is
+    // exact; in production the same plan runs continuously and the
+    // watermark bound IS the correctness/latency contract. The final
+    // per-user rollup runs as a BATCH aggregate over the drained join
+    // output (sidestepping multi-stateful-operator output-mode
+    // restrictions, and matching the sink-side-rollup production shape).
+    // Scale: both streams shuffle-partition by user_id; join state is
+    // hash-distributed with the same layout as a batch shuffle join.
+    "streaming_stream_stream_join" -> ((s, dir) => {
+      val clicks = eventsStream(s, dir, maxFiles = 1)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+                col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, dir, maxFiles = 1)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+                col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      drain(s, joined, "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("click_id")).as("n_clicks_attributed"),
+             round(sum(col("purchase_value")), 2).as("attributed_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // T5: progress metrics as a first-class op — `df.observe()`
     // accumulators ride the processing pass for free (no second scan),
     // the success/failure counters of the reference's poll loop
@@ -415,6 +455,17 @@ object StreamingOps {
          |  count(*) AS n, sum(amount_cents)::BIGINT AS total_cents
          |FROM r GROUP BY 1, 2 ORDER BY batch_key, status""".stripMargin
     },
+
+    // single-batch drain ⇒ emitted pairs = the batch interval join
+    "streaming_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |count(DISTINCT c.event_id) AS n_clicks_attributed,
+        |round(sum(p.value), 2) AS attributed_value
+        |FROM events c JOIN events p
+        |ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "t5_observe_metrics" ->
       """SELECT count(*)::BIGINT AS n_docs,

@@ -94,6 +94,61 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(bloomQ.toSeq == plain.toSeq)
   }
 
+  test("streaming_stream_stream_join: drained pair rollup equals the batch interval join") {
+    import spark.implicits._
+    val got = streaming.StreamingOps.queries("streaming_stream_stream_join")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"), $"value")
+    val want = c.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"cts" && $"pts" <= $"cts" + expr("interval 1 hour"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"cid").as("n_clicks_attributed"),
+           round(sum($"value"), 2).as("attributed_value"))
+      .orderBy($"user_id").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("j_skew_salted_join: equals the unsalted join; salts genuinely spread a hot key") {
+    import spark.implicits._
+    val got = operators.EventOps.queries("j_skew_salted_join")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val want = ev.join(su, "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when($"ts" >= $"signup_ts", 1).otherwise(0)).as("n_after_signup"))
+      .orderBy($"event_type").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // the hottest user's rows must land under >1 salt (the whole point)
+    val hot = ev.groupBy($"user_id").count().orderBy(desc("count")).head.getLong(0)
+    val nSalts = ev.filter($"user_id" === hot)
+      .select(pmod(xxhash64($"event_id"), lit(8))).distinct().count()
+    assert(nSalts > 1, s"hot user $hot hit only $nSalts salt(s)")
+  }
+
+  test("a_regr_slope_by_lang: slope/intercept match a driver-side closed-form fit") {
+    import spark.implicits._
+    val got = operators.TextAnalysisOps.queries("a_regr_slope_by_lang")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val pts = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select($"lang", $"n_chars", size(split($"text", " ")).cast("long").as("y"))
+      .collect().groupBy(_.getString(0))
+    got.foreach { r =>
+      val g = pts(r.getString(0))
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_.getLong(1)).sum.toDouble, g.map(_.getLong(2)).sum.toDouble)
+      val sxy = g.map(x => x.getLong(1) * x.getLong(2)).sum.toDouble
+      val sxx = g.map(x => x.getLong(1) * x.getLong(1)).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getLong(1) == g.length)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"${r.getString(0)}: ${r.getDouble(2)} vs $slope")
+    }
+  }
+
   test("s_partitioned_sink_prune: the lang predicate prunes partitions in the plan") {
     val df = sources.FileSources.queries("s_partitioned_sink_prune")(spark, sf)
     assert(df.count() == 2)
