@@ -17,7 +17,8 @@ object Bench {
       // class cache evicts between the two timed passes and every query
       // pays Janino recompilation twice (measured: ta_langid 1.4s -> 4s)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ↔instant casts must agree with Verify/oracle
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate TIMESTAMP(NANOS) events layouts
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", BenchEnv.localDir)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -33,6 +33,7 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", BenchEnv.localDir)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

@@ -40,16 +40,48 @@ object Tables {
     math.max(4, math.min(spark.sparkContext.defaultParallelism, 8))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs and truncate to
-    * microseconds — exactly what DuckDB does natively, so the oracle sees
-    * identical instants. */
+  /** The engine does not control the lake's physical layout: the driver
+    * has shipped `events.ts` both as parquet TIMESTAMP(NANOS) (which
+    * vanilla Spark rejects — [PARQUET_TYPE_ILLEGAL] — so we read nanos as
+    * raw longs) and as TIMESTAMP_MICROS with isAdjustedToUTC=false (which
+    * Spark reads as TIMESTAMP_NTZ). Probe the footer via the read schema
+    * and adapt; any OTHER encoding fails loudly here rather than
+    * producing silently wrong instants downstream. The session timezone
+    * is UTC everywhere (Bench/Verify/tests), so the NTZ wall-clock cast
+    * and the nanos→micros truncation yield identical instants to DuckDB
+    * reading the same file. Single source of truth for batch AND
+    * streaming (StreamingOps.eventsStream builds its read schema from
+    * [[eventsRawSchema]] and normalizes through [[normalizeEventsTs]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(table(spark, sfDir, "events"))
+  }
+
+  /** events schema exactly as Spark reads the current file footer
+    * (LongType under nanosAsLong for a NANOS file; TimestampNTZType for
+    * micros/isAdjustedToUTC=false; TimestampType for micros/UTC). */
+  private[graft] def eventsRawSchema(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events").schema
+  }
+
+  /** Normalize whatever physical encoding `ts` arrived in to a plain
+    * TimestampType UTC instant. Unknown encodings throw at analysis time
+    * — never a silent unit mismatch. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => // TIMESTAMP(NANOS) read as raw nanos: truncate to micros like DuckDB
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros, isAdjustedToUTC=false: wall-clock == UTC instant (session TZ is UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — the lake layout changed; " +
+        "extend Tables.normalizeEventsTs rather than letting queries misread instants")
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

@@ -58,20 +58,23 @@ object StreamingOps {
     StructField("batch_key", StringType), StructField("event_id", LongType),
     StructField("amount_cents", LongType)))
 
-  /** events schema with ts as raw nanos (nanosAsLong read). */
-  private val eventsNanosSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def eventsStream(s: SparkSession, dir: String, maxFiles: Int): DataFrame = {
+  /** The streaming read schema is NOT hard-coded: it is probed from the
+    * actual file footer through the same single-sourced loader the batch
+    * path uses (graft.Tables), then `ts` is normalized to TimestampType
+    * by the shared Tables.normalizeEventsTs. A physical-layout change in
+    * the lake therefore either adapts or fails loudly at analysis time —
+    * it can never silently mis-scale event time (the r5 failure mode:
+    * micros read as nanos collapsed every timestamp 1000×and three
+    * watermark-sensitive queries returned wrong answers while the
+    * time-insensitive ones kept passing). */
+  private[graft] def eventsStream(s: SparkSession, dir: String, maxFiles: Int): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsNanosSchema)
+    val raw = s.readStream
+      .schema(graft.Tables.eventsRawSchema(s, dir)) // footer-probed, never assumed
       .option("maxFilesPerTrigger", maxFiles) // T3 micro-batch sizing
       .option("pathGlobFilter", "events.parquet") // S3-style suffix filter (F1)
       .parquet(dir) // file source needs a directory basePath
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(raw)
   }
 
   /** Run a streaming DF to completion into a memory sink, return the

@@ -9,10 +9,9 @@ import org.apache.spark.sql.types._
   * counters (the reference's stats.log, main.py:38-43). */
 class StreamingOpsSpec extends SparkSpec {
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // footer-probed, never assumed: the lake's physical ts encoding has
+  // changed under us before (r5: NANOS → MICROS/NTZ)
+  private def schema = Tables.eventsRawSchema(spark, sf)
 
   test("streaming final state equals batch aggregate (T1/T2)") {
     val streamed = graft.streaming.StreamingOps
@@ -21,6 +20,26 @@ class StreamingOpsSpec extends SparkSpec {
     val batch = Tables.events(spark, sf).groupBy(col("event_type")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(streamed == batch)
+  }
+
+  test("streamed event-time range equals the batch table's (no silent unit mis-scale)") {
+    // The r5 wrong-answer mode: streaming read divided micros by 1000 and
+    // every timestamp collapsed ~1000× — watermark/window queries were
+    // wrong while count-shaped ones stayed green. This pins stream and
+    // batch to the SAME instants, so a mis-scaled read fails a test
+    // instead of an oracle round.
+    import org.apache.spark.sql.streaming.Trigger
+    val agg = graft.streaming.StreamingOps.eventsStream(spark, sf, maxFiles = 1)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val name = "range_sink_" + System.nanoTime()
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val s = spark.table(name).collect()(0)
+    val b = Tables.events(spark, sf)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect()(0)
+    assert(s.getTimestamp(0) == b.getTimestamp(0), "stream min(ts) != batch min(ts)")
+    assert(s.getTimestamp(1) == b.getTimestamp(1), "stream max(ts) != batch max(ts)")
   }
 
   test("checkpointed restart does not reprocess files (T2 exactly-once)") {
