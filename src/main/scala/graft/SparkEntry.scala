@@ -32,6 +32,7 @@ object SparkEntry {
     Module(PrepOps.queries, PrepOps.oracles),
     Module(MultimodalOps.queries, MultimodalOps.oracles),
     Module(GraphOps.queries, GraphOps.oracles),
+    Module(LayoutOps.queries, LayoutOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
     // over the same fixture tree (ORC via round-trip ≡ identity on the

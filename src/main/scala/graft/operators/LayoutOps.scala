@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Physical-layout operators: bucketed co-location, type-1 CDC apply,
+  * and k-anonymity release gating (SURVEY.md §2.5/§2.10 extensions).
+  *
+  * The reference stages every table as loose S3 objects and re-reads them
+  * wholesale per step (`/root/reference/src/aws_bucket.py:160-195`); at
+  * 100 TB the single most valuable physical decision Spark offers over
+  * that layout is BUCKETING: pre-hash-partitioning both fact tables by
+  * their join key at write time so the recurring fact-fact join never
+  * shuffles again. `j_bucketed_colocated` does it for real — writes both
+  * sides with `bucketBy(8, key)`, joins through the catalog, and
+  * BucketedJoinSpec asserts the physical plan contains ZERO shuffle
+  * exchanges — while its DuckDB oracle checks the result off the plain
+  * tables, so co-location is proven to be a pure layout change, not a
+  * semantics change.
+  *
+  * Scale notes: the bucketed write is a one-time cost equal to one
+  * shuffle of each table; every subsequent join of the two tables on the
+  * bucket key is exchange-free (scan → sort-within-bucket → merge join).
+  * On a 1000-executor cluster bucket count would be O(cluster cores),
+  * not 8 — the number is per-SF-local, the mechanism is identical.
+  * CDC-apply shuffles once on the entity key (window), k-anonymity once
+  * on the quasi-identifier — both minimal for their semantics.
+  */
+object LayoutOps {
+
+  /** Register (idempotently, per session+SF) bucketed copies of lineitem
+    * and orders, bucketed AND sorted by their join key. Returns the two
+    * catalog table names. Writing twice is wasted work, not wrong
+    * results, so a same-JVM re-run (Bench's two passes) reuses the
+    * catalog entry. */
+  private[graft] def bucketedPair(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (liName, ordName) = (s"graft_li_bucketed_$tag", s"graft_ord_bucketed_$tag")
+    def ensure(name: String, df: DataFrame, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        df.write.format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path",
+            new java.io.File(s"target/graft_bucketed/$name").getAbsolutePath)
+          .mode("overwrite")
+          .saveAsTable(name)
+      }
+    ensure(liName, Tables.lineitem(s, dir), "l_orderkey")
+    ensure(ordName, Tables.orders(s, dir), "o_orderkey")
+    (liName, ordName)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fact-fact join through bucketed co-located layout: revenue by order
+    // priority. Both scans carry their bucket hash distribution into the
+    // join, so the plan has no shuffle exchange at all (spec-asserted);
+    // the oracle computes the same aggregate from the raw tables.
+    "j_bucketed_colocated" -> ((s, dir) => {
+      val (liName, ordName) = bucketedPair(s, dir)
+      val li  = s.table(liName)
+      val ord = s.table(ordName)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Type-1 CDC apply (last-writer-wins snapshot with deletes) — the
+    // SCD1 complement of scd2_user_state: each event is a change record
+    // (error ⇒ DELETE the key, anything else ⇒ UPSERT value); the
+    // snapshot is the surviving latest row per key. One shuffle on the
+    // entity key; change order is the exact (ts, event_id) total order,
+    // so arrival order never matters.
+    "cdc_scd1_snapshot" -> ((s, dir) => {
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"),
+                round(col("value"), 2).as("last_value"),
+                col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // k-anonymity release gate over quasi-identifiers (lang, source):
+    // groups smaller than k (=8) collapse into one suppressed '*'/'*' bucket
+    // before release — the standard pre-publication step for any
+    // training-corpus metadata export. Census shuffle on the
+    // quasi-identifier, then a one-row-per-group reduction: nothing here
+    // grows faster than the number of distinct identifier combinations.
+    "privacy_k_anonymity" -> ((s, dir) => {
+      val k = 8
+      val census = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val kept = census.filter(col("n") >= k)
+        .select(col("lang"), col("source"), col("n"))
+      val suppressed = census.filter(col("n") < k)
+        .agg(sum(col("n")).as("n"))
+        .select(lit("*").as("lang"), lit("*").as("source"), col("n"))
+        .filter(col("n").isNotNull) // no violating groups → no '*' row
+      kept.unionAll(suppressed).orderBy(col("lang"), col("source"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "j_bucketed_colocated" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "cdc_scd1_snapshot" ->
+      """WITH c AS (SELECT user_id, ts, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, round(value, 2) AS last_value, ts AS last_ts
+        |FROM c WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+    "privacy_k_anonymity" ->
+      """WITH census AS (SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, source, n FROM census WHERE n >= 8
+        |UNION ALL
+        |SELECT '*' AS lang, '*' AS source, sum(n)::BIGINT AS n
+        |  FROM census WHERE n < 8 HAVING sum(n) IS NOT NULL
+        |ORDER BY lang, source""".stripMargin
+  )
+}
