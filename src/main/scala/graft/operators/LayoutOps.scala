@@ -88,6 +88,33 @@ object LayoutOps {
         .orderBy(col("user_id"))
     }),
 
+    // Z-order (Morton) clustering over (user_id, day) — the multi-
+    // dimensional layout clustering Delta/Iceberg OPTIMIZE ZORDER uses:
+    // interleave the bits of both dimensions so that sorting by ONE
+    // value co-locates rows that are close in EITHER dimension, giving
+    // min/max row-group pruning on both a user predicate and a date
+    // predicate from a single sort order. The query emits per-64-slot
+    // z-range buckets with their dimension envelopes; LayoutOpsSpec
+    // asserts the Z-curve prefix property (every bucket spans ≤ 8
+    // values of EACH dimension) — exactly the bound that makes file-
+    // level min/max stats selective at 100 TB. Pure map-side compute +
+    // one census shuffle on the bucket id.
+    "layout_zorder_cluster" -> ((s, dir) => {
+      val zTerms = (0 until 16).map(i =>
+        s"(shiftleft(shiftright(uu, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(dd, $i) & 1, ${2 * i}))").mkString(" + ")
+      Tables.events(s, dir)
+        .withColumn("uu", col("user_id").bitwiseAND(lit(65535L)))
+        .withColumn("dd", dayofmonth(col("ts")).cast("long").bitwiseAND(lit(65535L)))
+        .withColumn("zv", expr(zTerms))
+        .withColumn("bucket", expr("shiftright(zv, 6)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+             min(col("dd")).as("min_day"), max(col("dd")).as("max_day"))
+        .orderBy(col("bucket"))
+    }),
+
     // k-anonymity release gate over quasi-identifiers (lang, source):
     // groups smaller than k (=8) collapse into one suppressed '*'/'*' bucket
     // before release — the standard pre-publication step for any
@@ -122,6 +149,15 @@ object LayoutOps {
         |  FROM events)
         |SELECT user_id, round(value, 2) AS last_value, ts AS last_ts
         |FROM c WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+    "layout_zorder_cluster" ->
+      """WITH z AS (SELECT user_id, day(ts)::BIGINT AS d,
+        |  (list_sum([(((user_id & 65535) >> i) & 1) << (2*i+1) for i in range(16)])
+        |   + list_sum([(((day(ts)::BIGINT & 65535) >> i) & 1) << (2*i) for i in range(16)]))::BIGINT AS zv
+        |  FROM events)
+        |SELECT (zv >> 6)::BIGINT AS bucket, count(*) AS n,
+        |  min(user_id) AS min_user, max(user_id) AS max_user,
+        |  min(d) AS min_day, max(d) AS max_day
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH census AS (SELECT lang, source, count(*)::BIGINT AS n
         |  FROM documents GROUP BY lang, source)

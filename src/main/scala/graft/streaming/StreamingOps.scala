@@ -374,6 +374,46 @@ object StreamingOps {
       Seq((m("n_docs").asInstanceOf[Long], m("n_failed").asInstanceOf[Long],
            m("n_ok").asInstanceOf[Long], m("total_chars").asInstanceOf[Long]))
         .toDF("n_docs", "n_failed", "n_ok", "total_chars")
+    }),
+
+    // Streaming MERGE-upsert sink via foreachBatch: each micro-batch's
+    // per-key aggregate upserts into a VERSIONED keyed state table
+    // (v{n} = merge(v{n-1}, batch) — read-previous/write-next, never
+    // read-overwrite-in-place, which is undefined under Spark's lazy
+    // scans). This is the foreachBatch half of Delta-style `MERGE INTO`:
+    // on a lakehouse sink the per-version parquet dir becomes one
+    // transactional MERGE commit; state is keyed by batch_key so merge
+    // work is proportional to live keys, not history. Final state after
+    // AvailableNow drain ≡ the batch group-by, which IS the oracle.
+    "streaming_foreachbatch_merge" -> ((s, _) => {
+      import java.nio.file.{Files, Paths}
+      val srcDir = t4FixtureDir()
+      val stateRoot = Files.createTempDirectory(
+        Paths.get("target"), "graft_merge_state")
+      @volatile var version = -1L
+      val stream = s.readStream.schema(t4Schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val upserts = batch.groupBy(col("batch_key"))
+            .agg(count(lit(1)).as("n_rows"),
+                 sum(col("amount_cents")).as("total_cents"),
+                 max(col("event_id")).as("last_event_id"))
+          val merged =
+            if (version < 0) upserts
+            else {
+              val prev = s.read.parquet(s"$stateRoot/v$version")
+              // MERGE: new key rows replace matched old rows wholesale
+              prev.join(upserts, Seq("batch_key"), "left_anti")
+                .unionByName(upserts)
+            }
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/v${version + 1}")
+          version += 1
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$stateRoot/v$version").orderBy(col("batch_key"))
     })
   )
 
@@ -469,6 +509,17 @@ object StreamingOps {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "streaming_foreachbatch_merge" -> {
+      val root = java.nio.file.Paths.get("target/graft_stream_fixtures/t4_batches")
+        .toAbsolutePath.toString
+      s"""SELECT batch_key, count(*) AS n_rows,
+         |sum(amount_cents)::BIGINT AS total_cents,
+         |max(event_id) AS last_event_id
+         |FROM read_json('$root/*.json',
+         |  columns = {batch_key: 'VARCHAR', event_id: 'BIGINT', amount_cents: 'BIGINT'})
+         |GROUP BY batch_key ORDER BY batch_key""".stripMargin
+    },
 
     "t5_observe_metrics" ->
       """SELECT count(*)::BIGINT AS n_docs,

@@ -72,6 +72,37 @@ class LayoutOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(snap.groupBy($"user_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("layout_zorder_cluster: Z-curve prefix property bounds BOTH dimension envelopes") {
+    import spark.implicits._
+    val buckets = LayoutOps.queries("layout_zorder_cluster")(spark, sf).collect()
+    assert(buckets.nonEmpty)
+    // 64 z-slots per bucket = 3 free bits per dimension: within any
+    // bucket each dimension spans an aligned 8-block. This is the
+    // pruning guarantee — a predicate on EITHER dim eliminates every
+    // bucket whose 8-wide envelope misses it.
+    buckets.foreach { r =>
+      val (uSpan, dSpan) =
+        (r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(uSpan <= 7, s"bucket ${r.getLong(0)}: user span $uSpan > 7")
+      assert(dSpan <= 7, s"bucket ${r.getLong(0)}: day span $dSpan > 7")
+    }
+    // mass conservation: bucketing is a partition of all events
+    val total = buckets.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("streaming_foreachbatch_merge: final merged state equals the batch group-by") {
+    val got = graft.streaming.StreamingOps
+      .queries("streaming_foreachbatch_merge")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // three micro-batches (one file each), disjoint keys: the merged
+    // state must equal the all-at-once aggregate of the fixture
+    assert(got.toSeq == Seq(
+      ("b1", 2L, 1450L, 2L),
+      ("b2", 3L, 1550L, 5L),
+      ("b3", 1L, 4000L, 6L)))
+  }
+
   test("privacy_k_anonymity: every released group has n >= k, suppressed mass conserved") {
     import spark.implicits._
     val k = 8
