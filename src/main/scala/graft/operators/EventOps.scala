@@ -415,6 +415,55 @@ object EventOps {
              sum(when(col("ts") >= col("signup_ts"), 1).otherwise(0))
                .as("n_after_signup"))
         .orderBy(col("event_type"))
+    }),
+
+    // Incremental materialized-view maintenance: the MV (per-type/day
+    // counters) is refreshed by MERGING the delta batch's partial
+    // aggregate into the existing MV — never by rescanning history.
+    // Here the corpus is split into two ingest batches (event_id
+    // parity) so EVERY key genuinely merges two partials, and the sums
+    // are exact integer cents, so merge order can never change a bit.
+    // This additive-merge contract is what makes the refresh cost
+    // O(delta) at 100 TB; non-additive aggregates (distinct users)
+    // would carry a mergeable sketch instead. Oracle = the full
+    // rebuild, so incremental ≡ rebuild is gate-asserted.
+    "mv_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      def mv(df: DataFrame): DataFrame =
+        df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val base  = mv(ev.filter(col("event_id") % 2 === 0)) // prior MV state
+      val delta = mv(ev.filter(col("event_id") % 2 =!= 0)) // new batch
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Linear multi-touch attribution: each purchase's value is split
+    // equally across the user's clicks in the preceding hour (the
+    // window count is per purchase, so weights sum to the purchase
+    // value exactly). Same interval-join discipline as J5 — the pair
+    // space is bounded by the time window, never clicks×purchases.
+    "j_multitouch_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+                col("ts").as("pts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+                col("event_id").as("cid"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") >= col("pts") - expr("interval 1 hour") &&
+                col("cts") < col("pts"))
+      pairs
+        .withColumn("n_c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_touches"),
+             round(sum(col("value") / col("n_c")), 2).as("attributed_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -611,6 +660,24 @@ object EventOps {
         |SELECT event_type, count(*) AS n_events,
         |  sum(CASE WHEN ts >= signup_ts THEN 1 ELSE 0 END)::BIGINT AS n_after_signup
         |FROM events JOIN su USING (user_id)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // incremental MV merge ≡ full rebuild (exact integer cents)
+    "mv_incremental_agg" ->
+      """SELECT event_type, ts::DATE AS day, count(*) AS n,
+        |sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "j_multitouch_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        |pairs AS (SELECT pid, p.user_id, value FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts),
+        |w AS (SELECT pid, user_id, value,
+        |  count(*) OVER (PARTITION BY pid) AS n_c FROM pairs)
+        |SELECT user_id, count(*) AS n_touches,
+        |  round(sum(value / n_c), 2) AS attributed_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

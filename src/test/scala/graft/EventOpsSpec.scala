@@ -103,4 +103,40 @@ class EventOpsSpec extends SparkSpec {
       .filter($"pre" > 0 && $"post" > 0).count()
     assert(both > 0, "cutoff should split at least one user's history")
   }
+
+  test("mv incremental merge == full rebuild, and every key genuinely merges two partials") {
+    import spark.implicits._
+    val inc = operators.EventOps.queries("mv_incremental_agg")(spark, sf)
+    val full = Tables.events(spark, sf)
+      .withColumn("cents", floor($"value" * 100 + 0.5).cast("long"))
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    // parity split must put rows on BOTH sides for most keys, else the
+    // merge degenerates to a relabeled union
+    val mixed = Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(when($"event_id" % 2 === 0, 1).otherwise(0)).as("even"),
+           sum(when($"event_id" % 2 =!= 0, 1).otherwise(0)).as("odd"))
+      .filter($"even" > 0 && $"odd" > 0).count()
+    assert(mixed > 0, "no key merges two partials — fixture degenerate")
+  }
+
+  test("multi-touch attribution conserves purchase value across touched users") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"), $"value")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"))
+    // total attributed value == total value of purchases that HAVE at
+    // least one in-window click (each purchase's weights sum to value)
+    val touched = p.join(c, Seq("user_id"))
+      .filter($"cts" >= $"pts" - expr("interval 1 hour") && $"cts" < $"pts")
+      .select($"pid", $"value").distinct()
+    val want = touched.agg(sum($"value")).head.getDouble(0)
+    val got = operators.EventOps.queries("j_multitouch_attribution")(spark, sf)
+      .agg(sum($"attributed_value")).head.getDouble(0)
+    assert(math.abs(got - want) < 0.05, s"attributed $got != purchase mass $want")
+  }
 }
