@@ -356,6 +356,65 @@ object Graft {
            max(col(tsCol)).as("session_end"))
   }
 
+  /** Type-1 CDC apply (last-writer-wins snapshot with deletes): change
+    * rows totally ordered per key by (tsCol, ordCol); rows whose opCol
+    * is "D" delete the key, anything else upserts it. Out: the
+    * surviving latest change row per key, original columns intact.
+    * One shuffle on the key — the SCD1 complement of [[scd2]]. */
+  def cdcApply(changes: DataFrame, keyCol: String, tsCol: String,
+               ordCol: String, opCol: String): DataFrame = {
+    require(!changes.columns.contains("__rn"), "input must not carry __rn")
+    val latest = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    changes.withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn")
+  }
+
+  /** Additive incremental materialized-view merge: prev MV state and a
+    * delta partial-aggregate, both keyed by keyCols and carrying the
+    * SAME additive counter columns (counts, exact integer sums),
+    * combine by per-key addition — refresh cost O(delta), never a
+    * history rescan. Non-additive aggregates need mergeable sketches
+    * instead; this facade is deliberately restricted to the additive
+    * contract it can guarantee. */
+  def mvMerge(prev: DataFrame, delta: DataFrame, keyCols: Seq[String],
+              counterCols: Seq[String]): DataFrame = {
+    val proj = (keyCols ++ counterCols).map(col)
+    val aggs = counterCols.map(c => sum(col(c)).as(c))
+    prev.select(proj: _*).unionByName(delta.select(proj: _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Morton (Z-order) interleave of the low 16 bits of two non-negative
+    * long columns: `a`'s bits land at odd positions, `b`'s at even.
+    * Sorting/range-bucketing by the result co-locates rows close in
+    * EITHER dimension — the clustering value behind min/max pruning on
+    * two predicates from one sort order (Delta/Iceberg ZORDER). */
+  def zOrderValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** k-anonymity suppression census: group by the quasi-identifier
+    * columns; groups with fewer than k members collapse into a single
+    * all-'*' bucket so no released row describes fewer than k
+    * individuals. Mass-conserving (suppressed counts are summed, not
+    * dropped); quasi-identifier columns must be strings. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val census = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val kept = census.filter(col("n") >= k)
+    val suppressed = census.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"))
+      .select(quasiCols.map(_ => lit("*")) :+ col("n"): _*)
+      .toDF(quasiCols :+ "n": _*)
+      .filter(col("n").isNotNull)
+    kept.unionByName(suppressed)
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys: counts per
     * (key, salt) first — spreading one hot key over `salts` reducers —
     * then sums the partials. Identical result to `groupBy(key).count()`;

@@ -444,8 +444,10 @@ object EventOps {
     // Linear multi-touch attribution: each purchase's value is split
     // equally across the user's clicks in the preceding hour (the
     // window count is per purchase, so weights sum to the purchase
-    // value exactly). Same interval-join discipline as J5 — the pair
-    // space is bounded by the time window, never clicks×purchases.
+    // value exactly). The pair space is bounded by the user_id
+    // equi-join (hash join, one shuffle per side) and then cut by the
+    // hour window — never a global clicks×purchases product; a hot
+    // user would fall back to J5's interval-bucket decomposition.
     "j_multitouch_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

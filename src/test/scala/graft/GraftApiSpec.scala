@@ -221,6 +221,54 @@ class GraftApiSpec extends SparkSpec {
     assert(noQ.count() == 0)
   }
 
+  test("cdcApply via API == cdc_scd1_snapshot query") {
+    import spark.implicits._
+    val changes = Tables.events(spark, sf)
+      .withColumn("op", when($"event_type" === "error", lit("D")).otherwise(lit("U")))
+    val api = Graft.cdcApply(changes, "user_id", "ts", "event_id", "op")
+      .select($"user_id", round($"value", 2).as("last_value"), $"ts".as("last_ts"))
+    val q = graft.operators.LayoutOps.queries("cdc_scd1_snapshot")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("kAnonymize via API == privacy_k_anonymity query") {
+    import spark.implicits._
+    val api = Graft.kAnonymize(
+      Tables.documents(spark, sf), Seq("lang", "source"), 8)
+    val q = graft.operators.LayoutOps.queries("privacy_k_anonymity")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("zOrderValue via API reproduces layout_zorder_cluster buckets") {
+    import spark.implicits._
+    val z = Graft.zOrderValue(
+      $"user_id".bitwiseAND(lit(65535L)),
+      dayofmonth($"ts").cast("long").bitwiseAND(lit(65535L)))
+    val api2 = Tables.events(spark, sf)
+      .withColumn("dd", dayofmonth($"ts").cast("long"))
+      .withColumn("zv", z)
+      .withColumn("bucket", shiftright($"zv", 6))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+           min($"user_id").as("min_user"), max($"user_id").as("max_user"),
+           min($"dd").as("min_day"), max($"dd").as("max_day"))
+    val q = graft.operators.LayoutOps.queries("layout_zorder_cluster")(spark, sf)
+    assert(api2.exceptAll(q).count() == 0 && q.exceptAll(api2).count() == 0)
+  }
+
+  test("mvMerge via API == mv_incremental_agg query") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .withColumn("cents", floor($"value" * 100 + 0.5).cast("long"))
+    def part(parity: Int) = ev.filter($"event_id" % 2 === parity)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+    val api = Graft.mvMerge(part(0), part(1),
+      Seq("event_type", "day"), Seq("n", "sum_cents"))
+    val q = graft.operators.EventOps.queries("mv_incremental_agg")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
   test("clusterNearDups on a hand graph: chain + singleton-pair components") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain; 10-11 pair
