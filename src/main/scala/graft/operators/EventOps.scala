@@ -466,7 +466,44 @@ object EventOps {
         .agg(count(lit(1)).as("n_touches"),
              round(sum(col("value") / col("n_c")), 2).as("attributed_value"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // Ranking-window completeness sweep (§2.5): rank, dense_rank,
+    // percent_rank, cume_dist, ntile and nth_value over one totally-
+    // ordered per-type window (the (value, event_id) tiebreak makes
+    // every function deterministic and the default RANGE frame
+    // peer-free). One shuffle on the partition key, as any window.
+    "w_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("ntile4", ntile(4).over(w).cast("long"))
+        // the first two rows of each partition have no 3rd frame row:
+        // pin the NULL to -1 so the oracle compare never sees NaN
+        .withColumn("nth3", coalesce(nth_value(col("event_id"), 3).over(w), lit(-1L)))
+        .orderBy(col("event_type"), col("rnk"))
+    }),
+
+    // Statistical-moment aggregates (§2.4 completeness): exact-
+    // interpolation median plus sample stddev/variance/corr/covariance
+    // — all order-insensitive closed forms, so a 6-dp round absorbs
+    // the cross-engine summation-order ulps (the a_percentiles
+    // discipline). Map-side partials for everything but median, which
+    // shuffles the group's values once.
+    "a_stats_moments" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(median(col("value")), 6).as("med"),
+             round(stddev_samp(col("value")), 6).as("sd"),
+             round(var_samp(col("value")), 6).as("vr"),
+             round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"),
+             round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov_vu"))
+        .orderBy(col("event_type")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -680,6 +717,26 @@ object EventOps {
         |  count(*) OVER (PARTITION BY pid) AS n_c FROM pairs)
         |SELECT user_id, count(*) AS n_touches,
         |  round(sum(value / n_c), 2) AS attributed_value
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "w_rank_family" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events WHERE user_id < 20)
+        |SELECT event_type, event_id, value,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS ntile4,
+        |  coalesce(nth_value(event_id, 3) OVER w, -1) AS nth3
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, rnk""".stripMargin,
+
+    "a_stats_moments" ->
+      """SELECT event_type,
+        |  round(median(value), 6) AS med,
+        |  round(stddev_samp(value), 6) AS sd,
+        |  round(var_samp(value), 6) AS vr,
+        |  round(corr(value, user_id::DOUBLE), 6) AS corr_vu,
+        |  round(covar_samp(value, user_id::DOUBLE), 6) AS cov_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
