@@ -82,11 +82,33 @@ object StreamingOps {
     * call this in one JVM). */
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // Stateful operators materialize 1-4 state stores PER shuffle
+    // partition (a stream-stream join: keyToNumValues +
+    // keyWithIndexToValue × both sides), each paying per-batch
+    // commit+maintenance. At oracle-drain state sizes (≤ ~100 k rows) 8
+    // partitions keeps plenty of parallelism while quartering that
+    // fixed overhead (measured: stream-stream join 7.3 → 3.7 s at
+    // sf0.1). The stream reads the conf at start(); the session value
+    // is restored right after, so the post-drain batch aggregate runs
+    // at full width. On a real cluster this knob is sized to state
+    // volume ÷ executor memory instead — the state-store-per-partition
+    // arithmetic is the same, only the constant changes.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val q = df.writeStream
       .outputMode(mode).format("memory").queryName(name)
+      // state-store + offset-log commits fsync per partition per batch;
+      // on this host's /tmp that is the same ~400 ms-class latency floor
+      // FloorProbe measured for shuffle files (BENCH_NOTES r5), so the
+      // checkpoint goes on the same fast local dir the shuffle uses.
+      // One-shot oracle drains never restart, so durability is moot.
+      .option("checkpointLocation",
+        s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
