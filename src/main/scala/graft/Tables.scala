@@ -53,16 +53,27 @@ object Tables {
     * streaming (StreamingOps.eventsStream builds its read schema from
     * [[eventsRawSchema]] and normalizes through [[normalizeEventsTs]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureEventsReadConf(spark)
     normalizeEventsTs(table(spark, sfDir, "events"))
   }
+
+  /** All in-repo entry points set nanosAsLong at session build; this guard
+    * exists for external callers composing on [[events]] with their own
+    * session. Set-if-absent (not set-per-call): repeated runtime-conf
+    * writes are redundant mutation and would mask a caller who explicitly
+    * disabled the legacy read path — that caller now fails loudly at scan
+    * time instead of silently flipping behavior. */
+  private[graft] def ensureEventsReadConf(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** events schema exactly as Spark reads the current file footer
     * (LongType under nanosAsLong for a NANOS file; TimestampNTZType for
     * micros/isAdjustedToUTC=false; TimestampType for micros/UTC). */
   private[graft] def eventsRawSchema(spark: SparkSession, sfDir: String)
       : org.apache.spark.sql.types.StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureEventsReadConf(spark)
     table(spark, sfDir, "events").schema
   }
 
@@ -75,7 +86,13 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType         => // TIMESTAMP(NANOS) read as raw nanos: truncate to micros like DuckDB
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // micros, isAdjustedToUTC=false: wall-clock == UTC instant (session TZ is UTC)
+      case TimestampNTZType => // micros, isAdjustedToUTC=false: wall-clock == UTC instant ONLY under a UTC session
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC")
+          throw new IllegalStateException(
+            s"events.ts is TIMESTAMP_NTZ and the session timezone is '$tz', not UTC: " +
+            "the NTZ->instant cast would shift every event silently. Set " +
+            "spark.sql.session.timeZone=UTC (as every graft entry point does) before reading events.")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(

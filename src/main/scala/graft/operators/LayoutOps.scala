@@ -32,23 +32,39 @@ object LayoutOps {
 
   /** Register (idempotently, per session+SF) bucketed copies of lineitem
     * and orders, bucketed AND sorted by their join key. Returns the two
-    * catalog table names. Writing twice is wasted work, not wrong
-    * results, so a same-JVM re-run (Bench's two passes) reuses the
-    * catalog entry. */
+    * catalog table names. A same-JVM re-run (Bench's two passes) reuses
+    * the catalog entry, but only while the SOURCE parquet is unchanged:
+    * a sidecar fingerprint (every source file's mtime+length) guards the
+    * reuse, so a driver-side testdata regeneration invalidates the
+    * bucketed copy instead of serving stale rows through the catalog. */
   private[graft] def bucketedPair(s: SparkSession, dir: String): (String, String) = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val (liName, ordName) = (s"graft_li_bucketed_$tag", s"graft_ord_bucketed_$tag")
-    def ensure(name: String, df: DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(name)) {
+    def fingerprint(src: String): String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(src))
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").mkString("|")
+    }
+    def ensure(name: String, src: String, df: => DataFrame, key: String): Unit = {
+      val fpFile = new java.io.File(s"target/graft_bucketed/$name.fp")
+      val fp = fingerprint(src)
+      val fresh = fpFile.exists &&
+        new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
+      if (!s.catalog.tableExists(name) || !fresh) {
         df.write.format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path",
             new java.io.File(s"target/graft_bucketed/$name").getAbsolutePath)
           .mode("overwrite")
           .saveAsTable(name)
+        fpFile.getParentFile.mkdirs()
+        java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
       }
-    ensure(liName, Tables.lineitem(s, dir), "l_orderkey")
-    ensure(ordName, Tables.orders(s, dir), "o_orderkey")
+    }
+    ensure(liName, s"$dir/lineitem.parquet", Tables.lineitem(s, dir), "l_orderkey")
+    ensure(ordName, s"$dir/orders.parquet", Tables.orders(s, dir), "o_orderkey")
     (liName, ordName)
   }
 
@@ -99,13 +115,18 @@ object LayoutOps {
     // values of EACH dimension) — exactly the bound that makes file-
     // level min/max stats selective at 100 TB. Pure map-side compute +
     // one census shuffle on the bucket id.
+    // 21 bits per dimension (42-bit Morton value, Delta's interleave
+    // width): ids up to 2^21 interleave without aliasing, so the
+    // envelope bound below survives every SF whose id domain fits 2M —
+    // and LayoutOpsSpec asserts max(user_id) < 2^21 against the real
+    // data so a domain overflow fails a local test, not silently.
     "layout_zorder_cluster" -> ((s, dir) => {
-      val zTerms = (0 until 16).map(i =>
+      val zTerms = (0 until 21).map(i =>
         s"(shiftleft(shiftright(uu, $i) & 1, ${2 * i + 1}) + " +
         s"shiftleft(shiftright(dd, $i) & 1, ${2 * i}))").mkString(" + ")
       Tables.events(s, dir)
-        .withColumn("uu", col("user_id").bitwiseAND(lit(65535L)))
-        .withColumn("dd", dayofmonth(col("ts")).cast("long").bitwiseAND(lit(65535L)))
+        .withColumn("uu", col("user_id").bitwiseAND(lit(2097151L)))
+        .withColumn("dd", dayofmonth(col("ts")).cast("long").bitwiseAND(lit(2097151L)))
         .withColumn("zv", expr(zTerms))
         .withColumn("bucket", expr("shiftright(zv, 6)"))
         .groupBy(col("bucket"))
@@ -151,8 +172,8 @@ object LayoutOps {
         |FROM c WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
     "layout_zorder_cluster" ->
       """WITH z AS (SELECT user_id, day(ts)::BIGINT AS d,
-        |  (list_sum([(((user_id & 65535) >> i) & 1) << (2*i+1) for i in range(16)])
-        |   + list_sum([(((day(ts)::BIGINT & 65535) >> i) & 1) << (2*i) for i in range(16)]))::BIGINT AS zv
+        |  (list_sum([(((user_id & 2097151) >> i) & 1) << (2*i+1) for i in range(21)])
+        |   + list_sum([(((day(ts)::BIGINT & 2097151) >> i) & 1) << (2*i) for i in range(21)]))::BIGINT AS zv
         |  FROM events)
         |SELECT (zv >> 6)::BIGINT AS bucket, count(*) AS n,
         |  min(user_id) AS min_user, max(user_id) AS max_user,

@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Fixture for T4: three single-batch JSON-lines files, one poisoned
     * (a negative amount). Sentinel-idempotent like FileSources. */
   private def t4FixtureDir(): String = {
@@ -405,8 +410,16 @@ object StreamingOps {
     // scans). This is the foreachBatch half of Delta-style `MERGE INTO`:
     // on a lakehouse sink the per-version parquet dir becomes one
     // transactional MERGE commit; state is keyed by batch_key so merge
-    // work is proportional to live keys, not history. Final state after
-    // AvailableNow drain ≡ the batch group-by, which IS the oracle.
+    // work is proportional to live keys, not history. The merge is
+    // ADDITIVE on matched keys (counters sum, last_event_id maxes) — the
+    // partial-aggregate merge law — so a key spanning multiple
+    // micro-batches still converges to the global group-by regardless of
+    // how the source files split it; the oracle equivalence needs no
+    // disjoint-keys precondition. Final state after the AvailableNow
+    // drain ≡ the batch group-by, which IS the oracle. The versioned
+    // state dir is collected into the result and deleted before return
+    // (Bench runs every query twice per JVM; leaked state dirs under
+    // target/ would otherwise accrete per invocation).
     "streaming_foreachbatch_merge" -> ((s, _) => {
       import java.nio.file.{Files, Paths}
       val srcDir = t4FixtureDir()
@@ -425,9 +438,12 @@ object StreamingOps {
             if (version < 0) upserts
             else {
               val prev = s.read.parquet(s"$stateRoot/v$version")
-              // MERGE: new key rows replace matched old rows wholesale
-              prev.join(upserts, Seq("batch_key"), "left_anti")
-                .unionByName(upserts)
+              // MERGE WHEN MATCHED: merge the two partial aggregates
+              prev.unionByName(upserts)
+                .groupBy(col("batch_key"))
+                .agg(sum(col("n_rows")).as("n_rows"),
+                     sum(col("total_cents")).as("total_cents"),
+                     max(col("last_event_id")).as("last_event_id"))
             }
           merged.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateRoot/v${version + 1}")
@@ -435,7 +451,11 @@ object StreamingOps {
         }
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$stateRoot/v$version").orderBy(col("batch_key"))
+      val rows = s.read.parquet(s"$stateRoot/v$version")
+        .orderBy(col("batch_key")).collect()
+      val schema = s.read.parquet(s"$stateRoot/v$version").schema
+      deleteRecursively(stateRoot.toFile)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     })
   )
 

@@ -89,6 +89,14 @@ class LayoutOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // mass conservation: bucketing is a partition of all events
     val total = buckets.map(_.getLong(1)).sum
     assert(total == Tables.events(spark, sf).count())
+    // the 21-bit interleave aliases ids 2^21 apart into one z-bucket,
+    // which would silently void the envelope bound above — pin the real
+    // id domain under the interleave width so a testdata regeneration
+    // with wider ids fails here, not at the oracle gate
+    val maxId = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max($"user_id")).head.getLong(0)
+    assert(maxId < (1L << 21),
+      s"user_id domain $maxId outruns the 21-bit Morton interleave — widen LayoutOps.layout_zorder_cluster")
   }
 
   test("streaming_foreachbatch_merge: final merged state equals the batch group-by") {
