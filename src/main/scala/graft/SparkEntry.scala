@@ -33,6 +33,7 @@ object SparkEntry {
     Module(MultimodalOps.queries, MultimodalOps.oracles),
     Module(GraphOps.queries, GraphOps.oracles),
     Module(LayoutOps.queries, LayoutOps.oracles),
+    Module(RelationalExtOps.queries, RelationalExtOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
     // over the same fixture tree (ORC via round-trip ≡ identity on the

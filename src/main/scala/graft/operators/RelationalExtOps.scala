@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-surface extensions, round 7: higher-order array functions,
+  * explicit null semantics, and correlated LATERAL subqueries.
+  *
+  * Why these matter for the engine: the reference's pipeline does all of
+  * its per-vector math in Python loops (`embedding_engine.py:60-75`) and
+  * all of its null handling implicitly via Python `None` checks scattered
+  * through `main.py`; here both are declarative column expressions that
+  * stay inside whole-stage codegen — no UDF boundary, no serialization.
+  * The LATERAL form matters at scale for a different reason: "top-k rows
+  * of the fact side for each dim row" written naively is a per-row driver
+  * loop (the reference's shape); as a correlated LATERAL subquery
+  * Catalyst decorrelates it into one window + one broadcast join — the
+  * per-dim-row loop vanishes into a single distributed pass (plan
+  * asserted in RelationalExtOpsSpec, captured in PLANS.md).
+  */
+object RelationalExtOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Higher-order array-function family over the embedding column —
+    // filter/exists/aggregate/sort_array/slice/zip_with/reverse in one
+    // codegen'd projection. Everything is map-side: zero shuffles, zero
+    // UDFs; at 100 TB this is a pure scan-throughput operator. Doubles
+    // rounded 6dp; the l2sq≡1.0 column doubles as a unit-normalization
+    // audit of the embeddings table.
+    "c_hof_array" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(filter(v, x => x > lit(0.0))).cast("long").as("n_pos"),
+          exists(v, x => abs(x) > lit(0.25)).as("has_large"),
+          round(aggregate(v, lit(0.0), (a, x) => a + x * x), 6).as("l2sq"),
+          round(array_max(v) - array_min(v), 6).as("span"),
+          round(aggregate(slice(sort_array(v, asc = false), 1, 3),
+                          lit(0.0), (a, x) => a + x), 6).as("top3_sum"),
+          round(element_at(zip_with(v, reverse(v), (a, b) => a + b), 1), 6)
+            .as("ends_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Null-semantics family: nullif / coalesce / null-safe equality
+    // (<=>) / IS DISTINCT FROM, over a derived nullable column with an
+    // exact integer domain so every engine agrees bit-for-bit. The
+    // three-valued-logic distinctions exercised here (count over a
+    // nullable expression vs count(*), <=> vs =) are precisely the ones
+    // that silently change row counts when a pipeline's quality columns
+    // go null at scale.
+    "c_null_semantics" -> ((s, dir) => {
+      val bucket = floor(col("value")).cast("long")
+      val nv = nullif(bucket % lit(5L), lit(0L))
+      Tables.events(s, dir)
+        .select(col("event_type"), bucket.as("bucket"), nv.as("nv"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("nv").isNull, 1)).as("n_null"),
+          count(when(col("nv") <=> lit(2L), 1)).as("n_nullsafe_eq_two"),
+          count(when(!(col("nv") <=> lit(2L)), 1)).as("n_distinct_from_two"),
+          sum(coalesce(col("nv"), lit(-1L))).as("sum_coalesced"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Correlated LATERAL top-k: the two highest-balance customers of
+    // every nation, written as the SQL a warehouse user would write.
+    // Catalyst decorrelates the LIMIT'd correlated subquery into a
+    // row_number window partitioned by the correlation key + a broadcast
+    // join of the dim — i.e. the hand-optimized w2_topn_per_group plan
+    // falls out of the naive SQL. Ties broken by c_custkey for a total
+    // order.
+    "j_lateral_topk" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_lat")
+      s.sql(
+        """SELECT n_name, c_name, c_acctbal
+          |FROM nation_lat JOIN LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer_lat
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "c_hof_array" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |  len(list_filter(v, x -> x > 0))::BIGINT AS n_pos,
+        |  (len(list_filter(v, x -> abs(x) > 0.25)) > 0) AS has_large,
+        |  round(list_sum(list_transform(v, x -> x*x)), 6) AS l2sq,
+        |  round(list_max(v) - list_min(v), 6) AS span,
+        |  round(list_sum((list_sort(v, 'DESC'))[1:3]), 6) AS top3_sum,
+        |  round(v[1] + v[len(v)], 6) AS ends_sum
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "c_null_semantics" ->
+      """WITH b AS (SELECT event_type, floor(value)::BIGINT AS bucket,
+        |  nullif(floor(value)::BIGINT % 5, 0) AS nv FROM events)
+        |SELECT event_type,
+        |  count(*)::BIGINT AS n,
+        |  count(*) FILTER (WHERE nv IS NULL)::BIGINT AS n_null,
+        |  count(*) FILTER (WHERE nv IS NOT DISTINCT FROM 2)::BIGINT AS n_nullsafe_eq_two,
+        |  count(*) FILTER (WHERE nv IS DISTINCT FROM 2)::BIGINT AS n_distinct_from_two,
+        |  sum(coalesce(nv, -1))::BIGINT AS sum_coalesced
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j_lateral_topk" ->
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+  )
+}

@@ -270,8 +270,53 @@ object FileSources {
              coalesce(sum(col("amount")), lit(0L)).as("total_amount"),
              count(col("id")).as("n_with_id"))
         .orderBy(col("status"))
+    }),
+
+    // Hidden `_metadata` column census over a multi-file parquet layout:
+    // per-file row counts and id envelopes WITHOUT a second filesystem
+    // listing — the scan itself carries its provenance. At 100 TB this
+    // is the debugging/lineage primitive (which file contributed the bad
+    // rows? is any shard empty/skewed?) that the reference reimplements
+    // as a driver-side S3 listing pass (aws_bucket.py:160-195); here it
+    // rides the columnar scan for free and groups on a constant-per-
+    // split value, so the census shuffle carries one row per file.
+    // Oracle: DuckDB's filename=true over the same shard tree.
+    "s_file_metadata_census" -> ((s, _) => {
+      val dir = metaShardsFixture(s)
+      s.read.parquet(dir)
+        .select(col("_metadata.file_name").as("file_name"), col("id"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n"),
+             min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+             sum(col("id")).as("id_sum"))
+        .orderBy(col("file_name"))
     })
   )
+
+  /** Multi-file parquet fixture for the `_metadata` census: 1000 rows
+    * range-partitioned into 3 shards. Written through Spark (the shard
+    * file names are Spark task outputs); sentinel-idempotent, so the
+    * names — which appear in the query RESULT — are stable across the
+    * Bench/Verify double-run. */
+  private def metaShardsFixture(s: org.apache.spark.sql.SparkSession): String = {
+    val root = Paths.get("target/graft_file_fixtures_meta")
+    val sentinel = root.resolve(".complete")
+    val shards = root.resolve("shards")
+    if (!Files.exists(sentinel)) {
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      import s.implicits._
+      (0L until 1000L).toDF("id")
+        .repartitionByRange(3, col("id"))
+        .write.mode("overwrite").parquet(shards.toString)
+      // drop Spark's _SUCCESS marker so the DuckDB glob sees parquet only
+      Files.deleteIfExists(shards.resolve("_SUCCESS"))
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    shards.toString
+  }
 
   /** Own sentinel dir (separate from fixtureDir: adding files there
     * would not regenerate under an existing sentinel). */
@@ -325,7 +370,15 @@ object FileSources {
     * wrote the fixtures), so the driver's DuckDB can run from any cwd. */
   def oracles: Map[String, String] = {
     val root = Paths.get("target/graft_file_fixtures").toAbsolutePath.toString
+    val metaRoot = Paths.get("target/graft_file_fixtures_meta").toAbsolutePath.toString
     Map(
+      // `_metadata.file_name` census ≡ filename=true over the same shards
+      "s_file_metadata_census" ->
+        s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+           |  count(*)::BIGINT AS n, min(id) AS min_id, max(id) AS max_id,
+           |  sum(id)::BIGINT AS id_sum
+           |FROM read_parquet('$metaRoot/shards/*.parquet', filename=true)
+           |GROUP BY 1 ORDER BY file_name""".stripMargin,
       // binaryFile scan ≡ read_blob over the same tree
       "s3_binary_glob_scan" ->
         s"""SELECT fn AS filename, size AS length, octet_length(content)::BIGINT AS content_bytes
