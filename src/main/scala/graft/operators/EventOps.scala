@@ -503,7 +503,81 @@ object EventOps {
              round(var_samp(col("value")), 6).as("vr"),
              round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"),
              round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov_vu"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Union-of-intervals coverage: total distinct time each user is
+    // "active" when every event opens a 30-minute activity interval —
+    // overlaps merge, so the measure is the union length, not n×30min.
+    // The classic sweep (sort, carry running max(end), cut an island
+    // when the next start clears it) becomes two window passes + one
+    // aggregation, all partitioned by user — one shuffle, no self-join,
+    // state O(1) per row. Integer microseconds end to end: exact.
+    "w_interval_coverage" -> ((s, dir) => {
+      val byStart = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("s"),
+                (unix_micros(col("ts")) + lit(1800000000L)).as("e"))
+      iv.withColumn("pmax",
+          max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("cut",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("cut")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("len")).as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Robust outlier gate per event type: median/MAD z-score, the
+    // heavy-tail-safe alternative to mean/stddev (one corrupt batch of
+    // extreme values shifts a mean filter's threshold; it barely moves
+    // the median's). Arithmetic is scaled integers throughout — v2 =
+    // 2×cents so the exact-interpolation median (.5 steps) and its
+    // doubling stay integral — making the >3×MAD cut bit-exact across
+    // engines, never a last-ulp coin flip. Three aggregation passes by
+    // construction (MAD is a median OF deviations FROM a median); each
+    // is a 5-group map-side-partial shuffle, and the per-type medians
+    // ride broadcast joins back to the rows.
+    "anomaly_mad_outliers" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .select(col("event_type"), (round(col("value") * 100) * 2).as("v2"))
+      val m = b.groupBy(col("event_type"))
+        .agg((expr("percentile(v2, 0.5)") * 2).as("m4"))
+      val d = b.join(broadcast(m), Seq("event_type"))
+        .withColumn("dev2", abs(col("v2") * 2 - col("m4")))
+      val md = d.groupBy(col("event_type"))
+        .agg((expr("percentile(dev2, 0.5)") * 2).as("mad4"))
+      d.join(broadcast(md), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             max(col("m4")).cast("long").as("med4_cents"),
+             max(col("mad4")).cast("long").as("mad4_cents"),
+             count(when(col("dev2") * 2 > col("mad4") * 3, 1)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Trailing-8 EWMA (α = 1/2) per user — the smoothing pass a
+    // telemetry pipeline runs before thresholding. α = a power of two
+    // makes every fold step ((acc + x) × 0.5) EXACT in IEEE doubles for
+    // cent-scaled values (≤ 29 mantissa bits), so the recursive
+    // definition is reproducible bit-for-bit on any engine — no "close
+    // enough" floats in a correctness gate. One window shuffle on
+    // user_id; the 8-row frame keeps per-row state constant.
+    "w_ewma_trailing8" -> ((s, dir) => {
+      val w8 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      Tables.events(s, dir)
+        .withColumn("vc", round(col("value") * 100))
+        .withColumn("l", collect_list(col("vc")).over(w8))
+        .select(col("user_id"), col("event_id"),
+                round(aggregate(col("l"), lit(0.0), (a, x) => (a + x) * 0.5), 8)
+                  .as("ewma"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -737,6 +811,42 @@ object EventOps {
         |  round(var_samp(value), 6) AS vr,
         |  round(corr(value, user_id::DOUBLE), 6) AS corr_vu,
         |  round(covar_samp(value, user_id::DOUBLE), 6) AS cov_vu
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |w AS (SELECT user_id, event_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |  sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w),
+        |per AS (SELECT user_id, island, max(e) - min(s) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_islands, sum(len)::BIGINT AS covered_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "anomaly_mad_outliers" ->
+      """WITH b AS (SELECT event_type, 2*round(value*100) AS v2 FROM events),
+        |m AS (SELECT event_type, 2*quantile_cont(v2, 0.5) AS m4 FROM b GROUP BY 1),
+        |d AS (SELECT b.event_type, v2, abs(2*v2 - m4) AS dev2 FROM b JOIN m USING (event_type)),
+        |md AS (SELECT event_type, 2*quantile_cont(dev2, 0.5) AS mad4 FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |  max(m4)::BIGINT AS med4_cents, max(mad4)::BIGINT AS mad4_cents,
+        |  count(*) FILTER (WHERE 2*dev2 > 3*mad4)::BIGINT AS n_outliers
+        |FROM d JOIN md USING (event_type) JOIN m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "w_ewma_trailing8" ->
+      """WITH l8 AS (SELECT user_id, event_id,
+        |  list(round(value*100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(list_reduce(list_prepend(0.0, l), (a, x) -> (a + x) * 0.5), 8) AS ewma
+        |FROM l8 ORDER BY user_id, event_id""".stripMargin
   )
 }

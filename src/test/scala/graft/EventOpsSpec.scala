@@ -139,4 +139,77 @@ class EventOpsSpec extends SparkSpec {
       .agg(sum($"attributed_value")).head.getDouble(0)
     assert(math.abs(got - want) < 0.05, s"attributed $got != purchase mass $want")
   }
+
+  test("w_interval_coverage: matches a driver-side interval-union sweep per user") {
+    import spark.implicits._
+    val got = operators.EventOps.queries("w_interval_coverage")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force merge on the driver (sf0.001 is small enough)
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+    evs.foreach { case (u, starts) =>
+      var (islands, covered) = (0L, 0L)
+      var (curS, curE) = (Long.MinValue, Long.MinValue)
+      starts.foreach { st =>
+        val en = st + 1800000000L
+        if (st > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = st; curE = en
+        } else if (en > curE) curE = en
+      }
+      covered += curE - curS
+      assert(got(u) == ((islands, covered)),
+        s"user $u: got ${got(u)}, sweep says ($islands, $covered)")
+    }
+  }
+
+  test("anomaly_mad_outliers: matches a driver-side median/MAD replay") {
+    import spark.implicits._
+    val got = operators.EventOps.queries("anomaly_mad_outliers")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def med2(xs: Seq[Long]): Double = { // 2x the exact-interpolation median
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2.0 * s(n / 2) else (s(n / 2 - 1) + s(n / 2)).toDouble
+    }
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", (round($"value" * 100) * 2).cast("long").as("v2"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.foreach { case (t, vs) =>
+      val v2 = vs.map(_._2).toSeq
+      val m4 = med2(v2)
+      val dev2 = v2.map(v => math.abs(2 * v - m4).toLong)
+      val mad4 = med2(dev2)
+      val nOut = dev2.count(d => 2 * d > 3 * mad4)
+      assert(got(t) == ((v2.size.toLong, m4.toLong, mad4.toLong, nOut.toLong)),
+        s"$t: got ${got(t)}, replay says (${v2.size}, ${m4.toLong}, ${mad4.toLong}, $nOut)")
+    }
+  }
+
+  test("w_ewma_trailing8: bit-exact — every EWMA is an integer number of 256ths of a cent") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("w_ewma_trailing8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scaled = r.getDouble(2) * 256.0
+      assert(scaled == math.rint(scaled),
+        s"event ${r.getLong(1)}: ewma ${r.getDouble(2)} not exact in 2^-8 steps — the fold lost exactness")
+    }
+    // driver replay for one user: the fold IS the trailing-8 recursive EWMA
+    val u0 = Tables.events(spark, sf)
+      .filter($"user_id" === 0L)
+      .select($"event_id", round($"value" * 100).as("vc"), $"ts")
+      .orderBy($"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val got0 = rows.filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    u0.zipWithIndex.foreach { case ((eid, _), i) =>
+      val frame = u0.slice(math.max(0, i - 7), i + 1).map(_._2)
+      val want = frame.foldLeft(0.0)((a, x) => (a + x) * 0.5)
+      // 8dp round is lossless on multiples of 2^-8, so compare exactly
+      assert(got0(eid) == want, s"event $eid: ${got0(eid)} != $want")
+    }
+  }
 }
