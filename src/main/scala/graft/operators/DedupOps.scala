@@ -435,6 +435,42 @@ object DedupOps {
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Phonetic blocking census — the Soundex-class blocking key for
+    // fuzzy entity dedup: first letter + the first three consonant-class
+    // digits (b/f/p/v→1, c/g/j/k/q/s/x/z→2, d/t→3, l→4, m/n→5, r→6;
+    // vowels/h/w dropped, runs collapsed, zero-padded). The key is
+    // defined HERE, identically hand-written in both engines'
+    // translate/regexp primitives — no reliance on either engine's
+    // soundex variant (DuckDB has none; Soundex implementations differ
+    // on H/W edge cases). Blocking is THE scale move for fuzzy dedup:
+    // candidate pairs shrink from n² to Σ n_block², and the census's
+    // n_pairs column is exactly that cost model, per block. Pure
+    // map-side key compute + one census shuffle on the key.
+    "dedup_phonetic_block" -> ((s, dir) => {
+      val w0 = lower(regexp_extract(col("text"), "^[A-Za-z]+", 0))
+      val tail = expr("translate(substr(w0, 2), 'aeiouyhw', '')")
+      val digits = expr(
+        "translate(tail, 'bfpvcgjkqsxzdtlmnr', '111122222222334556')")
+      // collapse digit runs with one backref-free pass per class: the
+      // oracle runs on RE2, which has no pattern backreferences
+      val collapsed = (1 to 6).foldLeft(col("digits")) { (c, d) =>
+        regexp_replace(c, s"$d{2,}", d.toString)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), w0.as("w0"))
+        .filter(length(col("w0")) > 0)
+        .withColumn("tail", tail)
+        .withColumn("digits", digits)
+        .withColumn("pkey",
+          concat(substring(col("w0"), 1, 1),
+                 rpad(substring(collapsed, 1, 3), 3, "0")))
+        .groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("w0")).as("n_words"))
+        .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+        .orderBy(col("n_docs").desc, col("pkey"))
     })
   )
 
@@ -708,6 +744,22 @@ object DedupOps {
          |             greatest(sa.source, sb.source) AS source_b
          |  FROM p JOIN s sa ON sa.doc_id = p.a_id JOIN s sb ON sb.doc_id = p.b_id)
          |SELECT source_a, source_b, count(*) AS n_pairs
-         |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+         |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+
+    "dedup_phonetic_block" ->
+      """WITH w AS (SELECT doc_id, lower(regexp_extract(text, '^[A-Za-z]+', 0)) AS w0
+        |  FROM documents),
+        |f AS (SELECT doc_id, w0, translate(substr(w0, 2), 'aeiouyhw', '') AS tail
+        |  FROM w WHERE length(w0) > 0),
+        |g AS (SELECT doc_id, w0,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    translate(tail, 'bfpvcgjkqsxzdtlmnr', '111122222222334556'),
+        |    '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+        |    '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS coll
+        |  FROM f)
+        |SELECT substr(w0, 1, 1) || rpad(substr(coll, 1, 3), 3, '0') AS pkey,
+        |  count(*)::BIGINT AS n_docs, count(DISTINCT w0)::BIGINT AS n_words,
+        |  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs
+        |FROM g GROUP BY 1 ORDER BY n_docs DESC, pkey""".stripMargin
   )
 }

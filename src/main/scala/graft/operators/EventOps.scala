@@ -560,6 +560,63 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Heavy hitters via a Count-Min-sketch prefilter: the sketch build
+    // moves one 32 KB counter matrix per partition across the exchange
+    // (key-cardinality independent — the 100 TB story), its estimates
+    // upper-bound true counts, so filtering candidate keys by
+    // estimate ≥ threshold never drops a true heavy hitter; the exact
+    // count then runs ONLY on the candidate-key rows (bloom-style
+    // broadcast semi join) and kills the false positives. Result ≡ the
+    // plain GROUP BY ... HAVING, which IS the oracle. Threshold: 1.2×
+    // the mean events-per-user, in exact integer cross-multiplication.
+    "a_heavy_hitters_cms" -> ((s, dir) => {
+      import s.implicits._
+      val (width, depth) = (1024, 4)
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val cms = ev
+        .select(array(graft.functions.CmsFns.keyHashes(col("user_id"), depth): _*).as("hs"))
+        .as[Seq[Long]]
+        .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
+      val stats = ev.agg(count(lit(1)).as("total"),
+                         countDistinct(col("user_id")).as("n_users"))
+      val candidates = ev.distinct()
+        .crossJoin(broadcast(cms)).crossJoin(broadcast(stats))
+        .filter(graft.functions.CmsFns.estimate("cms", "user_id", width, depth)
+                  * lit(5L) * col("n_users") >= col("total") * lit(6L))
+        .select(col("user_id"))
+      Tables.events(s, dir)
+        .join(broadcast(candidates), Seq("user_id"), "left_semi")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(stats))
+        .filter(col("n") * lit(5L) * col("n_users") >= col("total") * lit(6L))
+        .select(col("user_id"), col("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // As-of join with a tolerance bound (the merge_asof shape): each
+    // click takes the user's most recent prior purchase ONLY if it is
+    // within 2 hours; older matches are rejected, not carried. Same
+    // union-sort discipline as asof_join_events — one shuffle on
+    // user_id, shuffle volume |clicks|+|purchases|, no range join —
+    // with the tolerance applied as a map-side cut on the carried
+    // value. Integer-microsecond gaps; -1 sentinel for unmatched.
+    "j_asof_tolerance" -> ((s, dir) => {
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tolUs = 7200000000L // 2 hours
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("lp_us",
+          last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+               ignoreNulls = true).over(cum))
+        .filter(col("event_type") === "click")
+        .withColumn("raw_gap", unix_micros(col("ts")) - col("lp_us"))
+        .withColumn("matched", col("lp_us").isNotNull && col("raw_gap") <= lit(tolUs))
+        .select(col("event_id"), col("user_id"), col("matched"),
+                when(col("matched"), col("raw_gap")).otherwise(lit(-1L)).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Trailing-8 EWMA (α = 1/2) per user — the smoothing pass a
     // telemetry pipeline runs before thresholding. α = a power of two
     // makes every fold step ((acc + x) × 0.5) EXACT in IEEE doubles for
@@ -839,6 +896,24 @@ object EventOps {
         |  count(*) FILTER (WHERE 2*dev2 > 3*mad4)::BIGINT AS n_outliers
         |FROM d JOIN md USING (event_type) JOIN m ON d.event_type = m.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "a_heavy_hitters_cms" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_users FROM c)
+        |SELECT user_id, n::BIGINT AS n FROM c, t
+        |WHERE 5 * n * n_users >= 6 * total ORDER BY user_id""".stripMargin,
+
+    "j_asof_tolerance" ->
+      """WITH cp AS (SELECT event_id, user_id, event_type, ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp_us
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id,
+        |  (lp_us IS NOT NULL AND epoch_us(ts) - lp_us <= 7200000000) AS matched,
+        |  CASE WHEN lp_us IS NOT NULL AND epoch_us(ts) - lp_us <= 7200000000
+        |       THEN epoch_us(ts) - lp_us ELSE -1 END AS gap_us
+        |FROM cp WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "w_ewma_trailing8" ->
       """WITH l8 AS (SELECT user_id, event_id,

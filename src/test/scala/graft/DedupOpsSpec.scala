@@ -209,4 +209,23 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r._1, r._2)).toSet == canon)
   }
+
+  test("dedup_phonetic_block: keys are well-formed, blocking is complete, pair counts are the cost model") {
+    import spark.implicits._
+    val rows = graft.operators.DedupOps.queries("dedup_phonetic_block")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nDocs, nWords, nPairs) =>
+      assert(k.matches("[a-z][0-6]{3}"), s"malformed key '$k'")
+      assert(nWords <= nDocs)
+      assert(nPairs == nDocs * (nDocs - 1) / 2, s"$k: pair count is not C(n,2)")
+    }
+    // completeness: every doc with a leading word lands in exactly one block
+    val nWithWord = Tables.documents(spark, sf)
+      .filter(length(regexp_extract($"text", "^[A-Za-z]+", 0)) > 0).count()
+    assert(rows.map(_._2).sum == nWithWord)
+    // blocking soundness: equal first words always share a block, so a
+    // same-word near-dup pair can never be missed by the blocker
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }

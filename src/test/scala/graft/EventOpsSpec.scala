@@ -140,6 +140,53 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(got - want) < 0.05, s"attributed $got != purchase mass $want")
   }
 
+  test("a_heavy_hitters_cms: CMS estimates upper-bound truth; result equals the exact HAVING") {
+    import spark.implicits._
+    val (width, depth) = (1024, 4)
+    val ev = Tables.events(spark, sf).select($"user_id")
+    val exact = ev.groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cms = ev
+      .select(array(graft.functions.CmsFns.keyHashes($"user_id", depth): _*).as("hs"))
+      .as[Seq[Long]]
+      .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
+    // upper-bound property: no estimate may undercount (this is what
+    // makes the prefilter lossless)
+    val est = ev.distinct().crossJoin(broadcast(cms))
+      .select($"user_id",
+        graft.functions.CmsFns.estimate("cms", "user_id", width, depth).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (u, n) =>
+      assert(est(u) >= n, s"user $u: CMS estimate ${est(u)} undercounts true $n")
+    }
+    // end-to-end: the prefiltered pipeline equals the plain exact filter
+    val total = exact.values.sum; val nUsers = exact.size.toLong
+    val want = exact.filter { case (_, n) => 5 * n * nUsers >= 6 * total }
+    val got = operators.EventOps.queries("a_heavy_hitters_cms")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got, exact says $want")
+  }
+
+  test("j_asof_tolerance: matched gaps are within 2h and agree with the unbounded as-of") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("j_asof_tolerance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (matched, gap) = (r.getBoolean(2), r.getLong(3))
+      if (matched) assert(gap >= 0 && gap <= 7200000000L, s"matched gap $gap out of tolerance")
+      else assert(gap == -1L)
+    }
+    // consistency vs the unbounded as-of: tolerance only REJECTS matches
+    val unbounded = operators.EventOps.queries("asof_join_events")(spark, sf)
+      .select($"event_id", $"last_purchase_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    rows.foreach { r =>
+      val eid = r.getLong(0)
+      if (r.getBoolean(2))
+        assert(unbounded(eid).nonEmpty, s"click $eid matched under tolerance but not unbounded")
+    }
+  }
+
   test("w_interval_coverage: matches a driver-side interval-union sweep per user") {
     import spark.implicits._
     val got = operators.EventOps.queries("w_interval_coverage")(spark, sf)
