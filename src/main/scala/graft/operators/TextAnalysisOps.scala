@@ -278,10 +278,62 @@ object TextAnalysisOps {
                  col("sx").cast("double") * col("sx").cast("double")), 6)
             .as("tokens_intercept"))
         .orderBy(col("lang"))
+    }),
+
+    // Flesch-style readability per language — the classic quality
+    // signal Gopher/C4-class filters pair with length/punct ratios.
+    // Counts (words, sentence marks, vowel-group "syllables") are exact
+    // integers partial-aggregated map-side; the score is ONE IEEE
+    // division expression over the aggregated sums (the a_regr_slope
+    // discipline — never an avg of per-row doubles, whose summation
+    // order differs across engines). Per-doc scores are deterministic
+    // doubles, so min/max survive bit-exactly too.
+    "ta_readability" -> ((s, dir) => {
+      val txt = col("text")
+      val d = Tables.documents(s, dir)
+        .filter(txt.isNotNull && length(trim(txt)) > 0)
+        .select(col("lang"),
+          regexp_count(txt, lit("\\S+")).as("nw"),
+          greatest(regexp_count(txt, lit("[.!?]+")), lit(1L)).as("ns"),
+          greatest(regexp_count(lower(txt), lit("[aeiouy]+")), lit(1L)).as("nsy"))
+        .filter(col("nw") > 0)
+        .withColumn("score",
+          lit(206.835) - lit(1.015) * (col("nw").cast("double") / col("ns"))
+            - lit(84.6) * (col("nsy").cast("double") / col("nw")))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("nw")).as("total_words"),
+             sum(col("ns")).as("total_sentences"),
+             sum(col("nsy")).as("total_syllables"),
+             round(min(col("score")), 4).as("min_doc_score"),
+             round(max(col("score")), 4).as("max_doc_score"))
+        .withColumn("flesch",
+          round(lit(206.835)
+            - lit(1.015) * (col("total_words").cast("double") / col("total_sentences"))
+            - lit(84.6) * (col("total_syllables").cast("double") / col("total_words")), 4))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+                col("total_sentences"), col("total_syllables"), col("flesch"),
+                col("min_doc_score"), col("max_doc_score"))
+        .orderBy(col("lang"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_readability" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS ns,
+        |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT AS nsy
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |s AS (SELECT lang, nw, ns, nsy,
+        |    206.835 - 1.015*(nw::DOUBLE/ns) - 84.6*(nsy::DOUBLE/nw) AS score
+        |  FROM d WHERE nw > 0)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS total_words,
+        |  sum(ns)::BIGINT AS total_sentences, sum(nsy)::BIGINT AS total_syllables,
+        |  round(206.835 - 1.015*(sum(nw)::DOUBLE/sum(ns))
+        |        - 84.6*(sum(nsy)::DOUBLE/sum(nw)), 4) AS flesch,
+        |  round(min(score), 4) AS min_doc_score, round(max(score), 4) AS max_doc_score
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "ta_langid" ->
       s"""WITH dt AS (SELECT doc_id, lang, unnest($trigramsSqlExpr) AS tri FROM documents),
          |pf AS (SELECT lang AS profile_lang, tri FROM (
