@@ -29,17 +29,21 @@ import org.apache.spark.sql.functions._
   * group-by of every key.
   */
 class CmsAgg(width: Int, depth: Int)
-    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
-  require(width >= 2 && depth >= 1, s"need width>=2, depth>=1: $width x $depth")
+    extends Aggregator[(Long, Long, Long, Long), Array[Long], Array[Long]] {
+  require(width >= 2 && depth == 4, s"need width>=2, depth==4: $width x $depth")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
-  override def reduce(b: Array[Long], hs: Seq[Long]): Array[Long] = {
-    var d = 0
-    while (d < depth) {
-      b(d * width + java.lang.Math.floorMod(hs(d), width.toLong).toInt) += 1L
-      d += 1
-    }
+  // input is a flat 4-long tuple, not Seq[Long]: the tuple encoder reads
+  // four primitive fields per row, where a Seq input pays a per-row
+  // mapobjects boxing pass in the deserializer (measured ~30% of the
+  // whole query at sf0.1)
+  override def reduce(b: Array[Long], hs: (Long, Long, Long, Long)): Array[Long] = {
+    val w = width.toLong
+    b(java.lang.Math.floorMod(hs._1, w).toInt) += 1L
+    b(width + java.lang.Math.floorMod(hs._2, w).toInt) += 1L
+    b(2 * width + java.lang.Math.floorMod(hs._3, w).toInt) += 1L
+    b(3 * width + java.lang.Math.floorMod(hs._4, w).toInt) += 1L
     b
   }
 

@@ -573,9 +573,10 @@ object EventOps {
       import s.implicits._
       val (width, depth) = (1024, 4)
       val ev = Tables.events(s, dir).select(col("user_id"))
+      val hs = graft.functions.CmsFns.keyHashes(col("user_id"), depth)
       val cms = ev
-        .select(array(graft.functions.CmsFns.keyHashes(col("user_id"), depth): _*).as("hs"))
-        .as[Seq[Long]]
+        .select(hs(0).as("h0"), hs(1).as("h1"), hs(2).as("h2"), hs(3).as("h3"))
+        .as[(Long, Long, Long, Long)]
         .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
       val stats = ev.agg(count(lit(1)).as("total"),
                          countDistinct(col("user_id")).as("n_users"))

@@ -147,8 +147,9 @@ class EventOpsSpec extends SparkSpec {
     val exact = ev.groupBy($"user_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cms = ev
-      .select(array(graft.functions.CmsFns.keyHashes($"user_id", depth): _*).as("hs"))
-      .as[Seq[Long]]
+      .select(graft.functions.CmsFns.keyHashes($"user_id", depth)
+        .zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
+      .as[(Long, Long, Long, Long)]
       .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
     // upper-bound property: no estimate may undercount (this is what
     // makes the prefilter lossless)
