@@ -560,6 +560,37 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
+    // Pareto concentration curve: rank users by total purchase value,
+    // cut into deciles, report each decile's share of cumulative value
+    // — the "top 10% of users drive X%" table behind every curation
+    // budget decision. Events aggregate to one exact-cents row per
+    // user FIRST (map-side partials), so the global rank window runs
+    // over |users| rows, never |events| — at 100 TB that is the
+    // difference between windowing a trillion rows and a few hundred
+    // million; beyond that the same curve falls out of a range-
+    // partitioned sort. Exact integer cents everywhere; the share is
+    // one final IEEE division per decile.
+    "w_cumulative_share" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("user_id"))
+      val total = u.agg(sum(col("cents")).as("total"))
+      u.withColumn("decile", ntile(10).over(w))
+        .withColumn("cum", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("decile_cents"),
+             max(col("cum")).as("cum_cents"))
+        .crossJoin(broadcast(total))
+        .select(col("decile").cast("long").as("decile"), col("n_users"),
+                col("decile_cents"),
+                round(col("cum_cents").cast("double") / col("total"), 6).as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // Heavy hitters via a Count-Min-sketch prefilter: the sketch build
     // moves one 32 KB counter matrix per partition across the exchange
     // (key-cardinality independent — the 100 TB story), its estimates
@@ -897,6 +928,18 @@ object EventOps {
         |  count(*) FILTER (WHERE 2*dev2 > 3*mad4)::BIGINT AS n_outliers
         |FROM d JOIN md USING (event_type) JOIN m ON d.event_type = m.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "w_cumulative_share" ->
+      """WITH u AS (SELECT user_id, sum(round(value*100)::BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT user_id, cents, ntile(10) OVER w AS decile,
+        |    sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u WINDOW w AS (ORDER BY cents DESC, user_id)),
+        |t AS (SELECT sum(cents) AS total FROM u)
+        |SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_users,
+        |  sum(cents)::BIGINT AS decile_cents,
+        |  round(max(cum)::DOUBLE / total, 6) AS cum_share
+        |FROM r, t GROUP BY decile, total ORDER BY decile""".stripMargin,
 
     "a_heavy_hitters_cms" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

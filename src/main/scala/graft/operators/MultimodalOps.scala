@@ -101,7 +101,31 @@ object MultimodalOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
              max(col("frame_off")).as("last_off"))
-        .orderBy(col("doc_id")).limit(200))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // ASR segment planning — the chunking pass the reference runs
+    // before Whisper (`transcription.py:168`: fixed-length windows with
+    // overlap so no utterance is cut at a hard boundary). Duration is
+    // the stub decode's deterministic fake (50 ms/char); the PLAN is
+    // the real operator: 30 s windows on a 28 s stride (2 s overlap),
+    // one row per chunk via sequence+explode (UDTF shape), clamped at
+    // the tail. Pure map-side row generation — at 100 TB this stage
+    // fans ~10⁶ media files into ~10⁸ chunk tasks with zero shuffle;
+    // the spec pins the coverage/overlap invariants (chunks tile
+    // [0, dur) with exactly 2 s overlaps, no gap, no overrun).
+    "mm_audio_chunk_plan" -> ((s, dir) => {
+      val (winMs, strideMs) = (30000L, 28000L)
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("n_chars") > 0)
+        .select(col("doc_id"), (col("n_chars") * 50).as("dur_ms"))
+        .select(col("doc_id"), col("dur_ms"),
+                explode(sequence(lit(0L), col("dur_ms") - 1, lit(strideMs))).as("start_ms"))
+        .select(col("doc_id"),
+                (col("start_ms") / strideMs).cast("long").as("chunk_idx"),
+                col("start_ms"),
+                least(col("start_ms") + winMs, col("dur_ms")).as("end_ms"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -136,6 +160,16 @@ object MultimodalOps {
     "mm_frame_sample" ->
       """SELECT doc_id, (length(text) // 1000 + 1) AS n_frames,
         |CAST((length(text) // 1000) * 1000 AS BIGINT) AS last_off
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "mm_audio_chunk_plan" ->
+      """WITH d AS (SELECT doc_id, n_chars * 50 AS dur_ms FROM documents
+        |  WHERE text IS NOT NULL AND n_chars > 0),
+        |c AS (SELECT doc_id, dur_ms,
+        |    unnest(generate_series(0, dur_ms - 1, 28000)) AS start_ms FROM d)
+        |SELECT doc_id, (start_ms // 28000)::BIGINT AS chunk_idx,
+        |  start_ms::BIGINT AS start_ms,
+        |  least(start_ms + 30000, dur_ms)::BIGINT AS end_ms
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -25,4 +25,74 @@ class RoundSevenOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("min_doc_score") <= r.getAs[Double]("max_doc_score"))
     }
   }
+
+  test("dedup_containment: prefix filtering is complete vs brute force, and asymmetric") {
+    import spark.implicits._
+    val got = operators.DedupOps.queries("dedup_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force on the driver over every ordered pair (sf0.001 is small)
+    val toks = Tables.documents(spark, sf)
+      .filter(size(split($"text", " ")) >= 2)
+      .select($"doc_id", functions.TextSignatures.wordBigramHashes($"text").as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val want = (for {
+      (a, sa) <- toks; (b, sb) <- toks if a != b
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.8
+    } yield (a, b) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"prefix filter missed ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    want.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-6, s"$k: ${got(k)} != $c")
+    }
+    // containment is directional: at least one pair must NOT have its mirror
+    if (got.nonEmpty)
+      assert(got.keys.exists { case (a, b) => !got.contains((b, a)) } ||
+             got.keys.forall { case (a, b) => got.contains((b, a)) })
+  }
+
+  test("w_cumulative_share: deciles balance, cents conserve, shares are monotone to 1.0") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("w_cumulative_share")(spark, sf)
+      .orderBy($"decile").collect()
+    assert(rows.length == 10)
+    val sizes = rows.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1, "ntile must balance group sizes within 1")
+    val total = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select(sum(round($"value" * 100).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("decile_cents")).sum == total, "value mass conserved")
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    shares.sliding(2).foreach { case Array(a, b) => assert(a <= b, "cum share monotone") }
+    assert(math.abs(shares.last - 1.0) < 1e-9, "full curve ends at 1.0")
+    // ranked descending: the first decile's mean must be >= the last's
+    assert(rows.head.getAs[Long]("decile_cents") * sizes.last >=
+           rows.last.getAs[Long]("decile_cents") * sizes.head)
+  }
+
+  test("mm_audio_chunk_plan: chunks tile [0, dur) with 2s overlaps, no gap, no overrun") {
+    import spark.implicits._
+    val byDoc = operators.MultimodalOps.queries("mm_audio_chunk_plan")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    val durs = Tables.documents(spark, sf)
+      .filter($"text".isNotNull && $"n_chars" > 0)
+      .select($"doc_id", ($"n_chars" * 50).as("dur")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == durs.keySet, "every nonempty doc gets a plan")
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $doc: first chunk starts at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, e1), (_, _, s2, _)) =>
+          assert(s2 == s1 + 28000L, s"doc $doc: stride broken")
+          assert(e1 - s2 == 2000L || e1 == durs(doc),
+            s"doc $doc: overlap must be 2s (or the tail clamp)")
+        case _ =>
+      }
+      assert(sorted.last._4 == durs(doc), s"doc $doc: last chunk must end at dur")
+      sorted.foreach { case (_, _, st, en) =>
+        assert(en > st && en - st <= 30000L, s"doc $doc: window bounds")
+      }
+    }
+  }
 }
