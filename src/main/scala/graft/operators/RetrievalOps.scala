@@ -127,6 +127,65 @@ object RetrievalOps {
                   .cast("long").as("first_dim_e6"))
         .orderBy(col("vec_id")).limit(100)),
 
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998) — the RAG
+    // serving step after top-k: from the 8 most-relevant candidates per
+    // query, greedily pick 3 maximizing λ·relevance − (1−λ)·max-sim-to-
+    // already-selected (λ=0.7), so near-duplicate passages don't crowd
+    // the context window. Greedy selection is inherently sequential in
+    // k, so it is UNROLLED into k=3 relational steps — each an argmax
+    // window over the candidate set — rather than a per-query driver
+    // loop; every score is an exact e6 integer (7·rel − 3·maxsim in
+    // tenths), so argmax ties break identically everywhere. Scale: the
+    // candidate set is k-bounded per query (8 rows), so the pairwise
+    // sim table and all three steps are broadcast-class; the corpus is
+    // touched only by the initial top-8 scan.
+    "retrieval_mmr_rerank" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val byRel = Window.partitionBy(col("qid"))
+        .orderBy(desc("rel_e6"), col("vec_id"))
+      val cand = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel_e6", floor(dot(col("qv"), col("v")) * 1e6 + 0.5).cast("long"))
+        .withColumn("rk", row_number().over(byRel))
+        .filter(col("rk") <= 8)
+        .select(col("qid"), col("vec_id"), col("v"), col("rel_e6"))
+      val pairs = cand.select(col("qid"), col("vec_id").as("a_id"), col("v").as("va"))
+        .join(cand.select(col("qid"), col("vec_id").as("b_id"), col("v").as("vb")), Seq("qid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("qid"), col("a_id"), col("b_id"),
+                floor(dot(col("va"), col("vb")) * 1e6 + 0.5).cast("long").as("sim_e6"))
+      // sim(c, sel): look up the candidate→selected pair similarity
+      def simTo(rest: DataFrame, selCol: String, out: String): DataFrame =
+        rest.join(
+          pairs.select(col("qid").as("pq"), col("a_id"), col("b_id"),
+                       col("sim_e6").as(out)),
+          col("qid") === col("pq") && col("vec_id") === col("a_id") &&
+            col(selCol) === col("b_id"))
+          .drop("pq", "a_id", "b_id")
+      val s1 = cand.withColumn("r", row_number().over(byRel)).filter(col("r") === 1)
+        .select(col("qid"), col("vec_id").as("s1_id"), (col("rel_e6") * 10).as("mmr10_e6"))
+      val rest2 = simTo(
+        cand.join(s1.select(col("qid"), col("s1_id")), Seq("qid"))
+          .filter(col("vec_id") =!= col("s1_id")), "s1_id", "sim1")
+        .withColumn("mmr10_e6", col("rel_e6") * 7 - col("sim1") * 3)
+      val byMmr = Window.partitionBy(col("qid")).orderBy(desc("mmr10_e6"), col("vec_id"))
+      val s2 = rest2.withColumn("r", row_number().over(byMmr)).filter(col("r") === 1)
+        .select(col("qid"), col("vec_id").as("s2_id"), col("mmr10_e6"))
+      val rest3 = simTo(
+        rest2.drop("mmr10_e6", "sim1").join(s2.select(col("qid"), col("s2_id")), Seq("qid"))
+          .filter(col("vec_id") =!= col("s2_id")), "s2_id", "sim2")
+      val rest3b = simTo(rest3, "s1_id", "sim1b")
+        .withColumn("mmr10_e6",
+          col("rel_e6") * 7 - greatest(col("sim1b"), col("sim2")) * 3)
+      val s3 = rest3b.withColumn("r", row_number().over(byMmr)).filter(col("r") === 1)
+        .select(col("qid"), col("vec_id").as("s3_id"), col("mmr10_e6"))
+      s1.select(col("qid"), lit(1L).as("pos"), col("s1_id").as("vec_id"), col("mmr10_e6"))
+        .unionByName(s2.select(col("qid"), lit(2L).as("pos"), col("s2_id").as("vec_id"), col("mmr10_e6")))
+        .unionByName(s3.select(col("qid"), lit(3L).as("pos"), col("s3_id").as("vec_id"), col("mmr10_e6")))
+        .orderBy(col("qid"), col("pos"))
+    }),
+
     // V2+V3: flat-IP index ≡ the table; search = broadcast query set ×
     // corpus dot product + per-query window top-k (k=3).
     "v3_cosine_topk" -> ((s, dir) => {
@@ -668,6 +727,40 @@ object RetrievalOps {
 
     "v3_cosine_topk" -> v3OracleSql,
     "v3_cosine_topk_partial" -> v3OracleSql, // same semantics, different plan
+
+    "retrieval_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT qid, e.vec_id, e.v,
+        |    floor(list_dot_product(qv, e.v)*1e6 + 0.5)::BIGINT AS rel_e6
+        |  FROM e, q WHERE e.vec_id != qid),
+        |cand AS (SELECT * FROM (SELECT qid, vec_id, v, rel_e6,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rel_e6 DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 8),
+        |pairs AS (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    floor(list_dot_product(a.v, b.v)*1e6 + 0.5)::BIGINT AS sim_e6
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id != b.vec_id),
+        |s1 AS (SELECT qid, vec_id AS s1_id, rel_e6*10 AS mmr10_e6 FROM cand WHERE rk = 1),
+        |r2 AS (SELECT c.qid, c.vec_id, c.rel_e6*7 - p.sim_e6*3 AS mmr10_e6,
+        |    row_number() OVER (PARTITION BY c.qid
+        |      ORDER BY c.rel_e6*7 - p.sim_e6*3 DESC, c.vec_id) AS r
+        |  FROM cand c JOIN s1 USING (qid) JOIN pairs p
+        |    ON p.qid = c.qid AND p.a_id = c.vec_id AND p.b_id = s1.s1_id
+        |  WHERE c.vec_id != s1.s1_id),
+        |s2 AS (SELECT qid, vec_id AS s2_id, mmr10_e6 FROM r2 WHERE r = 1),
+        |r3 AS (SELECT c.qid, c.vec_id,
+        |    c.rel_e6*7 - greatest(p1.sim_e6, p2.sim_e6)*3 AS mmr10_e6,
+        |    row_number() OVER (PARTITION BY c.qid
+        |      ORDER BY c.rel_e6*7 - greatest(p1.sim_e6, p2.sim_e6)*3 DESC, c.vec_id) AS r
+        |  FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+        |    JOIN pairs p1 ON p1.qid = c.qid AND p1.a_id = c.vec_id AND p1.b_id = s1.s1_id
+        |    JOIN pairs p2 ON p2.qid = c.qid AND p2.a_id = c.vec_id AND p2.b_id = s2.s2_id
+        |  WHERE c.vec_id != s1.s1_id AND c.vec_id != s2.s2_id),
+        |s3 AS (SELECT qid, vec_id AS s3_id, mmr10_e6 FROM r3 WHERE r = 1)
+        |SELECT qid, 1::BIGINT AS pos, s1_id AS vec_id, mmr10_e6 FROM s1
+        |UNION ALL SELECT qid, 2::BIGINT, s2_id, mmr10_e6 FROM s2
+        |UNION ALL SELECT qid, 3::BIGINT, s3_id, mmr10_e6 FROM s3
+        |ORDER BY qid, pos""".stripMargin,
     "ann_lsh_topk" -> annLshOracleSql,
     "ann_incremental_topk" -> annIncrementalOracleSql,
 

@@ -26,6 +26,40 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("retrieval_mmr_rerank: matches a driver-side greedy MMR replay") {
+    import spark.implicits._
+    val got = operators.RetrievalOps.queries("retrieval_mmr_rerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotE6(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      math.floor(s * 1e6 + 0.5).toLong
+    }
+    (0L until 5L).foreach { qid =>
+      val qv = vecs(qid)
+      val cand = vecs.filter(_._1 != qid).toSeq
+        .map { case (id, v) => (id, dotE6(qv, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(8)
+      var selected = List.empty[(Long, Long)] // (id, mmr10)
+      (1 to 3).foreach { pos =>
+        val rest = cand.filterNot { case (id, _) => selected.exists(_._1 == id) }
+        val scoredRest = rest.map { case (id, rel) =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(s => dotE6(vecs(id), vecs(s._1))).max
+          val mmr = if (selected.isEmpty) rel * 10 else rel * 7 - maxSim * 3
+          (id, mmr)
+        }
+        val pick = scoredRest.minBy { case (id, m) => (-m, id) }
+        assert(got((qid, pos.toLong)) == pick,
+          s"q$qid pos $pos: got ${got((qid, pos.toLong))}, replay says $pick")
+        selected = selected :+ pick
+      }
+    }
+  }
+
   test("dedup_containment: prefix filtering is complete vs brute force, and asymmetric") {
     import spark.implicits._
     val got = operators.DedupOps.queries("dedup_containment")(spark, sf)
