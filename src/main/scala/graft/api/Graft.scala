@@ -1098,4 +1098,159 @@ object Graft {
     }
     rank
   }
+
+  // ---- round-7 additions -------------------------------------------
+
+  /** Heavy hitters via a Count-Min-sketch prefilter (exact result).
+    * Keys whose frequency ≥ (num/den) × mean-frequency are returned
+    * with their EXACT counts: the sketch (depth 4 × `width` counters,
+    * `width*32` bytes on the wire regardless of key cardinality) never
+    * undercounts, so the candidate cut is lossless and the exact pass
+    * runs only on candidate-key rows. In: any df + a long key column.
+    * Out: (keyCol, n). */
+  def heavyHittersCms(df: DataFrame, keyCol: String,
+                      num: Long = 6L, den: Long = 5L,
+                      width: Int = 1024): DataFrame = {
+    import df.sparkSession.implicits._
+    val depth = 4
+    val ev = df.select(col(keyCol))
+    val hs = graft.functions.CmsFns.keyHashes(col(keyCol), depth)
+    val cms = ev.select(hs(0).as("h0"), hs(1).as("h1"), hs(2).as("h2"), hs(3).as("h3"))
+      .as[(Long, Long, Long, Long)]
+      .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
+    val stats = ev.agg(count(lit(1)).as("__total"),
+                       countDistinct(col(keyCol)).as("__nkeys"))
+    val candidates = ev.distinct()
+      .crossJoin(broadcast(cms)).crossJoin(broadcast(stats))
+      .filter(graft.functions.CmsFns.estimate("cms", keyCol, width, depth)
+                * lit(den) * col("__nkeys") >= col("__total") * lit(num))
+      .select(col(keyCol))
+    df.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .filter(col("n") * lit(den) * col("__nkeys") >= col("__total") * lit(num))
+      .select(col(keyCol), col("n"))
+  }
+
+  /** Union-of-intervals coverage: total distinct covered time per key
+    * when each row opens a `windowUs`-long interval at `tsCol`
+    * (overlaps merge). One shuffle on the key, O(1) state per row.
+    * In: (keyCol, ordCol unique-per-key tiebreaker, tsCol TIMESTAMP).
+    * Out: (keyCol, n_islands, covered_us). */
+  def intervalCoverage(df: DataFrame, keyCol: String, ordCol: String,
+                       tsCol: String, windowUs: Long): DataFrame = {
+    val byStart = Window.partitionBy(col(keyCol)).orderBy(col("__s"), col(ordCol))
+    df.select(col(keyCol), col(ordCol), unix_micros(col(tsCol)).as("__s"),
+              (unix_micros(col(tsCol)) + lit(windowUs)).as("__e"))
+      .withColumn("__pmax",
+        max(col("__e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__cut",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__cut")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__island"))
+      .agg((max(col("__e")) - min(col("__s"))).as("__len"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"), sum(col("__len")).as("covered_us"))
+  }
+
+  /** Median/MAD robust z-score outlier gate per group, in scaled
+    * integers (v2 = 2× cents) so the >3×MAD cut is bit-exact. In:
+    * (groupCol, valCol DOUBLE). Out: (groupCol, n, med4_cents,
+    * mad4_cents, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val b = df.select(col(groupCol), (round(col(valCol) * 100) * 2).as("__v2"))
+    val m = b.groupBy(col(groupCol)).agg((expr("percentile(__v2, 0.5)") * 2).as("__m4"))
+    val d = b.join(broadcast(m), Seq(groupCol))
+      .withColumn("__dev2", abs(col("__v2") * 2 - col("__m4")))
+    val md = d.groupBy(col(groupCol)).agg((expr("percentile(__dev2, 0.5)") * 2).as("__mad4"))
+    d.join(broadcast(md), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           max(col("__m4")).cast("long").as("med4_cents"),
+           max(col("__mad4")).cast("long").as("mad4_cents"),
+           count(when(col("__dev2") * 2 > col("__mad4") * 3, 1)).as("n_outliers"))
+  }
+
+  /** Asymmetric n-gram containment pairs C(A→B) = |A∩B|/|A| ≥ t, with
+    * prefix-filtering candidate generation (complete under the hash
+    * order by the SSJoin prefix lemma). In: (idCol, textCol). Out:
+    * (a_id, b_id, containment). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"containment threshold in (0,1): $t")
+    val toks = docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol).as("__id"),
+              TextSignatures.wordBigramHashes(col(textCol)).as("__bg"))
+      .withColumn("__n", size(col("__bg")))
+      .repartition(col("__id"))
+    val pref = toks.select(col("__id").as("a_id"),
+        explode(slice(col("__bg"), lit(1),
+          (col("__n") * lit(1.0 - t)).cast("int") + lit(1))).as("__g"))
+    val post = toks.select(col("__id").as("b_id"), explode(col("__bg")).as("__g"))
+    pref.join(post, Seq("__g"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .join(toks.select(col("__id").as("a_id"), col("__bg").as("__bga"), col("__n").as("__na")), "a_id")
+      .join(toks.select(col("__id").as("b_id"), col("__bg").as("__bgb")), "b_id")
+      .withColumn("containment",
+        SortedIntersectCount.sortedIntersectCountLong(col("__bga"), col("__bgb"))
+          .cast("double") / col("__na"))
+      .filter(col("containment") >= t)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
+  /** Greedy MMR diversity re-ranking (λ in tenths: score10 = λ·10·rel
+    * on the first pick, λ·10·rel − (10−λ·10)·maxsim after). Selection
+    * is unrolled into `k` relational argmax steps over a `poolK`-
+    * bounded candidate set — no driver loop over rows; e6-integer
+    * scores make every tie deterministic. In: corpus (id, vec) and
+    * queries (qid, vec), vectors ARRAY<DOUBLE>. Out: (qid, pos, id,
+    * mmr10_e6). */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                poolK: Int = 8, k: Int = 3, lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK: k=$k poolK=$poolK")
+    require(lambdaTenths >= 1 && lambdaTenths <= 9,
+      s"lambdaTenths in [1,9]: $lambdaTenths")
+    val (lam, lamC) = (lambdaTenths.toLong, 10L - lambdaTenths)
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val byRel = Window.partitionBy(col("__qid")).orderBy(desc("__rel"), col("__id"))
+    val cand = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(q), col("__id") =!= col("__qid"))
+      .withColumn("__rel", floor(VectorFns.dot(col("__qv"), col("__v")) * 1e6 + 0.5).cast("long"))
+      .withColumn("__rk", row_number().over(byRel))
+      .filter(col("__rk") <= poolK)
+      .select(col("__qid"), col("__id"), col("__v"), col("__rel"))
+      .localCheckpoint() // k self-joins below; bound the replanned lineage
+    val pairs = cand.select(col("__qid"), col("__id").as("__a"), col("__v").as("__va"))
+      .join(cand.select(col("__qid"), col("__id").as("__b"), col("__v").as("__vb")), Seq("__qid"))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__qid"), col("__a"), col("__b"),
+              floor(VectorFns.dot(col("__va"), col("__vb")) * 1e6 + 0.5).cast("long").as("__sim"))
+      .localCheckpoint()
+    val byMmr = Window.partitionBy(col("__qid")).orderBy(desc("__mmr"), col("__id"))
+    var out = cand.withColumn("__mmr", col("__rel") * 10)
+      .withColumn("__r", row_number().over(byMmr)).filter(col("__r") === 1)
+      .select(col("__qid"), lit(1L).as("pos"), col("__id"), col("__mmr"))
+    for (p <- 2 to k) {
+      val sel = out.select(col("__qid"), col("__id").as("__selid"))
+      val maxSim = pairs
+        .join(sel, pairs("__qid") === sel("__qid") && pairs("__b") === sel("__selid"))
+        .select(pairs("__qid"), col("__a"), col("__sim"))
+        .groupBy(col("__qid"), col("__a")).agg(max(col("__sim")).as("__maxsim"))
+      val rest = cand.join(out.select(col("__qid"), col("__id")),
+                           Seq("__qid", "__id"), "left_anti")
+      val pick = rest.join(maxSim,
+          rest("__qid") === maxSim("__qid") && rest("__id") === maxSim("__a"))
+        .select(rest("__qid"), col("__id"), col("__rel"), col("__maxsim"))
+        .withColumn("__mmr", col("__rel") * lam - col("__maxsim") * lamC)
+        .withColumn("__r", row_number().over(byMmr)).filter(col("__r") === 1)
+        .select(col("__qid"), lit(p.toLong).as("pos"), col("__id"), col("__mmr"))
+      out = out.unionByName(pick).localCheckpoint()
+    }
+    out.select(col("__qid").as("qid"), col("pos"), col("__id").as("id"),
+               col("__mmr").as("mmr10_e6"))
+  }
 }

@@ -269,6 +269,47 @@ class GraftApiSpec extends SparkSpec {
     assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
   }
 
+  test("heavyHittersCms via API == a_heavy_hitters_cms query") {
+    import spark.implicits._
+    val api = Graft.heavyHittersCms(
+      Tables.events(spark, sf).select($"user_id"), "user_id")
+    val q = graft.operators.EventOps.queries("a_heavy_hitters_cms")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("intervalCoverage via API == w_interval_coverage query") {
+    val api = Graft.intervalCoverage(
+      Tables.events(spark, sf), "user_id", "event_id", "ts", 1800000000L)
+    val q = graft.operators.EventOps.queries("w_interval_coverage")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("madOutliers via API == anomaly_mad_outliers query") {
+    val api = Graft.madOutliers(Tables.events(spark, sf), "event_type", "value")
+    val q = graft.operators.EventOps.queries("anomaly_mad_outliers")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("containmentPairs via API == dedup_containment query (modulo rounding)") {
+    import spark.implicits._
+    val api = Graft.containmentPairs(
+        Tables.documents(spark, sf), "doc_id", "text", 0.8)
+      .select($"a_id", $"b_id", round($"containment", 6).as("containment"))
+    val q = graft.operators.DedupOps.queries("dedup_containment")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
+  test("mmrRerank via API == retrieval_mmr_rerank query") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val api = Graft.mmrRerank(e, "vec_id", "v",
+        e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v"), "qid", "v")
+      .select($"qid", $"pos", $"id".as("vec_id"), $"mmr10_e6")
+    val q = graft.operators.RetrievalOps.queries("retrieval_mmr_rerank")(spark, sf)
+    assert(api.exceptAll(q).count() == 0 && q.exceptAll(api).count() == 0)
+  }
+
   test("clusterNearDups on a hand graph: chain + singleton-pair components") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain; 10-11 pair
