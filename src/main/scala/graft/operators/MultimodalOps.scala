@@ -113,6 +113,63 @@ object MultimodalOps {
     // fans ~10⁶ media files into ~10⁸ chunk tasks with zero shuffle;
     // the spec pins the coverage/overlap invariants (chunks tile
     // [0, dur) with exactly 2 s overlaps, no gap, no overrun).
+    // Perceptual-hash near-duplicate blocking (the image-dedup shape:
+    // decode → downsample → dHash → group by hash). The decode+
+    // downsample stage is the deterministic stub (md5 of the payload
+    // read as a 4×4 luma grid — a real pipeline swaps in a JPEG decode
+    // + resize producing the same 16-byte grid); the dHash and the
+    // blocking are the real operator: 12 gradient bits (3 per row × 4
+    // rows), identical-hash groups = hamming-0 candidate blocks. All
+    // map-side expression work (md5/substring/conv stay in codegen)
+    // followed by ONE groupBy on a 4096-value key — at 100 TB this is
+    // the same banded-blocking scale shape as dedup_simhash: no pair
+    // ever forms outside a block.
+    "mm_image_phash" -> ((s, dir) => {
+      val h = md5(col("text").cast("binary"))
+      def px(i: Int) = conv(substring(h, 1 + 2 * i, 2), 16, 10).cast("int")
+      val bits = for { r <- 0 until 4; c <- 0 until 3 } yield
+        when(px(4 * r + c) > px(4 * r + c + 1), 1 << (3 * r + c)).otherwise(0)
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), bits.reduce(_ + _).cast("long").as("phash"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("phash"))
+    }),
+
+    // Scene-cut detection over the sampled frame sequence: per-frame
+    // feature (stubbed: uniform 16-bit hash of (doc, frame) — a real
+    // encoder emits a histogram distance), lag-1 delta per media file,
+    // cut where the delta exceeds the threshold. The window is
+    // partitioned by doc — frames of one media file are colocated, so
+    // state never crosses files; feature extraction is map-side and
+    // the explode fan-out (1 media row → n frame rows) happens AFTER
+    // the scan, payload bytes never shuffle.
+    "mm_scene_cut" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("n_chars") > 0)
+        .select(col("doc_id"),
+          (floor(col("n_chars") / 100) + 1).cast("long").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("fi"))
+      val feat = conv(substring(md5(
+          concat(col("doc_id").cast("string"), lit(":"), col("fi").cast("string"))),
+        1, 4), 16, 10).cast("long")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+      frames.withColumn("f", feat)
+        .withColumn("d", abs(col("f") - lag(col("f"), 1).over(w)))
+        .withColumn("cut", (col("d") > 40000).cast("int"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+             sum(coalesce(col("cut"), lit(0))).as("n_cuts"),
+             coalesce(min(when(col("cut") === 1, col("fi"))), lit(-1L))
+               .as("first_cut"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_audio_chunk_plan" -> ((s, dir) => {
       val (winMs, strideMs) = (30000L, 28000L)
       Tables.documents(s, dir)
@@ -162,6 +219,47 @@ object MultimodalOps {
         |CAST((length(text) // 1000) * 1000 AS BIGINT) AS last_off
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
+    "mm_image_phash" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+        |  WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |  ('0x'||substr(m,1,2))::INT AS p0,  ('0x'||substr(m,3,2))::INT AS p1,
+        |  ('0x'||substr(m,5,2))::INT AS p2,  ('0x'||substr(m,7,2))::INT AS p3,
+        |  ('0x'||substr(m,9,2))::INT AS p4,  ('0x'||substr(m,11,2))::INT AS p5,
+        |  ('0x'||substr(m,13,2))::INT AS p6, ('0x'||substr(m,15,2))::INT AS p7,
+        |  ('0x'||substr(m,17,2))::INT AS p8, ('0x'||substr(m,19,2))::INT AS p9,
+        |  ('0x'||substr(m,21,2))::INT AS p10,('0x'||substr(m,23,2))::INT AS p11,
+        |  ('0x'||substr(m,25,2))::INT AS p12,('0x'||substr(m,27,2))::INT AS p13,
+        |  ('0x'||substr(m,29,2))::INT AS p14,('0x'||substr(m,31,2))::INT AS p15
+        |  FROM h),
+        |b AS (SELECT doc_id, (
+        |  (CASE WHEN p0>p1  THEN 1    ELSE 0 END) + (CASE WHEN p1>p2   THEN 2    ELSE 0 END) +
+        |  (CASE WHEN p2>p3  THEN 4    ELSE 0 END) + (CASE WHEN p4>p5   THEN 8    ELSE 0 END) +
+        |  (CASE WHEN p5>p6  THEN 16   ELSE 0 END) + (CASE WHEN p6>p7   THEN 32   ELSE 0 END) +
+        |  (CASE WHEN p8>p9  THEN 64   ELSE 0 END) + (CASE WHEN p9>p10  THEN 128  ELSE 0 END) +
+        |  (CASE WHEN p10>p11 THEN 256 ELSE 0 END) + (CASE WHEN p12>p13 THEN 512  ELSE 0 END) +
+        |  (CASE WHEN p13>p14 THEN 1024 ELSE 0 END) + (CASE WHEN p14>p15 THEN 2048 ELSE 0 END)
+        |  )::BIGINT AS phash FROM p)
+        |SELECT phash, count(*)::BIGINT AS n_docs,
+        |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+        |FROM b GROUP BY phash HAVING count(*) >= 2 ORDER BY phash""".stripMargin,
+    "mm_scene_cut" ->
+      """WITH d AS (SELECT doc_id, (n_chars // 100 + 1)::BIGINT AS n_frames
+        |  FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+        |fr AS (SELECT doc_id, n_frames,
+        |    unnest(range(0, n_frames)) AS fi FROM d),
+        |f AS (SELECT doc_id, n_frames, fi,
+        |    ('0x'||substr(md5(doc_id::VARCHAR || ':' || fi::VARCHAR),1,4))::BIGINT AS f
+        |  FROM fr),
+        |l AS (SELECT doc_id, n_frames, fi,
+        |    abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY fi)) AS delta
+        |  FROM f),
+        |c AS (SELECT doc_id, n_frames, fi,
+        |    CASE WHEN delta > 40000 THEN 1 ELSE 0 END AS cut FROM l)
+        |SELECT doc_id, max(n_frames)::BIGINT AS n_frames,
+        |  sum(cut)::BIGINT AS n_cuts,
+        |  coalesce(min(CASE WHEN cut = 1 THEN fi END), -1)::BIGINT AS first_cut
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_audio_chunk_plan" ->
       """WITH d AS (SELECT doc_id, n_chars * 50 AS dur_ms FROM documents
         |  WHERE text IS NOT NULL AND n_chars > 0),

@@ -92,6 +92,27 @@ object TextAnalysisOps {
                 length(col("text")).as("n_chars_actual"))
         .orderBy(col("doc_id")).limit(200)),
 
+    // Corpus-level lexical diversity per language: distinct token types
+    // over total tokens (macro TTR as a ratio of exact integer sums —
+    // NOT an average of per-doc ratios, which would be FP-summation-
+    // order-sensitive across engines). One explode + one two-level
+    // aggregate; the distinct runs map-side-partial on (lang, tok)
+    // before the only shuffle, so raw token volume never crosses the
+    // wire — at 100 TB the shuffle is bounded by |langs|×|vocab|.
+    "ta_type_token_ratio" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("tok")).as("n_types"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("ttr"))
+        .orderBy(col("lang"))
+    }),
+
     // Repetition signals (the Gopher-rule family): duplicate-bigram
     // fraction and most-frequent-token share — the standard cheap
     // filters for degenerate/boilerplate text. Bigram stats come from
@@ -368,6 +389,16 @@ object TextAnalysisOps {
         |len(regexp_extract_all(text, '([a-z0-9]+)', 1))::INT AS n_word_tokens,
         |length(text)::INT AS n_chars_actual
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "ta_type_token_ratio" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT lang, tok FROM t WHERE tok <> ''),
+        |g AS (SELECT lang, count(*) AS n_tokens,
+        |    count(DISTINCT tok) AS n_types FROM f GROUP BY lang)
+        |SELECT lang, n_tokens::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
+        |  round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr
+        |FROM g ORDER BY lang""".stripMargin,
 
     "ta_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -102,6 +102,70 @@ class RoundSevenOpsSpec extends SparkSpec {
            rows.last.getAs[Long]("decile_cents") * sizes.head)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("mm_image_phash: census matches a driver-side dHash replay of every doc") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def phash(text: String): Long = {
+      val h = md5hex(text)
+      val px = (0 until 16).map(i => Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16))
+      (for { r <- 0 until 4; c <- 0 until 3 } yield
+        if (px(4 * r + c) > px(4 * r + c + 1)) 1L << (3 * r + c) else 0L).sum
+    }
+    val expected = docs.map { case (id, t) => (phash(t), id) }
+      .groupBy(_._1).collect { case (h, rs) if rs.length >= 2 =>
+        h -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max)
+      }
+    val got = operators.MultimodalOps.queries("mm_image_phash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "phash census diverges from dHash replay")
+    got.keys.foreach(h => assert(h >= 0 && h < 4096, s"phash $h outside 12-bit space"))
+  }
+
+  test("mm_scene_cut: cut counts match a driver-side replay of the frame-feature walk") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(docs.nonEmpty)
+    val expected = docs.map { case (id, nChars) =>
+      val nFrames = nChars / 100 + 1
+      val fs = (0L until nFrames).map(fi =>
+        java.lang.Long.parseLong(md5hex(s"$id:$fi").substring(0, 4), 16))
+      val cuts = fs.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if math.abs(b - a) > 40000 => i + 1L
+      }.toSeq
+      id -> (nFrames, cuts.length.toLong, cuts.headOption.getOrElse(-1L))
+    }.toMap
+    val got = operators.MultimodalOps.queries("mm_scene_cut")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "scene-cut walk diverges from replay")
+  }
+
+  test("ta_type_token_ratio: integer sums match a driver-side tokenization; ratio is their quotient") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, rs) =>
+      val toks = rs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      lang -> (toks.length.toLong, toks.distinct.length.toLong)
+    }
+    val got = operators.TextAnalysisOps.queries("ta_type_token_ratio")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, types) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("n_types") == types,
+        s"${r.getString(0)}: token sums diverge")
+      assert(math.abs(r.getAs[Double]("ttr") - types.toDouble / n) < 1e-6)
+    }
+  }
+
   test("mm_audio_chunk_plan: chunks tile [0, dur) with 2s overlaps, no gap, no overrun") {
     import spark.implicits._
     val byDoc = operators.MultimodalOps.queries("mm_audio_chunk_plan")(spark, sf)
