@@ -66,6 +66,32 @@ object RelationalExtOps {
         .orderBy(col("event_type"))
     }),
 
+    // Datetime scalar family: truncation grains, calendar arithmetic
+    // (add_months / last_day), and ISO day-of-week — the surface every
+    // partition-by-date pipeline leans on. Engines disagree on raw
+    // dayofweek numbering (Spark: Sun=1; DuckDB dow: Sun=0), so the
+    // ISO form is DERIVED identically on both sides rather than
+    // trusting a builtin. Aggregated to a per-month census so the
+    // correctness check covers every function while the result stays
+    // |months| rows. All map-side; the groupBy key count is bounded by
+    // the calendar, not the data.
+    "c_datetime_family" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(
+          date_trunc("month", col("ts")).cast("date").as("month"),
+          date_trunc("quarter", col("ts")).cast("date").as("quarter"),
+          to_date(col("ts")).as("day"),
+          ((dayofweek(col("ts")) + 5) % 7 + 1).as("iso_dow"))
+        .groupBy(col("month"))
+        .agg(max(col("quarter")).as("quarter"),
+             add_months(max(col("month")), 1).as("next_month"),
+             last_day(max(col("month"))).as("month_end"),
+             count(lit(1)).as("n_events"),
+             countDistinct(col("day")).as("n_active_days"),
+             sum(col("iso_dow")).as("sum_iso_dow"))
+        .orderBy(col("month"))
+    }),
+
     // Correlated LATERAL top-k: the two highest-balance customers of
     // every nation, written as the SQL a warehouse user would write.
     // Catalyst decorrelates the LIMIT'd correlated subquery into a
@@ -107,6 +133,17 @@ object RelationalExtOps {
         |  count(*) FILTER (WHERE nv IS DISTINCT FROM 2)::BIGINT AS n_distinct_from_two,
         |  sum(coalesce(nv, -1))::BIGINT AS sum_coalesced
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "c_datetime_family" ->
+      """WITH e AS (SELECT date_trunc('month', ts)::DATE AS month,
+        |    date_trunc('quarter', ts)::DATE AS quarter, ts::DATE AS day,
+        |    isodow(ts)::INT AS iso_dow FROM events)
+        |SELECT month, max(quarter) AS quarter,
+        |  (max(month) + INTERVAL 1 MONTH)::DATE AS next_month,
+        |  last_day(max(month)) AS month_end,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT day)::BIGINT AS n_active_days,
+        |  sum(iso_dow)::BIGINT AS sum_iso_dow
+        |FROM e GROUP BY month ORDER BY month""".stripMargin,
     "j_lateral_topk" ->
       """SELECT n_name, c_name, c_acctbal
         |FROM nation, LATERAL (

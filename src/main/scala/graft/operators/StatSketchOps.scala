@@ -105,6 +105,51 @@ object StatSketchOps {
         .orderBy(col("user_id"))
     }),
 
+    // Exact rolling median over each user's trailing 9 events — the
+    // robust-smoothing twin of w_ewma_trailing8. percentile() as a
+    // WINDOW aggregate recomputes a ≤9-element frame per row: O(frame)
+    // per row, state never exceeds the frame, and the only shuffle is
+    // the per-user partitioning. Interpolated medians of ≤9 integer
+    // cents are exact IEEE halves, so the cross-engine compare is
+    // bit-for-bit (same discipline as w_ewma_trailing8's 2⁻⁸ grid).
+    "w_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-8, 0)
+      Tables.events(s, dir)
+        .withColumn("c", cents(col("value")))
+        .select(col("event_id"), col("user_id"),
+          expr("percentile(c, 0.5)").over(w).as("med_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Key-skew telemetry: the profile you run BEFORE choosing a join
+    // strategy at 100 TB (salt? AQE? broadcast?). Per event type, the
+    // user-key distribution's top-share and Gini coefficient — all
+    // moments as exact BIGINTs (rank·count sums; ties commute, so the
+    // tie-order inside row_number cannot change the sum), one final
+    // IEEE expression per output. Two aggregations + one window over
+    // the |type|×|user| count table, never over raw events.
+    "a_key_skew_profile" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val ranked = counts.withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum(col("x")).as("n_rows"),
+             max(col("x")).as("max_key_rows"),
+             sum(col("r") * col("x")).as("rank_weighted"))
+        .select(col("event_type"), col("n_keys"), col("n_rows"),
+          floor(lit(1000000L) * col("max_key_rows") / col("n_rows") + 0.5)
+            .cast("long").as("top1_share_e6"),
+          round(lit(2.0) * col("rank_weighted").cast("double") /
+              (col("n_keys") * col("n_rows")).cast("double") -
+              (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"), 6)
+            .as("gini"))
+        .orderBy(col("event_type"))
+    }),
+
     // Longest consecutive-day activity streak per user, reduced to a
     // census (streak_len -> n_users). Gaps-and-islands on the CALENDAR
     // grain (w1_islands is event-time sessions; this is the distinct-
@@ -167,6 +212,27 @@ object StatSketchOps {
         |  round(1.0 - same_pairs::DOUBLE /
         |    (n_events * (n_events - 1))::DOUBLE, 6) AS simpson
         |FROM u WHERE n_events > 1 ORDER BY user_id""".stripMargin,
+    "w_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    floor(value * 100 + 0.5)::BIGINT AS c FROM events)
+        |SELECT event_id, user_id,
+        |  quantile_cont(c, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+        |    AS med_cents
+        |FROM e ORDER BY event_id""".stripMargin,
+    "a_key_skew_profile" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY x, user_id) AS r FROM c),
+        |g AS (SELECT event_type, count(*) AS n_keys, sum(x) AS n_rows,
+        |    max(x) AS max_key_rows, sum(r * x) AS rank_weighted
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_keys::BIGINT AS n_keys, n_rows::BIGINT AS n_rows,
+        |  floor(1000000 * max_key_rows / n_rows + 0.5)::BIGINT AS top1_share_e6,
+        |  round(2.0 * rank_weighted::DOUBLE / (n_keys * n_rows)::DOUBLE -
+        |        (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     "w_streak_longest" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |g AS (SELECT user_id, day,

@@ -35,6 +35,24 @@ class RelationalExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("c_datetime_family: calendar invariants hold on every month row") {
+    val rows = RelationalExtOps.queries("c_datetime_family")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val month = r.getDate(0).toLocalDate
+      assert(month.getDayOfMonth == 1, "month column not truncated to day 1")
+      assert(r.getDate(r.fieldIndex("quarter")).toLocalDate.getDayOfMonth == 1)
+      assert(r.getDate(r.fieldIndex("next_month")).toLocalDate == month.plusMonths(1))
+      assert(r.getDate(r.fieldIndex("month_end")).toLocalDate ==
+        month.withDayOfMonth(month.lengthOfMonth))
+      val (n, days, sumDow) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_active_days"), r.getAs[Long]("sum_iso_dow"))
+      assert(days <= month.lengthOfMonth && days >= 1)
+      // iso_dow ∈ [1,7] per event
+      assert(sumDow >= n && sumDow <= 7 * n)
+    }
+  }
+
   test("j_lateral_topk: decorrelates to a window plan and matches the explicit window form") {
     val df = RelationalExtOps.queries("j_lateral_topk")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -133,6 +133,55 @@ class StatSketchOpsSpec extends SparkSpec {
     assert(got == expected, s"streak census $got != $expected")
   }
 
+  test("w_rolling_median: matches a driver-side trailing-9 median replay") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (_, rs) =>
+      val sortedRs = rs.sortBy(r => (r._2, r._3))
+      sortedRs.indices.map { i =>
+        val frame = sortedRs.slice(math.max(0, i - 8), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        sortedRs(i)._3 -> med
+      }
+    }.toMap
+    val got = StatSketchOps.queries("w_rolling_median")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("med_cents") == expected(r.getAs[Long]("event_id")),
+        s"event ${r.getAs[Long]("event_id")}: median diverges")
+    }
+  }
+
+  test("a_key_skew_profile: Gini and top-share match an exact driver-side computation") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id")).count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (t, rs) =>
+      val xs = rs.map(_._2).sorted
+      val (n, s) = (xs.length.toLong, xs.sum)
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = BigDecimal(2.0 * s1.toDouble / (n * s).toDouble -
+          (n + 1).toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      t -> (n, s, math.floor(1000000.0 * xs.max / s + 0.5).toLong, gini)
+    }
+    val got = StatSketchOps.queries("a_key_skew_profile")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, s, top1, gini) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_keys") == n && r.getAs[Long]("n_rows") == s)
+      assert(r.getAs[Long]("top1_share_e6") == top1)
+      assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-9,
+        s"${r.getString(0)}: gini ${r.getAs[Double]("gini")} != $gini")
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+  }
+
   test("AQE skew-join: OptimizeSkewedJoin splits the hot partition (plan evidence, result unchanged)") {
     import spark.implicits._
     val confKeys = Seq(
