@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -134,6 +135,28 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("win_start"), col("event_type"), col("n"))
       drain(s, agg, "complete").orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Windowed top-k: the trending-items shape — event-time tumbling
+    // windows drained with watermarked streaming state, then a rank
+    // window over the FINALIZED per-window counts picks the top 2 types
+    // per window. The split is the scale-honest design: the streaming
+    // stage holds only |windows|×|types| aggregate state (bounded by
+    // the watermark), and the rank runs post-finalization over that
+    // tiny table — ranking inside the stream would need complete-mode
+    // re-emission of every window on every batch.
+    "streaming_topk_per_window" -> ((s, dir) => {
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val finalized = drain(s, agg, "complete")
+      val w = Window.partitionBy(col("win_start"))
+        .orderBy(col("n").desc, col("event_type"))
+      finalized.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .orderBy(col("win_start"), col("rk"))
     }),
 
     // Stream–static dimension join: each micro-batch broadcast-joins the
@@ -466,6 +489,13 @@ object StreamingOps {
     "streaming_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "streaming_topk_per_window" ->
+      """WITH g AS (SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT win_start, event_type, n, row_number() OVER (
+        |    PARTITION BY win_start ORDER BY n DESC, event_type) AS rk FROM g)
+        |SELECT win_start, event_type, n, rk::BIGINT AS rk FROM r
+        |WHERE rk <= 2 ORDER BY win_start, rk""".stripMargin,
     "streaming_dim_join" ->
       """WITH dim(event_type, category) AS (VALUES
         |  ('click', 'engagement'), ('view', 'engagement'),

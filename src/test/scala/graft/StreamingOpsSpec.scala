@@ -22,6 +22,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming_topk_per_window: ranks are a true top-2 of the batch windowed counts") {
+    val got = graft.streaming.StreamingOps
+      .queries("streaming_topk_per_window")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .collect()
+      .groupBy(_.getTimestamp(0))
+      .map { case (w, rs) =>
+        w -> rs.map(r => (r.getLong(2), r.getString(1)))
+          .sortBy { case (n, t) => (-n, t) }.take(2)
+      }
+    got.groupBy(_.getTimestamp(0)).foreach { case (w, rs) =>
+      assert(rs.length <= 2)
+      val ranked = rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("n"), r.getString(1)))
+      assert(ranked.toSeq == batch(w).toSeq,
+        s"window $w: streamed top-2 $ranked != batch ${batch(w)}")
+    }
+    assert(got.groupBy(_.getTimestamp(0)).size == batch.size,
+      "streamed windows diverge from batch windows")
+  }
+
   test("streamed event-time range equals the batch table's (no silent unit mis-scale)") {
     // The r5 wrong-answer mode: streaming read divided micros by 1000 and
     // every timestamp collapsed ~1000× — watermark/window queries were
