@@ -59,6 +59,37 @@ object CurationOps {
       |(1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)) * 0.3""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Nucleus (top-p) corpus cut: per language, rank docs by a model
+    // quality score (stubbed: content-hash pseudo-score — a real scorer
+    // swaps in a classifier margin) and keep the head of the ranking
+    // until 90% of the language's characters are covered. The selection
+    // rule is integer-exact (10·cum_prev < 9·total) so both engines cut
+    // at the same doc. Scale shape: one per-lang window over the doc
+    // summary (score, n_chars), not over text — the cumulative sort is
+    // |docs| rows of two longs; text never shuffles.
+    "curate_top_p_nucleus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val score = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val ranked = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), col("n_chars"), score.as("score"))
+        .withColumn("cum", sum(col("n_chars")).over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n_chars")).over(Window.partitionBy(col("lang"))))
+      ranked.filter((col("cum") - col("n_chars")) * 10 < col("total") * 9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("n_chars")).as("chars_kept"),
+             max(col("total")).as("total_chars"))
+        .select(col("lang"), col("n_kept"), col("chars_kept"), col("total_chars"),
+          floor(lit(1000000L) * col("chars_kept") / col("total_chars") + 0.5)
+            .cast("long").as("share_e6"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic stratified sample: keep doc iff hash_bps < rate(lang).
     // Selection is a pure function of doc_id — no RNG, no shuffle; the
     // census below is the only aggregation.
@@ -319,6 +350,20 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "curate_top_p_nucleus" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS score
+        |  FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS total FROM d),
+        |k AS (SELECT * FROM r WHERE (cum - n_chars) * 10 < total * 9)
+        |SELECT lang, count(*)::BIGINT AS n_kept,
+        |  sum(n_chars)::BIGINT AS chars_kept,
+        |  max(total)::BIGINT AS total_chars,
+        |  floor(1000000 * sum(n_chars) / max(total) + 0.5)::BIGINT AS share_e6
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "curate_temperature_mix" ->
       s"""WITH g AS (SELECT lang, count(*) AS n_docs,
          |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

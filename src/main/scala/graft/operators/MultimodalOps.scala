@@ -170,6 +170,36 @@ object MultimodalOps {
         .orderBy(col("doc_id"))
     }),
 
+    // 2-D tile-crop plan (the OCR / patch-embedding preprocessing
+    // shape): tile each image's (width × height) into 64×64 crops on a
+    // 48-px stride (16-px overlap), tail crops clamped at the border.
+    // Two nested sequence+explode fan-outs — one media row → x-strips →
+    // tiles — all map-side; like the audio chunk plan, at 100 TB this
+    // turns 10⁶ images into 10⁸ crop tasks with zero shuffle, and the
+    // per-doc aggregate below keeps the checked result |docs| rows.
+    // Area conservation ((Σx-spans)·(Σy-spans) = Σ tile areas) is
+    // spec-asserted.
+    "mm_tile_crops" -> ((s, dir) => {
+      val (tile, stride) = (64, 48)
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (length(col("text")) % 640 + 1).cast("long").as("width"),
+          ((length(col("text")) * 7) % 480 + 1).cast("long").as("height"))
+      meta
+        .select(col("doc_id"), col("width"), col("height"),
+          explode(sequence(lit(0L), col("width") - 1, lit(stride.toLong))).as("x0"))
+        .select(col("doc_id"), col("width"), col("height"), col("x0"),
+          explode(sequence(lit(0L), col("height") - 1, lit(stride.toLong))).as("y0"))
+        .select(col("doc_id"), col("x0"), col("y0"),
+          (least(col("x0") + tile, col("width")) - col("x0")).as("w"),
+          (least(col("y0") + tile, col("height")) - col("y0")).as("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tiles"),
+             sum(col("w") * col("h")).as("sum_area"),
+             max(col("x0")).as("last_x0"), max(col("y0")).as("last_y0"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     "mm_audio_chunk_plan" -> ((s, dir) => {
       val (winMs, strideMs) = (30000L, 28000L)
       Tables.documents(s, dir)
@@ -260,6 +290,21 @@ object MultimodalOps {
         |  sum(cut)::BIGINT AS n_cuts,
         |  coalesce(min(CASE WHEN cut = 1 THEN fi END), -1)::BIGINT AS first_cut
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_tile_crops" ->
+      """WITH m AS (SELECT doc_id,
+        |    (length(text) % 640 + 1)::BIGINT AS width,
+        |    ((length(text) * 7) % 480 + 1)::BIGINT AS height FROM documents),
+        |gx AS (SELECT doc_id, width, height,
+        |    unnest(generate_series(0, width - 1, 48)) AS x0 FROM m),
+        |gxy AS (SELECT doc_id, width, height, x0,
+        |    unnest(generate_series(0, height - 1, 48)) AS y0 FROM gx),
+        |t AS (SELECT doc_id, x0, y0,
+        |    least(x0 + 64, width) - x0 AS w,
+        |    least(y0 + 64, height) - y0 AS h FROM gxy)
+        |SELECT doc_id, count(*)::BIGINT AS n_tiles,
+        |  sum(w * h)::BIGINT AS sum_area,
+        |  max(x0)::BIGINT AS last_x0, max(y0)::BIGINT AS last_y0
+        |FROM t GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
     "mm_audio_chunk_plan" ->
       """WITH d AS (SELECT doc_id, n_chars * 50 AS dur_ms FROM documents
         |  WHERE text IS NOT NULL AND n_chars > 0),

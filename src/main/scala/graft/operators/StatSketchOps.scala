@@ -150,6 +150,27 @@ object StatSketchOps {
         .orderBy(col("event_type"))
     }),
 
+    // RFM (recency / frequency / monetary) quintile scoring — the
+    // standard audience-segmentation aggregate. One per-user aggregate,
+    // then three ntile(5) windows over the |users| summary table (never
+    // over raw events); every ORDER BY carries user_id so tie placement
+    // is total and cross-engine deterministic. Score 1 = best quintile.
+    "a_rfm_scores" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+             count(lit(1)).as("n_events"),
+             sum(cents(col("value"))).as("cents"))
+      def score(order: Column*) =
+        ntile(5).over(Window.orderBy(order: _*)).cast("long")
+      per.select(col("user_id"), col("n_events"), col("cents"),
+          score(col("last_ts").desc, col("user_id")).as("r"),
+          score(col("n_events").desc, col("user_id")).as("f"),
+          score(col("cents").desc, col("user_id")).as("m"))
+        .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+        .orderBy(col("user_id"))
+    }),
+
     // Longest consecutive-day activity streak per user, reduced to a
     // census (streak_len -> n_users). Gaps-and-islands on the CALENDAR
     // grain (w1_islands is event-time sessions; this is the distinct-
@@ -233,6 +254,18 @@ object StatSketchOps {
         |  round(2.0 * rank_weighted::DOUBLE / (n_keys * n_rows)::DOUBLE -
         |        (n_keys + 1)::DOUBLE / n_keys::DOUBLE, 6) AS gini
         |FROM g ORDER BY event_type""".stripMargin,
+    "a_rfm_scores" ->
+      """WITH per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+        |    sum(floor(value * 100 + 0.5)::BIGINT) AS cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events::BIGINT AS n_events, cents::BIGINT AS cents,
+        |  ntile(5) OVER (ORDER BY last_ts DESC, user_id)::BIGINT AS r,
+        |  ntile(5) OVER (ORDER BY n_events DESC, user_id)::BIGINT AS f,
+        |  ntile(5) OVER (ORDER BY cents DESC, user_id)::BIGINT AS m,
+        |  (ntile(5) OVER (ORDER BY last_ts DESC, user_id) * 100 +
+        |   ntile(5) OVER (ORDER BY n_events DESC, user_id) * 10 +
+        |   ntile(5) OVER (ORDER BY cents DESC, user_id))::BIGINT AS rfm
+        |FROM per ORDER BY user_id""".stripMargin,
     "w_streak_longest" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |g AS (SELECT user_id, day,

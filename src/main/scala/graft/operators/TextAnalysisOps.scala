@@ -113,6 +113,40 @@ object TextAnalysisOps {
         .orderBy(col("lang"))
     }),
 
+    // N-gram novelty: what fraction of each document's distinct token
+    // trigrams had never appeared in an earlier document (by doc_id
+    // ingestion order)? First-occurrence attribution is one
+    // groupBy(trigram).min(doc_id) — vocab-bounded shuffle — and the
+    // attribution join is trigram-keyed; the per-language rollup then
+    // ratios exact integer sums (no per-doc FP averaging). This is the
+    // curation "novelty score" used to down-weight templated/boilerplate
+    // sources, and at 100 TB it is the same first-wins shape as
+    // dedup_incremental: nothing ever compares documents pairwise.
+    "ta_ngram_novelty" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val tris = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && size(toks) >= 3)
+        .select(col("lang"), col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i),
+              element_at(toks, i + 1), element_at(toks, i + 2))))).as("tri"))
+      val first = tris.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
+      tris.join(first, "tri")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tri")).as("sum_tri"),
+             sum(col("n_novel")).as("sum_novel"))
+        .select(col("lang"), col("n_docs"), col("sum_tri"), col("sum_novel"),
+          round(col("sum_novel").cast("double") / col("sum_tri").cast("double"), 6)
+            .as("novelty"))
+        .orderBy(col("lang"))
+    }),
+
     // Repetition signals (the Gopher-rule family): duplicate-bigram
     // fraction and most-frequent-token share — the standard cheap
     // filters for degenerate/boilerplate text. Bigram stats come from
@@ -400,6 +434,20 @@ object TextAnalysisOps {
         |  round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr
         |FROM g ORDER BY lang""".stripMargin,
 
+    "ta_ngram_novelty" ->
+      """WITH sp AS (SELECT lang, doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |tg AS (SELECT lang, doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tri FROM sp),
+        |f AS (SELECT tri, min(doc_id) AS first_doc FROM tg GROUP BY tri),
+        |per AS (SELECT lang, tg.doc_id, count(*) AS n_tri,
+        |    sum(CASE WHEN f.first_doc = tg.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM tg JOIN f USING (tri) GROUP BY lang, tg.doc_id)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_tri)::BIGINT AS sum_tri, sum(n_novel)::BIGINT AS sum_novel,
+        |  round(sum(n_novel)::DOUBLE / sum(n_tri)::DOUBLE, 6) AS novelty
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "ta_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |bg AS (SELECT doc_id, len(toks) AS n_tokens,

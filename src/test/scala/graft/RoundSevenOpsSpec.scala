@@ -166,6 +166,77 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("curate_top_p_nucleus: keeps exactly the minimal top-score head covering 90% of chars") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Long.parseLong(md5hex(r.getString(3)).substring(0, 8), 16)))
+    val expected = docs.groupBy(_._1).map { case (lang, rs) =>
+      val sorted = rs.sortBy(r => (-r._4, r._2))
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val kept = sorted.takeWhile { r => val before = cum; cum += r._3; before * 10 < total * 9 }
+      lang -> (kept.length.toLong, kept.map(_._3).sum, total)
+    }
+    val got = operators.CurationOps.queries("curate_top_p_nucleus")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nk, ck, tot) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_kept") == nk && r.getAs[Long]("chars_kept") == ck &&
+        r.getAs[Long]("total_chars") == tot, s"${r.getString(0)}: nucleus cut diverges")
+      // the head covers >= 90% and removing its last doc would drop below
+      assert(ck * 10 >= tot * 9)
+    }
+  }
+
+  test("ta_ngram_novelty: per-lang novel counts sum to the global distinct-trigram count") {
+    val got = operators.TextAnalysisOps.queries("ta_ngram_novelty")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val totalNovel = got.map(_.getAs[Long]("sum_novel")).sum
+    val globalDistinct = {
+      val docs = Tables.documents(spark, sf)
+        .filter(col("text").isNotNull).select(col("text")).collect().map(_.getString(0))
+      docs.flatMap { t =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) Nil
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+      }.distinct.length.toLong
+    }
+    // every distinct trigram is novel in exactly one doc (its first)
+    assert(totalNovel == globalDistinct,
+      s"sum(n_novel)=$totalNovel != global distinct trigrams $globalDistinct")
+    got.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv > 0.0 && nv <= 1.0)
+      assert(r.getAs[Long]("sum_novel") <= r.getAs[Long]("sum_tri"))
+    }
+  }
+
+  test("mm_tile_crops: grid counts and area factorization match per-image geometry") {
+    val metas = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+      .sortBy(_._1).take(200)
+    val expected = metas.map { case (id, len) =>
+      val (w, h) = (len % 640 + 1, (len * 7) % 480 + 1)
+      val xs = 0L.to(w - 1, 48).map(x0 => math.min(x0 + 64, w) - x0)
+      val ys = 0L.to(h - 1, 48).map(y0 => math.min(y0 + 64, h) - y0)
+      id -> (xs.length.toLong * ys.length, xs.sum * ys.sum,
+        (xs.length - 1L) * 48, (ys.length - 1L) * 48)
+    }.toMap
+    val got = operators.MultimodalOps.queries("mm_tile_crops")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, area, lx, ly) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tiles") == n)
+      assert(r.getAs[Long]("sum_area") == area,
+        s"doc ${r.getAs[Long]("doc_id")}: Σtile areas must factor as (Σx-spans)·(Σy-spans)")
+      assert(r.getAs[Long]("last_x0") == lx && r.getAs[Long]("last_y0") == ly)
+    }
+  }
+
   test("mm_audio_chunk_plan: chunks tile [0, dur) with 2s overlaps, no gap, no overrun") {
     import spark.implicits._
     val byDoc = operators.MultimodalOps.queries("mm_audio_chunk_plan")(spark, sf)

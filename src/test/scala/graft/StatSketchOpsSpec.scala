@@ -182,6 +182,35 @@ class StatSketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("a_rfm_scores: quintiles match an exact ntile replay and digits compose") {
+    val per = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"),
+           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+    def ntileOf(ordered: Seq[Long]): Map[Long, Long] = {
+      // SQL ntile: first (n mod 5) buckets have ceil(n/5) rows
+      val n = ordered.length
+      require(n >= 5, "fixture too small for a meaningful quintile test")
+      val (big, base) = (n % 5, n / 5)
+      ordered.zipWithIndex.map { case (u, i) =>
+        val cut = big * (base + 1)
+        u -> (if (i < cut) (i / (base + 1) + 1).toLong else ((i - cut) / base + big + 1).toLong)
+      }.toMap
+    }
+    val rExp = ntileOf(per.sortBy(p => (-p._2, p._1)).map(_._1).toSeq)
+    val fExp = ntileOf(per.sortBy(p => (-p._3, p._1)).map(_._1).toSeq)
+    val mExp = ntileOf(per.sortBy(p => (-p._4, p._1)).map(_._1).toSeq)
+    val got = StatSketchOps.queries("a_rfm_scores")(spark, sf).collect()
+    assert(got.length == per.length)
+    got.foreach { row =>
+      val u = row.getAs[Long]("user_id")
+      val (r, f, m) = (row.getAs[Long]("r"), row.getAs[Long]("f"), row.getAs[Long]("m"))
+      assert(r == rExp(u) && f == fExp(u) && m == mExp(u), s"user $u: ntile replay diverges")
+      assert(row.getAs[Long]("rfm") == r * 100 + f * 10 + m)
+    }
+  }
+
   test("AQE skew-join: OptimizeSkewedJoin splits the hot partition (plan evidence, result unchanged)") {
     import spark.implicits._
     val confKeys = Seq(
