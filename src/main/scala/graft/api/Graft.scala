@@ -1201,6 +1201,136 @@ object Graft {
       .select(col("a_id"), col("b_id"), col("containment"))
   }
 
+  // ---- round-7 wave-3 additions ------------------------------------
+
+  /** Additively mergeable quantile sketch: the (group, value, n)
+    * histogram. Merge two sketches with [[mergeQuantileSketches]]
+    * (exact: counts add), extract order statistics with
+    * [[sketchQuantiles]] (exact: nothing is lost on an integer
+    * domain). In: any df + a group col + an integer-valued col.
+    * Out: (g, v, n). */
+  def quantileSketch(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact merge of two [[quantileSketch]] results: union + re-sum. */
+  def mergeQuantileSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g"), col("v")).agg(sum(col("n")).as("n"))
+
+  /** Lower discrete percentiles from a [[quantileSketch]], in pure
+    * integer arithmetic. Out: (g, n_rows, p_<pct> per requested pct). */
+  def sketchQuantiles(sketch: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val cum = sketch
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("g"))))
+    val aggs = pcts.map(p =>
+      min(when(col("cum") * 100 >= col("total") * p, col("v")))
+        .cast("long").as(s"p$p"))
+    cum.groupBy(col("g"))
+      .agg(max(col("total")).as("n_rows"), aggs: _*)
+  }
+
+  /** Gini–Simpson diversity of each key's category mix, exact
+    * rationals + one final division. In: (keyCol, catCol). Out:
+    * (keyCol, n, simpson) for keys with n > 1. */
+  def simpsonDiversity(df: DataFrame, keyCol: String, catCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(catCol)).agg(count(lit(1)).as("__ni"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__ni")).as("n"),
+           sum(col("__ni") * (col("__ni") - 1)).as("__same"))
+      .filter(col("n") > 1)
+      .select(col(keyCol), col("n"),
+        round(lit(1.0) - col("__same").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"), 6).as("simpson"))
+
+  /** Key-skew telemetry per group: top-1 share (e6) and Gini of the
+    * per-key row-count distribution — run this BEFORE picking a join
+    * strategy. In: (groupCol, keyCol). Out: (groupCol, n_keys, n_rows,
+    * top1_share_e6, gini). */
+  def keySkewProfile(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("__x"))
+    counts.withColumn("__r", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x"), col(keyCol))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__x")).as("n_rows"),
+           max(col("__x")).as("__maxx"), sum(col("__r") * col("__x")).as("__rw"))
+      .select(col(groupCol), col("n_keys"), col("n_rows"),
+        floor(lit(1000000L) * col("__maxx") / col("n_rows") + 0.5)
+          .cast("long").as("top1_share_e6"),
+        round(lit(2.0) * col("__rw").cast("double") /
+            (col("n_keys") * col("n_rows")).cast("double") -
+            (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** Nucleus (top-p) cut: per group, keep rows from the top of the
+    * `scoreCol` ranking until `pPct`% of the group's `weightCol` mass
+    * is covered (integer-exact boundary; `ordCol` breaks score ties).
+    * Returns the kept rows. */
+  def nucleusCut(df: DataFrame, groupCol: String, scoreCol: String,
+                 ordCol: String, weightCol: String, pPct: Int): DataFrame = {
+    require(pPct >= 1 && pPct <= 100, s"pPct must be 1..100: $pPct")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__total", sum(col(weightCol)).over(Window.partitionBy(col(groupCol))))
+      .filter((col("__cum") - col(weightCol)) * 100 < col("__total") * pPct)
+      .drop("__cum", "__total")
+  }
+
+  /** RFM quintile scores from an event log. In: (keyCol, tsCol,
+    * valCol DOUBLE). Out: (keyCol, n_events, cents, r, f, m, rfm) —
+    * score 1 = best quintile; ties totalized by keyCol. */
+  def rfmScores(events: DataFrame, keyCol: String, tsCol: String,
+                valCol: String): DataFrame = {
+    val per = events.groupBy(col(keyCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("n_events"),
+           sum(floor(col(valCol) * 100 + 0.5).cast("long")).as("cents"))
+    def q(order: Column*) = ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    per.select(col(keyCol), col("n_events"), col("cents"),
+        q(col("__last").desc, col(keyCol)).as("r"),
+        q(col("n_events").desc, col(keyCol)).as("f"),
+        q(col("cents").desc, col(keyCol)).as("m"))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
+  /** Per-group first-occurrence n-gram novelty (n=3): fraction of each
+    * doc's distinct token trigrams first introduced by that doc.
+    * Out: (groupCol, n_docs, sum_tri, sum_novel, novelty). */
+  def ngramNovelty(docs: DataFrame, groupCol: String, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val tris = docs.filter(col(textCol).isNotNull && size(toks) >= 3)
+      .select(col(groupCol), col(idCol),
+        explode(array_distinct(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))).as("__tri"))
+    val first = tris.groupBy(col("__tri")).agg(min(col(idCol)).as("__first"))
+    tris.join(first, "__tri")
+      .groupBy(col(groupCol), col(idCol))
+      .agg(count(lit(1)).as("__ntri"),
+           sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("__nnov"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntri")).as("sum_tri"),
+           sum(col("__nnov")).as("sum_novel"))
+      .withColumn("novelty",
+        round(col("sum_novel").cast("double") / col("sum_tri").cast("double"), 6))
+  }
+
+  /** 12-bit dHash perceptual fingerprint of a binary payload column
+    * (stub decode: md5 bytes as a 4×4 luma grid; a real decoder swaps
+    * in the resized pixels, the gradient-bit construction stays). */
+  def imagePhash(payload: Column): Column = {
+    val h = md5(payload)
+    def px(i: Int) = conv(substring(h, 1 + 2 * i, 2), 16, 10).cast("int")
+    (for { r <- 0 until 4; c <- 0 until 3 } yield
+      when(px(4 * r + c) > px(4 * r + c + 1), 1 << (3 * r + c)).otherwise(0))
+      .reduce(_ + _).cast("long")
+  }
+
   /** Greedy MMR diversity re-ranking (λ in tenths: score10 = λ·10·rel
     * on the first pick, λ·10·rel − (10−λ·10)·maxsim after). Selection
     * is unrolled into `k` relational argmax steps over a `poolK`-

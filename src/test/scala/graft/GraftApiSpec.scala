@@ -318,4 +318,62 @@ class GraftApiSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("quantileSketch: merge of split sketches reproduces full-data quantiles via sketchQuantiles") {
+    import spark.implicits._
+    val data = (1 to 1000).map(i => (if (i % 2 == 0) "a" else "b", (i * 7 % 101).toLong))
+      .toDF("g", "x")
+    val full = Graft.sketchQuantiles(
+      Graft.quantileSketch(data, "g", "x"), Seq(50, 90)).collect()
+    val merged = Graft.sketchQuantiles(
+      Graft.mergeQuantileSketches(
+        Graft.quantileSketch(data.limit(400), "g", "x"),
+        Graft.quantileSketch(data.exceptAll(data.limit(400)), "g", "x")),
+      Seq(50, 90)).collect()
+    assert(full.map(_.toSeq).toSet == merged.map(_.toSeq).toSet)
+    assert(full.nonEmpty && full.forall(r => r.getAs[Long]("p50") <= r.getAs[Long]("p90")))
+  }
+
+  test("nucleusCut keeps the minimal top-score head covering p% of weight") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 100L, 50L), ("g", 2L, 90L, 30L),
+                 ("g", 3L, 80L, 15L), ("g", 4L, 70L, 5L)).toDF("grp", "id", "score", "wgt")
+    val kept = Graft.nucleusCut(df, "grp", "score", "id", "wgt", 80)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // cum weights 50,80,95,100 of total 100: doc3 starts at 80 (not < 80), so keep 1,2
+    assert(kept == Seq(1L, 2L), s"kept $kept")
+  }
+
+  test("simpsonDiversity: uniform mix scores higher than a dominated mix") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("u", "a")) ++ Seq.fill(5)(("u", "b")) ++
+              Seq.fill(9)(("d", "a")) ++ Seq.fill(1)(("d", "b"))).toDF("k", "c")
+    val got = Graft.simpsonDiversity(df, "k", "c").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("simpson")).toMap
+    assert(got("u") > got("d"))
+    // exact: 1 - (5·4+5·4)/(10·9) = 1 - 40/90
+    assert(math.abs(got("u") - (1.0 - 40.0 / 90.0)) < 1e-6)
+    assert(math.abs(got("d") - (1.0 - (72.0 + 0.0) / 90.0)) < 1e-6)
+  }
+
+  test("keySkewProfile: a constant key gives gini 0 and top1 share 1e6") {
+    import spark.implicits._
+    val flat = (1 to 100).map(i => ("g", i % 10)).toDF("grp", "k")
+    val skew = (1 to 100).map(i => ("g", if (i <= 91) 0 else i % 10)).toDF("grp", "k")
+    val f = Graft.keySkewProfile(flat, "grp", "k").collect().head
+    assert(f.getAs[Double]("gini") == 0.0 && f.getAs[Long]("top1_share_e6") == 100000L)
+    val s = Graft.keySkewProfile(skew, "grp", "k").collect().head
+    // key 0 collects i<=91 plus i=100 (100%10==0): 92 of 100 rows
+    assert(s.getAs[Double]("gini") > 0.5 && s.getAs[Long]("top1_share_e6") == 920000L)
+  }
+
+  test("imagePhash via API == mm_image_phash query hashes") {
+    val viaApi = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), Graft.imagePhash(col("text").cast("binary")).as("phash"))
+      .groupBy(col("phash")).count().filter(col("count") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaQuery = operators.MultimodalOps.queries("mm_image_phash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(viaApi == viaQuery)
+  }
 }
