@@ -383,6 +383,174 @@ object TpchOps {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("n_name"))
+    }),
+
+    // Q2-shaped: minimum-cost supplier per part. The testdata has no
+    // partsupp table, so the supply relation derives from observed trade:
+    // cost(part, supp) = min unit price that supplier ever charged for
+    // the part (exactly how a lakehouse would reconstruct a vendor-cost
+    // dim from fact history). The correlated min-subquery decorrelates
+    // into a per-part min aggregate joined back on cost equality — the
+    // min aggregate is tiny (one row per filtered part) and broadcasts,
+    // so the fact table is scanned once and never re-shuffled.
+    "tpch_q2" -> ((s, dir) => {
+      val eurSupp = Tables.supplier(s, dir)
+        .join(broadcast(
+          Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+                  col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      // unit price is an exact IEEE division both engines evaluate
+      // identically; min() is order-independent, so the cost equality
+      // below is deterministic across engines.
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(parts.select(col("p_partkey"))),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eurSupp.select(col("s_suppkey"))),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val minCost = ps.groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      ps.join(broadcast(minCost),
+              col("l_partkey") === col("mc_partkey") && col("cost") === col("min_cost"))
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+                col("p_partkey"), col("p_name"),
+                round(col("cost"), 4).as("supplycost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9-shaped: product-type profit by supplier nation and year.
+    // Adapted: no ps_supplycost, so unit cost is modeled as 60% of the
+    // part's retail price (a deterministic column function — the plan
+    // shape is identical to stock Q9: fact ⋈ broadcast part ⋈ broadcast
+    // supplier/nation, one orderkey shuffle against orders, single
+    // grouped aggregate). The LIKE predicate on p_name prunes the part
+    // dim before broadcast.
+    "tpch_q9" -> ((s, dir) => {
+      val gearParts = Tables.part(s, dir)
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("supp_nation"), year(col("o_orderdate")).as("o_year"))
+        // per-row profit is rounded to exact integer cents BEFORE the
+        // sum: double addition is not associative, and Spark's partial
+        // aggregation order differs from a single-threaded engine's —
+        // integer cents make the group total order-independent.
+        .agg(round(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+                              lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100 + 0.5)
+                         .cast("long")) / 100.0, 2).as("sum_profit"))
+        .orderBy(col("supp_nation"), desc("o_year"))
+    }),
+
+    // Q11-shaped: important-part identification — share-of-total HAVING
+    // against a global scalar. Adapted: part value = revenue routed
+    // through suppliers of two nations (no ps_availqty), and the
+    // threshold is mean-relative (value > 3× the average part value) so
+    // the predicate keeps a stable selectivity at every SF — an absolute
+    // share cutoff would go empty as the part dimension grows. The
+    // compare runs in integer cents (floor(x*100+0.5) per row, summed as
+    // BIGINT) so partial-aggregation order can never flip a group at the
+    // boundary — double sums are not associative, exact integer sums
+    // are. The global (total, n_parts) is a 1-row broadcast;
+    // value*n > 3*total is a pure integer predicate.
+    "tpch_q11" -> ((s, dir) => {
+      val nationSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+                .filter(col("n_name").isin("NATION_1", "NATION_2"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, dir)
+        .join(broadcast(nationSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+                   .cast("long")).as("value_cents"))
+      val total = value.agg(sum(col("value_cents")).as("total_cents"),
+                            count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") > col("total_cents") * 3)
+        .select(col("l_partkey").as("p_partkey"),
+                round(col("value_cents") / 100.0, 2).as("value"))
+        .orderBy(desc("value"), col("p_partkey"))
+    }),
+
+    // Q16-shaped: supplier-relationship count per part descriptor.
+    // The part/supplier relation derives from distinct observed
+    // (l_partkey, l_suppkey) trade pairs; the complaint-list NOT IN
+    // (adapted: suppliers in arrears, s_acctbal < 0) plans as a
+    // broadcast left-anti join. countDistinct runs after the pair
+    // relation is already distinct, so the expand/double-shuffle
+    // distinct-aggregate machinery stays cheap.
+    "tpch_q16" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+                .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+                        col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+                .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q20-shaped: dominant-supplier promotion list. Adapted: with no
+    // ps_availqty, a supplier qualifies when it shipped MORE THAN HALF
+    // of a 'small %' part's total 1997 volume (the same nested
+    // IN-subquery chain as stock Q20: part filter → grouped fact
+    // aggregate → correlated threshold → semi-join up to supplier).
+    // Quantities compare in integer centi-units (exact), the per-part
+    // total is a second tiny aggregate broadcast back, and each level
+    // of the chain reduces cardinality before touching a wider table.
+    "tpch_q20" -> ((s, dir) => {
+      val smallParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val li97 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+                floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_e2"))
+      val perSupp = li97.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty_e2")).as("supp_qty"))
+      val perPart = li97.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("qty_e2")).as("part_qty"))
+      val dominant = perSupp
+        .join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+        .filter(col("supp_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)
+                .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+                      col("n_regionkey") === col("r_regionkey"))
+                .select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -402,6 +570,95 @@ object TpchOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "tpch_q2" ->
+      """WITH eur_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |parts AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem
+        |  JOIN parts ON l_partkey = p_partkey
+        |  JOIN eur_supp ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey, l_suppkey),
+        |mc AS (SELECT l_partkey AS mc_partkey, min(cost) AS min_cost
+        |  FROM ps GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(cost, 4) AS supplycost
+        |FROM ps
+        |JOIN mc ON l_partkey = mc_partkey AND cost = min_cost
+        |JOIN eur_supp ON l_suppkey = s_suppkey
+        |JOIN parts ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n_name AS supp_nation, year(o_orderdate)::INT AS o_year,
+        |round(sum(floor((l_extendedprice * (1 - l_discount)
+        |          - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)::BIGINT)::BIGINT
+        |      / 100.0, 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY supp_nation, o_year
+        |ORDER BY supp_nation, o_year DESC""".stripMargin,
+
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+        |      AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(value_cents)::BIGINT AS total_cents,
+        |             count(*)::BIGINT AS n_parts FROM v)
+        |SELECT l_partkey AS p_partkey, round(value_cents / 100.0, 2) AS value
+        |FROM v CROSS JOIN t
+        |WHERE value_cents * n_parts > total_cents * 3
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "tpch_q16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH li97 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    floor(l_quantity * 100 + 0.5)::BIGINT AS qty_e2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |per_supp AS (SELECT l_partkey, l_suppkey, sum(qty_e2)::BIGINT AS supp_qty
+        |  FROM li97 GROUP BY l_partkey, l_suppkey),
+        |per_part AS (SELECT l_partkey AS t_partkey, sum(qty_e2)::BIGINT AS part_qty
+        |  FROM li97 GROUP BY l_partkey),
+        |dominant AS (SELECT DISTINCT l_suppkey
+        |  FROM per_supp JOIN per_part ON l_partkey = t_partkey
+        |  WHERE supp_qty * 2 > part_qty)
+        |SELECT s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_name""".stripMargin,
+
     "tpch_q13" ->
       """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders

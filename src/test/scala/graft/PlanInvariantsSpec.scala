@@ -126,6 +126,36 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q2 min-cost equality joins broadcast; the fact scans once") {
+    val p = plan("tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(800))
+    // lineitem reads only the 4 needed columns
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"), p.take(1200))
+  }
+
+  test("q16 complaint list is a broadcast anti join, pairs distinct before countDistinct") {
+    val p = plan("tpch_q16")
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q20 dominant-supplier chain ends in a semi join; 1997 range pushes to scan") {
+    val p = plan("tpch_q20")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01") ||
+           p.contains(">= 1997-01-01 00:00:00"), p.take(1200))
+  }
+
+  test("q9/q11 dims broadcast; no fact-side re-shuffle beyond the orderkey join") {
+    val q9 = plan("tpch_q9")
+    assert(q9.contains("BroadcastHashJoin"), q9.take(600))
+    assert(!q9.contains("Exchange hashpartitioning(l_partkey"), q9.take(900))
+    val q11 = plan("tpch_q11")
+    assert(q11.contains("BroadcastHashJoin"), q11.take(600))
+    assert(!q11.contains("CartesianProduct"), q11.take(600))
+  }
+
   test("year-equality predicates are range-rewritten by the extension") {
     val p = Tables.orders(spark, sf)
       .filter(year(col("o_orderdate")) === 1998)
