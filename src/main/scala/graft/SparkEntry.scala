@@ -35,6 +35,7 @@ object SparkEntry {
     Module(LayoutOps.queries, LayoutOps.oracles),
     Module(RelationalExtOps.queries, RelationalExtOps.oracles),
     Module(StatSketchOps.queries, StatSketchOps.oracles),
+    Module(TimeSeriesOps.queries, TimeSeriesOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
     // over the same fixture tree (ORC via round-trip ≡ identity on the

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series analytics over the `events` table — the signal-shape
+  * queries a pipeline health dashboard asks of its ingestion telemetry
+  * (the reference's poll-loop counters, `/root/reference/src/main.py:133`,
+  * generalized to real series statistics).
+  *
+  * Determinism contract shared by the whole family: every accumulated
+  * quantity is an exact integer (event counts, cents via
+  * floor(x*100+0.5), epoch microseconds) summed as BIGINT, and doubles
+  * appear only in FINAL closed-form expressions computed identically by
+  * any engine from those exact sums. Double addition is not associative;
+  * Spark's partial aggregation order differs run-to-run, so summing
+  * doubles directly could flip a low bit and fail a hash gate — integer
+  * sums cannot.
+  *
+  * Scale notes: each query is one (or two chained) grouped aggregates on
+  * a natural key (event_type / user_id) — map-side partial aggregation
+  * shrinks the shuffle to one row per (key, hour) before any window
+  * runs. The window functions partition by the same key, so Spark reuses
+  * the aggregate's hash exchange (no second shuffle). At 100 TB the
+  * events table is date-partitioned; the hourly pre-aggregate is the
+  * textbook two-level rollup that AQE-coalesces to near-nothing.
+  */
+object TimeSeriesOps {
+
+  /** Hourly per-type totals with exact integer cents. */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_e2"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Lag-1 autocorrelation of the hourly value series per event type.
+    // Pearson r from the exact closed form (n, Σx, Σy, Σxy, Σx², Σy² as
+    // BIGINT over integer cents) — NOT Spark's corr(), whose streaming
+    // co-moment update is order-dependent in the last bits.
+    "ts_autocorr_lag1" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val pairs = hourly(s, dir)
+        .withColumn("prev", lag(col("v_e2"), 1).over(byType))
+        .filter(col("prev").isNotNull)
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("v_e2")).as("sx"), sum(col("prev")).as("sy"),
+             sum(col("v_e2") * col("prev")).as("sxy"),
+             sum(col("v_e2") * col("v_e2")).as("sxx"),
+             sum(col("prev") * col("prev")).as("syy"))
+        .select(col("event_type"), col("n").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                     (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("autocorr"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Mean-shift changepoint (binary segmentation's first split): for
+    // each candidate split t the statistic |mean_before − mean_after| ·
+    // sqrt(t(n−t)/n) over the hourly count series; argmax per type.
+    // Cumulative sums come from a window over the hourly aggregate (same
+    // partitioning key → exchange reuse, no extra shuffle).
+    "ts_changepoint_meanshift" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val full = Window.partitionBy(col("event_type"))
+      val scored = hourly(s, dir)
+        .withColumn("t", row_number().over(byType).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(full).cast("long"))
+        .withColumn("tot", sum(col("cnt")).over(full))
+        .filter(col("t") < col("n"))
+        .withColumn("mean_before", col("cum").cast("double") / col("t"))
+        .withColumn("mean_after",
+          (col("tot") - col("cum")).cast("double") / (col("n") - col("t")))
+        .withColumn("score",
+          abs(col("mean_before") - col("mean_after")) *
+          sqrt((col("t") * (col("n") - col("t"))).cast("double") / col("n")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(desc("score"), col("t"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("hour").as("split_hour"),
+                round(col("score"), 6).as("score"),
+                round(col("mean_before"), 4).as("mean_before"),
+                round(col("mean_after"), 4).as("mean_after"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Time-weighted average value per user: piecewise-constant hold
+    // between consecutive events, weighted by exact epoch-microsecond
+    // durations. The classic irregular-series aggregate (sensor /
+    // billing semantics) — a plain avg() over-weights burst periods.
+    "w_time_weighted_avg" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("v_e2"))
+        .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(byUser)))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(sum(col("v_e2") * col("dur_us")).as("wsum"),
+             sum(col("dur_us")).as("dsum"),
+             count(lit(1)).as("n_intervals"))
+        .filter(col("dsum") > 0)
+        .select(col("user_id"),
+                round(col("wsum") / col("dsum") / 100.0, 4).as("twa_value"),
+                col("n_intervals"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Hour-of-day seasonal profile per event type: seasonal index =
+    // mean count at that hour-of-day ÷ overall mean count, computed as
+    // one exact-integer cross-multiplied ratio (sum_cnt·n_hours_total)
+    // / (n_hours_hod·total_cnt) so no intermediate mean loses bits.
+    "ts_seasonality_hod" -> ((s, dir) => {
+      val hod = hourly(s, dir)
+        .groupBy(col("event_type"), hour(col("hour")).as("hod"))
+        .agg(sum(col("cnt")).as("hod_cnt"), count(lit(1)).as("hod_hours"))
+      val tot = hod.groupBy(col("event_type").as("t_type"))
+        .agg(sum(col("hod_cnt")).as("total_cnt"), sum(col("hod_hours")).as("total_hours"))
+      hod.join(broadcast(tot), col("event_type") === col("t_type"))
+        .select(col("event_type"), col("hod"), col("hod_cnt"),
+          round((col("hod_cnt") * col("total_hours")).cast("double") /
+                (col("hod_hours") * col("total_cnt")), 6).as("seasonal_idx"))
+        .orderBy(col("event_type"), col("hod"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ts_autocorr_lag1" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS v_e2
+        |  FROM events GROUP BY event_type, hour),
+        |p AS (SELECT event_type, v_e2,
+        |    lag(v_e2) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+        |  FROM h),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(v_e2)::BIGINT AS sx, sum(prev)::BIGINT AS sy,
+        |    sum(v_e2 * prev)::BIGINT AS sxy,
+        |    sum(v_e2 * v_e2)::BIGINT AS sxx,
+        |    sum(prev * prev)::BIGINT AS syy
+        |  FROM p WHERE prev IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n AS n_pairs,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    AS autocorr
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "ts_changepoint_meanshift" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY event_type, hour),
+        |w AS (SELECT event_type, hour,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour)::BIGINT AS t,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+        |    sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS tot
+        |  FROM h),
+        |s AS (SELECT event_type, hour,
+        |    cum::DOUBLE / t AS mean_before,
+        |    (tot - cum)::DOUBLE / (n - t) AS mean_after,
+        |    abs(cum::DOUBLE / t - (tot - cum)::DOUBLE / (n - t)) *
+        |      sqrt((t * (n - t))::DOUBLE / n) AS score, t
+        |  FROM w WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score DESC, t) AS rk FROM s)
+        |SELECT event_type, hour AS split_hour, round(score, 6) AS score,
+        |  round(mean_before, 4) AS mean_before,
+        |  round(mean_after, 4) AS mean_after
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "w_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, floor(value * 100 + 0.5)::BIGINT AS v_e2,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events),
+        |d AS (SELECT user_id, v_e2,
+        |    epoch_us(next_ts) - epoch_us(ts) AS dur_us
+        |  FROM e WHERE next_ts IS NOT NULL),
+        |a AS (SELECT user_id, sum(v_e2 * dur_us)::BIGINT AS wsum,
+        |    sum(dur_us)::BIGINT AS dsum, count(*)::BIGINT AS n_intervals
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, round(wsum / dsum / 100.0, 4) AS twa_value, n_intervals
+        |FROM a WHERE dsum > 0 ORDER BY user_id""".stripMargin,
+
+    "ts_seasonality_hod" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY event_type, hour),
+        |hod AS (SELECT event_type, hour(hour)::INT AS hod,
+        |    sum(cnt)::BIGINT AS hod_cnt, count(*)::BIGINT AS hod_hours
+        |  FROM h GROUP BY event_type, hod),
+        |t AS (SELECT event_type AS t_type, sum(hod_cnt)::BIGINT AS total_cnt,
+        |    sum(hod_hours)::BIGINT AS total_hours
+        |  FROM hod GROUP BY event_type)
+        |SELECT event_type, hod, hod_cnt,
+        |  round((hod_cnt * total_hours)::DOUBLE / (hod_hours * total_cnt), 6)
+        |    AS seasonal_idx
+        |FROM hod JOIN t ON event_type = t_type
+        |ORDER BY event_type, hod""".stripMargin
+  )
+}
