@@ -666,10 +666,45 @@ object EventOps {
                 round(aggregate(col("l"), lit(0.0), (a, x) => (a + x) * 0.5), 8)
                   .as("ewma"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Shannon entropy of each user's event-type mix — the behavioral-
+    // diversity feature (bot/script accounts have near-zero entropy,
+    // organic users don't). H = ln(n) − (Σ cᵢ·ln cᵢ)/n computed from
+    // exact integer counts; the only floating sum (Σ cᵢ·ln cᵢ) is
+    // quantized to e6 integers per term BEFORE summing so partial-
+    // aggregation order cannot move the result. Normalized form divides
+    // by ln(k) over the user's distinct types. Two chained aggregates
+    // on the same user_id key — one shuffle, exchange reused.
+    "a_entropy_by_user" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"),
+             count(lit(1)).as("k"),
+             sum(floor(col("c") * log(col("c")) * 1e6 + 0.5).cast("long")).as("clnc_e6"))
+        .select(col("user_id"), col("n").as("n_events"), col("k").as("n_types"),
+          round(log(col("n")) - col("clnc_e6") / 1e6 / col("n"), 6).as("entropy"),
+          round(when(col("k") === 1, 0.0)
+            .otherwise((log(col("n")) - col("clnc_e6") / 1e6 / col("n")) / log(col("k"))), 6)
+            .as("entropy_norm"))
+        .orderBy(col("user_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "a_entropy_by_user" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |a AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    sum(floor(c * ln(c) * 1e6 + 0.5)::BIGINT)::BIGINT AS clnc_e6
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n AS n_events, k AS n_types,
+        |  round(ln(n) - clnc_e6 / 1e6 / n, 6) AS entropy,
+        |  round(CASE WHEN k = 1 THEN 0.0
+        |        ELSE (ln(n) - clnc_e6 / 1e6 / n) / ln(k) END, 6) AS entropy_norm
+        |FROM a ORDER BY user_id""".stripMargin,
     "t1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
         |round(sum(value), 2) AS total_value,

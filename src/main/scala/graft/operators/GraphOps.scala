@@ -37,6 +37,44 @@ object GraphOps {
       graft.api.Graft.pageRank(edges, "src", "dst", "wgt")
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
+    }),
+
+    // Triangle census of the part co-purchase graph (edges = distinct
+    // part pairs sharing an order). The self-join that builds edges is
+    // equi on l_orderkey with bounded fan-out (≤ order size², tens of
+    // rows); the triangle probe is the canonical ORIENTED two-join:
+    // every edge is stored once as a<b, wedges (a<b<c) join on the
+    // middle vertex, and the closing edge is an equi semi-probe — no
+    // pair ever enumerates twice, no CartesianProduct. At 100 TB the
+    // orientation key switches from id-order to degree-order so hub
+    // vertices land on the probe (small) side of each wedge join; the
+    // id-ordered form here keeps the oracle exactly replayable.
+    // Output: one exact global census row + the transitivity ratio
+    // (3·triangles / wedges), all from BIGINT counts.
+    "graph_triangle_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      // `div` keeps the wedge count in exact BIGINT arithmetic (Spark's
+      // `/` on integers promotes to double, which loses bits at scale)
+      val wedges = deg.agg(expr("sum(d * (d - 1)) div 2").as("n_wedges"),
+                           count(lit(1)).as("n_nodes"))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("transitivity"))
     })
   )
 
@@ -65,6 +103,23 @@ object GraphOps {
         |  FROM p JOIN r2 ON r2.node = p.src GROUP BY p.dst),
         |r3 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c3.in_rank, 0) AS rank
         |  FROM nodes n CROSS JOIN nn LEFT JOIN c3 USING (node))
-        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    "graph_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |w AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS n_wedges,
+        |             count(*)::BIGINT AS n_nodes FROM deg),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+        |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
   )
 }

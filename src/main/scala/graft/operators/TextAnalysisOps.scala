@@ -370,10 +370,65 @@ object TextAnalysisOps {
                 col("total_sentences"), col("total_syllables"), col("flesch"),
                 col("min_doc_score"), col("max_doc_score"))
         .orderBy(col("lang"))
+    }),
+
+    // Per-document top-3 keywords by TF·IDF — keyword extraction, the
+    // lightweight "what is this doc about" tagger every corpus browser
+    // needs. IDF is quantized to e6 integers (the bm25 discipline:
+    // floor(ln((N+1)/(df+1))·1e6+0.5)) so the score tf·idf_e6 is an
+    // exact BIGINT and the per-doc ranking has no floating tie ambiguity.
+    // Plan: one token explode → (doc, term) tf aggregate; df is a second
+    // aggregate over that (never re-reads text); idf joins back BROADCAST
+    // (vocabulary ≪ corpus); top-3 via window on the doc key. At 100 TB
+    // the df table is the only global exchange and it carries (term,
+    // count) rows only.
+    "ta_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term").as("df_term"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("df_term"),
+          floor(log((col("n_corpus") + 1).cast("double") / (col("df") + 1)) * 1e6 + 0.5)
+            .cast("long").as("idf_e6"))
+      val scored = tf.join(broadcast(df), col("term") === col("df_term"))
+        .select(col("doc_id"), col("term"), (col("tf") * col("idf_e6")).as("score_e6"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score_e6"), col("term"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+                col("term"), round(col("score_e6") / 1e6, 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_tfidf_topterms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |n AS (SELECT count(*)::BIGINT AS n_corpus FROM d),
+        |tf AS (SELECT doc_id, t.term, count(*)::BIGINT AS tf
+        |  FROM d, unnest(string_split(text, ' ')) AS t(term)
+        |  WHERE length(t.term) > 0 GROUP BY doc_id, t.term),
+        |idf AS (SELECT term AS df_term,
+        |    floor(ln((n_corpus + 1)::DOUBLE / (count(DISTINCT doc_id) + 1)) * 1e6
+        |          + 0.5)::BIGINT AS idf_e6
+        |  FROM tf CROSS JOIN n GROUP BY term, n_corpus),
+        |s AS (SELECT doc_id, term, (tf * idf_e6)::BIGINT AS score_e6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * idf_e6 DESC, term) AS rank
+        |  FROM tf JOIN idf ON term = df_term)
+        |SELECT doc_id, rank::BIGINT AS rank, term,
+        |  round(score_e6 / 1e6, 4) AS tfidf
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ta_readability" ->
       """WITH d AS (SELECT doc_id, lang,
         |    len(regexp_extract_all(text, '\S+'))::BIGINT AS nw,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties for the graph/entropy/keyword batch (each also runs under
+  * the DuckDB oracle gate). */
+class BatchCOpsSpec extends SparkSpec {
+
+  test("graph_triangle_count: matches a driver-side brute-force replay") {
+    val row = operators.GraphOps.queries("graph_triangle_count")(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val parts = rows.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val tri = edges.iterator.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty).count(c => edges.contains((a, c)))
+    }.sum
+    val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_triangles") == tri.toLong)
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    assert(math.abs(row.getAs[Double]("transitivity") - 3.0 * tri / wedges) < 1e-6)
+  }
+
+  test("a_entropy_by_user: 0 <= H <= ln(k), normalized form in [0,1]") {
+    val rows = operators.EventOps.queries("a_entropy_by_user")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, h, hn) = (r.getAs[Long]("n_types"),
+        r.getAs[Double]("entropy"), r.getAs[Double]("entropy_norm"))
+      assert(h >= -1e-6 && h <= math.log(k.toDouble) + 1e-6, s"$r")
+      assert(hn >= -1e-6 && hn <= 1.0 + 1e-6, s"$r")
+      if (k == 1) assert(h == 0.0 && hn == 0.0)
+    }
+  }
+
+  test("ta_tfidf_topterms: contiguous ranks, non-increasing scores, every doc tagged") {
+    val rows = operators.TextAnalysisOps.queries("ta_tfidf_topterms")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nDocs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0).count()
+    assert(byDoc.size == nDocs, "every non-empty doc gets keywords")
+    byDoc.foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"doc $d ranks")
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $d order")
+    }
+  }
+}
