@@ -346,10 +346,43 @@ object CurationOps {
         .groupBy(col("actual"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("actual"), col("predicted"))
+    }),
+
+    // Weighted reservoir sample (Efraimidis–Spirakis A-ES): each doc
+    // draws key = ln(u)/w with u ∈ (0,1) a pure md5 function of doc_id
+    // and w = n_chars; the top-k keys ARE a weighted-without-replacement
+    // sample. Zero RNG state, layout-invariant, and re-runnable: the
+    // same doc always draws the same key (the property a seeded
+    // `rand()` loses under repartitioning). Plans as
+    // TakeOrderedAndProject — each partition keeps its local top-50,
+    // the driver merges 50·P candidate rows, the corpus never shuffles.
+    "sample_weighted_reservoir" -> ((s, dir) => {
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("u", (u32 + 1).cast("double") / 4294967297.0)
+        .withColumn("key", log(col("u")) / col("n_chars"))
+        .orderBy(desc("key"), col("doc_id"))
+        .limit(50)
+        .select(row_number().over(
+            Window.orderBy(desc("key"), col("doc_id"))).cast("long").as("rank"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rank"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "sample_weighted_reservoir" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+        |       / 4294967297.0) / n_chars AS key
+        |  FROM documents WHERE n_chars > 0),
+        |t AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT rank::BIGINT AS rank, doc_id, lang, n_chars
+        |FROM t WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "curate_top_p_nucleus" ->
       """WITH d AS (SELECT lang, doc_id, n_chars,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS score

@@ -668,6 +668,32 @@ object EventOps {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Weekly cohort retention matrix — cohort = the user's first-event
+    // week, cell (cohort, offset) = distinct users of that cohort active
+    // `offset` weeks later, with the rate against the cohort's size.
+    // Two aggregates chained on user_id then (cohort, offset): the first
+    // reduces events to one row per (user, week) BEFORE the cohort join,
+    // and cohort sizes (offset 0 by construction contains every cohort
+    // member) come from the same relation — no re-scan. The classic
+    // product-analytics two-dimensional rollup.
+    "retention_cohort_matrix" -> ((s, dir) => {
+      val userWeeks = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week")).distinct()
+      val cohorts = userWeeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val cells = userWeeks.join(cohorts, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(week, cohort_week) div 7").cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cells.filter(col("week_offset") === 0)
+        .select(col("cohort_week").as("c_week"), col("n_active").as("n_cohort"))
+      cells.join(broadcast(sizes), col("cohort_week") === col("c_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity feature (bot/script accounts have near-zero entropy,
     // organic users don't). H = ln(n) − (Σ cᵢ·ln cᵢ)/n computed from
@@ -694,6 +720,22 @@ object EventOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "retention_cohort_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+        |cells AS (SELECT cohort_week,
+        |    (date_diff('day', cohort_week, week) // 7)::BIGINT AS week_offset,
+        |    count(DISTINCT uw.user_id)::BIGINT AS n_active
+        |  FROM uw JOIN c ON uw.user_id = c.user_id
+        |  GROUP BY cohort_week, week_offset),
+        |s AS (SELECT cohort_week AS c_week, n_active AS n_cohort
+        |  FROM cells WHERE week_offset = 0)
+        |SELECT cohort_week, week_offset, n_active, n_cohort,
+        |  round(n_active::DOUBLE / n_cohort, 6) AS retention
+        |FROM cells JOIN s ON cohort_week = c_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "a_entropy_by_user" ->
       """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
         |  FROM events GROUP BY user_id, event_type),

@@ -41,6 +41,33 @@ class BatchCOpsSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted_reservoir: exactly k rows, deterministic across runs, ranks contiguous") {
+    val q = operators.CurationOps.queries("sample_weighted_reservoir")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.length == 50 && a.toSeq == b.toSeq, "pure function of doc_id — no RNG drift")
+    assert(a.map(_.getLong(0)).toSeq == (1L to 50L), "contiguous ranks")
+    assert(a.forall(_.getLong(3) > 0))
+    // weighting sanity: the sample's mean n_chars should exceed the
+    // corpus mean (longer docs draw larger keys in expectation)
+    val corpusMean = Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0).agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("retention_cohort_matrix: offset 0 is 100%, cells never exceed cohort size") {
+    val rows = operators.EventOps.queries("retention_cohort_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, act, coh, ret) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("retention"))
+      assert(act <= coh, s"$r")
+      if (off == 0) assert(ret == 1.0, s"$r")
+      assert(off >= 0)
+    }
+  }
+
   test("ta_tfidf_topterms: contiguous ranks, non-increasing scores, every doc tagged") {
     val rows = operators.TextAnalysisOps.queries("ta_tfidf_topterms")(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
