@@ -1383,4 +1383,178 @@ object Graft {
     out.select(col("__qid").as("qid"), col("pos"), col("__id").as("id"),
                col("__mmr").as("mmr10_e6"))
   }
+
+  // ---- time-series / behavioral (wave 4) ---------------------------
+
+  /** Lag-1 Pearson autocorrelation per key over an already-ordered
+    * integer series. In: (keyCol, ordCol, valCol) with valCol exact
+    * integers (quantize doubles first — see TimeSeriesOps). Out:
+    * (keyCol, n_pairs, autocorr). The moments (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate as exact BIGINTs; the only float op is the final
+    * closed form, so the result is engine- and order-independent. */
+  def autocorrLag1(series: DataFrame, keyCol: String, ordCol: String,
+                   valCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    series
+      .withColumn("__prev", lag(col(valCol), 1).over(byKey))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+           sum(col(valCol)).as("__sx"), sum(col("__prev")).as("__sy"),
+           sum(col(valCol) * col("__prev")).as("__sxy"),
+           sum(col(valCol) * col(valCol)).as("__sxx"),
+           sum(col("__prev") * col("__prev")).as("__syy"))
+      .select(col(keyCol), col("__n").as("n_pairs"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+         sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+              (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")))
+          .as("autocorr"))
+  }
+
+  /** Mean-shift changepoint (binary segmentation's first split) per key:
+    * argmax over split points t of |mean≤t − mean>t|·√(t(n−t)/n) on an
+    * integer count series. In: (keyCol, ordCol, cntCol). Out: (keyCol,
+    * split at ordCol value, score, mean_before, mean_after). */
+  def changepointMeanShift(series: DataFrame, keyCol: String, ordCol: String,
+                           cntCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val full = Window.partitionBy(col(keyCol))
+    series
+      .withColumn("__t", row_number().over(byKey).cast("long"))
+      .withColumn("__cum", sum(col(cntCol)).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(full).cast("long"))
+      .withColumn("__tot", sum(col(cntCol)).over(full))
+      .filter(col("__t") < col("__n"))
+      .withColumn("mean_before", col("__cum").cast("double") / col("__t"))
+      .withColumn("mean_after",
+        (col("__tot") - col("__cum")).cast("double") / (col("__n") - col("__t")))
+      .withColumn("score",
+        abs(col("mean_before") - col("mean_after")) *
+        sqrt((col("__t") * (col("__n") - col("__t"))).cast("double") / col("__n")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(desc("score"), col("__t"))))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col(ordCol), col("score"),
+              col("mean_before"), col("mean_after"))
+  }
+
+  /** Time-weighted average per key with piecewise-constant hold between
+    * consecutive rows. In: (keyCol, tsCol timestamp, tieCol, valE2Col
+    * integer centi-units). Out: (keyCol, wsum, dsum, n_intervals) —
+    * caller divides wsum/dsum for the average (kept separate so the
+    * outputs stay exact BIGINTs). */
+  def timeWeightedSums(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valE2Col: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__next_us", unix_micros(lead(col(tsCol), 1).over(byKey)))
+      .filter(col("__next_us").isNotNull)
+      .withColumn("__dur_us", col("__next_us") - unix_micros(col(tsCol)))
+      .groupBy(col(keyCol))
+      .agg(sum(col(valE2Col) * col("__dur_us")).as("wsum"),
+           sum(col("__dur_us")).as("dsum"),
+           count(lit(1)).as("n_intervals"))
+  }
+
+  /** Shannon entropy of each key's category mix, from exact counts.
+    * Out: (keyCol, n_events, n_types, entropy, entropy_norm). The per-
+    * term c·ln(c) quantizes to e6 BEFORE summing (order-independent). */
+  def entropyByKey(df: DataFrame, keyCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(catCol)).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__k"),
+           sum(floor(col("__c") * log(col("__c")) * 1e6 + 0.5).cast("long"))
+             .as("__clnc_e6"))
+      .select(col(keyCol), col("__n").as("n_events"), col("__k").as("n_types"),
+        (log(col("__n")) - col("__clnc_e6") / 1e6 / col("__n")).as("entropy"),
+        when(col("__k") === 1, 0.0)
+          .otherwise((log(col("__n")) - col("__clnc_e6") / 1e6 / col("__n")) /
+                     log(col("__k"))).as("entropy_norm"))
+  }
+
+  /** Exact triangle census of an undirected graph given as one-sided
+    * edges (aCol < bCol, distinct). Out: one row (n_nodes, n_edges,
+    * n_triangles, transitivity). Oriented wedge join — each triangle
+    * counts exactly once; at very large scale re-orient by degree so
+    * hubs sit probe-side. */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b")).distinct()
+    val deg = e.select(col("__a").as("__v")).unionAll(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val wedges = deg.agg(expr("sum(__d * (__d - 1)) div 2").as("n_wedges"),
+                         count(lit(1)).as("n_nodes"))
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.__b") === col("e2.__a"))
+      .join(e.alias("e3"),
+        col("e3.__a") === col("e1.__a") && col("e3.__b") === col("e2.__b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("transitivity"))
+  }
+
+  /** Per-document top-k terms by TF·IDF over whitespace tokens.
+    * IDF quantizes to e6 (floor(ln((N+1)/(df+1))·1e6+0.5)) so scores
+    * are exact BIGINTs with unambiguous ranking. Out: (idCol, rank,
+    * term, score_e6). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+    val nDocs = d.agg(count(lit(1)).as("__n_corpus"))
+    val tf = d.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val idf = tf.groupBy(col("term").as("__df_term"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("__df_term"),
+        floor(log((col("__n_corpus") + 1).cast("double") / (col("__df") + 1)) * 1e6
+              + 0.5).cast("long").as("__idf_e6"))
+    tf.join(broadcast(idf), col("term") === col("__df_term"))
+      .select(col(idCol), col("term"), (col("__tf") * col("__idf_e6")).as("score_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("score_e6"), col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+              col("score_e6"))
+  }
+
+  /** Weighted without-replacement sample (Efraimidis–Spirakis A-ES) of
+    * k rows: key = ln(u)/w with u a pure md5 function of idCol — no RNG
+    * state, stable under re-partitioning and re-runs. Plans as a
+    * distributed top-k (TakeOrderedAndProject). Out: input row + rank. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int): DataFrame = {
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key",
+        log((u32 + 1).cast("double") / 4294967297.0) / col(weightCol))
+      .orderBy(desc("__key"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("__key"), col(idCol))).cast("long"))
+      .drop("__key")
+  }
+
+  /** Weekly cohort retention matrix. In: (keyCol, tsCol). Out:
+    * (cohort_week, week_offset, n_active, n_cohort, retention). */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val userWeeks = events
+      .select(col(keyCol).as("__k"), date_trunc("WEEK", col(tsCol)).as("__week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy(col("__k")).agg(min(col("__week")).as("cohort_week"))
+    val cells = userWeeks.join(cohorts, "__k")
+      .withColumn("week_offset",
+        expr("datediff(__week, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__k")).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week").as("__cw"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(sizes), col("cohort_week") === col("__cw"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
 }

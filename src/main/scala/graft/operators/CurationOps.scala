@@ -356,20 +356,12 @@ object CurationOps {
     // `rand()` loses under repartitioning). Plans as
     // TakeOrderedAndProject — each partition keeps its local top-50,
     // the driver merges 50·P candidate rows, the corpus never shuffles.
-    "sample_weighted_reservoir" -> ((s, dir) => {
-      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-      Tables.documents(s, dir)
-        .filter(col("n_chars") > 0)
-        .withColumn("u", (u32 + 1).cast("double") / 4294967297.0)
-        .withColumn("key", log(col("u")) / col("n_chars"))
-        .orderBy(desc("key"), col("doc_id"))
-        .limit(50)
-        .select(row_number().over(
-            Window.orderBy(desc("key"), col("doc_id"))).cast("long").as("rank"),
-          col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("rank"))
-    })
+    "sample_weighted_reservoir" -> ((s, dir) =>
+      graft.api.Graft.weightedReservoir(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", k = 50)
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("rank")))
   )
 
   def oracles: Map[String, String] = Map(

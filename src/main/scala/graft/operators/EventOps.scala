@@ -676,23 +676,11 @@ object EventOps {
     // and cohort sizes (offset 0 by construction contains every cohort
     // member) come from the same relation — no re-scan. The classic
     // product-analytics two-dimensional rollup.
-    "retention_cohort_matrix" -> ((s, dir) => {
-      val userWeeks = Tables.events(s, dir)
-        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week")).distinct()
-      val cohorts = userWeeks.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      val cells = userWeeks.join(cohorts, "user_id")
-        .withColumn("week_offset",
-          expr("datediff(week, cohort_week) div 7").cast("long"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-      val sizes = cells.filter(col("week_offset") === 0)
-        .select(col("cohort_week").as("c_week"), col("n_active").as("n_cohort"))
-      cells.join(broadcast(sizes), col("cohort_week") === col("c_week"))
+    "retention_cohort_matrix" -> ((s, dir) =>
+      graft.api.Graft.cohortRetention(Tables.events(s, dir), "user_id", "ts")
         .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
-          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
-        .orderBy(col("cohort_week"), col("week_offset"))
-    }),
+                round(col("retention"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
 
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity feature (bot/script accounts have near-zero entropy,
@@ -702,21 +690,12 @@ object EventOps {
     // aggregation order cannot move the result. Normalized form divides
     // by ln(k) over the user's distinct types. Two chained aggregates
     // on the same user_id key — one shuffle, exchange reused.
-    "a_entropy_by_user" -> ((s, dir) => {
-      val counts = Tables.events(s, dir)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("c"))
-      counts.groupBy(col("user_id"))
-        .agg(sum(col("c")).as("n"),
-             count(lit(1)).as("k"),
-             sum(floor(col("c") * log(col("c")) * 1e6 + 0.5).cast("long")).as("clnc_e6"))
-        .select(col("user_id"), col("n").as("n_events"), col("k").as("n_types"),
-          round(log(col("n")) - col("clnc_e6") / 1e6 / col("n"), 6).as("entropy"),
-          round(when(col("k") === 1, 0.0)
-            .otherwise((log(col("n")) - col("clnc_e6") / 1e6 / col("n")) / log(col("k"))), 6)
-            .as("entropy_norm"))
-        .orderBy(col("user_id"))
-    })
+    "a_entropy_by_user" -> ((s, dir) =>
+      graft.api.Graft.entropyByKey(Tables.events(s, dir), "user_id", "event_type")
+        .select(col("user_id"), col("n_events"), col("n_types"),
+                round(col("entropy"), 6).as("entropy"),
+                round(col("entropy_norm"), 6).as("entropy_norm"))
+        .orderBy(col("user_id")))
   )
 
   def oracles: Map[String, String] = Map(

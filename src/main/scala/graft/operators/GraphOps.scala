@@ -59,22 +59,9 @@ object GraphOps {
           col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      // `div` keeps the wedge count in exact BIGINT arithmetic (Spark's
-      // `/` on integers promotes to double, which loses bits at scale)
-      val wedges = deg.agg(expr("sum(d * (d - 1)) div 2").as("n_wedges"),
-                           count(lit(1)).as("n_nodes"))
-      val tri = e.alias("e1")
-        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
-        .join(e.alias("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val edges = e.agg(count(lit(1)).as("n_edges"))
-      tri.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+      graft.api.Graft.triangleCensus(e, "a", "b")
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-            .as("transitivity"))
+                round(col("transitivity"), 6).as("transitivity"))
     })
   )
 

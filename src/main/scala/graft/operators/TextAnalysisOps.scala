@@ -382,32 +382,11 @@ object TextAnalysisOps {
     // (vocabulary ≪ corpus); top-3 via window on the doc key. At 100 TB
     // the df table is the only global exchange and it carries (term,
     // count) rows only.
-    "ta_tfidf_topterms" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term").as("df_term"))
-        .agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .select(col("df_term"),
-          floor(log((col("n_corpus") + 1).cast("double") / (col("df") + 1)) * 1e6 + 0.5)
-            .cast("long").as("idf_e6"))
-      val scored = tf.join(broadcast(df), col("term") === col("df_term"))
-        .select(col("doc_id"), col("term"), (col("tf") * col("idf_e6")).as("score_e6"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(desc("score_e6"), col("term"))))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank").cast("long").as("rank"),
-                col("term"), round(col("score_e6") / 1e6, 4).as("tfidf"))
-        .orderBy(col("doc_id"), col("rank"))
-    })
+    "ta_tfidf_topterms" -> ((s, dir) =>
+      graft.api.Graft.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+                round(col("score_e6") / 1e6, 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank")))
   )
 
   def oracles: Map[String, String] = Map(

@@ -41,80 +41,40 @@ object TimeSeriesOps {
     // Pearson r from the exact closed form (n, Σx, Σy, Σxy, Σx², Σy² as
     // BIGINT over integer cents) — NOT Spark's corr(), whose streaming
     // co-moment update is order-dependent in the last bits.
-    "ts_autocorr_lag1" -> ((s, dir) => {
-      val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      val pairs = hourly(s, dir)
-        .withColumn("prev", lag(col("v_e2"), 1).over(byType))
-        .filter(col("prev").isNotNull)
-      pairs.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-             sum(col("v_e2")).as("sx"), sum(col("prev")).as("sy"),
-             sum(col("v_e2") * col("prev")).as("sxy"),
-             sum(col("v_e2") * col("v_e2")).as("sxx"),
-             sum(col("prev") * col("prev")).as("syy"))
-        .select(col("event_type"), col("n").as("n_pairs"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-                sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                     (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-            .as("autocorr"))
-        .orderBy(col("event_type"))
-    }),
+    "ts_autocorr_lag1" -> ((s, dir) =>
+      graft.api.Graft.autocorrLag1(hourly(s, dir), "event_type", "hour", "v_e2")
+        .select(col("event_type"), col("n_pairs"),
+                round(col("autocorr"), 6).as("autocorr"))
+        .orderBy(col("event_type"))),
 
     // Mean-shift changepoint (binary segmentation's first split): for
     // each candidate split t the statistic |mean_before − mean_after| ·
     // sqrt(t(n−t)/n) over the hourly count series; argmax per type.
     // Cumulative sums come from a window over the hourly aggregate (same
     // partitioning key → exchange reuse, no extra shuffle).
-    "ts_changepoint_meanshift" -> ((s, dir) => {
-      val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      val full = Window.partitionBy(col("event_type"))
-      val scored = hourly(s, dir)
-        .withColumn("t", row_number().over(byType).cast("long"))
-        .withColumn("cum", sum(col("cnt")).over(
-          byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", count(lit(1)).over(full).cast("long"))
-        .withColumn("tot", sum(col("cnt")).over(full))
-        .filter(col("t") < col("n"))
-        .withColumn("mean_before", col("cum").cast("double") / col("t"))
-        .withColumn("mean_after",
-          (col("tot") - col("cum")).cast("double") / (col("n") - col("t")))
-        .withColumn("score",
-          abs(col("mean_before") - col("mean_after")) *
-          sqrt((col("t") * (col("n") - col("t"))).cast("double") / col("n")))
-      scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(desc("score"), col("t"))))
-        .filter(col("rk") === 1)
+    "ts_changepoint_meanshift" -> ((s, dir) =>
+      graft.api.Graft.changepointMeanShift(hourly(s, dir), "event_type", "hour", "cnt")
         .select(col("event_type"), col("hour").as("split_hour"),
                 round(col("score"), 6).as("score"),
                 round(col("mean_before"), 4).as("mean_before"),
                 round(col("mean_after"), 4).as("mean_after"))
-        .orderBy(col("event_type"))
-    }),
+        .orderBy(col("event_type"))),
 
     // Time-weighted average value per user: piecewise-constant hold
     // between consecutive events, weighted by exact epoch-microsecond
     // durations. The classic irregular-series aggregate (sensor /
     // billing semantics) — a plain avg() over-weights burst periods.
-    "w_time_weighted_avg" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-                floor(col("value") * 100 + 0.5).cast("long").as("v_e2"))
-        .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(byUser)))
-        .filter(col("next_us").isNotNull)
-        .withColumn("dur_us", col("next_us") - unix_micros(col("ts")))
-        .groupBy(col("user_id"))
-        .agg(sum(col("v_e2") * col("dur_us")).as("wsum"),
-             sum(col("dur_us")).as("dsum"),
-             count(lit(1)).as("n_intervals"))
+    "w_time_weighted_avg" -> ((s, dir) =>
+      graft.api.Graft.timeWeightedSums(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"),
+                    floor(col("value") * 100 + 0.5).cast("long").as("v_e2")),
+          "user_id", "ts", "event_id", "v_e2")
         .filter(col("dsum") > 0)
         .select(col("user_id"),
                 round(col("wsum") / col("dsum") / 100.0, 4).as("twa_value"),
                 col("n_intervals"))
-        .orderBy(col("user_id"))
-    }),
+        .orderBy(col("user_id"))),
 
     // Hour-of-day seasonal profile per event type: seasonal index =
     // mean count at that hour-of-day ÷ overall mean count, computed as
