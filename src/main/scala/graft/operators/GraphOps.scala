@@ -62,6 +62,42 @@ object GraphOps {
       graft.api.Graft.triangleCensus(e, "a", "b")
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
                 round(col("transitivity"), 6).as("transitivity"))
+    }),
+
+    // Market-basket association rules over order baskets (the top-50
+    // part pairs by lift). All three counts (basket, item, pair) are
+    // grouped aggregates of the distinct (order, part) relation; lift
+    // and confidence are EXACT integer-scaled rationals —
+    // floor(p·N·1e6 / (na·nb)) in pure BIGINT arithmetic — so the
+    // ranking has no floating tie ambiguity anywhere. The pair count is
+    // the same bounded within-order self-join as the triangle census
+    // (fan-out ≤ basket size, never corpus²); the top-50 is a
+    // distributed TakeOrdered. Min support prunes the pair table before
+    // the stats joins, and the item-support side broadcasts.
+    "a_assoc_rules" -> ((s, dir) => {
+      val minSup = 2
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nBaskets = baskets.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val item = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))
+      val pairs = baskets.alias("x")
+        .join(baskets.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= minSup)
+      pairs
+        .join(broadcast(item.select(col("l_partkey").as("a"), col("item_n").as("n_a"))), "a")
+        .join(broadcast(item.select(col("l_partkey").as("b"), col("item_n").as("n_b"))), "b")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("a"), col("b"), col("pair_n"), col("n_a"), col("n_b"),
+          expr("(pair_n * n_baskets * 1000000L) div (n_a * n_b)").as("lift_e6"),
+          expr("(pair_n * 1000000L) div n_a").as("conf_ab_e6"),
+          expr("(pair_n * 1000000L) div n_b").as("conf_ba_e6"))
+        .orderBy(desc("lift_e6"), col("a"), col("b"))
+        .limit(50)
     })
   )
 
@@ -107,6 +143,25 @@ object GraphOps {
         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
         |SELECT n_nodes, n_edges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 6) AS transitivity
-        |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin
+        |FROM tri CROSS JOIN ne CROSS JOIN w""".stripMargin,
+
+    "a_assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM baskets),
+        |item AS (SELECT l_partkey, count(*)::BIGINT AS item_n
+        |  FROM baskets GROUP BY l_partkey),
+        |pairs AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    count(*)::BIGINT AS pair_n
+        |  FROM baskets x JOIN baskets y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY a, b HAVING count(*) >= 2)
+        |SELECT a, b, pair_n, ia.item_n AS n_a, ib.item_n AS n_b,
+        |  (pair_n * n_baskets * 1000000) // (ia.item_n * ib.item_n) AS lift_e6,
+        |  (pair_n * 1000000) // ia.item_n AS conf_ab_e6,
+        |  (pair_n * 1000000) // ib.item_n AS conf_ba_e6
+        |FROM pairs JOIN item ia ON a = ia.l_partkey
+        |JOIN item ib ON b = ib.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY lift_e6 DESC, a, b LIMIT 50""".stripMargin
   )
 }

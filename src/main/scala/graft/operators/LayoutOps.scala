@@ -154,7 +154,26 @@ object LayoutOps {
         .select(lit("*").as("lang"), lit("*").as("source"), col("n"))
         .filter(col("n").isNotNull) // no violating groups → no '*' row
       kept.unionAll(suppressed).orderBy(col("lang"), col("source"))
-    })
+    }),
+
+    // l-diversity audit — k-anonymity's complement: a quasi-identifier
+    // group is safe only if its SENSITIVE attribute also takes ≥ l
+    // distinct values (an 8-strong group that all share one value still
+    // leaks it). QI = (lang, source); sensitive = the document-length
+    // band floor(n_chars/100) — a pure map-side function (a global
+    // quantile ntile here would force a single-partition sort; fixed
+    // bands keep the whole query one distinct-aggregate shuffle).
+    // Output: per-group n, distinct sensitive values, pass flag at l≥3.
+    "privacy_l_diversity" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+                floor(col("n_chars") / 100).cast("long").as("len_band"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("len_band")).as("l_distinct"))
+        .select(col("lang"), col("source"), col("n"), col("l_distinct"),
+                (col("l_distinct") >= 3).cast("int").as("diverse"))
+        .orderBy(col("lang"), col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -186,6 +205,13 @@ object LayoutOps {
         |UNION ALL
         |SELECT '*' AS lang, '*' AS source, sum(n)::BIGINT AS n
         |  FROM census WHERE n < 8 HAVING sum(n) IS NOT NULL
+        |ORDER BY lang, source""".stripMargin,
+
+    "privacy_l_diversity" ->
+      """SELECT lang, source, count(*)::BIGINT AS n,
+        |  count(DISTINCT (n_chars // 100))::BIGINT AS l_distinct,
+        |  (count(DISTINCT (n_chars // 100)) >= 3)::INT AS diverse
+        |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
   )
 }

@@ -585,6 +585,24 @@ object RetrievalOps {
                 col("mean_e6"), col("min_e6"), col("max_e6"))
         .orderBy(col("dim"))),
 
+    // Per-label centroids — the class-prototype table behind nearest-
+    // centroid classification and IVF-style partition seeding. Same
+    // posexplode rollup as v_dim_stats but keyed by (label, dim), with
+    // the per-component sum quantized to e6 BEFORE aggregation so the
+    // centroid is an exact rational of BIGINTs (sum_e6 / n): unlike a
+    // float avg, partial-aggregation order cannot move it. Shuffle
+    // volume is labels × dims rows — constant in corpus size.
+    "v_label_centroids" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sum_e6"))
+        .select(col("label"), (col("dim") + 1).cast("int").as("dim"), col("n"),
+                round(col("sum_e6") / col("n") / 1e6, 6).as("centroid"))
+        .orderBy(col("label"), col("dim"))),
+
     // Embedding outlier detection: distance-to-centroid flagging — the
     // vector-space twin of the quality gate (encoder glitches / OOD
     // inputs sit far from the corpus mass). Centroid = per-dim mean
@@ -975,6 +993,14 @@ object RetrievalOps {
         |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
         |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "v_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+        |SELECT label, dim::INT AS dim, count(*)::BIGINT AS n,
+        |  round(sum(floor(x * 1e6 + 0.5)::BIGINT)::BIGINT / count(*) / 1e6, 6)
+        |    AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "v_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -68,6 +68,42 @@ class BatchCOpsSpec extends SparkSpec {
     }
   }
 
+  test("a_assoc_rules: confidences bounded, pair support never exceeds item support") {
+    val rows = operators.GraphOps.queries("a_assoc_rules")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (p, na, nb) = (r.getAs[Long]("pair_n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(p <= na && p <= nb, s"$r")
+      assert(r.getAs[Long]("conf_ab_e6") <= 1000000L && r.getAs[Long]("conf_ba_e6") <= 1000000L)
+      assert(r.getAs[Long]("lift_e6") > 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_e6"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "sorted by lift")
+  }
+
+  test("privacy_l_diversity: flag is exactly l_distinct >= 3 and l <= n") {
+    val rows = operators.LayoutOps.queries("privacy_l_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, d) = (r.getAs[Long]("n"), r.getAs[Long]("l_distinct"), r.getAs[Int]("diverse"))
+      assert(l <= n && l >= 1)
+      assert(d == (if (l >= 3) 1 else 0), s"$r")
+    }
+  }
+
+  test("v_label_centroids: full (label × dim) grid, counts conserved") {
+    val rows = operators.RetrievalOps.queries("v_label_centroids")(spark, sf).collect()
+    val nVecsByLabel = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dims = rows.map(_.getInt(1)).distinct.sorted
+    assert(dims.head == 1 && dims.length == dims.last, "contiguous 1..D dims")
+    assert(rows.length == nVecsByLabel.size * dims.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVecsByLabel(r.getInt(0)), s"$r count")
+    }
+  }
+
   test("ta_tfidf_topterms: contiguous ranks, non-increasing scores, every doc tagged") {
     val rows = operators.TextAnalysisOps.queries("ta_tfidf_topterms")(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
