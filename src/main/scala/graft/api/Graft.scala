@@ -1539,6 +1539,66 @@ object Graft {
       .drop("__key")
   }
 
+  /** Top principal component of an embedding corpus by fixed-round
+    * power iteration — distributed PCA without collecting anything but
+    * d-row vectors. Every aggregation accumulates EXACT integers:
+    * covariance terms quantize to e9 per element-pair before the sum,
+    * matvecs are BIGINT dot products, and the only doubles are scalar
+    * normalization expressions computed identically by any engine from
+    * those exact sums (the engine-determinism discipline: integer
+    * aggregation kills order-dependence; identical scalar float
+    * expressions are bit-reproducible everywhere).
+    *
+    * Plan shape: one posexplode self-join on the row id builds the d²
+    * covariance entries (shuffle carries (row, i, x) — d·n rows, never
+    * vectors²); each of the `iters` rounds is a broadcast matvec: the
+    * d-row vector broadcasts, C never moves. At 100 TB: C_sum longs
+    * would saturate at ~2^63/1e9 ≈ 9e9 rows per partition-sum — switch
+    * the quantized sums to DecimalType(38,0) past that.
+    *
+    * In: df with vecCol array<float|double> of fixed dim d.
+    * Out: (dim 1-based, pc1_e6) — the unit top-eigenvector quantized
+    * to e6, sign fixed by the all-positive start vector. */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8]: $iters")
+    val x = df.select(col(idCol).as("__rid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__xd")))
+      .select(col("__rid"), col("__i"),
+        (floor(col("__xd") * 1e6 + 0.5) / 1e6).as("__x"))
+    val m = x.groupBy(col("__i"))
+      .agg(sum(floor(col("__x") * 1e6 + 0.5).cast("long")).as("__sum_e6"),
+           count(lit(1)).as("__n"))
+      .select(col("__i"), (col("__sum_e6") / 1e6 / col("__n")).as("__m"),
+              col("__n"))
+    val c = x.join(broadcast(m), "__i")
+      .select(col("__rid"), col("__i"), (col("__x") - col("__m")).as("__c"))
+    // d² covariance entries, e9-quantized per term BEFORE the sum
+    val cov = c.alias("a").join(c.alias("b"), col("a.__rid") === col("b.__rid"))
+      .groupBy(col("a.__i").as("__ci"), col("b.__i").as("__cj"))
+      .agg(sum(floor(col("a.__c") * col("b.__c") * 1e9 + 0.5).cast("long"))
+             .as("__cq"), count(lit(1)).as("__cn"))
+      .select(col("__ci"), col("__cj"),
+              floor(col("__cq") / col("__cn")).cast("long").as("__cr"))
+      .localCheckpoint() // reused by every iteration; cut the self-join lineage
+    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    var v = m.select(col("__i").as("__vj"),
+      lit(math.floor(1e6 / math.sqrt(dims.toDouble)).toLong).as("__v_e6"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(broadcast(v), col("__cj") === col("__vj"))
+        .groupBy(col("__ci"))
+        .agg(sum(col("__cr") * col("__v_e6")).as("__w"))
+      val nrm = w.agg(sum(floor(col("__w") / 1e8).cast("long") *
+                          floor(col("__w") / 1e8).cast("long")).as("__ws2"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("__ci").as("__vj"),
+          floor(col("__w") / (sqrt(col("__ws2").cast("double")) * 1e8) * 1e6 + 0.5)
+            .cast("long").as("__v_e6"))
+        .localCheckpoint()
+    }
+    v.select((col("__vj") + 1).cast("int").as("dim"), col("__v_e6").as("pc1_e6"))
+  }
+
   /** Weekly cohort retention matrix. In: (keyCol, tsCol). Out:
     * (cohort_week, week_offset, n_active, n_cohort, retention). */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {

@@ -585,6 +585,15 @@ object RetrievalOps {
                 col("mean_e6"), col("min_e6"), col("max_e6"))
         .orderBy(col("dim"))),
 
+    // Top principal component by 3-round power iteration — see
+    // Graft.pcaTopComponent for the exactness discipline (e9-quantized
+    // covariance terms, BIGINT matvecs, identical scalar float exprs).
+    // The DuckDB oracle unrolls the same three rounds.
+    "v_pca_power" -> ((s, dir) =>
+      graft.api.Graft.pcaTopComponent(
+          Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
+        .orderBy(col("dim"))),
+
     // Per-label centroids — the class-prototype table behind nearest-
     // centroid classification and IVF-style partition seeding. Same
     // posexplode rollup as v_dim_stats but keyed by (label, dim), with
@@ -993,6 +1002,44 @@ object RetrievalOps {
         |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
         |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "v_pca_power" ->
+      """WITH e AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS v FROM embeddings),
+        |x0 AS (SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xd FROM e),
+        |x AS (SELECT rid, i, floor(xd * 1e6 + 0.5) / 1e6 AS x FROM x0),
+        |m AS (SELECT i, sum(floor(x * 1e6 + 0.5)::BIGINT)::BIGINT AS sum_e6,
+        |    count(*)::BIGINT AS n FROM x GROUP BY i),
+        |mm AS (SELECT i, sum_e6 / 1e6 / n AS m FROM m),
+        |c AS (SELECT rid, x.i, x.x - mm.m AS c FROM x JOIN mm ON x.i = mm.i),
+        |cov AS (SELECT a.i AS ci, b.i AS cj,
+        |    floor(sum(floor(a.c * b.c * 1e9 + 0.5)::BIGINT)::BIGINT
+        |          / count(*))::BIGINT AS cr
+        |  FROM c a JOIN c b ON a.rid = b.rid GROUP BY ci, cj),
+        |d0 AS (SELECT i AS vj,
+        |    floor(1e6 / sqrt((SELECT count(*) FROM m)::DOUBLE))::BIGINT AS ve
+        |  FROM m),
+        |w1 AS (SELECT ci, sum(cr * ve)::BIGINT AS w
+        |  FROM cov JOIN d0 ON cj = vj GROUP BY ci),
+        |n1 AS (SELECT sum(floor(w / 1e8)::BIGINT * floor(w / 1e8)::BIGINT)::BIGINT
+        |    AS ws2 FROM w1),
+        |v1 AS (SELECT ci AS vj,
+        |    floor(w / (sqrt(ws2::DOUBLE) * 1e8) * 1e6 + 0.5)::BIGINT AS ve
+        |  FROM w1 CROSS JOIN n1),
+        |w2 AS (SELECT ci, sum(cr * ve)::BIGINT AS w
+        |  FROM cov JOIN v1 ON cj = vj GROUP BY ci),
+        |n2 AS (SELECT sum(floor(w / 1e8)::BIGINT * floor(w / 1e8)::BIGINT)::BIGINT
+        |    AS ws2 FROM w2),
+        |v2 AS (SELECT ci AS vj,
+        |    floor(w / (sqrt(ws2::DOUBLE) * 1e8) * 1e6 + 0.5)::BIGINT AS ve
+        |  FROM w2 CROSS JOIN n2),
+        |w3 AS (SELECT ci, sum(cr * ve)::BIGINT AS w
+        |  FROM cov JOIN v2 ON cj = vj GROUP BY ci),
+        |n3 AS (SELECT sum(floor(w / 1e8)::BIGINT * floor(w / 1e8)::BIGINT)::BIGINT
+        |    AS ws2 FROM w3),
+        |v3 AS (SELECT ci AS vj,
+        |    floor(w / (sqrt(ws2::DOUBLE) * 1e8) * 1e6 + 0.5)::BIGINT AS ve
+        |  FROM w3 CROSS JOIN n3)
+        |SELECT (vj + 1)::INT AS dim, ve AS pc1_e6 FROM v3 ORDER BY dim""".stripMargin,
 
     "v_label_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -104,6 +104,39 @@ class BatchCOpsSpec extends SparkSpec {
     }
   }
 
+  test("v_pca_power: unit vector, stable direction by round 3, beats axis variance") {
+    def run(iters: Int): Array[Double] =
+      api.Graft.pcaTopComponent(Tables.embeddings(spark, sf), "vec_id", "embedding", iters)
+        .orderBy(col("dim")).collect()
+        .map(_.getAs[Long]("pc1_e6").toDouble / 1e6)
+    val v3 = run(3)
+    assert(math.abs(v3.map(x => x * x).sum - 1.0) < 2e-3, "unit norm")
+    val v4 = run(4)
+    val cos = v3.zip(v4).map { case (a, b) => a * b }.sum /
+      (math.sqrt(v3.map(x => x * x).sum) * math.sqrt(v4.map(x => x * x).sum))
+    assert(cos > 0.98, s"direction not converged by round 3: cos(v3,v4)=$cos")
+    // Rayleigh quotient along v3 must beat the best single axis (else
+    // the iteration learned nothing): compare v3'Cv3 vs max_i C_ii over
+    // a driver-side covariance replay on the small fixture.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val d = vecs.head.length; val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    def cquad(v: Array[Double]): Double = {
+      // E[(c·v)²] where c is the centered vector
+      vecs.map { row =>
+        val p = (0 until d).map(i => (row(i) - mean(i)) * v(i)).sum
+        p * p
+      }.sum / n
+    }
+    val axisBest = (0 until d).map { i =>
+      val axis = Array.fill(d)(0.0); axis(i) = 1.0; cquad(axis)
+    }.max
+    assert(cquad(v3) >= axisBest * 0.999,
+      s"top component variance ${cquad(v3)} below best axis $axisBest")
+  }
+
   test("ta_tfidf_topterms: contiguous ranks, non-increasing scores, every doc tagged") {
     val rows = operators.TextAnalysisOps.queries("ta_tfidf_topterms")(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
