@@ -505,6 +505,29 @@ object EventOps {
              round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov_vu"))
         .orderBy(col("event_type"))),
 
+    // Exact decimal money aggregation — the production form of this
+    // repo's e6/e2 integer-quantization idiom. DecimalType sums are
+    // exact and associative (no partial-aggregation order sensitivity,
+    // no 2^63 ceiling: Decimal(38,2) holds 10^36 cents), which is what
+    // the scale notes mean by "switch the quantized BIGINT sums to
+    // DECIMAL(38) past ~1e12 rows". The oracle is DuckDB's own DECIMAL
+    // engine — bit-agreement here proves the two decimal
+    // implementations are interchangeable, so the cheaper BIGINT trick
+    // can be swapped for this form at any SF without re-validation.
+    "a_decimal_exact_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("price")).cast("decimal(38,2)").as("sum_price"),
+             sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+                                 - col("disc"))).cast("decimal(38,4)").as("sum_disc_price"),
+             sum(col("qty")).cast("decimal(38,2)").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Union-of-intervals coverage: total distinct time each user is
     // "active" when every event opens a 30-minute activity interval —
     // overlaps merge, so the measure is the union length, not n×30min.
@@ -699,6 +722,16 @@ object EventOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "a_decimal_exact_revenue" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
+        |    AS sum_disc_price,
+        |  sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "retention_cohort_matrix" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
         |  FROM events),
