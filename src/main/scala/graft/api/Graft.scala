@@ -1623,6 +1623,56 @@ object Graft {
     v.select((col("__vj") + 1).cast("int").as("dim"), col("__v_e6").as("pc1_e6"))
   }
 
+  /** Fixed-round full-batch gradient descent for logistic regression —
+    * the distributed TRAINING-step pattern (the optimizer loop a
+    * data-parallel trainer runs, expressed relationally; same family
+    * as pcaTopComponent). Exactness discipline: features quantize to
+    * e6 BIGINTs once; each round's margin is an exact BIGINT dot
+    * product; the sigmoid/residual is the only float (identical scalar
+    * expression both engines); per-element gradient contributions
+    * re-quantize to integers BEFORE the sum, so the weight vector after
+    * every round is bit-identical on any engine.
+    *
+    * Plan per round: margins = one broadcast join of the d-row weight
+    * vector + a rid-grouped exact sum; gradients = one broadcast join
+    * of the n-row residual vector + a j-grouped exact sum. The feature
+    * relation is localCheckpointed once and re-consumed; nothing but
+    * d- and n-row vectors ever move to the driver side of a broadcast.
+    * At 100 TB the residual outgrows a broadcast → the rid join becomes
+    * a co-partitioned shuffle on the already-rid-keyed feature table.
+    *
+    * In: df with idCol, labelCol (0/1 int), vecCol array<float|double>.
+    * Out: (dim 1-based, w_e6) — weights after `steps` rounds, lr=1. */
+  def logisticGdSteps(df: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps in [1,8]: $steps")
+    val x = df.select(col(idCol).as("__rid"), col(labelCol).cast("int").as("__y"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__j", "__xd")))
+      .select(col("__rid"), col("__y"), col("__j"),
+        floor(col("__xd") * 1e6 + 0.5).cast("long").as("__xe"))
+      .localCheckpoint() // consumed 2× per round
+    val n = df.agg(count(lit(1)).as("__nn"))
+    var w = x.select(col("__j").as("__wj")).distinct()
+      .select(col("__wj"), lit(0L).as("__we"))
+    for (_ <- 1 to steps) {
+      val margins = x.join(broadcast(w), col("__j") === col("__wj"))
+        .groupBy(col("__rid"), col("__y"))
+        .agg(sum(col("__we") * col("__xe")).as("__mq"))
+      val resid = margins.select(col("__rid"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("__mq") / 1e12))) - col("__y")).as("__rr"))
+      val grad = x.join(broadcast(resid), "__rid")
+        .groupBy(col("__j"))
+        .agg(sum(floor(col("__rr") * col("__xe") + 0.5).cast("long")).as("__gq"))
+      w = w.join(grad, col("__wj") === col("__j"))
+        .crossJoin(broadcast(n))
+        .select(col("__wj"),
+          (col("__we") - floor(col("__gq") / col("__nn") + 0.5).cast("long"))
+            .as("__we"))
+        .localCheckpoint()
+    }
+    w.select((col("__wj") + 1).cast("int").as("dim"), col("__we").as("w_e6"))
+  }
+
   /** Weekly cohort retention matrix. In: (keyCol, tsCol). Out:
     * (cohort_week, week_offset, n_active, n_cohort, retention). */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {

@@ -585,6 +585,18 @@ object RetrievalOps {
                 col("mean_e6"), col("min_e6"), col("max_e6"))
         .orderBy(col("dim"))),
 
+    // Three rounds of full-batch logistic-regression gradient descent
+    // (label ≥ 5 as the binary target) — the distributed training-step
+    // pattern; see Graft.logisticGdSteps for the exactness discipline.
+    // The DuckDB oracle unrolls the identical three rounds.
+    "ml_logreg_gd3" -> ((s, dir) =>
+      graft.api.Graft.logisticGdSteps(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), (col("label") >= 5).cast("int").as("y"),
+                    col("embedding")),
+          "vec_id", "y", "embedding", steps = 3)
+        .orderBy(col("dim"))),
+
     // Top principal component by 3-round power iteration — see
     // Graft.pcaTopComponent for the exactness discipline (e9-quantized
     // covariance terms, BIGINT matvecs, identical scalar float exprs).
@@ -1002,6 +1014,36 @@ object RetrievalOps {
         |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
         |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "ml_logreg_gd3" ->
+      """WITH e AS (SELECT vec_id AS rid, (label >= 5)::INT AS y,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT rid, y, generate_subscripts(v, 1) - 1 AS j,
+        |    floor(unnest(v) * 1e6 + 0.5)::BIGINT AS xe FROM e),
+        |n AS (SELECT count(*)::BIGINT AS nn FROM e),
+        |w0 AS (SELECT DISTINCT j AS wj, 0::BIGINT AS we FROM x),
+        |m1 AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+        |  FROM x JOIN w0 ON j = wj GROUP BY rid, y),
+        |r1 AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr FROM m1),
+        |g1 AS (SELECT j, sum(floor(rr * xe + 0.5)::BIGINT)::BIGINT AS gq
+        |  FROM x JOIN r1 USING (rid) GROUP BY j),
+        |w1 AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
+        |  FROM w0 JOIN g1 ON wj = j CROSS JOIN n),
+        |m2 AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+        |  FROM x JOIN w1 ON j = wj GROUP BY rid, y),
+        |r2 AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr FROM m2),
+        |g2 AS (SELECT j, sum(floor(rr * xe + 0.5)::BIGINT)::BIGINT AS gq
+        |  FROM x JOIN r2 USING (rid) GROUP BY j),
+        |w2 AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
+        |  FROM w1 JOIN g2 ON wj = j CROSS JOIN n),
+        |m3 AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+        |  FROM x JOIN w2 ON j = wj GROUP BY rid, y),
+        |r3 AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr FROM m3),
+        |g3 AS (SELECT j, sum(floor(rr * xe + 0.5)::BIGINT)::BIGINT AS gq
+        |  FROM x JOIN r3 USING (rid) GROUP BY j),
+        |w3 AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
+        |  FROM w2 JOIN g3 ON wj = j CROSS JOIN n)
+        |SELECT (wj + 1)::INT AS dim, we AS w_e6 FROM w3 ORDER BY dim""".stripMargin,
 
     "v_pca_power" ->
       """WITH e AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS v FROM embeddings),

@@ -137,6 +137,25 @@ class BatchCOpsSpec extends SparkSpec {
       s"top component variance ${cquad(v3)} below best axis $axisBest")
   }
 
+  test("ml_logreg_gd3: three GD rounds reduce the training log-loss below ln(2)") {
+    val w = operators.RetrievalOps.queries("ml_logreg_gd3")(spark, sf)
+      .orderBy(col("dim")).collect()
+      .map(_.getAs[Long]("w_e6").toDouble / 1e6)
+    assert(w.exists(_ != 0.0), "training moved the weights")
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"), (col("label") >= 5).cast("int"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    def loss(wv: Array[Double]): Double = rows.map { case (v, y) =>
+      val m = v.indices.map(i => wv(i) * v(i)).sum
+      math.log1p(math.exp(-m * (2 * y - 1))) // -ln σ(m·±1), stable form
+    }.sum / rows.length
+    val l0 = loss(Array.fill(w.length)(0.0))
+    val l3 = loss(w)
+    assert(math.abs(l0 - math.log(2)) < 1e-12)
+    assert(l3 < l0, s"log-loss did not improve: $l3 >= $l0")
+  }
+
   test("ta_tfidf_topterms: contiguous ranks, non-increasing scores, every doc tagged") {
     val rows = operators.TextAnalysisOps.queries("ta_tfidf_topterms")(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))
