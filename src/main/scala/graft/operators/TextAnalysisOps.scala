@@ -122,30 +122,14 @@ object TextAnalysisOps {
     // curation "novelty score" used to down-weight templated/boilerplate
     // sources, and at 100 TB it is the same first-wins shape as
     // dedup_incremental: nothing ever compares documents pairwise.
-    "ta_ngram_novelty" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val tris = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && size(toks) >= 3)
-        .select(col("lang"), col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i),
-              element_at(toks, i + 1), element_at(toks, i + 2))))).as("tri"))
-      val first = tris.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
-      tris.join(first, "tri")
-        .groupBy(col("lang"), col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"),
-             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-               .as("n_novel"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_tri")).as("sum_tri"),
-             sum(col("n_novel")).as("sum_novel"))
+    // Single-sourced in Graft.ngramNovelty: one materialized split, one
+    // vocab-bounded first-occurrence aggregate, join-free attribution.
+    "ta_ngram_novelty" -> ((s, dir) =>
+      graft.api.Graft.ngramNovelty(
+          Tables.documents(s, dir), "lang", "doc_id", "text")
         .select(col("lang"), col("n_docs"), col("sum_tri"), col("sum_novel"),
-          round(col("sum_novel").cast("double") / col("sum_tri").cast("double"), 6)
-            .as("novelty"))
-        .orderBy(col("lang"))
-    }),
+                col("novelty"))
+        .orderBy(col("lang"))),
 
     // Repetition signals (the Gopher-rule family): duplicate-bigram
     // fraction and most-frequent-token share — the standard cheap
