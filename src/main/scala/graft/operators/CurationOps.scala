@@ -251,10 +251,15 @@ object CurationOps {
     // only exchanges are the two count aggregations (map-side partial,
     // B-bounded) and the final doc_id re-agg.
     "curate_dsir_weights" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
       val B = 1024
+      // split ONCE into a materialized column: element_at inside the
+      // transform lambda gets no common-subexpression elimination, so an
+      // inline split re-tokenizes per access — O(n²) per document
+      val toks = col("__t")
       val feats = Tables.documentsSpread(s, dir)
-        .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("__t"))
+        .filter(size(toks) >= 2)
         .select(col("doc_id"), col("source"), explode(transform(
           sequence(lit(1), size(toks) - 1),
           i => conv(substring(md5(concat_ws(" ",

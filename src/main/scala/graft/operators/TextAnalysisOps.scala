@@ -218,9 +218,14 @@ object TextAnalysisOps {
     // doc-keyed re-aggregation. Three linear exchanges, no text moves
     // after tokenization.
     "ta_lm_perplexity" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
+      // split ONCE into a materialized column: element_at inside the
+      // transform lambda gets no common-subexpression elimination, so an
+      // inline split re-tokenizes per access — O(n²) per document
+      val toks = col("__t")
       val bg = Tables.documentsSpread(s, dir)
-        .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 2)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .filter(size(toks) >= 2)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), size(toks) - 1),
           i => struct(element_at(toks, i).as("w1"),
