@@ -68,7 +68,8 @@ object LayoutOps {
     (liName, ordName)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Fact-fact join through bucketed co-located layout: revenue by order
     // priority. Both scans carry their bucket hash distribution into the
     // join, so the plan has no shuffle exchange at all (spec-asserted);
@@ -174,6 +175,31 @@ object LayoutOps {
         .select(col("lang"), col("source"), col("n"), col("l_distinct"),
                 (col("l_distinct") >= 3).cast("int").as("diverse"))
         .orderBy(col("lang"), col("source")))
+  ) ++ Map(
+
+    // t-closeness audit — the third rung of the release-gating ladder
+    // (k-anonymity: groups big enough; l-diversity: sensitive values
+    // varied enough; t-closeness: the group's sensitive DISTRIBUTION
+    // close enough to the global one that membership leaks nothing).
+    // For an ordinal sensitive attribute the Earth Mover's Distance is
+    // the mean absolute CDF gap: EMD = Σ_i |F_g(i) − F(i)| / (m−1).
+    // Kept EXACT until the last step: per band, |cum_g·n − cum_all·n_g|
+    // is an integer (≤ ~4e9, fits BIGINT), the t ≤ 0.2 gate compares
+    // 5·Σ against n_g·n·(m−1) in integers — no FP in the verdict.
+    // Scale shape: two histogram aggregations over raw data, then the
+    // CDF grid is |QI-groups|×|bands| rows built from a BROADCAST of
+    // the band histogram (value-domain-bounded); the global cum window
+    // runs over |bands| rows only.
+    // Single-sourced in Graft.tClosenessAudit (generic over QI columns
+    // and the t = num/den gate).
+    "privacy_t_closeness" -> ((s, dir) =>
+      graft.api.Graft.tClosenessAudit(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("source"),
+                    floor(col("n_chars") / 100).cast("long").as("band")),
+          Seq("lang", "source"), "band", tNum = 1, tDen = 5)
+        .withColumnRenamed("close", "close_02")
+        .orderBy(col("lang"), col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -212,6 +238,34 @@ object LayoutOps {
         |  count(DISTINCT (n_chars // 100))::BIGINT AS l_distinct,
         |  (count(DISTINCT (n_chars // 100)) >= 3)::INT AS diverse
         |FROM documents GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin
+        |ORDER BY lang, source""".stripMargin,
+    "privacy_t_closeness" ->
+      """WITH d AS (SELECT lang, source, (n_chars // 100)::BIGINT AS band
+        |  FROM documents),
+        |bands AS (SELECT band, count(*) AS n_b FROM d GROUP BY band),
+        |bc AS (SELECT band, sum(n_b) OVER (ORDER BY band) AS cum_all,
+        |    (SELECT sum(n_b) FROM bands) AS n_total,
+        |    (SELECT count(*) FROM bands) AS m FROM bands),
+        |g AS (SELECT lang, source, count(*) AS n_g FROM d
+        |  GROUP BY lang, source),
+        |gb AS (SELECT lang, source, band, count(*) AS c_gb FROM d
+        |  GROUP BY lang, source, band),
+        |grid AS (SELECT g.lang, g.source, g.n_g, bc.band, bc.cum_all,
+        |    bc.n_total, bc.m,
+        |    sum(coalesce(gb.c_gb, 0)) OVER (PARTITION BY g.lang, g.source
+        |      ORDER BY bc.band) AS cum_g
+        |  FROM g CROSS JOIN bc
+        |  LEFT JOIN gb ON gb.lang = g.lang AND gb.source = g.source
+        |    AND gb.band = bc.band),
+        |agg AS (SELECT lang, source, max(n_g) AS n,
+        |    sum(abs(cum_g * n_total - cum_all * n_g)) AS t_num,
+        |    max(m) AS m, max(n_total) AS n_total
+        |  FROM grid GROUP BY lang, source)
+        |SELECT lang, source, n::BIGINT AS n, t_num::BIGINT AS t_num,
+        |  CASE WHEN m > 1 THEN round(t_num::DOUBLE /
+        |    (n * n_total * (m - 1))::DOUBLE, 6) ELSE 0.0 END AS emd,
+        |  CASE WHEN m > 1 THEN
+        |    (t_num * 5 <= n * n_total * (m - 1))::INT ELSE 1 END AS close_02
+        |FROM agg ORDER BY lang, source""".stripMargin
   )
 }

@@ -48,6 +48,34 @@ object StatSketchOps {
   private def pctLow(pct: Int): Column =
     min(when(col("cum") * 100 >= col("total") * pct, col("v"))).cast("long")
 
+  /** 64-register HLL sketch rows `(__k, r, m)` over the md5 of `id`:
+    * register = low 6 hash bits, m = max leading-zero rank (1..27) of
+    * the remaining 26. Mergeable by max() — the law StatSketchOpsSpec
+    * asserts. */
+  private[graft] def hllRegisters(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val v = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    df.select(key.as("__k"), v.bitwiseAND(63).as("r"), shiftright(v, 6).as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(27))
+        .otherwise(lit(27) - length(bin(col("w")))))
+      .groupBy(col("__k"), col("r"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL estimate from [[hllRegisters]] rows, with the standard
+    * small-range linear-counting correction. Out: (__k, v_regs,
+    * hll_est). Every FP step before the final division/round is exact
+    * (dyadic 2^-m terms; ≤64-term sums fit a double's mantissa). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("v_regs"),
+           sum(pow(lit(2.0), -col("m"))).as("s_occ"))
+      .withColumn("raw", lit(0.709 * 64 * 64) /
+        (col("s_occ") + (lit(64) - col("v_regs"))))
+      .select(col("__k"), col("v_regs"),
+        round(when(col("raw") <= 160 && col("v_regs") < 64,
+            lit(64.0) * log(lit(64.0) / (lit(64) - col("v_regs"))))
+          .otherwise(col("raw")), 2).as("hll_est"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Grouped exact quantiles FROM THE SKETCH: one groupBy shuffle to
     // the histogram, windows over |types|×|cents| rows only. p25..p90
@@ -191,6 +219,31 @@ object StatSketchOps {
         .groupBy(col("longest").as("streak_len"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("streak_len"))
+    }),
+
+    // HyperLogLog registers AS DATA: per event type, the 64-register
+    // HLL sketch of distinct users, built from the cross-engine md5
+    // idiom (register = low 6 hash bits, rho = leading-zero rank of
+    // the remaining 26). Registers are rows, so the sketch merges by
+    // max() exactly the way the quantile histogram merges by sum()
+    // (law spec-asserted) — at 100 TB you persist the 64-row sketch
+    // per partition/day and fold, never re-scanning raw events, and
+    // the count-distinct shuffle is 64 rows per group instead of
+    // |group|×|user|. Every FP step in the estimate is EXACT: the
+    // 2^-m terms are dyadic rationals whose ≤64-term sum fits well
+    // inside a double's 53-bit mantissa, so summation order cannot
+    // change the value; the only rounding is the final division.
+    // Exact distinct emitted alongside (spec bounds relative error).
+    "a_hll_cardinality" -> ((s, dir) => {
+      // small-range correction inside hllEstimate: below 2.5·m with
+      // empty registers, linear counting m·ln(m/empty) beats the raw
+      // estimator (raw was 3.5× off at 15 true distinct; lc: 17.1)
+      val est = hllEstimate(hllRegisters(Tables.events(s, dir),
+          col("event_type"), col("user_id")))
+        .withColumnRenamed("__k", "event_type")
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type").orderBy(col("event_type"))
     })
   )
 
@@ -276,6 +329,25 @@ object StatSketchOps {
         |  GROUP BY user_id, grp),
         |l AS (SELECT user_id, max(streak) AS longest FROM s GROUP BY user_id)
         |SELECT longest::BIGINT AS streak_len, count(*)::BIGINT AS n_users
-        |FROM l GROUP BY longest ORDER BY streak_len""".stripMargin
+        |FROM l GROUP BY longest ORDER BY streak_len""".stripMargin,
+    "a_hll_cardinality" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS v
+        |  FROM events),
+        |b AS (SELECT event_type, v & 63 AS r, v >> 6 AS w FROM h),
+        |regs AS (SELECT event_type, r,
+        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS m
+        |  FROM b GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS v_regs,
+        |    sum(pow(2.0, -m)) AS s_occ FROM regs GROUP BY 1),
+        |raw AS (SELECT event_type, v_regs,
+        |    0.709 * 64 * 64 / (s_occ + (64 - v_regs)) AS raw FROM agg),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT r.event_type, v_regs::BIGINT AS v_regs,
+        |  round(CASE WHEN raw <= 160 AND v_regs < 64
+        |    THEN 64.0 * ln(64.0 / (64 - v_regs)) ELSE raw END, 2) AS hll_est,
+        |  exact_distinct::BIGINT AS exact_distinct
+        |FROM raw r JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   )
 }

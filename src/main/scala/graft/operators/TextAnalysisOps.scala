@@ -20,7 +20,8 @@ object TextAnalysisOps {
   private val trigramsSqlExpr =
     "list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)), i -> substr(text, i, 3)))"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Language-ID: textcat-style n-gram profiles. Per-language profile =
     // top-20 trigrams by corpus frequency (deterministic tie-break);
     // prediction = argmax profile overlap. Output = confusion matrix.
@@ -376,6 +377,24 @@ object TextAnalysisOps {
         .select(col("doc_id"), col("rank"), col("term"),
                 round(col("score_e6") / 1e6, 4).as("tfidf"))
         .orderBy(col("doc_id"), col("rank")))
+  ) ++ Map(
+
+    // Collocation extraction by pointwise mutual information — the
+    // classic "new york"-detector for tokenizer/vocab curation: PMI =
+    // ln(c2·N / (cl·cr)) over BIGRAM-marginal counts, so every input
+    // to the log is an exact integer product (≤1e10, exactly a double)
+    // and the quantized pmi_e6 is the ta_lm_perplexity micros
+    // discipline. Marginals cl/cr derive FROM the c2 table itself
+    // (groupBy w1 / w2 sums) — the corpus is tokenized once, the
+    // checkpointed vocab²-bounded c2 table feeds all three consumers,
+    // and top-20 is a TakeOrdered under a TOTAL order (pmi desc, w1,
+    // w2), so ties cannot flap across engines. At 100 TB: one bigram
+    // count shuffle (map-side partial, vocab²-bounded), everything
+    // after runs on count tables.
+    // Single-sourced in Graft.collocationsPmi.
+    "ta_collocations_pmi" -> ((s, dir) =>
+      graft.api.Graft.collocationsPmi(
+        Tables.documentsSpread(s, dir), "text", minCount = 5, k = 20))
   )
 
   def oracles: Map[String, String] = Map(
@@ -588,6 +607,22 @@ object TextAnalysisOps {
         |  round((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE) /
         |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
         |    AS tokens_intercept
-        |FROM a ORDER BY lang""".stripMargin
+        |FROM a ORDER BY lang""".stripMargin,
+    "ta_collocations_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |l AS (SELECT w1, sum(c2) AS cl FROM c2 GROUP BY w1),
+        |r AS (SELECT w2, sum(c2) AS cr FROM c2 GROUP BY w2),
+        |n AS (SELECT sum(c2) AS n_bigrams FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2::BIGINT AS c2,
+        |  floor(ln(c2.c2::DOUBLE * n_bigrams::DOUBLE /
+        |           (cl::DOUBLE * cr::DOUBLE)) * 1000000 + 0.5)::BIGINT
+        |    AS pmi_e6
+        |FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |WHERE c2.c2 >= 5
+        |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

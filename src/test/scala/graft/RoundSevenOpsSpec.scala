@@ -264,4 +264,63 @@ class RoundSevenOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ta_collocations_pmi: scores replay from independent bigram counts; top-20 is totally ordered") {
+    import spark.implicits._
+    val got = operators.TextAnalysisOps.queries("ta_collocations_pmi")(spark, sf).collect()
+    assert(got.length == 20)
+    // independent count replay (driver-side, no Spark expressions shared
+    // with the operator)
+    val bigrams = Tables.documents(spark, sf)
+      .filter($"text".isNotNull).select($"text").collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cl = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cr = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = bigrams.length.toLong
+    got.foreach { r =>
+      val (w1, w2, cnt, pmi) = (r.getString(0), r.getString(1),
+        r.getAs[Long]("c2"), r.getAs[Long]("pmi_e6"))
+      assert(cnt == c2((w1, w2)), s"count mismatch for ($w1,$w2)")
+      assert(cnt >= 5)
+      val want = math.floor(math.log(
+        cnt.toDouble * n / (cl(w1).toDouble * cr(w2).toDouble)) * 1e6 + 0.5).toLong
+      assert(pmi == want, s"pmi mismatch for ($w1,$w2): $pmi vs $want")
+    }
+    // the emitted order is the total order (desc pmi, w1, w2)
+    val keys = got.map(r => (-r.getAs[Long]("pmi_e6"), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "top-20 not in the claimed total order")
+  }
+
+  test("privacy_t_closeness: matches a driver-side exact-integer EMD replay") {
+    import spark.implicits._
+    val got = operators.LayoutOps.queries("privacy_t_closeness")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // independent replay from raw rows
+    val raw = Tables.documents(spark, sf)
+      .select($"lang", $"source", ($"n_chars" / 100).cast("long").as("band"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bands = raw.map(_._3).distinct.sorted
+    val m = bands.length.toLong
+    val nTotal = raw.length.toLong
+    val cumAll = bands.map(b => b -> raw.count(_._3 <= b).toLong).toMap
+    got.foreach { r =>
+      val (lang, source) = (r.getString(0), r.getString(1))
+      val grp = raw.filter(x => x._1 == lang && x._2 == source)
+      val nG = grp.length.toLong
+      assert(r.getAs[Long]("n") == nG)
+      val tNum = bands.map { b =>
+        math.abs(grp.count(_._3 <= b).toLong * nTotal - cumAll(b) * nG)
+      }.sum
+      assert(r.getAs[Long]("t_num") == tNum, s"$lang/$source: t_num mismatch")
+      val denom = nG * nTotal * (m - 1)
+      val emd = r.getAs[Double]("emd")
+      assert(emd >= 0.0 && emd <= 1.0, s"EMD out of range: $r")
+      assert(math.abs(emd - tNum.toDouble / denom) < 1e-6)
+      // the release gate is the exact integer comparison, not the
+      // rounded double
+      assert(r.getAs[Int]("close_02") == (if (tNum * 5 <= denom) 1 else 0))
+    }
+  }
 }

@@ -250,4 +250,35 @@ class StatSketchOpsSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("a_hll_cardinality: register sketch merge law — max-merge of disjoint halves equals full rebuild") {
+    val ev = Tables.events(spark, sf)
+    def regs(df: DataFrame): DataFrame =
+      StatSketchOps.hllRegisters(df, col("event_type"), col("user_id"))
+    // disjoint split on event_id parity — the per-partition/day shape a
+    // 100 TB pipeline persists; MERGE = union + re-max (registers are
+    // max-mergeable, nothing is approximate about the merge itself)
+    val a = regs(ev.filter(col("event_id") % 2 === 0))
+    val b = regs(ev.filter(col("event_id") % 2 === 1))
+    val merged = a.union(b).groupBy(col("__k"), col("r"))
+      .agg(max(col("m")).as("m"))
+      .orderBy(col("__k"), col("r")).collect()
+    val full = regs(ev).orderBy(col("__k"), col("r")).collect()
+    assert(full.nonEmpty)
+    assert(merged.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "max-merged registers diverge from full rebuild — merge law broken")
+  }
+
+  test("a_hll_cardinality: estimate is within 20% of exact at this SF") {
+    val rows = StatSketchOps.queries("a_hll_cardinality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) =
+        (r.getAs[Double]("hll_est"), r.getAs[Long]("exact_distinct"))
+      assert(exact > 0)
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"${r.getString(0)}: HLL est $est vs exact $exact out of tolerance")
+      assert(r.getAs[Long]("v_regs") <= 64)
+    }
+  }
 }
