@@ -244,6 +244,56 @@ object StatSketchOps {
       val exact = Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       est.join(exact, "event_type").orderBy(col("event_type"))
+    }),
+
+    // Grouped two-feature OLS (value_cents ~ hour-of-day + day-of-week)
+    // by CRAMER'S RULE over exact integer moment sums: the 3×3 normal-
+    // equation determinants are computed in decimal(38,0) (HUGEINT in
+    // the oracle) — integer-exact to ~1e27, far past what BIGINT holds
+    // — so every engine-order effect is gone and the only FP is the
+    // final det-ratio division. This is a_regr_slope_by_lang's closed
+    // form lifted to 2 regressors: the map-side moment vector (n, Σx₁,
+    // Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y) partial-aggregates, one
+    // |groups|-row shuffle, and the solve is per-group scalar algebra
+    // — the same shape at 100 TB, no feature matrix ever materializes.
+    "a_regr_plane" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+               f: Column, g: Column, h: Column, i: Column): Column =
+        a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+                hour(col("ts")).cast("long").as("x1"),
+                dayofweek(col("ts")).cast("long").as("x2"),
+                floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      val m = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+             sum(col("y")).as("sy"),
+             sum(col("x1") * col("x1")).as("s11"),
+             sum(col("x1") * col("x2")).as("s12"),
+             sum(col("x2") * col("x2")).as("s22"),
+             sum(col("x1") * col("y")).as("s1y"),
+             sum(col("x2") * col("y")).as("s2y"))
+        .select(col("event_type") +: Seq("n", "s1", "s2", "sy", "s11",
+          "s12", "s22", "s1y", "s2y").map(c => col(c).cast(d38).as(c)): _*)
+      val dd  = det3(col("n"), col("s1"), col("s2"),
+                     col("s1"), col("s11"), col("s12"),
+                     col("s2"), col("s12"), col("s22"))
+      val d0  = det3(col("sy"), col("s1"), col("s2"),
+                     col("s1y"), col("s11"), col("s12"),
+                     col("s2y"), col("s12"), col("s22"))
+      val d1  = det3(col("n"), col("sy"), col("s2"),
+                     col("s1"), col("s1y"), col("s12"),
+                     col("s2"), col("s2y"), col("s22"))
+      val d2  = det3(col("n"), col("s1"), col("sy"),
+                     col("s1"), col("s11"), col("s1y"),
+                     col("s2"), col("s12"), col("s2y"))
+      m.select(col("event_type"), col("n").cast("long").as("n"),
+          round(d0.cast("double") / dd.cast("double"), 6).as("b0_cents"),
+          round(d1.cast("double") / dd.cast("double"), 6).as("b1_per_hour"),
+          round(d2.cast("double") / dd.cast("double"), 6).as("b2_per_dow"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -348,6 +398,32 @@ object StatSketchOps {
         |  round(CASE WHEN raw <= 160 AND v_regs < 64
         |    THEN 64.0 * ln(64.0 / (64 - v_regs)) ELSE raw END, 2) AS hll_est,
         |  exact_distinct::BIGINT AS exact_distinct
-        |FROM raw r JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+        |FROM raw r JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    // DuckDB dayofweek is Sunday=0..6; Spark's is Sunday=1..7 → +1
+    "a_regr_plane" ->
+      """WITH e AS (SELECT event_type, hour(ts)::BIGINT AS x1,
+        |    (dayofweek(ts) + 1)::BIGINT AS x2,
+        |    floor(value * 100 + 0.5)::BIGINT AS y FROM events),
+        |m AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+        |    sum(y)::HUGEINT AS sy, sum(x1*x1)::HUGEINT AS s11,
+        |    sum(x1*x2)::HUGEINT AS s12, sum(x2*x2)::HUGEINT AS s22,
+        |    sum(x1*y)::HUGEINT AS s1y, sum(x2*y)::HUGEINT AS s2y
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT event_type, n::BIGINT AS n,
+        |    (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2)) AS dd,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y)) AS d0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2)) AS d1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2)) AS d2
+        |  FROM m)
+        |SELECT event_type, n,
+        |  round(d0::DOUBLE / dd::DOUBLE, 6) AS b0_cents,
+        |  round(d1::DOUBLE / dd::DOUBLE, 6) AS b1_per_hour,
+        |  round(d2::DOUBLE / dd::DOUBLE, 6) AS b2_per_dow
+        |FROM d ORDER BY event_type""".stripMargin
   )
 }

@@ -91,6 +91,37 @@ object TimeSeriesOps {
           round((col("hod_cnt") * col("total_hours")).cast("double") /
                 (col("hod_hours") * col("total_cnt")), 6).as("seasonal_idx"))
         .orderBy(col("event_type"), col("hod"))
+    }),
+
+    // Seasonal-baseline anomaly census — the deseasonalized 3σ outlier
+    // gate: per (event_type, hour-of-day) baseline (n, Σ, Σ²) in exact
+    // integer cents, then flag rows where (v·n − S)² > 9·(n·SS − S²) —
+    // the 3σ rule cross-multiplied into PURE INTEGER form, so the
+    // verdict has no FP anywhere (a naive |v−μ| > 3σ compares two
+    // rounded doubles and can flip at the boundary across engines).
+    // decimal(38,0) keeps the squares exact at any n (BIGINT squares
+    // overflow past v·n ≈ 3e9). Scale shape: one |type|×24 baseline
+    // aggregate broadcast back onto the fact stream — the flag pass is
+    // map-side; output is the |type|×24 census, never row-level.
+    "ts_seasonal_anomaly" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+                floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val base = ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+             sum(col("v") * col("v")).as("ss"))
+      ev.join(broadcast(base), Seq("event_type", "hod"))
+        .withColumn("lhs",
+          (col("v").cast(d38) * col("n") - col("s")) *
+          (col("v").cast(d38) * col("n") - col("s")))
+        .withColumn("rhs",
+          lit(9).cast(d38) * (col("n").cast(d38) * col("ss") -
+                              col("s").cast(d38) * col("s")))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(max(col("n")).as("n"),
+             sum((col("lhs") > col("rhs")).cast("long")).as("n_anomalies"))
+        .orderBy(col("event_type"), col("hod"))
     })
   )
 
@@ -170,6 +201,18 @@ object TimeSeriesOps {
         |  round((hod_cnt * total_hours)::DOUBLE / (hod_hours * total_cnt), 6)
         |    AS seasonal_idx
         |FROM hod JOIN t ON event_type = t_type
-        |ORDER BY event_type, hod""".stripMargin
+        |ORDER BY event_type, hod""".stripMargin,
+    "ts_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type, hour(ts)::BIGINT AS hod,
+        |    floor(value * 100 + 0.5)::BIGINT AS v FROM events),
+        |b AS (SELECT event_type, hod, count(*) AS n, sum(v) AS s,
+        |    sum(v::HUGEINT * v) AS ss FROM e GROUP BY event_type, hod)
+        |SELECT e.event_type, e.hod, max(n)::BIGINT AS n,
+        |  sum(((v::HUGEINT * n - s) * (v::HUGEINT * n - s) >
+        |       9::HUGEINT * (n::HUGEINT * ss - s::HUGEINT * s))::INT)::BIGINT
+        |    AS n_anomalies
+        |FROM e JOIN b ON e.event_type = b.event_type AND e.hod = b.hod
+        |GROUP BY e.event_type, e.hod
+        |ORDER BY e.event_type, e.hod""".stripMargin
   )
 }

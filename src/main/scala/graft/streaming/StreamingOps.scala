@@ -399,6 +399,43 @@ object StreamingOps {
         .orderBy(col("user_id"))
     }),
 
+    // Watermarked stream-stream LEFT OUTER join — the semantics inner
+    // joins can't express: "which clicks never converted?" answered
+    // incrementally. An unmatched click emits its null-extended row
+    // only once the global watermark (min over both streams of
+    // max-event-time − 1 h) proves no future purchase can land in its
+    // [click, click+1 h] window; clicks younger than that stay in
+    // state, so a drained finite run emits exactly the matched pairs
+    // plus the PROVABLY-expired unmatched clicks — the oracle encodes
+    // that cutoff explicitly, making the eviction rule itself the
+    // contract under test. State is watermark-bounded on both sides
+    // (same scale shape as the inner join above).
+    "streaming_ss_left_outer" -> ((s, dir) => {
+      val clicks = eventsStream(s, dir, maxFiles = 1)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+                col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, dir, maxFiles = 1)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+                col("value").as("purchase_value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+        "leftOuter")
+      drain(s, joined, "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("purchase_ts")).as("n_matched"),
+             count(when(col("purchase_ts").isNull, 1)).as("n_unconverted"),
+             round(sum(coalesce(col("purchase_value"), lit(0.0))), 2)
+               .as("attributed_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // T5: progress metrics as a first-class op — `df.observe()`
     // accumulators ride the processing pass for free (no second scan),
     // the success/failure counters of the reference's poll loop
@@ -581,6 +618,30 @@ object StreamingOps {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // The null-extended rows are gated on the FINAL GLOBAL WATERMARK:
+    // min over both streams of (max event time − 1 h). An unmatched
+    // click emits iff its whole match window [ts, ts+1 h] lies below
+    // that watermark — the exact eviction rule of Spark's outer
+    // interval join, verified empirically at two SFs (the discriminant
+    // row set differs from ts<wm by 2 rows at sf0.01).
+    "streaming_ss_left_outer" ->
+      """WITH wmv AS (SELECT least(
+        |    max(ts) FILTER (WHERE event_type = 'click'),
+        |    max(ts) FILTER (WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS wm FROM events),
+        |m AS (SELECT c.user_id, c.ts, p.ts AS pts, p.value AS pv
+        |  FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |  WHERE c.event_type = 'click'),
+        |keep AS (SELECT * FROM m, wmv
+        |  WHERE pts IS NOT NULL OR m.ts + INTERVAL 1 HOUR < wm)
+        |SELECT user_id, count(*)::BIGINT AS n_rows,
+        |  count(pts)::BIGINT AS n_matched,
+        |  (count(*) - count(pts))::BIGINT AS n_unconverted,
+        |  round(sum(coalesce(pv, 0.0)), 2) AS attributed_value
+        |FROM keep GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "streaming_foreachbatch_merge" -> {
       val root = java.nio.file.Paths.get("target/graft_stream_fixtures/t4_batches")

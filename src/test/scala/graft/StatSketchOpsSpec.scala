@@ -269,6 +269,34 @@ class StatSketchOpsSpec extends SparkSpec {
       "max-merged registers diverge from full rebuild — merge law broken")
   }
 
+  test("a_regr_plane: coefficients replay from exact BigInt Cramer determinants") {
+    val got = StatSketchOps.queries("a_regr_plane")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+              dayofweek(col("ts")).cast("long"),
+              floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0))
+      val n = BigInt(g.length)
+      def S(f: ((String, Long, Long, Long)) => BigInt) = g.map(f).sum
+      val (s1, s2, sy) = (S(x => BigInt(x._2)), S(x => BigInt(x._3)), S(x => BigInt(x._4)))
+      val s11 = S(x => BigInt(x._2) * x._2); val s12 = S(x => BigInt(x._2) * x._3)
+      val s22 = S(x => BigInt(x._3) * x._3); val s1y = S(x => BigInt(x._2) * x._4)
+      val s2y = S(x => BigInt(x._3) * x._4)
+      def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+               f: BigInt, gg: BigInt, h: BigInt, i: BigInt) =
+        a * (e * i - f * h) - b * (d * i - f * gg) + c * (d * h - e * gg)
+      val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+      assert(r.getAs[Long]("n") == g.length)
+      assert(math.abs(r.getAs[Double]("b1_per_hour") -
+        (BigDecimal(d1) / BigDecimal(dd)).toDouble) < 2e-6,
+        s"${r.getString(0)}: b1 diverges from exact Cramer replay")
+    }
+  }
+
   test("a_hll_cardinality: estimate is within 20% of exact at this SF") {
     val rows = StatSketchOps.queries("a_hll_cardinality")(spark, sf).collect()
     assert(rows.nonEmpty)

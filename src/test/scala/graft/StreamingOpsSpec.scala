@@ -222,4 +222,43 @@ class StreamingOpsSpec extends SparkSpec {
       ("b2", "ok", 2L, 1600L),
       ("b3", "ok", 1L, 4000L)))
   }
+
+  test("streaming_ss_left_outer: matched half equals the inner join; unmatched are watermark-gated, none lost") {
+    import org.apache.spark.sql.functions._
+    val outer = graft.streaming.StreamingOps
+      .queries("streaming_ss_left_outer")(spark, sf).collect()
+    val inner = graft.streaming.StreamingOps
+      .queries("streaming_stream_stream_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_pairs")).toMap
+    assert(outer.nonEmpty)
+    outer.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("n_matched") + r.getAs[Long]("n_unconverted"))
+      assert(r.getAs[Long]("n_matched") == inner.getOrElse(r.getLong(0), 0L),
+        s"user ${r.getLong(0)}: outer join's matched rows diverge from inner join")
+    }
+    // conservation against batch truth: every click either matched,
+    // emitted as provably-unconverted, or is HELD in state because its
+    // match window still straddles the final watermark — never dropped
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val cond = col("user_id") === col("p_user_id") &&
+      col("p_ts") >= col("ts") &&
+      col("p_ts") <= col("ts") + expr("interval 1 hour")
+    val unmatched = clicks.join(purchases, cond, "left_anti")
+    // final global watermark, at full timestamp precision
+    val wmDf = clicks.agg(max(col("ts")).as("mc"))
+      .crossJoin(purchases.agg(max(col("p_ts")).as("mp")))
+      .select((least(col("mc"), col("mp")) - expr("interval 1 hour")).as("wm"))
+    val heldBack = unmatched.crossJoin(broadcast(wmDf))
+      .filter(!(col("ts") + expr("interval 1 hour") < col("wm"))).count()
+    val emitted = outer.map(_.getAs[Long]("n_rows")).sum
+    val totalClickMatches = inner.values.sum
+    val unmatchedClicks = unmatched.count()
+    assert(heldBack > 0, "fixture should hold at least one tail click in state")
+    assert(emitted == totalClickMatches + (unmatchedClicks - heldBack),
+      "emitted rows must be matches plus watermark-expired unmatched clicks")
+  }
 }

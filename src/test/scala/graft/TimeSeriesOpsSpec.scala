@@ -85,4 +85,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Double]("seasonal_idx") > 0))
     }
   }
+
+  test("ts_seasonal_anomaly: flags replay from the exact-integer 3-sigma rule") {
+    import org.apache.spark.sql.functions._
+    val got = operators.TimeSeriesOps.queries("ts_seasonal_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_anomalies"))).toMap
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+              floor(col("value") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(x => (x._1, x._2)).foreach { case (key, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(x => BigInt(x._3)).sum
+      val ss = rows.map(x => BigInt(x._3) * x._3).sum
+      val rhs = 9 * (n * ss - s * s)
+      val flags = rows.count { x =>
+        val d = BigInt(x._3) * n - s; d * d > rhs
+      }
+      assert(got(key) == (rows.length.toLong, flags.toLong),
+        s"$key: anomaly census mismatch")
+    }
+  }
 }
