@@ -98,6 +98,53 @@ object GraphOps {
           expr("(pair_n * 1000000L) div n_b").as("conf_ba_e6"))
         .orderBy(desc("lift_e6"), col("a"), col("b"))
         .limit(50)
+    }),
+
+    // Two unrolled rounds of synchronous label propagation over the
+    // part co-purchase graph, seeded with p_brand — the community-
+    // detection primitive behind "this cluster of parts sells
+    // together". Each round is ONE neighbor-label join + count + an
+    // argmax via struct-min (no per-node window sort); ties break to
+    // the lexicographically smallest label in both engines, so the
+    // fixed 2-round unroll is closed-form and oracle-checkable.
+    // Output: per-label node census at rounds 0/1/2 — the convergence
+    // story (labels consolidate monotonically on this graph). At
+    // 100 TB each round is a |E|-row equi-join against a |V|-row label
+    // table — the Pregel message pattern expressed relationally; the
+    // unroll becomes a loop with the clusterNearDups checkpoint
+    // discipline.
+    "graph_label_prop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b")) // both rounds join on the neighbor key
+        .localCheckpoint()
+      val labels0 = Tables.part(s, dir)
+        .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+        .join(edges.select(col("a").as("v")).distinct(), "v")
+      def propagate(labels: DataFrame): DataFrame =
+        edges.join(labels.withColumnRenamed("v", "b"), "b")
+          .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("v"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("v"), col("m.lbl").as("lbl"))
+      val l1 = propagate(labels0)
+      val l2 = propagate(l1)
+      def census(df: DataFrame, name: String) =
+        df.groupBy(col("lbl").as("label")).agg(count(lit(1)).as(name))
+      census(labels0, "n0")
+        .join(census(l1, "n1"), Seq("label"), "full")
+        .join(census(l2, "n2"), Seq("label"), "full")
+        .select(col("label"),
+          coalesce(col("n0"), lit(0L)).as("n0"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"))
+        .orderBy(col("label"))
     })
   )
 
@@ -162,6 +209,31 @@ object GraphOps {
         |FROM pairs JOIN item ia ON a = ia.l_partkey
         |JOIN item ib ON b = ib.l_partkey
         |CROSS JOIN nb
-        |ORDER BY lift_e6 DESC, a, b LIMIT 50""".stripMargin
+        |ORDER BY lift_e6 DESC, a, b LIMIT 50""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT p_partkey AS v, p_brand AS lbl FROM part
+        |  WHERE p_partkey IN (SELECT a FROM e)),
+        |c1 AS (SELECT e.a AS v, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON l0.v = e.b GROUP BY e.a, l0.lbl),
+        |l1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a AS v, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON l1.v = e.b GROUP BY e.a, l1.lbl),
+        |l2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |h0 AS (SELECT lbl AS label, count(*) AS n0 FROM l0 GROUP BY lbl),
+        |h1 AS (SELECT lbl AS label, count(*) AS n1 FROM l1 GROUP BY lbl),
+        |h2 AS (SELECT lbl AS label, count(*) AS n2 FROM l2 GROUP BY lbl)
+        |SELECT label, coalesce(n0, 0)::BIGINT AS n0,
+        |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
+        |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
+        |ORDER BY label""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -190,6 +190,38 @@ object LayoutOps {
     // CDF grid is |QI-groups|×|bands| rows built from a BROADCAST of
     // the band histogram (value-domain-bounded); the global cum window
     // runs over |bands| rows only.
+    // Rendezvous (highest-random-weight) sharding — THE consistent
+    // placement primitive for a 100 TB corpus: each key's shard is the
+    // argmax over shards of md5(key:shard), computed ENTIRELY map-side
+    // (an array HOF over the shard list — zero shuffles before the
+    // census), so assignment needs no directory service and no state.
+    // The query emits the 8-shard census plus the stability story for
+    // growing to 9 shards: HRW guarantees a key moves ONLY if the NEW
+    // shard wins it (≈1/9 of keys, each moving TO shard 8) — the
+    // minimal-disruption property consistent hashing is chosen for,
+    // asserted exactly in LayoutOpsSpec. Ties break to the smallest
+    // shard id in both engines (struct max on (w, -s)).
+    "shard_rendezvous" -> ((s, dir) => {
+      def assign(nShards: Int): Column = {
+        val best = array_max(transform(
+          sequence(lit(0), lit(nShards - 1)),
+          sId => struct(
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              sId.cast("string"))), 1, 8), 16, 10).cast("long").as("w"),
+            (-sId).as("ns"))))
+        (-best.getField("ns")).cast("long")
+      }
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("shard8", assign(8))
+        .withColumn("shard9", assign(9))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum((col("shard9") =!= col("shard8")).cast("long")).as("n_moved"))
+        .select(col("shard8"), col("n_docs"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_docs"), 6).as("move_frac"))
+        .orderBy(col("shard8"))
+    }),
+
     // Single-sourced in Graft.tClosenessAudit (generic over QI columns
     // and the t = num/den gate).
     "privacy_t_closeness" -> ((s, dir) =>
@@ -239,6 +271,25 @@ object LayoutOps {
         |  (count(DISTINCT (n_chars // 100)) >= 3)::INT AS diverse
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "shard_rendezvous" ->
+      """WITH a AS (SELECT doc_id, s,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8))
+        |      ::BIGINT AS w
+        |  FROM documents, unnest(range(0, 9)) u(s)),
+        |s8 AS (SELECT doc_id, s AS shard8 FROM (
+        |    SELECT doc_id, s, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        |    FROM a WHERE s < 8) WHERE rn = 1),
+        |s9 AS (SELECT doc_id, s AS shard9 FROM (
+        |    SELECT doc_id, s, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        |    FROM a) WHERE rn = 1)
+        |SELECT shard8::BIGINT AS shard8, count(*)::BIGINT AS n_docs,
+        |  sum((shard9 <> shard8)::INT)::BIGINT AS n_moved,
+        |  round(sum((shard9 <> shard8)::INT)::DOUBLE / count(*), 6)
+        |    AS move_frac
+        |FROM s8 JOIN s9 USING (doc_id)
+        |GROUP BY shard8 ORDER BY shard8""".stripMargin,
     "privacy_t_closeness" ->
       """WITH d AS (SELECT lang, source, (n_chars // 100)::BIGINT AS band
         |  FROM documents),

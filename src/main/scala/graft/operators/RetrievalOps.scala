@@ -201,6 +201,39 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Matryoshka truncated-dimension recall eval — the measurement that
+    // justifies storing/searching HALF the vector: recall@10 of the
+    // 32-dim prefix ranking against the full 64-dim ranking, per query.
+    // Both scores come from ONE pass over the same candidate pairs
+    // (two e6-quantized dots, two windows over the same partitioning →
+    // Spark reuses the exchange); scores are BIGINT so rank ties are
+    // deterministic in both engines. At 100 TB this eval runs on a
+    // hash-sample of queries and decides whether the ANN index (and
+    // every downstream scan) can be built at half width — storage and
+    // shuffle both halve if recall holds.
+    "ann_truncated_recall" -> ((s, dir) => {
+      val cd = corpusMat(s, dir)
+      val q = cd.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val k = 10
+      val scored = cd.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("s_full",
+          floor(dot(col("qv"), col("v")) * 1e6 + 0.5).cast("long"))
+        .withColumn("s_half",
+          floor(dot(slice(col("qv"), 1, 32), slice(col("v"), 1, 32)) * 1e6 + 0.5)
+            .cast("long"))
+        .withColumn("r_full", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("s_full"), col("vec_id"))))
+        .withColumn("r_half", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("s_half"), col("vec_id"))))
+      scored.groupBy(col("qid"))
+        .agg(sum(when(col("r_full") <= k && col("r_half") <= k, 1L)
+               .otherwise(0L)).as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).as("recall10"))
+        .orderBy(col("qid"))
+    }),
+
     // V3 at the 100 TB shape: same exact top-k, but selection via the
     // typed TopKAgg aggregator instead of a window — the k-capped buffer
     // PARTIAL-aggregates map-side, so the exchange moves ≤ k rows per
@@ -766,6 +799,27 @@ object RetrievalOps {
 
     "v3_cosine_topk" -> v3OracleSql,
     "v3_cosine_topk_partial" -> v3OracleSql, // same semantics, different plan
+
+    "ann_truncated_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q.qid, e.vec_id,
+        |    floor(list_sum(list_transform(range(1, 65),
+        |      i -> qv[i] * e.v[i])) * 1000000 + 0.5)::BIGINT AS s_full,
+        |    floor(list_sum(list_transform(range(1, 33),
+        |      i -> qv[i] * e.v[i])) * 1000000 + 0.5)::BIGINT AS s_half
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, vec_id)
+        |      AS r_full,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s_half DESC, vec_id)
+        |      AS r_half
+        |  FROM sc)
+        |SELECT qid, sum((r_full <= 10 AND r_half <= 10)::INT)::BIGINT
+        |    AS n_overlap,
+        |  round(sum((r_full <= 10 AND r_half <= 10)::INT)::DOUBLE / 10, 6)
+        |    AS recall10
+        |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
 
     "retrieval_mmr_rerank" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -293,6 +293,66 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted), "top-20 not in the claimed total order")
   }
 
+  test("shard_rendezvous: HRW minimal disruption — every moved key moves TO the new shard, ~1/9 move") {
+    import spark.implicits._
+    // per-doc assignment replay plus the structural property the
+    // census can't see: growing 8→9 shards moves keys ONLY onto the
+    // new shard (any other move would break HRW's independence)
+    def md5w(id: Long, s: Int): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$s".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val ids = Tables.documents(spark, sf).select($"doc_id").collect().map(_.getLong(0))
+    def assign(id: Long, n: Int): Int =
+      (0 until n).map(s => (md5w(id, s), -s)).max match { case (_, ns) => -ns }
+    val moved = ids.filter(id => assign(id, 9) != assign(id, 8))
+    moved.foreach(id => assert(assign(id, 9) == 8,
+      s"doc $id moved to shard ${assign(id, 9)} — HRW allows moves only onto the NEW shard"))
+    val frac = moved.length.toDouble / ids.length
+    assert(frac > 0.02 && frac < 0.25, s"move fraction $frac implausible for 1/9")
+    // census agrees with the replay
+    val got = operators.LayoutOps.queries("shard_rendezvous")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved"))).toMap
+    val want = ids.groupBy(id => assign(id, 8).toLong).map { case (s, g) =>
+      s -> (g.length.toLong, g.count(id => assign(id, 9) != assign(id, 8)).toLong) }
+    assert(got == want, "census diverges from driver HRW replay")
+  }
+
+  test("ann_truncated_recall: overlap replays from exact double dots; recall bounded") {
+    import spark.implicits._
+    val got = operators.RetrievalOps.queries("ann_truncated_recall")(spark, sf).collect()
+    assert(got.length == 5)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotE6(a: Array[Double], b: Array[Double], d: Int): Long = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }
+      math.floor(s * 1e6 + 0.5).toLong
+    }
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      val cand = vecs.keys.filter(_ != qid).toSeq
+      def top10(d: Int) = cand.map(id => (id, dotE6(vecs(qid), vecs(id), d)))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val overlap = (top10(64) & top10(32)).size.toLong
+      assert(r.getAs[Long]("n_overlap") == overlap, s"q$qid overlap mismatch")
+      assert(r.getAs[Double]("recall10") == overlap / 10.0)
+    }
+  }
+
+  test("graph_label_prop: node mass conserved per round; label set consolidates") {
+    val got = operators.GraphOps.queries("graph_label_prop")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val (n0, n1, n2) = (got.map(_.getAs[Long]("n0")).sum,
+      got.map(_.getAs[Long]("n1")).sum, got.map(_.getAs[Long]("n2")).sum)
+    assert(n0 == n1 && n1 == n2, s"node mass not conserved: $n0/$n1/$n2")
+    val live = (c: String) => got.count(_.getAs[Long](c) > 0)
+    assert(live("n1") <= live("n0") && live("n2") <= live("n1"),
+      "label propagation must never grow the live label set")
+  }
+
   test("privacy_t_closeness: matches a driver-side exact-integer EMD replay") {
     import spark.implicits._
     val got = operators.LayoutOps.queries("privacy_t_closeness")(spark, sf).collect()
