@@ -363,6 +363,34 @@ object EventOps {
     // case; the bucket key is what saves the big-big case). Window set
     // is a deterministic fixture derived from min(ts): 20 windows,
     // irregular spacing/length, all integer epoch-second arithmetic.
+    // Point-in-time (feature-store) join — the lookup every offline
+    // feature pipeline needs: each fact row joined to the dimension
+    // VERSION that was valid at the fact's event time, against the
+    // SCD2 ranges scd2_user_state builds (half-open [valid_from,
+    // valid_to) intervals partition each key's timeline, so every fact
+    // matches EXACTLY one version — conservation spec-asserted; a
+    // training-serving skew bug is exactly a violation of this join).
+    // Plan: user-key equi-join with the range predicate as a join
+    // filter — per-key version counts are bounded, so no interval
+    // machinery is needed; at 100 TB the dimension is the smaller side
+    // and broadcasts or co-partitions on the key either way.
+    "j_point_in_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+      val dim = graft.api.Graft
+        .scd2(ev, "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type").as("state"),
+                col("valid_from"), col("valid_to"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      facts.join(dim, Seq("user_id"))
+        .filter(col("valid_from") <= col("p_ts") &&
+                (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+        .groupBy(col("user_id"), col("state"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .orderBy(col("user_id"), col("state"))
+    }),
+
     "j5_interval_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -891,6 +919,25 @@ object EventOps {
         |string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
         |FROM events WHERE user_id < 10
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "j_point_in_time" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events WHERE user_id < 20),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |r AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c),
+        |f AS (SELECT user_id, ts AS p_ts, floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE user_id < 20 AND event_type = 'purchase')
+        |SELECT f.user_id, r.state, count(*)::BIGINT AS n_purchases,
+        |  sum(cents)::BIGINT AS cents
+        |FROM f JOIN r ON f.user_id = r.user_id
+        |  AND r.valid_from <= f.p_ts
+        |  AND (r.valid_to IS NULL OR f.p_ts < r.valid_to)
+        |GROUP BY f.user_id, r.state
+        |ORDER BY f.user_id, r.state""".stripMargin,
 
     "scd2_user_state" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,

@@ -294,6 +294,40 @@ object StatSketchOps {
           round(d1.cast("double") / dd.cast("double"), 6).as("b1_per_hour"),
           round(d2.cast("double") / dd.cast("double"), 6).as("b2_per_dow"))
         .orderBy(col("event_type"))
+    }),
+
+    // Pearson chi-squared independence test for the event_type ×
+    // day-of-week contingency table — "is traffic mix stable across
+    // the week" as a test statistic, not a plot. Per-cell contribution
+    // (O·N − R·C)²/(N·R·C) with the numerator difference computed in
+    // EXACT long arithmetic (≤4e12, exact as a double) so the only FP
+    // is one square, one product chain, one division per cell — then
+    // E6-QUANTIZED per cell before summing, so the total is an exact
+    // BIGINT sum and no engine's aggregation order can move it. Margins
+    // derive from the cell table (map-side partial to |types|×7 rows);
+    // at 100 TB only the contingency census touches raw data.
+    "a_chi2_independence" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rowM = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val colM = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"),
+                        countDistinct(col("event_type")).as("n_types"),
+                        countDistinct(col("dow")).as("n_dows"))
+      cells.join(broadcast(rowM), "event_type").join(broadcast(colM), "dow")
+        .crossJoin(broadcast(n))
+        .withColumn("d", (col("o") * col("n") - col("r") * col("c"))
+          .cast("double"))
+        .withColumn("contrib_e6", floor(col("d") * col("d") /
+          (col("n").cast("double") * col("r") * col("c")) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy(col("n"), col("n_types"), col("n_dows"))
+        .agg(sum(col("contrib_e6")).as("chi2_e6"))
+        .select(col("n").as("n_rows"), col("n_types"), col("n_dows"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"),
+          round(col("chi2_e6") / 1e6, 4).as("chi2"))
     })
   )
 
@@ -424,6 +458,27 @@ object StatSketchOps {
         |  round(d0::DOUBLE / dd::DOUBLE, 6) AS b0_cents,
         |  round(d1::DOUBLE / dd::DOUBLE, 6) AS b1_per_hour,
         |  round(d2::DOUBLE / dd::DOUBLE, 6) AS b2_per_dow
-        |FROM d ORDER BY event_type""".stripMargin
+        |FROM d ORDER BY event_type""".stripMargin,
+    // DuckDB dayofweek is Sunday=0..6; Spark's is Sunday=1..7 → +1
+    "a_chi2_independence" ->
+      """WITH cells AS (SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
+        |    count(*) AS o FROM events GROUP BY event_type, dow),
+        |rm AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+        |cm AS (SELECT dow, sum(o) AS c FROM cells GROUP BY dow),
+        |nn AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS n_types,
+        |    count(DISTINCT dow) AS n_dows FROM cells),
+        |k AS (SELECT (o * n - r * c)::DOUBLE AS d, n::DOUBLE * r * c AS den,
+        |    n, n_types, n_dows
+        |  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+        |  CROSS JOIN nn),
+        |s AS (SELECT max(n) AS n, max(n_types) AS n_types,
+        |    max(n_dows) AS n_dows,
+        |    sum(floor(d * d / den * 1000000 + 0.5)::BIGINT) AS chi2_e6
+        |  FROM k)
+        |SELECT n::BIGINT AS n_rows, n_types::BIGINT AS n_types,
+        |  n_dows::BIGINT AS n_dows,
+        |  ((n_types - 1) * (n_dows - 1))::BIGINT AS df,
+        |  round(chi2_e6 / 1000000.0, 4) AS chi2
+        |FROM s""".stripMargin
   )
 }

@@ -122,6 +122,31 @@ object TimeSeriesOps {
         .agg(max(col("n")).as("n"),
              sum((col("lhs") > col("rhs")).cast("long")).as("n_anomalies"))
         .orderBy(col("event_type"), col("hod"))
+    }),
+
+    // Week-over-week deltas — the first derivative every ops dashboard
+    // plots: ISO-week totals per event type in exact integer cents,
+    // lag-1 window for the previous week, one IEEE division for the
+    // relative change. The weekly pre-aggregate bounds the window input
+    // at |types|×|weeks| rows; the lag window reuses the aggregate's
+    // hash exchange (same partition key).
+    "w_pct_change_wow" -> ((s, dir) => {
+      val wk = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+                 date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      wk.withColumn("prev_cents", lag(col("cents"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("week"))))
+        // first week has no predecessor — dropped so every output
+        // column is non-null (a NULL BIGINT becomes NaN-typed in
+        // column stores and poisons exact compares)
+        .filter(col("prev_cents").isNotNull && col("prev_cents") =!= 0)
+        .select(col("event_type"), col("week"), col("n_events"), col("cents"),
+          col("prev_cents"),
+          round((col("cents") - col("prev_cents")).cast("double") /
+                col("prev_cents").cast("double"), 6).as("wow_change"))
+        .orderBy(col("event_type"), col("week"))
     })
   )
 
@@ -213,6 +238,19 @@ object TimeSeriesOps {
         |    AS n_anomalies
         |FROM e JOIN b ON e.event_type = b.event_type AND e.hod = b.hod
         |GROUP BY e.event_type, e.hod
-        |ORDER BY e.event_type, e.hod""".stripMargin
+        |ORDER BY e.event_type, e.hod""".stripMargin,
+    "w_pct_change_wow" ->
+      """WITH wk AS (SELECT event_type, date_trunc('week', ts)::DATE AS week,
+        |    count(*)::BIGINT AS n_events,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY event_type, week),
+        |p AS (SELECT event_type, week, n_events, cents,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev_cents FROM wk)
+        |SELECT event_type, week, n_events, cents, prev_cents,
+        |  round((cents - prev_cents)::DOUBLE / prev_cents::DOUBLE, 6)
+        |    AS wow_change
+        |FROM p WHERE prev_cents IS NOT NULL AND prev_cents <> 0
+        |ORDER BY event_type, week""".stripMargin
   )
 }

@@ -293,6 +293,61 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted), "top-20 not in the claimed total order")
   }
 
+  test("j_point_in_time: every fact matches exactly one SCD2 version — mass and cents conserved") {
+    import spark.implicits._
+    val got = operators.EventOps.queries("j_point_in_time")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val facts = Tables.events(spark, sf)
+      .filter($"user_id" < 20 && $"event_type" === "purchase")
+      .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+    // exactly-one-match: if any purchase matched 0 or 2+ versions the
+    // group sums could not reproduce the raw fact mass
+    assert(got.map(_.getAs[Long]("n_purchases")).sum == facts.length,
+      "PIT join must match each purchase exactly once")
+    assert(got.map(_.getAs[Long]("cents")).sum ==
+      facts.map(_.getAs[Long]("cents")).sum, "cents not conserved")
+  }
+
+  test("a_chi2_independence: statistic replays from driver-side contingency counts") {
+    import spark.implicits._
+    val r = operators.StatSketchOps.queries("a_chi2_independence")(spark, sf)
+      .collect().head
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", dayofweek($"ts").cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val cells = raw.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rm = raw.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val cm = raw.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = raw.length.toLong
+    val chi2e6 = cells.map { case ((t, d), o) =>
+      val diff = (o * n - rm(t) * cm(d)).toDouble
+      math.floor(diff * diff / (n.toDouble * rm(t) * cm(d)) * 1e6 + 0.5).toLong
+    }.sum
+    assert(r.getAs[Long]("n_rows") == n)
+    assert(r.getAs[Long]("df") == (rm.size - 1L) * (cm.size - 1L))
+    assert(math.abs(r.getAs[Double]("chi2") - chi2e6 / 1e6) < 1e-3,
+      s"chi2 ${r.getAs[Double]("chi2")} vs replay ${chi2e6 / 1e6}")
+  }
+
+  test("w_pct_change_wow: deltas replay from weekly integer totals") {
+    import spark.implicits._
+    val got = operators.TimeSeriesOps.queries("w_pct_change_wow")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val weekly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("week", $"ts").cast("date").as("w"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getAs[Long]("c"))
+      .toMap
+    got.foreach { r =>
+      val (t, w) = (r.getString(0), r.getDate(1).toString)
+      assert(weekly((t, w)) == r.getAs[Long]("cents"))
+      val expect = (r.getAs[Long]("cents") - r.getAs[Long]("prev_cents")).toDouble /
+        r.getAs[Long]("prev_cents")
+      assert(math.abs(r.getAs[Double]("wow_change") - expect) < 1e-6)
+    }
+  }
+
   test("shard_rendezvous: HRW minimal disruption — every moved key moves TO the new shard, ~1/9 move") {
     import spark.implicits._
     // per-doc assignment replay plus the structural property the
