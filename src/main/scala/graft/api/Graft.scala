@@ -1825,4 +1825,166 @@ object Graft {
       .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
+
+  /** CDC change-feed by snapshot diff (the inverse of an SCD1 apply):
+    * full-outer join two keyed snapshots of identical schema, classify
+    * each key I/U/D by side-presence, and keep U rows only when some
+    * tracked column actually changed (null-safe compare). Value columns
+    * come back suffixed `_before`/`_after`. One co-partitioned join on
+    * the entity key — the lake-without-a-transaction-log CDC bootstrap. */
+  def snapshotDiffFeed(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    val vcols = before.columns.filterNot(_ == keyCol).toSeq
+    require(after.columns.toSet == before.columns.toSet,
+      "snapshotDiffFeed: snapshots must share a schema")
+    val b = before.select((col(keyCol).as("__kb") +:
+      vcols.map(c => col(c).as(s"${c}_before"))): _*)
+    val a = after.select((col(keyCol).as("__ka") +:
+      vcols.map(c => col(c).as(s"${c}_after"))): _*)
+    val changed = vcols.map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduce(_ || _)
+    b.join(a, col("__kb") === col("__ka"), "full_outer")
+      .select((coalesce(col("__kb"), col("__ka")).as(keyCol) +:
+        when(col("__kb").isNull, lit("I")).when(col("__ka").isNull, lit("D"))
+          .otherwise(lit("U")).as("op") +:
+        vcols.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after")))): _*)
+      .filter(col("op") =!= "U" || changed)
+  }
+
+  /** Small-file compaction plan by offset binning: pack files (rows of
+    * metadata) in `idCol` order within each `partCol` into bins of
+    * `targetBytes` via bin = floor(cum_before / target) — the
+    * FilePartition packing rule as a window expression. Returns one row
+    * per (partition, bin) with the file census. Runs over metadata
+    * only; the rewrite this plan drives is a repartition write. */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    files.select(col(partCol), col(idCol), col(sizeCol))
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - $sizeCol) div $targetBytes"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bin_bytes"),
+           min(col(idCol)).as(s"first_$idCol"), max(col(idCol)).as(s"last_$idCol"))
+  }
+
+  /** One-vs-rest Kolmogorov–Smirnov drift per group: D = sup over the
+    * shared value grid of |ECDF_g − ECDF_rest|, with both ECDFs kept as
+    * exact cumulative integer counts and the sup compared via
+    * cross-multiplied BIGINTs — FP only in the final statistic. The
+    * grid is |groups|×|distinct values| (histogram-sized, never the
+    * corpus). Returns (group, n, d_num, ks). */
+  def ksDriftOneVsRest(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol).as("__g"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val vals = cnt.select(col("__v")).distinct()
+    val grps = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val tot = cnt.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+      .withColumn("__cumAll", sum(col("__cv")).over(
+        Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val ntot = cnt.agg(sum(col("__c")).as("__nt"))
+    grps.crossJoin(vals)
+      .join(cnt, Seq("__g", "__v"), "left")
+      .withColumn("__cc", coalesce(col("__c"), lit(0L)))
+      .withColumn("__cumG", sum(col("__cc")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(tot.select(col("__v"), col("__cumAll")), Seq("__v"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("__dnum", abs(col("__cumG") * (col("__nt") - col("__ng")) -
+                                (col("__cumAll") - col("__cumG")) * col("__ng")))
+      .groupBy(col("__g"))
+      .agg(max(col("__ng")).as("n"), max(col("__dnum")).as("d_num"),
+           max(col("__nt")).as("__nt2"))
+      .select(col("__g").as(groupCol), col("n"), col("d_num"),
+        round(col("d_num").cast("double") /
+              (col("n") * (col("__nt2") - col("n"))).cast("double"), 6).as("ks"))
+  }
+
+  /** Dense-grid gap fill with exact-rational linear interpolation: per
+    * key, a sequence() spine from first to last observed ordinate, a
+    * left join of observations, bidirectional IGNORE-NULLS neighbor
+    * walks (one exchange for both), and interpolant (prev·(nm−m) +
+    * next·(m−pm))·1e6 div (nm−pm) in pure BIGINT. Returns ONLY the
+    * filled gap rows: (key, ord, interp_e6). */
+  def gapFillInterpolate(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val obs = series.select(col(keyCol).as("__k"), col(ordCol).as("__m"),
+      col(valCol).as("__x"))
+    val spine = obs.groupBy(col("__k"))
+      .agg(min(col("__m")).as("__mn"), max(col("__m")).as("__mx"))
+      .select(col("__k"), explode(sequence(col("__mn"), col("__mx"))).as("__m"))
+    val wPrev = Window.partitionBy(col("__k")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("__k")).orderBy(col("__m"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    spine.join(obs, Seq("__k", "__m"), "left")
+      .withColumn("__pv", last(col("__x"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pm", last(when(col("__x").isNotNull, col("__m")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__x"), ignoreNulls = true).over(wNext))
+      .withColumn("__nm", first(when(col("__x").isNotNull, col("__m")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("__x").isNull)
+      .select(col("__k").as(keyCol), col("__m").as(ordCol),
+        expr("(__pv * (__nm - __m) + __nv * (__m - __pm)) * 1000000" +
+             " div (__nm - __pm)").as("interp_e6"))
+  }
+
+  /** Daily growth curve: (day, n_active, n_new, cum_users) from one
+    * (key, day) dedup pass; the cumulative window runs over the
+    * |days|-row result. */
+  def growthCurve(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val ud = events.select(col(keyCol).as("__k"),
+        date_trunc("DAY", col(tsCol)).cast("date").as("day")).distinct()
+    val act = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val newU = ud.groupBy(col("__k")).agg(min(col("day")).as("__fday"))
+      .groupBy(col("__fday").as("day")).agg(count(lit(1)).as("n_new"))
+    act.join(newU, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Common-neighbors link prediction over an undirected a<b edge list:
+    * top-k NON-adjacent pairs by shared-neighbor count with exact
+    * e6-rational Jaccard. Wedge-join candidate generation (Σ deg²,
+    * never |V|²), anti join against the edge set, unique-key
+    * tie-break. */
+  def commonNeighbors(edges: DataFrame, aCol: String, bCol: String,
+      k: Int): DataFrame = {
+    val e = edges.select(col(aCol).as("__ea"), col(bCol).as("__eb")).distinct()
+    val adj = e.select(col("__ea").as("__u"), col("__eb").as("__v"))
+      .union(e.select(col("__eb").as("__u"), col("__ea").as("__v")))
+    val deg = adj.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
+    val cn = adj.alias("p")
+      .join(adj.alias("q"), col("p.__u") === col("q.__u") && col("p.__v") < col("q.__v"))
+      .groupBy(col("p.__v").as("a"), col("q.__v").as("c"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(e, cn("a") === e("__ea") && cn("c") === e("__eb"), "left_anti")
+      .join(deg.select(col("__u").as("a"), col("__deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("__u").as("c"), col("__deg").as("deg_c")), Seq("c"))
+      .select(col("a"), col("c"), col("cn"), col("deg_a"), col("deg_c"),
+        expr("cn * 1000000 div (deg_a + deg_c - cn)").as("jaccard_e6"))
+      .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("c"))
+      .limit(k)
+  }
+
+  /** First-A → first-subsequent-B conversion latency histogram in whole
+    * hours: two min-aggregates chained through one co-partitioned join,
+    * exact epoch-second integers, strict ts ordering. */
+  def conversionLatency(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("__vts"))
+    events.filter(col(typeCol) === toType)
+      .join(first, Seq(keyCol))
+      .filter(col(tsCol) > col("__vts"))
+      .groupBy(col(keyCol), col("__vts"))
+      .agg(min(col(tsCol)).as("__pts"))
+      .select(expr("(CAST(__pts AS LONG) - CAST(__vts AS LONG)) div 3600")
+        .as("latency_h"))
+      .groupBy(col("latency_h"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -58,7 +58,8 @@ object CurationOps {
       |least(len(toks)::DOUBLE / 50.0, 1.0) * 0.3 +
       |(1.0 - len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks)) * 0.3""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Nucleus (top-p) corpus cut: per language, rank docs by a model
     // quality score (stubbed: content-hash pseudo-score — a real scorer
     // swaps in a classifier margin) and keep the head of the ranking
@@ -367,9 +368,76 @@ object CurationOps {
           "doc_id", "n_chars", k = 50)
         .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("rank")))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+    // C4-style heuristic filter census — the five document gates of the
+    // C4/RealNews cleaning recipe (Raffel et al. 2020 §2.2), evaluated
+    // per source as a pass-rate dashboard: ≥5 words; terminal
+    // punctuation; no curly braces (code/JSON leakage); no "lorem
+    // ipsum" (placeholder boilerplate); mean word length in [3, 10]
+    // (gibberish gate). Every gate is a builtin string predicate inside
+    // one codegen'd projection — no UDF, no regex backtracking (the
+    // corpus splits on single spaces, the ta_* tokenization contract) —
+    // and the word-length band compares exact integers cross-multiplied
+    // (3·wc ≤ chars ≤ 10·wc), not a rounded mean. One aggregate to
+    // |sources| rows; at 100 TB this is a pure map-side pass over the
+    // text scan with a metadata-sized shuffle — the cheapest possible
+    // shape for a full-corpus quality census.
+    "curate_c4_heuristics" -> ((s, dir) => {
+      val t = trim(col("text"))
+      val toks = split(t, " ")
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .withColumn("wc", size(toks).cast("long"))
+        .withColumn("nws", length(regexp_replace(t, " ", "")).cast("long"))
+        .withColumn("f_words", (col("wc") >= 5).cast("long"))
+        .withColumn("f_term", t.endsWith(".").or(t.endsWith("!"))
+          .or(t.endsWith("?")).or(t.endsWith("\"")).cast("long"))
+        .withColumn("f_brace",
+          (!t.contains("{") && !t.contains("}")).cast("long"))
+        .withColumn("f_lorem", (!lower(t).contains("lorem ipsum")).cast("long"))
+        .withColumn("f_wordlen",
+          (col("nws") >= col("wc") * 3 && col("nws") <= col("wc") * 10).cast("long"))
+        .withColumn("f_all", (col("f_words") * col("f_term") * col("f_brace") *
+          col("f_lorem") * col("f_wordlen") === 1).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("f_words")).as("n_words_ok"),
+             sum(col("f_term")).as("n_term_ok"),
+             sum(col("f_brace")).as("n_brace_ok"),
+             sum(col("f_lorem")).as("n_lorem_ok"),
+             sum(col("f_wordlen")).as("n_wordlen_ok"),
+             sum(col("f_all")).as("n_pass_all"))
+        .withColumn("pass_e6", expr("n_pass_all * 1000000 div n_docs"))
+        .orderBy(col("source"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    "curate_c4_heuristics" ->
+      """WITH d AS (SELECT source, trim(text) AS t FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |f AS (SELECT source,
+        |    len(string_split(t, ' '))::BIGINT AS wc,
+        |    length(replace(t, ' ', ''))::BIGINT AS nws,
+        |    (ends_with(t, '.') OR ends_with(t, '!') OR ends_with(t, '?')
+        |      OR ends_with(t, '"'))::INT AS f_term,
+        |    (NOT contains(t, '{') AND NOT contains(t, '}'))::INT AS f_brace,
+        |    (NOT contains(lower(t), 'lorem ipsum'))::INT AS f_lorem
+        |  FROM d),
+        |g AS (SELECT source, (wc >= 5)::INT AS f_words, f_term, f_brace,
+        |    f_lorem, (nws >= wc * 3 AND nws <= wc * 10)::INT AS f_wordlen
+        |  FROM f),
+        |h AS (SELECT source, f_words, f_term, f_brace, f_lorem, f_wordlen,
+        |    (f_words * f_term * f_brace * f_lorem * f_wordlen = 1)::INT
+        |      AS f_all FROM g)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(f_words)::BIGINT AS n_words_ok, sum(f_term)::BIGINT AS n_term_ok,
+        |  sum(f_brace)::BIGINT AS n_brace_ok, sum(f_lorem)::BIGINT AS n_lorem_ok,
+        |  sum(f_wordlen)::BIGINT AS n_wordlen_ok,
+        |  sum(f_all)::BIGINT AS n_pass_all,
+        |  (sum(f_all)::BIGINT * 1000000 // count(*))::BIGINT AS pass_e6
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
     "sample_weighted_reservoir" ->
       """WITH k AS (
         |  SELECT doc_id, lang, n_chars,

@@ -24,7 +24,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // Tumbling 1-hour window counts (idiomatic T1; oracle via date_trunc).
     "t1_tumbling_window" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -746,7 +747,110 @@ object EventOps {
         .select(col("user_id"), col("n_events"), col("n_types"),
                 round(col("entropy"), 6).as("entropy"),
                 round(col("entropy_norm"), 6).as("entropy_norm"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // CDC change-feed generation by snapshot diff — the inverse of
+    // `cdc_scd1_snapshot` (which APPLIES a feed): given two point-in-time
+    // snapshots of per-user trailing-10-day activity (as of T2 = last
+    // full day, and T1 = five days earlier), emit the I/U/D feed that
+    // transforms one into the other. This is how a lake without a
+    // transaction log bootstraps CDC: full-outer join the snapshots on
+    // the entity key, classify by side-presence, and keep U rows only
+    // when a tracked value actually changed. Both snapshots are filtered
+    // aggregates of ONE events scan; the full-outer join runs on the
+    // same user_id hash partitioning the aggregates produced, so the
+    // whole diff costs two partial-agg shuffles and zero re-sorts. At
+    // 100 TB the snapshots would be materialized tables and the diff is
+    // the same single co-partitioned join. Exact integer cents make
+    // "changed" a bit-exact predicate — no FP tolerance in a CDC gate.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg(date_trunc("DAY", max(col("ts"))).as("t2"))
+        .withColumn("t1", col("t2") - expr("INTERVAL 5 DAYS"))
+      val base = ev.crossJoin(broadcast(cut))
+      def snap(cutCol: String): DataFrame = base
+        .filter(col("ts") >= col(cutCol) - expr("INTERVAL 10 DAYS") &&
+                col("ts") < col(cutCol))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      // absent-side values surface as -1, not NULL: a NULL BIGINT
+      // becomes NaN in a float-nullable gate column and NaN breaks
+      // exact compares (the w_pct_change_wow discipline); counts and
+      // cents are always >= 0 so -1 is unambiguous
+      graft.api.Graft.snapshotDiffFeed(snap("t1"), snap("t2"), "user_id")
+        .select(col("user_id"), col("op"),
+          coalesce(col("n_before"), lit(-1L)).as("n_before"),
+          coalesce(col("cents_before"), lit(-1L)).as("cents_before"),
+          coalesce(col("n_after"), lit(-1L)).as("n_after"),
+          coalesce(col("cents_after"), lit(-1L)).as("cents_after"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Conversion-latency histogram — the time-to-convert distribution
+    // (first view → first subsequent purchase), bucketed by whole
+    // hours. Two min-aggregates on user_id chained through one
+    // co-partitioned join (the second groupBy carries v_ts in its key —
+    // unique per user, so no extra shuffle stage), then a histogram
+    // over the |users|-row latency table. All arithmetic is exact
+    // epoch-second integers; the bucket is floor division. The filter
+    // ts > v_ts makes "subsequent" strict, so a purchase in the same
+    // microsecond as the view does not count (both engines agree on
+    // the open bound).
+    "e_conversion_latency" -> ((s, dir) =>
+      graft.api.Graft.conversionLatency(Tables.events(s, dir),
+          "user_id", "ts", "event_type", fromType = "view", toType = "purchase")
+        .orderBy(col("latency_h"))),
+
+    // User growth curve — the DAU/new-user/cumulative-user triple every
+    // product dashboard opens with. One (user, day) dedup pass feeds
+    // both sides: actives per day, and first-seen day per user → new
+    // users per day; the cumulative count is a window over the
+    // |days|-row result (metadata-sized, single partition is correct
+    // here). Days with zero new users still appear with n_new = 0 via
+    // the left join, so the curve has no holes.
+    "e_user_growth_curve" -> ((s, dir) =>
+      graft.api.Graft.growthCurve(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("day")))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+    // NEAREST-direction as-of join (pandas merge_asof direction=
+    // 'nearest') — j_asof_tolerance matches backward only; sensor
+    // alignment and label attribution often want the closest purchase
+    // in EITHER direction. Same union-sort single-shuffle plan: clicks
+    // and purchases share one (user, ts) window pass, the backward
+    // neighbor comes from the cumulative IGNORE-NULLS last(), the
+    // forward one from the mirrored first(), and the winner is the
+    // smaller absolute gap (tie → backward, both engines by the same
+    // CASE). gap_us is SIGNED (negative = purchase precedes click);
+    // unmatched clicks (no purchase within ±2 h) carry the sentinel
+    // 9999999999 µs — strictly outside the ±tolerance band, so it can
+    // never collide with a real matched gap (NULL would become NaN in
+    // a float-nullable gate column and NaN breaks exact compares).
+    // Exact epoch-µs integers throughout — the match verdict has no FP.
+    "j_asof_nearest" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tolUs = 7200000000L // 2 hours
+      val pUs = when(col("event_type") === "purchase", unix_micros(col("ts")))
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("lp_us", last(pUs, ignoreNulls = true).over(back))
+        .withColumn("np_us", first(pUs, ignoreNulls = true).over(fwd))
+        .filter(col("event_type") === "click")
+        .withColumn("bgap", unix_micros(col("ts")) - col("lp_us"))
+        .withColumn("fgap", col("np_us") - unix_micros(col("ts")))
+        .withColumn("raw_gap",
+          when(col("bgap").isNotNull &&
+               (col("fgap").isNull || col("bgap") <= col("fgap")), -col("bgap"))
+            .otherwise(col("fgap")))
+        .withColumn("matched",
+          col("raw_gap").isNotNull && abs(col("raw_gap")) <= lit(tolUs))
+        .select(col("event_id"), col("user_id"), col("matched"),
+                when(col("matched"), col("raw_gap"))
+                  .otherwise(lit(9999999999L)).as("gap_us"))
+        .orderBy(col("event_id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -1102,6 +1206,78 @@ object EventOps {
         |  FROM events)
         |SELECT user_id, event_id,
         |  round(list_reduce(list_prepend(0.0, l), (a, x) -> (a + x) * 0.5), 8) AS ewma
-        |FROM l8 ORDER BY user_id, event_id""".stripMargin
+        |FROM l8 ORDER BY user_id, event_id""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH cut AS (SELECT date_trunc('day', max(ts)) AS t2,
+        |    date_trunc('day', max(ts)) - INTERVAL 5 DAY AS t1 FROM events),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n_before,
+        |    sum(floor(value*100+0.5)::BIGINT)::BIGINT AS cents_before
+        |  FROM events, cut WHERE ts >= t1 - INTERVAL 10 DAY AND ts < t1
+        |  GROUP BY user_id),
+        |b AS (SELECT user_id, count(*)::BIGINT AS n_after,
+        |    sum(floor(value*100+0.5)::BIGINT)::BIGINT AS cents_after
+        |  FROM events, cut WHERE ts >= t2 - INTERVAL 10 DAY AND ts < t2
+        |  GROUP BY user_id)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN a.user_id IS NULL THEN 'I'
+        |       WHEN b.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  coalesce(n_before, -1)::BIGINT AS n_before,
+        |  coalesce(cents_before, -1)::BIGINT AS cents_before,
+        |  coalesce(n_after, -1)::BIGINT AS n_after,
+        |  coalesce(cents_after, -1)::BIGINT AS cents_after
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL
+        |   OR n_before <> n_after OR cents_before <> cents_after
+        |ORDER BY user_id""".stripMargin,
+
+    "e_conversion_latency" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, fv.v_ts, min(e.ts) AS p_ts
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+        |  GROUP BY e.user_id, fv.v_ts)
+        |SELECT (epoch_us(p_ts) // 1000000 - epoch_us(v_ts) // 1000000) // 3600
+        |    AS latency_h,
+        |  count(*)::BIGINT AS n_users
+        |FROM p GROUP BY latency_h ORDER BY latency_h""".stripMargin,
+
+    "e_user_growth_curve" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |  FROM events),
+        |act AS (SELECT day, count(*)::BIGINT AS n_active FROM ud GROUP BY day),
+        |fu AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY user_id),
+        |nu AS (SELECT fday AS day, count(*)::BIGINT AS n_new FROM fu
+        |  GROUP BY fday)
+        |SELECT act.day, n_active, coalesce(n_new, 0)::BIGINT AS n_new,
+        |  sum(coalesce(n_new, 0)) OVER (ORDER BY act.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM act LEFT JOIN nu USING (day) ORDER BY act.day""".stripMargin,
+
+    "j_asof_nearest" ->
+      """WITH cp AS (SELECT event_id, user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp_us,
+        |    first_value(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT event_id, user_id,
+        |    epoch_us(ts) - lp_us AS bgap, np_us - epoch_us(ts) AS fgap
+        |  FROM cp WHERE event_type = 'click'),
+        |n AS (SELECT event_id, user_id,
+        |    CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap)
+        |         THEN -bgap ELSE fgap END AS raw_gap
+        |  FROM g)
+        |SELECT event_id, user_id,
+        |  (raw_gap IS NOT NULL AND abs(raw_gap) <= 7200000000) AS matched,
+        |  CASE WHEN raw_gap IS NOT NULL AND abs(raw_gap) <= 7200000000
+        |       THEN raw_gap ELSE 9999999999 END AS gap_us
+        |FROM n ORDER BY event_id""".stripMargin
   )
 }

@@ -145,6 +145,73 @@ object GraphOps {
           coalesce(col("n1"), lit(0L)).as("n1"),
           coalesce(col("n2"), lit(0L)).as("n2"))
         .orderBy(col("label"))
+    }),
+
+    // Common-neighbors link prediction — the "you may also like" /
+    // missing-edge scorer over the part co-purchase graph: for every
+    // NON-adjacent pair (a, c) sharing ≥1 neighbor, the common-neighbor
+    // count and its Jaccard normalization cn/(deg_a + deg_c − cn), top
+    // 50 by score. Candidate pairs are generated the triangle-census
+    // way — the oriented wedge join on the shared middle vertex — so
+    // the pair space is Σ_b deg(b)², never |V|²; existing edges are
+    // removed with one anti join and degrees attach by broadcastable
+    // |V|-row joins. Jaccard is an exact integer-scaled rational
+    // (cn·1e6 div union), so the top-50 cut has no floating ties; the
+    // ORDER BY ends in the unique (a, c) key, so the selected SET is
+    // deterministic. At 100 TB orientation flips to degree-order
+    // (hubs on the probe side) exactly as graph_triangle_count notes.
+    "graph_common_neighbors" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("ea"), col("y.l_partkey").as("eb"))
+        .distinct()
+      graft.api.Graft.commonNeighbors(e, "ea", "eb", k = 50)
+        .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("c"))
+    }),
+
+    // k-core peeling census — the graph-curation degeneracy walk
+    // (spam/bot subgraph mining and community-core extraction both run
+    // it): iteratively delete nodes of degree < k and report how the
+    // co-purchase graph erodes. THREE synchronous peel rounds at k = 3,
+    // unrolled so the DuckDB oracle replays the identical rounds (the
+    // graph_label_prop determinism recipe; a convergence loop at scale
+    // adds the localCheckpoint-every-k-rounds lineage discipline and
+    // nothing else). Each round = one degree aggregate + two semi
+    // joins on the edge list — no shuffle touches anything larger
+    // than |E|. The census row per round (nodes, edges, min degree)
+    // makes erosion monotonicity spec-assertable.
+    "graph_kcore_peel" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+        .localCheckpoint()
+      def undirected(e: DataFrame): DataFrame =
+        e.select(col("a").as("u")).union(e.select(col("b").as("u")))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = undirected(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select(col("u"))
+        e.join(keep.withColumnRenamed("u", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("u", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      }
+      val rounds = Iterator.iterate(e0)(e => peel(e).localCheckpoint())
+        .take(4).toSeq
+      rounds.zipWithIndex.map { case (e, i) =>
+        val deg = undirected(e).groupBy(col("u")).agg(count(lit(1)).as("d"))
+        // empty rounds report 0, never NULL (NaN-typed gate columns
+        // break exact compares)
+        deg.agg(lit(i.toLong).as("round"),
+                count(lit(1)).as("n_nodes"),
+                coalesce((sum(col("d")) / 2).cast("long"), lit(0L)).as("n_edges"),
+                coalesce(min(col("d")), lit(0L)).as("min_degree"))
+      }.reduce(_.union(_)).orderBy(col("round"))
     })
   )
 
@@ -234,6 +301,60 @@ object GraphOps {
         |SELECT label, coalesce(n0, 0)::BIGINT AS n0,
         |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
         |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH e AS (SELECT DISTINCT x.l_partkey AS ea, y.l_partkey AS eb
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |adj AS (SELECT ea AS u, eb AS v FROM e
+        |  UNION ALL SELECT eb, ea FROM e),
+        |deg AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY u),
+        |cn AS (SELECT p.v AS a, q.v AS c, count(*)::BIGINT AS cn
+        |  FROM adj p JOIN adj q ON p.u = q.u AND p.v < q.v
+        |  GROUP BY p.v, q.v),
+        |open AS (SELECT cn.* FROM cn
+        |  ANTI JOIN e ON cn.a = e.ea AND cn.c = e.eb)
+        |SELECT a, c, cn, da.deg AS deg_a, dc.deg AS deg_c,
+        |  cn * 1000000 // (da.deg + dc.deg - cn) AS jaccard_e6
+        |FROM open JOIN deg da ON open.a = da.u JOIN deg dc ON open.c = dc.u
+        |ORDER BY cn DESC, jaccard_e6 DESC, a, c LIMIT 50""".stripMargin,
+
+    "graph_kcore_peel" ->
+      """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |d0 AS (SELECT u, count(*)::BIGINT AS d FROM
+        |  (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0) GROUP BY u),
+        |k0 AS (SELECT u FROM d0 WHERE d >= 3),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT u FROM k0)
+        |  AND b IN (SELECT u FROM k0)),
+        |d1 AS (SELECT u, count(*)::BIGINT AS d FROM
+        |  (SELECT a AS u FROM e1 UNION ALL SELECT b FROM e1) GROUP BY u),
+        |k1 AS (SELECT u FROM d1 WHERE d >= 3),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT u FROM k1)
+        |  AND b IN (SELECT u FROM k1)),
+        |d2 AS (SELECT u, count(*)::BIGINT AS d FROM
+        |  (SELECT a AS u FROM e2 UNION ALL SELECT b FROM e2) GROUP BY u),
+        |k2 AS (SELECT u FROM d2 WHERE d >= 3),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT u FROM k2)
+        |  AND b IN (SELECT u FROM k2)),
+        |d3 AS (SELECT u, count(*)::BIGINT AS d FROM
+        |  (SELECT a AS u FROM e3 UNION ALL SELECT b FROM e3) GROUP BY u),
+        |c0 AS (SELECT 0::BIGINT AS round, count(*)::BIGINT AS n_nodes,
+        |  coalesce(sum(d) // 2, 0)::BIGINT AS n_edges,
+        |  coalesce(min(d), 0)::BIGINT AS min_degree FROM d0),
+        |c1 AS (SELECT 1::BIGINT, count(*)::BIGINT,
+        |  coalesce(sum(d) // 2, 0)::BIGINT, coalesce(min(d), 0)::BIGINT
+        |  FROM d1),
+        |c2 AS (SELECT 2::BIGINT, count(*)::BIGINT,
+        |  coalesce(sum(d) // 2, 0)::BIGINT, coalesce(min(d), 0)::BIGINT
+        |  FROM d2),
+        |c3 AS (SELECT 3::BIGINT, count(*)::BIGINT,
+        |  coalesce(sum(d) // 2, 0)::BIGINT, coalesce(min(d), 0)::BIGINT
+        |  FROM d3)
+        |SELECT * FROM c0 UNION ALL SELECT * FROM c1
+        |UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+        |ORDER BY round""".stripMargin
   )
 }

@@ -175,7 +175,7 @@ object LayoutOps {
         .select(col("lang"), col("source"), col("n"), col("l_distinct"),
                 (col("l_distinct") >= 3).cast("int").as("diverse"))
         .orderBy(col("lang"), col("source")))
-  ) ++ Map(
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
 
     // t-closeness audit — the third rung of the release-gating ladder
     // (k-anonymity: groups big enough; l-diversity: sensitive values
@@ -232,6 +232,68 @@ object LayoutOps {
           Seq("lang", "source"), "band", tNum = 1, tDen = 5)
         .withColumnRenamed("close", "close_02")
         .orderBy(col("lang"), col("source")))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+    // Small-file compaction PLANNING — the OPTIMIZE/bin-packing step
+    // every lake table needs (the reference leaves thousands of loose
+    // S3 objects exactly this op exists to fix, `aws_bucket.py:160-195`).
+    // Documents stand in for the file census (doc_id = file, n_chars =
+    // bytes); per source partition, files are packed in id order into
+    // 16 KiB target bins by OFFSET BINNING: bin = floor(cum_before / T)
+    // — the same virtual-concatenation packing Spark's own
+    // FilePartition/maxPartitionBytes planner uses, chosen over
+    // first-fit because it is a closed-form window expression (a
+    // first-fit recurrence depends on each bin's running fill and
+    // cannot be stated declaratively). Every bin's size is bounded by
+    // T + (largest file in the bin) − 1 — asserted in WaveFiveOpsSpec.
+    // T = 2 KiB keeps multiple bins per source at every test SF; at a
+    // real lake T is 128 MiB–1 GiB and the planner is unchanged.
+    // Scale shape: the plan runs over FILE METADATA (one row per file,
+    // a million rows per PB), one window partitioned by the table
+    // partition key; the expensive part — the rewrite — would be a
+    // repartition write driven BY this plan, never a driver loop.
+    "layout_compaction_plan" -> ((s, dir) =>
+      graft.api.Graft.compactionPlan(Tables.documents(s, dir),
+          "source", "doc_id", "n_chars", targetBytes = 2048L)
+        .withColumnRenamed("first_doc_id", "first_doc")
+        .withColumnRenamed("last_doc_id", "last_doc")
+        .orderBy(col("source"), col("bin"))),
+
+    // Generalization ladder — the k-anonymity REPAIR step (Samarati's
+    // full-domain generalization): walk the quasi-identifier hierarchy
+    // (n_chars banded at 10 → 100 → 1000 → fully suppressed, always
+    // with lang) coarsest-last and pick the FIRST level whose smallest
+    // equivalence class reaches k = 5. Releasing at that level is the
+    // minimal information loss consistent with the privacy floor —
+    // privacy_k_anonymity AUDITS a release, this op CHOOSES one. Four
+    // grouped aggregates over the same scan (each collapses map-side to
+    // |lang|×|bands| rows) unioned into a 4-row ladder; the chosen
+    // level is a broadcast scalar argmin. Level 3 (full suppression,
+    // one global group) guarantees a fixed point, so `chosen` always
+    // marks exactly one row.
+    "privacy_generalize_ladder" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+      def level(lvl: Int, width: Long): DataFrame = {
+        // width 0 = full suppression (both QI columns dropped): the one
+        // global group, so the ladder always has a satisfying level
+        val grouped =
+          if (width > 0)
+            docs.groupBy(col("lang"),
+                floor(col("n_chars") / width).cast("long").as("band"))
+              .agg(count(lit(1)).as("c"))
+          else docs.agg(count(lit(1)).as("c"))
+        grouped.agg(lit(lvl.toLong).as("level"), lit(width).as("band_width"),
+             count(lit(1)).as("n_groups"), min(col("c")).as("min_group"),
+             (min(col("c")) >= 5).cast("long").as("k_ok"))
+      }
+      val ladder = level(0, 10L).union(level(1, 100L))
+        .union(level(2, 1000L)).union(level(3, 0L))
+      val minOk = ladder.filter(col("k_ok") === 1)
+        .agg(min(col("level")).as("ml"))
+      ladder.crossJoin(broadcast(minOk))
+        .withColumn("chosen", (col("level") === col("ml")).cast("long"))
+        .drop("ml")
+        .orderBy(col("level"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -317,6 +379,38 @@ object LayoutOps {
         |    (n * n_total * (m - 1))::DOUBLE, 6) ELSE 0.0 END AS emd,
         |  CASE WHEN m > 1 THEN
         |    (t_num * 5 <= n * n_total * (m - 1))::INT ELSE 1 END AS close_02
-        |FROM agg ORDER BY lang, source""".stripMargin
+        |FROM agg ORDER BY lang, source""".stripMargin,
+    "layout_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT source, ((cum - n_chars) // 2048)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_files, sum(n_chars)::BIGINT AS bin_bytes,
+        |  min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+        |FROM f GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "privacy_generalize_ladder" ->
+      """WITH l0 AS (SELECT 0::BIGINT AS level, 10::BIGINT AS band_width,
+        |    count(*)::BIGINT AS n_groups, min(c)::BIGINT AS min_group,
+        |    (min(c) >= 5)::BIGINT AS k_ok FROM (
+        |    SELECT lang, n_chars // 10 AS band, count(*) AS c
+        |    FROM documents GROUP BY lang, band)),
+        |l1 AS (SELECT 1::BIGINT, 100::BIGINT, count(*)::BIGINT,
+        |    min(c)::BIGINT, (min(c) >= 5)::BIGINT FROM (
+        |    SELECT lang, n_chars // 100 AS band, count(*) AS c
+        |    FROM documents GROUP BY lang, band)),
+        |l2 AS (SELECT 2::BIGINT, 1000::BIGINT, count(*)::BIGINT,
+        |    min(c)::BIGINT, (min(c) >= 5)::BIGINT FROM (
+        |    SELECT lang, n_chars // 1000 AS band, count(*) AS c
+        |    FROM documents GROUP BY lang, band)),
+        |l3 AS (SELECT 3::BIGINT, 0::BIGINT, count(*)::BIGINT,
+        |    min(c)::BIGINT, (min(c) >= 5)::BIGINT FROM (
+        |    SELECT count(*) AS c FROM documents)),
+        |ladder AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+        |mo AS (SELECT min(level) AS ml FROM ladder WHERE k_ok = 1)
+        |SELECT level, band_width, n_groups, min_group, k_ok,
+        |  (level = ml)::BIGINT AS chosen
+        |FROM ladder CROSS JOIN mo ORDER BY level""".stripMargin
   )
 }

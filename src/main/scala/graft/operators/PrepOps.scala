@@ -150,6 +150,33 @@ object PrepOps {
              sum(col("n_tokens")).as("sum_tokens"),
              sum(col("pos") * col("doc_id")).as("order_checksum"))
         .orderBy(col("shard"))
+    }),
+
+    // Leave-one-out target encoding — the categorical-feature encoder
+    // every tabular-ML pipeline ships (mean target per category,
+    // excluding the row itself so the feature never leaks its own
+    // label). Per-row LOO mean is (S − x)/(n − 1) from the category's
+    // (S, n) — a 5-row broadcast joined back map-side, so the encode
+    // pass adds ZERO shuffles to the scan. Encoded values are exact e6
+    // rationals via BIGINT floor division; the census (min/max/spread
+    // per category) proves the encoding's range without shipping the
+    // row-level feature column through the gate. n = 1 categories are
+    // excluded (LOO undefined), matching both engines by construction.
+    "prep_target_encoding_loo" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("long").as("x"))
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .filter(col("n") > 1)
+        .withColumn("loo_e6", expr("(sx - x) * 1000000 div (n - 1)"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+             min(col("loo_e6")).as("loo_min_e6"),
+             max(col("loo_e6")).as("loo_max_e6"))
+        .withColumn("loo_spread_e6", col("loo_max_e6") - col("loo_min_e6"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -224,6 +251,19 @@ object PrepOps {
         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos FROM s)
         |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
         |  sum(pos * doc_id)::BIGINT AS order_checksum
-        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "prep_target_encoding_loo" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 100 + 0.5)::BIGINT AS x FROM events),
+        |st AS (SELECT event_type, sum(x)::BIGINT AS sx, count(*)::BIGINT AS n
+        |  FROM ev GROUP BY event_type),
+        |lo AS (SELECT ev.event_type, st.n,
+        |    (st.sx - ev.x) * 1000000 // (st.n - 1) AS loo_e6
+        |  FROM ev JOIN st USING (event_type) WHERE st.n > 1)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(loo_e6)::BIGINT AS loo_min_e6, max(loo_e6)::BIGINT AS loo_max_e6,
+        |  (max(loo_e6) - min(loo_e6))::BIGINT AS loo_spread_e6
+        |FROM lo GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -716,6 +716,48 @@ object RetrievalOps {
                 greatest(col("a_id"), col("b_id")).as("b_id"),
                 round(col("score"), 6).as("score"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-space cluster quality — the label-separation audit run
+    // before trusting labels for semantic dedup or nearest-centroid
+    // routing: mean intra-label dot vs mean label-vs-rest dot, per
+    // label, WITHOUT enumerating any pair. The algebra does the work:
+    // over e6-quantized components, Σ_pairs⟨a,b⟩ = Σ_d S_d² − Σ‖q‖²
+    // within a label and Σ_d S_d(T_d − S_d) against the rest — so the
+    // whole audit is one posexplode rollup to |labels|×64 rows plus
+    // BIGINT/decimal algebra on label-level sums; the n² pair space is
+    // never materialized (the SemDeDup scale discipline applied to
+    // evaluation). decimal(38,0) carries the squares (Σ_d S_d² tops
+    // 9e19 at sf0.1 — past BIGINT); the one division per output row is
+    // the only FP.
+    "v_cluster_quality" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val byDim = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+                floor(col("x") * 1e6).cast("long").as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sd"),
+             sum(col("q") * col("q")).as("qq"))
+        .localCheckpoint()
+      val tDim = byDim.groupBy(col("dim")).agg(sum(col("sd")).as("td"))
+      val perLabel = byDim.join(broadcast(tDim), Seq("dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n"),
+             sum(col("sd").cast(d38) * col("sd")).as("s2"),
+             sum(col("qq")).as("ssq"),
+             sum(col("sd").cast(d38) * (col("td") - col("sd"))).as("x2"))
+      val ntot = Tables.embeddings(s, dir).agg(count(lit(1)).as("nt"))
+      perLabel.crossJoin(broadcast(ntot))
+        .select(col("label"), col("n"),
+          round((col("s2") - col("ssq").cast(d38)).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") / 1e12, 6).as("intra_mean"),
+          round(col("x2").cast("double") /
+            (col("n") * (col("nt") - col("n"))).cast("double") / 1e12, 6).as("inter_mean"))
+        .withColumn("separation",
+          round(col("intra_mean") - col("inter_mean"), 6))
+        .orderBy(col("label"))
     })
   )
 
@@ -1163,6 +1205,28 @@ object RetrievalOps {
         |  round(list_dot_product(a.v, b.v), 6) AS score
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "v_cluster_quality" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x0 AS (SELECT label, unnest(v) AS xv,
+        |    generate_subscripts(v, 1) AS dim FROM e),
+        |x AS (SELECT label, dim, floor(xv * 1e6)::BIGINT AS q FROM x0),
+        |bd AS (SELECT label, dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sd,
+        |    sum(q * q)::BIGINT AS qq FROM x GROUP BY label, dim),
+        |td AS (SELECT dim, sum(sd)::BIGINT AS td FROM bd GROUP BY dim),
+        |pl AS (SELECT label, max(n)::BIGINT AS n,
+        |    sum(sd::HUGEINT * sd) AS s2, sum(qq)::HUGEINT AS ssq,
+        |    sum(sd::HUGEINT * (td.td - sd)) AS x2
+        |  FROM bd JOIN td USING (dim) GROUP BY label),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM embeddings),
+        |sel AS (SELECT label, n,
+        |    round((s2 - ssq)::DOUBLE / (n * (n - 1))::DOUBLE / 1e12, 6)
+        |      AS intra_mean,
+        |    round(x2::DOUBLE / (n * (nt - n))::DOUBLE / 1e12, 6) AS inter_mean
+        |  FROM pl CROSS JOIN nt)
+        |SELECT label, n, intra_mean, inter_mean,
+        |  round(intra_mean - inter_mean, 6) AS separation
+        |FROM sel ORDER BY label""".stripMargin
   )
 }

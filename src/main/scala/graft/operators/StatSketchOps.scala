@@ -328,6 +328,84 @@ object StatSketchOps {
         .select(col("n").as("n_rows"), col("n_types"), col("n_dows"),
           ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"),
           round(col("chi2_e6") / 1e6, 4).as("chi2"))
+    }),
+
+    // Kolmogorov–Smirnov drift audit, one source vs the rest of the
+    // corpus — THE distribution-shift gate a curation pipeline runs per
+    // shard/dump before admitting it (did src7's length profile drift
+    // from the corpus?). D = sup_x |F_s(x) − F_rest(x)| computed
+    // EXACTLY: both ECDFs are evaluated on the shared value grid as
+    // cumulative integer counts, and the sup compares cross-multiplied
+    // integers |cum_s·n_rest − cum_rest·n_s| — no FP until the final
+    // reported statistic. The grid is |sources|×|distinct lengths|
+    // (metadata-sized: the distinct-value histogram, NOT the corpus);
+    // one window per source over it, everything else broadcasts. At
+    // petabyte counts the cross-products would move to DECIMAL(38,0) —
+    // the comparison stays exact; noted here because BIGINT covers all
+    // test SFs with 9 digits to spare.
+    "stat_ks_source_drift" -> ((s, dir) =>
+      graft.api.Graft.ksDriftOneVsRest(
+          Tables.documents(s, dir).select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // Benford first-digit audit over order totals — the classic
+    // synthetic-data / fraud smoke test (organically-scaled monetary
+    // values follow log10(1+1/d); generator output often doesn't, and
+    // THAT is the finding). First digit comes from the decimal string
+    // of floor(total) — identical in both engines for positive doubles;
+    // observed shares are exact integer rationals (n_d·1e6 div N) and
+    // the Benford expectations are pinned as shared integer literals,
+    // not re-derived through each engine's log10 (whose final-digit
+    // rounding could differ at the e6 boundary). One |orders|→9-row
+    // aggregate; the scalar total broadcasts back.
+    // Mann–Whitney / AUC drift audit, one source vs the rest — the
+    // rank-based companion to stat_ks_source_drift: KS asks "how far
+    // apart are the ECDFs at the worst point", the U statistic asks
+    // "if I draw one doc from this source and one from the rest, how
+    // often is the source's longer" (= AUC). Ranks never materialize
+    // per row: average ranks come from the shared value-grid histogram
+    // (2r(v) = 2·cum_before + c + 1, integers ×2 so midranks stay
+    // exact), the per-source rank-sum is one join + one aggregate, and
+    // U×2 = 2R − 2n(n+1)/2 stays BIGINT throughout. auc_e6 is an exact
+    // floor-div rational. Same metadata-sized grid shape as the KS op.
+    "stat_mannwhitney_drift" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = cnt.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+        .withColumn("cumb", sum(col("cv")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("r2", lit(2) * coalesce(col("cumb"), lit(0L)) + col("cv") + 1)
+      val ntot = cnt.agg(sum(col("c")).as("nt"))
+      cnt.join(tot.select(col("v"), col("r2")), Seq("v"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("r2")).as("rsum2"))
+        .crossJoin(broadcast(ntot))
+        .withColumn("u2", col("rsum2") - col("n") * (col("n") + 1))
+        .select(col("source"), col("n"), col("u2"),
+          expr("u2 * 1000000 div (2 * n * (nt - n))").as("auc_e6"))
+        .orderBy(col("source"))
+    }),
+
+    "stat_benford_first_digit" -> ((s, dir) => {
+      val expE6 = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091" +
+        " WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
+        " WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152" +
+        " ELSE 45757 END"
+      val byD = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = byD.agg(sum(col("n_obs")).as("n_total"))
+      byD.crossJoin(broadcast(tot))
+        .withColumn("obs_e6", expr("n_obs * 1000000 div n_total"))
+        .withColumn("exp_e6", expr(expE6).cast("long"))
+        .select(col("digit"), col("n_obs"), col("obs_e6"), col("exp_e6"),
+                abs(col("obs_e6") - col("exp_e6")).as("dev_e6"))
+        .orderBy(col("digit"))
     })
   )
 
@@ -479,6 +557,66 @@ object StatSketchOps {
         |  n_dows::BIGINT AS n_dows,
         |  ((n_types - 1) * (n_dows - 1))::BIGINT AS df,
         |  round(chi2_e6 / 1000000.0, 4) AS chi2
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "stat_ks_source_drift" ->
+      """WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY source, v),
+        |srcs AS (SELECT source, sum(c)::BIGINT AS n_s FROM c GROUP BY source),
+        |vals AS (SELECT DISTINCT v FROM c),
+        |tot AS (SELECT v, sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_all
+        |  FROM (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY v)),
+        |nt AS (SELECT sum(c)::BIGINT AS n_total FROM c),
+        |grid AS (SELECT s.source, s.n_s, vv.v, coalesce(c.c, 0)::BIGINT AS cc
+        |  FROM srcs s CROSS JOIN vals vv
+        |  LEFT JOIN c ON c.source = s.source AND c.v = vv.v),
+        |cum AS (SELECT source, n_s, v,
+        |    sum(cc) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_s
+        |  FROM grid),
+        |d AS (SELECT source, n_s, n_total,
+        |    abs(cum_s * (n_total - n_s) - (cum_all - cum_s) * n_s) AS dnum
+        |  FROM cum JOIN tot USING (v) CROSS JOIN nt)
+        |SELECT source, max(n_s)::BIGINT AS n, max(dnum)::BIGINT AS d_num,
+        |  round(max(dnum)::DOUBLE /
+        |        (max(n_s) * (max(n_total) - max(n_s)))::DOUBLE, 6) AS ks
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "stat_mannwhitney_drift" ->
+      """WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY source, v),
+        |tv AS (SELECT v, sum(c)::BIGINT AS cv FROM c GROUP BY v),
+        |t AS (SELECT v, cv,
+        |    coalesce(sum(cv) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cumb FROM tv),
+        |r AS (SELECT v, 2 * cumb + cv + 1 AS r2 FROM t),
+        |nt AS (SELECT sum(c)::BIGINT AS nt FROM c),
+        |g AS (SELECT source, sum(c)::BIGINT AS n,
+        |    sum(c * r2)::BIGINT AS rsum2
+        |  FROM c JOIN r USING (v) GROUP BY source)
+        |SELECT source, n, (rsum2 - n * (n + 1))::BIGINT AS u2,
+        |  ((rsum2 - n * (n + 1)) * 1000000 // (2 * n * (nt - n)))::BIGINT
+        |    AS auc_e6
+        |FROM g CROSS JOIN nt ORDER BY source""".stripMargin,
+
+    "stat_benford_first_digit" ->
+      """WITH d AS (SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)
+        |    ::BIGINT AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |b AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM b)
+        |SELECT digit, n_obs, n_obs * 1000000 // n_total AS obs_e6,
+        |  (CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |    ELSE 45757 END)::BIGINT AS exp_e6,
+        |  abs(n_obs * 1000000 // n_total -
+        |    CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |      ELSE 45757 END)::BIGINT AS dev_e6
+        |FROM b CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

@@ -394,7 +394,35 @@ object TextAnalysisOps {
     // Single-sourced in Graft.collocationsPmi.
     "ta_collocations_pmi" -> ((s, dir) =>
       graft.api.Graft.collocationsPmi(
-        Tables.documentsSpread(s, dir), "text", minCount = 5, k = 20))
+        Tables.documentsSpread(s, dir), "text", minCount = 5, k = 20)),
+
+    // Character-bigram entropy per language — the script-level signal
+    // under the token-level family (ta_zipf_slope ranks words; this
+    // measures how predictable the raw character stream is: gibberish,
+    // base64 blobs and repeated boilerplate all show up as entropy
+    // outliers long before a tokenizer runs). Bigrams come from a
+    // position explode (sequence + substring — builtin, codegen'd); the
+    // count table collapses map-side to |langs|×|bigram types| rows, so
+    // the only corpus-sized cost is the explode itself, which is
+    // embarrassingly parallel after documentsSpread. Entropy uses the
+    // entropyByKey discipline: each c·ln c term e6-quantized BEFORE
+    // summing so aggregation order cannot move the result.
+    "ta_char_bigram_entropy" -> ((s, dir) => {
+      val big = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+        .select(col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 1)," +
+                       " i -> substring(text, i, 2))")).as("bg"))
+      val counts = big.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+             sum(floor(col("c") * log(col("c")) * 1e6 + 0.5).cast("long"))
+               .as("clnc_e6"))
+        .select(col("lang"), col("n_bigrams"), col("n_distinct"),
+          round(log(col("n_bigrams")) - col("clnc_e6") / 1e6 / col("n_bigrams"), 6)
+            .as("entropy"))
+        .orderBy(col("lang"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -623,6 +651,20 @@ object TextAnalysisOps {
         |    AS pmi_e6
         |FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
         |WHERE c2.c2 >= 5
-        |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "ta_char_bigram_entropy" ->
+      """WITH d AS (SELECT lang, text AS t FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 2),
+        |b0 AS (SELECT lang, unnest(range(1, length(t))) AS i, t FROM d),
+        |b AS (SELECT lang, substr(t, i::INT, 2) AS bg FROM b0),
+        |c AS (SELECT lang, bg, count(*)::BIGINT AS c FROM b
+        |  GROUP BY lang, bg)
+        |SELECT lang, sum(c)::BIGINT AS n_bigrams,
+        |  count(*)::BIGINT AS n_distinct,
+        |  round(ln(sum(c)) -
+        |    sum(floor(c * ln(c) * 1000000 + 0.5)::BIGINT)::BIGINT
+        |      / 1e6 / sum(c), 6) AS entropy
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -147,6 +147,68 @@ object TimeSeriesOps {
           round((col("cents") - col("prev_cents")).cast("double") /
                 col("prev_cents").cast("double"), 6).as("wow_change"))
         .orderBy(col("event_type"), col("week"))
+    }),
+
+    // Gap-fill with linear interpolation — the irregular-series
+    // regularization step (sensor fusion / billing rating / feature
+    // materialization all need a dense grid). Per event type the
+    // minute-grain count series is densified onto a sequence() spine
+    // from first to last observed minute; each missing minute is
+    // linearly interpolated between its nearest observed neighbors via
+    // the two IGNORE-NULLS window walks (last-before, first-after) —
+    // the relational form of a bidirectional as-of join without the
+    // second shuffle: spine and observations share the (type, minute)
+    // ordering so BOTH neighbor walks and the join run on one exchange.
+    // The interpolated value is an exact BIGINT rational,
+    // (prev·(next_m−m) + next·(m−prev_m))·1e6 div (next_m−prev_m) —
+    // floor division evaluated identically by both engines; no FP
+    // anywhere. Output = the filled (gap) rows only. Scale shape: the
+    // spine is |types|×minutes (metadata-sized); at 100 TB the grain
+    // would be per (entity, hour) and the same two windows apply —
+    // nothing here is corpus-sized except the initial pre-aggregate.
+    "ts_gap_fill_interpolate" -> ((s, dir) => {
+      val obs = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 60").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.api.Graft.gapFillInterpolate(obs, "event_type", "m", "cnt")
+        .withColumnRenamed("m", "minute")
+        .orderBy(col("event_type"), col("minute"))
+    }),
+
+    // Cross-correlation lag scan — "does click volume lead purchase
+    // volume, and by how many hours?" Pearson r between the click and
+    // purchase hourly series at every lag in [−3, +3], from the same
+    // exact-BIGINT moment sums as ts_autocorr_lag1 (never corr()). The
+    // lag shift is relational: the 7-row lag list broadcasts onto the
+    // hourly aggregate (a |hours|-row table, not the corpus) and the
+    // shifted self-join is an equi-join on hy = hx + lag. Only hours
+    // present in BOTH series at that shift enter each sum — n is
+    // reported so a thin overlap is visible. At 100 TB the hourly
+    // pre-aggregate IS the reduction; everything after is metadata.
+    "ts_xcorr_best_lag" -> ((s, dir) => {
+      val hc = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val x = hc.filter(col("event_type") === "click")
+        .select(col("h").as("hx"), col("cnt").as("x"))
+      val lags = s.range(-3, 4).toDF("lag")
+      val y = hc.filter(col("event_type") === "purchase")
+        .select(col("h").as("hy"), col("cnt").as("y"))
+      x.crossJoin(broadcast(lags))
+        .join(y, col("hy") === col("hx") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+             sum(col("x") * col("y")).as("sxy"),
+             sum(col("x") * col("x")).as("sxx"),
+             sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            .as("xcorr"))
+        .orderBy(col("lag"))
     })
   )
 
@@ -251,6 +313,48 @@ object TimeSeriesOps {
         |  round((cents - prev_cents)::DOUBLE / prev_cents::DOUBLE, 6)
         |    AS wow_change
         |FROM p WHERE prev_cents IS NOT NULL AND prev_cents <> 0
-        |ORDER BY event_type, week""".stripMargin
+        |ORDER BY event_type, week""".stripMargin,
+    "ts_gap_fill_interpolate" ->
+      """WITH obs AS (SELECT event_type, epoch_us(ts) // 60000000 AS m,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY event_type, m),
+        |spine AS (SELECT event_type, unnest(range(min(m), max(m) + 1)) AS m
+        |  FROM obs GROUP BY event_type),
+        |j AS (SELECT s.event_type, s.m, o.cnt
+        |  FROM spine s LEFT JOIN obs o USING (event_type, m)),
+        |f AS (SELECT event_type, m, cnt,
+        |    last_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pv,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN m END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+        |    first_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY m ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN m END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY m
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nm
+        |  FROM j)
+        |SELECT event_type, m AS minute,
+        |  (pv * (nm - m) + nv * (m - pm)) * 1000000 // (nm - pm) AS interp_e6
+        |FROM f WHERE cnt IS NULL ORDER BY event_type, minute""".stripMargin,
+    "ts_xcorr_best_lag" ->
+      """WITH hc AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt FROM events
+        |  WHERE event_type IN ('click', 'purchase') GROUP BY event_type, h),
+        |x AS (SELECT h AS hx, cnt AS x FROM hc WHERE event_type = 'click'),
+        |y AS (SELECT h AS hy, cnt AS y FROM hc WHERE event_type = 'purchase'),
+        |p AS (SELECT l.lag, x.x, y.y
+        |  FROM x CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+        |  JOIN y ON y.hy = x.hx + l.lag),
+        |m AS (SELECT lag, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n,
+        |  round((n * sxy - sx * sy)::DOUBLE /
+        |    sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE), 6)
+        |    AS xcorr
+        |FROM m ORDER BY lag""".stripMargin
   )
 }

@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Targeted invariants for the round-7 wave-5 operators (each also runs
+  * under the DuckDB oracle gate via SparkEntry). */
+class WaveFiveOpsSpec extends SparkSpec {
+
+  test("cdc_snapshot_diff: feed is classified correctly and U rows actually changed") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("cdc_snapshot_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      r.getAs[String]("op") match {
+        case "I" =>
+          assert(r.isNullAt(r.fieldIndex("n_before")) && !r.isNullAt(r.fieldIndex("n_after")))
+        case "D" =>
+          assert(!r.isNullAt(r.fieldIndex("n_before")) && r.isNullAt(r.fieldIndex("n_after")))
+        case "U" =>
+          assert(r.getAs[Long]("n_before") != r.getAs[Long]("n_after") ||
+                 r.getAs[Long]("cents_before") != r.getAs[Long]("cents_after"),
+            s"unchanged U row leaked: $r")
+        case other => fail(s"unexpected op '$other'")
+      }
+    }
+    // applying the feed to snapshot A must reproduce snapshot B: check
+    // cardinality algebra |B| = |A| + |I| - |D| (U preserves presence)
+    val ev = Tables.events(spark, sf)
+    val cut = ev.agg(date_trunc("DAY", max($"ts")).as("t2"))
+      .withColumn("t1", $"t2" - expr("INTERVAL 5 DAYS")).collect()(0)
+    def snapUsers(c: java.sql.Timestamp): Long = ev
+      .filter($"ts" >= lit(c) - expr("INTERVAL 10 DAYS") && $"ts" < lit(c))
+      .select($"user_id").distinct().count()
+    val (nA, nB) = (snapUsers(cut.getTimestamp(1)), snapUsers(cut.getTimestamp(0)))
+    val nI = rows.count(_.getAs[String]("op") == "I")
+    val nD = rows.count(_.getAs[String]("op") == "D")
+    assert(nB == nA + nI - nD, s"feed algebra broken: |B|=$nB |A|=$nA I=$nI D=$nD")
+  }
+
+  test("layout_compaction_plan: bins conserve bytes, stay contiguous, and respect the packing bound") {
+    import spark.implicits._
+    val target = 2048L
+    val plan = operators.LayoutOps.queries("layout_compaction_plan")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .groupBy($"source").agg(sum($"n_chars").as("bytes"), max($"n_chars").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    plan.groupBy(_.getAs[String]("source")).foreach { case (src, bins) =>
+      val (total, mx) = docs(src)
+      assert(bins.map(_.getAs[Long]("bin_bytes")).sum == total,
+        s"$src: packed bytes != source bytes")
+      val ids = bins.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1, s"$src: bins not contiguous")
+      bins.foreach { b =>
+        assert(b.getAs[Long]("bin_bytes") < target + mx,
+          s"$src bin ${b.getAs[Long]("bin")}: exceeds offset-packing bound")
+        assert(b.getAs[Long]("n_files") >= 1)
+        assert(b.getAs[Long]("first_doc") <= b.getAs[Long]("last_doc"))
+      }
+    }
+  }
+
+  test("graph_common_neighbors: pairs are open (non-adjacent), scored consistently, ranked") {
+    import spark.implicits._
+    val out = operators.GraphOps.queries("graph_common_neighbors")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), $"x.l_orderkey" === $"y.l_orderkey" &&
+        $"x.l_partkey" < $"y.l_partkey")
+      .select($"x.l_partkey", $"y.l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
+      assert(a < c, "pairs must be oriented a < c")
+      assert(!edges.contains((a, c)), s"adjacent pair ($a,$c) leaked into link prediction")
+      val (cn, da, dc) = (r.getAs[Long]("cn"), r.getAs[Long]("deg_a"), r.getAs[Long]("deg_c"))
+      assert(cn >= 1 && cn <= math.min(da, dc))
+      assert(r.getAs[Long]("jaccard_e6") == cn * 1000000L / (da + dc - cn))
+    }
+    val scores = out.map(r => (r.getAs[Long]("cn"), r.getAs[Long]("jaccard_e6")))
+    assert(scores.sameElements(scores.sortBy(t => (-t._1, -t._2))), "not rank-ordered")
+  }
+
+  test("stat_ks_source_drift: D is a valid sup-distance in [0,1], exact numerator bounded") {
+    val rows = operators.StatSketchOps.queries("stat_ks_source_drift")(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSources)
+    val nTotal = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n"), r.getAs[Long]("d_num"))
+      assert(d >= 0 && d <= n * (nTotal - n), s"$r: numerator outside [0, n·m]")
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+      assert(math.abs(ks - d.toDouble / (n * (nTotal - n))) < 1e-6)
+    }
+  }
+
+  test("stat_benford_first_digit: digits partition the orders, shares are exact rationals") {
+    val rows = operators.StatSketchOps.queries("stat_benford_first_digit")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    val nOrders = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") >= 1).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    val total = rows.map(_.getAs[Long]("n_obs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_e6") == r.getAs[Long]("n_obs") * 1000000L / total)
+      assert(r.getAs[Long]("dev_e6") ==
+        math.abs(r.getAs[Long]("obs_e6") - r.getAs[Long]("exp_e6")))
+    }
+    // Benford expectations themselves sum to ~1e6 (floor loss < 9)
+    val expSum = rows.map(_.getAs[Long]("exp_e6")).distinct.sum
+    assert(expSum <= 1000000L && expSum > 1000000L - 9 * rows.length)
+  }
+
+  test("curate_c4_heuristics: gate counts are bounded and conjunctive") {
+    val rows = operators.CurationOps.queries("curate_c4_heuristics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val gates = Seq("n_words_ok", "n_term_ok", "n_brace_ok", "n_lorem_ok", "n_wordlen_ok")
+        .map(r.getAs[Long](_))
+      gates.foreach(g => assert(g >= 0 && g <= n))
+      val all = r.getAs[Long]("n_pass_all")
+      assert(all <= gates.min, "pass-all cannot exceed any single gate")
+      assert(r.getAs[Long]("pass_e6") == all * 1000000L / n)
+    }
+  }
+
+  test("ts_xcorr_best_lag: one row per lag, correlations are valid and lag-0 is present") {
+    val rows = operators.TimeSeriesOps.queries("ts_xcorr_best_lag")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (-3L to 3L).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 10, "overlap too thin to correlate")
+      val x = r.getAs[Double]("xcorr")
+      assert(!x.isNaN && x >= -1.0 && x <= 1.0)
+    }
+  }
+
+  test("privacy_generalize_ladder: monotone coarsening, exactly one chosen minimal level") {
+    val rows = operators.LayoutOps.queries("privacy_generalize_ladder")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("level"))
+    assert(rows.map(_.getAs[Long]("level")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // coarsening cannot increase group count or decrease the min size
+    rows.sliding(2).foreach { case Array(fine, coarse) =>
+      assert(coarse.getAs[Long]("n_groups") <= fine.getAs[Long]("n_groups"))
+      assert(coarse.getAs[Long]("min_group") >= fine.getAs[Long]("min_group"))
+    }
+    assert(rows.last.getAs[Long]("k_ok") == 1, "full suppression must satisfy k")
+    val chosen = rows.filter(_.getAs[Long]("chosen") == 1)
+    assert(chosen.length == 1)
+    val cl = chosen.head.getAs[Long]("level")
+    rows.foreach { r =>
+      val l = r.getAs[Long]("level")
+      if (l < cl) assert(r.getAs[Long]("k_ok") == 0, s"level $l ok but not chosen")
+      if (l == cl) assert(r.getAs[Long]("k_ok") == 1)
+    }
+  }
+
+  test("e_conversion_latency: buckets count exactly the users with a post-view purchase") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("e_conversion_latency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("latency_h") >= 0))
+    val ev = Tables.events(spark, sf)
+    val fv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val nConverted = ev.filter($"event_type" === "purchase")
+      .join(fv, Seq("user_id")).filter($"ts" > $"v_ts")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nConverted,
+      "histogram mass != converted-user count")
+  }
+
+  test("e_user_growth_curve: cumulative curve is the running new-user sum and ends at the user count") {
+    val rows = operators.EventOps.queries("e_user_growth_curve")(spark, sf)
+      .collect().sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_new")
+      assert(r.getAs[Long]("cum_users") == cum, "cum_users != running sum of n_new")
+      assert(r.getAs[Long]("n_active") >= r.getAs[Long]("n_new"))
+    }
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(cum == nUsers, "curve must end at the total distinct-user count")
+  }
+
+  test("v_cluster_quality: pair algebra matches a brute-force pair enumeration") {
+    import spark.implicits._
+    val out = operators.RetrievalOps.queries("v_cluster_quality")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // brute-force replay on the tiny SF: quantized dots over explicit pairs
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    out.foreach { row =>
+      val l = row.getAs[Int]("label")
+      val mine = byLabel(l).map(_._2)
+      val others = vecs.filterNot(_._1 == l).map(_._2)
+      def dot(a: Array[Long], b: Array[Long]): Double =
+        a.indices.map(i => a(i).toDouble * b(i)).sum
+      val intra = (for { i <- mine.indices; j <- mine.indices if i != j }
+        yield dot(mine(i), mine(j))).sum / (mine.length.toLong * (mine.length - 1)) / 1e12
+      val inter = (for { a <- mine; b <- others } yield dot(a, b)).sum /
+        (mine.length.toLong * others.length) / 1e12
+      assert(math.abs(row.getAs[Double]("intra_mean") - intra) < 1e-4,
+        s"label $l intra: ${row.getAs[Double]("intra_mean")} vs brute $intra")
+      assert(math.abs(row.getAs[Double]("inter_mean") - inter) < 1e-4,
+        s"label $l inter: ${row.getAs[Double]("inter_mean")} vs brute $inter")
+    }
+  }
+
+  test("prep_target_encoding_loo: census bounds match a driver-side LOO replay") {
+    import spark.implicits._
+    val out = operators.PrepOps.queries("prep_target_encoding_loo")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", floor($"value" * 100 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.map(_._2); val s = xs.sum; val n = xs.length
+      if (n > 1) {
+        val loo = xs.map(x => (s - x) * 1000000L / (n - 1))
+        val r = out(t)
+        assert(r.getAs[Long]("loo_min_e6") == loo.min)
+        assert(r.getAs[Long]("loo_max_e6") == loo.max)
+        assert(r.getAs[Long]("loo_spread_e6") == loo.max - loo.min)
+        assert(r.getAs[Long]("n") == n)
+      }
+    }
+  }
+
+  test("ta_char_bigram_entropy: entropy is bounded by log of the support") {
+    val rows = operators.TextAnalysisOps.queries("ta_char_bigram_entropy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val k = r.getAs[Long]("n_distinct")
+      val n = r.getAs[Long]("n_bigrams")
+      assert(h >= -1e-9, s"${r.getString(0)}: negative entropy")
+      assert(h <= math.log(k.toDouble) + 1e-6,
+        s"${r.getString(0)}: entropy above ln(support)")
+      assert(k <= n)
+    }
+  }
+
+  test("stat_mannwhitney_drift: U is in [0, n*m] and AUC complements sum to ~1 for a 2-source split") {
+    val rows = operators.StatSketchOps.queries("stat_mannwhitney_drift")(spark, sf).collect()
+    val nTotal = Tables.documents(spark, sf).count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u2) = (r.getAs[Long]("n"), r.getAs[Long]("u2"))
+      assert(u2 >= 0 && u2 <= 2 * n * (nTotal - n), s"$r: U out of range")
+      val auc = r.getAs[Long]("auc_e6")
+      assert(auc >= 0 && auc <= 1000000L)
+      assert(auc == u2 * 1000000L / (2 * n * (nTotal - n)))
+    }
+  }
+
+  test("graph_kcore_peel: erosion is monotone and the fixed point respects min degree >= k") {
+    val rows = operators.GraphOps.queries("graph_kcore_peel")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getAs[Long]("n_nodes") <= prev.getAs[Long]("n_nodes"))
+      def edges(r: org.apache.spark.sql.Row): Long =
+        if (r.isNullAt(r.fieldIndex("n_edges"))) 0L else r.getAs[Long]("n_edges")
+      assert(edges(next) <= edges(prev), "peeling cannot add edges")
+      // once a round removes nothing, the k-core is reached and stays fixed
+      if (prev.getAs[Long]("n_nodes") == next.getAs[Long]("n_nodes"))
+        assert(prev.isNullAt(prev.fieldIndex("min_degree")) ||
+               prev.getAs[Long]("min_degree") >= 3)
+    }
+  }
+
+  test("j_asof_nearest: gap agrees with a driver-side nearest scan, ties break backward") {
+    import spark.implicits._
+    val out = operators.EventOps.queries("j_asof_nearest")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    var nMatched = 0
+    out.foreach { r =>
+      val eid = r.getAs[Long]("event_id")
+      val (_, uid, _, cus) = ev.find(_._1 == eid).get
+      // replay: nearest purchase by |gap| over the same (ts, event_id) order
+      val ps = byUser(uid).filter(_._3 == "purchase")
+      val backC = ps.filter(p => p._4 < cus || (p._4 == cus && p._1 <= eid))
+        .map(p => cus - p._4)
+      val fwdC = ps.filter(p => p._4 > cus || (p._4 == cus && p._1 >= eid))
+        .map(p => p._4 - cus)
+      val bg = if (backC.nonEmpty) Some(backC.min) else None
+      val fg = if (fwdC.nonEmpty) Some(fwdC.min) else None
+      val expected = (bg, fg) match {
+        case (Some(b), Some(f)) => Some(if (b <= f) -b else f)
+        case (Some(b), None) => Some(-b)
+        case (None, Some(f)) => Some(f)
+        case _ => None
+      }
+      val expMatched = expected.exists(g => math.abs(g) <= 7200000000L)
+      assert(r.getAs[Boolean]("matched") == expMatched, s"event $eid matched flag")
+      if (expMatched) {
+        nMatched += 1
+        assert(r.getAs[Long]("gap_us") == expected.get, s"event $eid gap")
+      } else assert(r.getAs[Long]("gap_us") == 9999999999L)
+    }
+    assert(nMatched > 0)
+  }
+
+  test("ts_gap_fill_interpolate: fills exactly the missing minutes, within neighbor bounds") {
+    import spark.implicits._
+    val out = operators.TimeSeriesOps.queries("ts_gap_fill_interpolate")(spark, sf)
+      .collect()
+    assert(out.nonEmpty, "sf0.001 minute grid must have gaps")
+    val obs = Tables.events(spark, sf)
+      .groupBy($"event_type", expr("CAST(ts AS LONG) div 60").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (t, gaps) =>
+      val series = obs(t)
+      val (mn, mx) = (series.keys.min, series.keys.max)
+      // exact gap census: filled + observed == dense span
+      assert(gaps.length + series.size == (mx - mn + 1).toInt,
+        s"$t: gap rows + observed rows != dense span")
+      gaps.foreach { g =>
+        val m = g.getAs[Long]("minute")
+        assert(!series.contains(m), s"$t: observed minute $m in gap output")
+        val pv = series.filter(_._1 < m).maxBy(_._1)._2
+        val nv = series.filter(_._1 > m).minBy(_._1)._2
+        val v = g.getAs[Long]("interp_e6")
+        assert(v >= math.min(pv, nv) * 1000000L && v <= math.max(pv, nv) * 1000000L,
+          s"$t minute $m: interpolant $v outside [$pv,$nv]e6")
+      }
+    }
+  }
+}
