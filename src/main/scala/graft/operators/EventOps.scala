@@ -850,6 +850,71 @@ object EventOps {
                 when(col("matched"), col("raw_gap"))
                   .otherwise(lit(9999999999L)).as("gap_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // Cohort LTV curve — the revenue companion to retention_cohort
+    // _matrix: cumulative purchase cents per signup-week cohort at each
+    // week offset, normalized per cohort member (the "how much is a
+    // week-N cohort worth by week N+k" curve growth teams steer by).
+    // Cohort membership counts ALL users of the cohort (not just
+    // purchasers) so the per-user LTV denominator is the honest one.
+    // Shape: one (user, week, cents) purchase rollup joined to the
+    // broadcastable |users|-row cohort table, one (cohort, offset)
+    // aggregate, a cumsum window over the tiny matrix, exact integer
+    // cents end-to-end; ltv_per_user_e6 is a floor-div rational of the
+    // cumulative cents (so even the normalized curve is FP-free).
+    "a_cohort_ltv_curve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohorts = ev.select(col("user_id"), date_trunc("WEEK", col("ts")).as("w"))
+        .groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+        .localCheckpoint()
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("WEEK", col("ts")).as("w"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val cells = purch.join(broadcast(cohorts), Seq("user_id"))
+        .withColumn("week_offset",
+          expr("datediff(w, cohort_week) div 7").cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(sum(col("cents")).as("cents"))
+      cells.join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("cohort_week").cast("date").as("cohort_week"),
+          col("week_offset"), col("cents"), col("cum_cents"), col("n_cohort"),
+          expr("cum_cents * 1000000 div n_cohort").as("ltv_per_user_e6"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Peak concurrency — "how many 30-minute sessions were live at
+    // once, and when did the peak happen", per event type: the classic
+    // ±1 interval sweep, made deterministic by aggregating deltas per
+    // boundary timestamp BEFORE the cumulative walk (the running value
+    // inside a tied timestamp depends on intra-tie order; the
+    // per-timestamp net does not, and the sweep maximum is always
+    // attained at a boundary's post-state). Sweep table is one ±1
+    // union + one aggregate to |types|×|distinct boundaries| rows; the
+    // cumulative window and the argmax-by-(peak, earliest) run on that
+    // metadata-sized table. Exact epoch-µs half-open intervals: an end
+    // at t and a start at t never double-count.
+    "w_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val deltas = ev.select(col("event_type"), col("us").as("t"), lit(1L).as("d"))
+        .union(ev.select(col("event_type"), (col("us") + 1800000000L).as("t"),
+                         lit(-1L).as("d")))
+        .groupBy(col("event_type"), col("t")).agg(sum(col("d")).as("net"))
+      val cum = deltas.withColumn("cc", sum(col("net")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      cum.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("cc").desc, col("t"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("cc").as("peak"), col("t").as("at_us"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1278,6 +1343,45 @@ object EventOps {
         |  (raw_gap IS NOT NULL AND abs(raw_gap) <= 7200000000) AS matched,
         |  CASE WHEN raw_gap IS NOT NULL AND abs(raw_gap) <= 7200000000
         |       THEN raw_gap ELSE 9999999999 END AS gap_us
-        |FROM n ORDER BY event_id""".stripMargin
+        |FROM n ORDER BY event_id""".stripMargin,
+
+    "a_cohort_ltv_curve" ->
+      """WITH uw AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |co AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*)::BIGINT AS n_cohort FROM co
+        |  GROUP BY cohort_week),
+        |p AS (SELECT user_id, date_trunc('week', ts) AS w,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, w),
+        |cells AS (SELECT co.cohort_week,
+        |    (date_diff('day', co.cohort_week, p.w) // 7)::BIGINT AS week_offset,
+        |    sum(p.cents)::BIGINT AS cents
+        |  FROM p JOIN co USING (user_id)
+        |  GROUP BY co.cohort_week, week_offset),
+        |cum AS (SELECT cohort_week, week_offset, cents,
+        |    sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_cents
+        |  FROM cells)
+        |SELECT cum.cohort_week::DATE AS cohort_week, week_offset, cents,
+        |  cum_cents, n_cohort,
+        |  (cum_cents * 1000000 // n_cohort)::BIGINT AS ltv_per_user_e6
+        |FROM cum JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "w_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT event_type, us AS t, 1::BIGINT AS d FROM ev
+        |  UNION ALL SELECT event_type, us + 1800000000, -1 FROM ev),
+        |net AS (SELECT event_type, t, sum(d)::BIGINT AS net FROM d
+        |  GROUP BY event_type, t),
+        |c AS (SELECT event_type, t,
+        |    sum(net) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cc
+        |  FROM net),
+        |r AS (SELECT event_type, t, cc, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cc DESC, t) AS rn FROM c)
+        |SELECT event_type, cc AS peak, t AS at_us
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
   )
 }

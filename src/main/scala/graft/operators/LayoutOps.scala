@@ -293,6 +293,34 @@ object LayoutOps {
         .withColumn("chosen", (col("level") === col("ml")).cast("long"))
         .drop("ml")
         .orderBy(col("level"))
+    }),
+
+    // Zone-map pruning simulation — the data-skipping arithmetic every
+    // lake format (parquet row groups, Delta/Iceberg file stats) lives
+    // on: collect per-partition (day) min/max of the value column,
+    // then for a ladder of `value > p` probe predicates count the
+    // partitions a scanner could skip outright (max < p). This is the
+    // MEASUREMENT behind choosing a partition/cluster key — pair it
+    // with layout_zorder_cluster's envelope bound and you have the
+    // before/after story for a re-layout. One aggregate to |days|
+    // rows; the 5-row threshold ladder cross-joins onto it broadcast;
+    // prunable_frac is an exact e6 floor-div rational.
+    "layout_zone_map_pruning" -> ((s, dir) => {
+      val stats = Tables.events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(max(floor(col("value") * 100 + 0.5).cast("long")).as("mx"))
+      val probes = s.createDataFrame(
+          Seq(Tuple1(25000L), Tuple1(30000L), Tuple1(35000L),
+              Tuple1(40000L), Tuple1(50000L)))
+        .toDF("threshold_cents")
+      stats.crossJoin(broadcast(probes))
+        .groupBy(col("threshold_cents"))
+        .agg(count(lit(1)).as("n_partitions"),
+             sum((col("mx") < col("threshold_cents")).cast("long"))
+               .as("n_prunable"))
+        .withColumn("prunable_frac_e6",
+          expr("n_prunable * 1000000 div n_partitions"))
+        .orderBy(col("threshold_cents"))
     })
   )
 
@@ -411,6 +439,18 @@ object LayoutOps {
         |mo AS (SELECT min(level) AS ml FROM ladder WHERE k_ok = 1)
         |SELECT level, band_width, n_groups, min_group, k_ok,
         |  (level = ml)::BIGINT AS chosen
-        |FROM ladder CROSS JOIN mo ORDER BY level""".stripMargin
+        |FROM ladder CROSS JOIN mo ORDER BY level""".stripMargin,
+    "layout_zone_map_pruning" ->
+      """WITH st AS (SELECT date_trunc('day', ts)::DATE AS day,
+        |    max(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS mx
+        |  FROM events GROUP BY day),
+        |pr AS (SELECT unnest([25000, 30000, 35000, 40000, 50000])::BIGINT
+        |    AS threshold_cents)
+        |SELECT threshold_cents, count(*)::BIGINT AS n_partitions,
+        |  sum((mx < threshold_cents)::INT)::BIGINT AS n_prunable,
+        |  (sum((mx < threshold_cents)::INT)::BIGINT * 1000000
+        |    // count(*))::BIGINT AS prunable_frac_e6
+        |FROM st CROSS JOIN pr
+        |GROUP BY threshold_cents ORDER BY threshold_cents""".stripMargin
   )
 }

@@ -313,6 +313,67 @@ class WaveFiveOpsSpec extends SparkSpec {
     assert(nMatched > 0)
   }
 
+  test("a_cohort_ltv_curve: cumulative cents are monotone and total to the corpus purchase sum") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("a_cohort_ltv_curve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_week")).foreach { case (_, cells) =>
+      val ordered = cells.sortBy(_.getAs[Long]("week_offset"))
+      var cum = 0L
+      ordered.foreach { c =>
+        cum += c.getAs[Long]("cents")
+        assert(c.getAs[Long]("cum_cents") == cum)
+        assert(c.getAs[Long]("ltv_per_user_e6") ==
+          cum * 1000000L / c.getAs[Long]("n_cohort"))
+        assert(c.getAs[Long]("week_offset") >= 0)
+      }
+    }
+    val total = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("cents")).sum == total,
+      "LTV matrix must conserve total purchase cents")
+  }
+
+  test("w_peak_concurrency: peak matches a driver-side sweep replay") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("w_peak_concurrency")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val starts = ev.filter(_._1 == t).map(_._2)
+      val boundaries = (starts.map((_, 1L)) ++ starts.map(s => (s + 1800000000L, -1L)))
+        .groupBy(_._1).map { case (ts, ds) => (ts, ds.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+      var cum = 0L; var peak = Long.MinValue; var at = 0L
+      boundaries.foreach { case (ts, net) =>
+        cum += net
+        if (cum > peak) { peak = cum; at = ts }
+      }
+      assert(r.getAs[Long]("peak") == peak, s"$t peak")
+      assert(r.getAs[Long]("at_us") == at, s"$t peak time")
+      assert(peak >= 1)
+    }
+  }
+
+  test("layout_zone_map_pruning: prunable counts are monotone in the threshold") {
+    val rows = operators.LayoutOps.queries("layout_zone_map_pruning")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("threshold_cents"))
+    assert(rows.length == 5)
+    val nParts = rows.head.getAs[Long]("n_partitions")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_partitions") == nParts)
+      assert(r.getAs[Long]("n_prunable") >= 0 && r.getAs[Long]("n_prunable") <= nParts)
+      assert(r.getAs[Long]("prunable_frac_e6") ==
+        r.getAs[Long]("n_prunable") * 1000000L / nParts)
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_prunable") <= hi.getAs[Long]("n_prunable"),
+        "a higher threshold can only prune more partitions")
+    }
+  }
+
   test("ts_gap_fill_interpolate: fills exactly the missing minutes, within neighbor bounds") {
     import spark.implicits._
     val out = operators.TimeSeriesOps.queries("ts_gap_fill_interpolate")(spark, sf)
