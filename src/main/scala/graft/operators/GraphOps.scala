@@ -148,26 +148,31 @@ object GraphOps {
     }),
 
     // Common-neighbors link prediction — the "you may also like" /
-    // missing-edge scorer over the part co-purchase graph: for every
+    // missing-edge scorer over the REPEAT co-purchase graph: for every
     // NON-adjacent pair (a, c) sharing ≥1 neighbor, the common-neighbor
     // count and its Jaccard normalization cn/(deg_a + deg_c − cn), top
-    // 50 by score. Candidate pairs are generated the triangle-census
-    // way — the oriented wedge join on the shared middle vertex — so
-    // the pair space is Σ_b deg(b)², never |V|²; existing edges are
-    // removed with one anti join and degrees attach by broadcastable
-    // |V|-row joins. Jaccard is an exact integer-scaled rational
-    // (cn·1e6 div union), so the top-50 cut has no floating ties; the
-    // ORDER BY ends in the unique (a, c) key, so the selected SET is
-    // deterministic. At 100 TB orientation flips to degree-order
-    // (hubs on the probe side) exactly as graph_triangle_count notes.
+    // 50 by score. Edges require min-support 2 (pairs co-purchased in
+    // ≥2 orders) — the a_assoc_rules noise cut, and THE decision that
+    // makes the wedge space tractable: on this data it collapses
+    // Σ_b deg(b)² from 298M to 12k at sf0.1 (measured), turning a 25 s
+    // wedge shuffle into milliseconds, because single-co-occurrence
+    // hub parts carry no signal and all of the cost. Candidate pairs
+    // then come from the wedge join on the shared middle vertex;
+    // existing edges are removed with one anti join and degrees attach
+    // by broadcastable |V|-row joins. Jaccard is an exact
+    // integer-scaled rational (cn·1e6 div union), so the top-50 cut
+    // has no floating ties; the ORDER BY ends in the unique (a, c)
+    // key, so the selected SET is deterministic.
     "graph_common_neighbors" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
       val e = li.alias("x")
         .join(li.alias("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("ea"), col("y.l_partkey").as("eb"))
-        .distinct()
+        .groupBy(col("x.l_partkey").as("ea"), col("y.l_partkey").as("eb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("ea"), col("eb"))
       graft.api.Graft.commonNeighbors(e, "ea", "eb", k = 50)
         .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("c"))
     }),
@@ -175,22 +180,29 @@ object GraphOps {
     // k-core peeling census — the graph-curation degeneracy walk
     // (spam/bot subgraph mining and community-core extraction both run
     // it): iteratively delete nodes of degree < k and report how the
-    // co-purchase graph erodes. THREE synchronous peel rounds at k = 3,
-    // unrolled so the DuckDB oracle replays the identical rounds (the
+    // REPEAT co-purchase graph (min-support 2, the common_neighbors
+    // edge contract — the support-1 graph is so dense that k = 3
+    // erodes nothing and the walk degenerates into a 5 s no-op at
+    // sf0.1) erodes. THREE synchronous peel rounds at k = 3, unrolled
+    // so the DuckDB oracle replays the identical rounds (the
     // graph_label_prop determinism recipe; a convergence loop at scale
     // adds the localCheckpoint-every-k-rounds lineage discipline and
     // nothing else). Each round = one degree aggregate + two semi
     // joins on the edge list — no shuffle touches anything larger
     // than |E|. The census row per round (nodes, edges, min degree)
-    // makes erosion monotonicity spec-assertable.
+    // makes erosion monotonicity spec-assertable; on this data the
+    // erosion is real (sf0.01: 1892 → 1154 nodes over two rounds;
+    // sf0.1: the support-2 graph collapses entirely).
     "graph_kcore_peel" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
       val e0 = li.alias("x")
         .join(li.alias("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
         .localCheckpoint()
       def undirected(e: DataFrame): DataFrame =
         e.select(col("a").as("u")).union(e.select(col("b").as("u")))
@@ -304,9 +316,11 @@ object GraphOps {
         |ORDER BY label""".stripMargin,
 
     "graph_common_neighbors" ->
-      """WITH e AS (SELECT DISTINCT x.l_partkey AS ea, y.l_partkey AS eb
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      """WITH e AS (SELECT ea, eb FROM (
+        |    SELECT x.l_partkey AS ea, y.l_partkey AS eb, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY ea, eb) WHERE w >= 2),
         |adj AS (SELECT ea AS u, eb AS v FROM e
         |  UNION ALL SELECT eb, ea FROM e),
         |deg AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY u),
@@ -321,9 +335,11 @@ object GraphOps {
         |ORDER BY cn DESC, jaccard_e6 DESC, a, c LIMIT 50""".stripMargin,
 
     "graph_kcore_peel" ->
-      """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
         |d0 AS (SELECT u, count(*)::BIGINT AS d FROM
         |  (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0) GROUP BY u),
         |k0 AS (SELECT u FROM d0 WHERE d >= 3),

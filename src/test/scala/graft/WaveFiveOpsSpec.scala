@@ -65,10 +65,12 @@ class WaveFiveOpsSpec extends SparkSpec {
     val out = operators.GraphOps.queries("graph_common_neighbors")(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 50)
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    // same min-support-2 edge construction as the operator
     val edges = li.alias("x")
       .join(li.alias("y"), $"x.l_orderkey" === $"y.l_orderkey" &&
         $"x.l_partkey" < $"y.l_partkey")
-      .select($"x.l_partkey", $"y.l_partkey").distinct()
+      .groupBy($"x.l_partkey", $"y.l_partkey").count()
+      .filter($"count" >= 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     out.foreach { r =>
       val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
