@@ -915,6 +915,29 @@ object EventOps {
         .filter(col("rn") === 1)
         .select(col("event_type"), col("cc").as("peak"), col("t").as("at_us"))
         .orderBy(col("event_type"))
+    }),
+
+    // Inter-arrival time spectrum — the burstiness fingerprint per
+    // event type (Poisson traffic is geometric across log₂ buckets;
+    // bots and batch replays spike one bucket). Consecutive gaps come
+    // from one lag window per type; the bucket is EXACT integer
+    // log₂ — floor(log2(gap_s)) computed as length(bin(gap_s)) − 1,
+    // a bit-length identity both engines evaluate on BIGINTs with no
+    // FP log anywhere. Sub-second gaps land in bucket −1. The
+    // histogram collapses map-side to |types|×~20 buckets.
+    "e_interarrival_hist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+                expr("CAST(ts AS LONG)").as("sec"))
+        .withColumn("gap_s", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("log2_bucket",
+          when(col("gap_s") >= 1, length(bin(col("gap_s"))) - 1)
+            .otherwise(lit(-1)).cast("long"))
+        .groupBy(col("event_type"), col("log2_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("log2_bucket"))
     })
   )
 
@@ -1382,6 +1405,20 @@ object EventOps {
         |r AS (SELECT event_type, t, cc, row_number() OVER (
         |    PARTITION BY event_type ORDER BY cc DESC, t) AS rn FROM c)
         |SELECT event_type, cc AS peak, t AS at_us
-        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "e_interarrival_hist" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 -
+        |      lag(epoch_us(ts) // 1000000) OVER (
+        |        PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    CASE WHEN gap_s >= 1 THEN length(bin(gap_s)) - 1
+        |         ELSE -1 END::BIGINT AS log2_bucket
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, log2_bucket, count(*)::BIGINT AS n
+        |FROM b GROUP BY event_type, log2_bucket
+        |ORDER BY event_type, log2_bucket""".stripMargin
   )
 }

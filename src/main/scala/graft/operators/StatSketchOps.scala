@@ -389,6 +389,32 @@ object StatSketchOps {
         .orderBy(col("source"))
     }),
 
+    // Min-max-normalized decile profile — the shape census feature
+    // normalization pipelines run before choosing a scaler (a uniform
+    // profile min-max-scales cleanly; a spiked one wants rank or log).
+    // Decile = ((v − mn)·10) div (mx − mn) clamped to 9, pure BIGINT
+    // cross-multiplication against the broadcast per-type (mn, mx) row
+    // — no FP in the bucketing, so engines cannot disagree at decile
+    // boundaries. Map-side histogram to |types|×10 rows; share_e6 is
+    // an exact floor-div rational.
+    "a_value_decile_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val mm = ev.groupBy(col("event_type").as("et"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+             count(lit(1)).as("nt"))
+        .filter(col("mx") > col("mn"))
+      ev.join(broadcast(mm), col("event_type") === col("et"))
+        .withColumn("decile",
+          least(expr("(v - mn) * 10 div (mx - mn)"), lit(9L)))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), max(col("nt")).as("nt"))
+        .select(col("event_type"), col("decile"), col("n"),
+                expr("n * 1000000 div nt").as("share_e6"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
     "stat_benford_first_digit" -> ((s, dir) => {
       val expE6 = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091" +
         " WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
@@ -582,6 +608,21 @@ object StatSketchOps {
         |  round(max(dnum)::DOUBLE /
         |        (max(n_s) * (max(n_total) - max(n_s)))::DOUBLE, 6) AS ks
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "a_value_decile_profile" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 100 + 0.5)::BIGINT AS v FROM events),
+        |mm AS (SELECT event_type, min(v) AS mn, max(v) AS mx,
+        |    count(*)::BIGINT AS nt FROM ev GROUP BY event_type
+        |  HAVING max(v) > min(v)),
+        |d AS (SELECT ev.event_type,
+        |    least((ev.v - mm.mn) * 10 // (mm.mx - mm.mn), 9)::BIGINT
+        |      AS decile, mm.nt
+        |  FROM ev JOIN mm USING (event_type))
+        |SELECT event_type, decile, count(*)::BIGINT AS n,
+        |  (count(*) * 1000000 // max(nt))::BIGINT AS share_e6
+        |FROM d GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
 
     "stat_mannwhitney_drift" ->
       """WITH c AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c

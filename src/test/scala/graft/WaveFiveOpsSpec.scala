@@ -376,6 +376,48 @@ class WaveFiveOpsSpec extends SparkSpec {
     }
   }
 
+  test("e_interarrival_hist: histogram mass is n_events - n_types and buckets hold 2^b <= gap < 2^(b+1)") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("e_interarrival_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nTypes,
+      "every event except each type's first contributes one gap")
+    rows.foreach(r => assert(r.getAs[Long]("log2_bucket") >= -1))
+    // replay one type's bucketing exactly
+    val t = rows.head.getAs[String]("event_type")
+    val secs = ev.filter($"event_type" === t)
+      .orderBy($"ts", $"event_id").select(expr("CAST(ts AS LONG)"))
+      .collect().map(_.getLong(0))
+    val expected = secs.sliding(2).map { case Array(a, b) =>
+      val g = b - a
+      if (g >= 1) 63 - java.lang.Long.numberOfLeadingZeros(g) else -1
+    }.toSeq.groupBy(identity).map { case (k, v) => (k.toLong, v.size.toLong) }
+    val got = rows.filter(_.getAs[String]("event_type") == t)
+      .map(r => r.getAs[Long]("log2_bucket") -> r.getAs[Long]("n")).toMap
+    assert(got == expected, s"$t: bucket histogram mismatch")
+  }
+
+  test("a_value_decile_profile: deciles partition each type and shares are exact rationals") {
+    val rows = operators.StatSketchOps.queries("a_value_decile_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, ds) =>
+      val n = ds.map(_.getAs[Long]("n")).sum
+      ds.foreach { d =>
+        val dec = d.getAs[Long]("decile")
+        assert(dec >= 0 && dec <= 9, s"$t decile $dec")
+        assert(d.getAs[Long]("share_e6") == d.getAs[Long]("n") * 1000000L / n)
+      }
+      // the extremes always land in the first and last occupied decile
+      assert(ds.map(_.getAs[Long]("decile")).distinct.length == ds.length)
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "deciles must partition all events (no type is constant-valued at this SF)")
+  }
+
   test("ts_gap_fill_interpolate: fills exactly the missing minutes, within neighbor bounds") {
     import spark.implicits._
     val out = operators.TimeSeriesOps.queries("ts_gap_fill_interpolate")(spark, sf)
