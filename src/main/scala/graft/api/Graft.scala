@@ -432,6 +432,8 @@ object Graft {
     val d = df.select(qs :+ col(sensitiveCol).cast("long").as("__band"): _*)
     val bands = d.groupBy(col("__band")).agg(count(lit(1)).as("__nb"))
     val bandsCum = bands
+      // single-partition window is bounded: |distinct sensitive bands|
+      // rows — a value histogram, not the table
       .withColumn("__cum_all",
         sum(col("__nb")).over(Window.orderBy(col("__band"))))
       .crossJoin(broadcast(bands.agg(sum(col("__nb")).as("__n_total"),
@@ -848,6 +850,86 @@ object Graft {
       .withColumn("shard",
         expr(s"(greatest(cum_bytes, 1L) - 1L) div ${targetBytes}L"))
   }
+
+  /** Scalable global order statistics — the shardByBytes two-pass
+    * prefix sum generalized to row_number / running sums (r7 verdict
+    * #2 adopted: no `Window.orderBy` without partitionBy over
+    * unbounded inputs). Range-partition on the sort key, window
+    * WITHIN each range partition, then add broadcast per-partition
+    * offsets; the only single-partition window runs over the
+    * numParts-row offset table. `order` MUST be a total order (carry
+    * the id column last) or tie placement becomes partition-dependent.
+    * Appends: __grn (global 1-based rank), __nt (total rows), and
+    * __cum_<c> (global running sum) per requested sum column. */
+  private def globalOrderStats(df: DataFrame, numParts: Int,
+      order: Seq[Column], sumCols: Seq[String]): DataFrame = {
+    val parts = df.repartitionByRange(numParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val aggs = (count(lit(1)).as("__pn") +:
+      sumCols.map(c => sum(col(c)).as(s"__ps_$c")))
+    val wOff = Window.orderBy(col("__pid"))
+    val offsets = parts.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__off", coalesce(sum(col("__pn")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__nt", sum(col("__pn")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val withSumOffs = sumCols.foldLeft(offsets) { (d, c) =>
+      d.withColumn(s"__soff_$c", coalesce(sum(col(s"__ps_$c")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = parts.withColumn("__lrn", row_number().over(w))
+    val withCums = sumCols.foldLeft(local) { (d, c) =>
+      d.withColumn(s"__lcum_$c", sum(col(c)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+    val offSel = col("__pid") +: col("__off") +: col("__nt") +:
+      sumCols.map(c => col(s"__soff_$c"))
+    val joined = withCums.join(broadcast(withSumOffs.select(offSel: _*)), Seq("__pid"))
+      .withColumn("__grn", (col("__lrn") + col("__off")).cast("long"))
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"__cum_$c", col(s"__lcum_$c") + col(s"__soff_$c"))
+        .drop(s"__lcum_$c", s"__soff_$c")
+    }.drop("__pid", "__lrn", "__off")
+  }
+
+  /** Distributed global row_number (1-based, BIGINT) over a total
+    * order — appends `outCol`, never funnels data through one
+    * partition. */
+  def globalRowNumber(df: DataFrame, outCol: String, order: Column*): DataFrame =
+    globalOrderStats(df, 32, order, Nil)
+      .withColumnRenamed("__grn", outCol).drop("__nt")
+
+  /** SQL NTILE(k) reproduced arithmetically from a global rank column
+    * `__grn` and total `__nt`: with N rows, q = N div k and
+    * m = N mod k, buckets 1..m hold q+1 rows and the rest hold q —
+    * pure integer expressions, bit-equal to any engine's NTILE under
+    * the same total order. */
+  private def ntileFromRank(k: Int): Column = expr(
+    s"""CASE WHEN __nt % $k = 0 THEN (__grn - 1) div (__nt div $k) + 1
+       |WHEN __grn <= (__nt % $k) * (__nt div $k + 1)
+       |  THEN (__grn - 1) div (__nt div $k + 1) + 1
+       |ELSE (__nt % $k) +
+       |  (__grn - (__nt % $k) * (__nt div $k + 1) - 1) div (__nt div $k) + 1
+       |END""".stripMargin).cast("long")
+
+  /** Distributed NTILE(k) over a total order — no single-partition
+    * sort anywhere. */
+  def globalNtile(df: DataFrame, k: Int, outCol: String, order: Column*): DataFrame =
+    globalOrderStats(df, 32, order, Nil)
+      .withColumn(outCol, ntileFromRank(k))
+      .drop("__grn", "__nt")
+
+  /** Distributed decile + global running sum in ONE two-pass sweep:
+    * appends `tileCol` (NTILE(10) semantics, BIGINT) and `cumCol`
+    * (running sum of `sumCol` in `order`). The concentration-curve
+    * primitive (w_cumulative_share) at unbounded cardinality. */
+  def globalDecileCum(df: DataFrame, sumCol: String, tileCol: String,
+      cumCol: String, order: Column*): DataFrame =
+    globalOrderStats(df, 32, order, Seq(sumCol))
+      .withColumn(tileCol, ntileFromRank(10))
+      .withColumnRenamed(s"__cum_$sumCol", cumCol)
+      .drop("__grn", "__nt")
 
   /** SCD2 dimension build: collapse an ordered event stream into
     * slowly-changing current-state periods per key — one row per state
@@ -1372,17 +1454,22 @@ object Graft {
 
   /** RFM quintile scores from an event log. In: (keyCol, tsCol,
     * valCol DOUBLE). Out: (keyCol, n_events, cents, r, f, m, rfm) —
-    * score 1 = best quintile; ties totalized by keyCol. */
+    * score 1 = best quintile; ties totalized by keyCol. Each quintile
+    * is a distributed globalNtile pass (|users| is billions at the
+    * target scale — no single-partition window survives that), three
+    * range-partitioned sorts chained over the per-key summary. */
   def rfmScores(events: DataFrame, keyCol: String, tsCol: String,
                 valCol: String): DataFrame = {
     val per = events.groupBy(col(keyCol))
       .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("n_events"),
            sum(floor(col(valCol) * 100 + 0.5).cast("long")).as("cents"))
-    def q(order: Column*) = ntile(5).over(Window.orderBy(order: _*)).cast("long")
-    per.select(col(keyCol), col("n_events"), col("cents"),
-        q(col("__last").desc, col(keyCol)).as("r"),
-        q(col("n_events").desc, col(keyCol)).as("f"),
-        q(col("cents").desc, col(keyCol)).as("m"))
+    val scored = Seq(
+      ("r", Seq(col("__last").desc, col(keyCol))),
+      ("f", Seq(col("n_events").desc, col(keyCol))),
+      ("m", Seq(col("cents").desc, col(keyCol)))
+    ).foldLeft(per) { case (d, (out, ord)) => globalNtile(d, 5, out, ord: _*) }
+    scored.select(col(keyCol), col("n_events"), col("cents"),
+        col("r"), col("f"), col("m"))
       .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
   }
 
@@ -1692,6 +1779,8 @@ object Graft {
         log((u32 + 1).cast("double") / 4294967297.0) / col(weightCol))
       .orderBy(desc("__key"), col(idCol))
       .limit(k)
+      // single-partition window is bounded: it runs AFTER limit(k),
+      // over at most k rows
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("__key"), col(idCol))).cast("long"))
       .drop("__key")
@@ -1832,6 +1921,96 @@ object Graft {
     * tracked column actually changed (null-safe compare). Value columns
     * come back suffixed `_before`/`_after`. One co-partitioned join on
     * the entity key — the lake-without-a-transaction-log CDC bootstrap. */
+  /** Native merge_asof (pandas semantics: direction backward /
+    * forward / nearest, optional tolerance, exact matches allowed) —
+    * the union-sort discipline the three as-of queries shared, now
+    * extracted once (r7 verdict #8a). Instead of a per-row range join
+    * (O(L×R) per key, un-broadcastable when both sides are large),
+    * both sides are tagged and UNIONed, ONE shuffle on the key sorts
+    * (ts, side, tie), and the match is carried by cumulative
+    * IGNORE-NULLS last()/first() — shuffle volume |L|+|R|, no join
+    * explosion, all window specs share a single sort. Side ordering at
+    * equal ts admits exact matches per direction (right-first for
+    * backward/nearest, left-first for forward); `tieCol` must be
+    * unique per side so the carried value is deterministic.
+    *
+    * Output: every left column, plus `asof_matched` (BOOLEAN),
+    * `asof_gap_us` (BIGINT, right_ts − left_ts: ≤0 backward, ≥0
+    * forward, signed nearest with ties to backward; NULL when
+    * unmatched) and `asof_<c>` for each right value column (NULL when
+    * unmatched). Timestamps compare in exact integer microseconds —
+    * the match verdict has no FP anywhere. */
+  def mergeAsof(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, rightValueCols: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val lCols = left.columns.toSeq
+    def us(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType.typeName == "timestamp") unix_micros(col(c))
+      else col(c).cast("long")
+    val rightSide = if (direction == "forward") 1 else 0
+    val lTagged = rightValueCols.foldLeft(
+      left.select(col(keyCol).as("__k"), us(left, tsCol).as("__ts"),
+        col(tieCol).cast("long").as("__tie"), lit(1 - rightSide).as("__side"),
+        struct(lCols.map(col): _*).as("__lrow"))) { (d, c) =>
+      d.withColumn(s"__rv_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val lrowType = lTagged.schema("__lrow").dataType
+    val rTagged = right.select(
+      col(keyCol).as("__k") +: us(right, tsCol).as("__ts") +:
+      col(tieCol).cast("long").as("__tie") +: lit(rightSide).as("__side") +:
+      lit(null).cast(lrowType).as("__lrow") +:
+      rightValueCols.map(c => col(c).as(s"__rv_$c")): _*)
+    val u = lTagged.unionByName(rTagged)
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    def rOnly(c: Column) = when(col("__side") === rightSide, c)
+    val withB =
+      if (direction == "forward") u
+      else rightValueCols.foldLeft(
+        u.withColumn("__bts", last(rOnly(col("__ts")), ignoreNulls = true).over(back))) {
+        (d, c) => d.withColumn(s"__b_$c",
+          last(rOnly(col(s"__rv_$c")), ignoreNulls = true).over(back))
+      }
+    val withF =
+      if (direction == "backward") withB
+      else rightValueCols.foldLeft(
+        withB.withColumn("__fts", first(rOnly(col("__ts")), ignoreNulls = true).over(fwd))) {
+        (d, c) => d.withColumn(s"__f_$c",
+          first(rOnly(col(s"__rv_$c")), ignoreNulls = true).over(fwd))
+      }
+    val leftOnly = withF.filter(col("__side") =!= rightSide)
+    val picked = direction match {
+      case "backward" =>
+        rightValueCols.foldLeft(
+          leftOnly.withColumn("__mts", col("__bts"))) { (d, c) =>
+          d.withColumn(s"__m_$c", col(s"__b_$c")) }
+      case "forward" =>
+        rightValueCols.foldLeft(
+          leftOnly.withColumn("__mts", col("__fts"))) { (d, c) =>
+          d.withColumn(s"__m_$c", col(s"__f_$c")) }
+      case "nearest" =>
+        // backward wins ties — same CASE on both engines
+        val useB = col("__bts").isNotNull && (col("__fts").isNull ||
+          (col("__ts") - col("__bts")) <= (col("__fts") - col("__ts")))
+        rightValueCols.foldLeft(
+          leftOnly.withColumn("__mts", when(useB, col("__bts")).otherwise(col("__fts")))) {
+          (d, c) => d.withColumn(s"__m_$c",
+            when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))) }
+    }
+    val gap = col("__mts") - col("__ts")
+    val matched = col("__mts").isNotNull &&
+      (if (toleranceUs == Long.MaxValue) lit(true) else abs(gap) <= lit(toleranceUs))
+    val outCols = lCols.map(c => col("__lrow").getField(c).as(c)) ++
+      Seq(matched.as("asof_matched"), when(matched, gap).as("asof_gap_us")) ++
+      rightValueCols.map(c => when(matched, col(s"__m_$c")).as(s"asof_$c"))
+    picked.select(outCols: _*)
+  }
+
   def snapshotDiffFeed(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
     val vcols = before.columns.filterNot(_ == keyCol).toSeq
     require(after.columns.toSet == before.columns.toSet,
@@ -1880,6 +2059,8 @@ object Graft {
     val vals = cnt.select(col("__v")).distinct()
     val grps = cnt.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
     val tot = cnt.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+      // single-partition window is bounded: |distinct values| rows
+      // (the shared ECDF grid), a histogram — never the corpus
       .withColumn("__cumAll", sum(col("__cv")).over(
         Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)))
     val ntot = cnt.agg(sum(col("__c")).as("__nt"))
@@ -1896,6 +2077,10 @@ object Graft {
       .groupBy(col("__g"))
       .agg(max(col("__ng")).as("n"), max(col("__dnum")).as("d_num"),
            max(col("__nt")).as("__nt2"))
+      // one-vs-rest is undefined when a group IS the whole corpus
+      // (n == nt ⇒ divide-by-zero: Spark's non-ANSI div yields NULL
+      // while DuckDB raises — drop the degenerate group on both sides)
+      .filter(col("n") < col("__nt2"))
       .select(col("__g").as(groupCol), col("n"), col("d_num"),
         round(col("d_num").cast("double") /
               (col("n") * (col("__nt2") - col("n"))).cast("double"), 6).as("ks"))
@@ -1942,6 +2127,8 @@ object Graft {
       .groupBy(col("__fday").as("day")).agg(count(lit(1)).as("n_new"))
     act.join(newU, Seq("day"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      // single-partition window is bounded: |distinct days| rows —
+      // calendar-sized (decades fit in thousands of rows)
       .withColumn("cum_users", sum(col("n_new")).over(
         Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
   }

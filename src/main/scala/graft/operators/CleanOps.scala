@@ -131,6 +131,8 @@ object CleanOps {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(size(split(col("text"), " "))).as("n_tokens"))
+      // single-partition window is bounded: |source × lang| rows — the
+      // mixture table, dozens of combos even at corpus scale
       val w = Window.orderBy(desc("n_tokens"), col("source"), col("lang"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grouped

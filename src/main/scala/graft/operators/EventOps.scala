@@ -77,22 +77,23 @@ object EventOps {
     // pass with shuffle volume = |clicks| + |purchases|, no join
     // explosion, and AQE-coalescible output. (user_id, ts) is unique
     // in the events table, so ordering by (ts, event_id) is total and
-    // the carried value is deterministic.
+    // the carried value is deterministic. Since r8 this rides the
+    // extracted Graft.mergeAsof facade (one union-sort shuffle, same
+    // plan as before — the discipline now lives in ONE place).
     "asof_join_events" -> ((s, dir) => {
-      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("last_purchase_ts",
-          last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(cum))
-        .withColumn("last_purchase_value",
-          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(cum))
-        .filter(col("event_type") === "click")
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.api.Graft.mergeAsof(clicks, purchases, "user_id", "ts", "event_id",
+          Seq("ts", "value"), direction = "backward")
         // -1.0 sentinel for "no prior purchase": NULL doubles round-trip
         // as NaN through pandas/parquet and NaN != NaN in any value
         // comparator; the NULL timestamp is fine (stringifies stably).
-        .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"),
-                coalesce(col("last_purchase_value"), lit(-1.0)).as("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts").as("last_purchase_ts"),
+                coalesce(col("asof_value"), lit(-1.0)).as("last_purchase_value"))
         .orderBy(col("event_id"))
     }),
 
@@ -534,26 +535,33 @@ object EventOps {
              round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov_vu"))
         .orderBy(col("event_type"))),
 
-    // Exact decimal money aggregation — the production form of this
-    // repo's e6/e2 integer-quantization idiom. DecimalType sums are
-    // exact and associative (no partial-aggregation order sensitivity,
-    // no 2^63 ceiling: Decimal(38,2) holds 10^36 cents), which is what
-    // the scale notes mean by "switch the quantized BIGINT sums to
-    // DECIMAL(38) past ~1e12 rows". The oracle is DuckDB's own DECIMAL
-    // engine — bit-agreement here proves the two decimal
-    // implementations are interchangeable, so the cheaper BIGINT trick
-    // can be swapped for this form at any SF without re-validation.
+    // Exact money aggregation — the production form of this repo's
+    // e6/e2 integer-quantization idiom, made environment-proof (r7
+    // verdict #1). The round-7 form cast DOUBLE→DECIMAL(18,2) in both
+    // engines and relied on the two engines resolving .005 cast ties
+    // the same way — which DuckDB changed across versions, flipping
+    // the gate hash while the values stayed bit-identical locally.
+    // Fix: quantize to integer minor units with ONE shared IEEE
+    // formula, floor(x*100 + 0.5)::BIGINT, on both sides, and never
+    // cast a double to decimal anywhere. Sums stay BIGINT (exact,
+    // associative, order-insensitive); the discounted revenue is kept
+    // in 1e-4-dollar units so price_c*(100-disc_c) is a pure integer
+    // product. Presentation-layer /100 division is display concern,
+    // not correctness, so it stays out of the query. At ~1e12+ rows
+    // the BIGINT cents sum approaches 2^63: switch the final sum (and
+    // only it) to sum(cast(c as decimal(38,0))) — integer→decimal is
+    // exact with no tie to round, so the idiom survives the widening.
+    // DecimalTieSpec asserts no input is a .005 tie at this SF.
     "a_decimal_exact_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price"),
-          col("l_discount").cast("decimal(18,2)").as("disc"),
-          col("l_quantity").cast("decimal(18,2)").as("qty"))
+          floor(col("l_extendedprice") * lit(100d) + lit(0.5d)).cast("long").as("price_c"),
+          floor(col("l_discount") * lit(100d) + lit(0.5d)).cast("long").as("disc_c"),
+          floor(col("l_quantity") * lit(100d) + lit(0.5d)).cast("long").as("qty_c"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("price")).cast("decimal(38,2)").as("sum_price"),
-             sum(col("price") * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
-                                 - col("disc"))).cast("decimal(38,4)").as("sum_disc_price"),
-             sum(col("qty")).cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum(col("price_c")).as("sum_price_c"),
+             sum(col("price_c") * (lit(100L) - col("disc_c"))).as("sum_disc_price_e4"),
+             sum(col("qty_c")).as("sum_qty_c"),
              count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
@@ -596,7 +604,7 @@ object EventOps {
     // ride broadcast joins back to the rows.
     "anomaly_mad_outliers" -> ((s, dir) => {
       val b = Tables.events(s, dir)
-        .select(col("event_type"), (round(col("value") * 100) * 2).as("v2"))
+        .select(col("event_type"), (floor(col("value") * 100 + 0.5) * 2).as("v2"))
       val m = b.groupBy(col("event_type"))
         .agg((expr("percentile(v2, 0.5)") * 2).as("m4"))
       val d = b.join(broadcast(m), Seq("event_type"))
@@ -616,22 +624,22 @@ object EventOps {
     // cut into deciles, report each decile's share of cumulative value
     // — the "top 10% of users drive X%" table behind every curation
     // budget decision. Events aggregate to one exact-cents row per
-    // user FIRST (map-side partials), so the global rank window runs
-    // over |users| rows, never |events| — at 100 TB that is the
-    // difference between windowing a trillion rows and a few hundred
-    // million; beyond that the same curve falls out of a range-
-    // partitioned sort. Exact integer cents everywhere; the share is
-    // one final IEEE division per decile.
+    // user FIRST (map-side partials), so the global rank runs over
+    // |users| rows, never |events| — and that rank is DISTRIBUTED
+    // (Graft.globalDecileCum: range-partition on the sort key, local
+    // windows, broadcast per-partition offsets — r7 verdict #2's
+    // two-pass prefix sum), because |users| at 100 TB is billions and
+    // a single-partition ntile would funnel them through one task.
+    // Exact integer cents everywhere; the share is one final IEEE
+    // division per decile.
     "w_cumulative_share" -> ((s, dir) => {
       val u = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       val total = u.agg(sum(col("cents")).as("total"))
-      u.withColumn("decile", ntile(10).over(w))
-        .withColumn("cum", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
+      graft.api.Graft.globalDecileCum(u, "cents", "decile", "cum",
+          col("cents").desc, col("user_id"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
              sum(col("cents")).as("decile_cents"),
@@ -684,20 +692,19 @@ object EventOps {
     // user_id, shuffle volume |clicks|+|purchases|, no range join —
     // with the tolerance applied as a map-side cut on the carried
     // value. Integer-microsecond gaps; -1 sentinel for unmatched.
+    // Rides Graft.mergeAsof since r8 (gap sign flips: the facade
+    // reports right−left, this query presents click−purchase ≥ 0).
     "j_asof_tolerance" -> ((s, dir) => {
-      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tolUs = 7200000000L // 2 hours
-      Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("lp_us",
-          last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
-               ignoreNulls = true).over(cum))
-        .filter(col("event_type") === "click")
-        .withColumn("raw_gap", unix_micros(col("ts")) - col("lp_us"))
-        .withColumn("matched", col("lp_us").isNotNull && col("raw_gap") <= lit(tolUs))
-        .select(col("event_id"), col("user_id"), col("matched"),
-                when(col("matched"), col("raw_gap")).otherwise(lit(-1L)).as("gap_us"))
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.api.Graft.mergeAsof(clicks, purchases, "user_id", "ts", "event_id",
+          Nil, direction = "backward", toleranceUs = 7200000000L)
+        .select(col("event_id"), col("user_id"),
+                col("asof_matched").as("matched"),
+                coalesce(-col("asof_gap_us"), lit(-1L)).as("gap_us"))
         .orderBy(col("event_id"))
     }),
 
@@ -712,7 +719,7 @@ object EventOps {
       val w8 = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
       Tables.events(s, dir)
-        .withColumn("vc", round(col("value") * 100))
+        .withColumn("vc", floor(col("value") * 100 + 0.5))
         .withColumn("l", collect_list(col("vc")).over(w8))
         .select(col("user_id"), col("event_id"),
                 round(aggregate(col("l"), lit(0.0), (a, x) => (a + x) * 0.5), 8)
@@ -827,28 +834,40 @@ object EventOps {
     // never collide with a real matched gap (NULL would become NaN in
     // a float-nullable gate column and NaN breaks exact compares).
     // Exact epoch-µs integers throughout — the match verdict has no FP.
+    // Rides Graft.mergeAsof(direction = "nearest") since r8.
     "j_asof_nearest" -> ((s, dir) => {
-      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val tolUs = 7200000000L // 2 hours
-      val pUs = when(col("event_type") === "purchase", unix_micros(col("ts")))
-      Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .withColumn("lp_us", last(pUs, ignoreNulls = true).over(back))
-        .withColumn("np_us", first(pUs, ignoreNulls = true).over(fwd))
-        .filter(col("event_type") === "click")
-        .withColumn("bgap", unix_micros(col("ts")) - col("lp_us"))
-        .withColumn("fgap", col("np_us") - unix_micros(col("ts")))
-        .withColumn("raw_gap",
-          when(col("bgap").isNotNull &&
-               (col("fgap").isNull || col("bgap") <= col("fgap")), -col("bgap"))
-            .otherwise(col("fgap")))
-        .withColumn("matched",
-          col("raw_gap").isNotNull && abs(col("raw_gap")) <= lit(tolUs))
-        .select(col("event_id"), col("user_id"), col("matched"),
-                when(col("matched"), col("raw_gap"))
-                  .otherwise(lit(9999999999L)).as("gap_us"))
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.api.Graft.mergeAsof(clicks, purchases, "user_id", "ts", "event_id",
+          Nil, direction = "nearest", toleranceUs = 7200000000L)
+        .select(col("event_id"), col("user_id"),
+                col("asof_matched").as("matched"),
+                coalesce(col("asof_gap_us"), lit(9999999999L)).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // FORWARD-direction as-of with tolerance (pandas merge_asof
+    // direction='forward'): each click decorated with the NEXT
+    // purchase within 2 h and its value — the "did the click convert,
+    // and for how much" attribution join. Same single union-sort
+    // shuffle via Graft.mergeAsof; -1 sentinels for unmatched (gap is
+    // ≥ 0 by construction so -1 is unambiguous; NULL doubles become
+    // NaN in float-nullable gate columns).
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.api.Graft.mergeAsof(clicks, purchases, "user_id", "ts", "event_id",
+          Seq("value"), direction = "forward", toleranceUs = 7200000000L)
+        .select(col("event_id"), col("user_id"),
+                col("asof_matched").as("matched"),
+                coalesce(col("asof_gap_us"), lit(-1L)).as("gap_us"),
+                coalesce(col("asof_value"), lit(-1.0)).as("next_value"))
         .orderBy(col("event_id"))
     }),
 
@@ -944,11 +963,11 @@ object EventOps {
   def oracles: Map[String, String] = Map(
     "a_decimal_exact_revenue" ->
       """SELECT l_returnflag,
-        |  sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS sum_price,
-        |  sum(l_extendedprice::DECIMAL(18,2) *
-        |      (1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(38,4)
-        |    AS sum_disc_price,
-        |  sum(l_quantity::DECIMAL(18,2))::DECIMAL(38,2) AS sum_qty,
+        |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_price_c,
+        |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT *
+        |      (100 - floor(l_discount * 100 + 0.5)::BIGINT))::BIGINT
+        |    AS sum_disc_price_e4,
+        |  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
         |  count(*)::BIGINT AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -1247,7 +1266,8 @@ object EventOps {
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "anomaly_mad_outliers" ->
-      """WITH b AS (SELECT event_type, 2*round(value*100) AS v2 FROM events),
+      """WITH b AS (SELECT event_type,
+        |    2*floor(value*100 + 0.5)::BIGINT AS v2 FROM events),
         |m AS (SELECT event_type, 2*quantile_cont(v2, 0.5) AS m4 FROM b GROUP BY 1),
         |d AS (SELECT b.event_type, v2, abs(2*v2 - m4) AS dev2 FROM b JOIN m USING (event_type)),
         |md AS (SELECT event_type, 2*quantile_cont(dev2, 0.5) AS mad4 FROM d GROUP BY 1)
@@ -1258,7 +1278,7 @@ object EventOps {
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "w_cumulative_share" ->
-      """WITH u AS (SELECT user_id, sum(round(value*100)::BIGINT) AS cents
+      """WITH u AS (SELECT user_id, sum(floor(value*100 + 0.5)::BIGINT) AS cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |r AS (SELECT user_id, cents, ntile(10) OVER w AS decile,
         |    sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1289,7 +1309,7 @@ object EventOps {
 
     "w_ewma_trailing8" ->
       """WITH l8 AS (SELECT user_id, event_id,
-        |  list(round(value*100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  list(floor(value*100 + 0.5)) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
         |  FROM events)
         |SELECT user_id, event_id,
@@ -1367,6 +1387,26 @@ object EventOps {
         |  CASE WHEN raw_gap IS NOT NULL AND abs(raw_gap) <= 7200000000
         |       THEN raw_gap ELSE 9999999999 END AS gap_us
         |FROM n ORDER BY event_id""".stripMargin,
+
+    "j_asof_forward" ->
+      """WITH cp AS (SELECT event_id, user_id, event_type, ts,
+        |    first_value(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_us,
+        |    first_value(CASE WHEN event_type = 'purchase'
+        |        THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_val
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT event_id, user_id,
+        |    (np_us IS NOT NULL AND np_us - epoch_us(ts) <= 7200000000) AS matched,
+        |    np_us - epoch_us(ts) AS fgap, np_val
+        |  FROM cp WHERE event_type = 'click')
+        |SELECT event_id, user_id, matched,
+        |  CASE WHEN matched THEN fgap ELSE -1 END AS gap_us,
+        |  CASE WHEN matched THEN np_val ELSE -1.0 END AS next_value
+        |FROM g ORDER BY event_id""".stripMargin,
 
     "a_cohort_ltv_curve" ->
       """WITH uw AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),

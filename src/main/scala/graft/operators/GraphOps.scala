@@ -112,15 +112,22 @@ object GraphOps {
     // 100 TB each round is a |E|-row equi-join against a |V|-row label
     // table — the Pregel message pattern expressed relationally; the
     // unroll becomes a loop with the clusterNearDups checkpoint
-    // discipline.
+    // discipline. Edges use the min-support-2 contract shared with
+    // graph_common_neighbors / graph_kcore_peel (r7 verdict #4):
+    // single-co-occurrence hub edges dominate |E| while carrying no
+    // community signal, and label prop is |E|-linear per round, so the
+    // support cut is both the faster AND the editorially-right graph —
+    // communities detected on noise edges aren't communities.
     "graph_label_prop" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
       val e0 = li.alias("x")
         .join(li.alias("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("b")) // both rounds join on the neighbor key
         .localCheckpoint()
@@ -291,9 +298,11 @@ object GraphOps {
         |ORDER BY lift_e6 DESC, a, b LIMIT 50""".stripMargin,
 
     "graph_label_prop" ->
-      """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM lineitem x JOIN lineitem y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
         |l0 AS (SELECT p_partkey AS v, p_brand AS lbl FROM part
         |  WHERE p_partkey IN (SELECT a FROM e)),

@@ -125,6 +125,7 @@ object LexicalOps {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), col("token")).limit(50)
+      // single-partition window is bounded: runs AFTER limit(50)
       freqs.withColumn("rank",
         row_number().over(Window.orderBy(desc("freq"), col("token"))))
         .orderBy(col("rank"))

@@ -180,24 +180,14 @@ object StatSketchOps {
 
     // RFM (recency / frequency / monetary) quintile scoring — the
     // standard audience-segmentation aggregate. One per-user aggregate,
-    // then three ntile(5) windows over the |users| summary table (never
-    // over raw events); every ORDER BY carries user_id so tie placement
-    // is total and cross-engine deterministic. Score 1 = best quintile.
-    "a_rfm_scores" -> ((s, dir) => {
-      val per = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(max(col("ts")).as("last_ts"),
-             count(lit(1)).as("n_events"),
-             sum(cents(col("value"))).as("cents"))
-      def score(order: Column*) =
-        ntile(5).over(Window.orderBy(order: _*)).cast("long")
-      per.select(col("user_id"), col("n_events"), col("cents"),
-          score(col("last_ts").desc, col("user_id")).as("r"),
-          score(col("n_events").desc, col("user_id")).as("f"),
-          score(col("cents").desc, col("user_id")).as("m"))
-        .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
-        .orderBy(col("user_id"))
-    }),
+    // then three DISTRIBUTED quintile passes over the |users| summary
+    // table (Graft.globalNtile — the two-pass prefix-sum pattern, no
+    // single-partition window: |users| at 100 TB is billions); every
+    // ORDER BY carries user_id so tie placement is total and
+    // cross-engine deterministic. Score 1 = best quintile.
+    "a_rfm_scores" -> ((s, dir) =>
+      graft.api.Graft.rfmScores(Tables.events(s, dir), "user_id", "ts", "value")
+        .orderBy(col("user_id"))),
 
     // Longest consecutive-day activity streak per user, reduced to a
     // census (streak_len -> n_users). Gaps-and-islands on the CALENDAR
@@ -349,16 +339,6 @@ object StatSketchOps {
           "source", "n_chars")
         .orderBy(col("source"))),
 
-    // Benford first-digit audit over order totals — the classic
-    // synthetic-data / fraud smoke test (organically-scaled monetary
-    // values follow log10(1+1/d); generator output often doesn't, and
-    // THAT is the finding). First digit comes from the decimal string
-    // of floor(total) — identical in both engines for positive doubles;
-    // observed shares are exact integer rationals (n_d·1e6 div N) and
-    // the Benford expectations are pinned as shared integer literals,
-    // not re-derived through each engine's log10 (whose final-digit
-    // rounding could differ at the e6 boundary). One |orders|→9-row
-    // aggregate; the scalar total broadcasts back.
     // Mann–Whitney / AUC drift audit, one source vs the rest — the
     // rank-based companion to stat_ks_source_drift: KS asks "how far
     // apart are the ECDFs at the worst point", the U statistic asks
@@ -374,6 +354,8 @@ object StatSketchOps {
         .groupBy(col("source"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint()
+      // single-partition window is bounded: |distinct n_chars| rows —
+      // the shared midrank grid, a histogram, never the corpus
       val tot = cnt.groupBy(col("v")).agg(sum(col("c")).as("cv"))
         .withColumn("cumb", sum(col("cv")).over(
           Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)))
@@ -384,6 +366,10 @@ object StatSketchOps {
         .agg(sum(col("c")).as("n"), sum(col("c") * col("r2")).as("rsum2"))
         .crossJoin(broadcast(ntot))
         .withColumn("u2", col("rsum2") - col("n") * (col("n") + 1))
+        // guard the degenerate single-source corpus: n == nt makes the
+        // rest-group empty and the divisor zero (silent NULL here,
+        // hard error in DuckDB — drop the row on both sides instead)
+        .filter(col("n") < col("nt"))
         .select(col("source"), col("n"), col("u2"),
           expr("u2 * 1000000 div (2 * n * (nt - n))").as("auc_e6"))
         .orderBy(col("source"))
@@ -415,6 +401,16 @@ object StatSketchOps {
         .orderBy(col("event_type"), col("decile"))
     }),
 
+    // Benford first-digit audit over order totals — the classic
+    // synthetic-data / fraud smoke test (organically-scaled monetary
+    // values follow log10(1+1/d); generator output often doesn't, and
+    // THAT is the finding). First digit comes from the decimal string
+    // of floor(total) — identical in both engines for positive doubles;
+    // observed shares are exact integer rationals (n_d·1e6 div N) and
+    // the Benford expectations are pinned as shared integer literals,
+    // not re-derived through each engine's log10 (whose final-digit
+    // rounding could differ at the e6 boundary). One |orders|→9-row
+    // aggregate; the scalar total broadcasts back.
     "stat_benford_first_digit" -> ((s, dir) => {
       val expE6 = "CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091" +
         " WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181" +
@@ -607,7 +603,8 @@ object StatSketchOps {
         |SELECT source, max(n_s)::BIGINT AS n, max(dnum)::BIGINT AS d_num,
         |  round(max(dnum)::DOUBLE /
         |        (max(n_s) * (max(n_total) - max(n_s)))::DOUBLE, 6) AS ks
-        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+        |FROM d GROUP BY source
+        |HAVING max(n_s) < max(n_total) ORDER BY source""".stripMargin,
 
     "a_value_decile_profile" ->
       """WITH ev AS (SELECT event_type,
@@ -640,7 +637,7 @@ object StatSketchOps {
         |SELECT source, n, (rsum2 - n * (n + 1))::BIGINT AS u2,
         |  ((rsum2 - n * (n + 1)) * 1000000 // (2 * n * (nt - n)))::BIGINT
         |    AS auc_e6
-        |FROM g CROSS JOIN nt ORDER BY source""".stripMargin,
+        |FROM g CROSS JOIN nt WHERE n < nt ORDER BY source""".stripMargin,
 
     "stat_benford_first_digit" ->
       """WITH d AS (SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)

@@ -277,6 +277,7 @@ object TextAnalysisOps {
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
       val top = freq.orderBy(desc("f"), col("w")).limit(1000)
+      // single-partition window is bounded: runs AFTER limit(1000)
       val pts = top.withColumn("r", row_number().over(
           Window.orderBy(desc("f"), col("w"))))
         .select(

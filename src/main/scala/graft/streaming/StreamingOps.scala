@@ -237,7 +237,7 @@ object StreamingOps {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val ev = eventsStream(s, dir, maxFiles = 1)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
-                round(col("value") * 100).cast("long").as("cents"))
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         .as[(Long, Long, Long, Long)]
       val out = ev.groupByKey(_._1)
         .flatMapGroupsWithState[(Long, Long, Option[Long]), (Long, Long, Long, Option[Long])](
@@ -567,9 +567,9 @@ object StreamingOps {
 
     "streaming_stateful_milestones" ->
       """WITH c AS (SELECT user_id, event_id,
-        |  round(value * 100)::BIGINT AS cents,
+        |  floor(value * 100 + 0.5)::BIGINT AS cents,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
-        |  sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id
+        |  sum(floor(value * 100 + 0.5)::BIGINT) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM events)

@@ -10,18 +10,40 @@ class WaveFiveOpsSpec extends SparkSpec {
     import spark.implicits._
     val rows = operators.EventOps.queries("cdc_snapshot_diff")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // the operator's documented contract: absent-side values surface
+    // as the -1 sentinel, never NULL (EventOps "absent-side values
+    // surface as -1" comment) — assert THAT, not NULL-ness
     rows.foreach { r =>
       r.getAs[String]("op") match {
         case "I" =>
-          assert(r.isNullAt(r.fieldIndex("n_before")) && !r.isNullAt(r.fieldIndex("n_after")))
+          assert(r.getAs[Long]("n_before") == -1L && r.getAs[Long]("cents_before") == -1L &&
+                 r.getAs[Long]("n_after") >= 0L)
         case "D" =>
-          assert(!r.isNullAt(r.fieldIndex("n_before")) && r.isNullAt(r.fieldIndex("n_after")))
+          assert(r.getAs[Long]("n_after") == -1L && r.getAs[Long]("cents_after") == -1L &&
+                 r.getAs[Long]("n_before") >= 0L)
         case "U" =>
           assert(r.getAs[Long]("n_before") != r.getAs[Long]("n_after") ||
                  r.getAs[Long]("cents_before") != r.getAs[Long]("cents_after"),
             s"unchanged U row leaked: $r")
         case other => fail(s"unexpected op '$other'")
       }
+    }
+    // the sf0.001 feed happens to be all-U, leaving the I/D sentinel
+    // branches vacuous — exercise them on a synthetic snapshot pair
+    // through the same facade the operator uses
+    locally {
+      import spark.implicits._
+      val before = Seq((1L, 2L, 100L), (2L, 3L, 200L)).toDF("user_id", "n", "cents")
+      val after  = Seq((2L, 4L, 250L), (3L, 1L, 50L)).toDF("user_id", "n", "cents")
+      val feed = graft.api.Graft.snapshotDiffFeed(before, after, "user_id")
+        .select($"user_id", $"op",
+          coalesce($"n_before", lit(-1L)).as("n_before"),
+          coalesce($"n_after", lit(-1L)).as("n_after"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("op"), r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))).toMap
+      assert(feed(1L) == (("D", 2L, -1L)), s"D sentinel contract broken: ${feed(1L)}")
+      assert(feed(3L) == (("I", -1L, 1L)), s"I sentinel contract broken: ${feed(3L)}")
+      assert(feed(2L)._1 == "U")
     }
     // applying the feed to snapshot A must reproduce snapshot B: check
     // cardinality algebra |B| = |A| + |I| - |D| (U preserves presence)
@@ -49,8 +71,12 @@ class WaveFiveOpsSpec extends SparkSpec {
       val (total, mx) = docs(src)
       assert(bins.map(_.getAs[Long]("bin_bytes")).sum == total,
         s"$src: packed bytes != source bytes")
+      // offset binning bin = floor(cum_before/T) skips ids when a
+      // single file is >= 2*targetBytes, so contiguity is NOT part of
+      // the contract — assert only strictly-increasing ids from 0
       val ids = bins.map(_.getAs[Long]("bin")).sorted
-      assert(ids.head == 0 && ids.last == ids.length - 1, s"$src: bins not contiguous")
+      assert(ids.head == 0, s"$src: first bin id != 0")
+      assert(ids.distinct.length == ids.length, s"$src: duplicate bin ids")
       bins.foreach { b =>
         assert(b.getAs[Long]("bin_bytes") < target + mx,
           s"$src bin ${b.getAs[Long]("bin")}: exceeds offset-packing bound")
