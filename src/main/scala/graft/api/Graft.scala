@@ -876,6 +876,8 @@ object Graft {
     val withSumOffs = sumCols.foldLeft(offsets) { (d, c) =>
       d.withColumn(s"__soff_$c", coalesce(sum(col(s"__ps_$c")).over(
         wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn(s"__tot_$c", sum(col(s"__ps_$c")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     }
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = parts.withColumn("__lrn", row_number().over(w))
@@ -884,7 +886,7 @@ object Graft {
         w.rowsBetween(Window.unboundedPreceding, 0)))
     }
     val offSel = col("__pid") +: col("__off") +: col("__nt") +:
-      sumCols.map(c => col(s"__soff_$c"))
+      sumCols.flatMap(c => Seq(col(s"__soff_$c"), col(s"__tot_$c")))
     val joined = withCums.join(broadcast(withSumOffs.select(offSel: _*)), Seq("__pid"))
       .withColumn("__grn", (col("__lrn") + col("__off")).cast("long"))
     sumCols.foldLeft(joined) { (d, c) =>
@@ -929,6 +931,18 @@ object Graft {
     globalOrderStats(df, 32, order, Seq(sumCol))
       .withColumn(tileCol, ntileFromRank(10))
       .withColumnRenamed(s"__cum_$sumCol", cumCol)
+      .drop("__grn", "__nt", s"__tot_$sumCol")
+
+  /** Distributed global running sum + total of `sumCol` in `order` —
+    * appends `cumCol` and `totalCol`; the exact-weighted-quantile /
+    * Lorenz-curve primitive at unbounded cardinality (smallest value
+    * whose cumulative weight clears q·W is then one conditional
+    * aggregate away). */
+  def globalRunningSum(df: DataFrame, sumCol: String, cumCol: String,
+      totalCol: String, order: Column*): DataFrame =
+    globalOrderStats(df, 32, order, Seq(sumCol))
+      .withColumnRenamed(s"__cum_$sumCol", cumCol)
+      .withColumnRenamed(s"__tot_$sumCol", totalCol)
       .drop("__grn", "__nt")
 
   /** SCD2 dimension build: collapse an ordered event stream into

@@ -154,6 +154,44 @@ object GraphOps {
         .orderBy(col("label"))
     }),
 
+    // Connected components by 3 unrolled rounds of min-id propagation
+    // over the support-2 co-purchase graph — the HashMin variant of
+    // Pregel CC expressed relationally: lbl₀(v) = v, then each round
+    // lbl(v) ← min(lbl(v), min over neighbors). Deterministic at any
+    // unroll depth (min is idempotent/commutative), so the fixed-depth
+    // census is closed-form oracle-checkable; at scale the unroll
+    // becomes a loop with per-round localCheckpoint (label prop's
+    // discipline) and converges in O(diameter) rounds — small-world
+    // co-occurrence graphs are near-converged by round 3. Each round
+    // is one |E|-join + min-aggregate on the pre-partitioned edge set;
+    // output is the per-label vertex census after rounds 3.
+    "graph_connected_components" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b"))
+        .localCheckpoint()
+      val l0 = edges.select(col("a").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+      def step(l: DataFrame): DataFrame =
+        l.join(
+          edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+            .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
+          Seq("v"), "left")
+         .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+      val l3 = step(step(step(l0)))
+      l3.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component"))
+    }),
+
     // Common-neighbors link prediction — the "you may also like" /
     // missing-edge scorer over the REPEAT co-purchase graph: for every
     // NON-adjacent pair (a, c) sharing ≥1 neighbor, the common-neighbor
@@ -323,6 +361,29 @@ object GraphOps {
         |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
         |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
         |ORDER BY label""".stripMargin,
+
+    "graph_connected_components" ->
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+        |s1 AS (SELECT e.a AS v, min(l0.lbl) AS nb
+        |  FROM e JOIN l0 ON l0.v = e.b GROUP BY e.a),
+        |l1 AS (SELECT l0.v, least(l0.lbl, coalesce(s1.nb, l0.lbl)) AS lbl
+        |  FROM l0 LEFT JOIN s1 USING (v)),
+        |s2 AS (SELECT e.a AS v, min(l1.lbl) AS nb
+        |  FROM e JOIN l1 ON l1.v = e.b GROUP BY e.a),
+        |l2 AS (SELECT l1.v, least(l1.lbl, coalesce(s2.nb, l1.lbl)) AS lbl
+        |  FROM l1 LEFT JOIN s2 USING (v)),
+        |s3 AS (SELECT e.a AS v, min(l2.lbl) AS nb
+        |  FROM e JOIN l2 ON l2.v = e.b GROUP BY e.a),
+        |l3 AS (SELECT l2.v, least(l2.lbl, coalesce(s3.nb, l2.lbl)) AS lbl
+        |  FROM l2 LEFT JOIN s3 USING (v))
+        |SELECT lbl::BIGINT AS component, count(*)::BIGINT AS n_nodes
+        |FROM l3 GROUP BY lbl ORDER BY component""".stripMargin,
 
     "graph_common_neighbors" ->
       """WITH e AS (SELECT ea, eb FROM (

@@ -48,6 +48,19 @@ object StatSketchOps {
   private def pctLow(pct: Int): Column =
     min(when(col("cum") * 100 >= col("total") * pct, col("v"))).cast("long")
 
+  /** Weighted cumHist: same cumulative walk, each row contributing
+    * `w` instead of 1 — the (g, v)→weight histogram is additive under
+    * shard union (vector sum), so the sketch merges exactly like
+    * a_quantile_hist_merge's and pctLow reads weighted quantiles off
+    * the merged walk (StatSketchOpsSpec asserts the merge law). */
+  private[graft] def cumHistW(df: DataFrame, group: Column, v: Column,
+      w: Column): DataFrame = {
+    val h = df.groupBy(group.as("g"), v.as("v")).agg(sum(w).as("n"))
+    h.withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("g"))))
+  }
+
   /** 64-register HLL sketch rows `(__k, r, m)` over the md5 of `id`:
     * register = low 6 hash bits, m = max leading-zero rank (1..27) of
     * the remaining 26. Mergeable by max() — the law StatSketchOpsSpec
@@ -81,6 +94,80 @@ object StatSketchOps {
     // the histogram, windows over |types|×|cents| rows only. p25..p90
     // agree bit-for-bit with a full per-group sort because the integer
     // histogram loses nothing.
+    // Token-WEIGHTED length quantiles per source from the mergeable
+    // weighted histogram (r7 verdict #8b: the additive-merge law
+    // extended to weighted streams): "half the TOKENS live in docs
+    // shorter than X" — the statistic a curation budget actually needs
+    // (doc-weighted medians over-represent short docs). The (source,
+    // n_chars)→Σtokens histogram is a vector under shard union, so
+    // partial histograms from any partitioning merge by plain
+    // addition; quantiles read off the merged cumulative walk in pure
+    // integers (pctLow). Shuffle volume = |histogram|, never corpus.
+    "a_weighted_hist_quantile" -> ((s, dir) => {
+      cumHistW(Tables.documents(s, dir).filter(col("text").isNotNull),
+          col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("g").as("source"))
+        .agg(max(col("total")).as("total_tokens"),
+             pctLow(25).as("p25_chars"), pctLow(50).as("p50_chars"),
+             pctLow(75).as("p75_chars"), pctLow(90).as("p90_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // GLOBAL exact weighted quantiles via the distributed two-pass
+    // prefix sum (Graft.globalRunningSum — no single-partition window,
+    // no histogram approximation): rank every doc by (n_chars, doc_id),
+    // carry the global running token weight, and each quantile is the
+    // smallest length whose cumulative weight clears q·W — one
+    // conditional aggregate over the ranked table. This is the shape
+    // that survives |distinct lengths| growing past histogram size
+    // (e.g. quantiles over byte offsets or timestamps at 100 TB);
+    // everything is BIGINT so the gate compares exact integers.
+    "a_weighted_quantile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("w"))
+      graft.api.Graft.globalRunningSum(docs, "w", "cw", "tw",
+          col("n_chars"), col("doc_id"))
+        .agg(max(col("tw")).as("total_w"), count(lit(1)).as("n_docs"),
+             min(when(col("cw") * 4 >= col("tw"), col("n_chars"))).as("p25"),
+             min(when(col("cw") * 2 >= col("tw"), col("n_chars"))).as("p50"),
+             min(when(col("cw") * 4 >= col("tw") * 3, col("n_chars"))).as("p75"),
+             min(when(col("cw") * 10 >= col("tw") * 9, col("n_chars"))).as("p90"))
+    }),
+
+    // Welch's t one-vs-rest drift per source — the parametric sibling
+    // of stat_ks_source_drift / stat_mannwhitney_drift: "is this
+    // shard's mean length off the corpus?" All moments accumulate as
+    // EXACT BIGINTs (n, Σv, Σv²; rest-side = broadcast totals minus
+    // the group), so aggregation order cannot move a bit; the t
+    // statistic is one identically-associated IEEE expression on both
+    // engines from those integers. Past ~1e12 rows Σv² would move to
+    // DECIMAL(38,0) (integer→decimal is exact — no tie to round).
+    // Degenerate guards: n ≥ 2 and rest ≥ 2 on both sides.
+    "stat_welch_t_drift" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+             sum(col("n_chars") * col("n_chars")).as("s2"))
+      val tot = cnt.agg(sum(col("n")).as("nt"), sum(col("s1")).as("t1"),
+                        sum(col("s2")).as("t2"))
+      val nd = col("n").cast("double")
+      val md = (col("nt") - col("n")).cast("double")
+      val s1d = col("s1").cast("double")
+      val r1d = (col("t1") - col("s1")).cast("double")
+      val s2d = col("s2").cast("double")
+      val r2d = (col("t2") - col("s2")).cast("double")
+      val v1 = (s2d - s1d * s1d / nd) / (col("n") - 1).cast("double")
+      val v2 = (r2d - r1d * r1d / md) / (col("nt") - col("n") - 1).cast("double")
+      cnt.crossJoin(broadcast(tot))
+        .filter(col("n") >= 2 && col("nt") - col("n") >= 2)
+        .select(col("source"), col("n"),
+                round((s1d / nd - r1d / md) / sqrt(v1 / nd + v2 / md), 6).as("t_stat"))
+        .orderBy(col("source"))
+    }),
+
     "a_quantile_hist_merge" -> ((s, dir) => {
       cumHist(Tables.events(s, dir), col("event_type"), cents(col("value")))
         .groupBy(col("g").as("event_type"))
@@ -432,6 +519,54 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "a_weighted_hist_quantile" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT source, n_chars AS v, sum(w)::BIGINT AS n
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, v, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total FROM h)
+        |SELECT source, max(total)::BIGINT AS total_tokens,
+        |  min(CASE WHEN 100*cum >= total*25 THEN v END)::BIGINT AS p25_chars,
+        |  min(CASE WHEN 100*cum >= total*50 THEN v END)::BIGINT AS p50_chars,
+        |  min(CASE WHEN 100*cum >= total*75 THEN v END)::BIGINT AS p75_chars,
+        |  min(CASE WHEN 100*cum >= total*90 THEN v END)::BIGINT AS p90_chars
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "a_weighted_quantile" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT n_chars, w,
+        |    sum(w) OVER (ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cw,
+        |    sum(w) OVER ()::BIGINT AS tw FROM d)
+        |SELECT max(tw)::BIGINT AS total_w, count(*)::BIGINT AS n_docs,
+        |  min(CASE WHEN cw*4 >= tw THEN n_chars END)::BIGINT AS p25,
+        |  min(CASE WHEN cw*2 >= tw THEN n_chars END)::BIGINT AS p50,
+        |  min(CASE WHEN cw*4 >= tw*3 THEN n_chars END)::BIGINT AS p75,
+        |  min(CASE WHEN cw*10 >= tw*9 THEN n_chars END)::BIGINT AS p90
+        |FROM c""".stripMargin,
+
+    "stat_welch_t_drift" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(n_chars)::BIGINT AS s1,
+        |    sum(n_chars*n_chars)::BIGINT AS s2
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n)::BIGINT AS nt, sum(s1)::BIGINT AS t1,
+        |    sum(s2)::BIGINT AS t2 FROM c)
+        |SELECT source, n,
+        |  round((s1::DOUBLE / n::DOUBLE - (t1 - s1)::DOUBLE / (nt - n)::DOUBLE) /
+        |    sqrt(((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+        |            / (n - 1)::DOUBLE) / n::DOUBLE +
+        |         ((t2 - s2)::DOUBLE - (t1 - s1)::DOUBLE * (t1 - s1)::DOUBLE
+        |            / (nt - n)::DOUBLE) / ((nt - n) - 1)::DOUBLE / (nt - n)::DOUBLE),
+        |    6) AS t_stat
+        |FROM c CROSS JOIN t WHERE n >= 2 AND nt - n >= 2
+        |ORDER BY source""".stripMargin,
+
     "a_quantile_hist_merge" ->
       """WITH h AS (SELECT event_type AS g,
         |    floor(value * 100 + 0.5)::BIGINT AS v, count(*) AS n

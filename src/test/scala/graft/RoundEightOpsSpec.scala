@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Targeted invariants for the round-8 operators (each also runs under
+  * the DuckDB oracle gate via SparkEntry). */
+class RoundEightOpsSpec extends SparkSpec {
+
+  test("cumHistW merge law: weighted histogram of a union == vector sum of shard histograms") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select($"source", $"n_chars", size(split($"text", " ")).cast("long").as("w"))
+    // shard on doc parity via n_chars; merge = groupBy(g,v).sum — the
+    // additive law that makes the sketch distributable
+    val shardA = docs.filter($"n_chars" % 2 === 0)
+    val shardB = docs.filter($"n_chars" % 2 =!= 0)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      operators.StatSketchOps.cumHistW(df, $"source", $"n_chars", $"w")
+        .select($"g", $"v", $"n")
+    val merged = hist(shardA).union(hist(shardB))
+      .groupBy($"g", $"v").agg(sum($"n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = hist(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "shard-merged weighted histogram must equal the direct one")
+  }
+
+  test("a_weighted_hist_quantile: quantiles are monotone and bracket the per-source extremes") {
+    val rows = operators.StatSketchOps.queries("a_weighted_hist_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mm = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .groupBy(col("source")).agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val qs = Seq("p25_chars", "p50_chars", "p75_chars", "p90_chars").map(r.getAs[Long])
+      assert(qs == qs.sorted, s"quantiles not monotone: $qs")
+      val (mn, mx) = mm(r.getAs[String]("source"))
+      assert(qs.head >= mn && qs.last <= mx)
+      assert(r.getAs[Long]("total_tokens") > 0)
+    }
+  }
+
+  test("a_weighted_quantile: matches a driver-side weighted-quantile replay") {
+    import spark.implicits._
+    val out = operators.StatSketchOps.queries("a_weighted_quantile")(spark, sf).collect().head
+    val rows = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select($"doc_id", $"n_chars", size(split($"text", " ")).cast("long").as("w"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._2, t._1))
+    val total = rows.map(_._3).sum
+    def q(num: Long, den: Long): Long = {
+      var cum = 0L
+      rows.find { t => cum += t._3; cum * den >= total * num }.get._2
+    }
+    assert(out.getAs[Long]("total_w") == total)
+    assert(out.getAs[Long]("n_docs") == rows.length)
+    assert(out.getAs[Long]("p25") == q(1, 4))
+    assert(out.getAs[Long]("p50") == q(1, 2))
+    assert(out.getAs[Long]("p75") == q(3, 4))
+    assert(out.getAs[Long]("p90") == q(9, 10))
+  }
+
+  test("stat_welch_t_drift: t matches a driver-side Welch computation per source") {
+    import spark.implicits._
+    val out = operators.StatSketchOps.queries("stat_welch_t_drift")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("t_stat"))).toMap
+    assert(out.nonEmpty)
+    val data = Tables.documents(spark, sf).select($"source", $"n_chars")
+      .as[(String, Long)].collect()
+    val bySrc = data.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    bySrc.foreach { case (src, xs) =>
+      val rest = data.filter(_._1 != src).map(_._2.toDouble)
+      if (xs.length >= 2 && rest.length >= 2) {
+        def meanVar(a: Array[Double]) = {
+          val m = a.sum / a.length
+          (m, a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+        }
+        val (m1, v1) = meanVar(xs); val (m2, v2) = meanVar(rest)
+        val t = (m1 - m2) / math.sqrt(v1 / xs.length + v2 / rest.length)
+        val (n, got) = out(src)
+        assert(n == xs.length)
+        assert(math.abs(got - t) < 1e-4, s"$src: t $got vs replay $t")
+      }
+    }
+  }
+
+  test("graph_connected_components: labels are component-consistent after convergence check") {
+    import spark.implicits._
+    val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
+      .collect().map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_nodes")).toMap
+    assert(census.nonEmpty)
+    // rebuild the support-2 edge set and run union-find to the TRUE
+    // components; the 3-round unroll must (a) cover all vertices,
+    // (b) never merge two true components, (c) every component label
+    // must be a member vertex of that component
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), $"x.l_orderkey" === $"y.l_orderkey" &&
+        $"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("a"), $"y.l_partkey".as("b")).count()
+      .filter($"count" >= 2).select($"a", $"b")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val verts = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    assert(census.values.sum == verts.length, "census must cover every vertex")
+    // every round-3 label is a vertex id inside the label's true component
+    census.keys.foreach { lbl => assert(verts.contains(lbl)) }
+    // 3 rounds can under-merge (diameter > 3) but never over-merge:
+    // the number of round-3 labels is >= the number of true components
+    val trueComponents = verts.map(find).distinct.length
+    assert(census.size >= trueComponents)
+  }
+}
