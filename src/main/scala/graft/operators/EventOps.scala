@@ -756,6 +756,92 @@ object EventOps {
                 round(col("entropy_norm"), 6).as("entropy_norm"))
         .orderBy(col("user_id"))),
 
+    // Rolling 28-day distinct actives per day — the sliding-window
+    // COUNT DISTINCT every growth dashboard needs and the aggregation
+    // engines cannot do naively (a 28-day window re-counting distinct
+    // users per day re-scans 28× the data, and count-distinct doesn't
+    // decompose over sliding windows). Exact via interval algebra: a
+    // user is active-in-window on day d iff their most recent active
+    // day is ≥ d−27, so each (user, active-day a, next-active nxt)
+    // contributes the coverage interval [a, min(a+27, nxt−1)] — ±1
+    // boundary deltas, summed per day, cumulated over the calendar
+    // spine (the w_peak_concurrency sweep at day grain). Shuffle
+    // volume: |user×day| distinct rows once; the sweep table is
+    // |days|-bounded. Zero-FP: pure date arithmetic.
+    "w_rolling_active_28d" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .distinct()
+      val nxt = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val iv = ud
+        .withColumn("nxt", lead(col("day"), 1).over(nxt))
+        .withColumn("endd", least(date_add(col("day"), 27),
+          coalesce(date_sub(col("nxt"), 1), date_add(col("day"), 27))))
+      val deltas = iv.select(col("day"), lit(1L).as("d"))
+        .union(iv.select(date_add(col("endd"), 1).as("day"), lit(-1L).as("d")))
+        .groupBy(col("day")).agg(sum(col("d")).as("net"))
+      val bounds = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val spine = bounds.select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      spine.join(deltas, Seq("day"), "left")
+        // single-partition window is bounded: |distinct days| rows
+        .withColumn("n_active_28d", sum(coalesce(col("net"), lit(0L))).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("day"), col("n_active_28d"))
+        .orderBy(col("day"))
+    }),
+
+    // Top session path trigrams — the path-mining census ("what do
+    // users DO in a session") product analytics runs on every funnel
+    // redesign: 30-minute sessionization (the sessionize_30m cut),
+    // then consecutive event-type trigrams inside each session, top 20
+    // by count with a total tie order. One (user) window shuffle does
+    // sessionize + both leads (same partition+order spec → one
+    // WindowExec); the trigram census is |types|³-bounded and the
+    // top-20 is TakeOrderedAndProject — no global sort.
+    "e_session_path_trigrams" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // Markov entropy of the event stream: conditional entropy of the
+    // next event type given the current one, per from-state — "how
+    // predictable is behavior from state X" (uniform rows → high
+    // entropy → the state carries no signal for next-step models).
+    // Rides entropyByKey's exact discipline: each c·ln(c) term is
+    // e6-quantized BEFORE the sum, so partial-aggregation order cannot
+    // move a bit; the transition pairs come from one per-user lead
+    // window (the event_transitions shuffle reused verbatim).
+    "a_markov_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      graft.api.Graft.entropyByKey(trans, "event_type", "next_type")
+        .select(col("event_type"), col("n_events").as("n_out"),
+                col("n_types").as("k_next"),
+                round(col("entropy"), 6).as("h_next"),
+                round(col("entropy_norm"), 6).as("h_next_norm"))
+        .orderBy(col("event_type"))
+    }),
+
     // CDC change-feed generation by snapshot diff — the inverse of
     // `cdc_scd1_snapshot` (which APPLIES a feed): given two point-in-time
     // snapshots of per-user trailing-10-day activity (as of T2 = last
@@ -986,6 +1072,53 @@ object EventOps {
         |  round(n_active::DOUBLE / n_cohort, 6) AS retention
         |FROM cells JOIN s ON cohort_week = c_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "w_rolling_active_28d" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+        |spine AS (SELECT unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY))::DATE AS day FROM b)
+        |SELECT s.day, count(DISTINCT ud.user_id)::BIGINT AS n_active_28d
+        |FROM spine s LEFT JOIN ud
+        |  ON ud.day BETWEEN s.day - INTERVAL 27 DAY AND s.day
+        |GROUP BY s.day ORDER BY s.day""".stripMargin,
+
+    "e_session_path_trigrams" ->
+      """WITH se AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR
+        |      epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM se),
+        |tri AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w2 AS t2,
+        |    lead(event_type, 2) OVER w2 AS t3
+        |  FROM sid
+        |  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*)::BIGINT AS n
+        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    "a_markov_entropy_rate" ->
+      """WITH t AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*)::BIGINT AS c
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |a AS (SELECT event_type, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    sum(floor(c * ln(c) * 1e6 + 0.5)::BIGINT)::BIGINT AS clnc_e6
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type, n AS n_out, k AS k_next,
+        |  round(ln(n) - clnc_e6 / 1e6 / n, 6) AS h_next,
+        |  round(CASE WHEN k = 1 THEN 0.0
+        |        ELSE (ln(n) - clnc_e6 / 1e6 / n) / ln(k) END, 6) AS h_next_norm
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "a_entropy_by_user" ->
       """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c

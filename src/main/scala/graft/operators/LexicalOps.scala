@@ -91,6 +91,51 @@ object LexicalOps {
     "retrieval_bm25_topk" -> ((s, dir) =>
       bm25Top(s, dir, 5).orderBy(col("qid"), col("rank"))),
 
+    // Pseudo-relevance-feedback query expansion (Rocchio-style PRF —
+    // the classic two-pass RAG retrieval upgrade): BM25 top-3 per
+    // query form the feedback set, the 2 highest tf·idf terms from
+    // those docs (minus the query's own terms) expand the query, and
+    // the expanded query re-retrieves top-5. Everything reuses the
+    // bm25Rank scale discipline: candidate-term df stats are computed
+    // ONLY for the (broadcast) feedback vocabulary, expansion weights
+    // are exact BIGINT tf×idf_e6 sums ranked with a term tiebreak, and
+    // the second pass is the same single-shuffle ranker on a 5-term
+    // query. Two corpus passes total — the price of PRF anywhere.
+    "retrieval_prf_expansion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val fb = graft.api.Graft.bm25Rank(d, queriesDf(s), 3, k1 = K1, b = B)
+        .select(col("qid"), col("doc_id"))
+      val qt = queriesDf(s)
+        .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+      val fbt = fb.join(toks, "doc_id")
+        .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("tf"))
+        .join(qt, Seq("qid", "term"), "left_anti")
+      val n = d.agg(count(lit(1)).as("n"))
+      val idf = toks
+        .join(broadcast(fbt.select(col("term")).distinct()), "term")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("term"),
+          floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6 + 0.5)
+            .as("idf_e6"))
+      val expTerms = fbt.join(broadcast(idf), "term")
+        .select(col("qid"), col("term"), (col("tf") * col("idf_e6")).as("w_e6"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("w_e6").desc, col("term"))))
+        .filter(col("rn") <= 2)
+      val expanded = queriesDf(s)
+        .join(expTerms.groupBy(col("qid"))
+          .agg(concat_ws(" ", array_sort(collect_list(col("term")))).as("ext")),
+          Seq("qid"), "left")
+        .select(col("qid"),
+          when(col("ext").isNull, col("qtext"))
+            .otherwise(concat_ws(" ", col("qtext"), col("ext"))).as("qtext"))
+      graft.api.Graft.bm25Rank(d, expanded, 5, k1 = K1, b = B)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 and embedding-cosine
     // rankers, rrf = Σ 1/(60 + rank), top-10 per query.
     "retrieval_hybrid_rrf" -> ((s, dir) => {
@@ -329,6 +374,49 @@ object LexicalOps {
          |  FROM bm25)
          |SELECT qid, rank::INT AS rank, doc_id, score_e12
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "retrieval_prf_expansion" ->
+      s"""$bm25Cte,
+         |r1 AS (SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score_e12 DESC, doc_id) AS rank
+         |  FROM bm25),
+         |fb AS (SELECT qid, doc_id FROM r1 WHERE rank <= 3),
+         |fbt AS (SELECT fb.qid, toks.term, count(*)::BIGINT AS tf
+         |  FROM fb JOIN toks USING (doc_id)
+         |  GROUP BY fb.qid, toks.term),
+         |fbt2 AS (SELECT f.qid, f.term, f.tf FROM fbt f
+         |  ANTI JOIN qt ON qt.qid = f.qid AND qt.term = f.term),
+         |cdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+         |  WHERE term IN (SELECT DISTINCT term FROM fbt2) GROUP BY term),
+         |cidf AS (SELECT term,
+         |    floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5)::BIGINT AS idf_e6
+         |  FROM cdf CROSS JOIN stats),
+         |ew AS (SELECT qid, term, (tf * idf_e6)::BIGINT AS w_e6
+         |  FROM fbt2 JOIN cidf USING (term)),
+         |er AS (SELECT qid, term,
+         |    row_number() OVER (PARTITION BY qid ORDER BY w_e6 DESC, term) AS rn
+         |  FROM ew),
+         |q2t AS (SELECT qid, term FROM qt
+         |  UNION SELECT qid, term FROM er WHERE rn <= 2),
+         |tf2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+         |  WHERE term IN (SELECT DISTINCT term FROM q2t) GROUP BY doc_id, term),
+         |idf2 AS (SELECT term,
+         |    floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5)::BIGINT AS idf_e6
+         |  FROM (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf2 GROUP BY term)
+         |  CROSS JOIN stats),
+         |bm252 AS (SELECT q2t.qid, tf2.doc_id,
+         |    CAST(sum(idf2.idf_e6 *
+         |      floor(tf2.tf * ${K1 + 1.0} /
+         |              (tf2.tf + $K1 * (${1.0 - B} + $B * dl.dl / avgdl)) *
+         |            1e6 + 0.5)::BIGINT) AS BIGINT) AS score_e12
+         |  FROM tf2 JOIN q2t USING (term) JOIN idf2 USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY q2t.qid, tf2.doc_id),
+         |r2 AS (SELECT qid, doc_id, score_e12,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score_e12 DESC, doc_id) AS rank
+         |  FROM bm252)
+         |SELECT qid, rank::INT AS rank, doc_id, score_e12
+         |FROM r2 WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token

@@ -84,6 +84,78 @@ class RoundEightOpsSpec extends SparkSpec {
     }
   }
 
+  test("w_rolling_active_28d: sweep equals the naive per-day distinct count") {
+    import spark.implicits._
+    val got = operators.EventOps.queries("w_rolling_active_28d")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("n_active_28d")).toMap
+    assert(got.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .select($"user_id", date_trunc("DAY", $"ts").cast("date").as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val days = ud.map(_._2.toLocalDate).distinct.sorted
+    var d = days.head
+    while (!d.isAfter(days.last)) {
+      val n = ud.filter { case (_, ad) =>
+        val a = ad.toLocalDate
+        !a.isAfter(d) && !a.isBefore(d.minusDays(27))
+      }.map(_._1).distinct.length
+      assert(got(d.toString) == n.toLong, s"day $d: ${got(d.toString)} vs naive $n")
+      d = d.plusDays(1)
+    }
+  }
+
+  test("e_session_path_trigrams: mass bound and rank order hold") {
+    val rows = operators.EventOps.queries("e_session_path_trigrams")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)), "not ordered by count desc")
+    // total trigram mass = Σ over sessions of max(0, len-2)
+    val sessions = operators.EventOps.queries("sessionize_30m")(spark, sf)
+      .collect().map(_.getAs[Long]("n_events"))
+    val mass = sessions.map(l => math.max(0L, l - 2)).sum
+    assert(ns.sum <= mass, "top-20 trigram mass exceeds the session-length bound")
+  }
+
+  test("a_markov_entropy_rate: entropies bounded by ln(k) and match a replay") {
+    import spark.implicits._
+    val out = operators.EventOps.queries("a_markov_entropy_rate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(spark, sf)
+      .withColumn("nx", lead($"event_type", 1).over(w))
+      .filter($"nx".isNotNull)
+      .select($"event_type", $"nx").as[(String, String)].collect()
+    out.foreach { r =>
+      val k = r.getAs[Long]("k_next")
+      val h = r.getAs[Double]("h_next")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6)
+      val from = r.getAs[String]("event_type")
+      val counts = trans.filter(_._1 == from).groupBy(_._2).map(_._2.length.toDouble)
+      val n = counts.sum
+      val replay = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      assert(math.abs(h - replay) < 1e-4, s"$from: $h vs replay $replay")
+    }
+  }
+
+  test("retrieval_prf_expansion: valid ranking whose expansion shifts or preserves bm25") {
+    val prf = operators.LexicalOps.queries("retrieval_prf_expansion")(spark, sf).collect()
+    assert(prf.nonEmpty)
+    prf.groupBy(_.getAs[Int]("qid")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.toSeq == (1 to rows.length).toSeq, "ranks must be 1..k dense")
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_e12"))
+      assert(scores.sameElements(scores.sortBy(-_)), "scores must be non-increasing in rank")
+    }
+    // expanded scores dominate: every doc that BM25 alone retrieved at
+    // top-5 keeps a positive score under the expanded query too (the
+    // original terms are a subset of the expanded terms)
+    val bm25 = operators.LexicalOps.queries("retrieval_bm25_topk")(spark, sf).collect()
+    val prfDocs = prf.map(r => (r.getAs[Int]("qid"), r.getAs[Long]("doc_id"))).toSet
+    val overlap = bm25.count(r => prfDocs.contains((r.getAs[Int]("qid"), r.getAs[Long]("doc_id"))))
+    assert(overlap > 0, "PRF must retain at least one original top-5 doc")
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
