@@ -321,10 +321,57 @@ object LayoutOps {
         .withColumn("prunable_frac_e6",
           expr("n_prunable * 1000000 div n_partitions"))
         .orderBy(col("threshold_cents"))
+    }),
+
+    // Partition-key skew advisor — the measurement behind "what do we
+    // partition/bucket this table by": for each candidate key (day,
+    // user bucket %64, event_type) report cardinality, the hottest
+    // partition, skew = max·n_parts/total (1e6 = perfectly even), and
+    // the salt factor that would even it out (ceil of the skew ratio)
+    // — exactly the number j_skew_salted_join needs as its salt count.
+    // One aggregate per candidate over the same scan, all-BIGINT; the
+    // advisor table is 3 rows. At 100 TB this IS the query you run
+    // before committing a layout, on a sample or full pass.
+    "layout_partition_skew_advisor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def profile(name: String, key: Column): DataFrame =
+        ev.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+          .agg(lit(name).as("candidate_key"),
+               count(lit(1)).as("n_parts"),
+               sum(col("c")).as("n_rows"),
+               max(col("c")).as("max_rows"))
+          .withColumn("skew_e6", expr("max_rows * n_parts * 1000000 div n_rows"))
+          .withColumn("salt_factor",
+            expr("(max_rows * n_parts + n_rows - 1) div n_rows"))
+      profile("day", date_trunc("DAY", col("ts")).cast("date"))
+        .union(profile("user_bucket_64", col("user_id") % 64))
+        .union(profile("event_type", col("event_type")))
+        .orderBy(col("candidate_key"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "layout_partition_skew_advisor" ->
+      """WITH c1 AS (SELECT ts::DATE AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY k),
+        |c2 AS (SELECT user_id % 64 AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY k),
+        |c3 AS (SELECT event_type AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY k),
+        |u AS (
+        |  SELECT 'day' AS candidate_key, count(*)::BIGINT AS n_parts,
+        |    sum(c)::BIGINT AS n_rows, max(c)::BIGINT AS max_rows FROM c1
+        |  UNION ALL
+        |  SELECT 'user_bucket_64', count(*)::BIGINT, sum(c)::BIGINT,
+        |    max(c)::BIGINT FROM c2
+        |  UNION ALL
+        |  SELECT 'event_type', count(*)::BIGINT, sum(c)::BIGINT,
+        |    max(c)::BIGINT FROM c3)
+        |SELECT candidate_key, n_parts, n_rows, max_rows,
+        |  (max_rows * n_parts * 1000000 // n_rows)::BIGINT AS skew_e6,
+        |  ((max_rows * n_parts + n_rows - 1) // n_rows)::BIGINT AS salt_factor
+        |FROM u ORDER BY candidate_key""".stripMargin,
+
     "j_bucketed_colocated" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -657,6 +657,40 @@ object RetrievalOps {
                 round(col("sum_e6") / col("n") / 1e6, 6).as("centroid"))
         .orderBy(col("label"), col("dim"))),
 
+    // Per-label embedding drift — "has this class's embedding mass
+    // moved off the corpus center" (encoder swaps, data mix shifts,
+    // and poisoning all show up here before accuracy does). Label and
+    // global centroids come from ONE posexplode rollup (labels×dims
+    // rows, the v_label_centroids shuffle; the global row is the
+    // label-sums re-aggregated — no second corpus pass); the cosine's
+    // per-dim products are quantized to integers BEFORE the 64-term
+    // sums, so the statistic is deterministic under any aggregation
+    // order, with one sqrt at the end. Corpus never re-shuffles.
+    "v_label_drift" -> ((s, dir) => {
+      val sums = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s_e6"))
+      val glob = sums.groupBy(col("dim"))
+        .agg(sum(col("n")).as("gn"), sum(col("s_e6")).as("gs_e6"))
+      val a = col("s_e6").cast("double") / col("n")
+      val b = col("gs_e6").cast("double") / col("gn")
+      sums.join(broadcast(glob), "dim")
+        .select(col("label"), col("n"),
+          floor(a * b + 0.5).cast("long").as("ab_q"),
+          floor(a * a + 0.5).cast("long").as("aa_q"),
+          floor(b * b + 0.5).cast("long").as("bb_q"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"), sum(col("ab_q")).as("sab"),
+             sum(col("aa_q")).as("saa"), sum(col("bb_q")).as("sbb"))
+        .select(col("label"), col("n_vecs"),
+          round(col("sab") / sqrt(col("saa").cast("double") * col("sbb")), 6)
+            .as("cos_to_corpus"))
+        .orderBy(col("label"))
+    }),
+
     // Embedding outlier detection: distance-to-centroid flagging — the
     // vector-space twin of the quality gate (encoder glitches / OOD
     // inputs sit far from the corpus mass). Centroid = per-dim mean
@@ -1186,6 +1220,27 @@ object RetrievalOps {
         |  round(sum(floor(x * 1e6 + 0.5)::BIGINT)::BIGINT / count(*) / 1e6, 6)
         |    AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "v_label_drift" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x,
+        |    generate_subscripts(v, 1) AS dim FROM e),
+        |sums AS (SELECT label, dim, count(*)::BIGINT AS n,
+        |    sum(floor(x * 1e6 + 0.5)::BIGINT)::BIGINT AS s_e6
+        |  FROM x GROUP BY label, dim),
+        |g AS (SELECT dim, sum(n)::BIGINT AS gn, sum(s_e6)::BIGINT AS gs_e6
+        |  FROM sums GROUP BY dim),
+        |q AS (SELECT label, n,
+        |    floor((s_e6::DOUBLE / n) * (gs_e6::DOUBLE / gn) + 0.5)::BIGINT AS ab_q,
+        |    floor((s_e6::DOUBLE / n) * (s_e6::DOUBLE / n) + 0.5)::BIGINT AS aa_q,
+        |    floor((gs_e6::DOUBLE / gn) * (gs_e6::DOUBLE / gn) + 0.5)::BIGINT AS bb_q
+        |  FROM sums JOIN g USING (dim)),
+        |a AS (SELECT label, max(n)::BIGINT AS n_vecs, sum(ab_q)::BIGINT AS sab,
+        |    sum(aa_q)::BIGINT AS saa, sum(bb_q)::BIGINT AS sbb
+        |  FROM q GROUP BY label)
+        |SELECT label, n_vecs,
+        |  round(sab / sqrt(saa::DOUBLE * sbb::DOUBLE), 6) AS cos_to_corpus
+        |FROM a ORDER BY label""".stripMargin,
 
     "v_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

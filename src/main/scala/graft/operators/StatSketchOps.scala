@@ -94,6 +94,91 @@ object StatSketchOps {
     // the histogram, windows over |types|×|cents| rows only. p25..p90
     // agree bit-for-bit with a full per-group sort because the integer
     // histogram loses nothing.
+    // Population Stability Index between the first and second half of
+    // the event stream, per type — THE deployed-model drift gate in ML
+    // monitoring (PSI < 0.1 stable, > 0.25 act). Reference bins are
+    // the first half's deciles (cumHistW walk); both halves then count
+    // into those 10 bins with +1 Laplace smoothing so empty bins can't
+    // produce ln(0); each (p−q)·ln(p/q) term is e9-quantized BEFORE
+    // the 10-term sum (the entropyByKey discipline — aggregation order
+    // cannot move a bit). The time cut is the exact integer midpoint
+    // of the µs range; bin thresholds are |types|×9 rows, broadcast.
+    "stat_psi_value_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+                cents(col("value")).as("v"))
+      val cut = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+        .withColumn("half", when(col("us") < col("cut"), 0).otherwise(1))
+      val thAggs = (1 to 9).map(k => pctLow(k * 10).as(s"t$k"))
+      val th = cumHist(tagged.filter(col("half") === 0), col("event_type"), col("v"))
+        .groupBy(col("g").as("event_type"))
+        .agg(thAggs.head, thAggs.tail: _*)
+      val binned = tagged.join(broadcast(th), "event_type")
+        .withColumn("bin", (1 to 9).map(k =>
+          when(col("v") > col(s"t$k"), 1).otherwise(0)).reduce(_ + _))
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val spine = th.select(col("event_type"))
+        .crossJoin(broadcast(s.range(0, 10).select(col("id").cast("int").as("bin"))))
+      def side(h: Int, out: String) = spine
+        .join(binned.filter(col("half") === h).select(col("event_type"), col("bin"), col("c")),
+          Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"), coalesce(col("c"), lit(0L)).as(out))
+      val joined = side(0, "cr").join(side(1, "cc"), Seq("event_type", "bin"))
+        .join(broadcast(tagged.groupBy(col("event_type"), col("half"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("half") === 0, col("n"))).as("nr"),
+               sum(when(col("half") === 1, col("n"))).as("nc"))), "event_type")
+      val p = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
+      val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+      joined
+        .withColumn("term_e9", floor((p - q) * log(p / q) * 1e9 + 0.5).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+             round(sum(col("term_e9")) / 1e9, 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Delete-one-bucket jackknife CI for mean purchase cents — the
+    // error bar a metrics platform attaches to any mean without
+    // distributional assumptions, made deterministic: buckets are
+    // md5(user)%10 (layout/retry-invariant, the sampleDeterministic
+    // discipline), each leave-one-out mean is an exact e6 rational of
+    // BIGINT sums, deviations square EXACTLY in e6-integer space
+    // (Σd² is BIGINT — no FP until the final variance scale), and the
+    // CI is mean ± 2·se. Scale: one groupBy to 10 rows; everything
+    // after is arithmetic on a broadcast-sized table.
+    "a_jackknife_ci" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(cents(col("value")).as("c"),
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10).as("bkt"))
+      val bkts = p.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val tot = bkts.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+                         count(lit(1)).as("g"))
+      val loo = bkts.crossJoin(broadcast(tot))
+        .withColumn("m_e6",
+          expr("(st - s) * 1000000 div (nt - n)"))
+      val mbar = loo.agg(sum(col("m_e6")).as("sm"), max(col("g")).as("g"),
+                         max(col("nt")).as("nt"), max(col("st")).as("st"))
+        .withColumn("mbar_e6", expr("sm div g"))
+      loo.select(col("m_e6"))
+        .crossJoin(broadcast(mbar))
+        .withColumn("d", col("m_e6") - col("mbar_e6"))
+        .groupBy(col("g"), col("nt"), col("st"))
+        .agg(sum(col("d") * col("d")).as("ssq_e12"))
+        .select(col("nt").as("n"),
+          round(col("st").cast("double") / col("nt") / 100.0, 6).as("mean"),
+          round(sqrt(((col("g") - 1).cast("double") / col("g")) *
+                     (col("ssq_e12") / lit(1e12))) / 100.0, 6).as("se_jack"))
+        .withColumn("ci_lo", round(col("mean") - col("se_jack") * 2, 6))
+        .withColumn("ci_hi", round(col("mean") + col("se_jack") * 2, 6))
+    }),
+
     // Token-WEIGHTED length quantiles per source from the mergeable
     // weighted histogram (r7 verdict #8b: the additive-merge law
     // extended to weighted streams): "half the TOKENS live in docs
@@ -519,6 +604,87 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "stat_psi_value_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+        |    floor(value * 100 + 0.5)::BIGINT AS v FROM events),
+        |cut AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS cut FROM ev),
+        |tg AS (SELECT event_type, v,
+        |    CASE WHEN us < cut THEN 0 ELSE 1 END AS half
+        |  FROM ev CROSS JOIN cut),
+        |h AS (SELECT event_type, v, count(*)::BIGINT AS n FROM tg
+        |  WHERE half = 0 GROUP BY 1, 2),
+        |cw AS (SELECT event_type, v, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total FROM h),
+        |th AS (SELECT event_type,
+        |    min(CASE WHEN 100*cum >= total*10 THEN v END)::BIGINT AS t1,
+        |    min(CASE WHEN 100*cum >= total*20 THEN v END)::BIGINT AS t2,
+        |    min(CASE WHEN 100*cum >= total*30 THEN v END)::BIGINT AS t3,
+        |    min(CASE WHEN 100*cum >= total*40 THEN v END)::BIGINT AS t4,
+        |    min(CASE WHEN 100*cum >= total*50 THEN v END)::BIGINT AS t5,
+        |    min(CASE WHEN 100*cum >= total*60 THEN v END)::BIGINT AS t6,
+        |    min(CASE WHEN 100*cum >= total*70 THEN v END)::BIGINT AS t7,
+        |    min(CASE WHEN 100*cum >= total*80 THEN v END)::BIGINT AS t8,
+        |    min(CASE WHEN 100*cum >= total*90 THEN v END)::BIGINT AS t9
+        |  FROM cw GROUP BY event_type),
+        |b AS (SELECT tg.event_type, tg.half,
+        |    ((v > t1)::INT + (v > t2)::INT + (v > t3)::INT + (v > t4)::INT +
+        |     (v > t5)::INT + (v > t6)::INT + (v > t7)::INT + (v > t8)::INT +
+        |     (v > t9)::INT) AS bin
+        |  FROM tg JOIN th USING (event_type)),
+        |cnt AS (SELECT event_type, half, bin, count(*)::BIGINT AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |spine AS (SELECT event_type, bin FROM th
+        |  CROSS JOIN (SELECT unnest(range(0, 10))::INT AS bin)),
+        |nrc AS (SELECT event_type,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+        |  FROM tg GROUP BY event_type),
+        |j AS (SELECT s.event_type, s.bin,
+        |    coalesce(r.c, 0) AS cr, coalesce(u.c, 0) AS cc, nr, nc
+        |  FROM spine s
+        |  LEFT JOIN cnt r ON r.event_type = s.event_type
+        |    AND r.bin = s.bin AND r.half = 0
+        |  LEFT JOIN cnt u ON u.event_type = s.event_type
+        |    AND u.bin = s.bin AND u.half = 1
+        |  JOIN nrc ON nrc.event_type = s.event_type),
+        |t AS (SELECT event_type, nr, nc,
+        |    floor(((cr + 1)::DOUBLE / (nr + 10)::DOUBLE -
+        |           (cc + 1)::DOUBLE / (nc + 10)::DOUBLE) *
+        |      ln(((cr + 1)::DOUBLE / (nr + 10)::DOUBLE) /
+        |         ((cc + 1)::DOUBLE / (nc + 10)::DOUBLE)) * 1e9 + 0.5)::BIGINT
+        |      AS term_e9
+        |  FROM j)
+        |SELECT event_type, max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur,
+        |  round(sum(term_e9) / 1e9, 6) AS psi
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a_jackknife_ci" ->
+      """WITH p AS (SELECT floor(value * 100 + 0.5)::BIGINT AS c,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 10 AS bkt
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT bkt, count(*)::BIGINT AS n, sum(c)::BIGINT AS s
+        |  FROM p GROUP BY bkt),
+        |t AS (SELECT sum(n)::BIGINT AS nt, sum(s)::BIGINT AS st,
+        |    count(*)::BIGINT AS g FROM b),
+        |loo AS (SELECT ((st - s) * 1000000 // (nt - n))::BIGINT AS m_e6
+        |  FROM b CROSS JOIN t),
+        |mb AS (SELECT (sum(m_e6) // max(g))::BIGINT AS mbar_e6
+        |  FROM loo CROSS JOIN t),
+        |ss AS (SELECT sum((m_e6 - mbar_e6) * (m_e6 - mbar_e6))::BIGINT AS ssq_e12
+        |  FROM loo CROSS JOIN mb)
+        |SELECT nt AS n,
+        |  round(st::DOUBLE / nt / 100.0, 6) AS mean,
+        |  round(sqrt(((g - 1)::DOUBLE / g) * (ssq_e12 / 1e12)) / 100.0, 6)
+        |    AS se_jack,
+        |  round(round(st::DOUBLE / nt / 100.0, 6) -
+        |    2 * round(sqrt(((g - 1)::DOUBLE / g) * (ssq_e12 / 1e12)) / 100.0, 6),
+        |    6) AS ci_lo,
+        |  round(round(st::DOUBLE / nt / 100.0, 6) +
+        |    2 * round(sqrt(((g - 1)::DOUBLE / g) * (ssq_e12 / 1e12)) / 100.0, 6),
+        |    6) AS ci_hi
+        |FROM t CROSS JOIN ss""".stripMargin,
+
     "a_weighted_hist_quantile" ->
       """WITH d AS (SELECT source, n_chars,
         |    len(string_split(text, ' '))::BIGINT AS w

@@ -156,6 +156,68 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(overlap > 0, "PRF must retain at least one original top-5 doc")
   }
 
+  test("stat_psi_value_drift: PSI >= 0 up to quantization, and identical halves give ~0") {
+    val rows = operators.StatSketchOps.queries("stat_psi_value_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // PSI is a sum of (p-q)ln(p/q) terms, each >= 0 exactly; the e9
+      // per-term quantization can shave at most 5e-10 per term
+      assert(r.getAs[Double]("psi") >= -1e-8, s"PSI negative: $r")
+      assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    }
+  }
+
+  test("a_jackknife_ci: interval brackets the mean and se matches a replay") {
+    import spark.implicits._
+    val out = operators.StatSketchOps.queries("a_jackknife_ci")(spark, sf).collect().head
+    val mean = out.getAs[Double]("mean")
+    assert(out.getAs[Double]("ci_lo") <= mean && mean <= out.getAs[Double]("ci_hi"))
+    // replay the delete-one-bucket estimate driver-side
+    val p = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select(floor($"value" * 100 + 0.5).cast("long").as("c"),
+        (conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10).as("b"))
+      .as[(Long, Long)].collect()
+    val byB = p.groupBy(_._2).view.mapValues(xs => (xs.length.toLong, xs.map(_._1).sum)).toMap
+    val (nt, st) = (p.length.toLong, p.map(_._1).sum)
+    val g = byB.size
+    val loo = byB.values.map { case (n, s) => (st - s) * 1000000L / (nt - n) }.toSeq
+    val mbar = loo.sum / g
+    val ssq = loo.map(m => (m - mbar) * (m - mbar)).sum
+    val se = math.sqrt((g - 1).toDouble / g * (ssq / 1e12)) / 100.0
+    assert(math.abs(out.getAs[Double]("se_jack") - se) < 1e-4)
+    assert(out.getAs[Long]("n") == nt)
+  }
+
+  test("layout_partition_skew_advisor: skew >= 1e6 and salt covers the hottest partition") {
+    val rows = operators.LayoutOps.queries("layout_partition_skew_advisor")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (parts, total, mx) = (r.getAs[Long]("n_parts"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("max_rows"))
+      assert(r.getAs[Long]("skew_e6") >= 1000000L - parts, "skew below even floor")
+      assert(mx <= total && parts >= 1)
+      val salt = r.getAs[Long]("salt_factor")
+      // salting the hot key by `salt` brings its share under ~1/parts
+      assert(salt >= 1 && mx <= salt * ((total + parts - 1) / parts))
+    }
+  }
+
+  test("v_label_drift: cosines in [-1,1], and a self-centroid corpus scores ~1") {
+    val rows = operators.RetrievalOps.queries("v_label_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_to_corpus")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+    // identity check: the global centroid is the n-weighted mean of the
+    // label centroids, so Σ_l n_l·(a_l·b) = N·||b||² > 0 — at least one
+    // label must be positively aligned with the corpus center
+    assert(rows.map(_.getAs[Double]("cos_to_corpus")).max > 0.0,
+      "some label must align positively with the corpus centroid")
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
