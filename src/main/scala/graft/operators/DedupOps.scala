@@ -137,6 +137,32 @@ object DedupOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5-groupBy summary + rows removed under keep-first.
+    // MinHash band-tuning advisor — the measurement behind choosing
+    // the (bands × rows) LSH layout: for every factorization of the
+    // 12-perm signature, the ACTUAL candidate-pair volume this corpus
+    // would generate (Σ m·(m−1)/2 over band buckets — the real cost of
+    // the banding join) next to the config's S-curve similarity
+    // threshold (1/b)^(1/r). Wider bands → fewer, higher-precision
+    // candidates; this table is how you trade recall for join volume
+    // BEFORE running the n² verify at 100 TB. Bucket sizes are one
+    // band-keyed aggregate per config over the shared signature table;
+    // nothing quadratic runs here — that is the point.
+    "dedup_minhash_band_tuning" -> ((s, dir) => {
+      val sigs = minhashSigs(s, dir).localCheckpoint()
+      Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6)).map { case (b, r) =>
+        sigs.select(
+            explode(array((0 until b).map(k =>
+              concat(lit(s"$k:"),
+                concat_ws("", slice(col("mhs"), k * r + 1, r)))): _*)).as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("m"))
+          .agg(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+               sum(expr("m * (m - 1) div 2")).as("n_candidates"))
+          .withColumn("s_threshold_e6",
+            floor(pow(lit(1.0) / col("n_bands"), lit(1.0) / col("rows_per_band"))
+                  * 1e6 + 0.5).cast("long"))
+      }.reduce(_ union _).orderBy(col("n_bands").desc)
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(md5(col("text")).as("h"))
@@ -558,6 +584,25 @@ object DedupOps {
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique,
         |count(*) - count(DISTINCT md5(text)) AS n_removed
         |FROM documents""".stripMargin,
+
+    "dedup_minhash_band_tuning" ->
+      s"""WITH toks AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs FROM mh GROUP BY doc_id),
+         |cfg(b, r) AS (VALUES (12, 1), (6, 2), (4, 3), (3, 4), (2, 6)),
+         |bandk AS (SELECT b, r,
+         |    k || ':' || array_to_string(mhs[k*r+1:(k+1)*r], '') AS band
+         |  FROM sig CROSS JOIN cfg
+         |  CROSS JOIN (SELECT unnest(range(12)) AS k) WHERE k < b),
+         |m AS (SELECT b, r, band, count(*)::BIGINT AS m
+         |  FROM bandk GROUP BY 1, 2, 3),
+         |adv AS (SELECT b, r, sum(m * (m - 1) // 2)::BIGINT AS n_candidates
+         |  FROM m GROUP BY b, r)
+         |SELECT b::INT AS n_bands, r::INT AS rows_per_band, n_candidates,
+         |  floor(pow(1.0 / b, 1.0 / r) * 1e6 + 0.5)::BIGINT AS s_threshold_e6
+         |FROM adv ORDER BY n_bands DESC""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),

@@ -756,6 +756,25 @@ object EventOps {
                 round(col("entropy_norm"), 6).as("entropy_norm"))
         .orderBy(col("user_id"))),
 
+    // Heavy CHANGERS between the first and second half of the stream —
+    // the "what moved" companion to the PSI gate: per-user activity
+    // counts in each half (single aggregate, the exact integer-µs
+    // midpoint cut broadcast), top 20 by absolute delta with a total
+    // tie order. Top-N via TakeOrderedAndProject, all BIGINT; the
+    // half-split conditional count is one map-side-combinable pass.
+    "a_topk_heavy_changers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val cut = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("cut"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("n_first"),
+             sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("n_second"))
+        .withColumn("delta", abs(col("n_second") - col("n_first")))
+        .orderBy(col("delta").desc, col("user_id"))
+        .limit(20)
+    }),
+
     // Rolling 28-day distinct actives per day — the sliding-window
     // COUNT DISTINCT every growth dashboard needs and the aggregation
     // engines cannot do naively (a 28-day window re-counting distinct
@@ -1072,6 +1091,17 @@ object EventOps {
         |  round(n_active::DOUBLE / n_cohort, 6) AS retention
         |FROM cells JOIN s ON cohort_week = c_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "a_topk_heavy_changers" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |cut AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS cut FROM ev),
+        |g AS (SELECT user_id,
+        |    sum(CASE WHEN us < cut THEN 1 ELSE 0 END)::BIGINT AS n_first,
+        |    sum(CASE WHEN us >= cut THEN 1 ELSE 0 END)::BIGINT AS n_second
+        |  FROM ev CROSS JOIN cut GROUP BY user_id)
+        |SELECT user_id, n_first, n_second,
+        |  abs(n_second - n_first)::BIGINT AS delta
+        |FROM g ORDER BY delta DESC, user_id LIMIT 20""".stripMargin,
 
     "w_rolling_active_28d" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),

@@ -80,6 +80,40 @@ object TimeSeriesOps {
     // mean count at that hour-of-day ÷ overall mean count, computed as
     // one exact-integer cross-multiplied ratio (sum_cnt·n_hours_total)
     // / (n_hours_hod·total_cnt) so no intermediate mean loses bits.
+    // Naive STL decomposition of the hourly event-count series per
+    // type: trend = centered 25-observation moving mean (rows frame
+    // over the observed hours — gap-robust and engine-agnostic),
+    // seasonal = hour-of-day mean deviation from the series mean,
+    // residual = the exact remainder. Every component is an exact e6
+    // floor-div rational of BIGINT window sums — a full decomposition
+    // with ZERO floats, so remainder algebra (n·1e6 = trend + seasonal
+    // + resid + mean) holds exactly and is spec-asserted. Scale: the
+    // series table is |types|×|hours| (calendar-bounded); the windows
+    // partition by type.
+    "ts_stl_decompose" -> ((s, dir) => {
+      val h = hourly(s, dir).select(col("event_type"), col("hour"), col("cnt"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val trend = h
+        .withColumn("tr_sum", sum(col("cnt")).over(byType.rowsBetween(-12, 12)))
+        .withColumn("tr_n", count(lit(1)).over(byType.rowsBetween(-12, 12)))
+        .withColumn("trend_e6", expr("tr_sum * 1000000 div tr_n"))
+      val hod = h.groupBy(col("event_type").as("et"), hour(col("hour")).as("hod"))
+        .agg(sum(col("cnt")).as("hs"), count(lit(1)).as("hn"))
+        .withColumn("hod_mean_e6", expr("hs * 1000000 div hn"))
+      val mean = h.groupBy(col("event_type").as("mt"))
+        .agg(expr("sum(cnt) * 1000000 div count(1)").as("mean_e6"))
+      trend
+        .join(broadcast(hod),
+          col("event_type") === col("et") && hour(col("hour")) === col("hod"))
+        .join(broadcast(mean), col("event_type") === col("mt"))
+        .select(col("event_type"), col("hour"), col("cnt"),
+          col("trend_e6"),
+          (col("hod_mean_e6") - col("mean_e6")).as("seasonal_e6"),
+          (col("cnt") * 1000000L - col("trend_e6") -
+            (col("hod_mean_e6") - col("mean_e6"))).as("resid_e6"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     "ts_seasonality_hod" -> ((s, dir) => {
       val hod = hourly(s, dir)
         .groupBy(col("event_type"), hour(col("hour")).as("hod"))
@@ -272,6 +306,30 @@ object TimeSeriesOps {
         |  FROM d GROUP BY user_id)
         |SELECT user_id, round(wsum / dsum / 100.0, 4) AS twa_value, n_intervals
         |FROM a WHERE dsum > 0 ORDER BY user_id""".stripMargin,
+
+    "ts_stl_decompose" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, hour, cnt,
+        |    (sum(cnt) OVER w25 * 1000000 // count(*) OVER w25)::BIGINT
+        |      AS trend_e6
+        |  FROM h WINDOW w25 AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |hod AS (SELECT event_type, extract(hour FROM hour) AS hod,
+        |    (sum(cnt) * 1000000 // count(*))::BIGINT AS hod_mean_e6
+        |  FROM h GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    (sum(cnt) * 1000000 // count(*))::BIGINT AS mean_e6
+        |  FROM h GROUP BY 1)
+        |SELECT tr.event_type, tr.hour, tr.cnt, tr.trend_e6,
+        |  (hod_mean_e6 - mean_e6)::BIGINT AS seasonal_e6,
+        |  (tr.cnt * 1000000 - tr.trend_e6 - (hod_mean_e6 - mean_e6))::BIGINT
+        |    AS resid_e6
+        |FROM tr
+        |JOIN hod ON hod.event_type = tr.event_type
+        |  AND hod.hod = extract(hour FROM tr.hour)
+        |JOIN m ON m.event_type = tr.event_type
+        |ORDER BY tr.event_type, tr.hour""".stripMargin,
 
     "ts_seasonality_hod" ->
       """WITH h AS (

@@ -218,6 +218,58 @@ class RoundEightOpsSpec extends SparkSpec {
       "some label must align positively with the corpus centroid")
   }
 
+  test("dedup_minhash_band_tuning: S-thresholds rise with band width, (12,1) dominates candidates") {
+    val rows = operators.DedupOps.queries("dedup_minhash_band_tuning")(spark, sf).collect()
+    assert(rows.length == 5)
+    val byBands = rows.map(r => r.getAs[Int]("n_bands") ->
+      (r.getAs[Long]("n_candidates"), r.getAs[Long]("s_threshold_e6"))).toMap
+    // wider bands (fewer of them) demand higher similarity to collide
+    val ths = Seq(12, 6, 4, 3, 2).map(byBands(_)._2)
+    assert(ths == ths.sorted, s"thresholds must rise as bands widen: $ths")
+    // every (b, r>1) collision implies an r=1 collision, so (12,1) is
+    // the candidate-volume ceiling
+    val c121 = byBands(12)._1
+    byBands.values.foreach { case (c, _) => assert(c <= c121) }
+    assert(byBands.values.forall(_._1 >= 0))
+  }
+
+  test("ts_stl_decompose: components reassemble exactly and seasonal mass cancels") {
+    val rows = operators.TimeSeriesOps.queries("ts_stl_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exact remainder algebra by construction — assert it anyway as a
+      // schema/typing tripwire
+      assert(r.getAs[Long]("cnt") * 1000000L ==
+        r.getAs[Long]("trend_e6") + r.getAs[Long]("seasonal_e6") + r.getAs[Long]("resid_e6"))
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val mass = rs.map(_.getAs[Long]("seasonal_e6")).sum
+      // hod means and the series mean each carry <1e-6 floor-div error
+      assert(math.abs(mass) <= 2L * rs.length, s"$et: seasonal mass $mass exceeds quantization bound")
+      val cnts = rs.map(_.getAs[Long]("cnt"))
+      rs.foreach { r =>
+        val t = r.getAs[Long]("trend_e6")
+        assert(t >= cnts.min * 1000000L && t <= cnts.max * 1000000L)
+      }
+    }
+  }
+
+  test("a_topk_heavy_changers: deltas consistent and totals reconcile with raw counts") {
+    import spark.implicits._
+    val rows = operators.EventOps.queries("a_topk_heavy_changers")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val deltas = rows.map(_.getAs[Long]("delta"))
+    assert(deltas.sameElements(deltas.sortBy(-_)))
+    val totals = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta") ==
+        math.abs(r.getAs[Long]("n_second") - r.getAs[Long]("n_first")))
+      assert(r.getAs[Long]("n_first") + r.getAs[Long]("n_second") ==
+        totals(r.getAs[Long]("user_id")))
+    }
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
