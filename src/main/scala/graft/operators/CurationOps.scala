@@ -111,6 +111,38 @@ object CurationOps {
     // stage can recompute membership map-side with zero joins. The
     // census (per-split doc/token/char mass) is the only aggregation:
     // 3 groups, one exchange of partial sums.
+    // Sequence-packing fragmentation report — the pretraining-batch
+    // statistic behind "concatenate-then-cut" sample packing: with
+    // docs concatenated in doc_id order per source and cut into
+    // 2048-token training sequences, how many docs straddle a cut
+    // (fragmented docs lose coherence; high frag argues for
+    // boundary-respecting packing or longer sequences). A doc splits
+    // iff its [cum_before, cum_before+w) token interval crosses a 2048
+    // multiple — pure integer window arithmetic, the
+    // layout_compaction_plan offset-binning law at token grain. One
+    // per-source window shuffle; output is |sources| rows.
+    "curate_pack_fragmentation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("w"))
+        .filter(col("w") >= 1)
+      val wnd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cumb", coalesce(sum(col("w")).over(wnd), lit(0L)))
+        .withColumn("split",
+          (expr("cumb div 2048") =!= expr("(cumb + w - 1) div 2048")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+             sum(col("split")).as("n_split_docs"))
+        .withColumn("n_seqs", expr("(n_tokens + 2047) div 2048"))
+        .withColumn("frag_e6", expr("n_split_docs * 1000000 div n_docs"))
+        .withColumn("last_fill_e6",
+          expr("(n_tokens - (n_seqs - 1) * 2048) * 1000000 div 2048"))
+        .orderBy(col("source"))
+    }),
+
     "curate_holdout_split" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(when(hashBps(col("doc_id")) < 9000, lit("train"))
@@ -413,6 +445,27 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "curate_pack_fragmentation" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND len(string_split(text, ' ')) >= 1),
+        |c AS (SELECT source, doc_id, w,
+        |    coalesce(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cumb FROM d),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(w)::BIGINT AS n_tokens,
+        |    sum((cumb // 2048 != (cumb + w - 1) // 2048)::INT)::BIGINT
+        |      AS n_split_docs
+        |  FROM c GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_split_docs,
+        |  ((n_tokens + 2047) // 2048)::BIGINT AS n_seqs,
+        |  (n_split_docs * 1000000 // n_docs)::BIGINT AS frag_e6,
+        |  ((n_tokens - ((n_tokens + 2047) // 2048 - 1) * 2048) * 1000000 // 2048)
+        |    ::BIGINT AS last_fill_e6
+        |FROM g ORDER BY source""".stripMargin,
+
     "curate_c4_heuristics" ->
       """WITH d AS (SELECT source, trim(text) AS t FROM documents
         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),

@@ -137,6 +137,23 @@ object StreamingOps {
       drain(s, agg, "complete").orderBy(col("win_start"), col("event_type"))
     }),
 
+    // SLIDING event-time window over the stream — completes the window
+    // family (tumbling=streaming_windowed_counts, session=
+    // streaming_session_window): 6-hour windows advancing every 3
+    // hours, so each event lands in exactly 2 windows and adjacent
+    // windows overlap — the smoothing shape rate monitors want. State
+    // = |open windows|×|types|, watermark-bounded exactly like the
+    // tumbling form; overlap doubles state, not input, and the oracle
+    // reproduces the window assignment closed-form from the epoch.
+    "streaming_sliding_window" -> ((s, dir) => {
+      val agg = eventsStream(s, dir, maxFiles = 1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      drain(s, agg, "complete").orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Windowed top-k: the trending-items shape — event-time tumbling
     // windows drained with watermarked streaming state, then a rank
     // window over the FINALIZED per-window counts picks the top 2 types
@@ -526,6 +543,13 @@ object StreamingOps {
     "streaming_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "streaming_sliding_window" ->
+      """WITH e AS (SELECT event_type,
+        |    time_bucket(INTERVAL 3 HOUR, ts) AS b FROM events),
+        |w AS (SELECT b AS win_start, event_type FROM e
+        |  UNION ALL SELECT b - INTERVAL 3 HOUR, event_type FROM e)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "streaming_topk_per_window" ->
       """WITH g AS (SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start,
         |    event_type, count(*) AS n FROM events GROUP BY 1, 2),

@@ -270,6 +270,41 @@ class RoundEightOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming_sliding_window: every event lands in exactly 2 overlapping windows") {
+    val rows = graft.streaming.StreamingOps.queries("streaming_sliding_window")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * totalEvents,
+      "6h/3h sliding windows must double-count every event exactly once")
+    // window starts are aligned to the 3-hour slide grid
+    rows.foreach { r =>
+      val ms = r.getTimestamp(0).getTime
+      assert(ms % (3L * 3600 * 1000) == 0, s"unaligned window start: $r")
+    }
+  }
+
+  test("curate_pack_fragmentation: split counts match a driver replay of concat-cut packing") {
+    import spark.implicits._
+    val out = operators.CurationOps.queries("curate_pack_fragmentation")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_split_docs"), r.getAs[Long]("n_seqs"))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("w"))
+      .filter($"w" >= 1).as[(String, Long, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      var cum = 0L; var splits = 0L
+      ds.sortBy(_._2).foreach { case (_, _, w) =>
+        if (cum / 2048 != (cum + w - 1) / 2048) splits += 1
+        cum += w
+      }
+      val (tok, sp, seqs) = out(src)
+      assert(tok == cum && sp == splits, s"$src: ($tok,$sp) vs replay ($cum,$splits)")
+      assert(seqs == (cum + 2047) / 2048)
+    }
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
