@@ -863,6 +863,19 @@ object Graft {
     * __cum_<c> (global running sum) per requested sum column. */
   private def globalOrderStats(df: DataFrame, numParts: Int,
       order: Seq[Column], sumCols: Seq[String]): DataFrame = {
+    // `parts` feeds BOTH the offsets aggregate and the main window
+    // path, so Spark re-evaluates the upstream lineage once per
+    // consumer (PlanAudit r8: chained rfm quintiles show the repeated
+    // scans). Deliberately NOT checkpointed here: measured at sf0.1
+    // the eager materialization job costs 2-3× more than recomputing
+    // the small pre-aggregated inputs these facades take (rfm 0.84 →
+    // 1.4 s), and a facade-owned persist can never be freed by the
+    // caller. At 100 TB the calculus flips IF the input is a raw fact
+    // table — there the CALLER should persist/checkpoint the summary
+    // it passes in (one line at the call site, caller-owned
+    // lifetime). Determinism is safe either way: repartitionByRange
+    // samples with a fixed seed over the same input plan, so both
+    // evaluations compute identical range boundaries.
     val parts = df.repartitionByRange(numParts, order: _*)
       .withColumn("__pid", spark_partition_id())
     val aggs = (count(lit(1)).as("__pn") +:

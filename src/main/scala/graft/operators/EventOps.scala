@@ -756,6 +756,81 @@ object EventOps {
                 round(col("entropy_norm"), 6).as("entropy_norm"))
         .orderBy(col("user_id"))),
 
+    // Bot-likelihood census — the traffic-quality gate a training
+    // pipeline runs before trusting event-derived labels: a user is
+    // bot-LIKE when (a) their event volume is ≥1.2× the corpus mean
+    // (n·U·5 ≥ 6·N — cross-multiplied, no division), (b) their type
+    // mix is concentrated (top type ≥30% of their events, mx·10 ≥
+    // 3·n), and (c) their inter-arrival cadence is machine-regular —
+    // cv² < 0.75, tested as 4·(n_g·Σg² − (Σg)²) < 3·(Σg)² in pure
+    // BIGINT second-grain sums (the ts_seasonal_anomaly
+    // cross-multiplication discipline: the verdict has no FP to flip
+    // at the boundary; thresholds sit where this corpus actually has
+    // mass, so every flag branch is exercised at every SF). Output is
+    // the 4-row score census, not row-level flags — the corpus never
+    // leaves the aggregate.
+    "e_bot_score_census" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+                expr("unix_micros(ts) div 1000000").as("sec"),
+                col("ts"), col("event_id"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("ng"),
+             sum(coalesce(col("gap"), lit(0L))).as("sg"),
+             sum(coalesce(col("gap") * col("gap"), lit(0L))).as("sg2"))
+      val conc = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("m"))
+        .groupBy(col("user_id")).agg(max(col("m")).as("mx"))
+      val tot = g.agg(sum(col("n")).as("nt"), count(lit(1)).as("u"))
+      g.join(conc, "user_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("f_rate",
+          (col("n") * col("u") * 5 >= col("nt") * 6).cast("long"))
+        .withColumn("f_conc", (col("mx") * 10 >= col("n") * 3).cast("long"))
+        .withColumn("f_regular",
+          (col("ng") >= 2 &&
+           (col("ng") * col("sg2") - col("sg") * col("sg")) * 4 <
+             col("sg") * col("sg") * 3).cast("long"))
+        .withColumn("bot_score", col("f_rate") + col("f_conc") + col("f_regular"))
+        .groupBy(col("bot_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("f_rate")).as("n_high_rate"),
+             sum(col("f_conc")).as("n_concentrated"),
+             sum(col("f_regular")).as("n_regular"))
+        .orderBy(col("bot_score"))
+    }),
+
+    // Session bounce rate by entry event — "which landing action loses
+    // people": 30-minute sessionization (the sessionize_30m cut), each
+    // session reduced to (first event type, length), bounce = a
+    // 1-event session. One user-keyed window shuffle does sessionize +
+    // first-of-session; the census is |types| rows with exact e6
+    // rationals.
+    "e_bounce_rate_by_entry" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(bySess))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("len"),
+             min(struct(col("rn"), col("event_type"))).as("fst"))
+        .groupBy(col("fst.event_type").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_e6", expr("n_bounce * 1000000 div n_sessions"))
+        .orderBy(col("entry_type"))
+    }),
+
     // Heavy CHANGERS between the first and second half of the stream —
     // the "what moved" companion to the PSI gate: per-user activity
     // counts in each half (single aggregate, the exact integer-µs
@@ -1091,6 +1166,57 @@ object EventOps {
         |  round(n_active::DOUBLE / n_cohort, 6) AS retention
         |FROM cells JOIN s ON cohort_week = c_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e_bot_score_census" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec, ts, event_id FROM events),
+        |g0 AS (SELECT user_id, event_type, sec,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap FROM e),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ng,
+        |    sum(coalesce(gap, 0))::BIGINT AS sg,
+        |    sum(coalesce(gap * gap, 0))::BIGINT AS sg2
+        |  FROM g0 GROUP BY user_id),
+        |cm AS (SELECT user_id, max(m)::BIGINT AS mx FROM (
+        |    SELECT user_id, event_type, count(*)::BIGINT AS m
+        |    FROM events GROUP BY 1, 2) GROUP BY user_id),
+        |t AS (SELECT sum(n)::BIGINT AS nt, count(*)::BIGINT AS u FROM g),
+        |f AS (SELECT
+        |    (n * u * 5 >= nt * 6)::BIGINT AS f_rate,
+        |    (mx * 10 >= n * 3)::BIGINT AS f_conc,
+        |    (ng >= 2 AND (ng * sg2 - sg * sg) * 4 < sg * sg * 3)::BIGINT
+        |      AS f_regular
+        |  FROM g JOIN cm USING (user_id) CROSS JOIN t)
+        |SELECT (f_rate + f_conc + f_regular)::BIGINT AS bot_score,
+        |  count(*)::BIGINT AS n_users, sum(f_rate)::BIGINT AS n_high_rate,
+        |  sum(f_conc)::BIGINT AS n_concentrated,
+        |  sum(f_regular)::BIGINT AS n_regular
+        |FROM f GROUP BY 1 ORDER BY bot_score""".stripMargin,
+
+    "e_bounce_rate_by_entry" ->
+      """WITH se AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR
+        |      epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM se),
+        |r AS (SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM sid),
+        |sess AS (SELECT user_id, session_id, count(*)::BIGINT AS len,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        |  FROM r GROUP BY user_id, session_id)
+        |SELECT entry_type, count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+        |  (sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 1000000 // count(*))
+        |    ::BIGINT AS bounce_e6
+        |FROM sess GROUP BY entry_type ORDER BY entry_type""".stripMargin,
 
     "a_topk_heavy_changers" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -305,6 +305,36 @@ class RoundEightOpsSpec extends SparkSpec {
     }
   }
 
+  test("e_bot_score_census: conservation laws hold and at least one flag fires") {
+    val rows = operators.EventOps.queries("e_bot_score_census")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users, "census must cover every user")
+    rows.foreach { r =>
+      val flags = r.getAs[Long]("n_high_rate") + r.getAs[Long]("n_concentrated") +
+        r.getAs[Long]("n_regular")
+      // within a score bucket, flag counts sum to score × users
+      assert(flags == r.getAs[Long]("bot_score") * r.getAs[Long]("n_users"),
+        s"flag conservation broken: $r")
+    }
+    // thresholds are tuned to where this corpus has mass — a census
+    // with zero firing flags would mean vacuous branches
+    assert(rows.exists(_.getAs[Long]("bot_score") > 0), "no flag ever fired")
+  }
+
+  test("e_bounce_rate_by_entry: session totals reconcile with sessionize_30m") {
+    val rows = operators.EventOps.queries("e_bounce_rate_by_entry")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sessions = operators.EventOps.queries("sessionize_30m")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == sessions.length)
+    val bounces = sessions.count(_.getAs[Long]("n_events") == 1)
+    assert(rows.map(_.getAs[Long]("n_bounce")).sum == bounces)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bounce_e6") ==
+        r.getAs[Long]("n_bounce") * 1000000L / r.getAs[Long]("n_sessions"))
+    }
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
