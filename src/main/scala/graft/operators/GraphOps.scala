@@ -154,6 +154,37 @@ object GraphOps {
         .orderBy(col("label"))
     }),
 
+    // Degree assortativity of the support-2 co-purchase graph — the
+    // one-number "do hubs connect to hubs" diagnostic (positive:
+    // social-like; negative: hub-and-spoke) that decides whether
+    // degree-based partitioning will skew. Pearson r over the directed
+    // edge list (both orientations, the standard undirected form) from
+    // exact BIGINT moments M, Σx, Σxy, Σx² — one |E|-row join against
+    // the broadcast |V|-row degree table, one scalar aggregate; the
+    // only division is the final r, identical on both engines.
+    "graph_assortativity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      adj
+        .join(broadcast(deg.select(col("v").as("a"), col("d").as("dx"))), "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("d").as("dy"))), "b")
+        .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+             sum(col("dx") * col("dy")).as("sxy"),
+             sum(col("dx") * col("dx")).as("sxx"))
+        .select((col("m") / 2).cast("long").as("n_edges"),
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+                (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("assortativity"))
+    }),
+
     // Connected components by 3 unrolled rounds of min-id propagation
     // over the support-2 co-purchase graph — the HashMin variant of
     // Pregel CC expressed relationally: lbl₀(v) = v, then each round
@@ -361,6 +392,24 @@ object GraphOps {
         |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
         |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
         |ORDER BY label""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |adj AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS v, count(*)::BIGINT AS d FROM adj GROUP BY a),
+        |j AS (SELECT da.d AS dx, db.d AS dy FROM adj
+        |  JOIN deg da ON da.v = adj.a JOIN deg db ON db.v = adj.b),
+        |g AS (SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+        |    sum(dx * dy)::BIGINT AS sxy, sum(dx * dx)::BIGINT AS sxx
+        |  FROM j)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  round((m * sxy - sx * sx)::DOUBLE /
+        |        (m * sxx - sx * sx)::DOUBLE, 6) AS assortativity
+        |FROM g""".stripMargin,
 
     "graph_connected_components" ->
       """WITH e0 AS (SELECT a, b FROM (

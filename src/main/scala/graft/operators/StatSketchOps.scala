@@ -94,6 +94,48 @@ object StatSketchOps {
     // the histogram, windows over |types|×|cents| rows only. p25..p90
     // agree bit-for-bit with a full per-group sort because the integer
     // histogram loses nothing.
+    // KMV (k-minimum-values / bottom-k) theta-style sketch with SET
+    // OPERATIONS — the capability HLL lacks: per-source bottom-24
+    // content-hash sketches, then for every source pair the union
+    // cardinality estimate ((k−1)·2³²/τ from the merged sketch's k-th
+    // value) and the intersection estimate (match fraction × union) —
+    // sub-linear cross-source overlap measurement, the sketch behind
+    // "how much does dump A duplicate dump B" at corpus scale without
+    // a join on content. Sketch = 24 BIGINTs per source (broadcast
+    // everywhere); merge = min-k of the union (associative, the
+    // mergeable-law family); small-set regime (union sketch < k)
+    // falls back to the exact count on BOTH engines. All estimates
+    // are integer floor-div rationals — no FP anywhere.
+    "a_kmv_set_ops" -> ((s, dir) => {
+      val k = 24
+      val h = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("source"),
+          conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+        .distinct()
+      val sk = h.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= k)
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(col("h"))).as("sk"),
+             count(lit(1)).as("ksz"))
+      val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+        .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("skb"))),
+          col("src_a") < col("src_b"))
+      pairs
+        .withColumn("mg", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .withColumn("msz", size(col("mg")))
+        .withColumn("tau", element_at(col("mg"), col("msz")))
+        .withColumn("m", size(filter(col("mg"),
+          x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+        .select(col("src_a"), col("src_b"), col("m").cast("long").as("n_common_in_sketch"),
+          when(col("msz") < k, col("msz").cast("long"))
+            .otherwise(expr(s"(${k - 1} * 4294967296) div tau")).as("est_union"),
+          when(col("msz") < k, col("m").cast("long"))
+            .otherwise(expr(s"(m * ((${k - 1} * 4294967296) div tau)) div $k"))
+            .as("est_intersection"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Population Stability Index between the first and second half of
     // the event stream, per type — THE deployed-model drift gate in ML
     // monitoring (PSI < 0.1 stable, > 0.25 act). Reference bins are
@@ -604,6 +646,32 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "a_kmv_set_ops" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT source, list(h ORDER BY h) AS sk
+        |  FROM r WHERE rn <= 24 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |mgx AS (SELECT src_a, src_b, ska, skb,
+        |    list_sort(list_distinct(ska || skb))[1:24] AS mg FROM p),
+        |st AS (SELECT src_a, src_b,
+        |    len(mg)::BIGINT AS msz, mg[len(mg)] AS tau,
+        |    len(list_filter(mg, x -> list_contains(ska, x)
+        |      AND list_contains(skb, x)))::BIGINT AS m
+        |  FROM mgx)
+        |SELECT src_a, src_b, m AS n_common_in_sketch,
+        |  (CASE WHEN msz < 24 THEN msz
+        |    ELSE (23 * 4294967296) // tau END)::BIGINT AS est_union,
+        |  (CASE WHEN msz < 24 THEN m
+        |    ELSE (m * ((23 * 4294967296) // tau)) // 24 END)::BIGINT
+        |    AS est_intersection
+        |FROM st ORDER BY src_a, src_b""".stripMargin,
+
     "stat_psi_value_drift" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
         |    floor(value * 100 + 0.5)::BIGINT AS v FROM events),

@@ -80,6 +80,37 @@ object TimeSeriesOps {
     // mean count at that hour-of-day ÷ overall mean count, computed as
     // one exact-integer cross-multiplied ratio (sum_cnt·n_hours_total)
     // / (n_hours_hod·total_cnt) so no intermediate mean loses bits.
+    // Naive-forecast backtest — the evaluation loop behind every
+    // capacity/alerting forecast: walk the daily count series per
+    // type, predict each day with (a) yesterday's value and (b) the
+    // trailing-7-day mean, and report each method's MAE over the
+    // evaluable days. Which baseline wins (persistence vs smoothing)
+    // IS the seasonality diagnostic. Errors stay exact: the MA7
+    // prediction is a ×7-scaled integer, so |7·actual − Σ7| is BIGINT
+    // and the MAE an e6 floor-div rational — no FP in the backtest.
+    // One per-type window pass over the |types|×|days| series.
+    "ts_backtest_naive" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev", lag(col("cnt"), 1).over(w))
+        .withColumn("s7", sum(col("cnt")).over(w.rowsBetween(-7, -1)))
+        .withColumn("n7", count(lit(1)).over(w.rowsBetween(-7, -1)))
+        .filter(col("n7") === 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval_days"),
+             sum(abs(col("cnt") - col("prev"))).as("ae_last"),
+             sum(abs(col("cnt") * 7 - col("s7"))).as("ae7_ma"))
+        .select(col("event_type"), col("n_eval_days"),
+          expr("ae_last * 1000000 div n_eval_days").as("mae_last_e6"),
+          expr("ae7_ma * 1000000 div (n_eval_days * 7)").as("mae_ma7_e6"))
+        .withColumn("winner",
+          when(col("mae_ma7_e6") < col("mae_last_e6"), "ma7").otherwise("last"))
+        .orderBy(col("event_type"))
+    }),
+
     // Naive STL decomposition of the hourly event-count series per
     // type: trend = centered 25-observation moving mean (rows frame
     // over the observed hours — gap-robust and engine-agnostic),
@@ -306,6 +337,26 @@ object TimeSeriesOps {
         |  FROM d GROUP BY user_id)
         |SELECT user_id, round(wsum / dsum / 100.0, 4) AS twa_value, n_intervals
         |FROM a WHERE dsum > 0 ORDER BY user_id""".stripMargin,
+
+    "ts_backtest_naive" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |    lag(cnt) OVER pw AS prev,
+        |    sum(cnt) OVER (pw ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+        |    count(*) OVER (pw ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        |  FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_eval_days,
+        |    sum(abs(cnt - prev))::BIGINT AS ae_last,
+        |    sum(abs(cnt * 7 - s7))::BIGINT AS ae7_ma
+        |  FROM w WHERE n7 = 7 GROUP BY event_type)
+        |SELECT event_type, n_eval_days,
+        |  (ae_last * 1000000 // n_eval_days)::BIGINT AS mae_last_e6,
+        |  (ae7_ma * 1000000 // (n_eval_days * 7))::BIGINT AS mae_ma7_e6,
+        |  CASE WHEN (ae7_ma * 1000000 // (n_eval_days * 7)) <
+        |            (ae_last * 1000000 // n_eval_days)
+        |    THEN 'ma7' ELSE 'last' END AS winner
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ts_stl_decompose" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -335,6 +335,82 @@ class RoundEightOpsSpec extends SparkSpec {
     }
   }
 
+  test("a_kmv_set_ops: bottom-k merge law holds and estimates bracket the truth") {
+    import spark.implicits._
+    val out = operators.StatSketchOps.queries("a_kmv_set_ops")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hashes = Tables.documents(spark, sf).filter($"text".isNotNull)
+      .select($"source",
+        conv(substring(md5($"text"), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct().as[(String, Long)].collect()
+    val bySrc = hashes.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val trueUnion = (sa ++ sb).size
+      // merge law: bottom-k of (bottomK(A) ∪ bottomK(B)) == bottom-k of (A ∪ B)
+      val k = 24
+      val fromSketches = (sa.toSeq.sorted.take(k) ++ sb.toSeq.sorted.take(k))
+        .distinct.sorted.take(k)
+      val direct = (sa ++ sb).toSeq.sorted.take(k)
+      assert(fromSketches == direct, s"($a,$b): bottom-k merge law broken")
+      val est = r.getAs[Long]("est_union")
+      if (trueUnion < k) assert(est == trueUnion, s"small-set regime must be exact")
+      else assert(est > trueUnion / 3 && est < trueUnion * 3,
+        s"($a,$b): union est $est vs true $trueUnion outside 3x")
+      val inter = r.getAs[Long]("est_intersection")
+      assert(inter >= 0 && inter <= est)
+    }
+  }
+
+  test("ts_backtest_naive: MAEs match a driver replay per type") {
+    import spark.implicits._
+    val out = operators.TimeSeriesOps.queries("ts_backtest_naive")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_eval_days"), r.getAs[Long]("mae_last_e6"),
+         r.getAs[Long]("mae_ma7_e6"))).toMap
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("DAY", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2.toString).map(_._3)
+      val evals = (7 until series.length).map { i =>
+        val aeLast = math.abs(series(i) - series(i - 1))
+        val ae7 = math.abs(series(i) * 7 - series.slice(i - 7, i).sum)
+        (aeLast, ae7)
+      }
+      if (evals.nonEmpty) {
+        val (n, maeL, mae7) = out(et)
+        assert(n == evals.length)
+        assert(maeL == evals.map(_._1).sum * 1000000L / n)
+        assert(mae7 == evals.map(_._2).sum * 1000000L / (n * 7))
+      }
+    }
+  }
+
+  test("graph_assortativity: r is a valid correlation matching a driver replay") {
+    import spark.implicits._
+    val row = operators.GraphOps.queries("graph_assortativity")(spark, sf).collect().head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val edges = li.alias("x")
+      .join(li.alias("y"), $"x.l_orderkey" === $"y.l_orderkey" &&
+        $"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("a"), $"y.l_partkey".as("b")).count()
+      .filter($"count" >= 2).select($"a", $"b").as[(Long, Long)].collect()
+    assert(row.getAs[Long]("n_edges") == edges.length)
+    val adj = edges ++ edges.map(e => (e._2, e._1))
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (m, xs) = (adj.length.toLong, adj.map { case (u, v) => (deg(u), deg(v)) })
+    val sx = xs.map(_._1).sum; val sxy = xs.map(t => t._1 * t._2).sum
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val replay = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    assert(math.abs(r - replay) < 1e-5, s"$r vs replay $replay")
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
