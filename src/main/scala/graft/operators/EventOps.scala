@@ -471,6 +471,41 @@ object EventOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Incremental maintenance of a JOIN view — the delta rule
+    // mv_incremental_agg's additive merge cannot express: for
+    // J = A ⋈ B, the refresh is ΔJ = ΔA⋈B ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (three
+    // delta-sized joins, never a rescan of J). Here the view is
+    // "click with a same-user purchase that day" (clicks ⋈ purchases
+    // on (user, day)), the corpus splits into old/new batches by
+    // event_id parity so every term is non-trivially exercised, and
+    // the maintained view's per-day census is gate-compared against
+    // the full recompute — incremental ≡ rebuild, the contract that
+    // makes the refresh O(Δ) at 100 TB. All joins key on (user, day):
+    // the delta sides broadcast in practice; nothing re-shuffles the
+    // historical join output.
+    "mv_incremental_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("day"), col("event_id"))
+      val (cOld, cNew) = (side("click").filter(col("event_id") % 2 === 0),
+                          side("click").filter(col("event_id") % 2 =!= 0))
+      val (pOld, pNew) = (side("purchase").filter(col("event_id") % 2 === 0),
+                          side("purchase").filter(col("event_id") % 2 =!= 0))
+      def j(c: DataFrame, p: DataFrame): DataFrame =
+        c.select(col("user_id"), col("day"), col("event_id").as("cid"))
+          .join(p.select(col("user_id"), col("day"), col("event_id").as("pid")),
+            Seq("user_id", "day"))
+      val jOld = j(cOld, pOld)
+      val delta = j(cNew, pOld).unionByName(j(cOld, pNew)).unionByName(j(cNew, pNew))
+      jOld.unionByName(delta)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("cid")).as("n_clicks_joined"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
+    }),
+
     // Linear multi-touch attribution: each purchase's value is split
     // equally across the user's clicks in the preceding hour (the
     // window count is per purchase, so weights sum to the purchase
@@ -1499,6 +1534,19 @@ object EventOps {
         |  sum(CASE WHEN ts >= signup_ts THEN 1 ELSE 0 END)::BIGINT AS n_after_signup
         |FROM events JOIN su USING (user_id)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // incremental join-view delta rule ≡ full join recompute
+    "mv_incremental_join" ->
+      """WITH c AS (SELECT user_id, ts::DATE AS day, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts::DATE AS day, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.day, c.cid, p.pid
+        |  FROM c JOIN p ON c.user_id = p.user_id AND c.day = p.day)
+        |SELECT day, count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT cid)::BIGINT AS n_clicks_joined,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
 
     // incremental MV merge ≡ full rebuild (exact integer cents)
     "mv_incremental_agg" ->

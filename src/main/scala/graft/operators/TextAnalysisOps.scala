@@ -85,6 +85,29 @@ object TextAnalysisOps {
     }),
 
     // Token counting: whitespace tokens + regex word-ish tokens.
+    // Data-driven stopword discovery — the corpus-specific stoplist a
+    // retrieval/langid stack should derive instead of hardcoding: any
+    // token whose DOCUMENT frequency clears 60% of the corpus (df·10 ≥
+    // 6·N, cross-multiplied) carries no discriminative signal here.
+    // One distinct-(doc, token) explode → per-token df aggregate (the
+    // vocab-sized shuffle, never corpus-scale rows after the
+    // distinct); df_e6 is an exact floor-div rational. The output
+    // feeds ta_tfidf_topterms' stoplist at 100 TB — discovery and
+    // consumption share one vocabulary pass.
+    "ta_stopword_discovery" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 10 >= col("n") * 6)
+        .select(col("token"), col("df"),
+          expr("df * 1000000 div n").as("df_e6"))
+        .orderBy(col("df").desc, col("token"))
+    }),
+
     "ta_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -427,6 +450,17 @@ object TextAnalysisOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_stopword_discovery" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM d),
+        |t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM d),
+        |f AS (SELECT token, count(*)::BIGINT AS df FROM t
+        |  WHERE token != '' GROUP BY token)
+        |SELECT token, df, (df * 1000000 // n)::BIGINT AS df_e6
+        |FROM f CROSS JOIN n WHERE df * 10 >= n * 6
+        |ORDER BY df DESC, token""".stripMargin,
+
     "ta_tfidf_topterms" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),

@@ -411,6 +411,41 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(math.abs(r - replay) < 1e-5, s"$r vs replay $replay")
   }
 
+  test("mv_incremental_join: the delta rule reproduces the full join exactly") {
+    import spark.implicits._
+    val inc = operators.EventOps.queries("mv_incremental_join")(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_clicks_joined"),
+         r.getAs[Long]("n_users"))).toMap
+    val ev = Tables.events(spark, sf).withColumn("day", to_date($"ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"day", $"event_id".as("cid"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"day", $"event_id".as("pid"))
+    val full = c.join(p, Seq("user_id", "day"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n"), countDistinct($"cid").as("nc"),
+           countDistinct($"user_id").as("nu"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nc"), r.getAs[Long]("nu"))).toMap
+    assert(inc == full, "incremental join view must equal the full rebuild")
+  }
+
+  test("ta_stopword_discovery: returned tokens clear the df threshold, verified by replay") {
+    import spark.implicits._
+    val out = operators.TextAnalysisOps.queries("ta_stopword_discovery")(spark, sf)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    val docs = Tables.documents(spark, sf).filter($"text".isNotNull)
+    val n = docs.count()
+    val dfMap = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").distinct()
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val expected = dfMap.filter { case (_, df) => df * 10 >= n * 6 }
+    assert(out == expected, "discovered stoplist must match the replayed df filter")
+    assert(out.nonEmpty, "the synthetic corpus's common words should clear 60% df")
+  }
+
   test("graph_connected_components: labels are component-consistent after convergence check") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
