@@ -2201,4 +2201,154 @@ object Graft {
       .groupBy(col("latency_h"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on a bipartite edge set,
+    * two unrolled power iterations kept in EXACT BIGINT arithmetic by
+    * skipping per-round normalization (scores are scale-invariant
+    * rankings). Returns (authCol, a1, a2): a1 = indegree, a2 = the
+    * second-iteration authority mass. Each iteration is one equi-join
+    * of the score vector with the edge list plus a sum-by-key. */
+  def hitsAuthorities(edges: DataFrame, hubCol: String, authCol: String): DataFrame = {
+    val e = edges.select(col(hubCol).as("__hc"), col(authCol).as("__ha")).distinct()
+    val a1 = e.groupBy(col("__ha")).agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "__ha").groupBy(col("__hc")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "__hc").groupBy(col("__ha")).agg(sum(col("h1")).as("a2"))
+    a2.join(a1, "__ha")
+      .select(col("__ha").as(authCol), col("a1"), col("a2"))
+  }
+
+  /** Gini concentration of per-unit integer totals within each group:
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over units ranked ascending
+    * (unit id tiebreak), presented as one exact e6 floor-division.
+    * Input valCol must already be an integer unit (cents, bytes);
+    * returns (groupCol, n, total, gini_e6). */
+  def giniByGroup(df: DataFrame, groupCol: String, unitCol: String,
+      valCol: String): DataFrame = {
+    val spend = df.groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(valCol)).as("__x"))
+    spend.withColumn("__i", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x"), col(unitCol)))
+        .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+           sum(col("__i") * col("__x")).as("__sum_ix"))
+      .select(col(groupCol), col("n"), col("total"), expr(
+        "((2 * __sum_ix - (n + 1) * total) * 1000000) div (n * total)")
+        .as("gini_e6"))
+  }
+
+  /** Spearman rank correlation (tie-broken by idCol) between two
+    * numeric columns within each group, as the nested floor-division
+    * rational rho_e6 = 1e6 − ((6Σd²·1e3) div (n(n+1)) · 1e3) div (n−1)
+    * — one documented evaluation order both engines replay exactly.
+    * Returns (groupCol, n, sum_d2, rho_e6) for groups with n > 1. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val rx = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(xCol), col(idCol)))
+    val ry = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(yCol), col(idCol)))
+    df.withColumn("__rx", rx).withColumn("__ry", ry)
+      .withColumn("__d", (col("__rx") - col("__ry")).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__d") * col("__d")).as("sum_d2"))
+      .filter(col("n") > 1)
+      .select(col(groupCol), col("n"), col("sum_d2"), expr(
+        "1000000 - (((6 * sum_d2 * 1000) div (n * (n + 1))) * 1000) div (n - 1)")
+        .as("rho_e6"))
+  }
+
+  /** Exact decision-stump training (1-feature threshold classifiers)
+    * over the first nDims vector components: for each dim, every
+    * realizable threshold (a cut between consecutive DISTINCT sorted
+    * values) is scored in one window pass and the
+    * (error, threshold, polarity)-minimal stump wins via struct-min —
+    * the relational form of the classic sorted-scan stump trainer, no
+    * candidate re-sort, all integer arithmetic. For a cut after sorted
+    * row i, the predict-positive-above stump errs
+    * err_A(i) = 2·cumPos(i) − i + negTotal (positives below the cut
+    * plus negatives above it); the inverted stump is its complement
+    * n − err_A. Returns (dim, thr_e6, polarity, n_errors, acc_e6) with
+    * thresholds e6-quantized for presentation only (ranking uses the
+    * raw double sort). Scale: rows = nDims·|corpus| hash-partitioned by
+    * dim; the per-dim ordered walk is the same per-group prefix-sum
+    * pattern as the quantile family (two-pass rank at 100 TB; window
+    * form here, bounded by |corpus| per dim). */
+  def decisionStump(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, nDims: Int): DataFrame = {
+    val rows = df
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__y"),
+              posexplode(expr(s"slice($vecCol, 1, $nDims)"))
+                .as(Seq("__d0", "__x0")))
+      .select((col("__d0") + 1).cast("long").as("dim"),
+              col("__x0").cast("double").as("__x"), col("__id"), col("__y"))
+    val ord = Window.partitionBy(col("dim")).orderBy(col("__x"), col("__id"))
+    val all = Window.partitionBy(col("dim"))
+    rows
+      .withColumn("__cum_pos", sum(col("__y")).over(ord))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__nx", lead(col("__x"), 1).over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__pos", sum(col("__y")).over(all))
+      .filter(col("__nx").isNull || col("__nx") > col("__x"))
+      .withColumn("__err_a",
+        lit(2L) * col("__cum_pos") - col("__i") + (col("__n") - col("__pos")))
+      .withColumn("__err", least(col("__err_a"), col("__n") - col("__err_a")))
+      .withColumn("__pol",
+        when(col("__err_a") <= col("__n") - col("__err_a"), 1L).otherwise(0L))
+      .withColumn("__thr_e6", floor(col("__x") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("dim"))
+      .agg(min(struct(col("__err"), col("__thr_e6"), col("__pol"))).as("__m"),
+           max(col("__n")).as("__cnt"))
+      .select(col("dim"), col("__m.__thr_e6").as("thr_e6"),
+              col("__m.__pol").as("polarity"), col("__m.__err").as("n_errors"),
+              expr("(__cnt - __m.__err) * 1000000 div __cnt").as("acc_e6"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) with a corpus-derived
+    * stoplist — the stopTopN highest-TOTAL-frequency tokens (frequency
+    * desc, token tiebreak), the classic "most frequent words are
+    * function words" adaptation. (A document-frequency rule like
+    * ta_stopword_discovery's is the alternative; on corpora whose df
+    * distribution is flat it stops everything, while the frequency
+    * top-N always yields a proper segmentation.) Candidate phrases are
+    * maximal stopword-free token runs, word score = deg/freq as an
+    * exact e6 floor-division, phrase score = the sum of its words'
+    * scores. Returns the top-k distinct phrases as
+    * (phrase, n_words, n_occ, score_e6). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, stopTopN: Int = 5): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+    val toks = d
+      .select(col(idCol).as("__doc"),
+              posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val stop = toks
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+      .orderBy(col("__tf").desc, col("__tok")).limit(stopTopN)
+      .select(col("__tok"), lit(1).as("__is_stop"))
+    val seg = toks.join(broadcast(stop), Seq("__tok"), "left")
+      .withColumn("__sf", coalesce(col("__is_stop"), lit(0)))
+      .withColumn("__pid", sum(col("__sf")).over(
+        Window.partitionBy(col("__doc")).orderBy(col("__pos"))))
+      .filter(col("__sf") === 0)
+    val wl = seg.withColumn("__plen", count(lit(1)).over(
+      Window.partitionBy(col("__doc"), col("__pid"))))
+    val ws = wl.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("__tok"), expr("__deg * 1000000 div __freq").as("__ws_e6"))
+    wl.join(ws, "__tok")
+      .groupBy(col("__doc"), col("__pid"))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("__ws_e6")).as("score_e6"))
+      .groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_occ"),
+           max(col("score_e6")).as("score_e6"))
+      .select(col("phrase"), col("n_words"), col("n_occ"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase")).limit(k)
+  }
 }

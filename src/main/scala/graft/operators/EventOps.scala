@@ -1172,10 +1172,48 @@ object EventOps {
         .groupBy(col("event_type"), col("log2_bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("log2_bucket"))
-    })
+    }),
+
+    // Gini concentration of per-user spend, by event type — the
+    // inequality census behind "do 1% of users carry the revenue?".
+    // Per-user totals are exact integer cents (the shared
+    // floor(x·100+0.5) formula); with users ranked ascending by spend
+    // (doc-id tiebreak), G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) is a pure
+    // BIGINT rational presented as one e6 floor-division. Numerator
+    // bound: 2·Σi·xᵢ ≤ 2n·S ≤ 2^63 up to n·S ~ 4.6e18 (n=1e6 users ×
+    // S=$46B in cents) — beyond that the per-group two-pass prefix-sum
+    // rank (Graft.globalRowNumber per type) plus a DECIMAL(38,0) carry
+    // is the same plan with wider lanes. The rank window partitions by
+    // event_type over per-user pre-aggregates: |users/type| rows, the
+    // same bounded-cardinality contract as the other user-grain
+    // windows (PLANS.md census).
+    "a_gini_by_type" -> ((s, dir) =>
+      graft.api.Graft.giniByGroup(
+          Tables.events(s, dir)
+            .select(col("event_type"), col("user_id"),
+                    floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          "event_type", "user_id", "cents")
+        .withColumnRenamed("total", "total_cents")
+        .orderBy(col("event_type")))
   )
 
   def oracles: Map[String, String] = Map(
+    // Gini per type: integer-cents rational, rank-sum form
+    "a_gini_by_type" ->
+      """WITH s AS (SELECT event_type, user_id,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY x, user_id)::BIGINT AS i
+        |  FROM s),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS total_cents, sum(i * x)::BIGINT AS sum_ix
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, total_cents,
+        |  (((2 * sum_ix - (n + 1) * total_cents) * 1000000)
+        |    // (n * total_cents))::BIGINT AS gini_e6
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "a_decimal_exact_revenue" ->
       """SELECT l_returnflag,
         |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_price_c,

@@ -300,6 +300,35 @@ object GraphOps {
                 coalesce((sum(col("d")) / 2).cast("long"), lit(0L)).as("n_edges"),
                 coalesce(min(col("d")), lit(0L)).as("min_degree"))
       }.reduce(_.union(_)).orderBy(col("round"))
+    }),
+
+    // HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    // customer→part purchase graph (edges = distinct (custkey, partkey)
+    // pairs through orders): which parts do the broadest buyers
+    // concentrate on? Two unrolled power iterations from the uniform
+    // start, kept in EXACT BIGINT arithmetic by skipping the per-round
+    // normalization — HITS scores are scale-invariant rankings and the
+    // usual L2 normalize would inject FP divisions whose summation
+    // order the oracle can't replay. a1(p) = indegree(p);
+    // h1(c) = Σ_{p∈out(c)} a1(p); a2(p) = Σ_{c∈in(p)} h1(c).
+    // Magnitude bound: a2 ≤ max_indeg · max_outdeg · max_indeg — at the
+    // fixture ≤ 1e10; at 100 TB the two-iteration unroll stays < 2^63
+    // up to ~1e6-degree hubs, beyond which per-round integer rescaling
+    // (div by the round's max, an exact broadcast scalar) restores
+    // headroom without FP.
+    // Scale: each iteration is one equi-join of the score vector (|V|
+    // rows) with the edge list plus a sum-by-key — hash-partitioned on
+    // the join key, nothing driver-side; the final top-20 is
+    // TakeOrderedAndProject (per-partition partial top-k, no global
+    // sort).
+    "graph_hits_bipartite" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      graft.api.Graft.hitsAuthorities(e, "c", "p")
+        .select(col("p").as("partkey"), col("a1"), col("a2"))
+        .orderBy(col("a2").desc, col("partkey")).limit(20)
     })
   )
 
@@ -490,6 +519,19 @@ object GraphOps {
         |  FROM d3)
         |SELECT * FROM c0 UNION ALL SELECT * FROM c1
         |UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
-        |ORDER BY round""".stripMargin
+        |ORDER BY round""".stripMargin,
+
+    // HITS, 2 unrolled integer iterations on the customer→part graph
+    "graph_hits_bipartite" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a1 AS (SELECT p, count(*)::BIGINT AS a1 FROM e GROUP BY p),
+        |h1 AS (SELECT c, sum(a1)::BIGINT AS h1 FROM e JOIN a1 USING (p)
+        |  GROUP BY c),
+        |a2 AS (SELECT p, sum(h1)::BIGINT AS a2 FROM e JOIN h1 USING (c)
+        |  GROUP BY p)
+        |SELECT a2.p AS partkey, a1.a1, a2.a2
+        |FROM a2 JOIN a1 USING (p) ORDER BY a2 DESC, partkey LIMIT 20"""
+        .stripMargin
   )
 }

@@ -347,10 +347,56 @@ object LayoutOps {
         .union(profile("user_bucket_64", col("user_id") % 64))
         .union(profile("event_type", col("event_type")))
         .orderBy(col("candidate_key"))
+    }),
+
+    // Bloom-filter sizing advisor — the table a writer consults before
+    // attaching per-file/per-partition bloom indexes (Parquet
+    // bloom_filter_enabled, Delta BLOOMFILTER INDEX): for each
+    // partition candidate, exact distinct-key counts and the standard
+    // optimal-parameter formulas m = ceil(n·ln(1/p)/ln²2),
+    // k = round((m/n)·ln2), evaluated at two target fpp levels. All
+    // arithmetic is BIGINT on pre-quantized e6 constants
+    // (ln(100)/ln²2·1e6 = 9585058, ln(1000)/ln²2·1e6 = 14377588,
+    // ln2·1e6 = 693147 — literals shared verbatim with the oracle, so
+    // no transcendental evaluation happens in either engine). Scale:
+    // one distinct-aggregate per candidate key (map-side partial on
+    // (type, user) before the only shuffle) crossed with a 2-row
+    // constant — the advisor output is |candidates|×|fpp| rows.
+    "layout_bloom_advisor" -> ((s, dir) => {
+      val n = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_keys"))
+      Seq(10000L -> 9585058L, 1000L -> 14377588L)
+        .map { case (fppE6, bpkE6) =>
+          n.withColumn("fpp_e6", lit(fppE6)).withColumn("bpk_e6", lit(bpkE6)) }
+        .reduce(_.union(_))
+        .withColumn("m_bits", expr("(n_keys * bpk_e6 + 999999) div 1000000"))
+        .withColumn("k_hashes",
+          expr("(m_bits * 693147 + n_keys * 500000) div (n_keys * 1000000)"))
+        .withColumn("m_bytes", expr("(m_bits + 7) div 8"))
+        .select(col("event_type"), col("fpp_e6"), col("n_keys"),
+                col("m_bits"), col("k_hashes"), col("m_bytes"))
+        .orderBy(col("event_type"), col("fpp_e6"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // bloom sizing: shared e6 literal constants, pure integer formulas
+    "layout_bloom_advisor" ->
+      """WITH n AS (SELECT event_type,
+        |    count(DISTINCT user_id)::BIGINT AS n_keys
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT 10000::BIGINT AS fpp_e6, 9585058::BIGINT AS bpk_e6
+        |  UNION ALL SELECT 1000, 14377588),
+        |b AS (SELECT event_type, fpp_e6, n_keys,
+        |    ((n_keys * bpk_e6 + 999999) // 1000000)::BIGINT AS m_bits
+        |  FROM n CROSS JOIN f)
+        |SELECT event_type, fpp_e6, n_keys, m_bits,
+        |  ((m_bits * 693147 + n_keys * 500000) // (n_keys * 1000000))::BIGINT
+        |    AS k_hashes,
+        |  ((m_bits + 7) // 8)::BIGINT AS m_bytes
+        |FROM b ORDER BY event_type, fpp_e6""".stripMargin,
+
     "layout_partition_skew_advisor" ->
       """WITH c1 AS (SELECT ts::DATE AS k, count(*)::BIGINT AS c
         |  FROM events GROUP BY k),

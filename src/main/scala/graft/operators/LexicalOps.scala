@@ -91,6 +91,50 @@ object LexicalOps {
     "retrieval_bm25_topk" -> ((s, dir) =>
       bm25Top(s, dir, 5).orderBy(col("qid"), col("rank"))),
 
+    // Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001) — the other classical lexical ranker next to
+    // BM25, here in its ranking-equivalent sparse decomposition:
+    // score(q,d) = Σ_{t∈q∩d} ln(1 + tf·C/(μ·cf_t)) + |q|·ln(μ/(len_d+μ)).
+    // Only matching postings are scored plus ONE per-doc length term,
+    // so the plan keeps BM25's sparse shape (docs sharing no query
+    // term are never retrieved — the same contract as BM25). Both ln
+    // terms are e6-quantized BEFORE summation (the shared
+    // floor(ln·1e6) idiom over doubles whose inputs are exact
+    // integers), so document scores are order-independent BIGINT
+    // sums. μ = 100 ≈ the corpus' doc-length scale. Scale: identical
+    // to bm25Rank — collection stats computed only for the broadcast
+    // query vocabulary, one shuffle on (qid, doc_id).
+    "retrieval_ql_dirichlet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val lens = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val ctot = tk.agg(count(lit(1)).as("c_tot"))
+      val qt = queriesDf(s)
+        .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+      val nq = qt.groupBy(col("qid")).agg(count(lit(1)).as("n_qterms"))
+      val qv = qt.select(col("term")).distinct()
+      val cf = tk.join(broadcast(qv), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val tfd = tk.join(broadcast(qv), "term")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val s1 = tfd.join(broadcast(cf), "term").crossJoin(broadcast(ctot))
+        .withColumn("s1_e6", floor(log(lit(1.0) +
+            (col("tf") * col("c_tot")).cast("double") /
+            (lit(100L) * col("cf")).cast("double")) * 1e6 + 0.5).cast("long"))
+        .join(broadcast(qt), "term")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("s1_e6")).as("sum1_e6"))
+      s1.join(lens, "doc_id").join(broadcast(nq), "qid")
+        .withColumn("score_e6", col("sum1_e6") + col("n_qterms") *
+          floor(log(lit(100.0) / (col("len") + lit(100L)).cast("double"))
+            * 1e6 + 0.5).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("score_e6"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Pseudo-relevance-feedback query expansion (Rocchio-style PRF —
     // the classic two-pass RAG retrieval upgrade): BM25 top-3 per
     // query form the feedback set, the 2 highest tf·idf terms from
@@ -373,6 +417,40 @@ object LexicalOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY score_e12 DESC, doc_id) AS rank
          |  FROM bm25)
          |SELECT qid, rank::INT AS rank, doc_id, score_e12
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Dirichlet query likelihood: sparse decomposition, e6 ln terms
+    "retrieval_ql_dirichlet" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL),
+         |q(qid, qtext) AS (VALUES $queryValuesSql),
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM d),
+         |lens AS (SELECT doc_id, count(*)::BIGINT AS len FROM tk
+         |  GROUP BY doc_id),
+         |ct AS (SELECT count(*)::BIGINT AS c_tot FROM tk),
+         |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+         |nq AS (SELECT qid, count(*)::BIGINT AS n_qterms FROM qt
+         |  GROUP BY qid),
+         |cf AS (SELECT term, count(*)::BIGINT AS cf FROM tk
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+         |tfd AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tk
+         |  WHERE term IN (SELECT DISTINCT term FROM qt)
+         |  GROUP BY term, doc_id),
+         |s1 AS (SELECT qt.qid, tfd.doc_id,
+         |    sum(floor(ln(1.0 + (tfd.tf * c_tot)::DOUBLE
+         |      / (100 * cf.cf)::DOUBLE) * 1000000 + 0.5)::BIGINT)
+         |      ::BIGINT AS sum1_e6
+         |  FROM tfd JOIN cf USING (term) JOIN qt USING (term)
+         |  CROSS JOIN ct GROUP BY 1, 2),
+         |sc AS (SELECT s1.qid, s1.doc_id, (sum1_e6 + nq.n_qterms *
+         |    floor(ln(100.0 / (lens.len + 100)::DOUBLE) * 1000000 + 0.5)
+         |      ::BIGINT)::BIGINT AS score_e6
+         |  FROM s1 JOIN lens USING (doc_id) JOIN nq USING (qid)),
+         |r AS (SELECT qid, doc_id, score_e6, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT qid, rank::INT AS rank, doc_id, score_e6
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "retrieval_prf_expansion" ->

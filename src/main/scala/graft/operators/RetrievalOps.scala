@@ -514,6 +514,49 @@ object RetrievalOps {
         .orderBy(col("actual"))
     }),
 
+    // Ranking-quality EVAL: nDCG@10 + reciprocal rank per probe against
+    // binary label relevance — the standard graded retrieval metrics
+    // computed as exact integers. Discounts are the e6-quantized
+    // logarithmic weights disc_e6(r) = floor(1e6·ln2/ln(r+1) + 0.5)
+    // (the shared floor(ln·1e6) idiom — both engines quantize the SAME
+    // IEEE doubles, and the DCG sums are then order-independent BIGINT
+    // arithmetic no shuffle order can move). IDCG re-ranks the
+    // retrieved list ideally (all relevant first), so ndcg_e6 =
+    // dcg·1e6 div idcg is an exact integer ratio; rr_e6 = 1e6 div
+    // first-relevant-rank. Scale: identical shape to the knn eval —
+    // probe set broadcasts, corpus streams out of the scan once, the
+    // metric aggregates k×|Q| rows. The corpus never shuffles.
+    "retrieval_ndcg_eval" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val c = corpus(s, dir).join(lab, "vec_id")
+      val q = c.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("label").as("actual"))
+      val top = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .withColumn("rel", when(col("label") === col("actual"), 1L).otherwise(0L))
+        .withColumn("disc_e6",
+          floor(lit(1e6) * log(lit(2.0)) / log(col("rank") + lit(1)) + lit(0.5))
+            .cast("long"))
+      top.groupBy(col("qid"), col("actual"))
+        .agg(sum(col("rel")).as("n_rel"),
+             sum(col("rel") * col("disc_e6")).as("dcg_e6"),
+             min(when(col("rel") === 1L, col("rank"))).as("rmin"))
+        .withColumn("idcg_e6", when(col("n_rel") === 0L, lit(0L)).otherwise(
+          aggregate(sequence(lit(1), col("n_rel").cast("int")), lit(0L),
+            (acc, i) => acc + floor(lit(1e6) * log(lit(2.0)) /
+              log(i.cast("double") + lit(1.0)) + lit(0.5)).cast("long"))))
+        .select(col("qid"), col("actual"), col("n_rel"),
+          when(col("rmin").isNull, lit(0L))
+            .otherwise(expr("1000000L div rmin")).as("rr_e6"),
+          when(col("n_rel") === 0L, lit(0L))
+            .otherwise(expr("(dcg_e6 * 1000000) div idcg_e6")).as("ndcg_e6"))
+        .orderBy(col("qid"))
+    }),
+
     // ANN: int8 scalar quantization — the memory-compression scale path
     // (4× smaller vectors than float32, integer dot products). SYMMETRIC
     // quantization around zero (q = round(x·127/maxabs), one global
@@ -628,6 +671,21 @@ object RetrievalOps {
             .select(col("vec_id"), (col("label") >= 5).cast("int").as("y"),
                     col("embedding")),
           "vec_id", "y", "embedding", steps = 3)
+        .orderBy(col("dim"))),
+
+    // Exact decision-stump training over the first 8 embedding dims
+    // against the binary label (≥ 5) — the "is there ANY single
+    // dimension that separates the classes?" probe run before training
+    // anything bigger, and the weak learner a boosting stage would
+    // call per round. See Graft.decisionStump for the sorted-scan
+    // window formulation; the DuckDB oracle replays the identical
+    // cut-enumeration and argmin.
+    "ml_decision_stump" -> ((s, dir) =>
+      graft.api.Graft.decisionStump(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), (col("label") >= 5).cast("int").as("y"),
+                    col("embedding")),
+          "vec_id", "y", "embedding", nDims = 8)
         .orderBy(col("dim"))),
 
     // Top principal component by 3-round power iteration — see
@@ -1093,6 +1151,37 @@ object RetrievalOps {
         |  sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)::BIGINT
         |    AS n_correct
         |FROM win WHERE vr = 1 GROUP BY actual ORDER BY actual""".stripMargin,
+
+    // nDCG@10 + RR, e6-integer discounts, binary label relevance
+    "retrieval_ndcg_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS actual
+        |  FROM e WHERE vec_id < 50),
+        |nn AS (SELECT qid, actual, e.label, vec_id, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_dot_product(qv, v) DESC, vec_id) AS rank
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |t AS (SELECT qid, actual, rank,
+        |    CASE WHEN label = actual THEN 1 ELSE 0 END AS rel,
+        |    floor(1000000 * ln(2.0) / ln(rank + 1) + 0.5)::BIGINT AS disc_e6
+        |  FROM nn WHERE rank <= 10),
+        |p AS (SELECT qid, actual, sum(rel)::BIGINT AS n_rel,
+        |    sum(rel * disc_e6)::BIGINT AS dcg_e6,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS rmin
+        |  FROM t GROUP BY 1, 2),
+        |i AS (SELECT p.qid,
+        |    sum(floor(1000000 * ln(2.0) / ln(g.i + 1) + 0.5)::BIGINT)
+        |      ::BIGINT AS idcg_e6
+        |  FROM p JOIN (SELECT unnest(range(1, 11)) AS i) g ON g.i <= p.n_rel
+        |  GROUP BY 1)
+        |SELECT p.qid, p.actual, p.n_rel,
+        |  (CASE WHEN rmin IS NULL THEN 0 ELSE 1000000 // rmin END)::BIGINT
+        |    AS rr_e6,
+        |  (CASE WHEN p.n_rel = 0 THEN 0
+        |        ELSE (p.dcg_e6 * 1000000) // i.idcg_e6 END)::BIGINT AS ndcg_e6
+        |FROM p LEFT JOIN i ON p.qid = i.qid ORDER BY p.qid""".stripMargin,
+
     "retrieval_two_stage" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS (SELECT max(abs(x)) AS gm FROM (SELECT unnest(v) AS x FROM e)),
@@ -1144,6 +1233,32 @@ object RetrievalOps {
         |  CAST(floor(min(x) * 1e6 + 0.5) AS BIGINT) AS min_e6,
         |  CAST(floor(max(x) * 1e6 + 0.5) AS BIGINT) AS max_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // decision stump: identical cut enumeration + (err, thr, pol) argmin
+    "ml_decision_stump" ->
+      """WITH r AS (SELECT i::BIGINT AS dim, embedding[i]::DOUBLE AS x,
+        |    vec_id, (label >= 5)::BIGINT AS y
+        |  FROM embeddings, unnest(range(1, 9)) u(i)),
+        |w AS (SELECT dim, x, vec_id, y,
+        |    sum(y) OVER (PARTITION BY dim ORDER BY x, vec_id) AS cum_pos,
+        |    row_number() OVER (PARTITION BY dim ORDER BY x, vec_id)::BIGINT
+        |      AS i,
+        |    lead(x) OVER (PARTITION BY dim ORDER BY x, vec_id) AS nx,
+        |    count(*) OVER (PARTITION BY dim) AS n,
+        |    sum(y) OVER (PARTITION BY dim) AS pos
+        |  FROM r),
+        |c AS (SELECT dim, n::BIGINT AS n,
+        |    (2 * cum_pos - i + (n - pos))::BIGINT AS err_a,
+        |    floor(x * 1000000 + 0.5)::BIGINT AS thr_e6
+        |  FROM w WHERE nx IS NULL OR nx > x),
+        |e AS (SELECT dim, n, thr_e6, least(err_a, n - err_a)::BIGINT AS err,
+        |    (CASE WHEN err_a <= n - err_a THEN 1 ELSE 0 END)::BIGINT AS pol
+        |  FROM c),
+        |b AS (SELECT dim, n, err, thr_e6, pol, row_number() OVER (
+        |    PARTITION BY dim ORDER BY err, thr_e6, pol) AS rn FROM e)
+        |SELECT dim, thr_e6, pol AS polarity, err AS n_errors,
+        |  ((n - err) * 1000000 // n)::BIGINT AS acc_e6
+        |FROM b WHERE rn = 1 ORDER BY dim""".stripMargin,
 
     "ml_logreg_gd3" ->
       """WITH e AS (SELECT vec_id AS rid, (label >= 5)::INT AS y,

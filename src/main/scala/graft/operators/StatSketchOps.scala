@@ -642,10 +642,133 @@ object StatSketchOps {
         .select(col("digit"), col("n_obs"), col("obs_e6"), col("exp_e6"),
                 abs(col("obs_e6") - col("exp_e6")).as("dev_e6"))
         .orderBy(col("digit"))
-    })
+    }),
+
+    // Wald–Wolfowitz runs test per event type: is the time-ordered
+    // sign sequence (value above/below the type mean, exact integer
+    // cross-multiplication cents·n > S — no FP mean) RANDOM, or does
+    // it cluster (fewer runs than expected) / oscillate (more)?
+    // μ_R = 1 + 2n₁n₂/n and Var_R = (2n₁n₂/n)·((2n₁n₂−n)/(n−1))/n are
+    // evaluated as nested BIGINT floor-divisions in one documented
+    // order, and the z statistic is presented SQUARED with its sign
+    // (z²·1e6) to avoid sqrt: z2 = (|dev_e6| div 1e3)² div (var_e6 div
+    // 1e6) — every intermediate ≤ n²·1e6, inside BIGINT to n ≈ 3e6 per
+    // type (decimal(38,0) widening beyond, as ts_seasonal_anomaly).
+    // Scale: the sign pass is map-side after a broadcast of the 1-row-
+    // per-type totals; the lag window partitions by type over the raw
+    // stream — at 100 TB the run count decomposes per partition (runs
+    // = Σ per-partition runs − boundary joins), the same split-merge
+    // the sessionizer documents; the window form here is the
+    // oracle-replayable binding.
+    "stat_runs_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val tot = ev.groupBy(col("event_type").as("tt"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val lagSign = lag(col("sign"), 1).over(w)
+      ev.join(broadcast(tot), col("event_type") === col("tt"))
+        .withColumn("sign", (col("cents") * col("n") > col("s")).cast("long"))
+        .withColumn("chg",
+          when(lagSign.isNull || lagSign =!= col("sign"), 1L).otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), sum(col("chg")).as("runs"),
+             sum(col("sign")).as("n_above"))
+        .withColumn("n_below", col("n") - col("n_above"))
+        .withColumn("mu_e6",
+          expr("(2 * n_above * n_below * 1000000) div n + 1000000"))
+        .withColumn("dev_e6", col("runs") * lit(1000000L) - col("mu_e6"))
+        .withColumn("var_e6", expr(
+          "(((2 * n_above * n_below) div n) * " +
+          "((2 * n_above * n_below - n) div (n - 1)) * 1000000) div n"))
+        .withColumn("z2_signed_e6", expr(
+          "CASE WHEN var_e6 div 1000000 <= 0 THEN 0 ELSE " +
+          "(CASE WHEN dev_e6 < 0 THEN -1 ELSE 1 END) * " +
+          "(((abs(dev_e6) div 1000) * (abs(dev_e6) div 1000)) " +
+          "div (var_e6 div 1000000)) END"))
+        .select(col("event_type"), col("n"), col("runs"), col("n_above"),
+                col("n_below"), col("mu_e6"), col("z2_signed_e6"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Spearman rank correlation per language between document length
+    // (n_chars) and whitespace token count — the monotone-association
+    // check run before trusting either as a proxy for the other in
+    // length filters. Ranks are ROW_NUMBER with doc_id tiebreak (the
+    // tie-broken variant: deterministic under any engine; the
+    // averaged-ties variant needs fractional ranks — same plan with
+    // 1e6-scaled average ranks if ties matter). rho = 1 − 6Σd²/(n(n²−1))
+    // evaluated as nested integer floor-divisions in ONE documented
+    // order — n(n²−1) factored as [n(n+1)]·(n−1) so the widest
+    // intermediate is 6Σd²·1e3 ≤ 2n³·1e3, inside BIGINT for n ≤ 1e5
+    // per group (drop the e3 step and carry e6 on the last division
+    // beyond that). Windows are per-lang ranks — the per-group prefix
+    // sum (Graft.globalRowNumber's pattern, applied per lang) is the
+    // 100 TB path when a single language outgrows one partition.
+    "stat_spearman_bylang" -> ((s, dir) =>
+      graft.api.Graft.spearmanByGroup(
+          Tables.documents(s, dir).filter(col("text").isNotNull)
+            .select(col("lang"), col("doc_id"), col("n_chars"),
+                    size(split(col("text"), " ")).cast("long").as("n_toks")),
+          "lang", "doc_id", "n_chars", "n_toks")
+        .orderBy(col("lang")))
   )
 
   def oracles: Map[String, String] = Map(
+    // runs test: integer sign sequence, nested floor-div moments
+    "stat_runs_test" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |t AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s FROM e GROUP BY 1),
+        |sg AS (SELECT e.event_type, t.n,
+        |    (CASE WHEN e.cents * t.n > t.s THEN 1 ELSE 0 END)::BIGINT
+        |      AS sign, ts, event_id
+        |  FROM e JOIN t USING (event_type)),
+        |ch AS (SELECT event_type, n, sign,
+        |    lag(sign) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM sg),
+        |a AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    sum(CASE WHEN prev IS NULL OR prev <> sign THEN 1 ELSE 0 END)
+        |      ::BIGINT AS runs,
+        |    sum(sign)::BIGINT AS n_above
+        |  FROM ch GROUP BY 1),
+        |m AS (SELECT event_type, n, runs, n_above, (n - n_above) AS n_below,
+        |    ((2 * n_above * (n - n_above) * 1000000) // n + 1000000)::BIGINT
+        |      AS mu_e6,
+        |    ((((2 * n_above * (n - n_above)) // n) *
+        |      ((2 * n_above * (n - n_above) - n) // (n - 1)) * 1000000)
+        |      // n)::BIGINT AS var_e6
+        |  FROM a),
+        |z AS (SELECT *, (runs * 1000000 - mu_e6)::BIGINT AS dev_e6 FROM m)
+        |SELECT event_type, n, runs, n_above, n_below, mu_e6,
+        |  (CASE WHEN var_e6 // 1000000 <= 0 THEN 0 ELSE
+        |    (CASE WHEN dev_e6 < 0 THEN -1 ELSE 1 END) *
+        |    (((abs(dev_e6) // 1000) * (abs(dev_e6) // 1000))
+        |      // (var_e6 // 1000000)) END)::BIGINT AS z2_signed_e6
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // Spearman per lang, tie-broken ranks, nested floor-div rational
+    "stat_spearman_bylang" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      ::BIGINT AS rx,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id)
+        |      ::BIGINT AS ry
+        |  FROM d),
+        |a AS (SELECT lang, count(*)::BIGINT AS n,
+        |    sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+        |  FROM r GROUP BY lang HAVING count(*) > 1)
+        |SELECT lang, n, sum_d2,
+        |  (1000000 - (((6 * sum_d2 * 1000) // (n * (n + 1))) * 1000)
+        |    // (n - 1))::BIGINT AS rho_e6
+        |FROM a ORDER BY lang""".stripMargin,
+
     "a_kmv_set_ops" ->
       """WITH h AS (SELECT DISTINCT source,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h

@@ -446,10 +446,105 @@ object TextAnalysisOps {
           round(log(col("n_bigrams")) - col("clnc_e6") / 1e6 / col("n_bigrams"), 6)
             .as("entropy"))
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Term burstiness: the Fano factor (variance-to-mean ratio) of each
+    // token's per-document frequency over ALL docs (zeros included) —
+    // content words are "bursty" (F ≫ 1: absent from most docs, dense
+    // where topical) while function words are Poisson-like (F ≈ 1), the
+    // Church & Gale (1995) signal behind stoplists, term weighting, and
+    // keyword pickers. F = (n·Σtf² − (Σtf)²) / ((n−1)·Σtf) is a pure
+    // BIGINT rational (zeros drop out of Σtf and Σtf², so only
+    // occurring (tok, doc) pairs are ever materialized), presented as
+    // one e6 floor-division. Magnitude bound: n·Σtf²·1e6 stays inside
+    // BIGINT up to ~1e12 token occurrences of a term; past that, the
+    // decimal(38,0) widening ts_seasonal_anomaly uses is the same plan.
+    // Scale: one (tok, doc) aggregate then one vocab-bounded rollup —
+    // map-side partials collapse each task before the only shuffles.
+    "ta_term_burstiness" -> ((s, dir) => {
+      val d = Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+             sum(col("tf") * col("tf")).as("ss"))
+        .crossJoin(broadcast(n))
+        .select(col("tok"), col("df"), col("cf"), expr(
+          "((n_docs * ss - cf * cf) * 1000000) div ((n_docs - 1) * cf)")
+          .as("fano_e6"))
+        .orderBy(col("fano_e6").desc, col("tok")).limit(20)
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs; a word scores deg/freq (deg =
+    // Σ length of every phrase it appears in, freq = occurrence count);
+    // a phrase scores the sum of its words' scores. The stoplist is
+    // corpus-derived — the top-5 total-frequency tokens (this corpus'
+    // df distribution is flat at ~78%, so a df-threshold stoplist like
+    // ta_stopword_discovery's stops the whole vocabulary; the
+    // frequency top-N always yields a proper segmentation — see
+    // Graft.rakeKeywords). Scores are exact e6 floor-divisions of
+    // BIGINT deg/freq, so phrase sums are order-independent integers.
+    // Plan: segmentation is a per-doc running sum over the stopflag
+    // (position-ordered window, per-doc cardinality = doc length);
+    // word stats are ONE vocab-bounded aggregate; the phrase roll-up
+    // shuffles candidate tokens once on (doc, phrase). The stoplist
+    // broadcasts (stopTopN rows).
+    "ta_keyword_rake" -> ((s, dir) =>
+      graft.api.Graft.rakeKeywords(
+        Tables.documentsSpread(s, dir), "doc_id", "text", 20, stopTopN = 5))
   )
 
   def oracles: Map[String, String] = Map(
+    // Fano factor per token, zeros implicit, e6 BIGINT rational
+    "ta_term_burstiness" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+        |tf AS (SELECT tok, doc_id, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+        |  WHERE tok <> '' GROUP BY tok, doc_id),
+        |a AS (SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+        |    sum(tf * tf)::BIGINT AS ss
+        |  FROM tf GROUP BY tok)
+        |SELECT tok, df, cf,
+        |  (((n_docs * ss - cf * cf) * 1000000)
+        |    // ((n_docs - 1) * cf))::BIGINT AS fano_e6
+        |FROM a CROSS JOIN nd
+        |ORDER BY fano_e6 DESC, tok LIMIT 20""".stripMargin,
+
+    // RAKE: top-5 frequency stoplist, e6-integer deg/freq word scores
+    "ta_keyword_rake" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, i AS pos, t[i] AS token
+        |  FROM d, unnest(range(1, len(t) + 1)) u(i) WHERE t[i] <> ''),
+        |stop AS (SELECT token FROM (SELECT token, count(*) AS tf
+        |    FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 5)),
+        |seg AS (SELECT * FROM (SELECT doc_id, pos, token, stopflag,
+        |    sum(stopflag) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS phrase_id
+        |  FROM (SELECT doc_id, pos, token,
+        |      CASE WHEN token IN (SELECT token FROM stop) THEN 1 ELSE 0
+        |        END AS stopflag FROM tok))
+        |  WHERE stopflag = 0),
+        |wl AS (SELECT doc_id, pos, token, phrase_id,
+        |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        |  FROM seg),
+        |ws AS (SELECT token,
+        |    (sum(plen) * 1000000 // count(*))::BIGINT AS ws_e6
+        |  FROM wl GROUP BY token),
+        |ph AS (SELECT doc_id, phrase_id,
+        |    string_agg(token, ' ' ORDER BY pos) AS phrase,
+        |    count(*)::BIGINT AS n_words, sum(ws_e6)::BIGINT AS score_e6
+        |  FROM wl JOIN ws USING (token) GROUP BY 1, 2)
+        |SELECT phrase, max(n_words)::BIGINT AS n_words,
+        |  count(*)::BIGINT AS n_occ, max(score_e6)::BIGINT AS score_e6
+        |FROM ph GROUP BY phrase
+        |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin,
+
     "ta_stopword_discovery" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |n AS (SELECT count(*)::BIGINT AS n FROM d),

@@ -37,6 +37,8 @@ object TimeSeriesOps {
            sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_e2"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_max_drawdown" -> maxDrawdownQuery,
+
     // Lag-1 autocorrelation of the hourly value series per event type.
     // Pearson r from the exact closed form (n, Σx, Σy, Σxy, Σx², Σy² as
     // BIGINT over integer cents) — NOT Spark's corr(), whose streaming
@@ -277,7 +279,48 @@ object TimeSeriesOps {
     })
   )
 
+  /** Maximum drawdown of the hourly activity series per type — the
+    * "worst collapse from the running peak" statistic (finance's MDD
+    * applied to ingestion telemetry: how far below its historical high
+    * did the feed fall, and when). Running peak is a cumulative-max
+    * window over the hourly pre-aggregate (same partition key → the
+    * aggregate's exchange is reused); the argmax hour is ONE struct-min
+    * ordered (−dd, hour), so the EARLIEST worst hour wins ties
+    * deterministically. All BIGINT counts — no FP anywhere. */
+  private val maxDrawdownQuery: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      hourly(s, dir)
+        .withColumn("peak", max(col("cnt")).over(w))
+        .withColumn("dd", col("peak") - col("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+             min(struct((-col("dd")).as("ndd"), col("hour").as("h"),
+                        col("peak").as("p"))).as("m"))
+        .select(col("event_type"), col("n_hours"),
+                (-col("m.ndd")).as("max_drawdown"),
+                col("m.h").as("at_hour"), col("m.p").as("peak_before"))
+        .orderBy(col("event_type"))
+    }
+
   def oracles: Map[String, String] = Map(
+    // max drawdown: running-peak window + earliest-argmax tiebreak
+    "ts_max_drawdown" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, cnt,
+        |    max(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS peak
+        |  FROM h),
+        |d AS (SELECT event_type, hour, peak, (peak - cnt)::BIGINT AS dd,
+        |    count(*) OVER (PARTITION BY event_type) AS n_hours,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY (peak - cnt) DESC, hour) AS rn
+        |  FROM w)
+        |SELECT event_type, n_hours::BIGINT AS n_hours, dd AS max_drawdown,
+        |  hour AS at_hour, peak AS peak_before
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     "ts_autocorr_lag1" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
