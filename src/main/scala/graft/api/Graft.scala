@@ -1641,22 +1641,41 @@ object Graft {
     * Σy²) accumulate as exact BIGINTs; the only float op is the final
     * closed form, so the result is engine- and order-independent. */
   def autocorrLag1(series: DataFrame, keyCol: String, ordCol: String,
-                   valCol: String): DataFrame = {
+                   valCol: String): DataFrame =
+    acfAtLags(series, keyCol, ordCol, valCol, Seq(1))
+      .select(col(keyCol), col("n_pairs"), col("autocorr"))
+
+  /** Autocorrelation function at multiple row-lags per key — the ACF
+    * table behind seasonality detection (a daily cycle on an hourly
+    * series shows as a lag-24 peak). Per lag, Pearson r from the exact
+    * closed form (n, Σx, Σy, Σxy, Σx², Σy² as BIGINT) — the
+    * autocorrLag1 discipline, which delegates here. ALL lag columns
+    * come from one window spec, so Spark computes them in a single
+    * per-key sort pass; each lag then rolls up independently (map-side
+    * partials; the union is |keys|×|lags| rows). Row-lag semantics:
+    * gaps in the ord grid count as adjacent, same as lag-1. */
+  def acfAtLags(series: DataFrame, keyCol: String, ordCol: String,
+                valCol: String, lags: Seq[Int]): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
-    series
-      .withColumn("__prev", lag(col(valCol), 1).over(byKey))
-      .filter(col("__prev").isNotNull)
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__n"),
-           sum(col(valCol)).as("__sx"), sum(col("__prev")).as("__sy"),
-           sum(col(valCol) * col("__prev")).as("__sxy"),
-           sum(col(valCol) * col(valCol)).as("__sxx"),
-           sum(col("__prev") * col("__prev")).as("__syy"))
-      .select(col(keyCol), col("__n").as("n_pairs"),
-        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-         sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
-              (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")))
-          .as("autocorr"))
+    val withLags = series.select(
+      col(keyCol) +: col(valCol) +:
+        lags.map(k => lag(col(valCol), k).over(byKey).as(s"__p$k")): _*)
+    lags.map { k =>
+      val p = col(s"__p$k")
+      withLags.filter(p.isNotNull)
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__n"),
+             sum(col(valCol)).as("__sx"), sum(p).as("__sy"),
+             sum(col(valCol) * p).as("__sxy"),
+             sum(col(valCol) * col(valCol)).as("__sxx"),
+             sum(p * p).as("__syy"))
+        .select(col(keyCol), lit(k.toLong).as("lag"),
+          col("__n").as("n_pairs"),
+          ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+           sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+                (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")))
+            .as("autocorr"))
+    }.reduce(_.union(_))
   }
 
   /** Mean-shift changepoint (binary segmentation's first split) per key:

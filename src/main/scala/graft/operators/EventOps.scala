@@ -1187,6 +1187,43 @@ object EventOps {
     // event_type over per-user pre-aggregates: |users/type| rows, the
     // same bounded-cardinality contract as the other user-grain
     // windows (PLANS.md census).
+    // Theil T inequality index per event type over per-user spend —
+    // the entropy-based complement to a_gini_by_type (Theil decomposes
+    // additively across subgroups, which Gini does not): T =
+    // Σ (xᵢ/S)·ln(xᵢ·n/S) over users with positive spend. Each user's
+    // log ratio is e6-quantized BEFORE the sum (the shared
+    // floor(ln·1e6) idiom — xᵢ·n and S are exact integers < 2^53, so
+    // both engines quantize the same IEEE doubles), making
+    // T_e6 = (Σ xᵢ·lnterm_e6) div S an order-independent BIGINT
+    // rational. Bound: |Σ xᵢ·lnterm_e6| ≤ S·ln(n)·1e6 — inside BIGINT
+    // while total cents < ~4e11 per type; DECIMAL(38,0) widening
+    // beyond (ts_seasonal_anomaly's pattern). Plan: one broadcast of
+    // the per-type (n, S) totals back onto the per-user aggregate —
+    // map-side log terms, a single rollup shuffle.
+    "a_theil_by_type" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("cents")).as("x"))
+        .filter(col("x") > 0)
+      val tot = spend.groupBy(col("event_type").as("tt"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      spend.join(broadcast(tot), col("event_type") === col("tt"))
+        .withColumn("lnterm_e6",
+          floor(log((col("x") * col("n")).cast("double") /
+                    col("s").cast("double")) * 1e6 + 0.5).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("s")).as("total_cents"),
+             sum(col("x") * col("lnterm_e6")).as("num"))
+        // greatest(·,0): T ≥ 0 mathematically, but quantization could
+        // nudge a perfectly-equal corpus epsilon-negative, and Spark's
+        // div (truncate) and DuckDB's // (floor) disagree on negatives
+        .select(col("event_type"), col("n"), col("total_cents"),
+                expr("greatest(num, 0L) div total_cents").as("theil_e6"))
+        .orderBy(col("event_type"))
+    }),
+
     "a_gini_by_type" -> ((s, dir) =>
       graft.api.Graft.giniByGroup(
           Tables.events(s, dir)
@@ -1198,6 +1235,25 @@ object EventOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // Theil T per type: e6 log ratios summed as BIGINT
+    "a_theil_by_type" ->
+      """WITH sp AS (SELECT event_type, user_id,
+        |    sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2 HAVING x > 0),
+        |t AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS s FROM sp GROUP BY 1),
+        |u AS (SELECT sp.event_type, t.n, t.s, sp.x,
+        |    floor(ln((sp.x * t.n)::DOUBLE / t.s::DOUBLE) * 1000000 + 0.5)
+        |      ::BIGINT AS lnterm_e6
+        |  FROM sp JOIN t USING (event_type)),
+        |a AS (SELECT event_type, max(n)::BIGINT AS n,
+        |    max(s)::BIGINT AS total_cents,
+        |    sum(x * lnterm_e6)::BIGINT AS num
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n, total_cents,
+        |  (greatest(num, 0) // total_cents)::BIGINT AS theil_e6
+        |FROM a ORDER BY event_type""".stripMargin,
+
     // Gini per type: integer-cents rational, rank-sum form
     "a_gini_by_type" ->
       """WITH s AS (SELECT event_type, user_id,

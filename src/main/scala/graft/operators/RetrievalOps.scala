@@ -113,6 +113,43 @@ object RetrievalOps {
   private def corpusMat(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir).repartition(col("vec_id"))
 
+  /** One k-means "M step": mean centroid per cell of `assign`
+    * ((vec_id, g)), as an ordered ARRAY<DOUBLE> (g, cv). Per round ONE
+    * (cell, dim)-keyed digest shuffle (64 rows/vector); vectors never
+    * shuffle. Shared by ann_ivf_topk / dedup_semantic /
+    * v_ivf_balance_audit (ann_pq_topk keeps the per-subspace variant). */
+  private def kmCentroidsOf(c: DataFrame, assign: DataFrame): DataFrame =
+    c.join(assign, "vec_id")
+      .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cx")))),
+        p => p.getField("cx")).as("cv"))
+      .localCheckpoint()
+
+  /** k-means "E step": inner-product argmax assignment of every corpus
+    * vector to a broadcast centroid table, (score desc, g) tiebreak. */
+  private def kmAssignTo(c: DataFrame, cent: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cent))
+      .withColumn("cs", dot(col("v"), col("cv")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("g"))))
+      .filter(col("cr") === 1).select(col("vec_id"), col("g"))
+
+  /** The IVF coarse quantizer: init = vec_id % k, two unrolled Lloyd
+    * refinements. Returns (final centroid table, inverted-list
+    * assignment) — the model ann_ivf_topk probes and
+    * v_ivf_balance_audit audits (ONE training contract, one oracle
+    * CTE prefix). */
+  private def ivfModel(c: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val cent0 = kmCentroidsOf(c,
+      c.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("g")))
+    val cent1 = kmCentroidsOf(c, kmAssignTo(c, cent0))
+    val cent2 = kmCentroidsOf(c, kmAssignTo(c, cent1))
+    (cent2, kmAssignTo(c, cent2))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C15: L2 normalization via higher-order fns (embedding_engine.py:20).
     // Output in fixed-point micros: floor(x*1e6+0.5) is the same IEEE
@@ -312,26 +349,8 @@ object RetrievalOps {
       // eagerly checkpointed so the unrolled iterations never nest
       // lineage. At 100 TB the training pass runs on a sample and the
       // assignment pass streams — the same two plan shapes.
-      val K = 8
       val c = corpusMat(s, dir) // reused by every pass: cast + exchange once
-      def centroidsOf(assign: DataFrame): DataFrame = c.join(assign, "vec_id")
-        .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("cx"))
-        .groupBy(col("g"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cx")))),
-          p => p.getField("cx")).as("cv"))
-        .localCheckpoint()
-      def assignTo(cent: DataFrame): DataFrame = c.crossJoin(broadcast(cent))
-        .withColumn("cs", dot(col("v"), col("cv")))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("g"))))
-        .filter(col("cr") === 1).select(col("vec_id"), col("g"))
-      val cent0 = centroidsOf(
-        c.select(col("vec_id"), pmod(col("vec_id"), lit(K)).as("g")))
-      val cent1 = centroidsOf(assignTo(cent0))
-      val cent2 = centroidsOf(assignTo(cent1))
-      val lists = assignTo(cent2) // inverted lists under the final centroids
+      val (cent2, lists) = ivfModel(c, k = 8)
       val q = c.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val probed = q.crossJoin(broadcast(cent2))
@@ -450,24 +469,12 @@ object RetrievalOps {
     "dedup_semantic" -> ((s, dir) => {
       val K = 8
       val c = corpusMat(s, dir)
-      def centroidsOf(assign: DataFrame): DataFrame = c.join(assign, "vec_id")
-        .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("g"), col("dim")).agg(avg(col("x")).as("cx"))
-        .groupBy(col("g"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cx")))),
-          p => p.getField("cx")).as("cv"))
-        .localCheckpoint()
-      def assignTo(cent: DataFrame): DataFrame = c.crossJoin(broadcast(cent))
-        .withColumn("cs", dot(col("v"), col("cv")))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("g"))))
-        .filter(col("cr") === 1).select(col("vec_id"), col("g"))
       val cent0 = c.filter(col("vec_id") < K)
         .select(col("vec_id").cast("int").as("g"), col("v").as("cv"))
         .localCheckpoint()
-      val cent2 = centroidsOf(assignTo(centroidsOf(assignTo(cent0))))
-      val m = c.join(assignTo(cent2), "vec_id")
+      val cent2 = kmCentroidsOf(c,
+        kmAssignTo(c, kmCentroidsOf(c, kmAssignTo(c, cent0))))
+      val m = c.join(kmAssignTo(c, cent2), "vec_id")
       val pruned = m.as("a").join(m.as("b"),
           col("a.g") === col("b.g") && col("a.vec_id") < col("b.vec_id") &&
           dot(col("a.v"), col("b.v")) >= 0.4)
@@ -475,6 +482,28 @@ object RetrievalOps {
       m.join(pruned.withColumn("p", lit(1)), Seq("vec_id"), "left")
         .groupBy(col("g"))
         .agg(count(lit(1)).as("n_vectors"), count(col("p")).as("n_pruned"))
+        .orderBy(col("g"))
+    }),
+
+    // IVF inverted-list balance audit — the index-health check run
+    // after training a coarse quantizer and before serving it: per-cell
+    // occupancy, share of the corpus, and the K·max/total imbalance
+    // factor (1e6 = perfectly balanced; a hot cell inflates tail
+    // latency because nprobe queries scan it in full, and at 100 TB an
+    // unbalanced list is a hot partition). Reuses the EXACT ann_ivf
+    // training contract via ivfModel — audit and index share one
+    // definition, so the audit certifies the index actually served.
+    // All-BIGINT census over the assignment table.
+    "v_ivf_balance_audit" -> ((s, dir) => {
+      val (_, lists) = ivfModel(corpusMat(s, dir), k = 8)
+      val sizes = lists.groupBy(col("g")).agg(count(lit(1)).as("n_vectors"))
+      val tot = sizes.agg(sum(col("n_vectors")).as("n_total"),
+                          max(col("n_vectors")).as("max_n"),
+                          count(lit(1)).as("k"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("g"), col("n_vectors"),
+          expr("n_vectors * 1000000 div n_total").as("share_e6"),
+          expr("max_n * k * 1000000 div n_total").as("imbalance_e6"))
         .orderBy(col("g"))
     }),
 
@@ -923,7 +952,50 @@ object RetrievalOps {
       ", allsc AS (SELECT qid, vec_id, score FROM sc" +
       " UNION ALL SELECT qid, vec_id, score FROM delta)" + annRankSql
 
+  /** Shared oracle prefix: the deterministic IVF k-means (init
+    * vec_id % 8, two unrolled Lloyd refinements) as CTEs — e (corpus),
+    * c2 (final centroids), a3 (inverted-list assignment). ONE
+    * definition for ann_ivf_topk and v_ivf_balance_audit, mirroring
+    * the Scala ivfModel helper. */
+  private val ivfKmeansCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |a0 AS (SELECT vec_id, vec_id % 8 AS g FROM e),
+      |c0 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+      |    SELECT g, dim, avg(x) AS cx FROM (
+      |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+      |      FROM e JOIN a0 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+      |a1 AS (SELECT vec_id, g FROM (
+      |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+      |    FROM e CROSS JOIN c0 c) WHERE cr = 1),
+      |c1 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+      |    SELECT g, dim, avg(x) AS cx FROM (
+      |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+      |      FROM e JOIN a1 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+      |a2 AS (SELECT vec_id, g FROM (
+      |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+      |    FROM e CROSS JOIN c1 c) WHERE cr = 1),
+      |c2 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+      |    SELECT g, dim, avg(x) AS cx FROM (
+      |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
+      |      FROM e JOIN a2 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
+      |a3 AS (SELECT vec_id, g FROM (
+      |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
+      |    FROM e CROSS JOIN c2 c) WHERE cr = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // cell-occupancy census over the shared IVF kmeans assignment
+    "v_ivf_balance_audit" ->
+      s"""$ivfKmeansCte,
+        |s AS (SELECT g, count(*)::BIGINT AS n_vectors FROM a3 GROUP BY g),
+        |t AS (SELECT sum(n_vectors)::BIGINT AS n_total,
+        |    max(n_vectors)::BIGINT AS max_n, count(*)::BIGINT AS k FROM s)
+        |SELECT s.g, s.n_vectors,
+        |  (s.n_vectors * 1000000 // t.n_total)::BIGINT AS share_e6,
+        |  (t.max_n * t.k * 1000000 // t.n_total)::BIGINT AS imbalance_e6
+        |FROM s CROSS JOIN t ORDER BY s.g""".stripMargin,
     "c15_l2_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
@@ -1011,32 +1083,7 @@ object RetrievalOps {
     // deterministic k-means replayed exactly: init vec_id % 8, two
     // unrolled Lloyd iterations, final-centroid assignment, nprobe=3
     "ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |a0 AS (SELECT vec_id, vec_id % 8 AS g FROM e),
-        |c0 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
-        |    SELECT g, dim, avg(x) AS cx FROM (
-        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
-        |      FROM e JOIN a0 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
-        |a1 AS (SELECT vec_id, g FROM (
-        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
-        |    FROM e CROSS JOIN c0 c) WHERE cr = 1),
-        |c1 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
-        |    SELECT g, dim, avg(x) AS cx FROM (
-        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
-        |      FROM e JOIN a1 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
-        |a2 AS (SELECT vec_id, g FROM (
-        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
-        |    FROM e CROSS JOIN c1 c) WHERE cr = 1),
-        |c2 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
-        |    SELECT g, dim, avg(x) AS cx FROM (
-        |      SELECT a.g, unnest(e.v) AS x, unnest(range(1, len(e.v) + 1)) AS dim
-        |      FROM e JOIN a2 a USING (vec_id)) GROUP BY g, dim) GROUP BY g),
-        |a3 AS (SELECT vec_id, g FROM (
-        |    SELECT e.vec_id, c.g, row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.g) AS cr
-        |    FROM e CROSS JOIN c2 c) WHERE cr = 1),
+      s"""$ivfKmeansCte,
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |pr AS (SELECT qid, qv, g, row_number() OVER (PARTITION BY qid
         |    ORDER BY list_dot_product(qv, cv) DESC, g) AS crank

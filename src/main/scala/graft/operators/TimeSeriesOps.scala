@@ -29,6 +29,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeSeriesOps {
 
+  /** ACF probe lags — ONE definition feeds the Spark query and the
+    * generated oracle union below. */
+  private val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
   /** Hourly per-type totals with exact integer cents. */
   private def hourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -39,6 +43,24 @@ object TimeSeriesOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_max_drawdown" -> maxDrawdownQuery,
 
+    // Weekly entropy of the event-type mix — "did the SHAPE of traffic
+    // change this week?", the distributional companion to the count
+    // drift family (a feed can hold volume while collapsing onto one
+    // event type; entropy catches that, totals don't). Delegates to
+    // the entropyByKey discipline: each c·ln c term e6-quantized
+    // BEFORE summation so aggregation order cannot move the result;
+    // the weekly census is |weeks|×|types| rows after map-side
+    // partials. entropy_norm rescales by ln(k) to [0, 1].
+    "ts_entropy_weekly" -> ((s, dir) =>
+      graft.api.Graft.entropyByKey(
+          Tables.events(s, dir)
+            .select(date_trunc("WEEK", col("ts")).as("week"), col("event_type")),
+          "week", "event_type")
+        .select(col("week"), col("n_events"), col("n_types"),
+                round(col("entropy"), 6).as("entropy"),
+                round(col("entropy_norm"), 6).as("entropy_norm"))
+        .orderBy(col("week"))),
+
     // Lag-1 autocorrelation of the hourly value series per event type.
     // Pearson r from the exact closed form (n, Σx, Σy, Σxy, Σx², Σy² as
     // BIGINT over integer cents) — NOT Spark's corr(), whose streaming
@@ -48,6 +70,17 @@ object TimeSeriesOps {
         .select(col("event_type"), col("n_pairs"),
                 round(col("autocorr"), 6).as("autocorr"))
         .orderBy(col("event_type"))),
+
+    // ACF at lags {1,2,3,6,12,24} of the hourly COUNT series per type
+    // — the seasonality detector (a daily cycle shows as the lag-24
+    // peak; ts_autocorr_lag1 is this at lag 1 on the value series).
+    // One window sort computes every lag column; see Graft.acfAtLags.
+    "ts_acf_multi_lag" -> ((s, dir) =>
+      graft.api.Graft.acfAtLags(hourly(s, dir), "event_type", "hour", "cnt",
+          AcfLags)
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+                round(col("autocorr"), 6).as("autocorr"))
+        .orderBy(col("event_type"), col("lag"))),
 
     // Mean-shift changepoint (binary segmentation's first split): for
     // each candidate split t the statistic |mean_before − mean_after| ·
@@ -304,6 +337,45 @@ object TimeSeriesOps {
     }
 
   def oracles: Map[String, String] = Map(
+    // ACF per lag: the lag-1 Pearson closed form replicated per k,
+    // generated from the SAME AcfLags constant as the Spark side
+    "ts_acf_multi_lag" -> {
+      val per = AcfLags.map { k =>
+        s"""SELECT event_type, $k::BIGINT AS lag, n AS n_pairs,
+           |  round((n * sxy - sx * sy) /
+           |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+           |    6) AS autocorr
+           |FROM (SELECT event_type, count(*)::BIGINT AS n,
+           |    sum(cnt)::BIGINT AS sx, sum(prev)::BIGINT AS sy,
+           |    sum(cnt * prev)::BIGINT AS sxy,
+           |    sum(cnt * cnt)::BIGINT AS sxx,
+           |    sum(prev * prev)::BIGINT AS syy
+           |  FROM (SELECT event_type, cnt, lag(cnt, $k) OVER
+           |      (PARTITION BY event_type ORDER BY hour) AS prev FROM h)
+           |  WHERE prev IS NOT NULL GROUP BY event_type)""".stripMargin
+      }.mkString("\n(", ")\nUNION ALL\n(", ")")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events GROUP BY 1, 2)
+         |SELECT * FROM ($per)
+         |ORDER BY event_type, lag""".stripMargin
+    },
+
+    // weekly type-mix entropy, e6-quantized c·ln c terms
+    "ts_entropy_weekly" ->
+      """WITH c AS (SELECT date_trunc('week', ts) AS week, event_type,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT week, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    sum(floor(c * ln(c) * 1e6 + 0.5)::BIGINT)::BIGINT AS clnc_e6
+        |  FROM c GROUP BY week)
+        |SELECT week, n AS n_events, k AS n_types,
+        |  round(ln(n) - clnc_e6 / 1e6 / n, 6) AS entropy,
+        |  round(CASE WHEN k = 1 THEN 0.0
+        |        ELSE (ln(n) - clnc_e6 / 1e6 / n) / ln(k) END, 6)
+        |    AS entropy_norm
+        |FROM a ORDER BY week""".stripMargin,
+
     // max drawdown: running-peak window + earliest-argmax tiebreak
     "ts_max_drawdown" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
