@@ -48,6 +48,15 @@ object Bench {
     // Untimed warmup: JIT + whole-stage-codegen compilation and parquet
     // footer reads otherwise land entirely on the first measured query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Streaming-machinery warmup (r8 verdict #7): the first streaming
+    // query in a fresh JVM pays 4-10× steady state (state-store
+    // provider init, microbatch thread pools, streaming-specific
+    // codegen — BENCH_NOTES §r8). One untimed run retires that cost so
+    // the streaming trio's timed passes measure the PLAN, not JVM
+    // boot. Swallow failures: warmup must never fail the bench.
+    try SparkEntry.queries.get("streaming_event_counts")
+      .foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // Two passes, min per query: reports steady-state latency (first
     // pass pays per-query codegen compilation + JIT, which is noise at
     // this scale and absent in any long-running deployment).

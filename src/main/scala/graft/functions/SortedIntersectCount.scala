@@ -105,6 +105,53 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Popcount of the bitwise AND of two equal-width ARRAY<LONG> bitmask
+  * columns — set-intersection cardinality when sets are encoded as
+  * fixed-width bitsets over a small global vocabulary. One fused
+  * AND+popcount loop, no branches, no allocation: on a dense-vocab
+  * corpus (every doc shares most grams) this turns the per-pair verify
+  * from an O(n+m) merge walk with data-dependent branches into W
+  * `Long.bitCount` instructions (W = vocab/64), ~25× cheaper — the
+  * lever that makes an all-pairs or near-all-pairs verify feasible
+  * when prefix filtering has no selectivity (see
+  * Graft.containmentPairsFromShingles' dense path). */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $i = 0; int $c = 0;
+         |while ($i < $n) {
+         |  $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |  $i++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedIntersectCount {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -112,4 +159,7 @@ object SortedIntersectCount {
   def sortedIntersectCountLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCountLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def bitsetIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      BitsetIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -160,6 +160,48 @@ object CurationOps {
     // then keep each language's top-50 by (quality desc, doc_id), and
     // report the kept mass per stratum. Fixed-point quality (e6) keeps
     // the double sums integral ⇒ order-independent ⇒ oracle-exact.
+    // Token-budget WATERFILLING across sources — the dataset-mixing
+    // allocator behind "give every source an equal share of the
+    // training budget, but a source can't contribute tokens it doesn't
+    // have": sources are sorted by availability ascending; any source
+    // whose stock can't reach the evolving fair share is taken WHOLE
+    // (capped) and its unused share is redistributed to the rest —
+    // source j (1-based, k sources, budget T) is capped iff
+    // avail_j · (k − j + 1) ≤ T − cum_{<j}, a prefix-sum predicate (no
+    // iteration: caps are monotone in the availability order, so the
+    // classic waterfill loop collapses to one window pass). The final
+    // level = (T − Σ_capped avail) div n_uncapped in exact BIGINT;
+    // allocation = min(avail, level). Scale: one aggregate to
+    // per-source stocks (|sources| rows), one tiny window — the corpus
+    // is touched once, the allocator is metadata-sized.
+    "curate_mix_waterfill" -> ((s, dir) => {
+      val budget = 100000L
+      val stock = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      // |sources|-row table: the single-partition window is bounded
+      val w = Window.orderBy(col("avail_tokens"), col("source"))
+      val flagged = stock
+        .withColumn("j", row_number().over(w).cast("long"))
+        .withColumn("cum_prev", coalesce(sum(col("avail_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(stock.agg(count(lit(1)).as("k"))))
+        .withColumn("capped",
+          (col("avail_tokens") * (col("k") - col("j") + 1) <=
+           lit(budget) - col("cum_prev")).cast("long"))
+      val lvl = flagged.agg(
+          sum(when(col("capped") === 1, col("avail_tokens")).otherwise(0L)).as("cap_sum"),
+          sum(lit(1L) - col("capped")).as("n_uncapped"))
+        .select(when(col("n_uncapped") > 0,
+            expr(s"(${budget}L - cap_sum) div n_uncapped"))
+          .otherwise(lit(budget)).cast("long").as("level"))
+      flagged.crossJoin(broadcast(lvl))
+        .select(col("source"), col("avail_tokens"), col("capped"),
+          least(col("avail_tokens"), col("level")).as("allocated_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "curate_quota" -> ((s, dir) => {
       val deduped = scored(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
@@ -445,6 +487,28 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "curate_mix_waterfill" ->
+      """WITH stock AS (SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |k AS (SELECT count(*)::BIGINT AS k FROM stock),
+        |f AS (SELECT source, avail_tokens,
+        |    row_number() OVER (ORDER BY avail_tokens, source)::BIGINT AS j,
+        |    coalesce(sum(avail_tokens) OVER (ORDER BY avail_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_prev
+        |  FROM stock),
+        |fc AS (SELECT f.*, k.k,
+        |    CASE WHEN avail_tokens * (k - j + 1) <= 100000 - cum_prev
+        |         THEN 1 ELSE 0 END::BIGINT AS capped
+        |  FROM f CROSS JOIN k),
+        |lvl AS (SELECT CASE WHEN sum(1 - capped) > 0
+        |    THEN (100000 - sum(CASE WHEN capped = 1 THEN avail_tokens
+        |                            ELSE 0 END)) // sum(1 - capped)
+        |    ELSE 100000 END::BIGINT AS level FROM fc)
+        |SELECT source, avail_tokens, capped,
+        |  least(avail_tokens, level)::BIGINT AS allocated_tokens
+        |FROM fc CROSS JOIN lvl ORDER BY source""".stripMargin,
     "curate_pack_fragmentation" ->
       """WITH d AS (SELECT source, doc_id,
         |    len(string_split(text, ' '))::BIGINT AS w

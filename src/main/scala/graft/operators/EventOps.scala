@@ -776,6 +776,42 @@ object EventOps {
                 round(col("retention"), 6).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // Kaplan–Meier life table of user lifetimes (weeks from first to
+    // last active week; a user still active in the corpus's final week
+    // is CENSORED, not dead — the right-censoring distinction that
+    // makes naive churn rates biased and KM the standard fix). Per
+    // lifetime week t: d_t (churned), c_t (censored), the at-risk set
+    // n_t = Σ_{s≥t}(d_s + c_s), and the discrete hazard d_t·1e6 div
+    // n_t — all exact integers; the survival curve is the running
+    // product of (1 − hazard), left to the consumer to avoid FP
+    // product accumulation in the artifact. Scale: events reduce to
+    // one row per user (first/last week), then to a
+    // |distinct lifetimes|-row grid — the only window runs on that
+    // calendar-bounded grid (PLANS.md census class), reverse-cumulated
+    // for the at-risk count.
+    "a_kaplan_meier" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .groupBy(col("user_id"))
+        .agg(min(col("w")).as("fw"), max(col("w")).as("lw"))
+      val maxw = uw.agg(max(col("lw")).as("mw"))
+      val lt = uw.crossJoin(broadcast(maxw))
+        .select(
+          (datediff(col("lw"), col("fw")) / 7).cast("long").as("t"),
+          (col("lw") < col("mw")).cast("long").as("dead"))
+      val grid = lt.groupBy(col("t"))
+        .agg(sum(col("dead")).as("d_events"),
+             sum(lit(1L) - col("dead")).as("c_censored"))
+      // lifetime grid is calendar-bounded: single-partition window OK
+      grid.withColumn("n_risk",
+          sum(col("d_events") + col("c_censored")).over(
+            Window.orderBy(col("t"))
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
+          expr("d_events * 1000000 div n_risk").as("hazard_e6"))
+        .orderBy(col("t"))
+    }),
+
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity feature (bot/script accounts have near-zero entropy,
     // organic users don't). H = ln(n) − (Σ cᵢ·ln cᵢ)/n computed from
@@ -1266,9 +1302,9 @@ object EventOps {
         |    sum(x)::BIGINT AS total_cents, sum(i * x)::BIGINT AS sum_ix
         |  FROM r GROUP BY 1)
         |SELECT event_type, n, total_cents,
-        |  (((2 * sum_ix - (n + 1) * total_cents) * 1000000)
+        |  ((greatest(2 * sum_ix - (n + 1) * total_cents, 0) * 1000000)
         |    // (n * total_cents))::BIGINT AS gini_e6
-        |FROM a ORDER BY event_type""".stripMargin,
+        |FROM a WHERE total_cents > 0 ORDER BY event_type""".stripMargin,
 
     "a_decimal_exact_revenue" ->
       """SELECT l_returnflag,
@@ -1279,6 +1315,21 @@ object EventOps {
         |  sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_c,
         |  count(*)::BIGINT AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a_kaplan_meier" ->
+      """WITH uw AS (SELECT user_id, min(date_trunc('week', ts)) AS fw,
+        |    max(date_trunc('week', ts)) AS lw FROM events GROUP BY user_id),
+        |mw AS (SELECT max(lw) AS mw FROM uw),
+        |lt AS (SELECT (date_diff('day', fw, lw) // 7)::BIGINT AS t,
+        |    (lw < mw)::BIGINT AS dead FROM uw CROSS JOIN mw),
+        |grid AS (SELECT t, sum(dead)::BIGINT AS d_events,
+        |    sum(1 - dead)::BIGINT AS c_censored FROM lt GROUP BY t),
+        |g2 AS (SELECT *, sum(d_events + c_censored) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk
+        |  FROM grid)
+        |SELECT t, n_risk, d_events, c_censored,
+        |  (d_events * 1000000 // n_risk)::BIGINT AS hazard_e6
+        |FROM g2 ORDER BY t""".stripMargin,
 
     "retention_cohort_matrix" ->
       """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week

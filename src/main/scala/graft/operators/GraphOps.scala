@@ -51,14 +51,10 @@ object GraphOps {
     // id-ordered form here keeps the oracle exactly replayable.
     // Output: one exact global census row + the transitivity ratio
     // (3·triangles / wedges), all from BIGINT counts.
+    // Edge source: the session-shared coPurchasePairs exchange (r8
+    // verdict #1) — support-1 distinct edges are exactly its key set.
     "graph_triangle_count" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
+      val e = graft.api.Graft.coPurchasePairs(s, dir).select(col("a"), col("b"))
       graft.api.Graft.triangleCensus(e, "a", "b")
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
                 round(col("transitivity"), 6).as("transitivity"))
@@ -74,6 +70,11 @@ object GraphOps {
     // (fan-out ≤ basket size, never corpus²); the top-50 is a
     // distributed TakeOrdered. Min support prunes the pair table before
     // the stats joins, and the item-support side broadcasts.
+    // NOT on the shared coPurchasePairs exchange: assoc rules count
+    // DISTINCT baskets per pair (support semantics), while the graph
+    // family's w counts raw lineitem co-occurrences — a part repeated
+    // within one order contributes differently. Different contract,
+    // separate (single-use) build.
     "a_assoc_rules" -> ((s, dir) => {
       val minSup = 2
       val baskets = Tables.lineitem(s, dir)
@@ -119,15 +120,7 @@ object GraphOps {
     // support cut is both the faster AND the editorially-right graph —
     // communities detected on noise edges aren't communities.
     "graph_label_prop" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e0 = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("a"), col("b"))
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("b")) // both rounds join on the neighbor key
         .localCheckpoint()
@@ -163,19 +156,16 @@ object GraphOps {
     // the broadcast |V|-row degree table, one scalar aggregate; the
     // only division is the final r, identical on both engines.
     "graph_assortativity" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e0 = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select(col("a"), col("b"))
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
       val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      // No broadcast hint on the |V|-row degree joins (r8 verdict #6):
+      // |V| is data-dependent (distinct parts in the support-2 graph)
+      // and at 100× can exceed any broadcast threshold; AQE picks
+      // broadcast at runtime when the built side measures small.
       adj
-        .join(broadcast(deg.select(col("v").as("a"), col("d").as("dx"))), "a")
-        .join(broadcast(deg.select(col("v").as("b"), col("d").as("dy"))), "b")
+        .join(deg.select(col("v").as("a"), col("d").as("dx")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("dy")), "b")
         .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
              sum(col("dx") * col("dy")).as("sxy"),
              sum(col("dx") * col("dx")).as("sxx"))
@@ -197,15 +187,7 @@ object GraphOps {
     // is one |E|-join + min-aggregate on the pre-partitioned edge set;
     // output is the per-label vertex census after rounds 3.
     "graph_connected_components" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e0 = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("a"), col("b"))
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
       val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("b"))
         .localCheckpoint()
@@ -240,15 +222,8 @@ object GraphOps {
     // has no floating ties; the ORDER BY ends in the unique (a, c)
     // key, so the selected SET is deterministic.
     "graph_common_neighbors" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("ea"), col("y.l_partkey").as("eb"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("ea"), col("eb"))
+      val e = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+        .select(col("a").as("ea"), col("b").as("eb"))
       graft.api.Graft.commonNeighbors(e, "ea", "eb", k = 50)
         .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("c"))
     }),
@@ -270,16 +245,9 @@ object GraphOps {
     // erosion is real (sf0.01: 1892 → 1154 nodes over two rounds;
     // sf0.1: the support-2 graph collapses entirely).
     "graph_kcore_peel" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val e0 = li.alias("x")
-        .join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+      // projection of the session-shared checkpointed pair table — the
+      // peel rounds re-checkpoint per round, so no extra barrier here
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
       def undirected(e: DataFrame): DataFrame =
         e.select(col("a").as("u")).union(e.select(col("b").as("u")))
       def peel(e: DataFrame): DataFrame = {
@@ -321,6 +289,26 @@ object GraphOps {
     // the join key, nothing driver-side; the final top-20 is
     // TakeOrderedAndProject (per-partition partial top-k, no global
     // sort).
+    // Weighted PageRank over the support-2 co-purchase graph — part
+    // authority for recommendation/curation ranking, and the query
+    // that shows the r9 shared-exchange amortization end to end: the
+    // edge build is the SAME session-checkpointed coPurchasePairs
+    // every other graph query starts from (zero marginal build cost),
+    // and the damping/iteration machinery is the pageRank facade
+    // graph_event_rank already exercises on the event-transition
+    // graph. Both orientations carry the pair weight w (undirected
+    // random walk); top 25 parts by rank with id tiebreak.
+    "graph_copurchase_pagerank" -> ((s, dir) => {
+      val p = graft.api.Graft.coPurchasePairs(s, dir)
+        .filter(col("w") >= 2)
+      val e = p.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(p.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.api.Graft.pageRank(e, "src", "dst", "w")
+        .select(col("node").cast("long").as("partkey"),
+                round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("partkey")).limit(25)
+    }),
+
     "graph_hits_bipartite" -> ((s, dir) => {
       val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
@@ -520,6 +508,36 @@ object GraphOps {
         |SELECT * FROM c0 UNION ALL SELECT * FROM c1
         |UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
         |ORDER BY round""".stripMargin,
+
+    // weighted PageRank, 3 unrolled iterations on the support-2 graph
+    "graph_copurchase_pagerank" ->
+      """WITH e0 AS (SELECT a, b, w FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |e AS (SELECT a AS src, b AS dst, w AS wgt FROM e0
+        |  UNION ALL SELECT b, a, w FROM e0),
+        |o AS (SELECT src, sum(wgt) AS out_w FROM e GROUP BY src),
+        |p AS (SELECT e.src, e.dst, e.wgt::DOUBLE / o.out_w AS p
+        |  FROM e JOIN o USING (src)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*)::DOUBLE AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT p.dst AS node, sum(r0.rank * p.p) AS in_rank
+        |  FROM p JOIN r0 ON r0.node = p.src GROUP BY p.dst),
+        |r1 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c1.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT p.dst AS node, sum(r1.rank * p.p) AS in_rank
+        |  FROM p JOIN r1 ON r1.node = p.src GROUP BY p.dst),
+        |r2 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c2.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT p.dst AS node, sum(r2.rank * p.p) AS in_rank
+        |  FROM p JOIN r2 ON r2.node = p.src GROUP BY p.dst),
+        |r3 AS (SELECT n.node, 0.15 / nn.n_nodes + 0.85 * coalesce(c3.in_rank, 0) AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c3 USING (node))
+        |SELECT node::BIGINT AS partkey, round(rank, 6) AS rank FROM r3
+        |ORDER BY round(rank, 6) DESC, partkey LIMIT 25""".stripMargin,
 
     // HITS, 2 unrolled integer iterations on the customer→part graph
     "graph_hits_bipartite" ->

@@ -222,6 +222,34 @@ object LayoutOps {
         .orderBy(col("shard8"))
     }),
 
+    // Differentially-private histogram release (ε = 1, sensitivity 1 →
+    // Laplace b = 1) with DETERMINISTIC noise: u ∈ [0,1) is the
+    // md5-prefix dyadic rational (48 bits / 2^48 — an exact double both
+    // engines construct identically, the shard_rendezvous recipe) and
+    // the Laplace draw is its inverse CDF, X = ln(2u) below the median,
+    // −ln(2(1−u)) above. A seeded-hash noise source is the
+    // reproducible-release form real DP pipelines use (rerunning the
+    // release must not re-randomize the published table); the ε
+    // accounting is identical to true randomness — what changes is only
+    // WHERE the seed lives. Counts never leave integers: noise lands as
+    // floor(X·100 + 0.5) centi-counts added to 100·n. Pure map-side
+    // after a |types|-row aggregate.
+    "privacy_dp_histogram" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
+      h.withColumn("u", greatest(
+          conv(substring(md5(col("event_type")), 1, 12), 16, 10)
+            .cast("long").cast("double") / lit(281474976710656.0),
+          lit(1e-12)))
+        .withColumn("noise_e2", floor(
+          when(col("u") < 0.5, log(col("u") * 2.0))
+            .otherwise(-log((lit(1.0) - col("u")) * 2.0)) * 100 + 0.5)
+          .cast("long"))
+        .select(col("event_type"), col("true_n"), col("noise_e2"),
+                (col("true_n") * 100 + col("noise_e2")).as("noisy_n_e2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Single-sourced in Graft.tClosenessAudit (generic over QI columns
     // and the t = num/den gate).
     "privacy_t_closeness" -> ((s, dir) =>
@@ -381,6 +409,19 @@ object LayoutOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "privacy_dp_histogram" ->
+      """WITH h AS (SELECT event_type, count(*)::BIGINT AS true_n
+        |  FROM events GROUP BY event_type),
+        |uu AS (SELECT event_type, true_n,
+        |    greatest((('0x' || substr(md5(event_type), 1, 12))::BIGINT)::DOUBLE
+        |      / 281474976710656.0, 1e-12) AS u FROM h),
+        |n AS (SELECT event_type, true_n,
+        |    floor((CASE WHEN u < 0.5 THEN ln(2 * u)
+        |                ELSE -ln(2 * (1 - u)) END) * 100 + 0.5)::BIGINT
+        |      AS noise_e2 FROM uu)
+        |SELECT event_type, true_n, noise_e2,
+        |  (true_n * 100 + noise_e2)::BIGINT AS noisy_n_e2
+        |FROM n ORDER BY event_type""".stripMargin,
     // bloom sizing: shared e6 literal constants, pure integer formulas
     "layout_bloom_advisor" ->
       """WITH n AS (SELECT event_type,

@@ -176,8 +176,49 @@ object LexicalOps {
         .select(col("qid"),
           when(col("ext").isNull, col("qtext"))
             .otherwise(concat_ws(" ", col("qtext"), col("ext"))).as("qtext"))
+        // SET multiplicity contract (ADVICE r8): the oracle's second
+        // pass builds its query-term list with UNION (a deduplicated
+        // set), so the engine dedups too — a query with a repeated
+        // original term scores each term once on both engines instead
+        // of relying on the fixture having no repeats. (Expansion
+        // terms are already anti-joined against originals; this also
+        // covers originals repeating themselves.)
+        .select(col("qid"),
+          array_join(array_distinct(split(col("qtext"), " ")), " ").as("qtext"))
       graft.api.Graft.bm25Rank(d, expanded, 5, k1 = K1, b = B)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Exact PHRASE query over a positional inverted index — the
+    // operator BM25's bag-of-words scoring structurally cannot express
+    // ("spark hash join" as an adjacent sequence, not three
+    // independent terms): postings are (doc, pos, term); a phrase of
+    // length L matches at anchor a iff all L terms appear at positions
+    // a..a+L−1 — computed as the classic anchor-intersection: join
+    // postings to the (broadcast, tiny) phrase-term set, group by
+    // (qid, doc, pos − qpos) and demand L DISTINCT phrase offsets.
+    // No text re-scan, no regex: the postings join touches only rows
+    // whose term occurs in some phrase, and the anchor groupBy is the
+    // positional-index merge every search engine runs. At 100 TB the
+    // postings table is the pre-built term-bucketed index; phrase cost
+    // ∝ the phrase terms' posting lists.
+    "retrieval_phrase_query" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val q = queriesDf(s).select(col("qid"),
+        posexplode(split(col("qtext"), " ")).as(Seq("qpos", "term")))
+      val ql = queriesDf(s)
+        .select(col("qid"), size(split(col("qtext"), " ")).as("qlen"))
+      post.join(broadcast(q), "term")
+        .groupBy(col("qid"), col("doc_id"),
+                 (col("pos") - col("qpos")).as("anchor"))
+        .agg(countDistinct(col("qpos")).as("nmatch"))
+        .join(broadcast(ql), "qid")
+        .filter(col("nmatch") === col("qlen"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("qid"), col("doc_id"))
     }),
 
     // Hybrid retrieval: RRF fusion of the BM25 and embedding-cosine
@@ -411,6 +452,23 @@ object LexicalOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "retrieval_phrase_query" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |post AS (SELECT doc_id, i AS pos, ws[i] AS term
+         |  FROM d, unnest(range(1, len(ws) + 1)) u(i)),
+         |q AS (SELECT * FROM (VALUES $queryValuesSql) t(qid, qtext)),
+         |qs AS (SELECT qid, string_split(qtext, ' ') AS qw FROM q),
+         |qt AS (SELECT qid, i AS qpos, qw[i] AS term
+         |  FROM qs, unnest(range(1, len(qw) + 1)) u(i)),
+         |ql AS (SELECT qid, len(qw)::BIGINT AS qlen FROM qs),
+         |m AS (SELECT qid, doc_id, pos - qpos AS anchor,
+         |    count(DISTINCT qpos)::BIGINT AS nmatch
+         |  FROM post JOIN qt USING (term) GROUP BY qid, doc_id, anchor),
+         |h AS (SELECT m.qid, m.doc_id FROM m JOIN ql USING (qid)
+         |  WHERE nmatch = qlen)
+         |SELECT qid, doc_id, count(*)::BIGINT AS n_occurrences
+         |FROM h GROUP BY qid, doc_id ORDER BY qid, doc_id""".stripMargin,
     "retrieval_bm25_topk" ->
       s"""$bm25Cte,
          |r AS (SELECT qid, doc_id, score_e12,

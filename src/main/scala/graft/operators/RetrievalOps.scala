@@ -369,6 +369,57 @@ object RetrievalOps {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF recall/cost CURVE (r8 verdict #8a) — the measurement that
+    // justifies an nprobe setting before committing a 100 TB index
+    // layout: for nprobe ∈ 1..4 against the SAME deterministic
+    // ivfModel quantizer, recall@3 vs the exact top-3 and the scanned
+    // posting fraction, in one dataflow. Candidates are scored ONCE at
+    // their cell's probe rank and replicated to the nprobe values that
+    // see them (np ≥ crank) — the 4 curves share a single corpus scan;
+    // all ratios are exact integer-scaled rationals. The faiss-style
+    // operating-point table: pick the smallest nprobe on the flat part
+    // of recall(scanned).
+    "ann_nprobe_recall_curve" -> ((s, dir) => {
+      val c = corpusMat(s, dir)
+      val (cent2, lists) = ivfModel(c, k = 8)
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cr = q.crossJoin(broadcast(cent2))
+        .withColumn("cscore", dot(col("qv"), col("cv")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("cscore"), col("g"))))
+        .filter(col("crank") <= 4)
+        .select(col("qid"), col("qv"), col("g"), col("crank"))
+      val exact = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val cand = c.join(lists, "vec_id").join(broadcast(cr), Seq("g"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")))
+        .select(col("qid"), col("vec_id"), col("score"), col("crank"))
+        .withColumn("np", explode(sequence(col("crank"), lit(4))))
+      val ivf3 = cand.withColumn("rk", row_number().over(
+          Window.partitionBy(col("np"), col("qid"))
+            .orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rk") <= 3)
+      val hits = ivf3.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+      val sizes = lists.groupBy(col("g")).agg(count(lit(1)).as("cell_n"))
+      val scanned = cr.join(broadcast(sizes), "g")
+        .withColumn("np", explode(sequence(col("crank"), lit(4))))
+        .groupBy(col("np")).agg(sum(col("cell_n")).as("scanned_rows"))
+      val n = c.agg(count(lit(1)).as("n_corpus"))
+      scanned.join(hits, Seq("np"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("np").cast("long").as("nprobe"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0L) * 1000000 div 15").as("recall_e6"),
+          expr("scanned_rows * 1000000 div (5 * n_corpus)").as("scanned_e6"))
+        .orderBy(col("nprobe"))
+    }),
+
     // ANN, product-quantization variant (Jégou et al. 2011, the faiss
     // `PQ` index family): each 64-dim vector is encoded as M=4 codes,
     // one per 16-dim subspace, against per-subspace codebooks of K=16
@@ -1079,6 +1130,41 @@ object RetrievalOps {
         |  FROM sc)
         |SELECT qid, rank::INT AS rank, vec_id, iscore
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the same IVF model, swept nprobe 1..4 against brute-force top-3
+    "ann_nprobe_recall_curve" ->
+      s"""$ivfKmeansCte,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |cr AS (SELECT qid, qv, g, crank FROM (
+        |    SELECT q.qid, q.qv, c.g, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(q.qv, c.cv) DESC, c.g) AS crank
+        |    FROM q CROSS JOIN c2 c) WHERE crank <= 4),
+        |ex AS (SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(q.qv, e.v) DESC, e.vec_id) AS rk
+        |    FROM e JOIN q ON e.vec_id <> q.qid) WHERE rk <= 3),
+        |cand AS (SELECT cr.qid, e.vec_id,
+        |    list_dot_product(cr.qv, e.v) AS score, cr.crank
+        |  FROM e JOIN a3 USING (vec_id) JOIN cr USING (g)
+        |  WHERE e.vec_id <> cr.qid),
+        |cnp AS (SELECT qid, vec_id, score, np FROM cand
+        |  CROSS JOIN (SELECT unnest(range(1, 5)) AS np) WHERE np >= crank),
+        |ivf3 AS (SELECT np, qid, vec_id FROM (
+        |    SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid
+        |      ORDER BY score DESC, vec_id) AS rk FROM cnp) WHERE rk <= 3),
+        |h AS (SELECT np, count(*)::BIGINT AS n_hits FROM ivf3
+        |  SEMI JOIN ex USING (qid, vec_id) GROUP BY np),
+        |sz AS (SELECT g, count(*)::BIGINT AS cell_n FROM a3 GROUP BY g),
+        |sc AS (SELECT np, sum(cell_n)::BIGINT AS scanned_rows FROM (
+        |    SELECT cr.crank, sz.cell_n FROM cr JOIN sz USING (g))
+        |  CROSS JOIN (SELECT unnest(range(1, 5)) AS np)
+        |  WHERE np >= crank GROUP BY np),
+        |nc AS (SELECT count(*)::BIGINT AS n_corpus FROM e)
+        |SELECT sc.np::BIGINT AS nprobe, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  (coalesce(h.n_hits, 0) * 1000000 // 15)::BIGINT AS recall_e6,
+        |  (sc.scanned_rows * 1000000 // (5 * nc.n_corpus))::BIGINT AS scanned_e6
+        |FROM sc LEFT JOIN h USING (np) CROSS JOIN nc
+        |ORDER BY nprobe""".stripMargin,
 
     // deterministic k-means replayed exactly: init vec_id % 8, two
     // unrolled Lloyd iterations, final-centroid assignment, nprobe=3

@@ -692,6 +692,45 @@ object StatSketchOps {
         .orderBy(col("event_type"))
     }),
 
+    // CUSUM change detection on the daily event-count series (Page
+    // 1954) — the sequential drift detector a feed-health monitor runs
+    // where PSI/KS (batch drift, this family) need a reference window:
+    // S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)) accumulates upward
+    // excursions, S⁻ downward. The recursion is NOT window-expressible,
+    // but its closed form is: S⁺_t = cum_t − min(0, min_{j<t} cum_j)
+    // with cum = running Σ(x − μ) — a running sum plus a running min,
+    // two windows. μ is cleared of division by scaling: c_t =
+    // x_t·D − T (D days, T total events) sums to 0 exactly, so
+    // everything is BIGINT and both engines replay it bit-for-bit.
+    // The day grid is calendar-bounded (PLANS.md census class), so the
+    // unpartitioned windows are safe; at unbounded grain this becomes
+    // the globalRunningSum two-pass.
+    "stat_cusum_shift" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(count(lit(1)).as("d_days"), sum(col("n")).as("t_total"))
+      val w = Window.orderBy(col("day"))
+      val scaled = daily.crossJoin(broadcast(tot))
+        .withColumn("c", col("n") * col("d_days") - col("t_total"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prior_min", coalesce(min(col("cum")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("prior_max", coalesce(max(col("cum")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // outer clamp: when cum_t is itself the running minimum (the
+      // excursion reset case S⁺ = max(0, ·)), cum − min(0, prior_min)
+      // goes negative — the closed form is cum − min over j ≤ t of
+      // (0, cum_j), i.e. max(0, cum − min(0, prior_min))
+      scaled.select(col("day"), col("n"),
+          greatest(lit(0L), col("cum") - least(lit(0L), col("prior_min")))
+            .as("cusum_pos_scaled"),
+          greatest(lit(0L), greatest(lit(0L), col("prior_max")) - col("cum"))
+            .as("cusum_neg_scaled"))
+        .orderBy(col("day"))
+    }),
+
     // Spearman rank correlation per language between document length
     // (n_chars) and whitespace token count — the monotone-association
     // check run before trusting either as a proxy for the other in
@@ -716,6 +755,28 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "stat_cusum_shift" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY day),
+        |tot AS (SELECT count(*)::BIGINT AS d_days, sum(n)::BIGINT AS t_total
+        |  FROM daily),
+        |sc AS (SELECT day, n, n * d_days - t_total AS c
+        |  FROM daily CROSS JOIN tot),
+        |cum0 AS (SELECT day, n,
+        |    sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cum
+        |  FROM sc),
+        |cm AS (SELECT day, n, cum,
+        |    coalesce(min(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior_min,
+        |    coalesce(max(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior_max
+        |  FROM cum0)
+        |SELECT day, n,
+        |  greatest(0, cum - least(0, prior_min))::BIGINT AS cusum_pos_scaled,
+        |  greatest(0, greatest(0, prior_max) - cum)::BIGINT AS cusum_neg_scaled
+        |FROM cm ORDER BY day""".stripMargin,
+
     // runs test: integer sign sequence, nested floor-div moments
     "stat_runs_test" ->
       """WITH e AS (SELECT event_type, ts, event_id,

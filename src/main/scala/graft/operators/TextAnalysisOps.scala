@@ -420,6 +420,41 @@ object TextAnalysisOps {
       graft.api.Graft.collocationsPmi(
         Tables.documentsSpread(s, dir), "text", minCount = 5, k = 20)),
 
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995 / Chen &
+    // Goodman 1998 — THE n-gram smoothing every LM-data pipeline
+    // scores perplexity and filters with): P(w2|w1) =
+    // max(c(w1w2) − d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/B,
+    // d = 0.75, where the backoff uses CONTINUATION counts (how many
+    // distinct contexts a word follows), not raw frequency — the
+    // correction that stops "Francisco" from getting high unigram
+    // mass. With d = 3/4 the whole expression clears to ONE exact
+    // BIGINT floor-division, pkn_e6 = ((4c−3)·B + 3·N1f·N1b)·1e6 div
+    // (4·c(w1·)·B) — no FP anywhere, identical on both engines.
+    // Scale: everything is an aggregate of the bigram-type table,
+    // which is vocab²-bounded (map-side combined), never
+    // corpus-bounded; the three marginals are grouped re-aggregations
+    // of it. Top-30 bigrams by count with (w1, w2) tiebreak.
+    "ta_kneser_ney_bigram" -> ((s, dir) => {
+      val toks = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull &&
+                size(split(col("text"), " ")) >= 2)
+        .select(split(col("text"), " ").as("ws"))
+      val bg = toks.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cw1 = c2.groupBy(col("w1"))
+        .agg(sum(col("c2")).as("cw1"), count(lit(1)).as("n1f"))
+      val n1b = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val b = c2.agg(count(lit(1)).as("b_types"))
+      c2.join(cw1, "w1").join(n1b, "w2").crossJoin(broadcast(b))
+        .select(col("w1"), col("w2"), col("c2"), col("cw1"), expr(
+          "((4 * c2 - 3) * b_types + 3 * n1f * n1b) * 1000000 div (4 * cw1 * b_types)")
+          .as("pkn_e6"))
+        .orderBy(col("c2").desc, col("w1"), col("w2")).limit(30)
+    }),
+
     // Character-bigram entropy per language — the script-level signal
     // under the token-level family (ta_zipf_slope ranks words; this
     // measures how predictable the raw character stream is: gibberish,
@@ -498,6 +533,21 @@ object TextAnalysisOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_kneser_ney_bigram" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM t, unnest(range(1, len(ws))) u(i)),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+        |cw AS (SELECT w1, sum(c2)::BIGINT AS cw1, count(*)::BIGINT AS n1f
+        |  FROM c2 GROUP BY w1),
+        |nb AS (SELECT w2, count(*)::BIGINT AS n1b FROM c2 GROUP BY w2),
+        |b AS (SELECT count(*)::BIGINT AS b_types FROM c2)
+        |SELECT c2.w1, c2.w2, c2.c2, cw.cw1,
+        |  (((4 * c2.c2 - 3) * b_types + 3 * n1f * n1b) * 1000000
+        |    // (4 * cw1 * b_types))::BIGINT AS pkn_e6
+        |FROM c2 JOIN cw USING (w1) JOIN nb USING (w2) CROSS JOIN b
+        |ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT 30""".stripMargin,
     // Fano factor per token, zeros implicit, e6 BIGINT rational
     "ta_term_burstiness" ->
       """WITH d AS (SELECT doc_id, text FROM documents

@@ -64,6 +64,44 @@ object StreamingOps {
     StructField("batch_key", StringType), StructField("event_id", LongType),
     StructField("amount_cents", LongType)))
 
+  /** Fixture for the streaming dedup: the documents table split into 4
+    * id-ordered JSON micro-batch files (batch k = ntile(4) by doc_id —
+    * the exact assignment the DuckDB oracle replays), modification
+    * times strictly ascending so the file source drains them in batch
+    * order. Written by Spark jobs (filter + coalesce(1) per batch) —
+    * no driver-side row materialization. Keyed per data dir; sentinel-
+    * idempotent like t4FixtureDir. */
+  private def docsBatchFixtureDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val tag = Integer.toHexString(dir.hashCode)
+    val root = Paths.get(s"target/graft_stream_fixtures/docs_batches_$tag")
+    val sentinel = root.resolve(".complete")
+    if (!Files.exists(sentinel)) {
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(root)
+      val nt = graft.api.Graft.globalNtile(
+        graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        4, "batch", col("doc_id"))
+      (1 to 4).foreach { k =>
+        val tmp = root.resolve(s"tmp_b$k")
+        nt.filter(col("batch") === k).select(col("doc_id"), col("text"))
+          .coalesce(1).write.json(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+            p.getFileName.toString.startsWith("part-")).findFirst.get
+        val dest = root.resolve(f"b$k%02d.json")
+        Files.move(part, dest)
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        dest.toFile.setLastModified(1700000000000L + k * 60000L): Unit
+      }
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
   /** The streaming read schema is NOT hard-coded: it is probed from the
     * actual file footer through the same single-sourced loader the batch
     * path uses (graft.Tables), then `ts` is normalized to TimestampType
@@ -528,15 +566,143 @@ object StreamingOps {
         }
         .start()
       q.awaitTermination()
-      val rows = s.read.parquet(s"$stateRoot/v$version")
-        .orderBy(col("batch_key")).collect()
-      val schema = s.read.parquet(s"$stateRoot/v$version").schema
-      deleteRecursively(stateRoot.toFile)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // Return the final state parquet AS A PLAN (r8 verdict #4: no
+      // .collect() in any registered query path) — the caller's action
+      // reads the files distributed. Superseded versions are deleted;
+      // the final version stays on disk under target/ for the plan to
+      // read (temp dir, reaped with the build dir).
+      (0L until version).foreach { v =>
+        deleteRecursively(Paths.get(s"$stateRoot/v$v").toFile)
+      }
+      s.read.parquet(s"$stateRoot/v$version").orderBy(col("batch_key"))
+    }),
+
+    // STREAMING near-dup detection — the watermarked banding form of
+    // dedup_minhash_lsh (r8 verdict #8b): documents arrive in id-ordered
+    // micro-batches (ingest time = doc_id seconds), each doc's 6 LSH
+    // bands are computed map-side, and per-band state holds ONE
+    // canonical representative (the band's first doc in the current
+    // activity island) plus its last-seen time. An arriving doc links
+    // to its bands' canon — linear candidates by construction, the
+    // star-degradation discipline cappedBucketPairs applies to batch
+    // hot bands, here structural. EventTimeTimeout EVICTS a band idle
+    // past the horizon (150 s of ingest time), so state is bounded by
+    // the churn window, never corpus history — the property that makes
+    // streaming dedup deployable at all; a post-eviction arrival
+    // re-seeds the band with itself as the new canon.
+    // Determinism contract (what makes this oracle-checkable): batches
+    // are ntile(4)-by-doc_id files drained in order (AvailableNow,
+    // maxFilesPerTrigger=1); the watermark before batch j is
+    // max ts(batches < j) − 1 s; a group with data in a batch is never
+    // simultaneously timed out (Spark fMGWS semantics), so eviction
+    // between consecutive band arrivals a (batch i) → b (batch j)
+    // fires iff j ≥ i+2 AND max_id(batch j−2) − 1 > id_a + 150 — a
+    // closed-form gaps-and-islands predicate the DuckDB oracle replays
+    // exactly. Candidate links are exact-Jaccard-verified OUTSIDE the
+    // stream (batch join on the tiny link list), mirroring the batch
+    // family's two-tier shape.
+    "streaming_minhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val horizonSec = 150L
+      val srcDir = docsBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+      val banded = raw
+        .filter(size(split(col("text"), " ")) >= 2)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withWatermark("ts", "1 second")
+        .withColumn("mhs", graft.functions.TextSignatures.minHashSig(
+          graft.functions.TextSignatures.wordBigrams(col("text")), 12))
+        .select(col("ts"), col("doc_id"), explode(array((0 until 6).map(k =>
+          concat(lit(s"$k:"), element_at(col("mhs"), 2 * k + 1),
+                 element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
+      val links = banded
+        .select(col("band"), col("doc_id"), col("ts"))
+        .as[(String, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (_, it, state) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val rows = it.map(r => (r._3.getTime, r._2)).toArray.sorted
+              if (rows.isEmpty) Iterator.empty
+              else {
+                val canon = state.getOption.map(_._1).getOrElse(rows.head._2)
+                // materialize BEFORE the state update — a lazy iterator
+                // would observe post-update state
+                val out = rows.iterator
+                  .filter(_._2 != canon).map(r => (canon, r._2)).toArray
+                val lastTs = rows.last._1
+                state.update((canon, lastTs))
+                state.setTimeoutTimestamp(lastTs + horizonSec * 1000L)
+                out.iterator
+              }
+            }
+        }.toDF("a_id", "b_id")
+      val pairs = drain(s, links, "append").distinct()
+      val toks = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextSignatures
+          .wordBigramHashes(col("text")).as("bg"))
+      val inter = graft.functions.SortedIntersectCount
+        .sortedIntersectCountLong(col("bg_a"), col("bg_b"))
+      broadcast(pairs)
+        .join(toks.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
+        .join(toks.select(col("doc_id").as("b_id"), col("bg").as("bg_b")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(inter.cast("double") /
+            (size(col("bg_a")) + size(col("bg_b")) - inter), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // closed-form replay of the streaming banding state machine:
+    // batches = ntile(4) by doc_id, watermark(j) = max_id(j-1) - 1,
+    // eviction between consecutive band arrivals iff the prev doc's
+    // timeout (id + 150) lies strictly below the watermark current at
+    // some interior batch — monotone, so only wm(j-1) = bm[j-2] - 1
+    // matters; islands via running cut-sum, canon = island min, links
+    // verified by exact bigram Jaccard >= 0.5.
+    "streaming_minhash_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${graft.operators.DedupOps.bigramsSqlExpr} AS bg FROM documents),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs FROM mh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(6),
+         |  k -> k || ':' || mhs[2*k+1] || mhs[2*k+2])) AS band FROM sig),
+         |nt AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS batch FROM documents),
+         |bm AS (SELECT batch, max(doc_id) AS mx FROM nt GROUP BY batch),
+         |seq AS (SELECT b.band, b.doc_id, nt.batch,
+         |    lag(b.doc_id) OVER (PARTITION BY b.band ORDER BY b.doc_id) AS prev_id,
+         |    lag(nt.batch) OVER (PARTITION BY b.band ORDER BY b.doc_id) AS prev_batch
+         |  FROM bands b JOIN nt USING (doc_id)),
+         |cut AS (SELECT seq.band, seq.doc_id,
+         |    CASE WHEN seq.prev_id IS NULL THEN 1
+         |         WHEN seq.batch - seq.prev_batch >= 2
+         |              AND coalesce(bm2.mx, -1000000) - 1 > seq.prev_id + 150 THEN 1
+         |         ELSE 0 END AS c
+         |  FROM seq LEFT JOIN bm bm2 ON bm2.batch = seq.batch - 2),
+         |isl AS (SELECT band, doc_id,
+         |    sum(c) OVER (PARTITION BY band ORDER BY doc_id) AS island
+         |  FROM cut),
+         |canon AS (SELECT band, island, min(doc_id) AS canon_id
+         |  FROM isl GROUP BY band, island),
+         |links AS (SELECT DISTINCT canon_id AS a_id, i.doc_id AS b_id
+         |  FROM isl i JOIN canon USING (band, island) WHERE i.doc_id > canon_id),
+         |v AS (SELECT a_id, b_id,
+         |  round(len(list_intersect(ta.bg, tb.bg))::DOUBLE /
+         |        len(list_distinct(ta.bg || tb.bg)), 6) AS jaccard
+         |  FROM links JOIN toks ta ON ta.doc_id = a_id
+         |  JOIN toks tb ON tb.doc_id = b_id)
+         |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "streaming_event_counts" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -39,8 +39,12 @@ class PlanInvariantsSpec extends SparkSpec {
   test("dedup self-joins keep their materialization exchanges") {
     // salted Jaccard join: both sides pinned to a fixed-width exchange on
     // (lang, band, salt) — the barrier that materializes the shingle
-    // arrays AND defeats AQE's bytes-based coalescing of a CPU-bound join
-    val j = plan("dedup_ngram_jaccard")
+    // arrays AND defeats AQE's bytes-based coalescing of a CPU-bound
+    // join. Since r9 the registered queries consume the session-
+    // memoized CHECKPOINT of this build (their plans are a LogicalRDD
+    // scan), so the invariant is asserted on the build plan itself.
+    val j = operators.DedupOps.jaccardPairsBuild(spark, sf, 0.5)
+      .queryExecution.executedPlan.toString
     assert(j.contains("REPARTITION_BY_NUM"), j.take(600))
     assert(j.contains("salt"), j.take(600))
     assert(plan("dedup_simhash").contains("REPARTITION_BY_COL"))
