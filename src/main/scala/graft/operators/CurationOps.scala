@@ -246,6 +246,44 @@ object CurationOps {
         .orderBy(col("lang"))
     }),
 
+    // Rejection sampling to a TARGET mixture (uniform over langs) —
+    // the sampler family's fourth member next to nucleus cut,
+    // temperature reweighting, and water-filling: instead of
+    // reweighting shares, each doc is independently kept with
+    // p = min(1, target_l / current_l) = min(1, N/(L·n_l)), which
+    // exactly flattens the language mix in expectation with ONE
+    // map-side hash decision per row — no global sort, no per-stratum
+    // reservoir state, trivially restartable (the decision is a pure
+    // doc_id function). The accept test is the exact cross-multiplied
+    // integer form h·L·n_l < N·2^48 (p ≥ 1 needs no special case:
+    // h < 2^48 makes the inequality unconditionally true), so both
+    // engines keep the IDENTICAL doc set. Scale: |langs|-row rate
+    // table broadcast; everything else scan-rate.
+    "curate_rejection_sampling" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = byLang.agg(sum(col("n_l")).as("n"),
+                           count(lit(1)).as("nl_langs"))
+      val kept = d.join(broadcast(byLang), "lang").crossJoin(broadcast(tot))
+        .withColumn("h", conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":rej"))), 1, 12), 16, 10)
+          .cast("long"))
+        .withColumn("keep",
+          (expr("CAST(h AS DECIMAL(19,0)) * CAST(nl_langs * n_l AS DECIMAL(19,0))") <
+           expr("CAST(n AS DECIMAL(19,0)) * CAST(281474976710656 AS DECIMAL(19,0))"))
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_l")).as("n_before"), max(col("n")).as("n"),
+             max(col("nl_langs")).as("nl_langs"), sum(col("keep")).as("n_kept"))
+      kept.crossJoin(broadcast(kept.agg(sum(col("n_kept")).as("kept_total"))))
+        .select(col("lang"), col("n_before"),
+          least(lit(1000000L),
+            expr("n * 1000000 div (nl_langs * n_before)")).as("p_e6"),
+          col("n_kept"),
+          expr("n_kept * 1000000 div kept_total").as("kept_share_e6"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-smoothed mixture resampling (α = 0.5): the standard
     // rebalancing for multilingual/multi-source corpora — target share
     // ∝ share^α, which upweights tails and downweights the head. All
@@ -579,6 +617,30 @@ object CurationOps {
         |  max(total)::BIGINT AS total_chars,
         |  floor(1000000 * sum(n_chars) / max(total) + 0.5)::BIGINT AS share_e6
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "curate_rejection_sampling" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |bl AS (SELECT lang, count(*)::BIGINT AS n_l FROM d GROUP BY lang),
+        |tot AS (SELECT sum(n_l)::BIGINT AS n, count(*)::BIGINT AS nl_langs
+        |  FROM bl),
+        |k AS (SELECT d.lang, bl.n_l,
+        |    CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':rej'),
+        |          1, 12))::BIGINT::DECIMAL(19,0)
+        |        * ((SELECT nl_langs FROM tot) * bl.n_l)::DECIMAL(19,0)
+        |      < (SELECT n FROM tot)::DECIMAL(19,0)
+        |        * 281474976710656::DECIMAL(19,0)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM d JOIN bl USING (lang)),
+        |g AS (SELECT lang, max(n_l)::BIGINT AS n_before,
+        |    sum(keep)::BIGINT AS n_kept FROM k GROUP BY lang),
+        |kt AS (SELECT sum(n_kept)::BIGINT AS kept_total FROM g)
+        |SELECT lang, n_before,
+        |  least(1000000, (SELECT n FROM tot) * 1000000
+        |    // ((SELECT nl_langs FROM tot) * n_before))::BIGINT AS p_e6,
+        |  n_kept,
+        |  (n_kept * 1000000 // (SELECT kept_total FROM kt))::BIGINT
+        |    AS kept_share_e6
+        |FROM g ORDER BY lang""".stripMargin,
+
     "curate_temperature_mix" ->
       s"""WITH g AS (SELECT lang, count(*) AS n_docs,
          |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens

@@ -471,6 +471,56 @@ object EventOps {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Incremental maintenance of a DISTINCT-COUNT view via the
+    // mergeable-sketch contract — the third IVM delta rule after
+    // mv_incremental_agg (additive) and mv_incremental_join (join
+    // deltas): COUNT DISTINCT is NOT additive, so the maintained state
+    // is the HLL register table (StatSketchOps.hllRegisters), whose
+    // merge is per-register max — associative, commutative,
+    // idempotent, so ANY batch split refreshes to the identical
+    // registers a full rebuild produces. Three event_id-mod batches
+    // each sketch independently (the per-refresh O(Δ) path), merge by
+    // max, and the query emits merged estimate next to the
+    // direct-build estimate plus a register-equality count —
+    // registers_diff = 0 IS the merge law, gate-checked on both
+    // engines. At 100 TB the state is 64 rows per group, the refresh
+    // touches only the delta's rows, and the exact recount never runs.
+    "mv_incremental_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+                (col("event_id") % 3).as("b"))
+      val byBatch = StatSketchOps.hllRegisters(
+          ev.withColumn("__bk", concat(col("event_type"), lit(":"),
+            col("b").cast("string"))),
+          col("__bk"), col("user_id"))
+        .withColumn("event_type",
+          substring_index(col("__k"), ":", 1))
+        .groupBy(col("event_type"), col("r"))
+        .agg(max(col("m")).as("m")) // the IVM merge: per-register max
+      val direct = StatSketchOps.hllRegisters(ev, col("event_type"), col("user_id"))
+        .select(col("__k").as("event_type"), col("r"), col("m").as("m_d"))
+      val diff = byBatch.join(direct,
+          byBatch("event_type") === direct("event_type") &&
+          byBatch("r") === direct("r"), "full_outer")
+        .groupBy(coalesce(byBatch("event_type"), direct("event_type")).as("event_type"))
+        .agg(sum(when(col("m") <=> col("m_d"), 0L).otherwise(1L)).as("registers_diff"))
+      val estI = StatSketchOps.hllEstimate(
+          byBatch.select(col("event_type").as("__k"), col("r"), col("m")))
+        .select(col("__k").as("event_type"), col("v_regs"),
+                col("hll_est").as("hll_incr"))
+      val estD = StatSketchOps.hllEstimate(
+          direct.select(col("event_type").as("__k"), col("r"),
+            col("m_d").as("m")))
+        .select(col("__k").as("event_type"), col("hll_est").as("hll_direct"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      estI.join(estD, "event_type").join(diff, "event_type")
+        .join(exact, "event_type")
+        .select(col("event_type"), col("v_regs"), col("hll_incr"),
+                col("hll_direct"), col("registers_diff"), col("exact_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental maintenance of a JOIN view — the delta rule
     // mv_incremental_agg's additive merge cannot express: for
     // J = A ⋈ B, the refresh is ΔJ = ΔA⋈B ∪ A_old⋈ΔB ∪ ΔA⋈ΔB (three
@@ -513,6 +563,46 @@ object EventOps {
     // equi-join (hash join, one shuffle per side) and then cut by the
     // hour window — never a global clicks×purchases product; a hot
     // user would fall back to J5's interval-bucket decomposition.
+    // U-shaped (position-based 40/20/40) multi-touch attribution — the
+    // second standard credit model beside j_multitouch_attribution's
+    // linear split: first and last touch get 40% each, middles share
+    // the remaining 20%. Credit is EXACT integer basis points of
+    // integer cents (credited_e4 = cents × bps — no division anywhere):
+    // k=1 → 10000; k=2 → 5000/5000; k≥3 → 4000 / 2000 div (k−2) per
+    // middle / 4000 + the middle remainder on the LAST touch, so every
+    // purchase's credits sum to cents·10000 EXACTLY (conservation is
+    // arithmetic, not rounding-hope; spec-asserted). Same bounded
+    // interval join as the linear model (≤1 h of clicks per purchase),
+    // one rank window per purchase, aggregates by user.
+    "e_position_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+                col("ts").as("pts"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+      val pairs = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cts") >= col("pts") - expr("interval 1 hour") &&
+                col("cts") < col("pts"))
+      val wp = Window.partitionBy(col("pid"))
+      pairs
+        .withColumn("rk", row_number().over(wp.orderBy(col("cts"), col("cid"))))
+        .withColumn("k", count(lit(1)).over(wp))
+        .withColumn("bps", expr(
+          """CASE WHEN k = 1 THEN 10000
+            |     WHEN k = 2 THEN 5000
+            |     WHEN rk = 1 THEN 4000
+            |     WHEN rk = k THEN 4000 + 2000 % (k - 2)
+            |     ELSE 2000 div (k - 2) END""".stripMargin).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_touches"),
+             sum(col("cents") * col("bps")).as("attributed_c_e4"),
+             sum(when(col("rk") === 1 || col("rk") === col("k"),
+               col("cents") * col("bps")).otherwise(0L)).as("endpoint_c_e4"))
+        .orderBy(col("user_id"))
+    }),
+
     "j_multitouch_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1169,6 +1259,71 @@ object EventOps {
     // cumulative window and the argmax-by-(peak, earliest) run on that
     // metadata-sized table. Exact epoch-µs half-open intervals: an end
     // at t and a start at t never double-count.
+    // Event-time lateness audit — the batch replay of the decision a
+    // Structured Streaming watermark makes: with arrival order =
+    // event_id and delay D = 10 min, an event is "late" if its event
+    // time trails the running max of all PRIOR arrivals by more than
+    // D — exactly the rows `withWatermark` would drop from a stateful
+    // aggregate. The per-day census (n_late, worst lag) is how a
+    // pipeline CHOOSES D before deploying: set it at the observed lag
+    // tail, don't guess. Watermark state resets per day here so the
+    // running-max window stays partitioned (the global-stream form is
+    // the two-pass prefix-sum, Graft.globalOrderStats); exact integer
+    // µs everywhere.
+    "e_late_arrival_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("day")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("pm", max(col("us")).over(w))
+        .withColumn("late", coalesce(
+          (col("us") < col("pm") - 600000000L).cast("long"), lit(0L)))
+        .withColumn("lag_us",
+          greatest(coalesce(col("pm") - col("us"), lit(0L)), lit(0L)))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+             max(col("lag_us")).as("max_lag_us"))
+        .orderBy(col("day"))
+    }),
+
+    // Little's-law audit L = λW — the queueing-theory conservation
+    // check an ops pipeline runs to validate its concurrency and dwell
+    // telemetry against each other: the time integral of concurrent
+    // user-sessions over a day (swept exactly, w_peak_concurrency's
+    // ±1 machinery) must equal the plain sum of session durations,
+    // because every dwell interval lies inside its day window. The two
+    // sides are computed by INDEPENDENT plans (sweep + window vs one
+    // aggregate) and emitted side by side — equality is the audit (and
+    // the Round9Spec assert); L, λ, W land as exact integer-µs /
+    // e6-scaled rates. Scale: deltas collapse map-side onto (day, t)
+    // before the only per-day window; nothing global.
+    "e_littles_law_audit" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+                unix_micros(col("ts")).as("us"))
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      val deltas = sess.select(col("day"), col("t0").as("t"), lit(1L).as("d"))
+        .union(sess.select(col("day"), col("t1").as("t"), lit(-1L).as("d")))
+        .groupBy(col("day"), col("t")).agg(sum(col("d")).as("net"))
+      val wOrd = Window.partitionBy(col("day")).orderBy(col("t"))
+      val area = deltas
+        .withColumn("cc", sum(col("net")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("gap", coalesce(lead(col("t"), 1).over(wOrd), col("t")) - col("t"))
+        .groupBy(col("day")).agg(sum(col("cc") * col("gap")).as("area_us"))
+      sess.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("t1") - col("t0")).as("sum_dur_us"))
+        .join(area, "day")
+        .select(col("day"), col("n_sessions"), col("sum_dur_us"), col("area_us"),
+          expr("sum_dur_us div n_sessions").as("w_mean_us"),
+          expr("area_us * 1000000 div 86400000000").as("l_e6"),
+          expr("n_sessions * 1000000 div 86400").as("lambda_e6"))
+        .orderBy(col("day"))
+    }),
+
     "w_peak_concurrency" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
@@ -1694,10 +1849,76 @@ object EventOps {
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
 
     // incremental MV merge ≡ full rebuild (exact integer cents)
+    "mv_incremental_hll" ->
+      """WITH h AS (SELECT event_type, event_id % 3 AS b,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS v
+        |  FROM events),
+        |bb AS (SELECT event_type, b, v & 63 AS r,
+        |    max(CASE WHEN v >> 6 = 0 THEN 27
+        |      ELSE 27 - length(bin(v >> 6)) END) AS m
+        |  FROM h GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, r, max(m) AS m FROM bb GROUP BY 1, 2),
+        |direct AS (SELECT event_type, v & 63 AS r,
+        |    max(CASE WHEN v >> 6 = 0 THEN 27
+        |      ELSE 27 - length(bin(v >> 6)) END) AS m_d
+        |  FROM h GROUP BY 1, 2),
+        |diff AS (SELECT coalesce(a.event_type, d.event_type) AS event_type,
+        |    sum(CASE WHEN a.m IS NOT DISTINCT FROM d.m_d THEN 0 ELSE 1 END)
+        |      ::BIGINT AS registers_diff
+        |  FROM merged a FULL OUTER JOIN direct d
+        |    ON a.event_type = d.event_type AND a.r = d.r
+        |  GROUP BY 1),
+        |ei AS (SELECT event_type, count(*) AS v_regs,
+        |    sum(pow(2.0, -m)) AS s_occ FROM merged GROUP BY 1),
+        |ri AS (SELECT event_type, v_regs,
+        |    0.709 * 64 * 64 / (s_occ + (64 - v_regs)) AS raw FROM ei),
+        |hi AS (SELECT event_type, v_regs::BIGINT AS v_regs,
+        |    round(CASE WHEN raw <= 160 AND v_regs < 64
+        |      THEN 64.0 * ln(64.0 / (64 - v_regs)) ELSE raw END, 2)
+        |      AS hll_incr FROM ri),
+        |ed AS (SELECT event_type, count(*) AS v_regs,
+        |    sum(pow(2.0, -m_d)) AS s_occ FROM direct GROUP BY 1),
+        |rd AS (SELECT event_type, v_regs,
+        |    0.709 * 64 * 64 / (s_occ + (64 - v_regs)) AS raw FROM ed),
+        |hd AS (SELECT event_type,
+        |    round(CASE WHEN raw <= 160 AND v_regs < 64
+        |      THEN 64.0 * ln(64.0 / (64 - v_regs)) ELSE raw END, 2)
+        |      AS hll_direct FROM rd),
+        |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT
+        |    AS exact_distinct FROM events GROUP BY 1)
+        |SELECT hi.event_type, hi.v_regs, hll_incr, hll_direct,
+        |  registers_diff, exact_distinct
+        |FROM hi JOIN hd USING (event_type) JOIN diff USING (event_type)
+        |JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+
     "mv_incremental_agg" ->
       """SELECT event_type, ts::DATE AS day, count(*) AS n,
         |sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "e_position_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events
+        |  WHERE event_type = 'click'),
+        |pairs AS (SELECT pid, p.user_id, cents, cts, cid
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts),
+        |rk AS (SELECT pid, user_id, cents,
+        |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS rk,
+        |    count(*) OVER (PARTITION BY pid) AS k FROM pairs),
+        |b AS (SELECT user_id, cents, rk, k,
+        |    (CASE WHEN k = 1 THEN 10000
+        |          WHEN k = 2 THEN 5000
+        |          WHEN rk = 1 THEN 4000
+        |          WHEN rk = k THEN 4000 + 2000 % (k - 2)
+        |          ELSE 2000 // (k - 2) END)::BIGINT AS bps FROM rk)
+        |SELECT user_id, count(*)::BIGINT AS n_touches,
+        |  sum(cents * bps)::BIGINT AS attributed_c_e4,
+        |  sum(CASE WHEN rk = 1 OR rk = k THEN cents * bps ELSE 0 END)::BIGINT
+        |    AS endpoint_c_e4
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "j_multitouch_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
@@ -1913,6 +2134,42 @@ object EventOps {
         |  (cum_cents * 1000000 // n_cohort)::BIGINT AS ltv_per_user_e6
         |FROM cum JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e_late_arrival_audit" ->
+      """WITH ev AS (SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT day, us, max(us) OVER (PARTITION BY day
+        |    ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM ev)
+        |SELECT day, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN us < pm - 600000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_late,
+        |  max(greatest(coalesce(pm - us, 0), 0))::BIGINT AS max_lag_us
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    "e_littles_law_audit" ->
+      """WITH sess AS (SELECT ts::DATE AS day, user_id,
+        |    min(epoch_us(ts))::BIGINT AS t0, max(epoch_us(ts))::BIGINT AS t1
+        |  FROM events GROUP BY day, user_id),
+        |deltas AS (SELECT day, t, sum(d)::BIGINT AS net FROM (
+        |    SELECT day, t0 AS t, 1::BIGINT AS d FROM sess
+        |    UNION ALL SELECT day, t1, -1::BIGINT FROM sess)
+        |  GROUP BY day, t),
+        |sweep AS (SELECT day,
+        |    sum(net) OVER (PARTITION BY day ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    coalesce(lead(t) OVER (PARTITION BY day ORDER BY t), t) - t AS gap
+        |  FROM deltas),
+        |area AS (SELECT day, sum(cc * gap)::BIGINT AS area_us
+        |  FROM sweep GROUP BY day),
+        |agg AS (SELECT day, count(*)::BIGINT AS n_sessions,
+        |    sum(t1 - t0)::BIGINT AS sum_dur_us FROM sess GROUP BY day)
+        |SELECT agg.day, n_sessions, sum_dur_us, area_us,
+        |  (sum_dur_us // n_sessions)::BIGINT AS w_mean_us,
+        |  (area_us * 1000000 // 86400000000)::BIGINT AS l_e6,
+        |  (n_sessions * 1000000 // 86400)::BIGINT AS lambda_e6
+        |FROM agg JOIN area USING (day) ORDER BY day""".stripMargin,
 
     "w_peak_concurrency" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),

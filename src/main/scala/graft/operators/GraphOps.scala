@@ -221,6 +221,33 @@ object GraphOps {
     // integer-scaled rational (cn·1e6 div union), so the top-50 cut
     // has no floating ties; the ORDER BY ends in the unique (a, c)
     // key, so the selected SET is deterministic.
+    // 2-hop reach census — the BFS-frontier size distribution at depth
+    // 2, the expansion statistic a graph-sampling or feature-propagation
+    // stage sizes its neighborhoods by (GraphSAGE fan-out tuning reads
+    // exactly this table). One self-join of the shared checkpointed
+    // support-2 adjacency (no rebuild — the r8 #1 amortization), then
+    // DISTINCT + anti-join to drop multi-path duplicates and direct
+    // neighbors. Scale: the frontier join is Θ(Σ deg²) on the
+    // support-2 graph (the same bound the wedge queries carry — the
+    // support cut IS the degree cap); at 100 TB the standard extra
+    // guard is a per-node fan-out sample before the second hop, same
+    // plan shape.
+    "graph_2hop_reach" -> ((s, dir) => {
+      val e = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val two = adj.as("p").join(adj.as("q"), col("p.v") === col("q.u"))
+        .filter(col("p.u") =!= col("q.v"))
+        .select(col("p.u").as("u"), col("q.v").as("w2")).distinct()
+      val open = two.join(adj,
+        two("u") === adj("u") && two("w2") === adj("v"), "left_anti")
+      open.groupBy(col("u")).agg(count(lit(1)).as("n2hop"))
+        .join(deg, "u")
+        .select(col("u"), col("deg"), col("n2hop"))
+        .orderBy(col("n2hop").desc, col("u")).limit(25)
+    }),
+
     "graph_common_neighbors" -> ((s, dir) => {
       val e = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
         .select(col("a").as("ea"), col("b").as("eb"))
@@ -450,6 +477,23 @@ object GraphOps {
         |  FROM l2 LEFT JOIN s3 USING (v))
         |SELECT lbl::BIGINT AS component, count(*)::BIGINT AS n_nodes
         |FROM l3 GROUP BY lbl ORDER BY component""".stripMargin,
+
+    "graph_2hop_reach" ->
+      """WITH e AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY u),
+        |two AS (SELECT DISTINCT p.u AS u, q.v AS w2
+        |  FROM adj p JOIN adj q ON p.v = q.u WHERE p.u <> q.v),
+        |opn AS (SELECT t.u, t.w2 FROM two t
+        |  ANTI JOIN adj a ON t.u = a.u AND t.w2 = a.v),
+        |r AS (SELECT u, count(*)::BIGINT AS n2hop FROM opn GROUP BY u)
+        |SELECT r.u::BIGINT AS u, deg.deg, r.n2hop
+        |FROM r JOIN deg ON r.u = deg.u
+        |ORDER BY n2hop DESC, u LIMIT 25""".stripMargin,
 
     "graph_common_neighbors" ->
       """WITH e AS (SELECT ea, eb FROM (

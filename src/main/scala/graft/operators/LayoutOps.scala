@@ -222,6 +222,46 @@ object LayoutOps {
         .orderBy(col("shard8"))
     }),
 
+    // Consistent-hash RING with virtual nodes — the Dynamo/Cassandra
+    // placement dual of shard_rendezvous: keys land on the clockwise
+    // successor vnode, V=16 vnodes per shard smooth the arc-length
+    // variance that a 1-vnode ring suffers. Growing 8 → 9 shards adds
+    // ONLY shard 8's 16 vnodes (vnode positions hash (shard, j) and
+    // never re-derive from N — the consistency property), so exactly
+    // the keys in the stolen arcs move, ≈ V_new/V_total = 1/9, and
+    // every mover lands on shard 8 (LayoutOpsSpec asserts both).
+    // Assignment is ENTIRELY map-side: the 144-entry ring is a literal
+    // array HOF per row (filter pos ≥ h, struct-min, wrap to global
+    // min) — zero shuffles before the |shards|-row census, no
+    // directory service, same as rendezvous but with O(V·N) ring
+    // state instead of O(N) per-key hashing.
+    "shard_ring_vnodes" -> ((s, dir) => {
+      def ringAssign(nShards: Int): Column = {
+        val v = 16
+        val ring = transform(sequence(lit(0), lit(nShards * v - 1)), i =>
+          struct(
+            conv(substring(md5(concat(
+              pmod(i, lit(nShards)).cast("string"), lit(":"),
+              floor(i / lit(nShards)).cast("int").cast("string"),
+              lit(":ring"))), 1, 12), 16, 10).cast("long").as("pos"),
+            pmod(i, lit(nShards)).cast("long").as("sh")))
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("long")
+        val succ = filter(ring, e => e.getField("pos") >= h)
+        when(size(succ) > 0, array_min(succ))
+          .otherwise(array_min(ring)).getField("sh")
+      }
+      Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("shard8", ringAssign(8))
+        .withColumn("shard9", ringAssign(9))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum((col("shard9") =!= col("shard8")).cast("long")).as("n_moved"))
+        .select(col("shard8"), col("n_docs"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_docs"), 6).as("move_frac"))
+        .orderBy(col("shard8"))
+    }),
+
     // Differentially-private histogram release (ε = 1, sensitivity 1 →
     // Laplace b = 1) with DETERMINISTIC noise: u ∈ [0,1) is the
     // md5-prefix dyadic rational (48 bits / 2^48 — an exact double both
@@ -495,6 +535,29 @@ object LayoutOps {
         |  (count(DISTINCT (n_chars // 100)) >= 3)::INT AS diverse
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "shard_ring_vnodes" ->
+      """WITH keys AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |vn AS (SELECT i % 9 AS sh, i // 9 AS j,
+        |    ('0x' || substr(md5((i % 9)::VARCHAR || ':' ||
+        |      (i // 9)::VARCHAR || ':ring'), 1, 12))::BIGINT AS pos
+        |  FROM (SELECT unnest(range(144)) AS i)),
+        |a8 AS (SELECT doc_id, sh FROM (
+        |    SELECT k.doc_id, v.sh, row_number() OVER (PARTITION BY k.doc_id
+        |      ORDER BY (v.pos < k.h), v.pos, v.sh) AS rn
+        |    FROM keys k CROSS JOIN vn v WHERE v.sh < 8) WHERE rn = 1),
+        |a9 AS (SELECT doc_id, sh FROM (
+        |    SELECT k.doc_id, v.sh, row_number() OVER (PARTITION BY k.doc_id
+        |      ORDER BY (v.pos < k.h), v.pos, v.sh) AS rn
+        |    FROM keys k CROSS JOIN vn v) WHERE rn = 1)
+        |SELECT a8.sh::BIGINT AS shard8, count(*)::BIGINT AS n_docs,
+        |  sum((a9.sh <> a8.sh)::INT)::BIGINT AS n_moved,
+        |  round(sum((a9.sh <> a8.sh)::INT)::DOUBLE / count(*), 6)
+        |    AS move_frac
+        |FROM a8 JOIN a9 USING (doc_id)
+        |GROUP BY a8.sh ORDER BY shard8""".stripMargin,
+
     "shard_rendezvous" ->
       """WITH a AS (SELECT doc_id, s,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8))

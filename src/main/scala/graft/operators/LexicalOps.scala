@@ -221,6 +221,65 @@ object LexicalOps {
         .orderBy(col("qid"), col("doc_id"))
     }),
 
+    // ColBERT-style late interaction (Khattab & Zaharia 2020): MaxSim
+    // scoring — score(q,d) = Σ_{t∈q} max_{w∈d} cos(E(t), E(w)) — over
+    // deterministic char-trigram hash token embeddings (the per-TOKEN
+    // analogue of v1_hash_embed's per-doc recipe: '^'-'$'-padded
+    // trigrams hashed to 8 dims, integer counts, exact integer dot /
+    // double norms, e6-quantized per PAIR so the final score is an
+    // order-independent BIGINT sum). Candidates come from the exact
+    // posting-list prune (docs sharing ≥1 query token) — the honest
+    // production shape: embeddings are per-VOCAB-TERM (computed once,
+    // |vocab| rows, not per occurrence), the |q|×|vocab| dot table
+    // broadcasts, and per-candidate work is |distinct doc terms|×|q|.
+    // At 100 TB the vocab-level factorization is what keeps MaxSim
+    // feasible — token-occurrence-level scoring would be Θ(corpus
+    // tokens × |q|) with no reuse.
+    "retrieval_token_maxsim" -> ((s, dir) => {
+      val dt = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val qt = queriesDf(s)
+        .select(col("qid"), explode(split(col("qtext"), " ")).as("qterm"))
+        .distinct()
+      val cand = qt.join(dt, qt("qterm") === dt("term"))
+        .select(col("qid"), col("doc_id")).distinct()
+      def termVecs(terms: DataFrame): DataFrame = {
+        val g = terms.distinct()
+          .select(col("term"), explode(expr(
+            "transform(sequence(1, length(term)), " +
+            "i -> substring(concat('^', term, '$'), i, 3))")).as("gram"))
+          .withColumn("dim",
+            conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long") % 8)
+        val aggs = (0 until 8).map(k =>
+          sum(when(col("dim") === k, 1L).otherwise(0L)).as(s"c$k"))
+        g.groupBy(col("term")).agg(aggs.head, aggs.tail: _*)
+          .withColumn("norm", sqrt(expr(
+            "c0*c0+c1*c1+c2*c2+c3*c3+c4*c4+c5*c5+c6*c6+c7*c7")))
+      }
+      val dv = termVecs(dt.select(col("term")))
+      val qv = termVecs(qt.select(col("qterm").as("term")))
+        .select((Seq(col("term").as("qterm")) ++
+          (0 until 8).map(k => col(s"c$k").as(s"q$k")) :+
+          col("norm").as("qnorm")): _*)
+      val dots = dv.crossJoin(broadcast(qt.join(qv, "qterm")))
+        .select(col("qid"), col("qterm"), col("term"),
+          floor(expr("CAST(c0*q0+c1*q1+c2*q2+c3*q3+c4*q4+c5*q5+c6*q6+c7*q7 AS DOUBLE)") /
+            (col("norm") * col("qnorm")) * 1e6 + 0.5).cast("long").as("dot_e6"))
+      cand.join(dt, "doc_id")
+        .join(dots, Seq("qid", "term"))
+        .groupBy(col("qid"), col("doc_id"), col("qterm"))
+        .agg(max(col("dot_e6")).as("m"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("m")).as("maxsim_e6"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("maxsim_e6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("maxsim_e6"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hybrid retrieval: RRF fusion of the BM25 and embedding-cosine
     // rankers, rrf = Σ 1/(60 + rank), top-10 per query.
     "retrieval_hybrid_rrf" -> ((s, dir) => {
@@ -599,6 +658,54 @@ object LexicalOps {
         s"SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,\n" +
         s"  md5(text) AS enc_md5\nFROM e${pretrainedMerges.size} ORDER BY doc_id"
     },
+
+    "retrieval_token_maxsim" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |q(qid, qtext) AS (VALUES $queryValuesSql),
+         |dt AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d)
+         |  WHERE length(term) > 0),
+         |qt AS (SELECT DISTINCT qid,
+         |    unnest(string_split(qtext, ' ')) AS qterm FROM q),
+         |cand AS (SELECT DISTINCT qid, doc_id
+         |  FROM qt JOIN dt ON qt.qterm = dt.term),
+         |vocab AS (SELECT DISTINCT term FROM (
+         |  SELECT term FROM dt UNION SELECT qterm FROM qt)),
+         |g AS (SELECT term, substr('^' || term || '$$', i::INT, 3) AS gram
+         |  FROM vocab, unnest(range(1, length(term) + 1)) u(i)),
+         |hh AS (SELECT term,
+         |    ('0x' || substr(md5(gram), 1, 4))::BIGINT % 8 AS dim FROM g),
+         |v AS (SELECT term,
+         |    sum(CASE WHEN dim = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+         |    sum(CASE WHEN dim = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN dim = 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+         |    sum(CASE WHEN dim = 3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+         |    sum(CASE WHEN dim = 4 THEN 1 ELSE 0 END)::BIGINT AS c4,
+         |    sum(CASE WHEN dim = 5 THEN 1 ELSE 0 END)::BIGINT AS c5,
+         |    sum(CASE WHEN dim = 6 THEN 1 ELSE 0 END)::BIGINT AS c6,
+         |    sum(CASE WHEN dim = 7 THEN 1 ELSE 0 END)::BIGINT AS c7
+         |  FROM hh GROUP BY term),
+         |vn AS (SELECT term, c0, c1, c2, c3, c4, c5, c6, c7,
+         |    sqrt((c0*c0+c1*c1+c2*c2+c3*c3+c4*c4+c5*c5+c6*c6+c7*c7)::DOUBLE)
+         |      AS nrm FROM v),
+         |dots AS (SELECT qt.qid, qt.qterm, w.term,
+         |    floor((w.c0*a.c0 + w.c1*a.c1 + w.c2*a.c2 + w.c3*a.c3
+         |        + w.c4*a.c4 + w.c5*a.c5 + w.c6*a.c6 + w.c7*a.c7)::DOUBLE
+         |      / (w.nrm * a.nrm) * 1000000 + 0.5)::BIGINT AS dot_e6
+         |  FROM qt JOIN vn a ON a.term = qt.qterm
+         |  CROSS JOIN (SELECT * FROM vn
+         |    WHERE term IN (SELECT term FROM dt)) w),
+         |ms AS (SELECT c.qid, c.doc_id, o.qterm, max(o.dot_e6) AS m
+         |  FROM cand c JOIN dt ON dt.doc_id = c.doc_id
+         |  JOIN dots o ON o.term = dt.term AND o.qid = c.qid
+         |  GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, doc_id, sum(m)::BIGINT AS maxsim_e6
+         |  FROM ms GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, maxsim_e6, row_number() OVER (
+         |    PARTITION BY qid ORDER BY maxsim_e6 DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT qid, rank::INT AS rank, doc_id, maxsim_e6 FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "retrieval_hybrid_rrf" ->
       s"""$bm25Cte,

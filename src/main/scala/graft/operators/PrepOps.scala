@@ -152,6 +152,37 @@ object PrepOps {
         .orderBy(col("shard"))
     }),
 
+    // Hashing-trick feature space (Weinberger et al. 2009) + collision
+    // audit — the fixed-width featurizer every large-scale linear/GBDT
+    // pipeline uses when the vocabulary is unbounded: token → bucket =
+    // md5 mod B (B = 64), features need no vocabulary pass, no
+    // dictionary broadcast, no OOV handling. The audit is the part a
+    // production pipeline actually reviews before trusting B: per
+    // bucket, total token mass, DISTINCT terms folded in (collision
+    // degree), and the dominant term's share (e6 floor-div) — a bucket
+    // whose top term owns ≪1e6 is a lossy collision hotspot and argues
+    // for a bigger B. One explode + two vocab-bounded aggregates; the
+    // shuffle carries (bucket, term) partials, never raw text.
+    "prep_feature_hashing" -> ((s, dir) => {
+      val B = 64
+      val toks = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .withColumn("bucket",
+          conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % B)
+      val tc = toks.groupBy(col("bucket"), col("term"))
+        .agg(count(lit(1)).as("tn"))
+      tc.groupBy(col("bucket"))
+        .agg(sum(col("tn")).as("n_tokens"),
+             count(lit(1)).as("n_terms"),
+             max(struct(col("tn"), col("term"))).as("top"))
+        .select(col("bucket"), col("n_tokens"), col("n_terms"),
+          col("top.term").as("top_term"),
+          expr("(top.tn * 1000000) div n_tokens").as("top_share_e6"))
+        .orderBy(col("bucket"))
+    }),
+
     // Leave-one-out target encoding — the categorical-feature encoder
     // every tabular-ML pipeline ships (mean target per category,
     // excluding the row itself so the feature never leaks its own
@@ -181,6 +212,23 @@ object PrepOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "prep_feature_hashing" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tb AS (SELECT term,
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM toks WHERE len(term) > 0),
+        |tc AS (SELECT bucket, term, count(*)::BIGINT AS tn
+        |  FROM tb GROUP BY bucket, term),
+        |top AS (SELECT bucket, term, tn, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY tn DESC, term DESC) AS rn FROM tc),
+        |agg AS (SELECT bucket, sum(tn)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_terms FROM tc GROUP BY bucket)
+        |SELECT agg.bucket, agg.n_tokens, agg.n_terms,
+        |  top.term AS top_term,
+        |  (top.tn * 1000000 // agg.n_tokens)::BIGINT AS top_share_e6
+        |FROM agg JOIN top ON top.bucket = agg.bucket AND top.rn = 1
+        |ORDER BY agg.bucket""".stripMargin,
     "chunk_documents" ->
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks,
          |    len(string_split(text, ' ')) AS n FROM documents),

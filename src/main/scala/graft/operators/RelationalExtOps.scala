@@ -109,6 +109,43 @@ object RelationalExtOps {
           |  WHERE c_nationkey = n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    }),
+
+    // Band join |price_a − price_b| ≤ δ rewritten as a BUCKETED
+    // EQUI-JOIN — the standard trick for making an inequality join
+    // shuffle-partitionable: bucket each price by δ (50 integer
+    // cents), explode ONE side to its bucket ±1, equi-join on the
+    // bucket, then apply the exact band predicate. Every qualifying
+    // pair meets in exactly one bucket (the probe row's own), so no
+    // dedup pass is needed. Naively this join is a cartesian range
+    // scan (Catalyst falls back to BNLJ for pure inequality
+    // predicates); bucketed, it's a hash shuffle on ~|rows|·3 keys
+    // with per-bucket fan-in bounded by the value-density of δ —
+    // the plan that survives 100 TB. Census output: per brand pair,
+    // match count + the tightest/widest in-band gap.
+    "j_value_band_join" -> ((s, dir) => {
+      val delta = 50L // integer cents
+      val p = Tables.part(s, dir).select(col("p_partkey").as("pk"),
+        col("p_brand").as("brand"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+      val a = p.withColumn("bkt", expr(s"cents div $delta"))
+      val b = p.select(col("pk").as("pk2"), col("brand").as("brand2"),
+          col("cents").as("cents2"))
+        .withColumn("bkt", explode(array(
+          expr(s"cents2 div $delta - 1"), expr(s"cents2 div $delta"),
+          expr(s"cents2 div $delta + 1"))))
+      a.join(b, Seq("bkt"))
+        // each qualifying pair meets exactly once: the join key is the
+        // UNEXPLODED side's own bucket, which the exploded side emits once
+        .filter(col("pk") < col("pk2") && col("brand") =!= col("brand2") &&
+                abs(col("cents") - col("cents2")) <= delta)
+        .select(least(col("brand"), col("brand2")).as("brand_lo"),
+                greatest(col("brand"), col("brand2")).as("brand_hi"),
+                abs(col("cents") - col("cents2")).as("gap"))
+        .groupBy(col("brand_lo"), col("brand_hi"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap_c"),
+             max(col("gap")).as("max_gap_c"))
+        .orderBy(col("brand_lo"), col("brand_hi"))
     })
   )
 
@@ -150,6 +187,17 @@ object RelationalExtOps {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
-        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+    "j_value_band_join" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_brand AS brand,
+        |    floor(p_retailprice * 100 + 0.5)::BIGINT AS cents FROM part)
+        |SELECT least(a.brand, b.brand) AS brand_lo,
+        |  greatest(a.brand, b.brand) AS brand_hi,
+        |  count(*)::BIGINT AS n_pairs,
+        |  min(abs(a.cents - b.cents))::BIGINT AS min_gap_c,
+        |  max(abs(a.cents - b.cents))::BIGINT AS max_gap_c
+        |FROM p a JOIN p b ON a.pk < b.pk AND a.brand <> b.brand
+        |  AND abs(a.cents - b.cents) <= 50
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -420,6 +420,51 @@ object RetrievalOps {
         .orderBy(col("nprobe"))
     }),
 
+    // ANN, RESIDUAL-quantization variant (the additive-codebook family:
+    // Chen et al. 2010 RVQ / faiss ResidualQuantizer) — the third
+    // codebook geometry beside IVF (partition) and PQ (subspace
+    // product): a coarse level-1 codebook (the shared ivfModel, K=8)
+    // approximates each vector; a level-2 codebook with K=8 is trained
+    // ON THE RESIDUALS v − c1(v), so reconstruction v̂ = c1 + c2
+    // refines additively and the score decomposes as q·v̂ = q·c1 + q·c2
+    // — two broadcast-table lookups per doc, embeddings never touched
+    // at query time. Level-2 training is the same deterministic
+    // unrolled k-means discipline (init vec_id % 8, one Lloyd
+    // refinement) so the DuckDB oracle replays it CTE for CTE.
+    // Scale: residual compute is map-side (broadcast centroids,
+    // zip_with subtract); each training step shuffles only (cell, dim)
+    // digests; scoring joins the 2-small-int code table against two
+    // broadcast K×dim tables. Codes are 6 bits/vector vs 64 doubles.
+    "ann_rq_topk" -> ((s, dir) => {
+      val c = corpusMat(s, dir)
+      val (cent1, lists) = ivfModel(c, k = 8)
+      val resid = c.join(lists, "vec_id")
+        .join(broadcast(cent1), "g")
+        .select(col("vec_id"), col("g").as("g1"),
+          zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+        .repartition(col("vec_id"))
+      val rframe = resid.select(col("vec_id"), col("r").as("v"))
+      val d0 = kmCentroidsOf(rframe,
+        rframe.select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g")))
+      val d1 = kmCentroidsOf(rframe, kmAssignTo(rframe, d0))
+      val codes2 = kmAssignTo(rframe, d1)
+        .select(col("vec_id"), col("g").as("g2"))
+      val q = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      resid.select(col("vec_id"), col("g1")).join(codes2, "vec_id")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(cent1.select(col("g").as("g1"), col("cv").as("c1v"))), "g1")
+        .join(broadcast(d1.select(col("g").as("g2"), col("cv").as("c2v"))), "g2")
+        .withColumn("score", dot(col("qv"), col("c1v")) + dot(col("qv"), col("c2v")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"),
+                round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN, product-quantization variant (Jégou et al. 2011, the faiss
     // `PQ` index family): each 64-dim vector is encoded as M=4 codes,
     // one per 16-dim subspace, against per-subspace codebooks of K=16
@@ -1129,6 +1174,43 @@ object RetrievalOps {
         |  row_number() OVER (PARTITION BY qid ORDER BY iscore DESC, vec_id) AS rank
         |  FROM sc)
         |SELECT qid, rank::INT AS rank, vec_id, iscore
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // residual quantization: level-1 = the shared ivf k-means (c2/a3),
+    // level-2 = one-refinement k-means on the residuals, score =
+    // q·c1 + q·c2 replayed CTE for CTE
+    "ann_rq_topk" ->
+      s"""$ivfKmeansCte,
+        |resid AS (SELECT e.vec_id, a3.g AS g1,
+        |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]) AS r
+        |  FROM e JOIN a3 USING (vec_id) JOIN c2 c USING (g)),
+        |rsx AS (SELECT vec_id, unnest(r) AS x,
+        |    unnest(range(1, len(r) + 1)) AS dim FROM resid),
+        |rc0 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT (vec_id % 8) AS g, dim, avg(x) AS cx
+        |    FROM rsx GROUP BY g, dim) GROUP BY g),
+        |ra1 AS (SELECT vec_id, g FROM (
+        |    SELECT r.vec_id, c.g, row_number() OVER (PARTITION BY r.vec_id
+        |      ORDER BY list_dot_product(r.r, c.cv) DESC, c.g) AS cr
+        |    FROM resid r CROSS JOIN rc0 c) WHERE cr = 1),
+        |rc1 AS (SELECT g, list(cx ORDER BY dim) AS cv FROM (
+        |    SELECT a.g, sx.dim, avg(sx.x) AS cx
+        |    FROM rsx sx JOIN ra1 a USING (vec_id) GROUP BY a.g, sx.dim)
+        |  GROUP BY g),
+        |ra2 AS (SELECT vec_id, g AS g2 FROM (
+        |    SELECT r.vec_id, c.g, row_number() OVER (PARTITION BY r.vec_id
+        |      ORDER BY list_dot_product(r.r, c.cv) DESC, c.g) AS cr
+        |    FROM resid r CROSS JOIN rc1 c) WHERE cr = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q.qid, rr.vec_id,
+        |    list_dot_product(q.qv, l1.cv) + list_dot_product(q.qv, l2.cv)
+        |      AS score
+        |  FROM resid rr JOIN ra2 USING (vec_id)
+        |  JOIN c2 l1 ON l1.g = rr.g1 JOIN rc1 l2 ON l2.g = ra2.g2
+        |  CROSS JOIN q WHERE rr.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM sc)
+        |SELECT qid, rank::INT AS rank, vec_id, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // the same IVF model, swept nprobe 1..4 against brute-force top-3

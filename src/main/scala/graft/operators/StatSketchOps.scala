@@ -731,6 +731,226 @@ object StatSketchOps {
         .orderBy(col("day"))
     }),
 
+    // Randomization (approximate permutation) test for an A/B readout —
+    // the nonparametric significance check that completes the testing
+    // family (parametric Welch, rank MWU, ECDF KS, runs, χ², CUSUM →
+    // resampling): buckets A/B = event_id parity, statistic = the mean
+    // difference of integer cents, null distribution = B = 16
+    // deterministic Bernoulli(1/2) relabelings (md5(event_id:b) low
+    // bit — the Poisson-bootstrap hash-randomness recipe; true
+    // size-preserving permutation needs a global shuffle, Bernoulli
+    // relabeling is the distributed standard and converges to it).
+    // |Δ| comparisons are EXACT cross-multiplied fractions in
+    // DECIMAL(38,0) — |Δ_b| ≥ |Δ_obs| ⟺ |A_b|·n1ₒn2ₒ ≥ |A_o|·n1ᵦn2ᵦ
+    // with A = S1·n2 − S2·n1 — so the p-value is a deterministic
+    // integer count over 16, never an FP coin flip. B = 16 keeps the
+    // oracle replay bounded; production raises B, same plan. Scale:
+    // map-side explode ×B, one (type, b) digest shuffle.
+    "stat_randomization_test" -> ((s, dir) => {
+      val B = 16
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      def sides(g: org.apache.spark.sql.Column) = Seq(
+        sum(when(g === 0, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(g === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(g === 1, col("cents")).otherwise(0L)).as("s2"),
+        sum(when(g === 1, 1L).otherwise(0L)).as("n2"))
+      // |A| = |S1·n2 − S2·n1| ≤ ~2.5e14 and D = n1·n2 ≤ ~2.5e9 both fit
+      // BIGINT; only the cross-comparison product (~6e23) needs the
+      // DECIMAL(19)×DECIMAL(19) widening below
+      val obs = ev.groupBy(col("event_type"))
+        .agg(sides(pmod(col("event_id"), lit(2))).head,
+             sides(pmod(col("event_id"), lit(2))).tail: _*)
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr("abs(s1 * n2 - s2 * n1)").as("a_obs"),
+          expr("n1 * n2").as("d_obs"))
+      val perm = ev
+        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("flip",
+          conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+        .withColumn("g", pmod(col("event_id") + col("flip"), lit(2)))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sides(col("g")).head, sides(col("g")).tail: _*)
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("event_type"),
+          expr("abs(s1 * n2 - s2 * n1)").as("a_b"),
+          expr("n1 * n2").as("d_b"))
+      perm.join(broadcast(obs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(when(
+            expr("CAST(a_b AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))") >=
+            expr("CAST(a_obs AS DECIMAL(19,0)) * CAST(d_b AS DECIMAL(19,0))"), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Poisson bootstrap CI (Chamandy et al. 2012 — THE distributed
+    // bootstrap: classical resampling needs a global n-out-of-n draw,
+    // which cannot be computed per-partition; weighting every row
+    // independently Poisson(1) per replica is map-side, one aggregate,
+    // and converges to the same CI). B = 16 replicas; the per-(row,
+    // replica) weight is the Poisson(1) inverse CDF applied to the
+    // 48-bit md5 dyadic uniform (privacy_dp_histogram's recipe), so
+    // the "randomness" is a pure deterministic hash both engines
+    // replay — rerun-invariant, layout-invariant. Replica means are
+    // exact integer-cent floor-divisions; the 90%-ish CI is the
+    // (2nd, 15th) order statistic of the 16 replica means under a
+    // (mean, replica-id) total order. Scale: the explode is B× the
+    // fact rows but map-side only; the shuffle carries |types|×B
+    // partial-sum rows.
+    "stat_poisson_bootstrap_ci" -> ((s, dir) => {
+      val B = 16
+      // Poisson(1) CDF literals — shared verbatim with the oracle
+      val cdf = Seq(
+        "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+        "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+        "0.9999167588507119", "0.9999897508637437")
+      val wExpr = cdf.zipWithIndex.foldRight(s"${cdf.length}": String) {
+        case ((c, k), rest) => s"CASE WHEN __u < $c THEN $k ELSE $rest END"
+      }
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val reps = ev
+        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("__u",
+          conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))), 1, 12), 16, 10)
+            .cast("long").cast("double") / lit(281474976710656.0))
+        .withColumn("w", expr(wExpr).cast("long"))
+      val means = reps.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+        .filter(col("sw") > 0) // Poisson zero-replica guard, both engines
+        .select(col("event_type"), col("b"),
+                expr("swc div sw").as("mean_c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("mean_c"), col("b"))))
+      val full = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             expr("sum(cents) div count(1)").as("mean_c"))
+      full.join(
+          means.filter(col("rn") === 2)
+            .select(col("event_type"), col("mean_c").as("ci_lo_c")),
+          Seq("event_type"))
+        .join(
+          means.filter(col("rn") === B - 1)
+            .select(col("event_type"), col("mean_c").as("ci_hi_c")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Neyman-optimal stratified sampling allocation — the survey-design
+    // primitive a corpus-sampling stage runs before drawing an audit
+    // sample: allocate a fixed label budget across strata ∝ N_h·σ_h
+    // (minimum-variance for a fixed total n). σ_h comes from the EXACT
+    // integer sum-of-squares (n·Σx² − (Σx)² — one aggregate, no
+    // two-pass mean), the weight is e6-quantized, and the integer
+    // largest-remainder rounding (base = budget·w div Σw, +1 to the
+    // largest budget·w mod Σw) guarantees Σ n_alloc == budget EXACTLY
+    // on both engines — no FP share ever decides an allocation. The
+    // windows run over the |strata|-row weight table (bounded).
+    "stat_neyman_allocation" -> ((s, dir) => {
+      val budget = 100L
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(1))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_h"), sum(col("n_chars")).as("sx"),
+             sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .filter(col("n_h") > 1)
+        // w_h = N_h · s_h, s_h² = (nΣx² − (Σx)²) / (n(n−1)); quantized
+        // once at e6, all allocation arithmetic integer from here on
+        .withColumn("w_e6", floor(col("n_h") * sqrt(
+            (col("n_h") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n_h") * (col("n_h") - 1)).cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+        .withColumn("wsum", sum(col("w_e6")).over(wAll))
+        .withColumn("base", expr(s"$budget * w_e6 div wsum"))
+        .withColumn("rem", expr(s"$budget * w_e6 % wsum"))
+        .withColumn("spill", lit(budget) - sum(col("base")).over(wAll))
+        .withColumn("rrank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_h"), col("w_e6"),
+          (col("base") + when(col("rrank") <= col("spill"), 1L).otherwise(0L))
+            .as("n_alloc"))
+        .orderBy(col("source"))
+    }),
+
+    // Benjamini–Hochberg FDR step-up over a FAMILY of tests — the
+    // multiple-testing correction a drift monitor needs the moment it
+    // runs one test per feature/source (20 sources at α=0.10 expect 2
+    // false alarms uncorrected; BH bounds the FALSE DISCOVERY RATE, not
+    // the per-test rate). The family here: per-source two-sample
+    // randomization test of document length (source vs rest of corpus),
+    // the stat_randomization_test machinery with Bernoulli(n1/n)
+    // membership relabelings — u·n < n1·2^48 on the 48-bit md5 dyadic
+    // uniform, so null replicas match the observed group size in
+    // expectation and both engines replay the identical draw. p-values
+    // are exact integer counts over B=16; the step-up needs only
+    // p_(i)·m ≤ i·α·1e6 integer comparisons and ONE max over the
+    // m-row p-table (global window over |sources| rows — bounded by
+    // the source-domain cardinality, PLANS.md census class). Scale:
+    // the explode is |sources|×B× map-side; the only data shuffle is
+    // the (source, b) digest.
+    "stat_bh_fdr" -> ((s, dir) => {
+      val B = 16
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+      val tot = docs.agg(count(lit(1)).as("n"), sum(col("len")).as("st"))
+      val obs = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n1"), sum(col("len")).as("s1"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n1").as("n_src"),
+          expr("abs(s1 * (n - n1) - (st - s1) * n1)").as("a_obs"),
+          expr("n1 * (n - n1)").as("d_obs"))
+      val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n1o"))
+      val perm = docs
+        .crossJoin(broadcast(srcs.select(col("source").as("src"), col("n1o"))))
+        .crossJoin(broadcast(tot))
+        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("h", conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":"), col("src"), lit(":"),
+            col("b").cast("string"))), 1, 12), 16, 10).cast("long"))
+        // Bernoulli(n1/n) membership: h/2^48 < n1/n, cross-multiplied
+        // exactly in DECIMAL so no corpus size can overflow it
+        .withColumn("m", (expr("CAST(h AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))") <
+          expr("CAST(n1o AS DECIMAL(19,0)) * CAST(281474976710656 AS DECIMAL(19,0))")).cast("long"))
+        .groupBy(col("src"), col("b"))
+        .agg(sum(col("m") * col("len")).as("s1b"), sum(col("m")).as("n1b"),
+             max(col("n")).as("n"), max(col("st")).as("st"))
+        .filter(col("n1b") > 0 && col("n1b") < col("n"))
+        .select(col("src"),
+          expr("abs(s1b * (n - n1b) - (st - s1b) * n1b)").as("a_b"),
+          expr("n1b * (n - n1b)").as("d_b"))
+      val p = perm.join(broadcast(obs), perm("src") === obs("source"))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_src"),
+          sum(when(
+            expr("CAST(a_b AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))") >=
+            expr("CAST(a_obs AS DECIMAL(19,0)) * CAST(d_b AS DECIMAL(19,0))"), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
+      // BH step-up at α = 0.10: reject all i ≤ k, k = max{i : p_(i)·m ≤ i·100000}.
+      // Both windows run over the m-row p-table (|sources| rows, bounded).
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(1))
+      p.withColumn("m_tests", count(lit(1)).over(wAll))
+        .withColumn("bh_rank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("p_e6"), col("source"))))
+        .withColumn("k", max(when(
+            col("p_e6") * col("m_tests") <= col("bh_rank") * 100000L,
+            col("bh_rank")).otherwise(0L)).over(wAll))
+        .select(col("source"), col("n_src"), col("p_e6"),
+          col("bh_rank").cast("long").as("bh_rank"),
+          (col("bh_rank") <= col("k")).cast("long").as("rejected"))
+        .orderBy(col("bh_rank"))
+    }),
+
     // Spearman rank correlation per language between document length
     // (n_chars) and whitespace token count — the monotone-association
     // check run before trusting either as a proxy for the other in
@@ -755,6 +975,67 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "stat_neyman_allocation" ->
+      """WITH st AS (SELECT source, count(*)::BIGINT AS n_h,
+        |    sum(n_chars)::BIGINT AS sx,
+        |    sum(n_chars * n_chars)::BIGINT AS sxx
+        |  FROM documents GROUP BY source HAVING count(*) > 1),
+        |w AS (SELECT source, n_h,
+        |    floor(n_h * sqrt((n_h * sxx - sx * sx)::DOUBLE /
+        |      (n_h * (n_h - 1))::DOUBLE) * 1000000 + 0.5)::BIGINT AS w_e6
+        |  FROM st),
+        |t AS (SELECT source, n_h, w_e6, sum(w_e6) OVER () AS wsum FROM w),
+        |b AS (SELECT source, n_h, w_e6,
+        |    (100 * w_e6) // wsum AS base, (100 * w_e6) % wsum AS rem,
+        |    100 - sum((100 * w_e6) // wsum) OVER () AS spill FROM t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |    AS rrank FROM b)
+        |SELECT source, n_h, w_e6,
+        |  (base + CASE WHEN rrank <= spill THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    "stat_bh_fdr" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars AS len FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS st
+        |  FROM documents),
+        |obs AS (SELECT source, count(*)::BIGINT AS n_src,
+        |    abs(sum(len) * ((SELECT n FROM tot) - count(*))
+        |        - ((SELECT st FROM tot) - sum(len)) * count(*))::BIGINT AS a_obs,
+        |    (count(*) * ((SELECT n FROM tot) - count(*)))::BIGINT AS d_obs
+        |  FROM docs GROUP BY source),
+        |grid AS (SELECT d.doc_id, d.len, s.source AS src, s.n_src AS n1o, b
+        |  FROM docs d CROSS JOIN obs s
+        |  CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |mem AS (SELECT src, b, len,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || src
+        |            || ':' || b::VARCHAR), 1, 12))::BIGINT::DECIMAL(19,0)
+        |          * (SELECT n FROM tot)::DECIMAL(19,0)
+        |        < n1o::DECIMAL(19,0) * 281474976710656::DECIMAL(19,0)
+        |      THEN 1 ELSE 0 END AS m
+        |  FROM grid),
+        |pg AS (SELECT src, b, sum(m * len)::BIGINT AS s1b,
+        |    sum(m)::BIGINT AS n1b FROM mem GROUP BY src, b),
+        |pc AS (SELECT src,
+        |    abs(s1b * ((SELECT n FROM tot) - n1b)
+        |        - ((SELECT st FROM tot) - s1b) * n1b)::BIGINT AS a_b,
+        |    (n1b * ((SELECT n FROM tot) - n1b))::BIGINT AS d_b
+        |  FROM pg WHERE n1b > 0 AND n1b < (SELECT n FROM tot)),
+        |pv AS (SELECT o.source, o.n_src,
+        |    ((sum(CASE WHEN a_b::DECIMAL(19,0) * d_obs::DECIMAL(19,0)
+        |               >= a_obs::DECIMAL(19,0) * d_b::DECIMAL(19,0)
+        |        THEN 1 ELSE 0 END) * 1000000) // 16)::BIGINT AS p_e6
+        |  FROM pc JOIN obs o ON pc.src = o.source
+        |  GROUP BY o.source, o.n_src),
+        |rk AS (SELECT source, n_src, p_e6,
+        |    row_number() OVER (ORDER BY p_e6, source) AS bh_rank,
+        |    count(*) OVER () AS m_tests FROM pv),
+        |kk AS (SELECT *, max(CASE WHEN p_e6 * m_tests <= bh_rank * 100000
+        |    THEN bh_rank ELSE 0 END) OVER () AS k FROM rk)
+        |SELECT source, n_src, p_e6, bh_rank::BIGINT AS bh_rank,
+        |  (bh_rank <= k)::BIGINT AS rejected
+        |FROM kk ORDER BY bh_rank""".stripMargin,
+
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
         |  FROM events GROUP BY day),
@@ -776,6 +1057,72 @@ object StatSketchOps {
         |  greatest(0, cum - least(0, prior_min))::BIGINT AS cusum_pos_scaled,
         |  greatest(0, greatest(0, prior_max) - cum)::BIGINT AS cusum_neg_scaled
         |FROM cm ORDER BY day""".stripMargin,
+
+    "stat_randomization_test" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |obs AS (SELECT event_type,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN cents ELSE 0 END)::BIGINT AS s2,
+        |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM ev GROUP BY event_type),
+        |obc AS (SELECT event_type, n1, n2,
+        |    abs(s1 * n2 - s2 * n1)::BIGINT AS a_obs,
+        |    (n1 * n2)::BIGINT AS d_obs FROM obs),
+        |pe AS (SELECT event_type, b, cents, event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR), 1, 8))
+        |      ::BIGINT % 2 AS flip
+        |  FROM ev CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |pg AS (SELECT event_type, b,
+        |    sum(CASE WHEN (event_id + flip) % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN (event_id + flip) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN (event_id + flip) % 2 = 1 THEN cents ELSE 0 END)::BIGINT AS s2,
+        |    sum(CASE WHEN (event_id + flip) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM pe GROUP BY event_type, b),
+        |pc AS (SELECT event_type,
+        |    abs(s1 * n2 - s2 * n1)::BIGINT AS a_b, (n1 * n2)::BIGINT AS d_b
+        |  FROM pg WHERE n1 > 0 AND n2 > 0)
+        |SELECT o.event_type, o.n1, o.n2,
+        |  sum(CASE WHEN a_b::DECIMAL(19,0) * d_obs::DECIMAL(19,0)
+        |             >= a_obs::DECIMAL(19,0) * d_b::DECIMAL(19,0)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+        |  ((sum(CASE WHEN a_b::DECIMAL(19,0) * d_obs::DECIMAL(19,0)
+        |              >= a_obs::DECIMAL(19,0) * d_b::DECIMAL(19,0)
+        |       THEN 1 ELSE 0 END) * 1000000) // 16)::BIGINT AS p_e6
+        |FROM pc JOIN obc o USING (event_type)
+        |GROUP BY o.event_type, o.n1, o.n2
+        |ORDER BY o.event_type""".stripMargin,
+
+    "stat_poisson_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |reps AS (SELECT event_type, cents, b,
+        |    (('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR), 1, 12))
+        |      ::BIGINT)::DOUBLE / 281474976710656.0 AS u
+        |  FROM ev CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |ww AS (SELECT event_type, cents, b,
+        |    (CASE WHEN u < 0.36787944117144233 THEN 0
+        |          WHEN u < 0.7357588823428847 THEN 1
+        |          WHEN u < 0.9196986029286058 THEN 2
+        |          WHEN u < 0.9810118431238462 THEN 3
+        |          WHEN u < 0.9963401531726563 THEN 4
+        |          WHEN u < 0.9994058151824183 THEN 5
+        |          WHEN u < 0.9999167588507119 THEN 6
+        |          WHEN u < 0.9999897508637437 THEN 7
+        |          ELSE 8 END)::BIGINT AS w FROM reps),
+        |m AS (SELECT event_type, b, (sum(w * cents) // sum(w))::BIGINT AS mean_c
+        |  FROM ww GROUP BY event_type, b HAVING sum(w) > 0),
+        |r AS (SELECT event_type, mean_c, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY mean_c, b) AS rn FROM m),
+        |f AS (SELECT event_type, count(*)::BIGINT AS n_events,
+        |    (sum(cents) // count(*))::BIGINT AS mean_c FROM ev GROUP BY event_type)
+        |SELECT f.event_type, f.n_events, f.mean_c,
+        |  lo.mean_c AS ci_lo_c, hi.mean_c AS ci_hi_c
+        |FROM f
+        |JOIN (SELECT event_type, mean_c FROM r WHERE rn = 2) lo USING (event_type)
+        |JOIN (SELECT event_type, mean_c FROM r WHERE rn = 15) hi USING (event_type)
+        |ORDER BY f.event_type""".stripMargin,
 
     // runs test: integer sign sequence, nested floor-div moments
     "stat_runs_test" ->

@@ -202,6 +202,47 @@ object TextAnalysisOps {
         .orderBy(col("lang"), col("decile"))
     }),
 
+    // Content-defined chunking (the FastCDC/rsync boundary family) —
+    // the dedup-stable chunker: a chunk boundary falls wherever the
+    // rolling w=8-gram hash lands in 1/16 of its range, so an edit
+    // only reshapes the chunks it touches while every other boundary
+    // stays put (byte-offset chunking would shift ALL downstream
+    // chunks). The per-lang census (chunk count, mean/max length,
+    // conservation total) is the tuning table a CAS/dedup store reads
+    // before picking the divisor. Scale: the position explode is
+    // map-side (×len per doc, column-pruned to (doc_id, lang, text));
+    // the boundary filter keeps ~1/16 of positions; the only shuffle
+    // is the per-doc window on boundary rows, keyed by doc_id —
+    // partitioned, never global. Both engines evaluate the IDENTICAL
+    // boundary predicate (md5 of the trailing 8-gram, low 4 bits = 0),
+    // so chunk edges replay bit-for-bit.
+    "ta_cdc_chunking" -> ((s, dir) => {
+      val w = 8
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= w)
+        .select(col("doc_id"), col("lang"), col("text"),
+                length(col("text")).cast("long").as("len"))
+      val bounds = d
+        .select(col("doc_id"), col("lang"), col("text"), col("len"),
+                explode(sequence(lit(w.toLong), col("len"))).as("i"))
+        .filter(conv(substring(md5(expr("substring(text, i - 7, 8)")), 1, 2),
+          16, 10).cast("long") % 16 === 0)
+        .select(col("doc_id"), col("lang"), col("i"))
+      val ends = bounds
+        .union(d.select(col("doc_id"), col("lang"), col("len").as("i")))
+        .distinct()
+      val ch = ends.withColumn("clen",
+        col("i") - coalesce(lag(col("i"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))), lit(0L)))
+      ch.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_chunks"),
+             sum(col("clen")).as("total_chars"),
+             expr("sum(clen) * 100 div count(1)").as("mean_chunk_len_e2"),
+             max(col("clen")).as("max_chunk_len"))
+        .orderBy(col("lang"))
+    }),
+
     // Content fingerprint: md5 over the sorted distinct token set
     // (order-insensitive bag-of-words identity).
     "ta_fingerprint" -> ((s, dir) =>
@@ -533,6 +574,27 @@ object TextAnalysisOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "ta_cdc_chunking" ->
+      """WITH d AS (SELECT doc_id, lang, text, length(text)::BIGINT AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |pos AS (SELECT doc_id, lang, text, len,
+        |    unnest(range(8, len + 1)) AS i FROM d),
+        |b AS (SELECT doc_id, lang, i::BIGINT AS i FROM pos
+        |  WHERE ('0x' || substr(md5(substr(text, (i - 7)::INT, 8)), 1, 2))
+        |    ::BIGINT % 16 = 0),
+        |ends AS (SELECT DISTINCT doc_id, lang, i FROM (
+        |  SELECT doc_id, lang, i FROM b
+        |  UNION ALL SELECT doc_id, lang, len FROM d)),
+        |ch AS (SELECT doc_id, lang,
+        |    i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+        |      AS clen
+        |  FROM ends)
+        |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_chunks, sum(clen)::BIGINT AS total_chars,
+        |  (sum(clen) * 100 // count(*))::BIGINT AS mean_chunk_len_e2,
+        |  max(clen)::BIGINT AS max_chunk_len
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
     "ta_kneser_ney_bigram" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),

@@ -176,9 +176,219 @@ class Round9Spec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n") * d - t).sum == 0L)
   }
 
+  // ---- wave-C additions --------------------------------------------
+
+  test("stat_poisson_bootstrap_ci: interval is ordered and brackets the scale") {
+    val rows = SparkEntry.queries("stat_poisson_bootstrap_ci")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, mean) = (r.getAs[Long]("ci_lo_c"),
+        r.getAs[Long]("ci_hi_c"), r.getAs[Long]("mean_c"))
+      assert(lo <= hi)
+      // replica means concentrate around the sample mean — the interval
+      // must be same-scale, not degenerate
+      assert(hi - lo < math.max(mean, 1L), s"CI implausibly wide: $lo..$hi vs $mean")
+    }
+  }
+
+  test("e_position_attribution conserves each purchase's 10000 bps of cents") {
+    val total = SparkEntry.queries("e_position_attribution")(spark, sf)
+      .agg(sum(col("attributed_c_e4"))).collect()(0).getLong(0)
+    // independent recompute of attributed purchases (>=1 click in the hour)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touched = p.join(c, Seq("user_id"))
+      .filter(col("cts") >= col("pts") - expr("interval 1 hour") &&
+              col("cts") < col("pts"))
+      .select(col("pid"), col("cents")).distinct()
+    val expected = touched.agg(sum(col("cents") * 10000)).collect()(0).getLong(0)
+    assert(total == expected, s"$total != $expected")
+  }
+
+  test("prep_feature_hashing: bucket masses partition the token stream") {
+    val rows = SparkEntry.queries("prep_feature_hashing")(spark, sf).collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_share_e6") <= 1000000L)
+      assert(r.getAs[Long]("n_terms") >= 1L)
+    }
+  }
+
+  test("ann_rq_topk: per-query ranks are ordered by reconstructed score") {
+    val rows = SparkEntry.queries("ann_rq_topk")(spark, sf).collect()
+    assert(rows.length == 15) // 5 queries x top-3
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("stat_randomization_test: p-values are valid and sizes partition") {
+    val rows = SparkEntry.queries("stat_randomization_test")(spark, sf).collect()
+    val typeCounts = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_e6")
+      assert(p >= 0 && p <= 1000000L)
+      assert(r.getAs[Long]("n_extreme") <= 16L)
+      assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") ==
+        typeCounts(r.getAs[String]("event_type")))
+    }
+  }
+
   test("graph_copurchase_pagerank: ranks are positive and k-bounded") {
     val rows = SparkEntry.queries("graph_copurchase_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
     assert(rows.forall(_.getAs[Double]("rank") > 0))
+  }
+
+  // ---- wave-D additions --------------------------------------------
+
+  test("stat_bh_fdr: rejections are a prefix of the p-sorted order") {
+    val rows = SparkEntry.queries("stat_bh_fdr")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bh_rank"))
+    assert(rows.length == 20) // one test per source
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_e6"); assert(p >= 0 && p <= 1000000L)
+    }
+    // BH step-up rejects ALL hypotheses up to the cutoff rank and none
+    // after — the decision vector must be monotone non-increasing
+    val dec = rows.map(_.getAs[Long]("rejected"))
+    assert(dec.zip(dec.tail).forall { case (a, b) => a >= b },
+      s"non-prefix rejection vector: ${dec.mkString(",")}")
+  }
+
+  test("shard_ring_vnodes: arc-steal movement matches ring theory") {
+    val rows = SparkEntry.queries("shard_ring_vnodes")(spark, sf).collect()
+    assert(rows.length == 8)
+    val (moved, total) = (rows.map(_.getAs[Long]("n_moved")).sum,
+      rows.map(_.getAs[Long]("n_docs")).sum)
+    val frac = moved.toDouble / total
+    // adding 16 of 144 vnodes steals ≈ 1/9 of the key space
+    assert(frac > 0.02 && frac < 0.30, s"move fraction $frac outside band")
+    rows.foreach(r => assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("n_docs")))
+  }
+
+  test("ta_cdc_chunking conserves every chunked document's characters") {
+    val rows = SparkEntry.queries("ta_cdc_chunking")(spark, sf).collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .groupBy(col("lang")).agg(sum(length(col("text"))).as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_chars") == expected(r.getAs[String]("lang")))
+      assert(r.getAs[Long]("max_chunk_len") >= 1L)
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("e_littles_law_audit: swept concurrency integral equals dwell sum") {
+    val rows = SparkEntry.queries("e_littles_law_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("area_us") == r.getAs[Long]("sum_dur_us"),
+        s"L=λW broken on ${r.getAs[java.sql.Date]("day")}")
+    }
+  }
+
+  // ---- wave-E additions --------------------------------------------
+
+  test("j_value_band_join: bucketed equi-join ≡ brute-force band join") {
+    val rows = SparkEntry.queries("j_value_band_join")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val p = Tables.part(spark, sf).select(col("p_partkey").as("pk"),
+      col("p_brand").as("brand"),
+      floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+    val p2 = p.select(col("pk").as("pk2"), col("brand").as("brand2"),
+      col("cents").as("cents2"))
+    val brute = p.join(p2, col("pk") < col("pk2") &&
+        col("brand") =!= col("brand2") &&
+        abs(col("cents") - col("cents2")) <= 50L).count()
+    assert(total == brute, s"bucketed $total != brute $brute")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_gap_c") <= r.getAs[Long]("max_gap_c"))
+      assert(r.getAs[Long]("max_gap_c") <= 50L)
+    }
+  }
+
+  test("mv_incremental_hll: batch-merged registers equal the direct build") {
+    val rows = SparkEntry.queries("mv_incremental_hll")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("registers_diff") == 0L,
+        s"merge law broken for ${r.getAs[String]("event_type")}")
+      assert(r.getAs[Double]("hll_incr") == r.getAs[Double]("hll_direct"))
+      assert(r.getAs[Long]("v_regs") <= 64L)
+    }
+  }
+
+  test("retrieval_token_maxsim: scores bounded by |q| and rank-ordered") {
+    val rows = SparkEntry.queries("retrieval_token_maxsim")(spark, sf).collect()
+    assert(rows.length == 15) // 3 queries x top-5
+    rows.groupBy(_.getAs[Int]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("maxsim_e6"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // each per-token max is a cosine ≤ 1 (e6-scaled), 3 tokens per query
+      g.foreach(r => assert(r.getAs[Long]("maxsim_e6") <= 3000000L))
+    }
+  }
+
+  // ---- wave-F additions --------------------------------------------
+
+  test("stat_neyman_allocation: largest-remainder allocation spends the budget exactly") {
+    val rows = SparkEntry.queries("stat_neyman_allocation")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("n_alloc")).sum == 100L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alloc") >= 0L)
+      assert(r.getAs[Long]("w_e6") > 0L)
+    }
+  }
+
+  test("curate_rejection_sampling flattens the language mix") {
+    val rows = SparkEntry.queries("curate_rejection_sampling")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("p_e6") <= 1000000L)
+    }
+    // uniform target: every kept share within a loose band of 1/5
+    val shares = rows.map(_.getAs[Long]("kept_share_e6"))
+    assert(shares.forall(s => s > 80000L && s < 360000L),
+      s"mix not flattened: ${shares.mkString(",")}")
+    // rejection must flatten harder than the raw mix: kept max/min ratio
+    // no worse than the before max/min ratio
+    val before = rows.map(_.getAs[Long]("n_before").toDouble)
+    val kept = rows.map(_.getAs[Long]("n_kept").toDouble)
+    assert(kept.max / kept.min <= before.max / before.min + 1e-9)
+  }
+
+  test("e_late_arrival_audit: lateness counts and lags are bounded") {
+    val rows = SparkEntry.queries("e_late_arrival_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late") < r.getAs[Long]("n_events"))
+      val lag = r.getAs[Long]("max_lag_us")
+      assert(lag >= 0L && lag < 86400000000L, s"lag $lag outside a day")
+    }
+  }
+
+  test("graph_2hop_reach: frontier sizes bounded by deg-squared closure") {
+    val rows = SparkEntry.queries("graph_2hop_reach")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n2hop") >= 1L && r.getAs[Long]("deg") >= 1L)
+    }
+    val byRank = rows.map(_.getAs[Long]("n2hop"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
 }
