@@ -382,6 +382,64 @@ object TextSignatures {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Content-defined chunk boundary positions (1-based, ascending):
+    * position i ∈ [8, len] is a boundary when md5 of the trailing
+    * 8-char gram text[i−7..i] has low nibble 0 (≡ the SQL recipe
+    * `('0x' || substr(md5(substr(text, i−7, 8)), 1, 2)) % 16 = 0` —
+    * the first hex-pair is digest byte 0, its % 16 is the low
+    * nibble). One pass per document instead of a ×len position
+    * explode: the boundary rate is 1/16, so the explode materialized
+    * 16× more rows than boundaries and then shuffled them into a
+    * per-doc window; this expression emits the ~len/16-element array
+    * map-side and the chunk-length census needs no per-doc shuffle at
+    * all. Returns an empty array for texts shorter than the gram. */
+  case class CdcBoundaries(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val t = input.asInstanceOf[UTF8String].toString
+      val md = MessageDigest.getInstance("MD5")
+      val out = new scala.collection.mutable.ArrayBuffer[Any](t.length / 12 + 4)
+      var i = 8
+      while (i <= t.length) {
+        val d = md.digest(t.substring(i - 8, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 0x0f) == 0) out += i.toLong
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Consistent-hash ring successor: first ring position ≥ h (binary
+    * search over the DRIVER-SORTED (pos, shard) ring), wrapping to
+    * index 0. Equivalent to `array_min(filter(ring, pos ≥ h))` with
+    * global-min wrap over a struct(pos, sh) literal array — but that
+    * HOF runs an interpreted lambda with per-element boxing per row
+    * (144 comparisons × 2 rings: measured ~1 s at sf0.1); this is a
+    * ~7-step binary search of a primitive long array. `positions`
+    * MUST be sorted ascending with `shards` aligned; ties on pos
+    * resolve to the lowest index = the smallest shard id, matching
+    * the struct-min tie-break. */
+  case class RingSuccessor(child: Expression,
+      positions: Array[Long], shards: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val h = input.asInstanceOf[Long]
+      var lo = 0
+      var hi = positions.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (positions(mid) >= h) hi = mid else lo = mid + 1
+      }
+      shards(if (lo == positions.length) 0 else lo)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def wordBigrams(text: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(text)))
   def wordBigramHashes(text: Column): Column =
@@ -396,6 +454,13 @@ object TextSignatures {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
   def hashEmbed8(text: Column): Column =
     ColumnBridge.column(HashEmbed8(ColumnBridge.expression(text)))
+  def cdcBoundaries(text: Column): Column =
+    ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text)))
+  def ringSuccessor(hash: Column, ring: Seq[(Long, Long)]): Column = {
+    val sorted = ring.sortBy(identity).toArray
+    ColumnBridge.column(RingSuccessor(ColumnBridge.expression(hash),
+      sorted.map(_._1), sorted.map(_._2)))
+  }
   def wordNgramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(text), n))
   def wordNgramPosHashes(text: Column, n: Int): Column =

@@ -230,26 +230,30 @@ object LayoutOps {
     // never re-derive from N — the consistency property), so exactly
     // the keys in the stolen arcs move, ≈ V_new/V_total = 1/9, and
     // every mover lands on shard 8 (LayoutOpsSpec asserts both).
-    // Assignment is ENTIRELY map-side: the 144-entry ring is a literal
-    // array HOF per row (filter pos ≥ h, struct-min, wrap to global
-    // min) — zero shuffles before the |shards|-row census, no
-    // directory service, same as rendezvous but with O(V·N) ring
-    // state instead of O(N) per-key hashing.
+    // Assignment is ENTIRELY map-side: the ring's vnode positions are
+    // hashed ONCE on the driver (they are pure literals — the HOF
+    // form re-evaluated 144 md5s per row because higher-order
+    // functions don't constant-fold; measured 2.3 s → sub-second at
+    // sf0.1) and embedded as a literal struct array; per row the work
+    // is one key md5 + a 144-element long-compare scan (filter
+    // pos ≥ h, struct-min, wrap to global min) — zero shuffles before
+    // the |shards|-row census, no directory service, same as
+    // rendezvous but with O(V·N) ring state instead of O(N) per-key
+    // hashing. The driver-side md5 is bit-identical to the SQL recipe
+    // (the oracle recomputes every position with DuckDB's md5).
     "shard_ring_vnodes" -> ((s, dir) => {
       def ringAssign(nShards: Int): Column = {
         val v = 16
-        val ring = transform(sequence(lit(0), lit(nShards * v - 1)), i =>
-          struct(
-            conv(substring(md5(concat(
-              pmod(i, lit(nShards)).cast("string"), lit(":"),
-              floor(i / lit(nShards)).cast("int").cast("string"),
-              lit(":ring"))), 1, 12), 16, 10).cast("long").as("pos"),
-            pmod(i, lit(nShards)).cast("long").as("sh")))
+        val mdd = java.security.MessageDigest.getInstance("MD5")
+        val ring = (0 until nShards * v).map { i =>
+          val (sId, j) = (i % nShards, i / nShards)
+          val hex = mdd.digest(s"$sId:$j:ring".getBytes("UTF-8"))
+            .take(6).map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex, 16), sId.toLong)
+        }
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
           16, 10).cast("long")
-        val succ = filter(ring, e => e.getField("pos") >= h)
-        when(size(succ) > 0, array_min(succ))
-          .otherwise(array_min(ring)).getField("sh")
+        graft.functions.TextSignatures.ringSuccessor(h, ring)
       }
       Tables.documents(s, dir).select(col("doc_id"))
         .withColumn("shard8", ringAssign(8))

@@ -209,37 +209,32 @@ object TextAnalysisOps {
     // stays put (byte-offset chunking would shift ALL downstream
     // chunks). The per-lang census (chunk count, mean/max length,
     // conservation total) is the tuning table a CAS/dedup store reads
-    // before picking the divisor. Scale: the position explode is
-    // map-side (×len per doc, column-pruned to (doc_id, lang, text));
-    // the boundary filter keeps ~1/16 of positions; the only shuffle
-    // is the per-doc window on boundary rows, keyed by doc_id —
-    // partitioned, never global. Both engines evaluate the IDENTICAL
-    // boundary predicate (md5 of the trailing 8-gram, low 4 bits = 0),
-    // so chunk edges replay bit-for-bit.
+    // before picking the divisor. Scale: boundary detection is the
+    // native one-pass TextSignatures.CdcBoundaries expression (the
+    // explode form materialized ×len position rows — 16× more rows
+    // than boundaries — then shuffled them into a per-doc window;
+    // Round9Spec keeps the explode form as the equivalence witness).
+    // With the array form the chunk-length census is ENTIRELY
+    // map-side per doc (HOF diffs over the ~len/16-element array) and
+    // the only shuffle is the |langs|-row aggregate. Both engines
+    // evaluate the IDENTICAL boundary predicate (md5 of the trailing
+    // 8-gram, low 4 bits = 0), so chunk edges replay bit-for-bit.
     "ta_cdc_chunking" -> ((s, dir) => {
-      val w = 8
       val d = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(col("text")) >= w)
-        .select(col("doc_id"), col("lang"), col("text"),
-                length(col("text")).cast("long").as("len"))
-      val bounds = d
-        .select(col("doc_id"), col("lang"), col("text"), col("len"),
-                explode(sequence(lit(w.toLong), col("len"))).as("i"))
-        .filter(conv(substring(md5(expr("substring(text, i - 7, 8)")), 1, 2),
-          16, 10).cast("long") % 16 === 0)
-        .select(col("doc_id"), col("lang"), col("i"))
-      val ends = bounds
-        .union(d.select(col("doc_id"), col("lang"), col("len").as("i")))
-        .distinct()
-      val ch = ends.withColumn("clen",
-        col("i") - coalesce(lag(col("i"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("i"))), lit(0L)))
-      ch.groupBy(col("lang"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-             count(lit(1)).as("n_chunks"),
-             sum(col("clen")).as("total_chars"),
-             expr("sum(clen) * 100 div count(1)").as("mean_chunk_len_e2"),
-             max(col("clen")).as("max_chunk_len"))
+        .filter(col("text").isNotNull && length(col("text")) >= 8)
+        .select(col("doc_id"), col("lang"),
+                length(col("text")).cast("long").as("len"),
+          graft.functions.TextSignatures.cdcBoundaries(col("text")).as("bnd"))
+      d.withColumn("ends", array_sort(array_union(col("bnd"), array(col("len")))))
+        .withColumn("clens", expr(
+          "zip_with(ends, concat(array(0L), slice(ends, 1, size(ends) - 1)), " +
+          "(a, b) -> a - b)"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(col("ends"))).as("n_chunks"),
+             sum(col("len")).as("total_chars"),
+             expr("sum(len) * 100 div sum(size(ends))").as("mean_chunk_len_e2"),
+             max(expr("array_max(clens)")).as("max_chunk_len"))
         .orderBy(col("lang"))
     }),
 

@@ -291,6 +291,51 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("ta_cdc_chunking: native CdcBoundaries ≡ the position-explode form") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && length(col("text")) >= 8)
+      .select(col("doc_id"), col("lang"), col("text"),
+              length(col("text")).cast("long").as("len"))
+    val bounds = d
+      .select(col("doc_id"), col("lang"), col("len"),
+              explode(sequence(lit(8L), col("len"))).as("i"), col("text"))
+      .filter(conv(substring(md5(expr("substring(text, i - 7, 8)")), 1, 2),
+        16, 10).cast("long") % 16 === 0)
+      .select(col("doc_id"), col("lang"), col("i"))
+    val ends = bounds
+      .union(d.select(col("doc_id"), col("lang"), col("len").as("i")))
+      .distinct()
+    val witness = ends.withColumn("clen",
+        col("i") - coalesce(lag(col("i"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_chars"),
+           expr("sum(clen) * 100 div count(1)").as("mean_chunk_len_e2"),
+           max(col("clen")).as("max_chunk_len"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val native = SparkEntry.queries("ta_cdc_chunking")(spark, sf).collect()
+    assert(native.length == witness.size)
+    native.foreach { r =>
+      assert(r.toSeq.tail == witness(r.getAs[String]("lang")),
+        s"mismatch for lang ${r.getAs[String]("lang")}")
+    }
+  }
+
+  test("shard_ring_vnodes: driver-side ring md5 ≡ the SQL md5 recipe") {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    Seq((0, 0), (7, 15), (8, 3)).foreach { case (sId, j) =>
+      val hex = mdd.digest(s"$sId:$j:ring".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val driver = java.lang.Long.parseLong(hex, 16)
+      val viaSpark = spark.sql(
+        s"SELECT CAST(conv(substring(md5('$sId:$j:ring'), 1, 12), 16, 10) AS BIGINT) v")
+        .collect()(0).getLong(0)
+      assert(driver == viaSpark, s"ring hash mismatch at ($sId,$j)")
+    }
+  }
+
   test("e_littles_law_audit: swept concurrency integral equals dwell sum") {
     val rows = SparkEntry.queries("e_littles_law_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
