@@ -44,6 +44,50 @@ object CurationOps {
 
   private val rateBpsSql = "CASE WHEN lang = 'en' THEN 500 ELSE 2000 END"
 
+  /** NB langid doc-score table (doc_id, actual, lang, score): every
+    * test doc scored under every class with integer-micro log scores —
+    * the shared model behind curate_nb_langid (argmax → confusion) and
+    * ml_margin_calibration (top1−top2 margin → reliability). Memoized
+    * per (session, dir): the token explode + L-way expansion runs
+    * once; the materialized table is |test docs|×L rows. */
+  private def nbDocScores(s: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.memoizedExchange("nb_langid_doc_scores", s, dir) {
+      val B = 4096
+      val docs = Tables.documentsSpread(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          (hashBps(col("doc_id")) < 8000).as("is_train"), col("text"))
+      val toks = docs.select(col("doc_id"), col("lang"), col("is_train"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
+        .drop("w")
+      val train = toks.filter(col("is_train"))
+      // ≤ B×L rows: the whole likelihood model in one aggregation
+      val counts = train.groupBy(col("b"), col("lang"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val priorsN = docs.filter(col("is_train"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val priors = priorsN
+        .crossJoin(broadcast(priorsN.agg(sum(col("nd")).as("ndt"))))
+        .select(col("lang"),
+          floor(log(col("nd") / col("ndt")) * 1e6 + 0.5).cast("long").as("plr"))
+      toks.filter(!col("is_train"))
+        .withColumnRenamed("lang", "actual")
+        // L-way expansion: every test token scored under every class
+        .crossJoin(broadcast(totals))
+        .join(broadcast(counts), Seq("b", "lang"), "left")
+        .withColumn("lr", floor(
+            log((coalesce(col("c"), lit(0L)) + 1.0) / (col("t") + B)) * 1e6
+            + 0.5).cast("long"))
+        .groupBy(col("doc_id"), col("actual"), col("lang"))
+        .agg(sum(col("lr")).as("ll"))
+        .join(broadcast(priors), Seq("lang"))
+        .withColumn("score", col("ll") + col("plr"))
+    }
+
   private def quality(toks: Column): Column =
     graft.functions.TextMetrics.quality(toks)
 
@@ -421,49 +465,47 @@ object CurationOps {
     // prediction — the spec asserts exactly that, which is the right
     // answer on signal-free data (a classifier that "won" here would be
     // leaking the label).
-    "curate_nb_langid" -> ((s, dir) => {
-      val B = 4096
-      val docs = Tables.documentsSpread(s, dir)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          (hashBps(col("doc_id")) < 8000).as("is_train"), col("text"))
-      val toks = docs.select(col("doc_id"), col("lang"), col("is_train"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .withColumn("b",
-          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
-        .drop("w")
-      val train = toks.filter(col("is_train"))
-      // ≤ B×L rows: the whole likelihood model in one aggregation
-      val counts = train.groupBy(col("b"), col("lang"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
-      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-      val priorsN = docs.filter(col("is_train"))
-        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
-      val priors = priorsN
-        .crossJoin(broadcast(priorsN.agg(sum(col("nd")).as("ndt"))))
-        .select(col("lang"),
-          floor(log(col("nd") / col("ndt")) * 1e6 + 0.5).cast("long").as("plr"))
-      val scored = toks.filter(!col("is_train"))
-        .withColumnRenamed("lang", "actual")
-        // L-way expansion: every test token scored under every class
-        .crossJoin(broadcast(totals))
-        .join(broadcast(counts), Seq("b", "lang"), "left")
-        .withColumn("lr", floor(
-            log((coalesce(col("c"), lit(0L)) + 1.0) / (col("t") + B)) * 1e6
-            + 0.5).cast("long"))
-        .groupBy(col("doc_id"), col("actual"), col("lang"))
-        .agg(sum(col("lr")).as("ll"))
-        .join(broadcast(priors), Seq("lang"))
-        .withColumn("score", col("ll") + col("plr"))
-      scored.withColumn("rn", row_number().over(
+    "curate_nb_langid" -> ((s, dir) =>
+      nbDocScores(s, dir).withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(desc("score"), col("lang"))))
         .filter(col("rn") === 1)
         .withColumnRenamed("lang", "predicted")
         .groupBy(col("actual"), col("predicted"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("actual"), col("predicted"))
+        .orderBy(col("actual"), col("predicted"))),
+
+    // Margin-binned reliability census of the NB langid classifier —
+    // the calibration audit a curation pipeline runs before trusting
+    // a classifier's "confidence" as a filter threshold: bin test
+    // docs by the top1−top2 log-score margin (an exact e6 integer —
+    // no softmax, so the whole reliability table is
+    // engine-deterministic) and report accuracy per bin. A trustable
+    // score has accuracy rising with margin; on this signal-free
+    // corpus the flat curve IS the right answer (the confusion-matrix
+    // query's majority-class story, seen through calibration).
+    // Shares the memoized doc-score table with curate_nb_langid —
+    // the L-way token expansion runs once per (session, dir).
+    "ml_margin_calibration" -> ((s, dir) => {
+      val ranked = nbDocScores(s, dir).withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("score"), col("lang"))))
+      val top = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("actual"),
+                col("lang").as("predicted"), col("score").as("s1"))
+      val second = ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("s2"))
+      top.join(second, "doc_id")
+        .withColumn("margin_e6", col("s1") - col("s2"))
+        .withColumn("bin", least(lit(7L), expr("margin_e6 div 8000000")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+             sum((col("predicted") === col("actual")).cast("long"))
+               .as("n_correct"),
+             min(col("margin_e6")).as("margin_min_e6"),
+             max(col("margin_e6")).as("margin_max_e6"))
+        .withColumn("acc_e6", expr("n_correct * 1000000 div n"))
+        .orderBy(col("bin"))
     }),
 
     // Weighted reservoir sample (Efraimidis–Spirakis A-ES): each doc
@@ -772,6 +814,50 @@ object CurationOps {
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, cls) AS rn FROM fin)
          |SELECT actual, predicted, count(*)::BIGINT AS n
-         |FROM win WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM win WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same NB model CTEs as curate_nb_langid; the tail reads the
+    // top1−top2 margin instead of the argmax
+    "ml_margin_calibration" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ($hashBpsSql < 8000) AS is_train
+         |  FROM documents WHERE text IS NOT NULL),
+         |tok AS (SELECT doc_id, lang, is_train,
+         |    (('0x' || substr(md5(w), 1, 8))::BIGINT % 4096) AS b
+         |  FROM d, unnest(string_split(text, ' ')) u(w) WHERE w <> ''),
+         |cnt AS (SELECT b, lang, count(*) AS c FROM tok
+         |  WHERE is_train GROUP BY b, lang),
+         |tot AS (SELECT lang, count(*) AS t FROM tok
+         |  WHERE is_train GROUP BY lang),
+         |pri AS (SELECT lang, count(*) AS nd FROM d
+         |  WHERE is_train GROUP BY lang),
+         |pr AS (SELECT lang,
+         |    floor(ln(nd / (SELECT sum(nd) FROM pri)) * 1e6 + 0.5)::BIGINT
+         |      AS plr FROM pri),
+         |sc AS (SELECT tt.doc_id, tt.lang AS actual, tot.lang AS cls,
+         |    floor(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + 4096)) * 1e6
+         |      + 0.5)::BIGINT AS lr
+         |  FROM (SELECT * FROM tok WHERE NOT is_train) tt
+         |  CROSS JOIN tot
+         |  LEFT JOIN cnt ON cnt.b = tt.b AND cnt.lang = tot.lang),
+         |agg AS (SELECT doc_id, actual, cls, sum(lr) AS ll
+         |  FROM sc GROUP BY 1, 2, 3),
+         |fin AS (SELECT doc_id, actual, cls, ll + plr AS score
+         |  FROM agg JOIN pr ON pr.lang = agg.cls),
+         |win AS (SELECT doc_id, actual, cls, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn FROM fin),
+         |t1 AS (SELECT doc_id, actual, cls AS predicted, score AS s1
+         |  FROM win WHERE rn = 1),
+         |t2 AS (SELECT doc_id, score AS s2 FROM win WHERE rn = 2),
+         |mg AS (SELECT t1.doc_id, (predicted = actual)::INT AS ok,
+         |    s1 - s2 AS margin_e6, least(7, (s1 - s2) // 8000000) AS bin
+         |  FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id)
+         |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+         |  sum(ok)::BIGINT AS n_correct,
+         |  min(margin_e6)::BIGINT AS margin_min_e6,
+         |  max(margin_e6)::BIGINT AS margin_max_e6,
+         |  (sum(ok) * 1000000 // count(*))::BIGINT AS acc_e6
+         |FROM mg GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

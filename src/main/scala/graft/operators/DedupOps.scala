@@ -148,6 +148,47 @@ object DedupOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Chunk-level dedup on CONTENT-DEFINED boundaries — the CAS/dedup-
+    // store census (what a chunked blob store saves vs whole-file
+    // hashing): documents chunk at the rolling-hash boundaries
+    // (TextSignatures.CdcBoundaries, the ta_cdc_chunking chunker —
+    // edits only reshape the chunks they touch, so shared runs dedup
+    // even when whole docs differ), each chunk md5-keyed, and the
+    // single-row census reports distinct/duplicate chunk counts,
+    // cross-document sharing, and the exact bytes a content-addressed
+    // store would not write twice. Scale: chunk extraction is
+    // map-side HOF substring over the boundary array (~len/16 chunks
+    // per doc); the only shuffle is the chunk-hash aggregate, keyed
+    // uniformly by md5 — no skew, no pair joins anywhere.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+                length(col("text")).cast("long").as("len"),
+          graft.functions.TextSignatures.cdcBoundaries(col("text")).as("bnd"))
+      val chunks = d
+        .withColumn("ends",
+          array_sort(array_union(col("bnd"), array(col("len")))))
+        .withColumn("begs",
+          expr("concat(array(0L), slice(ends, 1, size(ends) - 1))"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(begs, ends, (b, e) -> " +
+          "substring(text, CAST(b + 1 AS INT), CAST(e - b AS INT)))"))
+          .as("chunk"))
+      chunks
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+                length(col("chunk")).cast("long").as("clen"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+             max(col("clen")).as("clen"))
+        .agg(count(lit(1)).as("n_distinct_chunks"),
+             sum(col("n")).as("n_chunks"),
+             sum(when(col("n") > 1, (col("n") - 1) * col("clen"))
+               .otherwise(0L)).as("dup_bytes_saved"),
+             sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_cross_doc"),
+             max(col("n")).as("max_dup"))
+    }),
+
     // Exact dedup: md5-groupBy summary + rows removed under keep-first.
     // MinHash band-tuning advisor — the measurement behind choosing
     // the (bands × rows) LSH layout: for every factorization of the
@@ -594,6 +635,35 @@ object DedupOps {
        |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+        |pos AS (SELECT doc_id, text, len, unnest(range(8, len + 1)) AS i
+        |  FROM d),
+        |b AS (SELECT doc_id, i::BIGINT AS i FROM pos
+        |  WHERE ('0x' || substr(md5(substr(text, (i - 7)::INT, 8)), 1, 2))
+        |    ::BIGINT % 16 = 0),
+        |ends AS (SELECT DISTINCT doc_id, i FROM (
+        |  SELECT doc_id, i FROM b UNION ALL SELECT doc_id, len FROM d)),
+        |ch AS (SELECT doc_id, i AS e,
+        |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+        |  FROM ends),
+        |ck AS (SELECT ch.doc_id,
+        |    substr(d.text, (ch.s + 1)::INT, (ch.e - ch.s)::INT) AS chunk
+        |  FROM ch JOIN d ON d.doc_id = ch.doc_id),
+        |hh AS (SELECT doc_id, md5(chunk) AS h, length(chunk)::BIGINT AS clen
+        |  FROM ck),
+        |byh AS (SELECT h, count(*)::BIGINT AS n,
+        |    count(DISTINCT doc_id)::BIGINT AS nd, max(clen) AS clen
+        |  FROM hh GROUP BY h)
+        |SELECT count(*)::BIGINT AS n_distinct_chunks,
+        |  sum(n)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN n > 1 THEN (n - 1) * clen ELSE 0 END)::BIGINT
+        |    AS dup_bytes_saved,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_cross_doc,
+        |  max(n)::BIGINT AS max_dup
+        |FROM byh""".stripMargin,
+
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique,
         |count(*) - count(DISTINCT md5(text)) AS n_removed

@@ -43,6 +43,57 @@ object TimeSeriesOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_max_drawdown" -> maxDrawdownQuery,
 
+    // EWMA control chart (Roberts 1959) — the SPC family member next
+    // to CUSUM: z_t = λΣ(1−λ)^k x_{t−k} flags sustained small shifts
+    // that per-point 3σ rules miss. λ = 1/4 over a FULL 16-day
+    // trailing window makes the recursion a finite weighted sum with
+    // EXACT integer weights 3^k·4^(15−k) (Σ = 4^16 − 3^16 =
+    // 4251920575 — the geometric telescoping), so z is an integer
+    // ratio z_num/4251920575, quantized once at e2. Control limits
+    // μ ± 3σ√(λ/(2−λ)) are the asymptotic EWMA limits; σ is the
+    // per-type daily-count sample std (the one double, identical
+    // formula both engines). The weighted sum is a self-join of the
+    // |types|×|days| DAILY DIGEST against itself (≤16 partners per
+    // anchor) — at 100 TB the digest is already thousands of rows, so
+    // the join is free; raw events aggregate once.
+    "ts_ewma_control_chart" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sx"),
+             sum(col("n") * col("n")).as("sxx"))
+        .withColumn("mu", col("sx").cast("double") / col("cnt"))
+        .withColumn("sg", sqrt(
+          (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("cnt") * (col("cnt") - 1)).cast("double")))
+        .withColumn("lo_e2", floor((col("mu") -
+          lit(3.0) * col("sg") * sqrt(lit(1.0 / 7.0))) * 100 + 0.5).cast("long"))
+        .withColumn("hi_e2", floor((col("mu") +
+          lit(3.0) * col("sg") * sqrt(lit(1.0 / 7.0))) * 100 + 0.5).cast("long"))
+      val z = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+          datediff(col("a.day"), col("b.day")).between(0, 15))
+        .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+          datediff(col("a.day"), col("b.day")).as("k"), col("b.n").as("nb"))
+        // round() clears pow's 1-ulp slack before the cast; 4^(15−k)
+        // is an exact shift — the weights are bit-exact integers
+        .withColumn("w",
+          expr("CAST(round(pow(3, k)) AS BIGINT) * " +
+               "shiftleft(CAST(1 AS BIGINT), 30 - 2 * k)"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("terms"), sum(col("w") * col("nb")).as("z_num"))
+        .filter(col("terms") === 16) // full window only
+        .withColumn("z_e2", expr("z_num * 100 div 4251920575"))
+      z.join(broadcast(stats.select(col("event_type"), col("lo_e2"),
+          col("hi_e2"))), "event_type")
+        .select(col("event_type"), col("day"), col("z_e2"),
+          col("lo_e2"), col("hi_e2"),
+          (col("z_e2") < col("lo_e2") || col("z_e2") > col("hi_e2"))
+            .cast("long").as("flag"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Weekly entropy of the event-type mix — "did the SHAPE of traffic
     // change this week?", the distributional companion to the count
     // drift family (a feed can hold volume while collapsing onto one
@@ -337,6 +388,34 @@ object TimeSeriesOps {
     }
 
   def oracles: Map[String, String] = Map(
+    "ts_ewma_control_chart" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS cnt,
+        |    sum(n)::BIGINT AS sx, sum(n * n)::BIGINT AS sxx
+        |  FROM daily GROUP BY 1),
+        |lim AS (SELECT event_type,
+        |    floor((sx::DOUBLE / cnt - 3.0 * sqrt((cnt * sxx - sx * sx)::DOUBLE
+        |      / (cnt * (cnt - 1))::DOUBLE) * sqrt(1.0 / 7.0)) * 100 + 0.5)
+        |      ::BIGINT AS lo_e2,
+        |    floor((sx::DOUBLE / cnt + 3.0 * sqrt((cnt * sxx - sx * sx)::DOUBLE
+        |      / (cnt * (cnt - 1))::DOUBLE) * sqrt(1.0 / 7.0)) * 100 + 0.5)
+        |      ::BIGINT AS hi_e2
+        |  FROM st),
+        |z AS (SELECT a.event_type, a.day, count(*) AS terms,
+        |    sum(CAST(round(pow(3, date_diff('day', b.day, a.day))) AS BIGINT)
+        |      * (1::BIGINT << (30 - 2 * date_diff('day', b.day, a.day)))
+        |      * b.n) AS z_num
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND date_diff('day', b.day, a.day) BETWEEN 0 AND 15
+        |  GROUP BY 1, 2 HAVING count(*) = 16)
+        |SELECT z.event_type, z.day,
+        |  (z_num * 100 // 4251920575)::BIGINT AS z_e2, lo_e2, hi_e2,
+        |  (z_num * 100 // 4251920575 < lo_e2
+        |    OR z_num * 100 // 4251920575 > hi_e2)::BIGINT AS flag
+        |FROM z JOIN lim USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
     // ACF per lag: the lag-1 Pearson closed form replicated per k,
     // generated from the SAME AcfLags constant as the Spark side
     "ts_acf_multi_lag" -> {

@@ -427,6 +427,57 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---- wave-G additions --------------------------------------------
+
+  test("dedup_cdc_chunks: chunk totals agree with ta_cdc_chunking's census") {
+    val r = SparkEntry.queries("dedup_cdc_chunks")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val chunksFromCensus = SparkEntry.queries("ta_cdc_chunking")(spark, sf)
+      .agg(sum(col("n_chunks"))).collect()(0).getLong(0)
+    assert(row.getAs[Long]("n_chunks") == chunksFromCensus)
+    assert(row.getAs[Long]("n_distinct_chunks") <= row.getAs[Long]("n_chunks"))
+    assert(row.getAs[Long]("dup_bytes_saved") >= 0L)
+    assert(row.getAs[Long]("max_dup") >= 1L)
+  }
+
+  test("ts_ewma_control_chart: z stays inside each type's value hull") {
+    val rows = SparkEntry.queries("ts_ewma_control_chart")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hull = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("lo"), max(col("n")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = hull(r.getAs[String]("event_type"))
+      val z = r.getAs[Long]("z_e2")
+      // EWMA is a convex combination of window values
+      assert(z >= lo * 100 - 100 && z <= hi * 100 + 100, s"z $z outside hull")
+      assert(r.getAs[Long]("lo_e2") <= r.getAs[Long]("hi_e2"))
+      val expected = if (z < r.getAs[Long]("lo_e2") || z > r.getAs[Long]("hi_e2")) 1L else 0L
+      assert(r.getAs[Long]("flag") == expected)
+    }
+  }
+
+  test("ml_margin_calibration: bins partition the test docs") {
+    val rows = SparkEntry.queries("ml_margin_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTest = Tables.documentsSpread(spark, sf)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 >= 8000)
+      .count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nTest)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("acc_e6") <= 1000000L)
+      assert(r.getAs[Long]("margin_min_e6") >= 0L)
+      assert(r.getAs[Long]("margin_min_e6") <= r.getAs[Long]("margin_max_e6"))
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("graph_2hop_reach: frontier sizes bounded by deg-squared closure") {
     val rows = SparkEntry.queries("graph_2hop_reach")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
