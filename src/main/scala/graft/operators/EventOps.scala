@@ -24,6 +24,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
+  /** Allen-relation classifier over proper intervals X=[xs,xe],
+    * Y=[ys,ye] — ONE ladder, interpolated into both the Spark
+    * expression and the DuckDB oracle so branch order is single-
+    * sourced. Exhaustive for xs<xe, ys<ye: the endpoint-equality
+    * relations come first, then the disjoint/touching ones, then the
+    * strict-containment pair; what remains is an overlap, signed by
+    * which interval starts first. */
+  private[operators] val allenCaseSql: String =
+    """CASE
+      | WHEN xs = ys AND xe = ye THEN 'equals'
+      | WHEN xs = ys AND xe < ye THEN 'starts'
+      | WHEN xs = ys THEN 'started_by'
+      | WHEN xe = ye AND xs > ys THEN 'finishes'
+      | WHEN xe = ye THEN 'finished_by'
+      | WHEN xe < ys THEN 'before'
+      | WHEN xs > ye THEN 'after'
+      | WHEN xe = ys THEN 'meets'
+      | WHEN xs = ye THEN 'met_by'
+      | WHEN xs > ys AND xe < ye THEN 'during'
+      | WHEN xs < ys AND xe > ye THEN 'contains'
+      | WHEN xs < ys THEN 'overlaps'
+      | ELSE 'overlapped_by' END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Tumbling 1-hour window counts (idiomatic T1; oracle via date_trunc).
@@ -1259,6 +1282,37 @@ object EventOps {
     // cumulative window and the argmax-by-(peak, earliest) run on that
     // metadata-sized table. Exact epoch-µs half-open intervals: an end
     // at t and a start at t never double-count.
+    // Allen's interval algebra census — classify every same-(user, day)
+    // pair of activity intervals (click span vs view span) into the 13
+    // Allen relations (Allen 1983), the exhaustive vocabulary for
+    // temporal-join semantics: before/meets/overlaps/starts/during/
+    // finishes, their inverses, and equals. The classifier is ONE
+    // shared CASE ladder over exact integer-µs endpoints (allenCaseSql
+    // is interpolated verbatim into the Spark expression AND the
+    // oracle — single-sourced, so the branch order cannot drift), and
+    // the ladder is exhaustive for proper intervals. This is the
+    // census a temporal-join planner reads to pick its strategy: if
+    // 'before/after' dominates, a sort-merge band join wins; if
+    // 'during/contains' dominates, an interval index does. One
+    // (user, day) aggregate per side, one equi-join, |relations|-row
+    // output.
+    "j_allen_interval_census" -> ((s, dir) => {
+      def span(t: String) = Tables.events(s, dir)
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as(s"${t}_s"),
+             max(unix_micros(col("ts"))).as(s"${t}_e"))
+        .filter(col(s"${t}_s") < col(s"${t}_e")) // proper intervals only
+      span("click")
+        .withColumnRenamed("click_s", "xs").withColumnRenamed("click_e", "xe")
+        .join(span("view")
+          .withColumnRenamed("view_s", "ys").withColumnRenamed("view_e", "ye"),
+          Seq("user_id", "day"))
+        .withColumn("relation", expr(allenCaseSql))
+        .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+        .orderBy(col("relation"))
+    }),
+
     // Event-time lateness audit — the batch replay of the decision a
     // Structured Streaming watermark makes: with arrival order =
     // event_id and delay D = 10 min, an event is "late" if its event
@@ -2134,6 +2188,19 @@ object EventOps {
         |  (cum_cents * 1000000 // n_cohort)::BIGINT AS ltv_per_user_e6
         |FROM cum JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "j_allen_interval_census" ->
+      s"""WITH c AS (SELECT user_id, ts::DATE AS day,
+         |    min(epoch_us(ts))::BIGINT AS xs, max(epoch_us(ts))::BIGINT AS xe
+         |  FROM events WHERE event_type = 'click'
+         |  GROUP BY 1, 2 HAVING min(epoch_us(ts)) < max(epoch_us(ts))),
+         |v AS (SELECT user_id, ts::DATE AS day,
+         |    min(epoch_us(ts))::BIGINT AS ys, max(epoch_us(ts))::BIGINT AS ye
+         |  FROM events WHERE event_type = 'view'
+         |  GROUP BY 1, 2 HAVING min(epoch_us(ts)) < max(epoch_us(ts)))
+         |SELECT $allenCaseSql AS relation, count(*)::BIGINT AS n
+         |FROM c JOIN v USING (user_id, day)
+         |GROUP BY 1 ORDER BY relation""".stripMargin,
 
     "e_late_arrival_audit" ->
       """WITH ev AS (SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us

@@ -147,6 +147,52 @@ object GraphOps {
         .orderBy(col("label"))
     }),
 
+    // Modularity decomposition of the label-prop partition — THE
+    // community-quality number (Newman & Girvan 2004): Q = Σ_c
+    // [in_c/2m − (deg_c/2m)²]. The communities are graph_label_prop's
+    // deterministic two-round assignment (same propagate + tie-break),
+    // and the quality emits as EXACT integers — per community
+    // q_num = in_edges2·2m − deg_sum² next to the shared denominator
+    // m2 = 2m, so Q = Σ q_num / m2² is an exact rational and no
+    // negative-division floor/truncate asymmetry can bite. This is the
+    // table a clustering stage reads to decide if the partition is
+    // worth keeping (Σ q_num ≤ 0 → no community structure — the right
+    // answer on a support-thresholded co-purchase graph is ITSELF the
+    // finding). Cost: two propagate rounds + one internal-edge join,
+    // all on the shared checkpointed adjacency.
+    "graph_modularity" -> ((s, dir) => {
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+      val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint() // consumed 4×: 2 propagates, degrees, internal
+      val labels0 = Tables.part(s, dir)
+        .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+        .join(adj.select(col("a").as("v")).distinct(), "v")
+      def propagate(labels: DataFrame): DataFrame =
+        adj.join(labels.withColumnRenamed("v", "b"), "b")
+          .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("v"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("v"), col("m.lbl").as("lbl"))
+      val lbl = propagate(propagate(labels0)).localCheckpoint()
+      val m2row = adj.agg(count(lit(1)).as("m2"))
+      val com = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .join(lbl, col("a") === lbl("v"))
+        .groupBy(col("lbl").as("label"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+      val internal = adj
+        .join(lbl.select(col("v").as("a"), col("lbl").as("la")), "a")
+        .join(lbl.select(col("v").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("in_edges2"))
+      com.join(internal, Seq("label"), "left")
+        .crossJoin(broadcast(m2row))
+        .select(col("label"), col("n_nodes"), col("deg_sum"),
+          coalesce(col("in_edges2"), lit(0L)).as("in_edges2"), col("m2"),
+          (coalesce(col("in_edges2"), lit(0L)) * col("m2") -
+            col("deg_sum") * col("deg_sum")).as("q_num"))
+        .orderBy(col("label"))
+    }),
+
     // Degree assortativity of the support-2 co-purchase graph — the
     // one-number "do hubs connect to hubs" diagnostic (positive:
     // social-like; negative: hub-and-spoke) that decides whether
@@ -436,6 +482,40 @@ object GraphOps {
         |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
         |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
         |ORDER BY label""".stripMargin,
+
+    "graph_modularity" ->
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT p_partkey AS v, p_brand AS lbl FROM part
+        |  WHERE p_partkey IN (SELECT a FROM e)),
+        |c1 AS (SELECT e.a AS v, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON l0.v = e.b GROUP BY e.a, l0.lbl),
+        |l1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a AS v, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON l1.v = e.b GROUP BY e.a, l1.lbl),
+        |l2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |deg AS (SELECT a AS v, count(*)::BIGINT AS d FROM e GROUP BY a),
+        |com AS (SELECT l2.lbl AS label, count(*)::BIGINT AS n_nodes,
+        |    sum(d)::BIGINT AS deg_sum
+        |  FROM deg JOIN l2 ON l2.v = deg.v GROUP BY 1),
+        |m2t AS (SELECT count(*)::BIGINT AS m2 FROM e),
+        |intl AS (SELECT la.lbl AS label, count(*)::BIGINT AS in_edges2
+        |  FROM e JOIN l2 la ON la.v = e.a JOIN l2 lb ON lb.v = e.b
+        |  WHERE la.lbl = lb.lbl GROUP BY 1)
+        |SELECT label, n_nodes, deg_sum,
+        |  coalesce(in_edges2, 0)::BIGINT AS in_edges2,
+        |  (SELECT m2 FROM m2t) AS m2,
+        |  (coalesce(in_edges2, 0) * (SELECT m2 FROM m2t)
+        |    - deg_sum * deg_sum)::BIGINT AS q_num
+        |FROM com LEFT JOIN intl USING (label) ORDER BY label""".stripMargin,
 
     "graph_assortativity" ->
       """WITH e0 AS (SELECT a, b FROM (

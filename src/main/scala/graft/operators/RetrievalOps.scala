@@ -817,6 +817,43 @@ object RetrievalOps {
     // Graft.pcaTopComponent for the exactness discipline (e9-quantized
     // covariance terms, BIGINT matvecs, identical scalar float exprs).
     // The DuckDB oracle unrolls the same three rounds.
+    // Johnson–Lindenstrauss random projection 64 → 8 dims with a
+    // FIXED ±1 sign matrix (Achlioptas 2001: Rademacher entries
+    // satisfy the JL lemma; the signs are md5-derived ONCE on the
+    // driver and shared verbatim with the oracle — any fixed sign
+    // matrix is a valid projection, and hashing j:i keeps it
+    // full-rank, unlike a separable (−1)^(i+j) pattern). The audit is
+    // the lemma itself: for a deterministic pair sample, the ratio
+    // ‖Ax−Ay‖²/(k·‖x−y‖²) concentrates near 1 — binned at 0.1 with
+    // integer e6 ratios. Scale: vectors project ONCE map-side (the
+    // 8×64 multiply per row), pairs form on the 8-dim projections +
+    // original distance only for the sampled 1/23 of pairs; at 100 TB
+    // the projection is the dimensionality-reduction pass that makes
+    // downstream pair work 8× cheaper, which is the point.
+    "v_random_projection_jl" -> ((s, dir) => {
+      val proj = corpusMat(s, dir).withColumn("y", expr(
+        "transform(sequence(0, 7), j -> aggregate(sequence(0, 63), " +
+        "CAST(0.0 AS DOUBLE), (acc, i) -> acc + element_at(v, i + 1) * " +
+        s"CAST(element_at(element_at($jlSignsSparkLit, j + 1), i + 1) " +
+        "AS DOUBLE)))"))
+      val pairs = proj.as("a").join(proj.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+          pmod(col("a.vec_id") + col("b.vec_id"), lit(23)) === 0)
+        .select(
+          expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)").as("d2o"),
+          expr("aggregate(zip_with(a.y, b.y, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)").as("d2p"))
+        .filter(col("d2o") > 0)
+        .withColumn("r_e6",
+          floor(col("d2p") / (col("d2o") * 8.0) * 1e6 + 0.5).cast("long"))
+      pairs.withColumn("bin", expr("r_e6 div 100000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("r_e6")).as("r_min_e6"),
+             max(col("r_e6")).as("r_max_e6"))
+        .orderBy(col("bin"))
+    }),
+
     "v_pca_power" -> ((s, dir) =>
       graft.api.Graft.pcaTopComponent(
           Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
@@ -1017,6 +1054,21 @@ object RetrievalOps {
       s"cand AS ($unions), " +
       "sc AS (SELECT qid, vec_id, list_dot_product(qv, v) AS score FROM cand)"
   }
+
+  /** JL ±1 sign matrix, 8 rows × 64 cols, md5-derived once; shared
+    * verbatim by the Spark expression and the oracle literal. */
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        1 - 2 * (mdd.digest(s"$j:$i:jl".getBytes("UTF-8"))(0) & 1)
+      }
+    }
+  }
+  private lazy val jlSignsSparkLit: String =
+    jlSigns.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+  private lazy val jlSignsSqlLit: String =
+    jlSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   private val v3OracleSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1504,6 +1556,29 @@ object RetrievalOps {
         |w3 AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
         |  FROM w2 JOIN g3 ON wj = j CROSS JOIN n)
         |SELECT (wj + 1)::INT AS dim, we AS w_e6 FROM w3 ORDER BY dim""".stripMargin,
+
+    "v_random_projection_jl" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s(m) AS (SELECT $jlSignsSqlLit),
+         |p AS (SELECT vec_id, v,
+         |    list_transform(range(1, 9), j ->
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> v[i] * CAST(m[j][i] AS DOUBLE)))) AS y
+         |  FROM e, s),
+         |pr AS (SELECT a.v AS va, b.v AS vb, a.y AS ya, b.y AS yb
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+         |    AND (a.vec_id + b.vec_id) % 23 = 0),
+         |d AS (SELECT
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (va[i] - vb[i]) * (va[i] - vb[i]))) AS d2o,
+         |    list_sum(list_transform(range(1, 9),
+         |      j -> (ya[j] - yb[j]) * (ya[j] - yb[j]))) AS d2p
+         |  FROM pr),
+         |r AS (SELECT floor(d2p / (d2o * 8.0) * 1000000 + 0.5)::BIGINT
+         |    AS r_e6 FROM d WHERE d2o > 0)
+         |SELECT (r_e6 // 100000)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+         |  min(r_e6) AS r_min_e6, max(r_e6) AS r_max_e6
+         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
 
     "v_pca_power" ->
       """WITH e AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS v FROM embeddings),

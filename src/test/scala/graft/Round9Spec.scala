@@ -478,6 +478,57 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---- wave-H additions --------------------------------------------
+
+  test("v_random_projection_jl: ratio mass concentrates near 1") {
+    val rows = SparkEntry.queries("v_random_projection_jl")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val sampled = Tables.embeddings(spark, sf).select(col("vec_id")).as("a")
+      .join(Tables.embeddings(spark, sf).select(col("vec_id").as("v2")),
+        col("vec_id") < col("v2") && pmod(col("vec_id") + col("v2"), lit(23)) === 0)
+      .count()
+    assert(total <= sampled && total >= sampled - 5) // d2o = 0 exclusions only
+    // JL: E[‖Ax−Ay‖²/(k‖x−y‖²)] = 1 — the weighted bin-midpoint mean
+    // must land near it (k = 8 gives wide but centered spread)
+    val mean = rows.map(r => r.getAs[Long]("n_pairs").toDouble *
+      (r.getAs[Long]("r_min_e6") + r.getAs[Long]("r_max_e6")) / 2).sum / total
+    assert(mean > 700000 && mean < 1300000, s"ratio mean $mean off-center")
+  }
+
+  test("j_allen_interval_census partitions the paired user-days") {
+    val rows = SparkEntry.queries("j_allen_interval_census")(spark, sf).collect()
+    val names = Set("equals", "starts", "started_by", "finishes",
+      "finished_by", "before", "after", "meets", "met_by", "during",
+      "contains", "overlaps", "overlapped_by")
+    rows.foreach(r => assert(names.contains(r.getAs[String]("relation"))))
+    def span(t: String) = Tables.events(spark, sf)
+      .filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"))
+      .filter(col("s") < col("e"))
+    val expected = span("click").select(col("user_id"), col("day"))
+      .join(span("view").select(col("user_id"), col("day")), Seq("user_id", "day"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("graph_modularity: exact-rational decomposition is conservative") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m2 = rows.head.getAs[Long]("m2")
+    assert(rows.forall(_.getAs[Long]("m2") == m2))
+    // every directed edge has exactly one source community
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum == m2)
+    rows.foreach { r =>
+      val in2 = r.getAs[Long]("in_edges2")
+      assert(in2 % 2 == 0) // both orientations of an internal edge
+      assert(in2 <= r.getAs[Long]("deg_sum"))
+      assert(r.getAs[Long]("q_num") ==
+        in2 * m2 - r.getAs[Long]("deg_sum") * r.getAs[Long]("deg_sum"))
+    }
+  }
+
   test("graph_2hop_reach: frontier sizes bounded by deg-squared closure") {
     val rows = SparkEntry.queries("graph_2hop_reach")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
