@@ -189,6 +189,47 @@ object DedupOps {
              max(col("n")).as("max_dup"))
     }),
 
+    // MinHash estimator-quality audit — the measurement that closes
+    // the minhash family: for every LSH candidate pair, the signature
+    // ESTIMATE (matching positions / 12) against the EXACT shingle
+    // Jaccard, binned by exact similarity. E[est] = J with σ =
+    // √(J(1−J)/12), so the audit answers "is 12 permutations enough
+    // at my threshold" with data, not the formula (band_tuning gives
+    // the S-curve; this gives the residuals). Everything lands as e6
+    // integers (est = matches·1e6 div 12, exact J = inter·1e6 div
+    // union of the distinct hashed-shingle sets) — fully
+    // deterministic, no FP anywhere. Cost: the shared signature and
+    // shingle exchanges + the capped band join both LSH queries
+    // already pay; the only new work is one 12-position compare and
+    // one merge-walk intersect per candidate.
+    "dedup_minhash_estimate_audit" -> ((s, dir) => {
+      val sigs = minhashSigs(s, dir)
+      val sh = shingled(s, dir).filter(size(col("bg")) > 0)
+        .select(col("doc_id"), col("bg"))
+      val cand = graft.api.Graft.cappedBucketPairs(
+          lshBands(sigs).join(sigs, "doc_id"), Seq("band"), "doc_id", 4096,
+          carryCols = Seq("mhs"))
+      val est = cand.withColumn("matches", expr(
+          "size(filter(sequence(1, 12), " +
+          "k -> element_at(mhs_a, k) = element_at(mhs_b, k)))"))
+        .select(col("a_id"), col("b_id"),
+                expr("matches * 1000000 div 12").as("est_e6"))
+      est.join(sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("bg").as("bg_b")), "b_id")
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount.sortedIntersectCountLong(
+            col("bg_a"), col("bg_b")))
+        .withColumn("j_e6",
+          expr("inter * 1000000 div (size(bg_a) + size(bg_b) - inter)"))
+        .withColumn("bin", expr("j_e6 div 100000"))
+        .withColumn("err", abs(col("est_e6") - col("j_e6")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+             expr("sum(err) div count(1)").as("mean_abs_err_e6"),
+             max(col("err")).as("max_abs_err_e6"))
+        .orderBy(col("bin"))
+    }),
+
     // Exact dedup: md5-groupBy summary + rows removed under keep-first.
     // MinHash band-tuning advisor — the measurement behind choosing
     // the (bands × rows) LSH layout: for every factorization of the
@@ -703,6 +744,35 @@ object DedupOps {
          |  FROM cand JOIN toks ta ON ta.doc_id = a_id JOIN toks tb ON tb.doc_id = b_id)
          |SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_minhash_estimate_audit" ->
+      s"""WITH toks AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+         |  GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs
+         |  FROM mh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(6),
+         |  k -> k || ':' || mhs[2*k+1] || mhs[2*k+2])) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.doc_id < b.doc_id),
+         |es AS (SELECT a_id, b_id,
+         |    (len(list_filter(range(1, 13), k -> sa.mhs[k] = sb.mhs[k]))
+         |      * 1000000) // 12 AS est_e6
+         |  FROM cand JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id),
+         |jx AS (SELECT a_id, b_id, est_e6,
+         |    (len(list_intersect(ta.bg, tb.bg)) * 1000000) //
+         |      len(list_distinct(ta.bg || tb.bg)) AS j_e6
+         |  FROM es JOIN toks ta ON ta.doc_id = a_id
+         |  JOIN toks tb ON tb.doc_id = b_id
+         |  WHERE len(ta.bg) > 0 AND len(tb.bg) > 0)
+         |SELECT (j_e6 // 100000)::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+         |  (sum(abs(est_e6 - j_e6)) // count(*))::BIGINT AS mean_abs_err_e6,
+         |  max(abs(est_e6 - j_e6))::BIGINT AS max_abs_err_e6
+         |FROM jx GROUP BY bin ORDER BY bin""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg

@@ -55,6 +55,32 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
   }
 }
 
+/** Constant-folds deterministic higher-order functions whose data
+  * arguments are all foldable. Catalyst's ConstantFolding skips any
+  * expression containing a lambda (`HigherOrderFunction.foldable` is
+  * never true), so e.g. `transform(sequence(0, 143), i -> md5(...))` —
+  * a 144-entry literal lookup ring — re-evaluates PER ROW: measured
+  * 2.3 s of a 2.5 s query before shard_ring_vnodes was hand-fixed
+  * (BENCH_NOTES §r9). This rule evaluates such expressions ONCE at
+  * optimization time and replaces them with the resulting literal, so
+  * the next literal-HOF a user writes gets the fix for free.
+  *
+  * Scope guards: the HOF must be resolved, deterministic (covers the
+  * lambda body — a rand() inside stays per-row), and every
+  * non-function argument foldable. Evaluation happens on the
+  * interpreted path exactly once; a failure (e.g. division by zero in
+  * the lambda) falls back to leaving the expression in place rather
+  * than failing the plan. */
+object FoldConstantHigherOrderFunctions extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case h: HigherOrderFunction
+        if h.resolved && h.deterministic && h.arguments.forall(_.foldable) =>
+      try Literal.create(h.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+        h.dataType)
+      catch { case _: Exception => h }
+  }
+}
+
 /** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
   * Besides the optimizer rule, the engine's native expressions are
@@ -94,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
+    ext.injectOptimizerRule(_ => FoldConstantHigherOrderFunctions)
     Seq(
       fn("graft_dot", "dot product of two double arrays (sequential fold)", 2,
         { case Seq(a, b) => DotProductD(a, b) }),

@@ -75,6 +75,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("INT literal"))
   }
 
+  test("FoldConstantHigherOrderFunctions: literal HOFs fold to a Literal") {
+    import org.apache.spark.sql.functions._
+    // a literal ring: without the rule this transform+md5 re-evaluates
+    // per row; with it the optimized plan carries a plain array literal
+    val df = spark.range(3).select(
+      expr("transform(sequence(0, 4), i -> substring(md5(CAST(i AS STRING)), 1, 4))")
+        .as("ring"),
+      col("id"))
+    val optimized = df.queryExecution.optimizedPlan
+    val stillHof = optimized.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction]))
+    assert(!stillHof, s"HOF not folded:\n$optimized")
+    // values unchanged vs the interpreted evaluation
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val expected = (0 to 4).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4))
+    rows.foreach(r => assert(r.getSeq[String](0) == expected))
+    // non-deterministic lambdas must NOT fold
+    val ndf = spark.range(3).select(
+      expr("transform(sequence(0, 1), i -> rand())").as("r"))
+    val ndHof = ndf.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction]))
+    assert(ndHof, "non-deterministic HOF must stay per-row")
+    // column-dependent HOFs must NOT fold
+    val cdf = spark.range(3).select(
+      expr("transform(array(id), x -> x + 1)").as("r"))
+    val cdHof = cdf.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.HigherOrderFunction]))
+    assert(cdHof, "column-dependent HOF must stay per-row")
+  }
+
   test("wrong arity raises a proper analysis error, not a MatchError") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()

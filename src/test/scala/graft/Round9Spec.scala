@@ -529,6 +529,20 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_estimate_audit: estimator residuals are 12-perm plausible") {
+    val rows = SparkEntry.queries("dedup_minhash_estimate_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 10)
+      assert(r.getAs[Long]("mean_abs_err_e6") <= r.getAs[Long]("max_abs_err_e6"))
+      // σ(est) = √(J(1−J)/12) ≤ 0.145 — mean |err| beyond 0.4 would mean
+      // the signature and shingle pipelines diverged
+      assert(r.getAs[Long]("mean_abs_err_e6") <= 400000L)
+      assert(r.getAs[Long]("max_abs_err_e6") <= 1000000L)
+    }
+  }
+
   test("graph_2hop_reach: frontier sizes bounded by deg-squared closure") {
     val rows = SparkEntry.queries("graph_2hop_reach")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 25)
