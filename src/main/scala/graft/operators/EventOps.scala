@@ -1282,6 +1282,48 @@ object EventOps {
     // cumulative window and the argmax-by-(peak, earliest) run on that
     // metadata-sized table. Exact epoch-µs half-open intervals: an end
     // at t and a start at t never double-count.
+    // Shapley-value channel attribution (the game-theoretic credit
+    // model next to linear and U-shaped multi-touch): channels
+    // {click, view, signup} form coalitions, v(S) = conversions among
+    // users whose touch-set ⊆ S, and each channel's credit is its
+    // average marginal contribution over all join orders. n = 3 makes
+    // the weights exact sixths — s!(n−1−s)!/n! ∈ {2/6, 1/6, 2/6} — so
+    // φ·6 is an exact BIGINT (phi_num6) and the efficiency axiom
+    // Σφ = v(N) − v(∅) is an integer identity Round9Spec asserts.
+    // Scale: ONE user-grain aggregate (mask, converted) collapses the
+    // corpus to ≤ 2ⁿ coalition rows; the subset lattice and Shapley
+    // sums are literal-table joins over 8 rows — at 100 TB nothing
+    // after the first aggregate touches data.
+    "e_shapley_attribution" -> ((s, dir) => {
+      val um = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          (max(when(col("event_type") === "click", 1).otherwise(0)) * 1 +
+           max(when(col("event_type") === "view", 1).otherwise(0)) * 2 +
+           max(when(col("event_type") === "signup", 1).otherwise(0)) * 4)
+            .as("mask"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val mc = um.groupBy(col("mask")).agg(sum(col("conv")).as("nconv"))
+      val subs = s.range(8).select(col("id").cast("int").as("sub"))
+      val vs = subs.join(
+          subs.crossJoin(mc).filter(expr("(mask & ~sub) = 0"))
+            .groupBy(col("sub")).agg(sum(col("nconv")).as("v0")),
+          Seq("sub"), "left")
+        .select(col("sub"), coalesce(col("v0"), lit(0L)).as("v"))
+        .localCheckpoint() // 8 rows, consumed by three channel scans
+      Seq(("click", 1), ("view", 2), ("signup", 4)).map { case (name, bit) =>
+        vs.as("s0").filter(expr(s"(sub & $bit) = 0"))
+          .join(vs.as("s1"), expr(s"s1.sub = s0.sub + $bit"))
+          .select(lit(name).as("channel"),
+            (when(expr("bit_count(s0.sub)") === 1, 1L).otherwise(2L) *
+              (col("s1.v") - col("s0.v"))).as("term"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("channel")).agg(sum(col("term")).as("phi_num6"))
+        .select(col("channel"), col("phi_num6"),
+          expr("phi_num6 * 1000000 div 6").as("phi_e6"))
+        .orderBy(col("channel"))
+    }),
+
     // Allen's interval algebra census — classify every same-(user, day)
     // pair of activity intervals (click span vs view span) into the 13
     // Allen relations (Allen 1983), the exhaustive vocabulary for
@@ -2188,6 +2230,33 @@ object EventOps {
         |  (cum_cents * 1000000 // n_cohort)::BIGINT AS ltv_per_user_e6
         |FROM cum JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e_shapley_attribution" ->
+      """WITH um AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1 +
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2 +
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+        |      AS mask,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |mc AS (SELECT mask::INT AS mask, sum(conv)::BIGINT AS nconv
+        |  FROM um GROUP BY mask),
+        |subs AS (SELECT unnest(range(8))::INT AS sub),
+        |vv AS (SELECT sub,
+        |    coalesce(sum(CASE WHEN (mask & ~sub) = 0 THEN nconv END), 0)
+        |      ::BIGINT AS v
+        |  FROM subs LEFT JOIN mc ON (mask & ~sub) = 0 GROUP BY sub),
+        |ch(name, bit) AS (VALUES ('click', 1), ('view', 2), ('signup', 4)),
+        |terms AS (SELECT ch.name AS channel,
+        |    (CASE WHEN bit_count(s0.sub) = 1 THEN 1 ELSE 2 END)::BIGINT
+        |      * (s1.v - s0.v) AS term
+        |  FROM ch CROSS JOIN vv s0
+        |  JOIN vv s1 ON s1.sub = s0.sub + ch.bit
+        |  WHERE (s0.sub & ch.bit) = 0)
+        |SELECT channel, sum(term)::BIGINT AS phi_num6,
+        |  (sum(term) * 1000000 // 6)::BIGINT AS phi_e6
+        |FROM terms GROUP BY channel ORDER BY channel""".stripMargin,
 
     "j_allen_interval_census" ->
       s"""WITH c AS (SELECT user_id, ts::DATE AS day,

@@ -529,6 +529,25 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("e_shapley_attribution: efficiency axiom Σφ = v(N) − v(∅) holds exactly") {
+    val rows = SparkEntry.queries("e_shapley_attribution")(spark, sf).collect()
+    assert(rows.length == 3)
+    val phiSum6 = rows.map(_.getAs[Long]("phi_num6")).sum
+    // independent recompute of the grand coalition and null coalition
+    val um = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(
+        (max(when(col("event_type") === "click", 1).otherwise(0)) +
+         max(when(col("event_type") === "view", 1).otherwise(0)) +
+         max(when(col("event_type") === "signup", 1).otherwise(0))).as("touched"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val vFull = um.agg(sum(col("conv"))).collect()(0).getLong(0)
+    val vNone = um.filter(col("touched") === 0)
+      .agg(coalesce(sum(col("conv")), lit(0L))).collect()(0).getLong(0)
+    assert(phiSum6 == 6L * (vFull - vNone),
+      s"efficiency broken: $phiSum6 != 6*(${vFull} - ${vNone})")
+    rows.foreach(r => assert(r.getAs[Long]("phi_num6") >= 0L)) // monotone game
+  }
+
   test("dedup_minhash_estimate_audit: estimator residuals are 12-perm plausible") {
     val rows = SparkEntry.queries("dedup_minhash_estimate_audit")(spark, sf).collect()
     assert(rows.nonEmpty)
