@@ -266,6 +266,53 @@ object LayoutOps {
         .orderBy(col("shard8"))
     }),
 
+    // DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar 2007)
+    // — the second DP primitive next to privacy_dp_histogram's Laplace
+    // counts, needed because medians have unbounded value-sensitivity
+    // (you perturb the SELECTION, not the value): each candidate value
+    // scores u(v) = −|rank(v) − n/2| (sensitivity 1), and the release
+    // is argmax of ε·u/2 + Gumbel — the Gumbel-max trick, which IS the
+    // exponential mechanism exactly. Noise is the deterministic
+    // seeded-hash recipe (md5 dyadic uniform → inverse CDF), so the
+    // release replays identically on both engines and across reruns —
+    // the reproducible-release property privacy_dp_histogram
+    // established. Scale: candidates are the (type, cents) histogram
+    // (value-domain-bounded) after one map-side-combining aggregate;
+    // the rank walk and argmax are per-type windows over that
+    // histogram, never over rows.
+    "privacy_dp_median" -> ((s, dir) => {
+      val cum = Tables.events(s, dir)
+        .select(col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      val pick = cum
+        .withColumn("u", greatest(
+          conv(substring(md5(concat(col("event_type"), lit(":"),
+            col("c").cast("string"), lit(":dpm"))), 1, 12), 16, 10)
+            .cast("long").cast("double") / lit(281474976710656.0),
+          lit(1e-12)))
+        .withColumn("score",
+          (-abs(col("cum") * 2 - col("n"))).cast("double") / 4.0 +
+          (-log(-log(col("u")))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("c").as("dp_median_c"),
+                abs(col("cum") * 2 - col("n")).as("rank_err2"))
+      cum.filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type"))
+        .agg(min(col("c")).as("true_median_c"), max(col("n")).as("n"))
+        .join(pick, "event_type")
+        .select(col("event_type"), col("n"), col("true_median_c"),
+                col("dp_median_c"), col("rank_err2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Differentially-private histogram release (ε = 1, sensitivity 1 →
     // Laplace b = 1) with DETERMINISTIC noise: u ∈ [0,1) is the
     // md5-prefix dyadic rational (48 bits / 2^48 — an exact double both
@@ -453,6 +500,33 @@ object LayoutOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "privacy_dp_median" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+        |h AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |sc AS (SELECT event_type, c, cum, n,
+        |    -abs(cum * 2 - n)::DOUBLE / 4.0 + (-ln(-ln(greatest(
+        |      ('0x' || substr(md5(event_type || ':' || c::VARCHAR
+        |        || ':dpm'), 1, 12))::BIGINT::DOUBLE / 281474976710656.0,
+        |      1e-12)))) AS score
+        |  FROM cum),
+        |pick AS (SELECT event_type, c AS dp_median_c,
+        |    abs(cum * 2 - n)::BIGINT AS rank_err2,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, c) AS rn FROM sc),
+        |med AS (SELECT event_type, min(c)::BIGINT AS true_median_c,
+        |    max(n)::BIGINT AS n
+        |  FROM cum WHERE cum * 2 >= n GROUP BY event_type)
+        |SELECT m.event_type, m.n, m.true_median_c, p.dp_median_c,
+        |  p.rank_err2
+        |FROM med m JOIN (SELECT * FROM pick WHERE rn = 1) p
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "privacy_dp_histogram" ->
       """WITH h AS (SELECT event_type, count(*)::BIGINT AS true_n
         |  FROM events GROUP BY event_type),

