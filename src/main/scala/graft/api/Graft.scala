@@ -2443,6 +2443,29 @@ object Graft {
     * rational rho_e6 = 1e6 − ((6Σd²·1e3) div (n(n+1)) · 1e3) div (n−1)
     * — one documented evaluation order both engines replay exactly.
     * Returns (groupCol, n, sum_d2, rho_e6) for groups with n > 1. */
+  /** Benjamini–Hochberg step-up over an m-row p-value table: appends
+    * `bh_rank` (1-based ascending-p rank, keyCol tie-break) and
+    * `rejected` (1 for every rank ≤ max{i : p_(i)·m ≤ i·alphaE6}).
+    * Comparisons are pure integers on e6-scaled p-values, so the
+    * decision vector is engine-exact; the windows run over the m-row
+    * table — callers hand in one row per HYPOTHESIS (a per-feature
+    * test family), never row-grain data. The step-up max matters: a
+    * naive per-i threshold filter misses the case where a later rank
+    * re-qualifies everything below it (spec-asserted). */
+  def bhStepUp(df: DataFrame, keyCol: String, pE6Col: String,
+      alphaE6: Long = 100000L): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    df.withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col(pE6Col), col(keyCol)))
+        .cast("long"))
+      .withColumn("__k", max(when(
+          col(pE6Col) * col("__m") <= col("bh_rank") * alphaE6,
+          col("bh_rank")).otherwise(0L)).over(wAll))
+      .withColumn("rejected", (col("bh_rank") <= col("__k")).cast("long"))
+      .drop("__m", "__k")
+  }
+
   def spearmanByGroup(df: DataFrame, groupCol: String, idCol: String,
       xCol: String, yCol: String): DataFrame = {
     val rx = row_number().over(

@@ -935,19 +935,11 @@ object StatSketchOps {
             expr("CAST(a_obs AS DECIMAL(19,0)) * CAST(d_b AS DECIMAL(19,0))"), 1L)
             .otherwise(0L)).as("n_extreme"))
         .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
-      // BH step-up at α = 0.10: reject all i ≤ k, k = max{i : p_(i)·m ≤ i·100000}.
-      // Both windows run over the m-row p-table (|sources| rows, bounded).
-      import org.apache.spark.sql.expressions.Window
-      val wAll = Window.partitionBy(lit(1))
-      p.withColumn("m_tests", count(lit(1)).over(wAll))
-        .withColumn("bh_rank", row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("p_e6"), col("source"))))
-        .withColumn("k", max(when(
-            col("p_e6") * col("m_tests") <= col("bh_rank") * 100000L,
-            col("bh_rank")).otherwise(0L)).over(wAll))
+      // BH step-up at α = 0.10 via the reusable facade (the step-up max
+      // and all windows run over the m-row p-table — bounded).
+      graft.api.Graft.bhStepUp(p, "source", "p_e6", alphaE6 = 100000L)
         .select(col("source"), col("n_src"), col("p_e6"),
-          col("bh_rank").cast("long").as("bh_rank"),
-          (col("bh_rank") <= col("k")).cast("long").as("rejected"))
+                col("bh_rank"), col("rejected"))
         .orderBy(col("bh_rank"))
     }),
 

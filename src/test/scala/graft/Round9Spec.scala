@@ -529,6 +529,23 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("Graft.bhStepUp: the step-up max re-qualifies lower ranks") {
+    import spark.implicits._
+    // naive per-rank thresholding rejects NOTHING here (every p_(i)
+    // exceeds i·α/m except the last); BH's step-up rejects ALL FOUR
+    val p = Seq(("a", 60000L), ("b", 70000L), ("c", 80000L), ("d", 90000L))
+      .toDF("key", "p_e6")
+    val out = api.Graft.bhStepUp(p, "key", "p_e6").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("rejected")).toMap
+    assert(out.values.forall(_ == 1L), s"step-up broken: $out")
+    // and a plain prefix case: 3 small + 1 huge
+    val p2 = Seq(("a", 1000L), ("b", 20000L), ("c", 30000L), ("d", 900000L))
+      .toDF("key", "p_e6")
+    val out2 = api.Graft.bhStepUp(p2, "key", "p_e6").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("rejected")).toMap
+    assert(out2 == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+  }
+
   test("privacy_dp_median: release is a valid candidate with bounded rank error") {
     val rows = SparkEntry.queries("privacy_dp_median")(spark, sf).collect()
     assert(rows.length == 5)
