@@ -577,15 +577,33 @@ object Graft {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    bm25RankFromPostings(
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      d.select(col("doc_id"), size(split(col("text"), " ")).as("dl")),
+      queries, k, k1, b)
+  }
+
+  /** [[bm25Rank]] over a PRE-BUILT posting table (doc_id, term, tf) and
+    * doc-length table (doc_id, dl) — the query-INDEPENDENT halves of
+    * BM25, which the retrieval family session-memoizes the way the
+    * graph family shares its edge exchange: tokenize + term-count the
+    * corpus once, then every ranked query (bm25_topk, two_stage,
+    * hybrid_rrf, chunk_maxp, PRF's two passes) is a broadcast-vocab
+    * probe of the posting table. At 100 TB the memo IS the inverted
+    * index build. tf values are exact counts, so filtering the full
+    * posting table to the query vocabulary afterward is value-identical
+    * to counting only query terms (the pre-refactor form). */
+  def bm25RankFromPostings(postings: DataFrame, lens: DataFrame,
+      queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val q = queries.select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = d.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val dl = lens
     val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
       .select((col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"),
               col("n"))
-    val tf = toks.join(broadcast(q.select("term").distinct()), "term")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = postings.join(broadcast(q.select("term").distinct()), "term")
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
     val idf = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
       .crossJoin(broadcast(stats.select(col("n"))))
