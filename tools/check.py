@@ -6,7 +6,11 @@ oracle_sql.json query in DuckDB over the same parquet tables and
 compares: schema (column names sorted), row count, and values
 (rows sorted, doubles rounded to 9dp before compare).
 
-Usage: python3 tools/check.py [sfDir] [--skip-verify]
+Usage: python3 tools/check.py [sfDir] [--skip-verify] [--out=DIR]
+
+--out=DIR points at an alternate Verify dump (the subset-gate loop:
+run graft.Verify with a key list into its own dir, then compare just
+those keys with --skip-verify --out=thatdir).
 """
 import json, math, subprocess, sys
 from pathlib import Path
@@ -15,6 +19,9 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
 OUT = "/root/repo/target/graft_verify"
+for a in sys.argv[1:]:
+    if a.startswith("--out="):
+        OUT = a.split("=", 1)[1]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
