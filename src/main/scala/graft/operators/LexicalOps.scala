@@ -68,7 +68,7 @@ object LexicalOps {
     * PRF passes each re-tokenized and re-counted the corpus). The
     * memo is the in-session INVERTED INDEX; at 100 TB it is the
     * persisted term-bucketed index build. */
-  private def postings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def postings(s: SparkSession, dir: String): DataFrame =
     graft.api.Graft.memoizedExchange("retrieval_postings", s, dir) {
       docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

@@ -11,6 +11,17 @@ class Round9Spec extends SparkSpec {
 
   // ---- shared exchanges --------------------------------------------
 
+  test("retrieval posting exchange is memoized per (session, dir)") {
+    val p1 = operators.LexicalOps.postings(spark, sf)
+    val p2 = operators.LexicalOps.postings(spark, sf)
+    assert(p1 eq p2, "second call must return the cached checkpoint")
+    // posting tf sums reconstruct the token stream exactly
+    val tokCount = Tables.documentsSpread(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " "))).count()
+    assert(p1.agg(sum(col("tf"))).collect()(0).getLong(0) == tokCount)
+  }
+
   test("coPurchasePairs is memoized per (session, dir) and edges derive") {
     val p1 = api.Graft.coPurchasePairs(spark, sf)
     val p2 = api.Graft.coPurchasePairs(spark, sf)
