@@ -35,6 +35,19 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
+    // Capped-LSH fixture assumption (r9 advice): these queries cap hot
+    // bands at 4096 (star degradation) while their DuckDB oracles
+    // enumerate all band-sharing pairs — legitimate engines-diverge
+    // territory on a hotter corpus. Check the assumption on THIS corpus
+    // instead of assuming it; a violation fails the whole Verify run
+    // loudly rather than surfacing as an inscrutable hash mismatch.
+    val cappedLshKeys = Set("dedup_minhash_lsh", "dedup_minhash_estimate_audit")
+    if (cappedLshKeys.exists(keep)) {
+      val m = graft.operators.DedupOps.maxLshBandSize(spark, sfDir)
+      require(m <= 4096, s"LSH oracle fixture assumption violated: max band " +
+        s"size $m > 4096 on $sfDir — capped star fallback diverges from the " +
+        "uncapped pair-enumeration oracle")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

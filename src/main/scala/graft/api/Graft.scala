@@ -1895,13 +1895,40 @@ object Graft {
     * localCheckpoint is the single-JVM equivalent with the same
     * consumer-side contract: downstream plans start from materialized
     * blocks, never from the raw-scan lineage. */
-  private val sharedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+  /** Outer map is weak-KEYED on the SparkSession object itself (r9
+    * advice): identityHashCode collisions between two live sessions
+    * can't alias (the key is the object, compared by reference), and
+    * once a session is unreachable its whole inner memo — and the
+    * localCheckpointed plans bound to it — becomes collectable, so
+    * multi-session JVMs (test suites) don't accrete dead entries. */
+  private val sharedMemo: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   private[graft] def memoizedExchange(label: String, s: SparkSession,
       dir: String)(build: => DataFrame): DataFrame = {
-    val key = (label, System.identityHashCode(s), dir)
-    val cached = sharedMemo.get(key)
+    val perSession = {
+      val existing = sharedMemo.get(s)
+      if (existing != null) existing
+      else sharedMemo.synchronized {
+        val again = sharedMemo.get(s)
+        if (again != null) again
+        else {
+          val fresh = new java.util.concurrent.ConcurrentHashMap[
+            (String, String), DataFrame]()
+          sharedMemo.put(s, fresh)
+          fresh
+        }
+      }
+    }
+    // A stopped-but-still-referenced session can't serve its cached
+    // checkpoints (blocks are gone with the context); drop its memo so
+    // a rebuild fails loudly in build rather than on a stale plan.
+    if (s.sparkContext.isStopped) { sharedMemo.remove(s); perSession.clear() }
+    val key = (label, dir)
+    val cached = perSession.get(key)
     if (cached != null) cached
     else {
       // NOT computeIfAbsent: builds are reentrant (one memoized build
@@ -1910,7 +1937,7 @@ object Graft {
       // putIfAbsent races at worst double-build one checkpoint; the
       // first registration wins and both callers converge on it.
       val built = build.localCheckpoint()
-      val prev = sharedMemo.putIfAbsent(key, built)
+      val prev = perSession.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }

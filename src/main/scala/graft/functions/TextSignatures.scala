@@ -392,17 +392,21 @@ object TextSignatures {
     * 16× more rows than boundaries and then shuffled them into a
     * per-doc window; this expression emits the ~len/16-element array
     * map-side and the chunk-length census needs no per-doc shuffle at
-    * all. Returns an empty array for texts shorter than the gram. */
+    * all. Returns an empty array for texts shorter than the gram.
+    * Positions and grams are CODEPOINT-indexed (r9 advice): the
+    * consumers slice chunks with Spark `substring`/`length` and the
+    * oracle with DuckDB `substr`/`length`, both codepoint-based, so a
+    * UTF-16 index would shift every boundary after a non-BMP char. */
   case class CdcBoundaries(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
-      val t = input.asInstanceOf[UTF8String].toString
+      val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
       val md = MessageDigest.getInstance("MD5")
-      val out = new scala.collection.mutable.ArrayBuffer[Any](t.length / 12 + 4)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](cps.length / 12 + 4)
       var i = 8
-      while (i <= t.length) {
-        val d = md.digest(t.substring(i - 8, i)
+      while (i <= cps.length) {
+        val d = md.digest(new String(cps, i - 8, 8)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if ((d(0) & 0x0f) == 0) out += i.toLong
         i += 1

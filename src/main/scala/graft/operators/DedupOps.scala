@@ -65,6 +65,18 @@ object DedupOps {
                element_at(col("mhs"), 2 * k + 1),
                element_at(col("mhs"), 2 * k + 2))): _*)).as("band"))
 
+  /** Largest LSH band bucket on this corpus — the fixture assumption
+    * behind every capped-pairs minhash oracle (r9 advice): the Spark
+    * side degrades bands above 4096 members to a star around the band
+    * min, while the DuckDB oracles enumerate ALL band-sharing pairs, so
+    * the two engines legitimately diverge on any corpus with a hotter
+    * band. Verify asserts this stays under the cap so the divergence
+    * condition is CHECKED per run rather than assumed. */
+  private[graft] def maxLshBandSize(s: SparkSession, dir: String): Long =
+    lshBands(minhashSigs(s, dir))
+      .groupBy(col("band")).agg(count(lit(1)).as("m"))
+      .agg(max(col("m")).as("mx")).head.getLong(0)
+
   /** doc_id → (doc_id, sorted bigram shingles), via the native
     * [[graft.functions.TextSignatures.WordBigrams]] single-pass
     * tokenizer (the HOF form costs ~1 ms/doc interpreted; see

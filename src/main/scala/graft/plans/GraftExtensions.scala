@@ -74,10 +74,27 @@ object YearPredicateRewrite extends Rule[LogicalPlan] {
 object FoldConstantHigherOrderFunctions extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case h: HigherOrderFunction
-        if h.resolved && h.deterministic && h.arguments.forall(_.foldable) =>
+        if h.resolved && h.deterministic && h.arguments.forall(_.foldable) &&
+           h.references.isEmpty =>
+      // references.isEmpty: `arguments` covers only the DATA inputs —
+      // a lambda body may still capture OUTER attributes (e.g.
+      // `filter(sequence(1,12), k -> element_at(mhs_a, k) = ...)`),
+      // which is per-row no matter how constant the array is. The r9
+      // silent catch was masking exactly this eval failure per plan.
+      // Narrow catch + logged fallback (r9 advice): a fold that throws
+      // means either the lambda legitimately fails on this input (e.g.
+      // division by zero — leaving it per-row preserves Spark's runtime
+      // error semantics) or a Literal.create conversion bug; either way
+      // the skipped optimization must be visible, not silent.
       try Literal.create(h.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
         h.dataType)
-      catch { case _: Exception => h }
+      catch {
+        case e @ (_: org.apache.spark.SparkException | _: RuntimeException) =>
+          logWarning(s"FoldConstantHigherOrderFunctions: plan-time eval of " +
+            s"${h.sql} failed (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "leaving per-row evaluation in place")
+          h
+      }
   }
 }
 

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Idempotently materialize the fixture tree under target/ (kept
     * inside the repo; gitignored). */
   private def fixtureDir(): String = {
@@ -30,10 +35,7 @@ object FileSources {
     // so the partial tree is rebuilt rather than silently accepted
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) { // partial leftover: wipe and rebuild
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile) // partial leftover: wipe and rebuild
       val d1 = root.resolve("downloads/a"); val d2 = root.resolve("downloads/b")
       Files.createDirectories(d1); Files.createDirectories(d2)
       Files.write(d1.resolve("x.webm"), "WEBMDATA-X".getBytes)
@@ -303,10 +305,7 @@ object FileSources {
     val sentinel = root.resolve(".complete")
     val shards = root.resolve("shards")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile)
       import s.implicits._
       (0L until 1000L).toDF("id")
         .repartitionByRange(3, col("id"))
@@ -324,10 +323,7 @@ object FileSources {
     val root = Paths.get("target/graft_file_fixtures_jsonq")
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile)
       Files.createDirectories(root)
       Files.write(root.resolve("events.jsonl"), (
         """{"id":1,"amount":100,"tag":"a"}""" + "\n" +
@@ -348,10 +344,7 @@ object FileSources {
     val root = Paths.get("target/graft_file_fixtures_csvq")
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile)
       Files.createDirectories(root)
       Files.write(root.resolve("events.csv"), (
         "1,100,a\n" +

@@ -41,10 +41,7 @@ object StreamingOps {
     val root = Paths.get("target/graft_stream_fixtures/t4_batches")
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile)
       Files.createDirectories(root)
       Files.write(root.resolve("b1.json"),
         ("""{"batch_key":"b1","event_id":1,"amount_cents":250}""" + "\n" +
@@ -73,14 +70,17 @@ object StreamingOps {
     * idempotent like t4FixtureDir. */
   private def docsBatchFixtureDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val tag = Integer.toHexString(dir.hashCode)
+    // Tag = SHA-256 of the FULL canonical path (r9 advice): a 32-bit
+    // String.hashCode collision between two data dirs would silently
+    // serve one dir's micro-batches to the other's query.
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
     val root = Paths.get(s"target/graft_stream_fixtures/docs_batches_$tag")
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
-      if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(root.toFile)
       Files.createDirectories(root)
       val nt = graft.api.Graft.globalNtile(
         graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
@@ -89,12 +89,14 @@ object StreamingOps {
         val tmp = root.resolve(s"tmp_b$k")
         nt.filter(col("batch") === k).select(col("doc_id"), col("text"))
           .coalesce(1).write.json(tmp.toString)
-        val part = Files.list(tmp).filter(p =>
-            p.getFileName.toString.startsWith("part-")).findFirst.get
+        val listing = Files.list(tmp) // stream MUST be closed (fd leak per batch)
+        val part = try {
+          listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst.get
+        } finally listing.close()
         val dest = root.resolve(f"b$k%02d.json")
         Files.move(part, dest)
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
+        deleteRecursively(tmp.toFile)
         dest.toFile.setLastModified(1700000000000L + k * 60000L): Unit
       }
       Files.write(sentinel, Array.emptyByteArray)
@@ -343,10 +345,7 @@ object StreamingOps {
       val srcDir = t4FixtureDir()
       val sink = "target/graft_stream_fixtures/t4_sink"
       val sinkPath = Paths.get(sink)
-      if (Files.exists(sinkPath)) { // fresh run (Bench runs twice per JVM)
-        Files.walk(sinkPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(sinkPath.toFile) // fresh run (Bench runs twice per JVM)
       val stream = s.readStream.schema(t4Schema)
         .option("maxFilesPerTrigger", 1).json(srcDir)
       def writeBatch(df: DataFrame): Unit =
@@ -388,10 +387,7 @@ object StreamingOps {
       val srcDir = t4FixtureDir()
       val sink = "target/graft_stream_fixtures/t4_row_sink"
       val sinkPath = Paths.get(sink)
-      if (Files.exists(sinkPath)) { // fresh run (Bench runs twice per JVM)
-        Files.walk(sinkPath).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      deleteRecursively(sinkPath.toFile) // fresh run (Bench runs twice per JVM)
       val stream = s.readStream.schema(t4Schema)
         .option("maxFilesPerTrigger", 1).json(srcDir)
       val q = stream.writeStream.trigger(Trigger.AvailableNow())

@@ -19,14 +19,24 @@ class NativeExprPropertySpec extends SparkSpec {
     val alphabet = "abcdefgh xyz"
     // lengths straddle the w=8 gram boundary: 0..7 (empty result), 8, 9,
     // and longer texts where boundaries actually fire
+    // non-BMP inputs (emoji = 2 UTF-16 code units, 1 codepoint) pin the
+    // codepoint indexing contract: positions must agree with Spark
+    // length()/substring and DuckDB substr/length, both codepoint-based
+    val astral = "😀" // U+1F600
     val texts = (0 to 7).map(n => "a" * n) ++
-      Seq("exactly8", "ninechars") ++
+      Seq("exactly8", "ninechars",
+          astral * 8, s"abc${astral}defgh${astral}xyz pad pad pad") ++
       (1 to 40).map(_ => (1 to (20 + rnd.nextInt(300)))
-        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
-    def reference(t: String): Seq[Long] =
-      (8 to t.length).filter { i =>
-        (md5Bytes(t.substring(i - 8, i))(0) & 0x0f) == 0
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      (1 to 10).map(_ => (1 to (20 + rnd.nextInt(100)))
+        .map(_ => if (rnd.nextInt(5) == 0) astral
+                  else alphabet(rnd.nextInt(alphabet.length)).toString).mkString)
+    def reference(t: String): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      (8 to cps.length).filter { i =>
+        (md5Bytes(new String(cps, i - 8, 8))(0) & 0x0f) == 0
       }.map(_.toLong)
+    }
     val got = texts.toDF("text")
       .select(col("text"),
         graft.functions.TextSignatures.cdcBoundaries(col("text")).as("b"))
