@@ -1383,6 +1383,51 @@ object EventOps {
         .orderBy(col("day"))
     }),
 
+    // Watermark-delay SLA monitor (r9 seed #4) — e_late_arrival_audit
+    // turned into the DECISION table: for a grid of candidate
+    // watermark delays D, the exact retention each would achieve per
+    // day (events an aggregate keeps vs drops), an SLA verdict at
+    // 99.9%, and D* — the MINIMAL delay meeting the SLA, read off the
+    // lag distribution as an exact order statistic (the
+    // (n − n div 1000)-th smallest lag): the number you'd actually
+    // paste into `withWatermark`. No guessing, no histogram
+    // approximation — the 0.1% drop budget is counted in integer µs.
+    // Scale: one per-day running-max window over arrival order (same
+    // exchange as the audit), then the grid explode multiplies the
+    // per-event lag rows 3× map-side before collapsing to |days|×3;
+    // the order statistic is a per-day rank over the same partition —
+    // exchange reused, nothing global.
+    "e_watermark_sla" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_id"),
+                unix_micros(col("ts")).as("us"))
+      val wPrior = Window.partitionBy(col("day")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lags = ev
+        .withColumn("lag_us", greatest(
+          coalesce(max(col("us")).over(wPrior) - col("us"), lit(0L)),
+          lit(0L)))
+      val dstar = lags
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("day")).orderBy(col("lag_us"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("day"))))
+        .filter(col("rk") === col("n") - expr("n div 1000"))
+        .select(col("day"), col("lag_us").as("d_star_us"))
+      lags
+        .withColumn("d_us", explode(array(
+          lit(60000000L), lit(600000000L), lit(1800000000L))))
+        .groupBy(col("day"), col("d_us"))
+        .agg(count(lit(1)).as("n_events"),
+             sum((col("lag_us") > col("d_us")).cast("long")).as("n_dropped"))
+        .withColumn("retained_e6",
+          expr("(n_events - n_dropped) * 1000000 div n_events"))
+        .withColumn("meets_sla", (col("retained_e6") >= 999000L).cast("long"))
+        .join(dstar, "day")
+        .select(col("day"), col("d_us"), col("n_events"), col("n_dropped"),
+                col("retained_e6"), col("meets_sla"), col("d_star_us"))
+        .orderBy(col("day"), col("d_us"))
+    }),
+
     // Little's-law audit L = λW — the queueing-theory conservation
     // check an ops pipeline runs to validate its concurrency and dwell
     // telemetry against each other: the time integral of concurrent
@@ -2283,6 +2328,32 @@ object EventOps {
         |    AS n_late,
         |  max(greatest(coalesce(pm - us, 0), 0))::BIGINT AS max_lag_us
         |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    "e_watermark_sla" ->
+      """WITH ev AS (SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |l AS (SELECT day, event_id, greatest(coalesce(
+        |    max(us) OVER (PARTITION BY day ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0)
+        |    AS lag_us FROM ev),
+        |r AS (SELECT day, lag_us,
+        |    row_number() OVER (PARTITION BY day ORDER BY lag_us, event_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY day) AS n FROM l),
+        |ds AS (SELECT day, lag_us::BIGINT AS d_star_us FROM r
+        |  WHERE rk = n - n // 1000),
+        |g AS (SELECT day, d_us, count(*)::BIGINT AS n_events,
+        |    sum((lag_us > d_us)::INT)::BIGINT AS n_dropped
+        |  FROM l CROSS JOIN (VALUES (60000000::BIGINT), (600000000::BIGINT),
+        |    (1800000000::BIGINT)) AS dd(d_us)
+        |  GROUP BY day, d_us)
+        |SELECT g.day, g.d_us, g.n_events, g.n_dropped,
+        |  ((n_events - n_dropped) * 1000000 // n_events)::BIGINT
+        |    AS retained_e6,
+        |  (((n_events - n_dropped) * 1000000 // n_events) >= 999000)::BIGINT
+        |    AS meets_sla,
+        |  ds.d_star_us
+        |FROM g JOIN ds USING (day) ORDER BY g.day, g.d_us""".stripMargin,
 
     "e_littles_law_audit" ->
       """WITH sess AS (SELECT ts::DATE AS day, user_id,

@@ -313,6 +313,56 @@ object LayoutOps {
         .orderBy(col("event_type"))
     }),
 
+    // Exponential-mechanism release at a GRID of quantiles (q25/q50/
+    // q75) — privacy_dp_median generalized from the single rank n/2 to
+    // rank q·n (r9 seed #4): utility u(v) = −|rank(v) − q·n| still has
+    // sensitivity 1 per quantile, so each release is an independent
+    // ε = 1 exponential mechanism, realized as the same Gumbel-max
+    // argmax over the (type, cents) histogram with the seeded 48-bit
+    // md5 dyadic uniform (seed string carries the quantile so the
+    // three releases draw independent noise). Rank error lands exactly
+    // as |100·cum − q·n| (hundredths of a row — integer, no FP rank
+    // arithmetic). Scale: identical to dp_median — candidates are the
+    // value-domain-bounded histogram after one map-side-combining
+    // aggregate; the quantile grid multiplies that bounded table by 3,
+    // never the raw rows.
+    "privacy_dp_quantiles" -> ((s, dir) => {
+      val cum = Tables.events(s, dir)
+        .select(col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      val grid = cum.withColumn("q_pct",
+        explode(array(lit(25L), lit(50L), lit(75L))))
+      val pick = grid
+        .withColumn("u", greatest(
+          conv(substring(md5(concat(col("event_type"), lit(":"),
+            col("c").cast("string"), lit(":"), col("q_pct").cast("string"),
+            lit(":dpq"))), 1, 12), 16, 10)
+            .cast("long").cast("double") / lit(281474976710656.0),
+          lit(1e-12)))
+        .withColumn("score",
+          (-abs(col("cum") * 100 - col("q_pct") * col("n"))).cast("double")
+            / 200.0 + (-log(-log(col("u")))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"), col("q_pct"))
+            .orderBy(col("score").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("q_pct"), col("c").as("dp_q_c"),
+                abs(col("cum") * 100 - col("q_pct") * col("n"))
+                  .as("rank_err100"))
+      grid.filter(col("cum") * 100 >= col("q_pct") * col("n"))
+        .groupBy(col("event_type"), col("q_pct"))
+        .agg(min(col("c")).as("true_q_c"), max(col("n")).as("n"))
+        .join(pick, Seq("event_type", "q_pct"))
+        .select(col("event_type"), col("q_pct"), col("n"), col("true_q_c"),
+                col("dp_q_c"), col("rank_err100"))
+        .orderBy(col("event_type"), col("q_pct"))
+    }),
+
     // Differentially-private histogram release (ε = 1, sensitivity 1 →
     // Laplace b = 1) with DETERMINISTIC noise: u ∈ [0,1) is the
     // md5-prefix dyadic rational (48 bits / 2^48 — an exact double both
@@ -526,6 +576,37 @@ object LayoutOps {
         |FROM med m JOIN (SELECT * FROM pick WHERE rn = 1) p
         |  USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "privacy_dp_quantiles" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+        |h AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |grid AS (SELECT cum.*, qq.q_pct FROM cum
+        |  CROSS JOIN (VALUES (25::BIGINT), (50::BIGINT), (75::BIGINT))
+        |    AS qq(q_pct)),
+        |sc AS (SELECT event_type, q_pct, c, cum, n,
+        |    -abs(cum * 100 - q_pct * n)::DOUBLE / 200.0 + (-ln(-ln(greatest(
+        |      ('0x' || substr(md5(event_type || ':' || c::VARCHAR || ':'
+        |        || q_pct::VARCHAR || ':dpq'), 1, 12))::BIGINT::DOUBLE
+        |        / 281474976710656.0,
+        |      1e-12)))) AS score
+        |  FROM grid),
+        |pick AS (SELECT event_type, q_pct, c AS dp_q_c,
+        |    abs(cum * 100 - q_pct * n)::BIGINT AS rank_err100,
+        |    row_number() OVER (PARTITION BY event_type, q_pct
+        |      ORDER BY score DESC, c) AS rn FROM sc),
+        |tru AS (SELECT event_type, q_pct, min(c)::BIGINT AS true_q_c,
+        |    max(n)::BIGINT AS n
+        |  FROM grid WHERE cum * 100 >= q_pct * n GROUP BY event_type, q_pct)
+        |SELECT t.event_type, t.q_pct, t.n, t.true_q_c, p.dp_q_c,
+        |  p.rank_err100
+        |FROM tru t JOIN (SELECT * FROM pick WHERE rn = 1) p
+        |  USING (event_type, q_pct)
+        |ORDER BY event_type, q_pct""".stripMargin,
 
     "privacy_dp_histogram" ->
       """WITH h AS (SELECT event_type, count(*)::BIGINT AS true_n

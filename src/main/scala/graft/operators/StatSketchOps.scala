@@ -145,6 +145,41 @@ object StatSketchOps {
     // the 10-term sum (the entropyByKey discipline — aggregation order
     // cannot move a bit). The time cut is the exact integer midpoint
     // of the µs range; bin thresholds are |types|×9 rows, broadcast.
+    // Capture-recapture population estimate (Chapman's bias-corrected
+    // Lincoln-Petersen, the mark-recapture estimator ecology and
+    // census under-count auditing share): consecutive active-day user
+    // sets are two independent "captures" of the underlying user
+    // population; N̂ = (n1+1)(n2+1)/(m+1) − 1 from the day-pair overlap
+    // m estimates how many users exist INCLUDING those seen on neither
+    // day — the coverage ratio (observed n1+n2−m over N̂) is the
+    // day-level "what fraction of our population do two days of logs
+    // see" answer a sampling design needs. All-integer: counts,
+    // Chapman via floor division, coverage e6. Scale: ONE distinct
+    // (day, user) digest exchange; the overlap is a self-join on
+    // user_id (equi-join, user-keyed shuffle) that only carries the
+    // digest, never events; per-day rows are bounded by the date
+    // domain.
+    "stat_capture_recapture" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val n = d.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val m = d.as("a").join(d.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+        .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("m"))
+      m.join(n.select(col("day"), col("n").as("n1")), "day")
+        .join(n.select(date_sub(col("day"), 1).as("day"), col("n").as("n2")),
+              "day")
+        .withColumn("chapman_n",
+          expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+        .withColumn("observed_n", col("n1") + col("n2") - col("m"))
+        .withColumn("coverage_e6",
+          expr("(n1 + n2 - m) * 1000000 div ((n1 + 1) * (n2 + 1) div (m + 1) - 1)"))
+        .select(col("day"), col("n1"), col("n2"), col("m"),
+                col("chapman_n"), col("observed_n"), col("coverage_e6"))
+        .orderBy(col("day"))
+    }),
+
     "stat_psi_value_drift" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), unix_micros(col("ts")).as("us"),
@@ -967,6 +1002,22 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "stat_capture_recapture" ->
+      """WITH d AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |n AS (SELECT day, count(*)::BIGINT AS n FROM d GROUP BY day),
+        |m AS (SELECT a.day AS day, count(*)::BIGINT AS m
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |  GROUP BY a.day)
+        |SELECT m.day, n1.n AS n1, n2.n AS n2, m.m,
+        |  ((n1.n + 1) * (n2.n + 1) // (m.m + 1) - 1)::BIGINT AS chapman_n,
+        |  (n1.n + n2.n - m.m)::BIGINT AS observed_n,
+        |  ((n1.n + n2.n - m.m) * 1000000
+        |    // ((n1.n + 1) * (n2.n + 1) // (m.m + 1) - 1))::BIGINT
+        |    AS coverage_e6
+        |FROM m JOIN n n1 ON n1.day = m.day
+        |  JOIN n n2 ON n2.day = m.day + 1
+        |ORDER BY m.day""".stripMargin,
+
     "stat_neyman_allocation" ->
       """WITH st AS (SELECT source, count(*)::BIGINT AS n_h,
         |    sum(n_chars)::BIGINT AS sx,
