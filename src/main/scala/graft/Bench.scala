@@ -67,8 +67,33 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0 }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, b) = (once(fn), once(fn))
+    // Host-drift probe (r9 seed #3): this host degrades late-session
+    // (identical code measured 141.78 → 177.26 s twenty minutes apart,
+    // BENCH_NOTES §r9), which poisons ROUND-over-round comparisons
+    // because the two rounds' runs sit at different drift phases. A
+    // fixed cheap query timed at the start, middle, and end of the run
+    // calibrates the run's own drift; cross-round deltas divide it out
+    // (paired-plans-in-one-JVM is impossible across code versions, so
+    // the probe is the practical instrument). min-of-3 so one GC pause
+    // can't fake a drift reading.
+    def probeMin(): Double = {
+      val fn = SparkEntry.queries("a1_count_by_year")
+      def p(): Double = {
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(p(), p(), p()).min
+    }
+    val sortedQ = SparkEntry.queries.toSeq.sortBy(_._1)
+    val probePre = probeMin()
+    val passes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    var probeMid = -1.0
+    sortedQ.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i == sortedQ.size / 2) probeMid = probeMin()
+      passes(name) = (once(fn), once(fn))
+    }
+    val probePost = probeMin()
+    val results = passes.toSeq.map { case (name, (a, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // The driver keeps only the LAST ~2.9 KB of output, so the ENTIRE
@@ -100,17 +125,24 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passesFull = passes.map { case (k, (a, b)) => s""""$k":[$a,$b]""" }
+      .mkString("{", ",", "}")
+    val probeJson =
+      s"""{"pre":$probePre,"mid":$probeMid,"post":$probePost}"""
     // failures are flagged as -1 entries; they must not SUBTRACT from
     // the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val omitted = results.size - entries.size
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"full":"target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
+    val probeMs = Seq(probePre, probeMid, probePost)
+      .map(v => math.round(v * 1000)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","q_unit":"ms","n_queries":${results.size},"omitted":$omitted,"probe_ms":$probeMs,"full":"target/bench_full.json","queries":$qs,"sf":"$sfName"}"""
     // Full-precision artifact FIRST: even if the capture-budget guard
     // below trips, the complete results survive on disk.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""passes":$passesFull,"probe":$probeJson,"sf":"$sfDir"}""")
     // Hard guard: if the line ever outgrows the capture window again,
     // fail loudly at bench time instead of silently shipping a
     // head-decapitated artifact to the driver.

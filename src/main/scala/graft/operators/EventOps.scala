@@ -740,6 +740,44 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    // Tukey IQR fences per event type — the boxplot convention next to
+    // anomaly_mad_outliers' MAD gate (two robust-outlier dialects, two
+    // different breakdown behaviors; ops teams want both columns before
+    // picking an alert rule). Q1/Q3 are exact order statistics off one
+    // cents histogram (smallest c with 4·cum ≥ n / ≥ 3n — the
+    // true_median_c convention), and the 1.5×IQR fences never leave
+    // integers: a row is an outlier iff 2c < 2·Q1 − 3·IQR or
+    // 2c > 2·Q3 + 3·IQR (everything doubled, so the ×1.5 is exact).
+    // Scale: the histogram is the value-domain-bounded aggregate; the
+    // fence test joins the |types|-row quartile table broadcast back
+    // onto the same histogram, never onto raw rows.
+    "anomaly_iqr_fences" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 100 + 0.5)
+          .cast("long").as("c"))
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      val q = h.groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 4 >= col("n"), col("c"))).as("q1_c"),
+             min(when(col("cum") * 4 >= col("n") * 3, col("c"))).as("q3_c"),
+             max(col("n")).as("n"))
+        .withColumn("iqr_c", col("q3_c") - col("q1_c"))
+      h.select(col("event_type"), col("c"), col("cnt")) // drop h's cum/n
+        .join(broadcast(q), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("q1_c")).as("q1_c"), max(col("q3_c")).as("q3_c"),
+             max(col("iqr_c")).as("iqr_c"), max(col("n")).as("n"),
+             sum(when(col("c") * 2 < col("q1_c") * 2 - col("iqr_c") * 3,
+               col("cnt")).otherwise(0L)).as("n_lo"),
+             sum(when(col("c") * 2 > col("q3_c") * 2 + col("iqr_c") * 3,
+               col("cnt")).otherwise(0L)).as("n_hi"))
+        .withColumn("outlier_e6", expr("(n_lo + n_hi) * 1000000 div n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Robust outlier gate per event type: median/MAD z-score, the
     // heavy-tail-safe alternative to mean/stddev (one corrupt batch of
     // extreme values shifts a mean filter's threshold; it barely moves
@@ -2328,6 +2366,32 @@ object EventOps {
         |    AS n_late,
         |  max(greatest(coalesce(pm - us, 0), 0))::BIGINT AS max_lag_us
         |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    "anomaly_iqr_fences" ->
+      """WITH ev AS (SELECT event_type,
+        |    floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+        |h AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |q AS (SELECT event_type,
+        |    min(CASE WHEN cum * 4 >= n THEN c END)::BIGINT AS q1_c,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN c END)::BIGINT AS q3_c,
+        |    max(n)::BIGINT AS n
+        |  FROM cum GROUP BY event_type),
+        |qi AS (SELECT *, (q3_c - q1_c)::BIGINT AS iqr_c FROM q),
+        |f AS (SELECT h.event_type, max(q1_c)::BIGINT AS q1_c,
+        |    max(q3_c)::BIGINT AS q3_c, max(iqr_c)::BIGINT AS iqr_c,
+        |    max(n)::BIGINT AS n,
+        |    sum(CASE WHEN c * 2 < q1_c * 2 - iqr_c * 3
+        |      THEN cnt ELSE 0 END)::BIGINT AS n_lo,
+        |    sum(CASE WHEN c * 2 > q3_c * 2 + iqr_c * 3
+        |      THEN cnt ELSE 0 END)::BIGINT AS n_hi
+        |  FROM h JOIN qi USING (event_type) GROUP BY h.event_type)
+        |SELECT event_type, q1_c, q3_c, iqr_c, n, n_lo, n_hi,
+        |  ((n_lo + n_hi) * 1000000 // n)::BIGINT AS outlier_e6
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "e_watermark_sla" ->
       """WITH ev AS (SELECT ts::DATE AS day, event_id, epoch_us(ts) AS us

@@ -301,6 +301,39 @@ object GraphOps {
         .orderBy(col("cn").desc, col("jaccard_e6").desc, col("a"), col("c"))
     }),
 
+    // Adamic-Adar link prediction (Adamic & Adar 2003) — the
+    // log-degree-damped sibling of graph_common_neighbors: a shared
+    // neighbor z contributes 1/ln(deg z), so promiscuous hubs (which
+    // dominate raw common-neighbor counts and Jaccard alike) stop
+    // drowning the signal from selective co-purchase partners. Each
+    // z's weight is e9-quantized ONCE (the entropyByKey per-term
+    // discipline — BIGINT sums are order-independent, double sums are
+    // not), deg ≥ 2 required (ln 1 = 0 has no AA weight). Same scale
+    // shape as common_neighbors: the wedge join through z is Σ deg²
+    // work on the support-2 edge list (the memoized pair-table
+    // projection), the anti join removes existing edges, and the
+    // output is the top-30 PREDICTED links — the candidate-generation
+    // table a recommender retrains against.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val e = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+        .select(col("a").as("ea"), col("b").as("eb"))
+      val adj = e.select(col("ea").as("u"), col("eb").as("v"))
+        .union(e.select(col("eb").as("u"), col("ea").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val wadj = adj.join(
+          deg.filter(col("deg") >= 2).select(col("u"),
+            floor(lit(1e9) / log(col("deg").cast("double")) + 0.5)
+              .cast("long").as("w_e9")),
+          Seq("u"))
+      val aa = wadj.alias("p").join(wadj.alias("q"),
+          col("p.u") === col("q.u") && col("p.v") < col("q.v"))
+        .groupBy(col("p.v").as("a"), col("q.v").as("c"))
+        .agg(sum(col("p.w_e9")).as("aa_e9"), count(lit(1)).as("cn"))
+      aa.join(e, aa("a") === e("ea") && aa("c") === e("eb"), "left_anti")
+        .select(col("a"), col("c"), col("cn"), col("aa_e9"))
+        .orderBy(col("aa_e9").desc, col("a"), col("c")).limit(30)
+    }),
+
     // k-core peeling census — the graph-curation degeneracy walk
     // (spam/bot subgraph mining and community-core extraction both run
     // it): iteratively delete nodes of degree < k and report how the
@@ -593,6 +626,26 @@ object GraphOps {
         |  cn * 1000000 // (da.deg + dc.deg - cn) AS jaccard_e6
         |FROM open JOIN deg da ON open.a = da.u JOIN deg dc ON open.c = dc.u
         |ORDER BY cn DESC, jaccard_e6 DESC, a, c LIMIT 50""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH e AS (SELECT ea, eb FROM (
+        |    SELECT x.l_partkey AS ea, y.l_partkey AS eb, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY ea, eb) WHERE w >= 2),
+        |adj AS (SELECT ea AS u, eb AS v FROM e
+        |  UNION ALL SELECT eb, ea FROM e),
+        |deg AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY u),
+        |wadj AS (SELECT adj.u, adj.v,
+        |    floor(1e9 / ln(deg::DOUBLE) + 0.5)::BIGINT AS w_e9
+        |  FROM adj JOIN deg USING (u) WHERE deg >= 2),
+        |aa AS (SELECT p.v AS a, q.v AS c, sum(p.w_e9)::BIGINT AS aa_e9,
+        |    count(*)::BIGINT AS cn
+        |  FROM wadj p JOIN wadj q ON p.u = q.u AND p.v < q.v
+        |  GROUP BY p.v, q.v)
+        |SELECT a, c, cn, aa_e9 FROM aa
+        |ANTI JOIN e ON aa.a = e.ea AND aa.c = e.eb
+        |ORDER BY aa_e9 DESC, a, c LIMIT 30""".stripMargin,
 
     "graph_kcore_peel" ->
       """WITH e0 AS (SELECT a, b FROM (

@@ -452,6 +452,33 @@ object LexicalOps {
           size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
           md5(col("encoded")).as("enc_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-eval rollup per source — the "which sources does my
+    // tokenizer serve worst" table every vocab decision consults:
+    // after the SAME pretrained-merge fold, per-source whitespace vs
+    // BPE token totals, the merge compression ratio, and chars/token
+    // (the fertility proxy; a source with low chars/token burns
+    // context budget). Exact integers end to end; the ratios divide
+    // SUMS (all positive). Scale: the fold is the one map-side encode
+    // pass bpe_encode_pretrained already prices; the rollup collapses
+    // to |sources| rows before anything shuffles.
+    "bpe_compression_eval" -> ((s, dir) => {
+      import s.implicits._
+      val merges = pretrainedMerges.toDF("round", "a", "b")
+      graft.api.Graft.bpeEncode(
+          graft.Tables.documents(s, dir).filter(col("text").isNotNull)
+            .select(col("doc_id"), col("source"), col("text")),
+          "text", merges)
+        .select(col("source"), length(col("text")).cast("long").as("chars"),
+          size(split(col("text"), " ")).cast("long").as("t_ws"),
+          size(split(col("encoded"), " ")).cast("long").as("t_bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+             sum(col("t_ws")).as("tokens_ws"), sum(col("t_bpe")).as("tokens_bpe"))
+        .withColumn("ratio_e6", expr("tokens_bpe * 1000000 div tokens_ws"))
+        .withColumn("chars_per_tok_e6", expr("chars * 1000000 div tokens_bpe"))
+        .orderBy(col("source"))
     })
   )
 
@@ -461,6 +488,23 @@ object LexicalOps {
     * the Spark query and the generated oracle fold chain. */
   private val pretrainedMerges =
     Seq((1, "hash", "join"), (2, "row", "batch"), (3, "hash_join", "scan"))
+
+  /** The pretrained-merge fold chain as oracle CTEs e0..eN — ONE
+    * generator for both pretrained-encode oracles, so the SQL replay of
+    * the per-document merge fold can never drift between them. */
+  private lazy val bpeFoldCtes: String = {
+    val steps = pretrainedMerges.zipWithIndex.map { case ((_, a, b), i) =>
+      val src = if (i == 0) "e0" else s"e$i"
+      s"""e${i + 1} AS (SELECT doc_id, list_reduce(string_split($src.text, ' '), (acc, t) ->
+         |    CASE WHEN regexp_extract(acc, '[^ ]*$$') = '$a' AND t = '$b'
+         |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$$')))
+         |           || '$a' || '_' || '$b'
+         |      ELSE acc || ' ' || t END) AS text
+         |  FROM $src)""".stripMargin
+    }
+    s"WITH e0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),\n" +
+      steps.mkString(",\n")
+  }
 
   /** Shared oracle CTE prefix: tokenized corpus, doc lengths, avgdl, and
     * integer-quantized BM25 scores — the same arithmetic sequence as the
@@ -666,21 +710,26 @@ object LexicalOps {
     // fixed merge table applied in rank order: a generated chain of
     // list_reduce folds, one per merge, from the SAME pretrainedMerges
     // the Spark query broadcasts
-    "bpe_encode_pretrained" -> {
-      val steps = pretrainedMerges.zipWithIndex.map { case ((_, a, b), i) =>
-        val src = if (i == 0) "e0" else s"e$i"
-        s"""e${i + 1} AS (SELECT doc_id, list_reduce(string_split($src.text, ' '), (acc, t) ->
-           |    CASE WHEN regexp_extract(acc, '[^ ]*$$') = '$a' AND t = '$b'
-           |      THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]*$$')))
-           |           || '$a' || '_' || '$b'
-           |      ELSE acc || ' ' || t END) AS text
-           |  FROM $src)""".stripMargin
-      }
-      s"WITH e0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),\n" +
-        steps.mkString(",\n") + "\n" +
+    "bpe_encode_pretrained" ->
+      (s"$bpeFoldCtes\n" +
         s"SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,\n" +
-        s"  md5(text) AS enc_md5\nFROM e${pretrainedMerges.size} ORDER BY doc_id"
-    },
+        s"  md5(text) AS enc_md5\nFROM e${pretrainedMerges.size} ORDER BY doc_id"),
+
+    // the fold chain once more, rolled up per source with the raw-text
+    // yardsticks joined back on doc_id. NOTE: plain concatenation, no
+    // stripMargin — the embedded fold chain has continuation lines
+    // beginning with the SQL || operator, which stripMargin would eat.
+    "bpe_compression_eval" ->
+      (s"$bpeFoldCtes,\n" +
+        s"m AS (SELECT d.source, length(d.text)::BIGINT AS chars,\n" +
+        s"    len(string_split(d.text, ' '))::BIGINT AS t_ws,\n" +
+        s"    len(string_split(e${pretrainedMerges.size}.text, ' '))::BIGINT AS t_bpe\n" +
+        s"  FROM e${pretrainedMerges.size} JOIN documents d USING (doc_id))\n" +
+        "SELECT source, count(*)::BIGINT AS n_docs, sum(chars)::BIGINT AS chars,\n" +
+        "  sum(t_ws)::BIGINT AS tokens_ws, sum(t_bpe)::BIGINT AS tokens_bpe,\n" +
+        "  (sum(t_bpe) * 1000000 // sum(t_ws))::BIGINT AS ratio_e6,\n" +
+        "  (sum(chars) * 1000000 // sum(t_bpe))::BIGINT AS chars_per_tok_e6\n" +
+        "FROM m GROUP BY source ORDER BY source"),
 
     "retrieval_token_maxsim" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -715,6 +715,41 @@ object RetrievalOps {
         .orderBy(col("g"))
     }),
 
+    // Simplified-silhouette audit of the shared IVF model (the
+    // centroid-based silhouette of Hruschka et al. — pairwise
+    // silhouette is n² and adds nothing for a quantizer audit): per
+    // vector, a = Euclidean distance to own centroid, b = distance to
+    // the nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    // negative s means the vector sits closer to a foreign centroid
+    // than its own — assignment-quality the balance audit (pure
+    // occupancy) cannot see. s is e6-quantized per vector and the
+    // per-cell rollup emits the exact SUM (not a mean — a negative
+    // numerator under Spark's truncating div vs DuckDB's flooring //
+    // would diverge; the consumer divides). Distances via the
+    // one-pass identity |v−c|² = v·v − 2 v·c + c·c, sqrt is
+    // IEEE-correctly-rounded on both engines. Scale: one corpus ×
+    // K-broadcast pass, no pairs anywhere.
+    "v_ivf_silhouette" -> ((s, dir) => {
+      val c = corpusMat(s, dir)
+      val (cent2, lists) = ivfModel8(s, dir)
+      val d = c.join(lists, "vec_id")
+        .crossJoin(broadcast(cent2.select(col("g").as("cg"), col("cv"))))
+        .withColumn("dist", sqrt(
+          dot(col("v"), col("v")) - dot(col("v"), col("cv")) * 2
+            + dot(col("cv"), col("cv"))))
+      d.groupBy(col("vec_id"), col("g"))
+        .agg(min(when(col("cg") === col("g"), col("dist"))).as("a_d"),
+             min(when(col("cg") =!= col("g"), col("dist"))).as("b_d"))
+        .withColumn("sil_e6", floor(
+          (col("b_d") - col("a_d")) / greatest(col("a_d"), col("b_d")) * 1e6
+            + 0.5).cast("long"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_vectors"),
+             sum(col("sil_e6")).as("sum_sil_e6"),
+             sum((col("sil_e6") < 0).cast("long")).as("n_negative"))
+        .orderBy(col("g"))
+    }),
+
     // Embedding-quality EVAL: k-NN label consistency (k=5 majority
     // vote, ties to the smaller label) for a fixed probe set against
     // the full corpus, per-class census of n_queries / n_correct. This
@@ -1335,6 +1370,25 @@ object RetrievalOps {
         |FROM (SELECT * FROM curveb2 UNION ALL SELECT * FROM curveb4
         |      UNION ALL SELECT * FROM curveb8) CROSS JOIN ncx
         |ORDER BY qid, beam_b""".stripMargin,
+
+    "v_ivf_silhouette" ->
+      s"""$ivfKmeansCte,
+        |dx AS (SELECT a.vec_id, a.g, c.g AS cg,
+        |    sqrt(list_dot_product(e.v, e.v)
+        |      - list_dot_product(e.v, c.cv) * 2
+        |      + list_dot_product(c.cv, c.cv)) AS dist
+        |  FROM a3 a JOIN e USING (vec_id) CROSS JOIN c2 c),
+        |p AS (SELECT vec_id, g,
+        |    min(CASE WHEN cg = g THEN dist END) AS a_d,
+        |    min(CASE WHEN cg <> g THEN dist END) AS b_d
+        |  FROM dx GROUP BY vec_id, g),
+        |sil AS (SELECT g,
+        |    floor((b_d - a_d) / greatest(a_d, b_d) * 1e6 + 0.5)::BIGINT
+        |      AS sil_e6 FROM p)
+        |SELECT g, count(*)::BIGINT AS n_vectors,
+        |  sum(sil_e6)::BIGINT AS sum_sil_e6,
+        |  sum((sil_e6 < 0)::INT)::BIGINT AS n_negative
+        |FROM sil GROUP BY g ORDER BY g""".stripMargin,
 
     // cell-occupancy census over the shared IVF kmeans assignment
     "v_ivf_balance_audit" ->

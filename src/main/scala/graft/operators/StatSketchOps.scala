@@ -33,6 +33,31 @@ object StatSketchOps {
     * anomaly_mad_outliers family uses on both engines */
   private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
+  /** The (event_type, event_id, cents) fact projection both resampling
+    * tests start from. */
+  private def eventCents(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
+
+  /** The B = 16 replica-exploded event digest shared by the resampling
+    * family (r10 family sweep): both the randomization test and the
+    * Poisson bootstrap draw their per-(row, replica) randomness from
+    * the SAME seeded hash md5(event_id:b) — the test takes the first
+    * 8 hex chars' parity, the bootstrap the 12-char dyadic uniform —
+    * so the 16× explode and the md5 pass materialize once per
+    * (session, dir) instead of per query. At 100 TB the counterpart is
+    * a persisted replica-weight column family computed at ingest (the
+    * bootstrap replicas are reused by every metric's CI, not one
+    * query); the explode itself stays map-side-only either way. */
+  private def eventReplicas16(s: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.memoizedExchange("stat_event_replicas16", s, dir) {
+      eventCents(s, dir)
+        .withColumn("b", explode(sequence(lit(0), lit(15))))
+        .withColumn("h12", substring(md5(concat(
+          col("event_id").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 12))
+    }
+
   /** (group, v) -> n histogram with cumulative + total columns — the
     * mergeable sketch plus its quantile cursor. */
   private def cumHist(df: DataFrame, group: Column, v: Column): DataFrame = {
@@ -783,9 +808,7 @@ object StatSketchOps {
     // map-side explode ×B, one (type, b) digest shuffle.
     "stat_randomization_test" -> ((s, dir) => {
       val B = 16
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val ev = eventCents(s, dir)
       def sides(g: org.apache.spark.sql.Column) = Seq(
         sum(when(g === 0, col("cents")).otherwise(0L)).as("s1"),
         sum(when(g === 0, 1L).otherwise(0L)).as("n1"),
@@ -800,11 +823,9 @@ object StatSketchOps {
         .select(col("event_type"), col("n1"), col("n2"),
           expr("abs(s1 * n2 - s2 * n1)").as("a_obs"),
           expr("n1 * n2").as("d_obs"))
-      val perm = ev
-        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      val perm = eventReplicas16(s, dir)
         .withColumn("flip",
-          conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
-            col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+          conv(substring(col("h12"), 1, 8), 16, 10).cast("long") % 2)
         .withColumn("g", pmod(col("event_id") + col("flip"), lit(2)))
         .groupBy(col("event_type"), col("b"))
         .agg(sides(col("g")).head, sides(col("g")).tail: _*)
@@ -847,15 +868,10 @@ object StatSketchOps {
       val wExpr = cdf.zipWithIndex.foldRight(s"${cdf.length}": String) {
         case ((c, k), rest) => s"CASE WHEN __u < $c THEN $k ELSE $rest END"
       }
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      val reps = ev
-        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
-        .withColumn("__u",
-          conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
-            col("b").cast("string"))), 1, 12), 16, 10)
-            .cast("long").cast("double") / lit(281474976710656.0))
+      val ev = eventCents(s, dir)
+      val reps = eventReplicas16(s, dir)
+        .withColumn("__u", conv(col("h12"), 16, 10)
+          .cast("long").cast("double") / lit(281474976710656.0))
         .withColumn("w", expr(wExpr).cast("long"))
       val means = reps.groupBy(col("event_type"), col("b"))
         .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
