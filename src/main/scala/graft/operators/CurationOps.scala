@@ -337,6 +337,37 @@ object CurationOps {
     // order and in the oracle. Selection stays the deterministic
     // hash-bps predicate — a pure doc_id function, layout-invariant,
     // no RNG state anywhere (`sample_stratified`'s machinery).
+    // Epoch-schedule planner for data-constrained training (the
+    // Muennighoff et al. 2023 question: with a token budget larger
+    // than the corpus, how many times does each source repeat?): the
+    // budget T = 4× total corpus tokens is allocated across sources ∝
+    // the α = 0.5 temperature weight (curate_temperature_mix's exact
+    // e6-quantized √share — ONE quantization, then pure BIGINT), and
+    // each source's epoch count lands as an exact centi-epoch integer
+    // alloc·100 div n_tokens. flag_overfit marks sources pushed past
+    // 4 epochs — the paper's diminishing-returns knee — i.e. exactly
+    // the rows where the planner should cap repeats and re-waterfill
+    // (curate_mix_waterfill is that next step). |sources|-row table;
+    // one corpus aggregate feeds everything.
+    "curate_epoch_schedule" -> ((s, dir) => {
+      val bySrc = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      val withW = bySrc
+        .crossJoin(broadcast(bySrc.agg(sum(col("n_tokens")).as("tok_total"))))
+        .withColumn("w_e6",
+          floor(sqrt(col("n_tokens").cast("double") / col("tok_total")) * 1e6
+            + 0.5).cast("long"))
+      withW
+        .crossJoin(broadcast(withW.agg(sum(col("w_e6")).as("w_sum"))))
+        .withColumn("alloc_tokens", expr("tok_total * 4 * w_e6 div w_sum"))
+        .withColumn("epochs_e2", expr("alloc_tokens * 100 div n_tokens"))
+        .withColumn("flag_overfit", (col("epochs_e2") > 400L).cast("long"))
+        .select(col("source"), col("n_tokens"), col("w_e6"),
+                col("alloc_tokens"), col("epochs_e2"), col("flag_overfit"))
+        .orderBy(col("source"))
+    }),
+
     "curate_temperature_mix" -> ((s, dir) => {
       val byLang = Tables.documents(s, dir)
         .groupBy(col("lang"))
@@ -682,6 +713,24 @@ object CurationOps {
         |  (n_kept * 1000000 // (SELECT kept_total FROM kt))::BIGINT
         |    AS kept_share_e6
         |FROM g ORDER BY lang""".stripMargin,
+
+    "curate_epoch_schedule" ->
+      """WITH g AS (SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tok_total FROM g),
+        |w AS (SELECT source, n_tokens, tok_total,
+        |    floor(sqrt(n_tokens::DOUBLE / tok_total) * 1e6 + 0.5)::BIGINT
+        |      AS w_e6
+        |  FROM g CROSS JOIN tot),
+        |ws AS (SELECT sum(w_e6)::BIGINT AS w_sum FROM w),
+        |a AS (SELECT source, n_tokens, w_e6,
+        |    (tok_total * 4 * w_e6 // w_sum)::BIGINT AS alloc_tokens
+        |  FROM w CROSS JOIN ws)
+        |SELECT source, n_tokens, w_e6, alloc_tokens,
+        |  (alloc_tokens * 100 // n_tokens)::BIGINT AS epochs_e2,
+        |  ((alloc_tokens * 100 // n_tokens) > 400)::BIGINT AS flag_overfit
+        |FROM a ORDER BY source""".stripMargin,
 
     "curate_temperature_mix" ->
       s"""WITH g AS (SELECT lang, count(*) AS n_docs,

@@ -170,6 +170,48 @@ object StatSketchOps {
     // the 10-term sum (the entropyByKey discipline — aggregation order
     // cannot move a bit). The time cut is the exact integer midpoint
     // of the µs range; bin thresholds are |types|×9 rows, broadcast.
+    // Sample-trained equal-frequency discretizer + balance audit — the
+    // at-scale feature-binning pattern: quartile edges are trained on
+    // a deterministic 25% sample (pmod(event_id, 4) = 0 — layout-
+    // invariant, no RNG) and applied to the FULL stream, because at
+    // 100 TB nobody computes exact global quantiles per feature; the
+    // audit columns then CHECK the shortcut — per-bin population share
+    // vs the 250000 e6 ideal quantifies exactly how much the sampled
+    // edges drifted. Edges are exact order statistics of the sample
+    // histogram (the true_median_c min-c convention); bin assignment
+    // is three integer comparisons broadcast onto the full histogram,
+    // never onto raw rows.
+    "prep_quantile_bins" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+      val sh = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))))
+      val edges = sh.groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 4 >= col("n"), col("c"))).as("e1"),
+             min(when(col("cum") * 2 >= col("n"), col("c"))).as("e2"),
+             min(when(col("cum") * 4 >= col("n") * 3, col("c"))).as("e3"))
+      val full = ev.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      full.join(broadcast(edges), "event_type")
+        .withColumn("bin", lit(1L)
+          + (col("c") > col("e1")).cast("long")
+          + (col("c") > col("e2")).cast("long")
+          + (col("c") > col("e3")).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cnt")).as("n"),
+             min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .withColumn("share_e6", expr("n * 1000000 div total"))
+        .select(col("event_type"), col("bin"), col("n"),
+                col("lo_c"), col("hi_c"), col("share_e6"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // Capture-recapture population estimate (Chapman's bias-corrected
     // Lincoln-Petersen, the mark-recapture estimator ecology and
     // census under-count auditing share): consecutive active-day user
@@ -1018,6 +1060,31 @@ object StatSketchOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "prep_quantile_bins" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+        |sh AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM ev WHERE event_id % 4 = 0 GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM sh),
+        |e AS (SELECT event_type,
+        |    min(CASE WHEN cum * 4 >= n THEN c END) AS e1,
+        |    min(CASE WHEN cum * 2 >= n THEN c END) AS e2,
+        |    min(CASE WHEN cum * 4 >= n * 3 THEN c END) AS e3
+        |  FROM cum GROUP BY event_type),
+        |fh AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT fh.event_type,
+        |    1 + (c > e1)::BIGINT + (c > e2)::BIGINT + (c > e3)::BIGINT AS bin,
+        |    sum(cnt)::BIGINT AS n, min(c)::BIGINT AS lo_c,
+        |    max(c)::BIGINT AS hi_c
+        |  FROM fh JOIN e USING (event_type) GROUP BY 1, 2)
+        |SELECT event_type, bin, n, lo_c, hi_c,
+        |  (n * 1000000 // sum(n) OVER (PARTITION BY event_type))::BIGINT
+        |    AS share_e6
+        |FROM b ORDER BY event_type, bin""".stripMargin,
+
     "stat_capture_recapture" ->
       """WITH d AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
         |n AS (SELECT day, count(*)::BIGINT AS n FROM d GROUP BY day),

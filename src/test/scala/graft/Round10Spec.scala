@@ -125,6 +125,45 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("curate_epoch_schedule: budget conserved within rounding, flags honest") {
+    val out = SparkEntry.queries("curate_epoch_schedule")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalTokens = out.map(_.getAs[Long]("n_tokens")).sum
+    val totalAlloc = out.map(_.getAs[Long]("alloc_tokens")).sum
+    // T = 4x corpus; floor-div loses at most 1 token per source
+    assert(totalAlloc <= 4 * totalTokens)
+    assert(totalAlloc >= 4 * totalTokens - out.length)
+    out.foreach { r =>
+      val e = r.getAs[Long]("epochs_e2")
+      assert(e == r.getAs[Long]("alloc_tokens") * 100 / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("flag_overfit") == (if (e > 400) 1L else 0L))
+    }
+  }
+
+  test("prep_quantile_bins: 4 ordered bins per type, population conserved") {
+    val out = SparkEntry.queries("prep_quantile_bins")(spark, sf).collect()
+    val byT = out.groupBy(_.getAs[String]("event_type"))
+    val nTotal = Tables.events(spark, sf).count()
+    assert(byT.values.map(_.map(_.getAs[Long]("n")).sum).sum == nTotal,
+      "every event must land in exactly one bin")
+    byT.foreach { case (_, rows) =>
+      val bins = rows.sortBy(_.getAs[Long]("bin"))
+      assert(bins.map(_.getAs[Long]("bin")).forall(b => b >= 1 && b <= 4))
+      // bins are value-ordered and non-overlapping
+      bins.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi_c") <= b.getAs[Long]("lo_c"))
+        case _ =>
+      }
+      // sampled edges keep bins near 25% (audit tolerance: within
+      // [10%, 45%] — a violation means the sample drifted wildly)
+      rows.foreach { r =>
+        val s = r.getAs[Long]("share_e6")
+        assert(s > 100000L && s < 450000L, s"bin share off: $s")
+      }
+    }
+  }
+
   // ---- wave-A analytics ----------------------------------------------
 
   test("privacy_dp_quantiles: grid complete, q50 row matches dp_median machinery") {
