@@ -119,6 +119,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
   }
 
+  test("beam curve plan stays lineage-cut (the r10 516-exchange blowup)") {
+    // without per-hop localCheckpoints the unrolled hop/width stages
+    // re-expand every prior hop once per consumer: 516 exchanges for
+    // ≤50-row-per-stage tables. Checkpointed + shared hop-1 ≈ 24.
+    val n = plan("ann_beam_search_graph").split('\n')
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n < 60, s"beam plan re-expanded its hop lineage: $n exchanges")
+  }
+
   test("no registered query plans a CartesianProduct (sweep)") {
     // BroadcastNestedLoopJoin with a provably-tiny broadcast side is
     // acceptable (e.g. v3's 5-row query set against the streamed corpus);
