@@ -49,24 +49,35 @@ class Round10Spec extends SparkSpec {
   // ---- wave-B shared exchanges ---------------------------------------
 
   test("resampling tests agree with their pre-memoization draw semantics") {
-    import org.apache.spark.sql.functions.{md5 => _, _}
-    // independent rebuild of one replica's draws, bypassing the memo
+    // the memoized replica digest must carry the EXACT md5(event_id:b)
+    // prefixes the pre-memo queries computed inline: replay replica 7's
+    // draws independently and compare against a fresh Spark rebuild of
+    // the same expression (the single-sourced recipe both engines use)
     val fresh = Tables.events(spark, sf)
       .select(col("event_id"),
         substring(org.apache.spark.sql.functions.md5(
           concat(col("event_id").cast("string"), lit(":7"))), 1, 12).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val memo = SparkEntry.queries("stat_poisson_bootstrap_ci") // forces build
-    memo(spark, sf).collect()
-    val viaMemo = spark.sql("SELECT 1") // memo internal; assert via draw replay
-    val sample = fresh.take(5)
-    sample.foreach { case (id, h) =>
+    fresh.take(5).foreach { case (id, h) =>
       val ref = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$id:7".getBytes("UTF-8"))
         .take(6).map(b => f"$b%02x").mkString
       assert(h == ref, s"seeded draw drifted for event $id")
     }
-    assert(viaMemo.count() == 1)
+    // and both memo consumers still produce type-complete results
+    val boot = SparkEntry.queries("stat_poisson_bootstrap_ci")(spark, sf).collect()
+    val rand = SparkEntry.queries("stat_randomization_test")(spark, sf).collect()
+    assert(boot.nonEmpty && rand.nonEmpty)
+    boot.foreach { r =>
+      assert(r.getAs[Long]("ci_lo_c") <= r.getAs[Long]("ci_hi_c"))
+      assert(r.getAs[Long]("mean_c") >= r.getAs[Long]("ci_lo_c") - 1000 &&
+             r.getAs[Long]("mean_c") <= r.getAs[Long]("ci_hi_c") + 1000,
+        "full-sample mean far outside the bootstrap CI")
+    }
+    rand.foreach { r =>
+      val p = r.getAs[Long]("p_e6")
+      assert(p >= 0 && p <= 1000000L)
+    }
   }
 
   // ---- wave-C analytics ----------------------------------------------
