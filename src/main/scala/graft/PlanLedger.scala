@@ -45,7 +45,22 @@ object PlanLedger {
             "sorts" -> count(p, "+- Sort "),
             "bnl_joins" -> count(p, "BroadcastNestedLoopJoin"),
             "cartesian" -> count(p, "CartesianProduct"),
-            "scans" -> count(p, "Scan parquet"))
+            "scans" -> count(p, "Scan parquet"),
+            // pushdown health: scans with a non-empty pushed-filter
+            // list, and scans reading ≤4 columns (a proxy for pruning —
+            // stable for a fixed query, which is all a diff needs)
+            "pushed_scans" -> p.split('\n')
+              .count(l => l.contains("PushedFilters: [") &&
+                          !l.contains("PushedFilters: []")),
+            "narrow_scans" -> p.split('\n').count { l =>
+              val i = l.indexOf("ReadSchema: struct<")
+              // count commas inside the struct<...> only — the FileScan
+              // line carries DataFilters/Location/etc before it
+              i >= 0 && {
+                val s = l.substring(i + "ReadSchema: struct<".length)
+                s.take(math.max(s.indexOf('>'), 0)).count(_ == ',') <= 3
+              }
+            })
             .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
         } catch {
           case e: Throwable =>

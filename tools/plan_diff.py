@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Diff two PlanLedger snapshots (round-over-round plan regressions).
+
+Usage: python3 tools/plan_diff.py PLAN_LEDGER_r10.json target/plan_ledger.json
+
+Prints one line per query whose structural plan counts changed, plus
+queries added/removed. Exit code 1 if any REGRESSION-class change is
+present (exchange/sort/cartesian/BNL count grew, or a pushed/narrow
+scan count shrank) so the diff can gate a consolidation.
+"""
+import json, sys
+
+GROW_IS_BAD = ["exchanges", "range_exchanges", "single_partition",
+               "sorts", "bnl_joins", "cartesian"]
+SHRINK_IS_BAD = ["pushed_scans", "narrow_scans"]
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    old = json.loads(open(sys.argv[1]).read())
+    new = json.loads(open(sys.argv[2]).read())
+    regressions = 0
+    for k in sorted(set(old) | set(new)):
+        if k not in old:
+            print(f"ADDED   {k}: {new[k]}")
+            continue
+        if k not in new:
+            print(f"REMOVED {k}")
+            continue
+        o, n = old[k], new[k]
+        deltas = [(f, o.get(f, 0), n.get(f, 0))
+                  for f in sorted(set(o) | set(n)) if o.get(f, 0) != n.get(f, 0)]
+        if not deltas:
+            continue
+        bad = any((f in GROW_IS_BAD and nv > ov) or
+                  (f in SHRINK_IS_BAD and nv < ov) for f, ov, nv in deltas)
+        tag = "REGRESS" if bad else "changed"
+        regressions += bad
+        detail = " ".join(f"{f}:{ov}->{nv}" for f, ov, nv in deltas)
+        print(f"{tag} {k}: {detail}")
+    print(f"\n{regressions} regression-class changes")
+    sys.exit(1 if regressions else 0)
+
+main()
