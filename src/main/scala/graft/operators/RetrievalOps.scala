@@ -1313,7 +1313,7 @@ object RetrievalOps {
     * quantization, same (score desc, vec_id) tiebreak, same
     * self-exclusion). */
   private def beamHopCte(bw: Int, i: Int, prev: String): String =
-    s"""candb${bw}_$i AS (SELECT x.qid, x.vec_id,
+    s"""candb${bw}_$i AS MATERIALIZED (SELECT x.qid, x.vec_id,
        |    floor(list_dot_product(q.qv, e.v) * 1e6 + 0.5)::BIGINT AS s_e6
        |  FROM (SELECT DISTINCT qid, vec_id FROM (
        |    SELECT qid, vec_id FROM $prev
@@ -1321,7 +1321,7 @@ object RetrievalOps {
        |    FROM $prev b JOIN adjx a ON a.src = b.vec_id)) x
        |    JOIN e ON e.vec_id = x.vec_id JOIN q ON q.qid = x.qid
        |  WHERE x.vec_id <> x.qid),
-       |beamb${bw}_$i AS (SELECT qid, vec_id FROM (
+       |beamb${bw}_$i AS MATERIALIZED (SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |      ORDER BY s_e6 DESC, vec_id) AS rk FROM candb${bw}_$i)
        |  WHERE rk <= $bw)""".stripMargin
@@ -1331,7 +1331,7 @@ object RetrievalOps {
     s"""${beamHopCte(bw, 1, "beam0")},
        |${beamHopCte(bw, 2, s"beamb${bw}_1")},
        |${beamHopCte(bw, 3, s"beamb${bw}_2")},
-       |visb$bw AS (SELECT DISTINCT qid, vec_id, s_e6 FROM (
+       |visb$bw AS MATERIALIZED (SELECT DISTINCT qid, vec_id, s_e6 FROM (
        |    SELECT * FROM candb${bw}_1 UNION ALL SELECT * FROM candb${bw}_2
        |    UNION ALL SELECT * FROM candb${bw}_3)),
        |curveb$bw AS (SELECT v.qid, $bw::BIGINT AS beam_b,
@@ -1348,7 +1348,7 @@ object RetrievalOps {
   def oracles: Map[String, String] = Map(
     "ann_beam_search_graph" ->
       s"""$ivfKmeansCte,
-        |clx AS (SELECT e.vec_id, e.v, a.g FROM e JOIN a3 a USING (vec_id)),
+        |clx AS MATERIALIZED (SELECT e.vec_id, e.v, a.g FROM e JOIN a3 a USING (vec_id)),
         |adjc AS (SELECT src, dst FROM (
         |    SELECT a.vec_id AS src, b.vec_id AS dst,
         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -1356,12 +1356,12 @@ object RetrievalOps {
         |        b.vec_id) AS rk
         |    FROM clx a JOIN clx b ON a.g = b.g AND a.vec_id <> b.vec_id)
         |  WHERE rk <= 3),
-        |medx AS (SELECT g, vec_id FROM (
+        |medx AS MATERIALIZED (SELECT g, vec_id FROM (
         |    SELECT clx.g, clx.vec_id, row_number() OVER (PARTITION BY clx.g
         |      ORDER BY floor(list_dot_product(clx.v, c.cv) * 1e6 + 0.5)::BIGINT
         |        DESC, clx.vec_id) AS rk
         |    FROM clx JOIN c2 c USING (g)) WHERE rk = 1),
-        |adjx AS (SELECT DISTINCT src, dst FROM (
+        |adjx AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         |    SELECT src, dst FROM adjc
         |    UNION ALL
         |    SELECT m1.vec_id, m2.vec_id FROM medx m1 JOIN medx m2
@@ -1372,7 +1372,7 @@ object RetrievalOps {
         |      ORDER BY floor(list_dot_product(q.qv, c.cv) * 1e6 + 0.5)::BIGINT
         |        DESC, c.g) AS rk
         |    FROM q CROSS JOIN c2 c) z JOIN medx USING (g) WHERE z.rk = 1),
-        |exact3 AS (SELECT qid, vec_id FROM (
+        |exact3 AS MATERIALIZED (SELECT qid, vec_id FROM (
         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
         |      ORDER BY floor(list_dot_product(q.qv, e.v) * 1e6 + 0.5)::BIGINT
         |        DESC, e.vec_id) AS rk
