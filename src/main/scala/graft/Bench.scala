@@ -76,13 +76,22 @@ object Bench {
     // (paired-plans-in-one-JVM is impossible across code versions, so
     // the probe is the practical instrument). min-of-3 so one GC pause
     // can't fake a drift reading.
-    def probeMin(): Double = {
-      val fn = SparkEntry.queries("a1_count_by_year")
-      def p(): Double = {
-        val t0 = System.nanoTime(); fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      Seq(p(), p(), p()).min
+    // Guarded like once(): a probe failure (or a renamed probe key)
+    // must degrade to a -1 sentinel, never abort the whole bench run.
+    def probeMin(): Double = SparkEntry.queries.get("a1_count_by_year") match {
+      case None =>
+        System.err.println("[bench] probe query missing: a1_count_by_year")
+        -1.0
+      case Some(fn) =>
+        def p(): Double =
+          try {
+            val t0 = System.nanoTime(); fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] probe failed: ${e.getMessage}"); -1.0
+          }
+        val runs = Seq(p(), p(), p())
+        if (runs.exists(_ < 0)) -1.0 else runs.min
     }
     val sortedQ = SparkEntry.queries.toSeq.sortBy(_._1)
     val probePre = probeMin()

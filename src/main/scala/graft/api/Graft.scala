@@ -1895,20 +1895,40 @@ object Graft {
     * localCheckpoint is the single-JVM equivalent with the same
     * consumer-side contract: downstream plans start from materialized
     * blocks, never from the raw-scan lineage. */
-  /** Outer map is weak-KEYED on the SparkSession object itself (r9
-    * advice): identityHashCode collisions between two live sessions
-    * can't alias (the key is the object, compared by reference), and
-    * once a session is unreachable its whole inner memo — and the
-    * localCheckpointed plans bound to it — becomes collectable, so
-    * multi-session JVMs (test suites) don't accrete dead entries. */
+  /** Outer map is keyed on the SparkSession OBJECT (reference equality
+    * — identityHashCode collisions between two live sessions can't
+    * alias). It is a WeakHashMap, but weak-key collection alone can
+    * NOT reclaim entries here: each cached DataFrame value strongly
+    * references its SparkSession (Dataset.sparkSession), so the value
+    * chain reaches the key and pins it (r10 advice). The actual
+    * reclaim path is therefore the explicit sweep below: every call
+    * drops ALL entries whose context is stopped, so a multi-session
+    * JVM (test suites stop sessions per suite) sheds dead sessions'
+    * memos — and their localCheckpoint blocks — on the next memo use
+    * by any live session. */
   private val sharedMemo: java.util.Map[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
+  /** Drop every memo whose session is stopped (its checkpoint blocks
+    * died with the context; the plans are unservable). Runs on every
+    * memo call — the map is |live sessions|-sized, so the sweep is a
+    * few reference reads, and it is the ONLY reclaim path that works
+    * (see the pinning note above). */
+  private def sweepStoppedSessions(): Unit = sharedMemo.synchronized {
+    val it = sharedMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k != null && k.sparkContext.isStopped) it.remove()
+    }
+  }
+
   private[graft] def memoizedExchange(label: String, s: SparkSession,
       dir: String)(build: => DataFrame): DataFrame = {
+    sweepStoppedSessions()
     val perSession = {
       val existing = sharedMemo.get(s)
       if (existing != null) existing

@@ -358,10 +358,21 @@ object CurationOps {
         .withColumn("w_e6",
           floor(sqrt(col("n_tokens").cast("double") / col("tok_total")) * 1e6
             + 0.5).cast("long"))
+      // Overflow-safe EXACT evaluation (r10 advice): a·b div c =
+      // (a div c)·b + ((a mod c)·b) div c for non-negative operands —
+      // identical values to the naive product (the oracle replays the
+      // same decomposition), but the widest intermediate is
+      // max(tok_total·4, w_sum·1e6) instead of tok_total·4·1e6, so
+      // BIGINT holds to ~2.3e18 corpus tokens (≈ 9 EB of text) rather
+      // than wrapping at ~2.3e12 (Spark wraps silently, DuckDB errors
+      // — a latent cross-engine divergence). Same identity for the
+      // centi-epoch step: safe to tok_total < 9.2e16.
       withW
         .crossJoin(broadcast(withW.agg(sum(col("w_e6")).as("w_sum"))))
-        .withColumn("alloc_tokens", expr("tok_total * 4 * w_e6 div w_sum"))
-        .withColumn("epochs_e2", expr("alloc_tokens * 100 div n_tokens"))
+        .withColumn("alloc_tokens", expr(
+          "(tok_total * 4 div w_sum) * w_e6 + ((tok_total * 4 % w_sum) * w_e6) div w_sum"))
+        .withColumn("epochs_e2", expr(
+          "(alloc_tokens div n_tokens) * 100 + ((alloc_tokens % n_tokens) * 100) div n_tokens"))
         .withColumn("flag_overfit", (col("epochs_e2") > 400L).cast("long"))
         .select(col("source"), col("n_tokens"), col("w_e6"),
                 col("alloc_tokens"), col("epochs_e2"), col("flag_overfit"))
@@ -725,12 +736,16 @@ object CurationOps {
         |  FROM g CROSS JOIN tot),
         |ws AS (SELECT sum(w_e6)::BIGINT AS w_sum FROM w),
         |a AS (SELECT source, n_tokens, w_e6,
-        |    (tok_total * 4 * w_e6 // w_sum)::BIGINT AS alloc_tokens
-        |  FROM w CROSS JOIN ws)
-        |SELECT source, n_tokens, w_e6, alloc_tokens,
-        |  (alloc_tokens * 100 // n_tokens)::BIGINT AS epochs_e2,
-        |  ((alloc_tokens * 100 // n_tokens) > 400)::BIGINT AS flag_overfit
-        |FROM a ORDER BY source""".stripMargin,
+        |    ((tok_total * 4 // w_sum) * w_e6
+        |     + ((tok_total * 4 % w_sum) * w_e6) // w_sum)::BIGINT AS alloc_tokens
+        |  FROM w CROSS JOIN ws),
+        |e AS (SELECT source, n_tokens, w_e6, alloc_tokens,
+        |    ((alloc_tokens // n_tokens) * 100
+        |     + ((alloc_tokens % n_tokens) * 100) // n_tokens)::BIGINT AS epochs_e2
+        |  FROM a)
+        |SELECT source, n_tokens, w_e6, alloc_tokens, epochs_e2,
+        |  (epochs_e2 > 400)::BIGINT AS flag_overfit
+        |FROM e ORDER BY source""".stripMargin,
 
     "curate_temperature_mix" ->
       s"""WITH g AS (SELECT lang, count(*) AS n_docs,

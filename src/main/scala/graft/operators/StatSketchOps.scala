@@ -34,29 +34,71 @@ object StatSketchOps {
   private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
   /** The (event_type, event_id, cents) fact projection both resampling
-    * tests start from. */
+    * tests start from — memoized UN-exploded (r10 advice): the shared
+    * checkpoint holds a 1× events digest, never a 16× copy pinned in
+    * executor storage for the session's lifetime. */
   private def eventCents(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
-
-  /** The B = 16 replica-exploded event digest shared by the resampling
-    * family (r10 family sweep): both the randomization test and the
-    * Poisson bootstrap draw their per-(row, replica) randomness from
-    * the SAME seeded hash md5(event_id:b) — the test takes the first
-    * 8 hex chars' parity, the bootstrap the 12-char dyadic uniform —
-    * so the 16× explode and the md5 pass materialize once per
-    * (session, dir) instead of per query. At 100 TB the counterpart is
-    * a persisted replica-weight column family computed at ingest (the
-    * bootstrap replicas are reused by every metric's CI, not one
-    * query); the explode itself stays map-side-only either way. */
-  private def eventReplicas16(s: SparkSession, dir: String): DataFrame =
-    graft.api.Graft.memoizedExchange("stat_event_replicas16", s, dir) {
-      eventCents(s, dir)
-        .withColumn("b", explode(sequence(lit(0), lit(15))))
-        .withColumn("h12", substring(md5(concat(
-          col("event_id").cast("string"), lit(":"),
-          col("b").cast("string"))), 1, 12))
+    graft.api.Graft.memoizedExchange("stat_event_cents", s, dir) {
+      graft.Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("cents"))
     }
+
+  /** Replica draw b ∈ [0,16) as a 16-bit hex slice of one of TWO packed
+    * md5 columns h0/h1. The runtime-b form feeds the oracles' row-
+    * exploded replay; [[replicaDrawHexSqlAt]] is the SAME formula with
+    * b folded to a literal for the Spark side's per-replica column
+    * expressions — the two must stay in lockstep. */
+  private[graft] val replicaDrawHexSql: String =
+    "substring(CASE WHEN b < 8 THEN h0 ELSE h1 END, (b % 8) * 4 + 1, 4)"
+  private def replicaDrawHexSqlAt(b: Int): String =
+    s"substring(h${b / 8}, ${(b % 8) * 4 + 1}, 4)"
+
+  /** The packed replica digest shared by the resampling family (r10
+    * advice follow-through, twice over): the sixteen replicas' 16-bit
+    * uniforms are hex slices of TWO md5s per event instead of one md5
+    * per (event, replica) — 8× less hashing — and there is NO ×B row
+    * expansion anywhere: consumers expand per-replica terms as column
+    * expressions over this un-exploded projection (the bh_fdr packed
+    * shape), so nothing 16×-sized is ever computed, shuffled, or —
+    * the original advice — pinned in the block manager by the memo.
+    * The test takes a slice's parity, the bootstrap its dyadic uniform
+    * u16/2^16 (the Poisson(1) inverse-CDF steps up to w=7 are all
+    * ≥ 2^-16 wide, so the quantized CDF walk is well-posed; w=8 needs
+    * u > 1−2^-16 and simply never fires — both engines replay the
+    * identical walk). At 100 TB the counterpart is a persisted
+    * replica-weight column family computed at ingest. */
+  private def eventPacked(s: SparkSession, dir: String): DataFrame =
+    eventCents(s, dir)
+      .withColumn("h0", md5(concat(col("event_id").cast("string"), lit(":p0"))))
+      .withColumn("h1", md5(concat(col("event_id").cast("string"), lit(":p1"))))
+
+  /** stat_bh_fdr's packed replica draw (single-sourced between engines):
+    * draw b ∈ [0,16) for one (doc, source) row is the 12-bit slice at
+    * hex offset 3·(b mod 8) of md5(doc_id:src:half), half = b div 8 —
+    * two md5 columns h0/h1 per row carry all sixteen draws. Membership
+    * is the exact cross-multiplied Bernoulli(n1o/n) on the 12-bit
+    * uniform: h·n < n1o·4096 (BIGINT-safe to n < 2.25e15 docs).
+    * `hexToLong` is the one engine-specific piece (Spark conv vs
+    * DuckDB 0x-cast); everything else is the identical SQL text. */
+  private def bhMemberSql(b: Int, hexToLong: String => String): String = {
+    val hex = s"substring(h${b / 8}, ${3 * (b % 8) + 1}, 3)"
+    s"(CASE WHEN ${hexToLong(hex)} * n < n1o * 4096 THEN 1 ELSE 0 END)"
+  }
+
+  /** Replica b's extremeness indicator over the per-source packed sums
+    * (s1b_b, n1b_b) vs the observed statistic — |mean diff| compared
+    * cross-multiplied in DECIMAL(19) exactly as the exploded form did;
+    * degenerate replicas (empty/full relabeling) count as not extreme,
+    * matching the old filter(n1b>0 && n1b<n) semantics. Shared verbatim
+    * by both engines. */
+  private def bhExtremeSql(b: Int): String = {
+    val aB = s"abs(s1b_$b * (n - n1b_$b) - (st - s1b_$b) * n1b_$b)"
+    val dB = s"(n1b_$b * (n - n1b_$b))"
+    s"(CASE WHEN n1b_$b > 0 AND n1b_$b < n" +
+      s" AND CAST($aB AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))" +
+      s" >= CAST(a_obs AS DECIMAL(19,0)) * CAST($dB AS DECIMAL(19,0))" +
+      " THEN 1 ELSE 0 END)"
+  }
 
   /** (group, v) -> n histogram with cumulative + total columns — the
     * mergeable sketch plus its quantile cursor. */
@@ -838,8 +880,8 @@ object StatSketchOps {
     // family (parametric Welch, rank MWU, ECDF KS, runs, χ², CUSUM →
     // resampling): buckets A/B = event_id parity, statistic = the mean
     // difference of integer cents, null distribution = B = 16
-    // deterministic Bernoulli(1/2) relabelings (md5(event_id:b) low
-    // bit — the Poisson-bootstrap hash-randomness recipe; true
+    // deterministic Bernoulli(1/2) relabelings (the packed replica
+    // draw's low bit, eventReplicas16; true
     // size-preserving permutation needs a global shuffle, Bernoulli
     // relabeling is the distributed standard and converges to it).
     // |Δ| comparisons are EXACT cross-multiplied fractions in
@@ -865,24 +907,35 @@ object StatSketchOps {
         .select(col("event_type"), col("n1"), col("n2"),
           expr("abs(s1 * n2 - s2 * n1)").as("a_obs"),
           expr("n1 * n2").as("d_obs"))
-      val perm = eventReplicas16(s, dir)
-        .withColumn("flip",
-          conv(substring(col("h12"), 1, 8), 16, 10).cast("long") % 2)
-        .withColumn("g", pmod(col("event_id") + col("flip"), lit(2)))
-        .groupBy(col("event_type"), col("b"))
-        .agg(sides(col("g")).head, sides(col("g")).tail: _*)
-        .filter(col("n1") > 0 && col("n2") > 0)
-        .select(col("event_type"),
-          expr("abs(s1 * n2 - s2 * n1)").as("a_b"),
-          expr("n1 * n2").as("d_b"))
-      perm.join(broadcast(obs), "event_type")
-        .groupBy(col("event_type"))
-        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-          sum(when(
-            expr("CAST(a_b AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))") >=
-            expr("CAST(a_obs AS DECIMAL(19,0)) * CAST(d_b AS DECIMAL(19,0))"), 1L)
-            .otherwise(0L)).as("n_extreme"))
+      // All B relabelings in ONE aggregation pass: replica b's side-1
+      // sums are conditional-sum column pairs on the relabeled parity
+      // g_b = (event_id + flip_b) % 2; side 2 derives exactly as
+      // (type total − side 1). Shuffle = |types| rows × 34 columns.
+      val aggCols = (0 until B).flatMap { b =>
+        val flip = s"(CAST(conv(${replicaDrawHexSqlAt(b)}, 16, 10) AS BIGINT) % 2)"
+        val g = s"pmod(event_id + $flip, 2)"
+        Seq(sum(expr(s"CASE WHEN $g = 0 THEN cents ELSE 0 END")).as(s"s1_$b"),
+            sum(expr(s"CASE WHEN $g = 0 THEN 1 ELSE 0 END")).as(s"n1_$b"))
+      } ++ Seq(sum(col("cents")).as("stc"), count(lit(1)).as("n"))
+      val perType = eventPacked(s, dir).groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      // replica b extreme ⟺ |A_b|·d_obs ≥ |A_obs|·d_b with
+      // A_b = s1_b·(n−n1_b) − (stc−s1_b)·n1_b, d_b = n1_b·(n−n1_b);
+      // degenerate relabelings (n1_b ∈ {0, n}) count as not extreme —
+      // the old filter(n1>0 && n2>0) semantics
+      val ind = (0 until B).map { b =>
+        val aB = s"abs(s1_$b * (n - n1_$b) - (stc - s1_$b) * n1_$b)"
+        val dB = s"(n1_$b * (n - n1_$b))"
+        s"(CASE WHEN n1_$b > 0 AND n1_$b < n" +
+          s" AND CAST($aB AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))" +
+          s" >= CAST(a_obs AS DECIMAL(19,0)) * CAST($dB AS DECIMAL(19,0))" +
+          " THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      perType.join(broadcast(obs), "event_type")
+        .withColumn("n_extreme", expr(ind).cast("long"))
         .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
+        .select(col("event_type"), col("n1"), col("n2"),
+                col("n_extreme"), col("p_e6"))
         .orderBy(col("event_type"))
     }),
 
@@ -892,7 +945,7 @@ object StatSketchOps {
     // independently Poisson(1) per replica is map-side, one aggregate,
     // and converges to the same CI). B = 16 replicas; the per-(row,
     // replica) weight is the Poisson(1) inverse CDF applied to the
-    // 48-bit md5 dyadic uniform (privacy_dp_histogram's recipe), so
+    // packed 16-bit md5 dyadic uniform (eventReplicas16), so
     // the "randomness" is a pure deterministic hash both engines
     // replay — rerun-invariant, layout-invariant. Replica means are
     // exact integer-cent floor-divisions; the 90%-ish CI is the
@@ -910,30 +963,56 @@ object StatSketchOps {
       val wExpr = cdf.zipWithIndex.foldRight(s"${cdf.length}": String) {
         case ((c, k), rest) => s"CASE WHEN __u < $c THEN $k ELSE $rest END"
       }
-      val ev = eventCents(s, dir)
-      val reps = eventReplicas16(s, dir)
-        .withColumn("__u", conv(col("h12"), 16, 10)
-          .cast("long").cast("double") / lit(281474976710656.0))
-        .withColumn("w", expr(wExpr).cast("long"))
-      val means = reps.groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+      // All B replica weight-sums in ONE aggregation pass (packed
+      // columns, no ×B row expansion); the drained 32-column row per
+      // type is then stack()ed back to |types|×B tiny rows for the
+      // order-statistic window — post-aggregation, so the explode is
+      // over dozens of rows, not the fact table.
+      // two projections: u_b hoisted first (inlining it into the CASE
+      // chain re-evaluates the conv 8× per branch — conditional
+      // subtrees defeat subexpression elimination; measured 2.7 s vs
+      // 1.0 s at sf0.1), then the 8-branch inverse-CDF walk per b
+      val withU = eventPacked(s, dir).select(
+        col("event_type") +: col("cents") +: (0 until B).map { b =>
+          expr("CAST(CAST(conv(" + replicaDrawHexSqlAt(b) +
+            ", 16, 10) AS BIGINT) AS DOUBLE) / 65536.0").as(s"u_$b")
+        }: _*)
+      val withW = withU.select(
+        col("event_type") +: col("cents") +: (0 until B).map { b =>
+          expr(s"CAST(${wExpr.replace("__u", s"u_$b")} AS BIGINT)").as(s"w_$b")
+        }: _*)
+      val aggCols = (0 until B).flatMap { b =>
+        Seq(sum(col(s"w_$b")).as(s"sw_$b"),
+            sum(col(s"w_$b") * col("cents")).as(s"swc_$b"))
+      } ++ Seq(count(lit(1)).as("n_events"),
+               expr("sum(cents)").as("stc"))
+      val wide = withW.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      // ONE linear lineage from the wide aggregate to the result — the
+      // n_events/stc totals ride along through the stack and the lo/hi
+      // order statistics fall out of one conditional aggregate, so the
+      // fact-table pass is planned exactly once (three consumers of
+      // `wide` re-expanded the whole scan+agg 3× — the plan-ledger
+      // lineage rule, measured 2.7 s vs 1.0 s at sf0.1)
+      val stackExpr = s"stack($B, " +
+        (0 until B).map(b => s"$b, sw_$b, swc_$b").mkString(", ") +
+        ") AS (b, sw, swc)"
+      val means = wide
+        .selectExpr("event_type", "n_events", "stc", stackExpr)
         .filter(col("sw") > 0) // Poisson zero-replica guard, both engines
-        .select(col("event_type"), col("b"),
+        .select(col("event_type"), col("n_events"), col("stc"), col("b"),
                 expr("swc div sw").as("mean_c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type"))
             .orderBy(col("mean_c"), col("b"))))
-      val full = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-             expr("sum(cents) div count(1)").as("mean_c"))
-      full.join(
-          means.filter(col("rn") === 2)
-            .select(col("event_type"), col("mean_c").as("ci_lo_c")),
-          Seq("event_type"))
-        .join(
-          means.filter(col("rn") === B - 1)
-            .select(col("event_type"), col("mean_c").as("ci_hi_c")),
-          Seq("event_type"))
+      means.groupBy(col("event_type"))
+        .agg(max(col("n_events")).as("n_events"),
+             expr("max(stc) div max(n_events)").as("mean_c"),
+             max(when(col("rn") === 2, col("mean_c"))).as("ci_lo_c"),
+             max(when(col("rn") === B - 1, col("mean_c"))).as("ci_hi_c"))
+        // a type with <15 valid replicas has no (2nd, 15th) statistic —
+        // the old inner-join drop semantics, kept explicit
+        .filter(col("ci_lo_c").isNotNull && col("ci_hi_c").isNotNull)
         .orderBy(col("event_type"))
     }),
 
@@ -979,17 +1058,28 @@ object StatSketchOps {
     // runs one test per feature/source (20 sources at α=0.10 expect 2
     // false alarms uncorrected; BH bounds the FALSE DISCOVERY RATE, not
     // the per-test rate). The family here: per-source two-sample
-    // randomization test of document length (source vs rest of corpus),
-    // the stat_randomization_test machinery with Bernoulli(n1/n)
-    // membership relabelings — u·n < n1·2^48 on the 48-bit md5 dyadic
-    // uniform, so null replicas match the observed group size in
-    // expectation and both engines replay the identical draw. p-values
-    // are exact integer counts over B=16; the step-up needs only
+    // randomization test of document length (source vs rest of corpus)
+    // with Bernoulli(n1/n) membership relabelings. p-values are exact
+    // integer counts over B=16; the step-up needs only
     // p_(i)·m ≤ i·α·1e6 integer comparisons and ONE max over the
     // m-row p-table (global window over |sources| rows — bounded by
-    // the source-domain cardinality, PLANS.md census class). Scale:
-    // the explode is |sources|×B× map-side; the only data shuffle is
-    // the (source, b) digest.
+    // the source-domain cardinality, PLANS.md census class).
+    //
+    // PACKED replica draws (r10 verdict #3 — the old form exploded the
+    // corpus ×(|sources|·B) = ×320 before aggregating): all B=16 draws
+    // for one (doc, source) pair now come from TWO md5s as sixteen
+    // 12-bit slices (bhMemberSql), and the per-replica sums are 16
+    // conditional-sum column pairs in ONE map-side aggregation — the
+    // row expansion is ×|sources| only, the md5 count per doc drops
+    // 320 → 40, and the shuffle is |sources| rows × 34 columns. The
+    // 12-bit dyadic uniform quantizes the membership rate to
+    // ceil-of-1/4096 grid (≈0.02 % absolute — the null stays exactly
+    // exchangeable w.r.t. len, which is all the test needs), replayed
+    // bit-for-bit by the oracle from the same fragments. Pure BIGINT:
+    // h·n < n1o·4096 is safe to n < 2.25e15 docs. A (source, len, n)
+    // histogram would compress further but can't replay per-doc
+    // i.i.d. draws without a binomial inverse-CDF in both engines —
+    // packed bits get the same asymptotic win with exact replay.
     "stat_bh_fdr" -> ((s, dir) => {
       val B = 16
       val docs = Tables.documents(s, dir)
@@ -1002,32 +1092,23 @@ object StatSketchOps {
           expr("abs(s1 * (n - n1) - (st - s1) * n1)").as("a_obs"),
           expr("n1 * (n - n1)").as("d_obs"))
       val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n1o"))
-      val perm = docs
+      val grid = docs
         .crossJoin(broadcast(srcs.select(col("source").as("src"), col("n1o"))))
         .crossJoin(broadcast(tot))
-        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
-        .withColumn("h", conv(substring(md5(concat(
-            col("doc_id").cast("string"), lit(":"), col("src"), lit(":"),
-            col("b").cast("string"))), 1, 12), 16, 10).cast("long"))
-        // Bernoulli(n1/n) membership: h/2^48 < n1/n, cross-multiplied
-        // exactly in DECIMAL so no corpus size can overflow it
-        .withColumn("m", (expr("CAST(h AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))") <
-          expr("CAST(n1o AS DECIMAL(19,0)) * CAST(281474976710656 AS DECIMAL(19,0))")).cast("long"))
-        .groupBy(col("src"), col("b"))
-        .agg(sum(col("m") * col("len")).as("s1b"), sum(col("m")).as("n1b"),
-             max(col("n")).as("n"), max(col("st")).as("st"))
-        .filter(col("n1b") > 0 && col("n1b") < col("n"))
-        .select(col("src"),
-          expr("abs(s1b * (n - n1b) - (st - s1b) * n1b)").as("a_b"),
-          expr("n1b * (n - n1b)").as("d_b"))
-      val p = perm.join(broadcast(obs), perm("src") === obs("source"))
-        .groupBy(col("source"))
-        .agg(max(col("n_src")).as("n_src"),
-          sum(when(
-            expr("CAST(a_b AS DECIMAL(19,0)) * CAST(d_obs AS DECIMAL(19,0))") >=
-            expr("CAST(a_obs AS DECIMAL(19,0)) * CAST(d_b AS DECIMAL(19,0))"), 1L)
-            .otherwise(0L)).as("n_extreme"))
+        .withColumn("h0", md5(concat(
+          col("doc_id").cast("string"), lit(":"), col("src"), lit(":0"))))
+        .withColumn("h1", md5(concat(
+          col("doc_id").cast("string"), lit(":"), col("src"), lit(":1"))))
+      val aggCols = (0 until B).flatMap { b =>
+        val m = expr(bhMemberSql(b, h => s"CAST(conv($h, 16, 10) AS BIGINT)"))
+        Seq(sum(m * col("len")).as(s"s1b_$b"), sum(m).as(s"n1b_$b"))
+      } ++ Seq(max(col("n")).as("n"), max(col("st")).as("st"))
+      val perSrc = grid.groupBy(col("src")).agg(aggCols.head, aggCols.tail: _*)
+      val p = perSrc.join(broadcast(obs), perSrc("src") === obs("source"))
+        .withColumn("n_extreme",
+          expr((0 until B).map(bhExtremeSql).mkString(" + ")))
         .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
+        .select(col("source"), col("n_src"), col("p_e6"))
       // BH step-up at α = 0.10 via the reusable facade (the step-up max
       // and all windows run over the m-row p-table — bounded).
       graft.api.Graft.bhStepUp(p, "source", "p_e6", alphaE6 = 100000L)
@@ -1121,46 +1202,40 @@ object StatSketchOps {
         |    AS n_alloc
         |FROM r ORDER BY source""".stripMargin,
 
-    "stat_bh_fdr" ->
-      """WITH docs AS (SELECT doc_id, source, n_chars AS len FROM documents),
-        |tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS st
-        |  FROM documents),
-        |obs AS (SELECT source, count(*)::BIGINT AS n_src,
-        |    abs(sum(len) * ((SELECT n FROM tot) - count(*))
-        |        - ((SELECT st FROM tot) - sum(len)) * count(*))::BIGINT AS a_obs,
-        |    (count(*) * ((SELECT n FROM tot) - count(*)))::BIGINT AS d_obs
-        |  FROM docs GROUP BY source),
-        |grid AS (SELECT d.doc_id, d.len, s.source AS src, s.n_src AS n1o, b
-        |  FROM docs d CROSS JOIN obs s
-        |  CROSS JOIN (SELECT unnest(range(16)) AS b)),
-        |mem AS (SELECT src, b, len,
-        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || src
-        |            || ':' || b::VARCHAR), 1, 12))::BIGINT::DECIMAL(19,0)
-        |          * (SELECT n FROM tot)::DECIMAL(19,0)
-        |        < n1o::DECIMAL(19,0) * 281474976710656::DECIMAL(19,0)
-        |      THEN 1 ELSE 0 END AS m
-        |  FROM grid),
-        |pg AS (SELECT src, b, sum(m * len)::BIGINT AS s1b,
-        |    sum(m)::BIGINT AS n1b FROM mem GROUP BY src, b),
-        |pc AS (SELECT src,
-        |    abs(s1b * ((SELECT n FROM tot) - n1b)
-        |        - ((SELECT st FROM tot) - s1b) * n1b)::BIGINT AS a_b,
-        |    (n1b * ((SELECT n FROM tot) - n1b))::BIGINT AS d_b
-        |  FROM pg WHERE n1b > 0 AND n1b < (SELECT n FROM tot)),
-        |pv AS (SELECT o.source, o.n_src,
-        |    ((sum(CASE WHEN a_b::DECIMAL(19,0) * d_obs::DECIMAL(19,0)
-        |               >= a_obs::DECIMAL(19,0) * d_b::DECIMAL(19,0)
-        |        THEN 1 ELSE 0 END) * 1000000) // 16)::BIGINT AS p_e6
-        |  FROM pc JOIN obs o ON pc.src = o.source
-        |  GROUP BY o.source, o.n_src),
-        |rk AS (SELECT source, n_src, p_e6,
-        |    row_number() OVER (ORDER BY p_e6, source) AS bh_rank,
-        |    count(*) OVER () AS m_tests FROM pv),
-        |kk AS (SELECT *, max(CASE WHEN p_e6 * m_tests <= bh_rank * 100000
-        |    THEN bh_rank ELSE 0 END) OVER () AS k FROM rk)
-        |SELECT source, n_src, p_e6, bh_rank::BIGINT AS bh_rank,
-        |  (bh_rank <= k)::BIGINT AS rejected
-        |FROM kk ORDER BY bh_rank""".stripMargin,
+    // mirrors the packed-draw Spark plan from the SAME bhMemberSql /
+    // bhExtremeSql fragments (only hexToLong differs per engine)
+    "stat_bh_fdr" -> {
+      val memSums = (0 until 16).map { b =>
+        val m = bhMemberSql(b, h => s"(('0x' || $h)::BIGINT)")
+        s"sum($m * len)::BIGINT AS s1b_$b, sum($m)::BIGINT AS n1b_$b"
+      }.mkString(",\n    ")
+      val ind = (0 until 16).map(bhExtremeSql).mkString(" + ")
+      "WITH docs AS (SELECT doc_id, source, n_chars AS len FROM documents),\n" +
+      "tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS st\n" +
+      "  FROM documents),\n" +
+      "obs AS (SELECT source, count(*)::BIGINT AS n_src,\n" +
+      "    abs(sum(len) * ((SELECT n FROM tot) - count(*))\n" +
+      "        - ((SELECT st FROM tot) - sum(len)) * count(*))::BIGINT AS a_obs,\n" +
+      "    (count(*) * ((SELECT n FROM tot) - count(*)))::BIGINT AS d_obs\n" +
+      "  FROM docs GROUP BY source),\n" +
+      "grid AS (SELECT d.len, s.source AS src, s.n_src AS n1o,\n" +
+      "    (SELECT n FROM tot) AS n,\n" +
+      "    md5(d.doc_id::VARCHAR || ':' || s.source || ':0') AS h0,\n" +
+      "    md5(d.doc_id::VARCHAR || ':' || s.source || ':1') AS h1\n" +
+      "  FROM docs d CROSS JOIN obs s),\n" +
+      s"pg AS (SELECT src,\n    $memSums\n  FROM grid GROUP BY src),\n" +
+      "pv AS (SELECT o.source, o.n_src,\n" +
+      s"    ((($ind) * 1000000) // 16)::BIGINT AS p_e6\n" +
+      "  FROM pg JOIN obs o ON pg.src = o.source CROSS JOIN tot),\n" +
+      "rk AS (SELECT source, n_src, p_e6,\n" +
+      "    row_number() OVER (ORDER BY p_e6, source) AS bh_rank,\n" +
+      "    count(*) OVER () AS m_tests FROM pv),\n" +
+      "kk AS (SELECT *, max(CASE WHEN p_e6 * m_tests <= bh_rank * 100000\n" +
+      "    THEN bh_rank ELSE 0 END) OVER () AS k FROM rk)\n" +
+      "SELECT source, n_src, p_e6, bh_rank::BIGINT AS bh_rank,\n" +
+      "  (bh_rank <= k)::BIGINT AS rejected\n" +
+      "FROM kk ORDER BY bh_rank"
+    },
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
@@ -1197,9 +1272,10 @@ object StatSketchOps {
         |    abs(s1 * n2 - s2 * n1)::BIGINT AS a_obs,
         |    (n1 * n2)::BIGINT AS d_obs FROM obs),
         |pe AS (SELECT event_type, b, cents, event_id,
-        |    ('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR), 1, 8))
-        |      ::BIGINT % 2 AS flip
-        |  FROM ev CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |    ('0x' || __FRAG__)::BIGINT % 2 AS flip
+        |  FROM (SELECT ev.*, md5(event_id::VARCHAR || ':p0') AS h0,
+        |               md5(event_id::VARCHAR || ':p1') AS h1 FROM ev)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS b)),
         |pg AS (SELECT event_type, b,
         |    sum(CASE WHEN (event_id + flip) % 2 = 0 THEN cents ELSE 0 END)::BIGINT AS s1,
         |    sum(CASE WHEN (event_id + flip) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
@@ -1218,15 +1294,17 @@ object StatSketchOps {
         |       THEN 1 ELSE 0 END) * 1000000) // 16)::BIGINT AS p_e6
         |FROM pc JOIN obc o USING (event_type)
         |GROUP BY o.event_type, o.n1, o.n2
-        |ORDER BY o.event_type""".stripMargin,
+        |ORDER BY o.event_type""".stripMargin
+        .replace("__FRAG__", replicaDrawHexSql),
 
     "stat_poisson_bootstrap_ci" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
         |reps AS (SELECT event_type, cents, b,
-        |    (('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR), 1, 12))
-        |      ::BIGINT)::DOUBLE / 281474976710656.0 AS u
-        |  FROM ev CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |    (('0x' || __FRAG__)::BIGINT)::DOUBLE / 65536.0 AS u
+        |  FROM (SELECT ev.*, md5(event_id::VARCHAR || ':p0') AS h0,
+        |               md5(event_id::VARCHAR || ':p1') AS h1 FROM ev)
+        |  CROSS JOIN (SELECT unnest(range(16)) AS b)),
         |ww AS (SELECT event_type, cents, b,
         |    (CASE WHEN u < 0.36787944117144233 THEN 0
         |          WHEN u < 0.7357588823428847 THEN 1
@@ -1248,7 +1326,8 @@ object StatSketchOps {
         |FROM f
         |JOIN (SELECT event_type, mean_c FROM r WHERE rn = 2) lo USING (event_type)
         |JOIN (SELECT event_type, mean_c FROM r WHERE rn = 15) hi USING (event_type)
-        |ORDER BY f.event_type""".stripMargin,
+        |ORDER BY f.event_type""".stripMargin
+        .replace("__FRAG__", replicaDrawHexSql),
 
     // runs test: integer sign sequence, nested floor-div moments
     "stat_runs_test" ->

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
+  /** Wipe-or-fail (r10 advice): a path that survives delete() would
+    * leave a mixed old/new fixture tree that the .complete sentinel
+    * then blesses — throw instead, like the Files.walk version did. */
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(): Unit
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"fixture wipe failed: cannot delete $f")
   }
 
   /** Idempotently materialize the fixture tree under target/ (kept
