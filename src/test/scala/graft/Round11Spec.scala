@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: the plan-ledger memo instrumentation (touched-
+  * label recorder + pre-checkpoint scan fingerprints), the packed
+  * replica-draw equivalence, and the overflow-safe epoch-schedule
+  * decomposition. */
+class Round11Spec extends SparkSpec {
+
+  // ---- ledger memo instrumentation (r10 verdict #1) -----------------
+
+  test("recordTouchedMemos attributes memo consumption, incl. nested builds") {
+    val (_, first) = api.Graft.recordTouchedMemos {
+      api.Graft.memoizedExchange("r11_outer", spark, sf) {
+        // nested build: consuming another memo inside a build records
+        // BOTH labels (transitive attribution)
+        api.Graft.memoizedExchange("r11_inner", spark, sf) {
+          Tables.documents(spark, sf).limit(2)
+        }.limit(1)
+      }
+    }
+    assert(first == Seq("r11_inner", "r11_outer"))
+    // a cache hit still records the label (attribution is about
+    // consumption, not construction)
+    val (_, again) = api.Graft.recordTouchedMemos {
+      api.Graft.memoizedExchange("r11_outer", spark, sf) { fail(); ??? }
+    }
+    assert(again == Seq("r11_outer"))
+    // the recorder clears between wraps: an unrelated body sees nothing
+    val (_, none) = api.Graft.recordTouchedMemos {
+      Tables.documents(spark, sf).limit(1)
+    }
+    assert(none.isEmpty)
+  }
+
+  test("memo fingerprints capture the PRE-checkpoint scan health") {
+    api.Graft.memoizedExchange("r11_fp_probe", spark, sf) {
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") > 5L) // pushable predicate
+        .select(col("doc_id"), col("lang"))
+    }
+    val fp = api.Graft.memoFingerprintsFor(sf)
+      .collectFirst { case ("r11_fp_probe", json) => json }
+    assert(fp.isDefined, "build must register a fingerprint")
+    // the build plan's parquet scan (with its pushed filter and pruned
+    // schema) is visible in the fingerprint even though every CONSUMER
+    // of the memo sees only Scan ExistingRDD
+    assert(fp.get.contains(""""scans":1"""), fp.get)
+    assert(fp.get.contains(""""pushed_scans":1"""), fp.get)
+    assert(fp.get.contains(""""narrow_scans":1"""), fp.get)
+  }
+
+  test("PlanStats counts leaf classes so no plan is scanless-and-markerless") {
+    import spark.implicits._
+    val localJson = PlanStats.countsJson(Seq((1L, "a")).toDF("id", "v"))
+    assert(localJson.contains(""""local_scans":1"""), localJson)
+    val ckpt = Tables.documents(spark, sf).limit(2).localCheckpoint()
+    val rddJson = PlanStats.countsJson(ckpt.select(col("doc_id")))
+    assert(rddJson.contains(""""rdd_scans":1"""), rddJson)
+  }
+
+  // ---- packed replica draws (r10 verdict #3 family) ------------------
+
+  test("literal-b draw slices equal the runtime-b draw formula for all 16 b") {
+    import spark.implicits._
+    // one row with h0/h1 = two md5s; compare the oracle's runtime-b
+    // CASE form against the Spark side's per-b folded slices
+    val base = Seq(("seed")).toDF("s")
+      .select(md5(concat(col("s"), lit(":p0"))).as("h0"),
+              md5(concat(col("s"), lit(":p1"))).as("h1"))
+    val runtime = base
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .selectExpr("b",
+        "substring(CASE WHEN b < 8 THEN h0 ELSE h1 END, (b % 8) * 4 + 1, 4) AS hx")
+      .collect().map(r => r.getAs[Int]("b") -> r.getAs[String]("hx")).toMap
+    val literal = base.selectExpr((0 until 16).map { b =>
+      s"substring(h${b / 8}, ${(b % 8) * 4 + 1}, 4) AS hx_$b"
+    }: _*).collect().head
+    (0 until 16).foreach { b =>
+      assert(literal.getAs[String](s"hx_$b") == runtime(b),
+        s"draw $b diverges between the folded and runtime forms")
+    }
+  }
+
+  test("bh_fdr packed membership: rate tracks n1/n within 12-bit quantization") {
+    val out = SparkEntry.queries("stat_bh_fdr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // structural BH step-up invariants (the facade's contract): ranks
+    // are 1..m, rejections form a prefix of the p-sorted order
+    val m = out.length
+    assert(out.map(_.getAs[Long]("bh_rank")).sorted.toSeq == (1L to m).toSeq)
+    val byRank = out.sortBy(_.getAs[Long]("bh_rank"))
+    val rejected = byRank.map(_.getAs[Long]("rejected"))
+    assert(rejected.dropWhile(_ == 1L).forall(_ == 0L),
+      "BH rejections must be a prefix of the rank order")
+    out.foreach { r =>
+      val p = r.getAs[Long]("p_e6")
+      assert(p >= 0L && p <= 1000000L)
+      assert(p % 62500L == 0L, "p over B=16 replicas is a multiple of 1/16")
+    }
+  }
+
+  // ---- overflow-safe epoch schedule (r10 advice) ---------------------
+
+  test("epoch-schedule decomposition equals the naive product form") {
+    import spark.implicits._
+    // (a·b) div c == (a div c)·b + ((a mod c)·b) div c for these
+    // magnitudes (small enough that the naive form cannot overflow,
+    // large enough to exercise non-trivial quotients/remainders)
+    val rows = Seq((40000000L, 997L, 13441L), (123456789L, 31L, 777L),
+                   (999999937L, 1000000L, 1234567L))
+    rows.foreach { case (a, b, c) =>
+      val naive = (a * b) / c
+      val decomposed = (a / c) * b + ((a % c) * b) / c
+      assert(naive == decomposed, s"($a,$b,$c)")
+    }
+    val df = SparkEntry.queries("curate_epoch_schedule")(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // allocations still sum to ~the 4-epoch budget (each source's
+    // floor-div loses < 1 token per w_sum unit)
+    val totTokens = out.map(_.getAs[Long]("n_tokens")).sum
+    val totAlloc = out.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(totAlloc <= 4L * totTokens)
+    assert(totAlloc >= 4L * totTokens - out.length * 1000000L)
+  }
+}

@@ -28,12 +28,21 @@ def main():
             print(f"REMOVED {k}")
             continue
         o, n = old[k], new[k]
+        # a field absent from the OLD snapshot is a ledger-schema
+        # addition (e.g. file_scans/via_memo in r11), not a plan change
+        # — comparing it against a default would flood the diff
         deltas = [(f, o.get(f, 0), n.get(f, 0))
-                  for f in sorted(set(o) | set(n)) if o.get(f, 0) != n.get(f, 0)]
+                  for f in sorted(set(o) | set(n))
+                  if f in o and o.get(f, 0) != n.get(f, 0)]
         if not deltas:
             continue
+        # a query newly routed through a memoized exchange legitimately
+        # loses its direct scan rows — the scan health now lives in the
+        # memo:<label> row (which this diff covers separately)
+        newly_memoized = "via_memo" in n and "via_memo" not in o
         bad = any((f in GROW_IS_BAD and nv > ov) or
-                  (f in SHRINK_IS_BAD and nv < ov) for f, ov, nv in deltas)
+                  (f in SHRINK_IS_BAD and nv < ov and not newly_memoized)
+                  for f, ov, nv in deltas)
         tag = "REGRESS" if bad else "changed"
         regressions += bad
         detail = " ".join(f"{f}:{ov}->{nv}" for f, ov, nv in deltas)
