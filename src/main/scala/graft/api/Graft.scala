@@ -1103,6 +1103,21 @@ object Graft {
     (merges.orderBy(col("round")), corpus)
   }
 
+  /** Session-memoized 2-round BPE training over the spread documents
+    * corpus — the trained-artifact memo (r10 verdict #8 / next-round
+    * #8): `bpe_train_merges` and `bpe_encode` both need the SAME
+    * 2-round merge table, and each previously ran its own training
+    * (two pair-count shuffles apiece). The memo value is the 2-row
+    * (round, a, b, cnt) table — trained ARTIFACTS are exactly what the
+    * exchange memo is for (the ivfModel8 discipline); the corpus-sized
+    * fold intermediates stay transient inside the build. Consumers
+    * re-derive any encoded corpus they need with a map-side
+    * [[bpeEncode]] fold — scan-rate CPU, zero shuffles. */
+  def bpeMerges2(s: SparkSession, dir: String): DataFrame =
+    memoizedExchange("bpe_merges2", s, dir) {
+      bpeTrain(graft.Tables.documentsSpread(s, dir), "text", rounds = 2)
+    }
+
   /** Corpus-wide adjacent-token-pair counts of a space-tokenized text
     * column — the BPE statistic. Shared by [[bpeTrain]] and the
     * registered `bpe_train_merges` query so tokenization and tie-break

@@ -368,51 +368,30 @@ object LexicalOps {
     // the merge chosen, its count, and the post-merge token/vocab
     // totals.
     "bpe_train_merges" -> ((s, dir) => {
-      import graft.functions.TextSignatures.bpeMergeApply
-      // pair extraction + argmax live in Graft.bpeTopPair — ONE
-      // implementation for the facade and this query
-      def topPair(docs: DataFrame): DataFrame =
-        graft.api.Graft.bpeTopPair(docs, "text")
-      def stats(docs: DataFrame): DataFrame = docs
-        .select(explode(split(col("text"), " ")).as("tok"))
+      // TRAINING comes from the session-memoized 2-row merge table
+      // (Graft.bpeMerges2 — shared with bpe_encode, r10 verdict #8: one
+      // training per session, not one per consumer query). What remains
+      // here is the per-round corpus accounting: tokens/vocab AFTER
+      // each merge, re-derived by map-side bpeEncode folds of the raw
+      // text under merge prefixes — scan-rate CPU, zero text shuffles,
+      // and no corpus-sized persist to babysit (the old in-query
+      // trainer DISK_ONLY-persisted the merged corpus across its three
+      // consumers; the fold is cheaper than the pin).
+      def stats(encoded: DataFrame): DataFrame = encoded
+        .select(explode(split(col("encoded"), " ")).as("tok"))
         .agg(count(lit(1)).as("tokens_after"),
              countDistinct(col("tok")).as("vocab_after"))
-      // d0 is a bare projected scan — reading it twice (round-1 counts +
-      // round-1 merge) is two map-side parquet scans, cheaper than any
-      // barrier that would move the text.
+      val merges = graft.api.Graft.bpeMerges2(s, dir)
       val d0 = graft.Tables.documentsSpread(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-      // each round's 1-row argmax AND the merged corpus localCheckpoint,
-      // exactly the facade's (bpeTrain) generation discipline: without
-      // the argmax checkpoint every consumer re-plans the full
-      // pair-count chain (observed: m1's scan+explode+agg+TakeOrdered
-      // computed twice — once for the output row, once inside the
-      // corpus materialization, with no exchange reuse across the cache
-      // boundary); without the corpus checkpoint its three consumers
-      // (round-2 counts, round-2 merge, stats) would each recompute the
-      // merge. The corpus text never crosses the wire after the initial
-      // scan spread — the only shuffles are (pair, count) digests.
-      val m1 = topPair(d0).localCheckpoint()
-      val d1 = d0.crossJoin(broadcast(m1))
-        .select(col("doc_id"),
-          bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
-      d1.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val m2 = topPair(d1).localCheckpoint()
-      val d2 = d1.crossJoin(broadcast(m2))
-        .select(col("doc_id"),
-          bpeMergeApply(col("text"), col("a"), col("b")).as("text"))
-      val r1 = m1.crossJoin(broadcast(stats(d1)))
-        .select(lit(1).as("round"), col("a"), col("b"), col("cnt"),
-                col("tokens_after"), col("vocab_after"))
-      val r2 = m2.crossJoin(broadcast(stats(d2)))
-        .select(lit(2).as("round"), col("a"), col("b"), col("cnt"),
-                col("tokens_after"), col("vocab_after"))
-      // eager 2-row checkpoint of the answer, then FREE the DISK_ONLY
-      // merged corpus — without this the corpus cache lingers in the
-      // shared bench JVM for the rest of the 141-query sweep
-      val res = r1.unionByName(r2).orderBy(col("round")).localCheckpoint()
-      d1.unpersist(blocking = false)
-      res
+        .select(col("text"))
+      val d1 = graft.api.Graft.bpeEncode(d0, "text", merges.filter(col("round") === 1))
+      val d2 = graft.api.Graft.bpeEncode(d0, "text", merges)
+      val r1 = merges.filter(col("round") === 1).crossJoin(broadcast(stats(d1)))
+      val r2 = merges.filter(col("round") === 2).crossJoin(broadcast(stats(d2)))
+      r1.unionByName(r2)
+        .select(col("round").cast("int").as("round"), col("a"), col("b"),
+                col("cnt"), col("tokens_after"), col("vocab_after"))
+        .orderBy(col("round"))
     }),
 
     // BPE APPLY — the encode stage between merge training and
@@ -427,17 +406,17 @@ object LexicalOps {
     // (Σ n_tokens == the train query's round-2 tokens_after) is
     // spec-asserted in LexicalOpsSpec.
     "bpe_encode" -> ((s, dir) => {
+      // the trained table comes from the session memo (ONE training
+      // shared with bpe_train_merges — r10 verdict #8); the encode
+      // itself is the single map-side fold bpe_encode_pretrained
+      // already prices, here under the LEARNED merges
       val docs = graft.Tables.documentsSpread(s, dir)
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"))
-      // train-AND-encode in one pass: the training loop's final merged
-      // corpus IS the encode — no second fold of the raw text
-      // (bpe_encode_pretrained covers the apply-a-persisted-table shape)
-      val (_, encoded) = graft.api.Graft.bpeTrainEncode(docs, "text", rounds = 2)
-      encoded
+      graft.api.Graft.bpeEncode(docs, "text", graft.api.Graft.bpeMerges2(s, dir))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          md5(col("text")).as("enc_md5"))
+          size(split(col("encoded"), " ")).cast("long").as("n_tokens"),
+          md5(col("encoded")).as("enc_md5"))
         .orderBy(col("doc_id"))
     }),
 
