@@ -90,7 +90,7 @@ object DedupOps {
     * itself (the local scan is one split — see Tables.documentsSpread);
     * the projection sits between two differently-keyed exchanges so it
     * runs exactly once per document, on all cores. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     graft.api.Graft.memoizedExchange("dedup_shingled", s, dir) {
       Tables.documentsSpread(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -129,8 +129,19 @@ object StreamingOps {
 
   /** Run a streaming DF to completion into a memory sink, return the
     * final table. Unique sink name per invocation (Verify and Bench both
-    * call this in one JVM). */
-  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    * call this in one JVM).
+    *
+    * `parts` sizes the drain's shuffle width = state stores per stateful
+    * operator. Default 8 (r8 measurement); the stream-stream joins pass
+    * 4 — they materialize 4 state stores PER partition and their state
+    * volume is watermark-bounded, so halving the store count beats the
+    * lost parallelism (measured r11: ss joins −20% at 4, while the
+    * agg-shaped queries REGRESS at 4 — their cost is the data pass, not
+    * store commits). Fixed-cost floor measured r11 (BENCH_NOTES §r11):
+    * ~0.5-0.9 s/query of start/stop + offset/commit-log + no-data-batch
+    * machinery that per-query isolation cannot amortize. */
+  private def drain(s: SparkSession, df: DataFrame, mode: String,
+                    parts: Int = 8): DataFrame = {
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators materialize 1-4 state stores PER shuffle
     // partition (a stream-stream join: keyToNumValues +
@@ -144,7 +155,8 @@ object StreamingOps {
     // volume ÷ executor memory instead — the state-store-per-partition
     // arithmetic is the same, only the constant changes.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS", parts.toString))
     try {
     val q = df.writeStream
       .outputMode(mode).format("memory").queryName(name)
@@ -446,7 +458,7 @@ object StreamingOps {
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
-      drain(s, joined, "append")
+      drain(s, joined, "append", parts = 4)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
              countDistinct(col("click_id")).as("n_clicks_attributed"),
@@ -481,7 +493,7 @@ object StreamingOps {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
         "leftOuter")
-      drain(s, joined, "append")
+      drain(s, joined, "append", parts = 4)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_rows"),
              count(col("purchase_ts")).as("n_matched"),
@@ -644,9 +656,11 @@ object StreamingOps {
             }
         }.toDF("a_id", "b_id")
       val pairs = drain(s, links, "append").distinct()
-      val toks = graft.Tables.documents(s, dir)
-        .select(col("doc_id"), graft.functions.TextSignatures
-          .wordBigramHashes(col("text")).as("bg"))
+      // exact-Jaccard verification reads the dedup family's memoized
+      // bigram-hash exchange (same TextSignatures expression — one
+      // shingling pass per session, shared with the batch dedup family)
+      val toks = graft.operators.DedupOps.shingled(s, dir)
+        .select(col("doc_id"), col("bg"))
       val inter = graft.functions.SortedIntersectCount
         .sortedIntersectCountLong(col("bg_a"), col("bg_b"))
       broadcast(pairs)
