@@ -448,6 +448,44 @@ object StatSketchOps {
         .orderBy(col("event_type"))
     }),
 
+    // KLL mergeable quantile sketch (functions.KllAgg — the quantile
+    // member the Bloom/CMS/KMV/HLL/TopK Aggregator family lacked, r10
+    // verdict #6) under the a_approx_sketch_contract oracle discipline:
+    // sketch estimates differ engine-by-engine, so the comparable
+    // output is the rank-error CLAIM — each engine checks its OWN
+    // estimate against its OWN exact ranks. The claim is tie-robust:
+    // the target rank q·n must fall within ±5%·n of the estimate's
+    // exact rank WINDOW [#(<est), #(≤est)] (a single heavy value can
+    // legally absorb any interior target). Exact ranks are computed
+    // distributively (broadcast the |types|×|qs| estimate table, one
+    // conditional-sum pass). Scale: the sketch is O(k·log(n/k)) longs
+    // per group moved map-side — the 100 TB replacement for exact
+    // percentile's per-group sort; KllAggSpec pins the merge law and
+    // adversarial-order rank error.
+    "stat_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val qsE6 = Seq(100000L, 500000L, 900000L, 990000L)
+      val ev = eventCents(s, dir)
+      val est = ev.select(col("event_type"), col("cents")).as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KllAgg(256, qsE6).toColumn.name("ests"))
+        .toDF("event_type", "ests")
+        .select(col("event_type"),
+                posexplode(col("ests")).as(Seq("qi", "est")))
+        .withColumn("q_e6", element_at(typedLit(qsE6), col("qi") + 1))
+        .select(col("event_type"), col("q_e6"), col("est"))
+      ev.join(broadcast(est), "event_type")
+        .groupBy(col("event_type"), col("q_e6"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+             sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+        .select(col("event_type"), col("q_e6"), col("n"),
+          (col("q_e6") * col("n") >= col("rank_lt") * 1000000L - col("n") * 50000L &&
+           col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 50000L)
+            .cast("int").as("within_rank_5pct"))
+        .orderBy(col("event_type"), col("q_e6"))
+    }),
+
     // Winsorized robust sums: per-language p05/p95 thresholds from the
     // same histogram machinery, clip every doc's n_chars into
     // [p05, p95], emit exact integer sums. The threshold table is
@@ -696,6 +734,57 @@ object StatSketchOps {
           Tables.documents(s, dir).select(col("source"), col("n_chars")),
           "source", "n_chars")
         .orderBy(col("source"))),
+
+    // DKW-banded drift gate — the finite-sample companion to the KS
+    // drift audit: Dvoretzky–Kiefer–Wolfowitz gives a DISTRIBUTION-FREE
+    // confidence band for an ECDF, sup|F̂_n − F| ≤ ε(n) =
+    // √(ln(2/α)/2n) w.p. ≥ 1−α, so "source drifted" becomes a GATED
+    // claim with a stated false-alarm rate instead of a bare distance:
+    // flag a source iff its ECDF's sup deviation from the pooled
+    // corpus ECDF exceeds its own α=0.05 band (pool-inclusion makes
+    // the gate conservative — deviation shrinks, never grows, with the
+    // group's own mass; documented, not hidden). Machinery = the
+    // ks-drift value-grid histogram: cum counts per (source, value) on
+    // the |distinct n_chars| grid (metadata-sized, PLANS.md census
+    // class), sup as one integer max; both the deviation and the band
+    // are e6-quantized by the shared floor(x·1e6 + 0.5) idiom so the
+    // flag compares two identically-derived integers on both engines.
+    "stat_dkw_drift_gate" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .groupBy(col("source").as("g"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // grid built once, walked twice (vals/tot)
+      val vals = cnt.select(col("v")).distinct()
+      val grps = cnt.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+      // single-partition window is bounded: |distinct n_chars| rows
+      val tot = cnt.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+        .withColumn("cumAll", sum(col("cv")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      val ntot = cnt.agg(sum(col("c")).as("nt"))
+      grps.crossJoin(vals)
+        .join(cnt, Seq("g", "v"), "left")
+        .withColumn("cc", coalesce(col("c"), lit(0L)))
+        .withColumn("cumG", sum(col("cc")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(tot.select(col("v"), col("cumAll")), Seq("v"))
+        .crossJoin(broadcast(ntot))
+        // |F_g − F_pool| numerator at this grid point, scale ng·nt
+        .withColumn("dnum", abs(col("cumG") * col("nt") -
+                                col("cumAll") * col("ng")))
+        .groupBy(col("g"))
+        .agg(max(col("ng")).as("n"), max(col("dnum")).as("d_num"),
+             max(col("nt")).as("nt"))
+        .select(col("g").as("source"), col("n"),
+          floor(col("d_num").cast("double") /
+            (col("n").cast("double") * col("nt").cast("double")) * 1e6 + 0.5)
+            .cast("long").as("d_sup_e6"),
+          floor(sqrt(log(lit(40.0)) / (lit(2.0) * col("n").cast("double")))
+            * 1e6 + 0.5).cast("long").as("dkw_eps_e6"))
+        .withColumn("drift_flag",
+          (col("d_sup_e6") > col("dkw_eps_e6")).cast("long"))
+        .orderBy(col("source"))
+    }),
 
     // Mann–Whitney / AUC drift audit, one source vs the rest — the
     // rank-based companion to stat_ks_source_drift: KS asks "how far
@@ -1236,6 +1325,63 @@ object StatSketchOps {
       "  (bh_rank <= k)::BIGINT AS rejected\n" +
       "FROM kk ORDER BY bh_rank"
     },
+
+    // ECDF grid replay of the DKW gate: ln(40) = ln(2/0.05), identical
+    // IEEE doubles on both engines, quantized by the shared idiom
+    "stat_dkw_drift_gate" ->
+      """WITH cnt AS (SELECT source AS g, n_chars AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT g, v FROM (SELECT DISTINCT g FROM cnt)
+        |  CROSS JOIN (SELECT DISTINCT v FROM cnt)),
+        |grps AS (SELECT g, sum(c)::BIGINT AS ng FROM cnt GROUP BY g),
+        |tot AS (SELECT v, sum(c)::BIGINT AS cv FROM cnt GROUP BY v),
+        |tc AS (SELECT v, sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cumAll FROM tot),
+        |nt AS (SELECT sum(c)::BIGINT AS nt FROM cnt),
+        |cg AS (SELECT grid.g, grid.v,
+        |    sum(coalesce(cnt.c, 0)) OVER (PARTITION BY grid.g ORDER BY grid.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cumG
+        |  FROM grid LEFT JOIN cnt USING (g, v)),
+        |dev AS (SELECT cg.g, max(grps.ng)::BIGINT AS n,
+        |    max(abs(cg.cumG * nt.nt - tc.cumAll * grps.ng))::BIGINT AS d_num,
+        |    max(nt.nt)::BIGINT AS nt
+        |  FROM cg JOIN grps USING (g) JOIN tc USING (v) CROSS JOIN nt
+        |  GROUP BY cg.g)
+        |SELECT g AS source, n,
+        |  floor(d_num::DOUBLE / (n::DOUBLE * nt::DOUBLE) * 1e6 + 0.5)::BIGINT
+        |    AS d_sup_e6,
+        |  floor(sqrt(ln(40.0) / (2.0 * n::DOUBLE)) * 1e6 + 0.5)::BIGINT
+        |    AS dkw_eps_e6,
+        |  (floor(d_num::DOUBLE / (n::DOUBLE * nt::DOUBLE) * 1e6 + 0.5)
+        |   > floor(sqrt(ln(40.0) / (2.0 * n::DOUBLE)) * 1e6 + 0.5))::BIGINT
+        |    AS drift_flag
+        |FROM dev ORDER BY source""".stripMargin,
+
+    // each engine checks its own sketch (DuckDB: t-digest
+    // approx_quantile) against its own exact ranks — the
+    // a_approx_sketch_contract discipline
+    "stat_kll_quantiles" ->
+      """WITH ev AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events),
+        |qs AS (SELECT event_type,
+        |    approx_quantile(cents, [0.1, 0.5, 0.9, 0.99]::FLOAT[]) AS ests
+        |  FROM ev GROUP BY event_type),
+        |est AS (SELECT event_type,
+        |    unnest([100000, 500000, 900000, 990000]) AS q_e6,
+        |    unnest(ests) AS est
+        |  FROM qs),
+        |r AS (SELECT ev.event_type, q_e6, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN cents < est THEN 1 ELSE 0 END)::BIGINT AS rank_lt,
+        |    sum(CASE WHEN cents <= est THEN 1 ELSE 0 END)::BIGINT AS rank_le
+        |  FROM ev JOIN est USING (event_type)
+        |  GROUP BY ev.event_type, q_e6)
+        |SELECT event_type, q_e6::BIGINT AS q_e6, n,
+        |  (q_e6 * n >= rank_lt * 1000000 - n * 50000
+        |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
+        |    AS within_rank_5pct
+        |FROM r ORDER BY event_type, q_e6""".stripMargin,
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n

@@ -589,6 +589,54 @@ object StreamingOps {
       s.read.parquet(s"$stateRoot/v$version").orderBy(col("batch_key"))
     }),
 
+    // Watermark-lag monitor via StreamingQueryProgress (r10 verdict
+    // #7 — T5's production story beyond observe()): drain the
+    // id-ordered docs micro-batches under a 1 s watermark and report,
+    // PER BATCH, the input-row count, max event time, the watermark
+    // the batch ran under, and the lag between them — exactly the
+    // per-trigger numbers a production monitor alerts on (a growing
+    // lag means event time is outrunning the watermark faster than
+    // state can finalize). The metrics come from the engine's own
+    // progress objects (q.recentProgress: numInputRows +
+    // eventTime.max/watermark per micro-batch), not a side
+    // computation; the result table is |batches|-sized driver
+    // metadata (the t5_observe_metrics class). Oracle: the watermark
+    // recurrence is closed-form on the ntile(4) fixture — wm(batch j)
+    // = max event time of batches < j minus the 1 s delay (0 for the
+    // first batch) — the same replay contract streaming_minhash_dedup
+    // pins.
+    "streaming_watermark_lag" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = docsBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withWatermark("ts", "1 second")
+        .select(col("doc_id")) // stateless pass-through: the watermark
+                               // node still tracks event-time stats
+      val name = "graft_wmlag_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation",
+          s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def epochS(iso: String): Long =
+        java.time.Instant.parse(iso).getEpochSecond
+      val rows = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).sortBy(_.batchId)
+        .zipWithIndex.map { case (p, i) =>
+          val mx = epochS(p.eventTime.get("max"))
+          val wm = epochS(p.eventTime.get("watermark"))
+          (i + 1L, p.numInputRows, mx, wm, mx - wm)
+        }
+      rows.toDF("batch_seq", "n_rows", "max_event_s", "watermark_s", "lag_s")
+        .orderBy(col("batch_seq"))
+    }),
+
     // STREAMING near-dup detection — the watermarked banding form of
     // dedup_minhash_lsh (r8 verdict #8b): documents arrive in id-ordered
     // micro-batches (ingest time = doc_id seconds), each doc's 6 LSH
@@ -720,6 +768,23 @@ object StreamingOps {
     "streaming_event_counts" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // closed-form watermark recurrence over the ntile(4) fixture:
+    // wm(j) = cummax of prior batches' max event time − 1 s (0 before
+    // any data); batches drain in id order so the cummax is lag(mx)
+    "streaming_watermark_lag" ->
+      """WITH nt AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+        |  FROM documents),
+        |g AS (SELECT b, count(*)::BIGINT AS n_rows, max(doc_id) AS mx
+        |  FROM nt GROUP BY b),
+        |w AS (SELECT b, n_rows, mx,
+        |    coalesce(max(mx) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1, 0)
+        |      AS wm
+        |  FROM g)
+        |SELECT b::BIGINT AS batch_seq, n_rows, mx AS max_event_s,
+        |  wm::BIGINT AS watermark_s, (mx - wm)::BIGINT AS lag_s
+        |FROM w ORDER BY batch_seq""".stripMargin,
     "streaming_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS win_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,

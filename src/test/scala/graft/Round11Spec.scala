@@ -101,6 +101,62 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- round-11 breadth queries ---------------------------------------
+
+  test("watermark lag replays the closed-form recurrence") {
+    val out = SparkEntry.queries("streaming_watermark_lag")(spark, sf).collect()
+    assert(out.length == 4, "four micro-batch files, four data batches")
+    var cumMax = Long.MinValue
+    out.sortBy(_.getAs[Long]("batch_seq")).foreach { r =>
+      val (mx, wm, lag) = (r.getAs[Long]("max_event_s"),
+        r.getAs[Long]("watermark_s"), r.getAs[Long]("lag_s"))
+      val expectWm = if (cumMax == Long.MinValue) 0L else cumMax - 1L
+      assert(wm == expectWm, s"watermark must trail the prior batches' max by the 1 s delay")
+      assert(lag == mx - wm)
+      assert(mx > cumMax, "id-ordered batches: max event time strictly grows")
+      cumMax = mx
+    }
+  }
+
+  test("nprobe autotune picks curve-consistent minimal operating points") {
+    val curve = SparkEntry.queries("ann_nprobe_recall_curve")(spark, sf)
+      .collect().map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("recall_e6"), r.getAs[Long]("scanned_e6"))).toMap
+    val out = SparkEntry.queries("ann_nprobe_autotune")(spark, sf).collect()
+    out.foreach { r =>
+      val (t, np) = (r.getAs[Long]("target_e6"), r.getAs[Long]("nprobe"))
+      assert(curve(np)._1 >= t, "chosen point must meet its target")
+      assert(curve(np)._1 == r.getAs[Long]("recall_e6"))
+      assert(curve(np)._2 == r.getAs[Long]("scanned_e6"))
+      // minimality: every smaller nprobe misses the target
+      (1L until np).foreach(p =>
+        assert(curve(p)._1 < t, s"nprobe $p already meets target $t"))
+    }
+    // targets are served monotonically: higher target ⇒ nprobe not smaller
+    val byT = out.sortBy(_.getAs[Long]("target_e6")).map(_.getAs[Long]("nprobe"))
+    assert(byT.sameElements(byT.sorted))
+  }
+
+  test("DKW gate: band shrinks with n, deviations and flags are consistent") {
+    val out = SparkEntry.queries("stat_dkw_drift_gate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, d, e, f) = (r.getAs[Long]("n"), r.getAs[Long]("d_sup_e6"),
+        r.getAs[Long]("dkw_eps_e6"), r.getAs[Long]("drift_flag"))
+      assert(d >= 0 && d <= 1000000L, "sup deviation is a probability")
+      val expectEps = math.floor(
+        math.sqrt(math.log(40.0) / (2.0 * n)) * 1e6 + 0.5).toLong
+      assert(e == expectEps, "band is the closed-form DKW epsilon")
+      assert(f == (if (d > e) 1L else 0L))
+    }
+    // ε(n) is decreasing in n
+    val byN = out.sortBy(_.getAs[Long]("n"))
+    byN.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getAs[Long]("n") < w(1).getAs[Long]("n"))
+        assert(w(0).getAs[Long]("dkw_eps_e6") >= w(1).getAs[Long]("dkw_eps_e6"))
+    }
+  }
+
   // ---- overflow-safe epoch schedule (r10 advice) ---------------------
 
   test("epoch-schedule decomposition equals the naive product form") {
