@@ -391,6 +391,35 @@ object LayoutOps {
         .orderBy(col("event_type"))
     }),
 
+    // DP TOP-K SELECTION via the exponential mechanism, Gumbel-max
+    // form (Durfee & Rogers 2019: adding Gumbel(2Δ/ε) noise to each
+    // utility and taking the top k IS one-shot exponential-mechanism
+    // top-k): which k sources to NAME (e.g. in a data card) without
+    // the release order leaking exact counts — the selection
+    // complement of privacy_dp_histogram's noisy counts. Utility =
+    // doc count (Δ=1), ε=1, so pert = n/2 − ln(−ln u) with u the
+    // deterministic 48-bit md5 dyadic uniform (the dp-family noise
+    // recipe — both engines replay the identical draw), e6-quantized
+    // before ranking so the released order is an integer comparison.
+    // Scale: one |sources|-row aggregate; the rank window runs over
+    // that bounded table (PLANS.md census class).
+    "privacy_dp_topk" -> ((s, dir) => {
+      val h = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("true_n"))
+      h.withColumn("u", greatest(
+          conv(substring(md5(concat(col("source"), lit(":dptopk"))), 1, 12),
+            16, 10).cast("long").cast("double") / lit(281474976710656.0),
+          lit(1e-12)))
+        .withColumn("pert_e6", floor(
+          (col("true_n").cast("double") / 2.0 - log(-log(col("u"))))
+            * 1e6 + 0.5).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("pert_e6"), col("source"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("rank"), col("source"), col("pert_e6"))
+        .orderBy(col("rank"))
+    }),
+
     // Single-sourced in Graft.tClosenessAudit (generic over QI columns
     // and the t = num/den gate).
     "privacy_t_closeness" -> ((s, dir) =>
@@ -626,6 +655,20 @@ object LayoutOps {
         |SELECT event_type, true_n, noise_e2,
         |  (true_n * 100 + noise_e2)::BIGINT AS noisy_n_e2
         |FROM n ORDER BY event_type""".stripMargin,
+    "privacy_dp_topk" ->
+      """WITH h AS (SELECT source, count(*)::BIGINT AS true_n
+        |  FROM documents GROUP BY source),
+        |uu AS (SELECT source, true_n,
+        |    greatest((('0x' || substr(md5(source || ':dptopk'), 1, 12))
+        |      ::BIGINT)::DOUBLE / 281474976710656.0, 1e-12) AS u FROM h),
+        |p AS (SELECT source,
+        |    floor((true_n::DOUBLE / 2.0 - ln(-ln(u))) * 1e6 + 0.5)::BIGINT
+        |      AS pert_e6 FROM uu),
+        |r AS (SELECT source, pert_e6, row_number() OVER (
+        |    ORDER BY pert_e6 DESC, source) AS rank FROM p)
+        |SELECT rank::BIGINT AS rank, source, pert_e6
+        |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
     // bloom sizing: shared e6 literal constants, pure integer formulas
     "layout_bloom_advisor" ->
       """WITH n AS (SELECT event_type,

@@ -50,6 +50,33 @@ object PrepOps {
       chunkDocuments(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("chunk_idx")).limit(200)),
 
+    // Deterministic k-fold assignment + stratification audit — the
+    // cross-validation split a training pipeline runs before any
+    // model fit. Fold = 48-bit md5 hash mod k: a pure doc_id function
+    // (map-side, layout-invariant, restartable — the
+    // curate_rejection_sampling hash discipline), NOT a per-stratum
+    // row_number round-robin, which would need a per-lang global sort
+    // (a skewed-key total order at 100 TB for cosmetically-perfect
+    // balance hash folds already deliver to binomial noise). The
+    // audit REPORTS that noise: per (fold, lang) counts plus each
+    // lang's max−min spread across folds — the number you check
+    // before trusting CV variance. Windows run over the 5·|langs|-row
+    // audit table (bounded, PLANS.md census class).
+    "prep_kfold_stratified" -> ((s, dir) => {
+      val k = 5
+      val folds = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("fold", pmod(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit(":kfold"))), 1, 12), 16, 10)
+          .cast("long"), lit(k.toLong)))
+      val wLang = Window.partitionBy(col("lang"))
+      folds.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_spread",
+          max(col("n_docs")).over(wLang) - min(col("n_docs")).over(wLang))
+        .orderBy(col("fold"), col("lang"))
+    }),
+
     // Chunk-level retrieval with doc-level max-pooling ("maxP"): the
     // standard RAG ranking over a chunked index — score every chunk,
     // keep each document's best chunk score, rank documents. Composes
@@ -212,6 +239,18 @@ object PrepOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "prep_kfold_stratified" ->
+      """WITH f AS (SELECT lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':kfold'), 1, 12))::BIGINT
+        |      % 5 AS fold
+        |  FROM documents),
+        |g AS (SELECT fold, lang, count(*)::BIGINT AS n_docs
+        |  FROM f GROUP BY fold, lang)
+        |SELECT fold, lang, n_docs,
+        |  (max(n_docs) OVER (PARTITION BY lang)
+        |   - min(n_docs) OVER (PARTITION BY lang))::BIGINT AS lang_spread
+        |FROM g ORDER BY fold, lang""".stripMargin,
+
     "prep_feature_hashing" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
         |  FROM documents WHERE text IS NOT NULL),

@@ -637,6 +637,51 @@ object StreamingOps {
         .orderBy(col("batch_seq"))
     }),
 
+    // State-size monitor via StreamingQueryProgress.stateOperators —
+    // the watermark-lag monitor's partner: per batch, input rows, the
+    // keys ADDED to dedup state (numRowsUpdated) and the TOTAL state
+    // rows after the batch (numRowsTotal). The query under watch is a
+    // deliberately UNWATERMARKED dropDuplicates (the unbounded-state
+    // anti-pattern): a state_rows_total that keeps growing across
+    // batches is exactly the curve this monitor exists to alert on —
+    // the engine's own metrics expose it, no side computation. Oracle:
+    // dedup state is closed-form on the id-ordered fixture — new keys
+    // in batch j = keys whose FIRST batch is j, total = cumulative
+    // distinct (the key domain doc_id % 97 forces real cross-batch
+    // collisions). Result is |batches|-row driver metadata (the
+    // t5_observe_metrics class).
+    "streaming_state_rows" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = docsBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ded = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+        .select(pmod(col("doc_id"), lit(97L)).as("k"))
+        .dropDuplicates("k")
+      val name = "graft_staterows_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        val q0 = ded.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation",
+            s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
+          .trigger(Trigger.AvailableNow()).start()
+        q0.awaitTermination()
+        q0
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val rows = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).sortBy(_.batchId)
+        .zipWithIndex.map { case (p, i) =>
+          val st = p.stateOperators.head
+          (i + 1L, p.numInputRows, st.numRowsUpdated, st.numRowsTotal)
+        }
+      rows.toDF("batch_seq", "n_in", "new_keys", "state_rows_total")
+        .orderBy(col("batch_seq"))
+    }),
+
     // STREAMING near-dup detection — the watermarked banding form of
     // dedup_minhash_lsh (r8 verdict #8b): documents arrive in id-ordered
     // micro-batches (ingest time = doc_id seconds), each doc's 6 LSH
@@ -768,6 +813,22 @@ object StreamingOps {
     "streaming_event_counts" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // dedup-state replay on the ntile(4) fixture: a key's state row is
+    // created in its FIRST batch; total = cumulative distinct keys
+    "streaming_state_rows" ->
+      """WITH nt AS (SELECT doc_id, doc_id % 97 AS k,
+        |    ntile(4) OVER (ORDER BY doc_id) AS b FROM documents),
+        |fb AS (SELECT k, min(b) AS b FROM nt GROUP BY k),
+        |per AS (SELECT b, count(*)::BIGINT AS n_in FROM nt GROUP BY b),
+        |nw AS (SELECT b, count(*)::BIGINT AS new_keys FROM fb GROUP BY b)
+        |SELECT per.b::BIGINT AS batch_seq, per.n_in,
+        |  coalesce(nw.new_keys, 0)::BIGINT AS new_keys,
+        |  sum(coalesce(nw.new_keys, 0)) OVER (ORDER BY per.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS state_rows_total
+        |FROM per LEFT JOIN nw ON nw.b = per.b
+        |ORDER BY batch_seq""".stripMargin,
 
     // closed-form watermark recurrence over the ntile(4) fixture:
     // wm(j) = cummax of prior batches' max event time − 1 s (0 before

@@ -157,6 +157,33 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("state-rows monitor: totals are the running sum of new keys") {
+    val out = SparkEntry.queries("streaming_state_rows")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("batch_seq"))
+    assert(out.length == 4)
+    var cum = 0L
+    out.foreach { r =>
+      val (nin, nk, tot) = (r.getAs[Long]("n_in"),
+        r.getAs[Long]("new_keys"), r.getAs[Long]("state_rows_total"))
+      assert(nk <= nin, "can't add more state keys than input rows")
+      cum += nk
+      assert(tot == cum, "unwatermarked dedup state only ever grows")
+      assert(tot <= 97L, "key domain bounds the state")
+    }
+  }
+
+  test("kfold: hash folds are exhaustive and the audit spread is honest") {
+    val out = SparkEntry.queries("prep_kfold_stratified")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs, "every document lands in exactly one fold")
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n_docs"))
+      val spread = ns.max - ns.min
+      assert(rows.forall(_.getAs[Long]("lang_spread") == spread))
+    }
+  }
+
   // ---- overflow-safe epoch schedule (r10 advice) ---------------------
 
   test("epoch-schedule decomposition equals the naive product form") {
