@@ -50,6 +50,36 @@ object TimeSeriesOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_max_drawdown" -> maxDrawdownQuery,
 
+    // Theil–Sen robust trend of daily event volume — the median of all
+    // pairwise slopes: up to ~29% of days can be arbitrarily corrupted
+    // (outages, backfills) without moving the estimate, where the OLS
+    // slope chases every spike — the right trend line for operational
+    // volume data. Slopes are e6-quantized by the shared floor(x·1e6
+    // + 0.5) idiom, the median is the exact lower-median order
+    // statistic of the quantized multiset (deterministic under any tie
+    // order). Scale: the pairwise join and the rank window run over
+    // the |days|-row daily DIGEST (≈ n²/2 metadata pairs — bounded,
+    // PLANS.md census class), never over events; daily is
+    // localCheckpointed because the self-join consumes it twice.
+    "ts_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"), col("n"))
+        .localCheckpoint()
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      daily.alias("a").join(daily.alias("b"), col("b.d") > col("a.d"))
+        .select(floor((col("b.n") - col("a.n")) * lit(1000000.0) /
+          (col("b.d") - col("a.d")) + 0.5).cast("long").as("slope_e6"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("slope_e6"))))
+        .withColumn("n_pairs", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .crossJoin(broadcast(nDays))
+        .select(col("n_days"), col("n_pairs"),
+                col("slope_e6").as("theil_sen_slope_e6"))
+    }),
+
     // EWMA control chart (Roberts 1959) — the SPC family member next
     // to CUSUM: z_t = λΣ(1−λ)^k x_{t−k} flags sustained small shifts
     // that per-point 3σ rules miss. λ = 1/4 over a FULL 16-day
@@ -395,6 +425,19 @@ object TimeSeriesOps {
     }
 
   def oracles: Map[String, String] = Map(
+    "ts_theil_sen" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT (day - DATE '1970-01-01')::BIGINT AS d, n FROM daily),
+        |p AS (SELECT floor((b.n - a.n) * 1000000.0 / (b.d - a.d) + 0.5)
+        |    ::BIGINT AS slope_e6
+        |  FROM d a JOIN d b ON b.d > a.d),
+        |r AS (SELECT slope_e6, row_number() OVER (ORDER BY slope_e6) AS rn,
+        |    count(*) OVER () AS np FROM p)
+        |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+        |  np::BIGINT AS n_pairs, slope_e6 AS theil_sen_slope_e6
+        |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
+
     "ts_ewma_control_chart" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day,
         |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
