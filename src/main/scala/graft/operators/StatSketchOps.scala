@@ -1077,31 +1077,30 @@ object StatSketchOps {
                expr("sum(cents)").as("stc"))
       val wide = withW.groupBy(col("event_type"))
         .agg(aggCols.head, aggCols.tail: _*)
-      // ONE linear lineage from the wide aggregate to the result — the
-      // n_events/stc totals ride along through the stack and the lo/hi
-      // order statistics fall out of one conditional aggregate, so the
-      // fact-table pass is planned exactly once (three consumers of
-      // `wide` re-expanded the whole scan+agg 3× — the plan-ledger
-      // lineage rule, measured 2.7 s vs 1.0 s at sf0.1)
-      val stackExpr = s"stack($B, " +
-        (0 until B).map(b => s"$b, sw_$b, swc_$b").mkString(", ") +
-        ") AS (b, sw, swc)"
-      val means = wide
-        .selectExpr("event_type", "n_events", "stc", stackExpr)
-        .filter(col("sw") > 0) // Poisson zero-replica guard, both engines
-        .select(col("event_type"), col("n_events"), col("stc"), col("b"),
-                expr("swc div sw").as("mean_c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("mean_c"), col("b"))))
-      means.groupBy(col("event_type"))
-        .agg(max(col("n_events")).as("n_events"),
-             expr("max(stc) div max(n_events)").as("mean_c"),
-             max(when(col("rn") === 2, col("mean_c"))).as("ci_lo_c"),
-             max(when(col("rn") === B - 1, col("mean_c"))).as("ci_hi_c"))
-        // a type with <15 valid replicas has no (2nd, 15th) statistic —
-        // the old inner-join drop semantics, kept explicit
-        .filter(col("ci_lo_c").isNotNull && col("ci_hi_c").isNotNull)
+      // ORDER STATISTICS WITHOUT A SHUFFLE: a type's 16 replica means
+      // live in ONE row of `wide`, so the (2nd, 15th) order statistics
+      // are an in-row array_sort over (mean, b) structs + two direct
+      // indexes — one projection, zero further exchanges. The previous
+      // stack → per-type window → re-aggregate tail pushed 80 rows
+      // through three more exchanges (window sort, final agg, and
+      // their AQE stage launches): measured 1.5 → 0.5 s at sf0.1 —
+      // pure stage overhead, not data. Zero-replica guard (sw_b > 0)
+      // becomes a null filtered out of the array; a type with < 15
+      // valid replicas has no 15th statistic and drops, the old
+      // inner-join semantics.
+      val entries = (0 until B).map { b =>
+        when(col(s"sw_$b") > 0,
+          struct(expr(s"swc_$b div sw_$b").as("mean_c"),
+                 lit(b).as("b")))
+      }
+      wide.withColumn("arr0", array(entries: _*))
+        .withColumn("arr",
+          expr("array_sort(filter(arr0, x -> x IS NOT NULL))"))
+        .filter(size(col("arr")) >= B - 1)
+        .select(col("event_type"), col("n_events"),
+          expr("stc div n_events").as("mean_c"),
+          col("arr").getItem(1).getField("mean_c").as("ci_lo_c"),
+          col("arr").getItem(B - 2).getField("mean_c").as("ci_hi_c"))
         .orderBy(col("event_type"))
     }),
 
