@@ -184,6 +184,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- memo consumer census (r11 seed #4) -----------------------------
+
+  test("every memoized exchange has >=2 consumers or a lineage-cut defense") {
+    // Cross-query memoization exists to AMORTIZE: a memo with one
+    // consumer is storage pinned for nothing — unless it exists to cut
+    // lineage (the ann_beam 516-exchange fix), which is the one
+    // defended exception class. The census reads the committed round
+    // ledger (via_memo attribution), so a future single-consumer memo
+    // fails here with its label named instead of silently pinning
+    // blocks.
+    val lineageCutMemos = Set("ann_beam_adjacency", "ann_beam_medoids")
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLAN_LEDGER_r11.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val memoLabels = """"memo:([a-zA-Z0-9_.]+)":""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    assert(memoLabels.nonEmpty, "ledger must carry memo fingerprint rows")
+    val consumed = """"via_memo":"([a-zA-Z0-9_.,]+)"""".r
+      .findAllMatchIn(src).flatMap(_.group(1).split(',')).toSeq
+    val counts = consumed.groupBy(identity).view.mapValues(_.size).toMap
+    memoLabels.foreach { m =>
+      val n = counts.getOrElse(m, 0)
+      assert(n >= 2 || lineageCutMemos.contains(m),
+        s"memo '$m' has $n consumer(s) and no lineage-cut defense")
+    }
+    // every consumed label has a fingerprint row (no phantom memos)
+    assert(counts.keySet.subsetOf(memoLabels),
+      s"consumed-but-unfingerprinted: ${counts.keySet -- memoLabels}")
+  }
+
   // ---- overflow-safe epoch schedule (r10 advice) ---------------------
 
   test("epoch-schedule decomposition equals the naive product form") {
