@@ -2006,8 +2006,11 @@ object Graft {
       // putIfAbsent races at worst double-build one checkpoint; the
       // first registration wins and both callers converge on it.
       val df = build
-      // fingerprint BEFORE the checkpoint erases the scan lineage
-      memoFingerprints.putIfAbsent(key, graft.PlanStats.countsJson(df))
+      // fingerprint BEFORE the checkpoint erases the scan lineage;
+      // put (not putIfAbsent): a REBUILD in a later session of the
+      // same JVM must overwrite the old session's fingerprint, or a
+      // ledger dumped from that JVM reports the stale plan's health
+      memoFingerprints.put(key, graft.PlanStats.countsJson(df)): Unit
       val built = df.localCheckpoint()
       val prev = perSession.putIfAbsent(key, built)
       if (prev != null) prev else built

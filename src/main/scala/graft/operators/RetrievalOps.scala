@@ -169,9 +169,15 @@ object RetrievalOps {
     * recall_e6, scanned_e6), 4 rows. Shared by ann_nprobe_recall_curve
     * (which reports it) and ann_nprobe_autotune (which picks operating
     * points off it); both ride the session-memoized ivfModel8, so no
-    * consumer ever re-trains. Recall = IVF top-3 vs exact top-3 over
-    * the 5 probe queries; scanned_e6 = probed-cell rows / corpus. */
-  private def nprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    * consumer ever re-trains — and the CURVE itself is memoized too
+    * (its dominant cost, the exact brute-force top-3 corpus pass, is
+    * identical for both consumers; the value is 4 rows). */
+  private def nprobeCurve(s: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.memoizedExchange("ann_nprobe_curve", s, dir) {
+      nprobeCurveBuild(s, dir)
+    }
+
+  private def nprobeCurveBuild(s: SparkSession, dir: String): DataFrame = {
     val c = corpusMat(s, dir)
     val (cent2, lists) = ivfModel8(s, dir)
     val q = c.filter(col("vec_id") < 5)

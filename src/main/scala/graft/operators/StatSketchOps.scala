@@ -970,7 +970,7 @@ object StatSketchOps {
     // resampling): buckets A/B = event_id parity, statistic = the mean
     // difference of integer cents, null distribution = B = 16
     // deterministic Bernoulli(1/2) relabelings (the packed replica
-    // draw's low bit, eventReplicas16; true
+    // draw's low bit, eventPacked; true
     // size-preserving permutation needs a global shuffle, Bernoulli
     // relabeling is the distributed standard and converges to it).
     // |Δ| comparisons are EXACT cross-multiplied fractions in
@@ -1020,7 +1020,16 @@ object StatSketchOps {
           s" >= CAST(a_obs AS DECIMAL(19,0)) * CAST($dB AS DECIMAL(19,0))" +
           " THEN 1 ELSE 0 END)"
       }.mkString(" + ")
+      // a type whose 16 relabelings are ALL degenerate (n1_b ∈ {0, n}
+      // for every b — e.g. a single-row type) has no testable null and
+      // must DROP, matching the oracle's filtered inner join (the old
+      // row-form filter dropped it implicitly; the packed form needs
+      // the explicit n_valid guard or it would emit a false p_e6 = 0)
+      val nValid = (0 until B)
+        .map(b => s"(CASE WHEN n1_$b > 0 AND n1_$b < n THEN 1 ELSE 0 END)")
+        .mkString(" + ")
       perType.join(broadcast(obs), "event_type")
+        .filter(expr(nValid) > 0)
         .withColumn("n_extreme", expr(ind).cast("long"))
         .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
         .select(col("event_type"), col("n1"), col("n2"),
@@ -1034,7 +1043,7 @@ object StatSketchOps {
     // independently Poisson(1) per replica is map-side, one aggregate,
     // and converges to the same CI). B = 16 replicas; the per-(row,
     // replica) weight is the Poisson(1) inverse CDF applied to the
-    // packed 16-bit md5 dyadic uniform (eventReplicas16), so
+    // packed 16-bit md5 dyadic uniform (eventPacked), so
     // the "randomness" is a pure deterministic hash both engines
     // replay — rerun-invariant, layout-invariant. Replica means are
     // exact integer-cent floor-divisions; the 90%-ish CI is the

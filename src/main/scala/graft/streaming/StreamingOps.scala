@@ -141,7 +141,15 @@ object StreamingOps {
     * ~0.5-0.9 s/query of start/stop + offset/commit-log + no-data-batch
     * machinery that per-query isolation cannot amortize. */
   private def drain(s: SparkSession, df: DataFrame, mode: String,
-                    parts: Int = 8): DataFrame = {
+                    parts: Int = 8): DataFrame =
+    drainWithHandle(s, df, mode, parts)._1
+
+  /** drain + the finished StreamingQuery handle — for the monitor
+    * queries that read the engine's own progress objects
+    * (recentProgress) rather than the sink table. One copy of the
+    * sink/checkpoint/trigger/conf-restore recipe for all drains. */
+  private def drainWithHandle(s: SparkSession, df: DataFrame, mode: String,
+      parts: Int = 8): (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val name = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators materialize 1-4 state stores PER shuffle
     // partition (a stream-stream join: keyToNumValues +
@@ -155,8 +163,7 @@ object StreamingOps {
     // volume ÷ executor memory instead — the state-store-per-partition
     // arithmetic is the same, only the constant changes.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS", parts.toString))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
     val q = df.writeStream
       .outputMode(mode).format("memory").queryName(name)
@@ -169,7 +176,7 @@ object StreamingOps {
         s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    (s.table(name), q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -616,14 +623,7 @@ object StreamingOps {
         .withWatermark("ts", "1 second")
         .select(col("doc_id")) // stateless pass-through: the watermark
                                // node still tracks event-time stats
-      val name = "graft_wmlag_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = stream.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation",
-          s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val (_, q) = drainWithHandle(s, stream, "append")
       def epochS(iso: String): Long =
         java.time.Instant.parse(iso).getEpochSecond
       val rows = q.recentProgress.toSeq
@@ -659,19 +659,7 @@ object StreamingOps {
         .option("maxFilesPerTrigger", 1).json(srcDir)
         .select(pmod(col("doc_id"), lit(97L)).as("k"))
         .dropDuplicates("k")
-      val name = "graft_staterows_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        val q0 = ded.writeStream.outputMode("append")
-          .format("memory").queryName(name)
-          .option("checkpointLocation",
-            s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
-          .trigger(Trigger.AvailableNow()).start()
-        q0.awaitTermination()
-        q0
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val (_, q) = drainWithHandle(s, ded, "append")
       val rows = q.recentProgress.toSeq
         .filter(_.numInputRows > 0).sortBy(_.batchId)
         .zipWithIndex.map { case (p, i) =>

@@ -195,8 +195,17 @@ class Round11Spec extends SparkSpec {
     // fails here with its label named instead of silently pinning
     // blocks.
     val lineageCutMemos = Set("ann_beam_adjacency", "ann_beam_medoids")
+    // audit the LATEST committed round ledger, not a hardcoded round —
+    // a future round's new single-consumer memo must fail here without
+    // anyone remembering to bump a filename
+    val ledgers = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .toArray.map(_.toString)
+      .filter(_.matches(""".*PLAN_LEDGER_r\d+\.json"""))
+    assert(ledgers.nonEmpty, "no committed PLAN_LEDGER_r*.json found")
+    val latest = ledgers.maxBy(p =>
+      """r(\d+)\.json""".r.findFirstMatchIn(p).get.group(1).toInt)
     val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("PLAN_LEDGER_r11.json")),
+      java.nio.file.Paths.get(latest)),
       java.nio.charset.StandardCharsets.UTF_8)
     val memoLabels = """"memo:([a-zA-Z0-9_.]+)":""".r
       .findAllMatchIn(src).map(_.group(1)).toSet

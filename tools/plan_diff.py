@@ -38,8 +38,12 @@ def main():
             continue
         # a query newly routed through a memoized exchange legitimately
         # loses its direct scan rows — the scan health now lives in the
-        # memo:<label> row (which this diff covers separately)
-        newly_memoized = "via_memo" in n and "via_memo" not in o
+        # memo:<label> row (which this diff covers separately). Only
+        # applies when ALL direct scans moved (scans==0 in the new
+        # plan): a query that still scans directly can lose pushdown on
+        # those scans and that stays a regression.
+        newly_memoized = ("via_memo" in n and "via_memo" not in o
+                          and n.get("scans", 0) == 0)
         bad = any((f in GROW_IS_BAD and nv > ov) or
                   (f in SHRINK_IS_BAD and nv < ov and not newly_memoized)
                   for f, ov, nv in deltas)
