@@ -462,6 +462,35 @@ object StatSketchOps {
     // per group moved map-side — the 100 TB replacement for exact
     // percentile's per-group sort; KllAggSpec pins the merge law and
     // adversarial-order rank error.
+    // The same KLL contract at |sources| group grain over a DIFFERENT
+    // table/column (documents n_chars) — the sketch is the 100 TB
+    // answer precisely when the group domain grows, so the registered
+    // surface shows it generalizes beyond the 5-type events table: one
+    // groupByKey, one sketch per source crossing the exchange, exact
+    // ranks from one broadcast-join conditional-sum pass.
+    "stat_kll_by_source" -> ((s, dir) => {
+      import s.implicits._
+      val qsE6 = Seq(250000L, 500000L, 750000L, 950000L)
+      val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      val est = d.as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KllAgg(256, qsE6).toColumn.name("ests"))
+        .toDF("source", "ests")
+        .select(col("source"), posexplode(col("ests")).as(Seq("qi", "est")))
+        .withColumn("q_e6", element_at(typedLit(qsE6), col("qi") + 1))
+        .select(col("source"), col("q_e6"), col("est"))
+      d.join(broadcast(est), "source")
+        .groupBy(col("source"), col("q_e6"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("n_chars") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+             sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+        .select(col("source"), col("q_e6"), col("n"),
+          (col("q_e6") * col("n") >= col("rank_lt") * 1000000L - col("n") * 50000L &&
+           col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 50000L)
+            .cast("int").as("within_rank_5pct"))
+        .orderBy(col("source"), col("q_e6"))
+    }),
+
     "stat_kll_quantiles" -> ((s, dir) => {
       import s.implicits._
       val qsE6 = Seq(100000L, 500000L, 900000L, 990000L)
@@ -1333,6 +1362,27 @@ object StatSketchOps {
       "  (bh_rank <= k)::BIGINT AS rejected\n" +
       "FROM kk ORDER BY bh_rank"
     },
+
+    // same contract at |sources| grain over documents
+    "stat_kll_by_source" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |qs AS (SELECT source,
+        |    approx_quantile(n_chars, [0.25, 0.5, 0.75, 0.95]::FLOAT[]) AS ests
+        |  FROM d GROUP BY source),
+        |est AS (SELECT source,
+        |    unnest([250000, 500000, 750000, 950000]) AS q_e6,
+        |    unnest(ests) AS est
+        |  FROM qs),
+        |r AS (SELECT d.source, q_e6, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN n_chars < est THEN 1 ELSE 0 END)::BIGINT AS rank_lt,
+        |    sum(CASE WHEN n_chars <= est THEN 1 ELSE 0 END)::BIGINT AS rank_le
+        |  FROM d JOIN est USING (source)
+        |  GROUP BY d.source, q_e6)
+        |SELECT source, q_e6::BIGINT AS q_e6, n,
+        |  (q_e6 * n >= rank_lt * 1000000 - n * 50000
+        |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
+        |    AS within_rank_5pct
+        |FROM r ORDER BY source, q_e6""".stripMargin,
 
     // ECDF grid replay of the DKW gate: ln(40) = ln(2/0.05), identical
     // IEEE doubles on both engines, quantized by the shared idiom

@@ -72,7 +72,7 @@ object StreamingOps {
     * order. Written by Spark jobs (filter + coalesce(1) per batch) —
     * no driver-side row materialization. Keyed per data dir; sentinel-
     * idempotent like t4FixtureDir. */
-  private def docsBatchFixtureDir(s: SparkSession, dir: String): String = {
+  private[graft] def docsBatchFixtureDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     // Tag = SHA-256 of the FULL canonical path (r9 advice): a 32-bit
     // String.hashCode collision between two data dirs would silently
@@ -670,6 +670,48 @@ object StreamingOps {
         .orderBy(col("batch_seq"))
     }),
 
+    // State-eviction monitor — streaming_state_rows' bounded twin: the
+    // SAME dedup under dropDuplicatesWithinWatermark (delay 150 s), so
+    // the per-batch stateOperators metrics now show state RETIRING —
+    // the curve that proves a watermark actually bounds the store. The
+    // engine semantics this replays (pinned by a Scratch probe, all 5
+    // progress rows matched): a key stores its FIRST row's event time
+    // (duplicates do NOT refresh expiry), rows dedup against whatever
+    // the store holds at batch start, and eviction runs at END of
+    // batch b with b's own watermark, removing entries with
+    // ts + 150 < wm (strictly). The oracle unrolls that recurrence
+    // over the 4 fixture batches per key (≤ 4 generations — bounded):
+    // wm(b) = max event time of batches < b minus 150 (floored at 0);
+    // a batch-b row re-admits its key iff the stored entry was evicted
+    // by the end of batch b−1, i.e. stored + 150 < wm(b−1). Within a
+    // batch the kept row is the key's min id (single-mapper fixture
+    // files preserve id order through the key shuffle — same
+    // determinism contract as streaming_minhash_dedup). The key domain
+    // doc_id % 97 forces real collisions and real re-admissions at
+    // larger SFs (verified green at sf0.01 AND sf0.1).
+    "streaming_state_eviction" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = docsBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ded = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        .withWatermark("ts", "150 seconds")
+        .select(col("ts"), pmod(col("doc_id"), lit(97L)).as("k"))
+        .dropDuplicatesWithinWatermark("k")
+      val (_, q) = drainWithHandle(s, ded, "append")
+      val rows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty).sortBy(_.batchId)
+        .zipWithIndex.map { case (p, i) =>
+          val st = p.stateOperators.head
+          (i + 1L, p.numInputRows, st.numRowsUpdated,
+           st.numRowsRemoved, st.numRowsTotal)
+        }
+      rows.toDF("batch_seq", "n_in", "new_keys", "evicted", "state_rows_total")
+        .orderBy(col("batch_seq"))
+    }),
+
     // STREAMING near-dup detection — the watermarked banding form of
     // dedup_minhash_lsh (r8 verdict #8b): documents arrive in id-ordered
     // micro-batches (ingest time = doc_id seconds), each doc's 6 LSH
@@ -816,6 +858,58 @@ object StreamingOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS state_rows_total
         |FROM per LEFT JOIN nw ON nw.b = per.b
+        |ORDER BY batch_seq""".stripMargin,
+
+    // 4-generation unroll of the pinned dedup-state recurrence (see the
+    // query comment): s_b = per-key stored event time entering batch
+    // b+1, em_b = re-admission flag, t_b = post-eviction state size,
+    // plus the final no-data batch's eviction sweep
+    "streaming_state_eviction" ->
+      """WITH nt AS (SELECT doc_id, doc_id % 97 AS k,
+        |    ntile(4) OVER (ORDER BY doc_id) AS b FROM documents),
+        |bs AS (SELECT b, count(*)::BIGINT AS n_in, max(doc_id) AS mx
+        |  FROM nt GROUP BY b),
+        |km AS (SELECT k,
+        |    max(CASE WHEN b = 1 THEN m END) AS m1,
+        |    max(CASE WHEN b = 2 THEN m END) AS m2,
+        |    max(CASE WHEN b = 3 THEN m END) AS m3,
+        |    max(CASE WHEN b = 4 THEN m END) AS m4
+        |  FROM (SELECT k, b, min(doc_id) AS m FROM nt GROUP BY k, b)
+        |  GROUP BY k),
+        |v AS (SELECT
+        |    greatest(0, (SELECT mx FROM bs WHERE b = 1) - 150) AS w2,
+        |    greatest(0, (SELECT mx FROM bs WHERE b = 2) - 150) AS w3,
+        |    greatest(0, (SELECT mx FROM bs WHERE b = 3) - 150) AS w4,
+        |    greatest(0, (SELECT mx FROM bs WHERE b = 4) - 150) AS w5),
+        |g2 AS (SELECT km.*, v.*,
+        |    CASE WHEN m1 + 150 < 0 THEN 1 ELSE 0 END AS em2,
+        |    CASE WHEN m1 + 150 < 0 THEN m2 ELSE m1 END AS s2
+        |  FROM km CROSS JOIN v),
+        |g3 AS (SELECT *,
+        |    CASE WHEN s2 + 150 < w2 THEN 1 ELSE 0 END AS em3,
+        |    CASE WHEN s2 + 150 < w2 THEN m3 ELSE s2 END AS s3 FROM g2),
+        |g4 AS (SELECT *,
+        |    CASE WHEN s3 + 150 < w3 THEN 1 ELSE 0 END AS em4,
+        |    CASE WHEN s3 + 150 < w3 THEN m4 ELSE s3 END AS s4 FROM g3),
+        |agg AS (SELECT count(*)::BIGINT AS nk,
+        |    sum(em2)::BIGINT AS u2, sum(em3)::BIGINT AS u3,
+        |    sum(em4)::BIGINT AS u4,
+        |    sum(CASE WHEN m1 + 150 >= 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 + 150 >= w2 THEN 1 ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 + 150 >= w3 THEN 1 ELSE 0 END)::BIGINT AS t3,
+        |    sum(CASE WHEN s4 + 150 >= w4 THEN 1 ELSE 0 END)::BIGINT AS t4,
+        |    sum(CASE WHEN s4 + 150 >= w5 THEN 1 ELSE 0 END)::BIGINT AS t5
+        |  FROM g4)
+        |SELECT 1::BIGINT AS batch_seq, (SELECT n_in FROM bs WHERE b = 1) AS n_in,
+        |  nk AS new_keys, (0 + nk - t1)::BIGINT AS evicted,
+        |  t1 AS state_rows_total FROM agg
+        |UNION ALL SELECT 2, (SELECT n_in FROM bs WHERE b = 2),
+        |  u2, (t1 + u2 - t2)::BIGINT, t2 FROM agg
+        |UNION ALL SELECT 3, (SELECT n_in FROM bs WHERE b = 3),
+        |  u3, (t2 + u3 - t3)::BIGINT, t3 FROM agg
+        |UNION ALL SELECT 4, (SELECT n_in FROM bs WHERE b = 4),
+        |  u4, (t3 + u4 - t4)::BIGINT, t4 FROM agg
+        |UNION ALL SELECT 5, 0::BIGINT, 0::BIGINT, (t4 - t5)::BIGINT, t5 FROM agg
         |ORDER BY batch_seq""".stripMargin,
 
     // closed-form watermark recurrence over the ntile(4) fixture:

@@ -184,6 +184,35 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("state-eviction monitor: watermark bounds the store, books balance") {
+    val out = SparkEntry.queries("streaming_state_eviction")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("batch_seq"))
+    assert(out.length == 5, "4 data batches + the finalize batch")
+    var prevTotal = 0L
+    out.foreach { r =>
+      val (nk, ev, tot) = (r.getAs[Long]("new_keys"),
+        r.getAs[Long]("evicted"), r.getAs[Long]("state_rows_total"))
+      assert(nk >= 0 && ev >= 0)
+      assert(tot == prevTotal + nk - ev, "state books must balance per batch")
+      assert(tot <= 97L, "key domain bounds the live state")
+      prevTotal = tot
+    }
+    assert(out.last.getAs[Long]("state_rows_total") == 0L,
+      "after the finalize batch every entry is past the watermark")
+    assert(out.map(_.getAs[Long]("evicted")).sum ==
+           out.map(_.getAs[Long]("new_keys")).sum,
+      "everything admitted is eventually evicted — bounded state")
+  }
+
+  test("per-source KLL: every group's contract holds at both grains") {
+    Seq("stat_kll_quantiles", "stat_kll_by_source").foreach { key =>
+      val out = SparkEntry.queries(key)(spark, sf).collect()
+      assert(out.nonEmpty, key)
+      assert(out.forall(_.getAs[Int]("within_rank_5pct") == 1),
+        s"$key: a sketch estimate fell outside its rank contract")
+    }
+  }
+
   // ---- memo consumer census (r11 seed #4) -----------------------------
 
   test("every memoized exchange has >=2 consumers or a lineage-cut defense") {
