@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC") // NTZ↔instant casts must agree with Verify/oracle
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate TIMESTAMP(NANOS) events layouts
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // no-op for the count() action (EliminateSorts already drops the
+      // tail under an Aggregate — measured r12) but keeps the bench on
+      // the same plans Verify/PlanLedger run
+      .config("spark.graft.tailSortSinglePartition", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // t4's INTENTIONALLY poisoned micro-batch logs a full stack trace
@@ -61,10 +65,13 @@ object Bench {
     // pass pays per-query codegen compilation + JIT, which is noise at
     // this scale and absent in any long-running deployment).
     // a failed query reports -1, never a bogus fast timing
+    // NonFatal only (r11 advice): an OutOfMemoryError/LinkageError means
+    // the JVM may be corrupted — every timing after it is suspect, so
+    // fatal errors abort the run instead of degrading to a -1 sentinel.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] query failed: ${e.getMessage}"); -1.0 }
     }
     // Host-drift probe (r9 seed #3): this host degrades late-session
@@ -87,7 +94,7 @@ object Bench {
           try {
             val t0 = System.nanoTime(); fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] probe failed: ${e.getMessage}"); -1.0
           }
         val runs = Seq(p(), p(), p())

@@ -31,6 +31,8 @@ object PlanLedger {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // ledger the plans as Verify executes them (tail-sort rewrite on)
+      .config("spark.graft.tailSortSinglePartition", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

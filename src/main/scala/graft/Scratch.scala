@@ -2,48 +2,54 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Dev scratchpad (not part of the driver contract). Current
-  * experiment: dropDuplicatesWithinWatermark per-batch state metrics
-  * on the 4-file docs fixture — pinning the eviction semantics for a
-  * closed-form oracle. */
+  * experiment: validate TailSortSinglePartition (r11 verdict #1) —
+  * plan shape, write-path job count, and row-order equality vs the
+  * range-sort form. */
 object Scratch {
+  private def session(flag: Boolean) = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.local.dir", BenchEnv.localDir)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.graft.tailSortSinglePartition", flag.toString)
+    .config("spark.ui.enabled", "false").getOrCreate()
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.local.dir", BenchEnv.localDir)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    val srcDir = streaming.StreamingOps.docsBatchFixtureDir(spark, dir)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
-    val ded = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).json(srcDir)
-      .withColumn("ts", timestamp_seconds(col("doc_id")))
-      .withWatermark("ts", "150 seconds")
-      .select(col("ts"), pmod(col("doc_id"), lit(97L)).as("k"))
-      .dropDuplicatesWithinWatermark("k")
-    val name = "graft_scratch_evict"
-    val q = ded.writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", s"${BenchEnv.localDir}/graft_ckpt_$name")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    q.recentProgress.foreach { prog =>
-      val wm = prog.eventTime.get("watermark")
-      val st = prog.stateOperators.headOption.map(o =>
-        s"updated=${o.numRowsUpdated} total=${o.numRowsTotal} removed=${o.numRowsRemoved}").getOrElse("-")
-      println(s"[probe] batch=${prog.batchId} in=${prog.numInputRows} out=${prog.sink.numOutputRows} wm=$wm $st")
+    val keys = Seq("a1_count_by_year", "w2_topn_per_group", "tpch_q1")
+    // pass 1: flag OFF — reference row orders + write job count
+    val s1 = session(flag = false)
+    s1.sparkContext.setLogLevel("ERROR")
+    val refRows = keys.map { k =>
+      k -> SparkEntry.queries(k)(s1, dir).collect().toSeq.map(_.toString)
+    }.toMap
+    val j0 = s1.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SparkEntry.queries("a1_count_by_year")(s1, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"${BenchEnv.localDir}/graft_scr_off")
+    val jOff = s1.sparkContext.statusTracker.getJobIdsForGroup(null).length - j0
+    s1.stop()
+    // pass 2: flag ON — same rows in the same order, fewer jobs, no range exchange
+    val s2 = session(flag = true)
+    s2.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(s2, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val rng = plan.contains("rangepartitioning")
+      val got = df.collect().toSeq.map(_.toString)
+      val same = got == refRows(k)
+      println(s"[scratch] $k: rangeExchange=$rng orderEqual=$same rows=${got.size}")
     }
-    // fixture shape for the replay derivation
-    val nt = api.Graft.globalNtile(Tables.documents(spark, dir)
-      .select(col("doc_id")), 4, "batch", col("doc_id"))
-    nt.groupBy(col("batch")).agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
-      .orderBy(col("batch")).show()
-    spark.stop()
+    val j1 = s2.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SparkEntry.queries("a1_count_by_year")(s2, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"${BenchEnv.localDir}/graft_scr_on")
+    val jOn = s2.sparkContext.statusTracker.getJobIdsForGroup(null).length - j1
+    println(s"[scratch] a1 write jobs: off=$jOff on=$jOn")
+    println("=== a1 plan with rewrite ===")
+    SparkEntry.queries("a1_count_by_year")(s2, dir).explain("formatted")
+    s2.stop()
   }
 }

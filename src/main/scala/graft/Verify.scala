@@ -24,6 +24,9 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate TIMESTAMP(NANOS) events layouts
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // report-sized outputs: tail orderBy keeps its order but sheds the
+      // range exchange + bounds-sampling job (TailSortSinglePartition)
+      .config("spark.graft.tailSortSinglePartition", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

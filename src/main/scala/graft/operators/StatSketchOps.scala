@@ -85,6 +85,18 @@ object StatSketchOps {
     s"(CASE WHEN ${hexToLong(hex)} * n < n1o * 4096 THEN 1 ELSE 0 END)"
   }
 
+  /** A source whose B=16 relabelings are ALL degenerate (n1b_b ∈ {0, n}
+    * for every b) has no testable null and must DROP from the p-table —
+    * otherwise it emits a spurious p_e6 = 0 (the strongest possible
+    * rejection) AND inflates m_tests in the BH step-up. The old row form
+    * dropped it implicitly (filter n1b>0 AND n1b<n → inner join); the
+    * packed form needs the explicit guard, exactly like
+    * stat_randomization_test's nValid. Shared verbatim by both engines
+    * (r11 advice #2). */
+  private def bhNValidSql: String = (0 until 16)
+    .map(b => s"(CASE WHEN n1b_$b > 0 AND n1b_$b < n THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   /** Replica b's extremeness indicator over the per-source packed sums
     * (s1b_b, n1b_b) vs the observed statistic — |mean diff| compared
     * cross-multiplied in DECIMAL(19) exactly as the exploded form did;
@@ -1231,6 +1243,7 @@ object StatSketchOps {
       } ++ Seq(max(col("n")).as("n"), max(col("st")).as("st"))
       val perSrc = grid.groupBy(col("src")).agg(aggCols.head, aggCols.tail: _*)
       val p = perSrc.join(broadcast(obs), perSrc("src") === obs("source"))
+        .filter(expr(bhNValidSql) > 0)
         .withColumn("n_extreme",
           expr((0 until B).map(bhExtremeSql).mkString(" + ")))
         .withColumn("p_e6", expr(s"n_extreme * 1000000 div $B"))
@@ -1352,7 +1365,8 @@ object StatSketchOps {
       s"pg AS (SELECT src,\n    $memSums\n  FROM grid GROUP BY src),\n" +
       "pv AS (SELECT o.source, o.n_src,\n" +
       s"    ((($ind) * 1000000) // 16)::BIGINT AS p_e6\n" +
-      "  FROM pg JOIN obs o ON pg.src = o.source CROSS JOIN tot),\n" +
+      "  FROM pg JOIN obs o ON pg.src = o.source CROSS JOIN tot\n" +
+      s"  WHERE ($bhNValidSql) > 0),\n" +
       "rk AS (SELECT source, n_src, p_e6,\n" +
       "    row_number() OVER (ORDER BY p_e6, source) AS bh_rank,\n" +
       "    count(*) OVER () AS m_tests FROM pv),\n" +

@@ -98,6 +98,56 @@ object FoldConstantHigherOrderFunctions extends Rule[LogicalPlan] {
   }
 }
 
+/** Rewrites a plan whose ROOT is a global `Sort` — the "present the
+  * final report in order" tail every registered query carries — into a
+  * single-partition LOCAL sort:
+  *
+  * {{{ Sort(keys, global=true, child)  ⇒  Sort(keys, global=false, Repartition(1, shuffle=true, child)) }}}
+  *
+  * Identical rows in the identical total order, but the physical plan
+  * sheds the range exchange AND its separate range-bounds sampling job —
+  * which re-executes the final stage once per query just to pick bounds
+  * for partitions that a report-sized result never needed (Verify then
+  * coalesce(1)s the write anyway, so range-parallelism of the tail was
+  * pure overhead: 271 of the 351 registered plans paid it, r11 ledger).
+  *
+  * GATED by `spark.graft.tailSortSinglePartition` (default FALSE): a
+  * single-partition sort is only the right plan when the final result is
+  * report-sized. A library user global-sorting a 100 TB result must keep
+  * the parallel range sort, so the engine's entry points that only ever
+  * emit bounded report tables (Verify / Bench / PlanLedger / ScaleCurve)
+  * opt in, and nothing else changes behavior. Root-only on purpose: a
+  * sort under a Limit plans as TakeOrderedAndProject (already cheap), a
+  * sort under an Aggregate is removed by EliminateSorts, and interior
+  * sorts are semantic. The rewrite descends through deterministic
+  * root-side Projects/SubqueryAliases (a tail `select` after `orderBy`),
+  * nothing else; it is idempotent (the rewritten root is a local sort,
+  * which no longer matches).
+  *
+  * Under an order-SENSITIVE output consumer this is still safe: the
+  * single post-shuffle partition is sorted as one run, so ties tie-break
+  * identically to the range-partitioned form only when the sort key is
+  * total — which every registered query guarantees (the r11 driver dump
+  * matched DuckDB's row order exactly on all 351 queries). */
+object TailSortSinglePartition extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Repartition, Sort, SubqueryAlias}
+
+  private def rewritten(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case s @ Sort(_, true, child, _) =>
+      Some(s.copy(global = false, child = Repartition(1, shuffle = true, child)))
+    case pr: Project if pr.projectList.forall(_.deterministic) =>
+      rewritten(pr.child).map(c => pr.copy(child = c))
+    case sa: SubqueryAlias =>
+      rewritten(sa.child).map(c => sa.copy(child = c))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.tailSortSinglePartition", "false")
+          .toBoolean) plan
+    else rewritten(plan).getOrElse(plan)
+}
+
 /** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
   * Besides the optimizer rule, the engine's native expressions are
@@ -138,6 +188,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => YearPredicateRewrite)
     ext.injectOptimizerRule(_ => FoldConstantHigherOrderFunctions)
+    ext.injectOptimizerRule(_ => TailSortSinglePartition)
     Seq(
       fn("graft_dot", "dot product of two double arrays (sequential fold)", 2,
         { case Seq(a, b) => DotProductD(a, b) }),

@@ -862,8 +862,18 @@ object StreamingOps {
 
     // 4-generation unroll of the pinned dedup-state recurrence (see the
     // query comment): s_b = per-key stored event time entering batch
-    // b+1, em_b = re-admission flag, t_b = post-eviction state size,
-    // plus the final no-data batch's eviction sweep
+    // b+1, em_b = (re-)admission flag, t_b = post-eviction state size,
+    // plus the final no-data batch's eviction sweep. NULL-generalized
+    // (r11 advice #1): a key ABSENT from batch b (m_b IS NULL) admits
+    // nothing that batch, and a key first seen in batch b > 1 admits
+    // THERE, not in batch 1 — em_b = m_b IS NOT NULL AND (store empty
+    // for k OR stored entry already evicted). An evicted entry keeps
+    // its stale s as a tombstone: watermarks are monotone, so
+    // "s + 150 < w" stays true forever once true — survival sums skip
+    // it and any later row re-admits — while a NULL s means the key
+    // was never stored. Identical output on fixtures where every
+    // (k, batch) cell is populated (sf0.01/sf0.1), but no longer
+    // silently divergent on a sparser one.
     "streaming_state_eviction" ->
       """WITH nt AS (SELECT doc_id, doc_id % 97 AS k,
         |    ntile(4) OVER (ORDER BY doc_id) AS b FROM documents),
@@ -882,16 +892,23 @@ object StreamingOps {
         |    greatest(0, (SELECT mx FROM bs WHERE b = 3) - 150) AS w4,
         |    greatest(0, (SELECT mx FROM bs WHERE b = 4) - 150) AS w5),
         |g2 AS (SELECT km.*, v.*,
-        |    CASE WHEN m1 + 150 < 0 THEN 1 ELSE 0 END AS em2,
-        |    CASE WHEN m1 + 150 < 0 THEN m2 ELSE m1 END AS s2
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 < 0)
+        |      THEN 1 ELSE 0 END AS em2,
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 < 0)
+        |      THEN m2 ELSE m1 END AS s2
         |  FROM km CROSS JOIN v),
         |g3 AS (SELECT *,
-        |    CASE WHEN s2 + 150 < w2 THEN 1 ELSE 0 END AS em3,
-        |    CASE WHEN s2 + 150 < w2 THEN m3 ELSE s2 END AS s3 FROM g2),
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 < w2)
+        |      THEN 1 ELSE 0 END AS em3,
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 < w2)
+        |      THEN m3 ELSE s2 END AS s3 FROM g2),
         |g4 AS (SELECT *,
-        |    CASE WHEN s3 + 150 < w3 THEN 1 ELSE 0 END AS em4,
-        |    CASE WHEN s3 + 150 < w3 THEN m4 ELSE s3 END AS s4 FROM g3),
-        |agg AS (SELECT count(*)::BIGINT AS nk,
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 < w3)
+        |      THEN 1 ELSE 0 END AS em4,
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 < w3)
+        |      THEN m4 ELSE s3 END AS s4 FROM g3),
+        |agg AS (SELECT
+        |    sum(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS u1,
         |    sum(em2)::BIGINT AS u2, sum(em3)::BIGINT AS u3,
         |    sum(em4)::BIGINT AS u4,
         |    sum(CASE WHEN m1 + 150 >= 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
@@ -901,7 +918,7 @@ object StreamingOps {
         |    sum(CASE WHEN s4 + 150 >= w5 THEN 1 ELSE 0 END)::BIGINT AS t5
         |  FROM g4)
         |SELECT 1::BIGINT AS batch_seq, (SELECT n_in FROM bs WHERE b = 1) AS n_in,
-        |  nk AS new_keys, (0 + nk - t1)::BIGINT AS evicted,
+        |  u1 AS new_keys, (0 + u1 - t1)::BIGINT AS evicted,
         |  t1 AS state_rows_total FROM agg
         |UNION ALL SELECT 2, (SELECT n_in FROM bs WHERE b = 2),
         |  u2, (t1 + u2 - t2)::BIGINT, t2 FROM agg

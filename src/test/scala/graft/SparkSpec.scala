@@ -14,6 +14,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // tolerate TIMESTAMP(NANOS) events layouts
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // tests run the same tail-sort rewrite the Verify gate runs
+      .config("spark.graft.tailSortSinglePartition", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -13,6 +13,11 @@ import json, sys
 GROW_IS_BAD = ["exchanges", "range_exchanges", "single_partition",
                "sorts", "bnl_joins", "cartesian"]
 SHRINK_IS_BAD = ["pushed_scans", "narrow_scans"]
+# the newly-memoized waiver may excuse ONLY scan-derived shrinkage (the
+# scan health moved into the memo:<label> row) — never any other field
+# that later joins SHRINK_IS_BAD (r11 advice: a broadcast degradation in
+# the same round a query was memoized must stay REGRESS)
+SCAN_FIELDS = {"scans", "pushed_scans", "narrow_scans"}
 
 def main():
     if len(sys.argv) != 3:
@@ -45,7 +50,8 @@ def main():
         newly_memoized = ("via_memo" in n and "via_memo" not in o
                           and n.get("scans", 0) == 0)
         bad = any((f in GROW_IS_BAD and nv > ov) or
-                  (f in SHRINK_IS_BAD and nv < ov and not newly_memoized)
+                  (f in SHRINK_IS_BAD and nv < ov and
+                   not (newly_memoized and f in SCAN_FIELDS))
                   for f, ov, nv in deltas)
         tag = "REGRESS" if bad else "changed"
         regressions += bad
