@@ -845,6 +845,35 @@ object Graft {
     * + broadcast offset join. Output (idCol, n_bytes, cum_bytes, shard)
     * is invariant to the sampled range boundaries. Same pattern yields
     * scalable global row_number / ntile. */
+  /** Packed deterministic draws — the resampling family's scale idiom
+    * (r10 verdict #3, codified per r11 verdict #7): draw b ∈ [0, B) for
+    * a row is a fixed-width hex slice of one of a FEW md5 columns
+    * (h0, h1, …) instead of one md5 per (row, draw), so B draws cost
+    * ceil(B / perCol) hashes and consumers expand per-draw terms as
+    * COLUMN expressions over the un-exploded row — nothing B×-sized is
+    * computed, shuffled, or memoized (measured on stat_bh_fdr:
+    * 2.39 → 0.30 s at sf0.1 when the ×320 explode became this).
+    *
+    * `packedDrawHexAt` slices for a LITERAL draw index — the Spark
+    * side's per-replica column unroll; `packedDrawHexRuntimeB` is the
+    * SAME formula over a runtime `b` column — the oracles' exploded
+    * replay (two h-columns, b < perCol ? h0 : h1). Both assume the
+    * caller projected h0, h1, … = md5(seed || suffix_i) and that
+    * hexWidth · perCol ≤ 32 (an md5 is 32 hex chars). The hex → BIGINT
+    * conversion stays caller-side (Spark `conv` vs DuckDB `0x` cast is
+    * the one engine-specific piece). */
+  def packedDrawHexAt(b: Int, hexWidth: Int, perCol: Int): String = {
+    require(hexWidth * perCol <= 32,
+      s"packedDrawHexAt: $perCol slices of $hexWidth hex chars exceed one md5")
+    s"substring(h${b / perCol}, ${(b % perCol) * hexWidth + 1}, $hexWidth)"
+  }
+
+  /** See [[packedDrawHexAt]] — runtime-`b` twin for row-exploded oracle
+    * replays (supports the two-column h0/h1 layout both families use). */
+  def packedDrawHexRuntimeB(hexWidth: Int, perCol: Int): String =
+    s"substring(CASE WHEN b < $perCol THEN h0 ELSE h1 END, " +
+      s"(b % $perCol) * $hexWidth + 1, $hexWidth)"
+
   def shardByBytes(df: DataFrame, idCol: String, bytesCol: String,
                    targetBytes: Long, numParts: Int = 8): DataFrame = {
     val parts = df

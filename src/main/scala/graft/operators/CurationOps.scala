@@ -379,11 +379,23 @@ object CurationOps {
         .orderBy(col("source"))
     }),
 
+    // Temperature-weighted language mix (√-share targets). Lineage note
+    // (r11 verdict #6 sweep): byLang feeds FOUR downstream consumers
+    // (withW, its own total, w_sum, the final report) — un-checkpointed,
+    // each consumer re-planned the corpus aggregate and the ledger
+    // showed NINE documents scans for a |langs|-row result. The lazy
+    // localCheckpoint pins the |langs|-row digest once; the only corpus
+    // scans left are the digest build and the per-doc gate pass (the
+    // two-pass minimum: the gate rate depends on the aggregate).
+    // Single-partition census: every SinglePartition exchange carries a
+    // 1-row scalar (tok_total/doc_total, w_sum) or |langs|-row partials
+    // — bounded by the language domain, never corpus-sized.
     "curate_temperature_mix" -> ((s, dir) => {
       val byLang = Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(size(split(col("text"), " "))).as("n_tokens"))
+        .localCheckpoint(false)
       val withW = byLang
         .crossJoin(broadcast(byLang.agg(
           sum(col("n_tokens")).as("tok_total"), sum(col("n_docs")).as("doc_total"))))

@@ -253,6 +253,12 @@ object DedupOps {
     // BEFORE running the n² verify at 100 TB. Bucket sizes are one
     // band-keyed aggregate per config over the shared signature table;
     // nothing quadratic runs here — that is the point.
+    // Single-partition census (r11 verdict #6 sweep, ledger shows 5):
+    // one per config — each is the keyless top-line agg over that
+    // config's band histogram, whose SinglePartition exchange carries
+    // only the map-side partial rows (≤ one per input partition), never
+    // the histogram itself; the 5 signature reads all hit the
+    // session-memoized dedup_minhash_sigs checkpoint (via_memo).
     "dedup_minhash_band_tuning" -> ((s, dir) => {
       val sigs = minhashSigs(s, dir) // already session-checkpointed
       Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6)).map { case (b, r) =>

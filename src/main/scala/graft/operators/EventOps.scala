@@ -338,15 +338,26 @@ object EventOps {
     // incremental ≡ batch is the asserted contract, not a hope. At
     // 100 TB the nightly merge cost is ∝ |delta| + |delta keys'
     // current rows| — the dimension's closed history never reshuffles.
+    // Lineage note (r11 verdict #6 sweep): ev feeds three consumers
+    // (cut, hist, delta) and dim three more (untouched, closedHist,
+    // seed) — un-checkpointed, every consumer re-planned the events
+    // scan and the ledger showed FOURTEEN scans. Two lazy checkpoints
+    // (the 20-user event slice; the |changes|-row dimension) pin each
+    // once. Single-partition census: the SinglePartition exchanges are
+    // the 1-row cutoff scalar and the per-partition partials feeding
+    // it; the BroadcastNestedLoopJoins are all crossJoin(broadcast(
+    // 1-row cut)) — bounded by construction, never data-sized.
     "scd2_incremental_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("user_id") < 20)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .localCheckpoint(false)
       val cut = ev.agg(
         expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("cut"))
       val evC = ev.crossJoin(broadcast(cut))
       val hist = evC.filter(unix_micros(col("ts")) <= col("cut")).drop("cut")
       val delta = evC.filter(unix_micros(col("ts")) > col("cut")).drop("cut")
       val dim = graft.api.Graft.scd2(hist, "user_id", "ts", "event_id", "event_type")
+        .localCheckpoint(false)
       val deltaKeys = delta.select(col("user_id")).distinct()
       val untouched = dim.join(deltaKeys, Seq("user_id"), "left_anti")
       val affected = dim.join(deltaKeys, Seq("user_id"), "left_semi")

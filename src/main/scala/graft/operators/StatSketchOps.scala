@@ -49,9 +49,9 @@ object StatSketchOps {
     * b folded to a literal for the Spark side's per-replica column
     * expressions — the two must stay in lockstep. */
   private[graft] val replicaDrawHexSql: String =
-    "substring(CASE WHEN b < 8 THEN h0 ELSE h1 END, (b % 8) * 4 + 1, 4)"
+    graft.api.Graft.packedDrawHexRuntimeB(hexWidth = 4, perCol = 8)
   private def replicaDrawHexSqlAt(b: Int): String =
-    s"substring(h${b / 8}, ${(b % 8) * 4 + 1}, 4)"
+    graft.api.Graft.packedDrawHexAt(b, hexWidth = 4, perCol = 8)
 
   /** The packed replica digest shared by the resampling family (r10
     * advice follow-through, twice over): the sixteen replicas' 16-bit
@@ -81,7 +81,7 @@ object StatSketchOps {
     * `hexToLong` is the one engine-specific piece (Spark conv vs
     * DuckDB 0x-cast); everything else is the identical SQL text. */
   private def bhMemberSql(b: Int, hexToLong: String => String): String = {
-    val hex = s"substring(h${b / 8}, ${3 * (b % 8) + 1}, 3)"
+    val hex = graft.api.Graft.packedDrawHexAt(b, hexWidth = 3, perCol = 8)
     s"(CASE WHEN ${hexToLong(hex)} * n < n1o * 4096 THEN 1 ELSE 0 END)"
   }
 
@@ -301,6 +301,18 @@ object StatSketchOps {
         .orderBy(col("day"))
     }),
 
+    // PSI value-drift gate: decile bins from the REFERENCE half's exact
+    // cumulative walk, smoothed population-stability index per type.
+    // Lineage note (r11 verdict #6 sweep): th and binned each feed ≥ 3
+    // consumers — un-checkpointed, every consumer re-planned the events
+    // scan (ledger showed 14); two lazy checkpoints of the tiny tables
+    // (|types|×9 thresholds, |types|×2×10 bin counts) leave the two
+    // inherent corpus passes (threshold derivation, binning), and the
+    // per-type totals now ROLL UP FROM binned (Σ over a type's bins IS
+    // its row count — the inner join keeps every row of a type in th)
+    // instead of a third corpus pass. Single-partition census: the
+    // SinglePartition exchanges carry the 1-row cutoff scalar and its
+    // partials — never data.
     "stat_psi_value_drift" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), unix_micros(col("ts")).as("us"),
@@ -312,11 +324,13 @@ object StatSketchOps {
       val th = cumHist(tagged.filter(col("half") === 0), col("event_type"), col("v"))
         .groupBy(col("g").as("event_type"))
         .agg(thAggs.head, thAggs.tail: _*)
+        .localCheckpoint(false)
       val binned = tagged.join(broadcast(th), "event_type")
         .withColumn("bin", (1 to 9).map(k =>
           when(col("v") > col(s"t$k"), 1).otherwise(0)).reduce(_ + _))
         .groupBy(col("event_type"), col("half"), col("bin"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val spine = th.select(col("event_type"))
         .crossJoin(broadcast(s.range(0, 10).select(col("id").cast("int").as("bin"))))
       def side(h: Int, out: String) = spine
@@ -324,11 +338,10 @@ object StatSketchOps {
           Seq("event_type", "bin"), "left")
         .select(col("event_type"), col("bin"), coalesce(col("c"), lit(0L)).as(out))
       val joined = side(0, "cr").join(side(1, "cc"), Seq("event_type", "bin"))
-        .join(broadcast(tagged.groupBy(col("event_type"), col("half"))
-          .agg(count(lit(1)).as("n"))
+        .join(broadcast(binned
           .groupBy(col("event_type"))
-          .agg(sum(when(col("half") === 0, col("n"))).as("nr"),
-               sum(when(col("half") === 1, col("n"))).as("nc"))), "event_type")
+          .agg(sum(when(col("half") === 0, col("c"))).as("nr"),
+               sum(when(col("half") === 1, col("c"))).as("nc"))), "event_type")
       val p = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
       val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
       joined
@@ -525,6 +538,88 @@ object StatSketchOps {
            col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 50000L)
             .cast("int").as("within_rank_5pct"))
         .orderBy(col("event_type"), col("q_e6"))
+    }),
+
+    // t-digest under the same contract, at the TAIL ranks where the k1
+    // scale earns its keep (functions.TDigestAgg — r11 verdict #3): KLL
+    // spends its budget uniformly in rank, the t-digest in proportion
+    // to q(1−q), so p99/p999 resolve to near-singleton centroids — the
+    // latency-SLO/outlier-budget grain. The claim here is accordingly
+    // TIGHTER than the KLL query's: ±2 % of n (the δ = 200 digest and
+    // DuckDB's own t-digest-backed approx_quantile both clear it with
+    // an order of magnitude to spare; TDigestAggSpec pins ≤ 1 % overall
+    // and ≤ 0.2 % at the tails on adversarial orders). Same scale
+    // story: one O(δ) digest per type crosses the exchange map-side,
+    // exact ranks from one broadcast-join conditional-sum pass.
+    "stat_tdigest_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val qsE6 = Seq(10000L, 500000L, 990000L, 999000L)
+      val ev = eventCents(s, dir)
+      val est = ev.select(col("event_type"), col("cents")).as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.TDigestAgg(200, qsE6).toColumn.name("ests"))
+        .toDF("event_type", "ests")
+        .select(col("event_type"),
+                posexplode(col("ests")).as(Seq("qi", "est")))
+        .withColumn("q_e6", element_at(typedLit(qsE6), col("qi") + 1))
+        .select(col("event_type"), col("q_e6"), col("est"))
+      ev.join(broadcast(est), "event_type")
+        .groupBy(col("event_type"), col("q_e6"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+             sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+        .select(col("event_type"), col("q_e6"), col("n"),
+          (col("q_e6") * col("n") >= col("rank_lt") * 1000000L - col("n") * 20000L &&
+           col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 20000L)
+            .cast("int").as("within_rank_2pct"))
+        .orderBy(col("event_type"), col("q_e6"))
+    }),
+
+    // The KLL contract at a TWO-key grain (r11 verdict #5): many small
+    // groups is the actual 100 TB deployment shape — the mergeable
+    // sketch's whole value is that |keys| O(k·log(n/k)) summaries cross
+    // the exchange instead of the corpus sorting per group. The grain
+    // is (event_type, day) — the "daily per-type quantile dashboard"
+    // shape, 150 groups of ~50-90 rows at sf0.01 — because the seeded
+    // (source, lang) grain on documents cannot carry a rank claim at
+    // the test SFs (500 docs over 97 combos at sf0.01: a ±5%·n window
+    // on an n=3 group is sub-row, and an interpolating sketch
+    // legitimately lands between order statistics — measured before
+    // switching grains). KllAgg is reused UNCHANGED: the composite key
+    // rides as one groupByKey string ("type|day", split back for the
+    // report; '|' appears in neither domain) — no new sketch code,
+    // which is the point. The contract is claimed only at sketchable
+    // group sizes (n >= 32, both engines identically): below that the
+    // window tests tie layout, not the sketch.
+    "stat_kll_by_type_day" -> ((s, dir) => {
+      import s.implicits._
+      val qsE6 = Seq(250000L, 500000L, 750000L, 950000L)
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+                cents(col("value")).as("cents"))
+      val est = d
+        .select(concat_ws("|", col("event_type"), col("day")).as("k"),
+                col("cents"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KllAgg(256, qsE6).toColumn.name("ests"))
+        .toDF("k", "ests")
+        .select(split(col("k"), "[|]").getItem(0).as("event_type"),
+                split(col("k"), "[|]").getItem(1).as("day"),
+                posexplode(col("ests")).as(Seq("qi", "est")))
+        .withColumn("q_e6", element_at(typedLit(qsE6), col("qi") + 1))
+        .select(col("event_type"), col("day"), col("q_e6"), col("est"))
+      d.join(broadcast(est), Seq("event_type", "day"))
+        .groupBy(col("event_type"), col("day"), col("q_e6"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+             sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+        .filter(col("n") >= 32)
+        .select(col("event_type"), col("day"), col("q_e6"), col("n"),
+          (col("q_e6") * col("n") >= col("rank_lt") * 1000000L - col("n") * 50000L &&
+           col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 50000L)
+            .cast("int").as("within_rank_5pct"))
+        .orderBy(col("event_type"), col("day"), col("q_e6"))
     }),
 
     // Winsorized robust sums: per-language p05/p95 thresholds from the
@@ -1454,6 +1549,52 @@ object StatSketchOps {
         |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
         |    AS within_rank_5pct
         |FROM r ORDER BY event_type, q_e6""".stripMargin,
+
+    // same contract at the tail ranks, ±2 % — DuckDB's approx_quantile
+    // is itself t-digest-backed, so each engine's own digest checks
+    // its own exact ranks (the a_approx_sketch_contract discipline)
+    "stat_tdigest_quantiles" ->
+      """WITH ev AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS cents
+        |  FROM events),
+        |qs AS (SELECT event_type,
+        |    approx_quantile(cents, [0.01, 0.5, 0.99, 0.999]::FLOAT[]) AS ests
+        |  FROM ev GROUP BY event_type),
+        |est AS (SELECT event_type,
+        |    unnest([10000, 500000, 990000, 999000]) AS q_e6,
+        |    unnest(ests) AS est
+        |  FROM qs),
+        |r AS (SELECT ev.event_type, q_e6, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN cents < est THEN 1 ELSE 0 END)::BIGINT AS rank_lt,
+        |    sum(CASE WHEN cents <= est THEN 1 ELSE 0 END)::BIGINT AS rank_le
+        |  FROM ev JOIN est USING (event_type)
+        |  GROUP BY ev.event_type, q_e6)
+        |SELECT event_type, q_e6::BIGINT AS q_e6, n,
+        |  (q_e6 * n >= rank_lt * 1000000 - n * 20000
+        |   AND q_e6 * n <= rank_le * 1000000 + n * 20000)::INT
+        |    AS within_rank_2pct
+        |FROM r ORDER BY event_type, q_e6""".stripMargin,
+
+    // the KLL contract at the (event_type, day) grain
+    "stat_kll_by_type_day" ->
+      """WITH d AS (SELECT event_type, (ts::DATE)::VARCHAR AS day,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |qs AS (SELECT event_type, day,
+        |    approx_quantile(cents, [0.25, 0.5, 0.75, 0.95]::FLOAT[]) AS ests
+        |  FROM d GROUP BY event_type, day),
+        |est AS (SELECT event_type, day,
+        |    unnest([250000, 500000, 750000, 950000]) AS q_e6,
+        |    unnest(ests) AS est
+        |  FROM qs),
+        |r AS (SELECT d.event_type, d.day, q_e6, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN cents < est THEN 1 ELSE 0 END)::BIGINT AS rank_lt,
+        |    sum(CASE WHEN cents <= est THEN 1 ELSE 0 END)::BIGINT AS rank_le
+        |  FROM d JOIN est USING (event_type, day)
+        |  GROUP BY d.event_type, d.day, q_e6)
+        |SELECT event_type, day, q_e6::BIGINT AS q_e6, n,
+        |  (q_e6 * n >= rank_lt * 1000000 - n * 50000
+        |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
+        |    AS within_rank_5pct
+        |FROM r WHERE n >= 32 ORDER BY event_type, day, q_e6""".stripMargin,
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n

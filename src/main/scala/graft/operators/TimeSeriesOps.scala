@@ -57,10 +57,17 @@ object TimeSeriesOps {
     // volume data. Slopes are e6-quantized by the shared floor(x·1e6
     // + 0.5) idiom, the median is the exact lower-median order
     // statistic of the quantized multiset (deterministic under any tie
-    // order). Scale: the pairwise join and the rank window run over
-    // the |days|-row daily DIGEST (≈ n²/2 metadata pairs — bounded,
-    // PLANS.md census class), never over events; daily is
-    // localCheckpointed because the self-join consumes it twice.
+    // order). Scale (r11 verdict #1 fix): the pair table is QUADRATIC
+    // in days (a 10-year daily digest is ~6.6M slope rows), so the
+    // rank goes through Graft.globalRunningSum — range-partition on
+    // (slope, pair id) with broadcast per-partition offsets; the
+    // running count IS the global row_number and the total IS n_pairs,
+    // in one two-pass sweep with NO data-sized single-partition window
+    // (the facade's only global window runs over its 32-row offset
+    // table — bounded by numParts, not by data). (da, db) completes
+    // the total order the facade requires; the value at the median
+    // rank is tie-invariant either way. daily is localCheckpointed
+    // because the self-join consumes it twice.
     "ts_theil_sen" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
@@ -68,12 +75,13 @@ object TimeSeriesOps {
           .cast("long").as("d"), col("n"))
         .localCheckpoint()
       val nDays = daily.agg(count(lit(1)).as("n_days"))
-      daily.alias("a").join(daily.alias("b"), col("b.d") > col("a.d"))
+      val pairs = daily.alias("a").join(daily.alias("b"), col("b.d") > col("a.d"))
         .select(floor((col("b.n") - col("a.n")) * lit(1000000.0) /
-          (col("b.d") - col("a.d")) + 0.5).cast("long").as("slope_e6"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("slope_e6"))))
-        .withColumn("n_pairs", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
+            (col("b.d") - col("a.d")) + 0.5).cast("long").as("slope_e6"),
+          col("a.d").as("da"), col("b.d").as("db"))
+        .withColumn("one", lit(1L))
+      graft.api.Graft.globalRunningSum(pairs, "one", "rn", "n_pairs",
+          col("slope_e6"), col("da"), col("db"))
         .filter(col("rn") === expr("(n_pairs + 1) div 2"))
         .crossJoin(broadcast(nDays))
         .select(col("n_days"), col("n_pairs"),

@@ -223,6 +223,16 @@ class Round11Spec extends SparkSpec {
     // ledger (via_memo attribution), so a future single-consumer memo
     // fails here with its label named instead of silently pinning
     // blocks.
+    // Allowlisted single-consumer memos, each with its defense on
+    // record (r11 verdict #8 — don't re-litigate):
+    //  - ann_beam_adjacency: its build self-joins the cell table on
+    //    BOTH sides and unions the medoid highway cross
+    //    (RetrievalOps.scala:484 "consumed on both self-join sides") —
+    //    without the cut, the unrolled beam hops re-expanded every
+    //    prior hop per consumer (the r10 516-exchange blowup).
+    //  - ann_beam_medoids: consumed by adjacency's m1/m2 self-join
+    //    (RetrievalOps.scala:493) — same double-consumption shape one
+    //    level down.
     val lineageCutMemos = Set("ann_beam_adjacency", "ann_beam_medoids")
     // audit the LATEST committed round ledger, not a hardcoded round —
     // a future round's new single-consumer memo must fail here without
