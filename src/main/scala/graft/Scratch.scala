@@ -2,54 +2,63 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Dev scratchpad (not part of the driver contract). Current
-  * experiment: validate TailSortSinglePartition (r11 verdict #1) —
-  * plan shape, write-path job count, and row-order equality vs the
-  * range-sort form. */
+  * experiment: pin the dropDuplicatesWithinWatermark LATE-FILTER
+  * boundary: ts == 0 at the initial wm 0 (epoch edge), and ts == wm
+  * exactly at a nonzero wm. */
 object Scratch {
-  private def session(flag: Boolean) = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.local.dir", BenchEnv.localDir)
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.graft.tailSortSinglePartition", flag.toString)
-    .config("spark.ui.enabled", "false").getOrCreate()
-
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.01"
-    val keys = Seq("a1_count_by_year", "w2_topn_per_group", "tpch_q1")
-    // pass 1: flag OFF — reference row orders + write job count
-    val s1 = session(flag = false)
-    s1.sparkContext.setLogLevel("ERROR")
-    val refRows = keys.map { k =>
-      k -> SparkEntry.queries(k)(s1, dir).collect().toSeq.map(_.toString)
-    }.toMap
-    val j0 = s1.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    SparkEntry.queries("a1_count_by_year")(s1, dir).coalesce(1)
-      .write.mode("overwrite").parquet(s"${BenchEnv.localDir}/graft_scr_off")
-    val jOff = s1.sparkContext.statusTracker.getJobIdsForGroup(null).length - j0
-    s1.stop()
-    // pass 2: flag ON — same rows in the same order, fewer jobs, no range exchange
-    val s2 = session(flag = true)
-    s2.sparkContext.setLogLevel("ERROR")
-    keys.foreach { k =>
-      val df = SparkEntry.queries(k)(s2, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      val rng = plan.contains("rangepartitioning")
-      val got = df.collect().toSeq.map(_.toString)
-      val same = got == refRows(k)
-      println(s"[scratch] $k: rangeExchange=$rng orderEqual=$same rows=${got.size}")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", BenchEnv.localDir)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"${BenchEnv.localDir}/graft_scratch_filter")
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
     }
-    val j1 = s2.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    SparkEntry.queries("a1_count_by_year")(s2, dir).coalesce(1)
-      .write.mode("overwrite").parquet(s"${BenchEnv.localDir}/graft_scr_on")
-    val jOn = s2.sparkContext.statusTracker.getJobIdsForGroup(null).length - j1
-    println(s"[scratch] a1 write jobs: off=$jOff on=$jOn")
-    println("=== a1 plan with rewrite ===")
-    SparkEntry.queries("a1_count_by_year")(s2, dir).explain("formatted")
-    s2.stop()
+    Files.createDirectories(root)
+    def put(name: String, mtime: Long, rows: Seq[Long]): Unit = {
+      val p = root.resolve(name)
+      Files.write(p, rows.map(id => s"""{"doc_id":$id,"text":"x"}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(mtime): Unit
+    }
+    // batch 1: ts {0, 50} at initial wm 0 — is ts=0 dropped?
+    put("b01.json", 1700000000000L, Seq(0L, 50L))
+    // batch 2: ts {300} — advances wm to 150 for batch 3
+    put("b02.json", 1700000060000L, Seq(300L))
+    // batch 3: ts {150, 160} at wm 150 — is the exact-equality row dropped?
+    put("b03.json", 1700000120000L, Seq(150L, 160L))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ckpt = s"${BenchEnv.localDir}/graft_ckpt_scratch_filter"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ded = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(root.toString)
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+      .withWatermark("ts", "150 seconds")
+      .select(col("ts"), col("doc_id").as("k")) // every id its own key
+      .dropDuplicatesWithinWatermark("k")
+    val name = "graft_scratch_filter_q"
+    val q = ded.writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.foreach { prog =>
+      val st = prog.stateOperators.headOption.map(o =>
+        s"updated=${o.numRowsUpdated} total=${o.numRowsTotal} " +
+        s"removed=${o.numRowsRemoved} droppedLate=${o.numRowsDroppedByWatermark}")
+        .getOrElse("-")
+      println(s"[probe] batch=${prog.batchId} in=${prog.numInputRows} " +
+        s"wm=${prog.eventTime.get("watermark")} $st")
+    }
+    spark.sql(s"SELECT k FROM $name ORDER BY k").show(20, false)
+    spark.stop()
   }
 }

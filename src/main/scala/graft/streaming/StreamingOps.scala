@@ -674,21 +674,29 @@ object StreamingOps {
     // SAME dedup under dropDuplicatesWithinWatermark (delay 150 s), so
     // the per-batch stateOperators metrics now show state RETIRING —
     // the curve that proves a watermark actually bounds the store. The
-    // engine semantics this replays (pinned by a Scratch probe, all 5
-    // progress rows matched): a key stores its FIRST row's event time
-    // (duplicates do NOT refresh expiry), rows dedup against whatever
-    // the store holds at batch start, and eviction runs at END of
-    // batch b with b's own watermark, removing entries with
-    // ts + 150 < wm (strictly). The oracle unrolls that recurrence
-    // over the 4 fixture batches per key (≤ 4 generations — bounded):
-    // wm(b) = max event time of batches < b minus 150 (floored at 0);
-    // a batch-b row re-admits its key iff the stored entry was evicted
-    // by the end of batch b−1, i.e. stored + 150 < wm(b−1). Within a
-    // batch the kept row is the key's min id (single-mapper fixture
-    // files preserve id order through the key shuffle — same
-    // determinism contract as streaming_minhash_dedup). The key domain
-    // doc_id % 97 forces real collisions and real re-admissions at
-    // larger SFs (verified green at sf0.01 AND sf0.1).
+    // engine semantics this replays were RE-PINNED in r12 by reading
+    // the state store itself (the statestore data source, per-batch
+    // contents — not just aggregate progress counts, which the r11
+    // probe used and which turn out to be degenerate on interval-
+    // shaped key sets):
+    //   W(b) := watermark published for batch b = max event time of
+    //     batches < b minus the delay, floored at 0;
+    //   LATE FILTER at batch b's input: drop rows with ts <= W(b-1)
+    //     (the PREVIOUS batch's watermark — Spark's late-events vs
+    //     eviction watermark split; at the first batch W(0) = 0 and
+    //     the epoch row ts = 0 IS dropped, state-store-verified);
+    //   ADMISSION: the key's first SURVIVING row in file/id order
+    //     stores its event time (duplicates do NOT refresh expiry);
+    //   EVICTION at END of batch b: remove entries with
+    //     ts + 150 <= W(b) — at EQUALITY, verified by an
+    //     expiry-==-watermark boundary fixture.
+    // The r11 oracle (min-id admission, strict-< eviction) produced
+    // identical COUNTS on the ntile fixtures — the two off-by-ones
+    // cancel when the stored values form an integer interval — but
+    // wrong state membership; the oracle below replays the corrected
+    // recurrence (4 bounded generations). The key domain doc_id % 97
+    // forces real collisions and re-admissions at larger SFs (green at
+    // sf0.01 AND sf0.1).
     "streaming_state_eviction" -> ((s, dir) => {
       import s.implicits._
       val srcDir = docsBatchFixtureDir(s, dir)
@@ -709,6 +717,49 @@ object StreamingOps {
            st.numRowsRemoved, st.numRowsTotal)
         }
       rows.toDF("batch_seq", "n_in", "new_keys", "evicted", "state_rows_total")
+        .orderBy(col("batch_seq"))
+    }),
+
+    // LATE-ARRIVAL replay on the eviction-monitor machinery (r11
+    // verdict #4) — the out-of-order story the reference never had
+    // (SURVEY §2.10): a deterministic subset of rows arrives with a
+    // STALE event time (doc_id % 89 == 0 → ts = doc_id − 2000 s, ~13
+    // watermark windows behind its cohort) while file order stays
+    // id-ordered. Per batch the monitor reports the engine's own
+    // numRowsDroppedByWatermark next to the admission/eviction/state
+    // curve, exercising BOTH late paths against the state-store-pinned
+    // recurrence above: a late row at ts <= W(b-1) is dropped before
+    // the store (every lagged row at sf0.01; at sf0.1 the within-
+    // window lagged rows survive as dedup inputs while the genuinely
+    // stale ones drop — the two-SF contract the seed asked for), and a
+    // surviving late row can itself become a key's stored value (the
+    // arg_min-over-survivors admission in the oracle). Watermark
+    // cannot regress: lagged rows never advance max event time, so
+    // W(b) stays driven by the on-time cohort — the monotonicity the
+    // tombstone unroll relies on.
+    "streaming_late_arrival" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = docsBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ded = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+        .withColumn("ts", timestamp_seconds(
+          col("doc_id") - when(pmod(col("doc_id"), lit(89L)) === 0, 2000L)
+            .otherwise(0L)))
+        .withWatermark("ts", "150 seconds")
+        .select(col("ts"), pmod(col("doc_id"), lit(97L)).as("k"))
+        .dropDuplicatesWithinWatermark("k")
+      val (_, q) = drainWithHandle(s, ded, "append")
+      val rows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty).sortBy(_.batchId)
+        .zipWithIndex.map { case (p, i) =>
+          val st = p.stateOperators.head
+          (i + 1L, p.numInputRows, st.numRowsDroppedByWatermark,
+           st.numRowsUpdated, st.numRowsRemoved, st.numRowsTotal)
+        }
+      rows.toDF("batch_seq", "n_in", "dropped_late", "new_keys",
+                "evicted", "state_rows_total")
         .orderBy(col("batch_seq"))
     }),
 
@@ -860,62 +911,57 @@ object StreamingOps {
         |FROM per LEFT JOIN nw ON nw.b = per.b
         |ORDER BY batch_seq""".stripMargin,
 
-    // 4-generation unroll of the pinned dedup-state recurrence (see the
-    // query comment): s_b = per-key stored event time entering batch
-    // b+1, em_b = (re-)admission flag, t_b = post-eviction state size,
-    // plus the final no-data batch's eviction sweep. NULL-generalized
-    // (r11 advice #1): a key ABSENT from batch b (m_b IS NULL) admits
-    // nothing that batch, and a key first seen in batch b > 1 admits
-    // THERE, not in batch 1 — em_b = m_b IS NOT NULL AND (store empty
-    // for k OR stored entry already evicted). An evicted entry keeps
-    // its stale s as a tombstone: watermarks are monotone, so
-    // "s + 150 < w" stays true forever once true — survival sums skip
-    // it and any later row re-admits — while a NULL s means the key
-    // was never stored. Identical output on fixtures where every
-    // (k, batch) cell is populated (sf0.01/sf0.1), but no longer
-    // silently divergent on a sparser one.
+    // 4-generation unroll of the state-store-pinned dedup recurrence
+    // (see the query comment for the r12 re-pin): s_b = per-key stored
+    // event time after batch b's admissions (tombstones carried — the
+    // eviction condition is monotone in the watermark, so a dead entry
+    // stays recognizably dead), em_b = (re-)admission flag, t_b =
+    // post-eviction state size. Late filter: a batch-b row survives iff
+    // ts > W(b-1) (W(0) = W(1) = 0 — the epoch row ts = 0 drops in
+    // batch 1); admission stores the FIRST surviving row's ts (min id
+    // among survivors — ts = id here); eviction at end of batch b:
+    // s + 150 <= W(b), at equality.
     "streaming_state_eviction" ->
       """WITH nt AS (SELECT doc_id, doc_id % 97 AS k,
         |    ntile(4) OVER (ORDER BY doc_id) AS b FROM documents),
         |bs AS (SELECT b, count(*)::BIGINT AS n_in, max(doc_id) AS mx
         |  FROM nt GROUP BY b),
-        |km AS (SELECT k,
-        |    max(CASE WHEN b = 1 THEN m END) AS m1,
-        |    max(CASE WHEN b = 2 THEN m END) AS m2,
-        |    max(CASE WHEN b = 3 THEN m END) AS m3,
-        |    max(CASE WHEN b = 4 THEN m END) AS m4
-        |  FROM (SELECT k, b, min(doc_id) AS m FROM nt GROUP BY k, b)
-        |  GROUP BY k),
         |v AS (SELECT
         |    greatest(0, (SELECT mx FROM bs WHERE b = 1) - 150) AS w2,
-        |    greatest(0, (SELECT mx FROM bs WHERE b = 2) - 150) AS w3,
-        |    greatest(0, (SELECT mx FROM bs WHERE b = 3) - 150) AS w4,
-        |    greatest(0, (SELECT mx FROM bs WHERE b = 4) - 150) AS w5),
-        |g2 AS (SELECT km.*, v.*,
-        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 < 0)
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 2) - 150) AS w3,
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 3) - 150) AS w4,
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 4) - 150) AS w5),
+        |adm AS (SELECT k,
+        |    min(CASE WHEN b = 1 AND doc_id > 0 THEN doc_id END) AS m1,
+        |    min(CASE WHEN b = 2 AND doc_id > 0 THEN doc_id END) AS m2,
+        |    min(CASE WHEN b = 3 AND doc_id > w2 THEN doc_id END) AS m3,
+        |    min(CASE WHEN b = 4 AND doc_id > w3 THEN doc_id END) AS m4
+        |  FROM nt CROSS JOIN v GROUP BY k),
+        |g2 AS (SELECT adm.*, v.*,
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 <= 0)
         |      THEN 1 ELSE 0 END AS em2,
-        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 < 0)
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 <= 0)
         |      THEN m2 ELSE m1 END AS s2
-        |  FROM km CROSS JOIN v),
+        |  FROM adm CROSS JOIN v),
         |g3 AS (SELECT *,
-        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 < w2)
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 <= w2)
         |      THEN 1 ELSE 0 END AS em3,
-        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 < w2)
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 <= w2)
         |      THEN m3 ELSE s2 END AS s3 FROM g2),
         |g4 AS (SELECT *,
-        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 < w3)
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 <= w3)
         |      THEN 1 ELSE 0 END AS em4,
-        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 < w3)
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 <= w3)
         |      THEN m4 ELSE s3 END AS s4 FROM g3),
         |agg AS (SELECT
         |    sum(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS u1,
         |    sum(em2)::BIGINT AS u2, sum(em3)::BIGINT AS u3,
         |    sum(em4)::BIGINT AS u4,
-        |    sum(CASE WHEN m1 + 150 >= 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
-        |    sum(CASE WHEN s2 + 150 >= w2 THEN 1 ELSE 0 END)::BIGINT AS t2,
-        |    sum(CASE WHEN s3 + 150 >= w3 THEN 1 ELSE 0 END)::BIGINT AS t3,
-        |    sum(CASE WHEN s4 + 150 >= w4 THEN 1 ELSE 0 END)::BIGINT AS t4,
-        |    sum(CASE WHEN s4 + 150 >= w5 THEN 1 ELSE 0 END)::BIGINT AS t5
+        |    sum(CASE WHEN m1 + 150 > 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 + 150 > w2 THEN 1 ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 + 150 > w3 THEN 1 ELSE 0 END)::BIGINT AS t3,
+        |    sum(CASE WHEN s4 + 150 > w4 THEN 1 ELSE 0 END)::BIGINT AS t4,
+        |    sum(CASE WHEN s4 + 150 > w5 THEN 1 ELSE 0 END)::BIGINT AS t5
         |  FROM g4)
         |SELECT 1::BIGINT AS batch_seq, (SELECT n_in FROM bs WHERE b = 1) AS n_in,
         |  u1 AS new_keys, (0 + u1 - t1)::BIGINT AS evicted,
@@ -927,6 +973,80 @@ object StreamingOps {
         |UNION ALL SELECT 4, (SELECT n_in FROM bs WHERE b = 4),
         |  u4, (t3 + u4 - t4)::BIGINT, t4 FROM agg
         |UNION ALL SELECT 5, 0::BIGINT, 0::BIGINT, (t4 - t5)::BIGINT, t5 FROM agg
+        |ORDER BY batch_seq""".stripMargin,
+
+    // the same recurrence with LAGGED event times: ts = id - 2000 when
+    // id % 89 == 0; stored value = ts of the min-id SURVIVOR
+    // (arg_min over the late-filter pass), dropped_late = rows at
+    // ts <= W(b-1). The <= in the late filter is pinned at W = 0 (the
+    // epoch row); lagged ts never EQUALS a nonzero W on these fixtures
+    // (checked at all three SFs), so the boundary convention there is
+    // unexercised by construction.
+    "streaming_late_arrival" ->
+      """WITH nt0 AS (SELECT doc_id, doc_id % 97 AS k,
+        |    ntile(4) OVER (ORDER BY doc_id) AS b,
+        |    doc_id - CASE WHEN doc_id % 89 = 0 THEN 2000 ELSE 0 END AS ts
+        |  FROM documents),
+        |bs AS (SELECT b, count(*)::BIGINT AS n_in, max(ts) AS mx
+        |  FROM nt0 GROUP BY b),
+        |v AS (SELECT
+        |    greatest(0, (SELECT mx FROM bs WHERE b = 1) - 150) AS w2,
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 2) - 150) AS w3,
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 3) - 150) AS w4,
+        |    greatest(0, (SELECT max(mx) FROM bs WHERE b <= 4) - 150) AS w5),
+        |nt AS (SELECT nt0.*, v.* FROM nt0 CROSS JOIN v),
+        |dr AS (SELECT b, sum(CASE
+        |      WHEN b = 1 AND ts <= 0 THEN 1 WHEN b = 2 AND ts <= 0 THEN 1
+        |      WHEN b = 3 AND ts <= w2 THEN 1 WHEN b = 4 AND ts <= w3 THEN 1
+        |      ELSE 0 END)::BIGINT AS dropped
+        |  FROM nt GROUP BY b),
+        |adm AS (SELECT k,
+        |    arg_min(ts, doc_id) FILTER (b = 1 AND ts > 0) AS m1,
+        |    arg_min(ts, doc_id) FILTER (b = 2 AND ts > 0) AS m2,
+        |    arg_min(ts, doc_id) FILTER (b = 3 AND ts > w2) AS m3,
+        |    arg_min(ts, doc_id) FILTER (b = 4 AND ts > w3) AS m4
+        |  FROM nt GROUP BY k),
+        |g2 AS (SELECT adm.*, v.*,
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 <= 0)
+        |      THEN 1 ELSE 0 END AS em2,
+        |    CASE WHEN m2 IS NOT NULL AND (m1 IS NULL OR m1 + 150 <= 0)
+        |      THEN m2 ELSE m1 END AS s2
+        |  FROM adm CROSS JOIN v),
+        |g3 AS (SELECT *,
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 <= w2)
+        |      THEN 1 ELSE 0 END AS em3,
+        |    CASE WHEN m3 IS NOT NULL AND (s2 IS NULL OR s2 + 150 <= w2)
+        |      THEN m3 ELSE s2 END AS s3 FROM g2),
+        |g4 AS (SELECT *,
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 <= w3)
+        |      THEN 1 ELSE 0 END AS em4,
+        |    CASE WHEN m4 IS NOT NULL AND (s3 IS NULL OR s3 + 150 <= w3)
+        |      THEN m4 ELSE s3 END AS s4 FROM g3),
+        |agg AS (SELECT
+        |    sum(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS u1,
+        |    sum(em2)::BIGINT AS u2, sum(em3)::BIGINT AS u3,
+        |    sum(em4)::BIGINT AS u4,
+        |    sum(CASE WHEN m1 + 150 > 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 + 150 > w2 THEN 1 ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 + 150 > w3 THEN 1 ELSE 0 END)::BIGINT AS t3,
+        |    sum(CASE WHEN s4 + 150 > w4 THEN 1 ELSE 0 END)::BIGINT AS t4,
+        |    sum(CASE WHEN s4 + 150 > w5 THEN 1 ELSE 0 END)::BIGINT AS t5
+        |  FROM g4)
+        |SELECT 1::BIGINT AS batch_seq, (SELECT n_in FROM bs WHERE b = 1) AS n_in,
+        |  (SELECT dropped FROM dr WHERE b = 1) AS dropped_late,
+        |  u1 AS new_keys, (0 + u1 - t1)::BIGINT AS evicted,
+        |  t1 AS state_rows_total FROM agg
+        |UNION ALL SELECT 2, (SELECT n_in FROM bs WHERE b = 2),
+        |  (SELECT dropped FROM dr WHERE b = 2),
+        |  u2, (t1 + u2 - t2)::BIGINT, t2 FROM agg
+        |UNION ALL SELECT 3, (SELECT n_in FROM bs WHERE b = 3),
+        |  (SELECT dropped FROM dr WHERE b = 3),
+        |  u3, (t2 + u3 - t3)::BIGINT, t3 FROM agg
+        |UNION ALL SELECT 4, (SELECT n_in FROM bs WHERE b = 4),
+        |  (SELECT dropped FROM dr WHERE b = 4),
+        |  u4, (t3 + u4 - t4)::BIGINT, t4 FROM agg
+        |UNION ALL SELECT 5, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+        |  (t4 - t5)::BIGINT, t5 FROM agg
         |ORDER BY batch_seq""".stripMargin,
 
     // closed-form watermark recurrence over the ntile(4) fixture:
