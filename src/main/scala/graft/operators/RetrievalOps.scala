@@ -165,6 +165,49 @@ object RetrievalOps {
     (cent2, lists)
   }
 
+  /** 4-file micro-batch fixture of the embeddings table (vec_id +
+    * double-cast vector as JSON), ntile(4) by vec_id with ascending
+    * mtimes — the docsBatchFixtureDir recipe on the vector corpus, for
+    * the streaming index-maintenance monitor. JSON doubles round-trip
+    * exactly (shortest-representation printing), so the streamed
+    * vectors are bit-identical to the batch-side cast. */
+  private def embBatchFixtureDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+    val root = Paths.get(s"target/graft_stream_fixtures/emb_batches_$tag")
+    val sentinel = root.resolve(".complete")
+    if (!Files.exists(sentinel)) {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        if (f.exists && !f.delete())
+          sys.error(s"fixture wipe failed: ${f.getPath}")
+      }
+      wipe(root.toFile)
+      Files.createDirectories(root)
+      val nt = graft.api.Graft.globalNtile(
+        corpus(s, dir), 4, "batch", col("vec_id"))
+      (1 to 4).foreach { k =>
+        val tmp = root.resolve(s"tmp_b$k")
+        nt.filter(col("batch") === k).select(col("vec_id"), col("v"))
+          .coalesce(1).write.json(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try {
+          listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst.get
+        } finally listing.close()
+        Files.move(part, root.resolve(f"b$k%02d.json"))
+        wipe(tmp.toFile)
+        root.resolve(f"b$k%02d.json").toFile
+          .setLastModified(1700000000000L + k * 60000L): Unit
+      }
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
   /** The IVF recall/cost curve over nprobe ∈ 1..4 — (nprobe, n_hits,
     * recall_e6, scanned_e6), 4 rows. Shared by ann_nprobe_recall_curve
     * (which reports it) and ann_nprobe_autotune (which picks operating
@@ -759,6 +802,67 @@ object RetrievalOps {
     // training contract via ivfModel — audit and index share one
     // definition, so the audit certifies the index actually served.
     // All-BIGINT census over the assignment table.
+    // STREAMING index maintenance — the ingest half of the IVF story
+    // the batch family trains and audits: new vectors arrive in
+    // micro-batches and are assigned to the SESSION-MEMOIZED coarse
+    // quantizer map-side. The 8×64 centroid matrix is collected once
+    // and carried in the task closure as literals (the production
+    // shape: the quantizer is an index artifact shipped to ingest
+    // workers — zero per-batch joins, zero shuffles; the stream stage
+    // is stateless scan→project). Per micro-batch the monitor reports
+    // each list's intake and share — the drift curve that tells an
+    // index operator when the trained quantizer no longer matches the
+    // arriving distribution and a retrain is due. Argmax ties break to
+    // the lowest list id via a chained CASE on the (identically
+    // computed) best score — the same (score DESC, g) order the batch
+    // family and the DuckDB replay use; cross-engine assignment
+    // equality on this corpus is already load-bearing for the green
+    // v_ivf_balance_audit. foreachBatch collects 8 rows per batch
+    // (bounded driver traffic), the t4 pattern.
+    "streaming_ivf_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+      import org.apache.spark.sql.streaming.Trigger
+      val (cent2, _) = ivfModel8(s, dir)
+      val cents = cent2.collect()
+        .map(r => (r.getAs[Long]("g"), r.getSeq[Double](r.fieldIndex("cv"))))
+        .sortBy(_._1)
+      val srcDir = embBatchFixtureDir(s, dir)
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType))))
+      val raw = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(srcDir)
+      val scored = raw.select(col("vec_id") +: cents.map { case (g, cv) =>
+        dot(col("v"), typedLit(cv)).as(s"s$g") }: _*)
+      val best = greatest(cents.map { case (g, _) => col(s"s$g") }: _*)
+      val gBest = cents.tail.foldLeft(
+          when(col(s"s${cents.head._1}") === best, lit(cents.head._1))) {
+        case (acc, (g, _)) => acc.when(col(s"s$g") === best, lit(g))
+      }
+      val assigned = scored.select(col("vec_id"), gBest.as("g"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val name = "graft_ivf_ingest_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = assigned.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          s"${graft.BenchEnv.localDir}/graft_ckpt_$name")
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val rows = b.groupBy(col("g")).agg(count(lit(1)).as("n")).collect()
+          buf.synchronized {
+            buf ++= rows.map(r =>
+              (bid, r.getAs[Long]("g"), r.getAs[Long]("n")))
+          }: Unit
+        }
+        .start()
+      q.awaitTermination()
+      val bn = buf.groupBy(_._1).map { case (bid, rs) => bid -> rs.map(_._3).sum }
+      val out = buf.toSeq.map { case (bid, g, n) =>
+        (bid + 1L, g, n, n * 1000000L / bn(bid))
+      }
+      import s.implicits._
+      out.toDF("batch_seq", "list_g", "n_assigned", "share_e6")
+        .orderBy(col("batch_seq"), col("list_g"))
+    }),
+
     "v_ivf_balance_audit" -> ((s, dir) => {
       val (_, lists) = ivfModel8(s, dir)
       val sizes = lists.groupBy(col("g")).agg(count(lit(1)).as("n_vectors"))
@@ -1486,6 +1590,19 @@ object RetrievalOps {
         |FROM sil GROUP BY g ORDER BY g""".stripMargin,
 
     // cell-occupancy census over the shared IVF kmeans assignment
+    // per-batch list intake: a3 IS the assignment the stream computes
+    // (same centroids, same (score DESC, g) tiebreak), batched by the
+    // fixture's ntile(4) id split
+    "streaming_ivf_ingest" ->
+      s"""$ivfKmeansCte,
+        |nt AS (SELECT vec_id, ntile(4) OVER (ORDER BY vec_id) AS b FROM e),
+        |bt AS (SELECT b, count(*)::BIGINT AS bn FROM nt GROUP BY b),
+        |gc AS (SELECT nt.b, a3.g, count(*)::BIGINT AS n_assigned
+        |  FROM nt JOIN a3 USING (vec_id) GROUP BY nt.b, a3.g)
+        |SELECT gc.b::BIGINT AS batch_seq, gc.g::BIGINT AS list_g, n_assigned,
+        |  (n_assigned * 1000000 // bn)::BIGINT AS share_e6
+        |FROM gc JOIN bt USING (b) ORDER BY batch_seq, list_g""".stripMargin,
+
     "v_ivf_balance_audit" ->
       s"""$ivfKmeansCte,
         |s AS (SELECT g, count(*)::BIGINT AS n_vectors FROM a3 GROUP BY g),

@@ -49,7 +49,17 @@ def main():
         # those scans and that stays a regression.
         newly_memoized = ("via_memo" in n and "via_memo" not in o
                           and n.get("scans", 0) == 0)
-        bad = any((f in GROW_IS_BAD and nv > ov) or
+        # the r12 tail-sort rewrite replaces a root range exchange with
+        # a single-partition round-robin exchange (same rows, same
+        # order, no bounds-sampling job) — a single_partition growth is
+        # excused ONE-FOR-ONE by a range_exchange shed, never beyond
+        range_shed = max(0, o.get("range_exchanges", 0)
+                         - n.get("range_exchanges", 0))
+        def grew_bad(f, ov, nv):
+            if f == "single_partition":
+                return nv > ov + range_shed
+            return nv > ov
+        bad = any((f in GROW_IS_BAD and grew_bad(f, ov, nv)) or
                   (f in SHRINK_IS_BAD and nv < ov and
                    not (newly_memoized and f in SCAN_FIELDS))
                   for f, ov, nv in deltas)
