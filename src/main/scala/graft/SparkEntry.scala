@@ -36,6 +36,9 @@ object SparkEntry {
     Module(RelationalExtOps.queries, RelationalExtOps.oracles),
     Module(StatSketchOps.queries, StatSketchOps.oracles),
     Module(TimeSeriesOps.queries, TimeSeriesOps.oracles),
+    Module(QualityOps.queries, QualityOps.oracles),
+    Module(GeoOps.queries, GeoOps.oracles),
+    Module(LinkageOps.queries, LinkageOps.oracles),
     Module(graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles),
     // file-format sources/sinks: oracle-checked via DuckDB's file readers
     // over the same fixture tree (ORC via round-trip ≡ identity on the

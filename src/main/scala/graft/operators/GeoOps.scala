@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spatial grid operators — proximity joins and raster aggregation over
+  * a 2-D embedding of entities, the bucketed-equi-join answer to "find
+  * things near each other" that a nested-loop distance join cannot give
+  * at scale.
+  *
+  * The reference has no spatial surface at all; these extend the engine
+  * the same way the LSH/IVF families extend similarity search: impose a
+  * grid, make "nearby" an EQUI-join key, and keep all residual math
+  * exact. Coordinates are derived deterministically from md5(user_id)
+  * (the repo's engine-portable draw idiom — Graft.packedDrawHexAt's
+  * hex-slice recipe at width 4), so both engines see identical integer
+  * points in a 65536² space and every distance is an EXACT BIGINT —
+  * no floating-point geometry anywhere.
+  *
+  * Scale notes:
+  *  - `geo_grid_knn` snaps points to a coarse grid and joins candidate
+  *    pairs through the 3×3 neighbor-cell keys (point rows each emit 9
+  *    cell keys; the join is a plain hash shuffle on the cell id). The
+  *    candidate volume is n · 9ρ where ρ is mean cell occupancy — grid
+  *    pitch is the knob that bounds it, exactly like LSH band width; at
+  *    100 TB the pitch is chosen so a cell fits a task. Semantics are
+  *    explicitly grid-kNN (nearest within the 3×3 neighborhood) — the
+  *    bucketed approximation IS the operator, as with ann_lsh_topk.
+  *    The per-point argmin is a partitionBy(point) window — never a
+  *    global sort.
+  *  - `geo_heatmap_smooth` reduces points to per-cell counts FIRST
+  *    (map-side combinable groupBy), then runs the 3×3 kernel
+  *    convolution as a self-join on the reduced cell table — the
+  *    convolution cost is O(nonzero cells · 9), independent of row
+  *    count.
+  */
+object GeoOps {
+
+  /** Deterministic integer point in [0, 65536)² from the entity id. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .select(col("user_id"),
+              conv(substring(col("h"), 1, 4), 16, 10).cast("long").as("xi"),
+              conv(substring(col("h"), 5, 4), 16, 10).cast("long").as("yi"))
+
+  private val offs: Column = array((-1 to 1).map(lit): _*)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+
+    // Grid-bucketed nearest neighbor: 4×4 grid (pitch 16384), candidates
+    // from the 3×3 neighborhood, exact integer distance, deterministic
+    // tie-break on neighbor id.
+    "geo_grid_knn" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .withColumn("cx", expr("xi div 16384"))
+        .withColumn("cy", expr("yi div 16384"))
+      val probes = cells
+        .withColumn("dx", explode(offs))
+        .withColumn("dy", explode(offs))
+        .select(col("user_id"), col("xi"), col("yi"),
+                (col("cx") + col("dx")).as("ncx"),
+                (col("cy") + col("dy")).as("ncy"))
+      val b = cells.select(
+        col("user_id").as("nb"), col("xi").as("bxi"), col("yi").as("byi"),
+        col("cx").as("bcx"), col("cy").as("bcy"))
+      val cand = probes.join(b,
+          col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
+            col("nb") =!= col("user_id"))
+        .select(col("user_id"), col("nb"),
+                ((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+                 (col("yi") - col("byi")) * (col("yi") - col("byi")))
+                  .as("dist2"))
+      val w = Window.partitionBy(col("user_id"))
+      cand
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dist2"), col("nb"))))
+        .withColumn("n_candidates", count(lit(1)).over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("nb").as("nn_user_id"), col("dist2"),
+                col("n_candidates"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner 1)
+    // on a 16×16 grid, computed entirely on the reduced cell table.
+    "geo_heatmap_smooth" -> ((s, dir) => {
+      val cellCounts = points(s, dir)
+        .withColumn("cx", expr("xi div 4096"))
+        .withColumn("cy", expr("yi div 4096"))
+        .groupBy(col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n"))
+      val contrib = cellCounts
+        .withColumn("dx", explode(offs))
+        .withColumn("dy", explode(offs))
+        .select((col("cx") + col("dx")).as("tx"),
+                (col("cy") + col("dy")).as("ty"),
+                (col("n") * when(col("dx") === 0 && col("dy") === 0, 4)
+                  .when(abs(col("dx")) + abs(col("dy")) === 1, 2)
+                  .otherwise(1)).as("wn"))
+        .where(col("tx") >= 0 && col("tx") < 16 &&
+               col("ty") >= 0 && col("ty") < 16)
+      contrib
+        .groupBy(col("tx"), col("ty"))
+        .agg(sum(col("wn")).as("smoothed"))
+        .join(cellCounts,
+              col("tx") === col("cx") && col("ty") === col("cy"), "left")
+        .select(col("tx").as("gx"), col("ty").as("gy"),
+                coalesce(col("n"), lit(0L)).as("n"), col("smoothed"))
+        .orderBy(col("gx"), col("gy"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "geo_grid_knn" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT user_id, xi, yi, xi // 16384 AS cx, yi // 16384 AS cy FROM p),
+        |off AS (SELECT dx, dy
+        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+        |cand AS (
+        |  SELECT a.user_id, b.user_id AS nb,
+        |         (a.xi - b.xi) * (a.xi - b.xi) +
+        |         (a.yi - b.yi) * (a.yi - b.yi) AS dist2
+        |  FROM c a CROSS JOIN off
+        |  JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+        |          AND b.user_id <> a.user_id),
+        |rk AS (
+        |  SELECT user_id, nb, dist2,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY dist2, nb) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_candidates
+        |  FROM cand)
+        |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "geo_heatmap_smooth" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |cc AS (
+        |  SELECT xi // 4096 AS cx, yi // 4096 AS cy, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |off AS (SELECT dx, dy
+        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+        |contrib AS (
+        |  SELECT cx + dx AS tx, cy + dy AS ty,
+        |         n * (CASE WHEN dx = 0 AND dy = 0 THEN 4
+        |                   WHEN abs(dx) + abs(dy) = 1 THEN 2
+        |                   ELSE 1 END) AS wn
+        |  FROM cc CROSS JOIN off
+        |  WHERE cx + dx BETWEEN 0 AND 15 AND cy + dy BETWEEN 0 AND 15),
+        |sm AS (SELECT tx, ty, sum(wn)::BIGINT AS smoothed
+        |       FROM contrib GROUP BY tx, ty)
+        |SELECT tx AS gx, ty AS gy, coalesce(n, 0)::BIGINT AS n, smoothed
+        |FROM sm LEFT JOIN cc ON tx = cx AND ty = cy
+        |ORDER BY gx, gy""".stripMargin
+  )
+}

@@ -420,6 +420,38 @@ object LayoutOps {
         .orderBy(col("rank"))
     }),
 
+    // LOCAL DP: binary randomized response (Warner 1965) on the
+    // per-event error indicator — each row reports a flipped bit with
+    // probability f = 1/4 (md5-seeded, engine-portable), and the daily
+    // aggregate debiases: t̂ = (obs − f)/(1 − 2f) ⇒ est_e6 =
+    // 2·obs_e6 − 500000, all integer-exact. The collector never sees a
+    // true row-level bit — the mechanism every client-side telemetry
+    // pipeline runs BEFORE data reaches the lake; the estimate column
+    // shows the utility cost next to the true rate. Scale: one scan,
+    // map-side flip, ordinary groupBy — the privacy happens per row.
+    "privacy_rr_frequency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+                (col("event_type") === "error").cast("int").as("is_err"),
+                (conv(substring(md5(concat(col("event_id").cast("string"),
+                   lit(":rr"))), 1, 4), 16, 10).cast("long") % 4 === 0)
+                  .cast("int").as("flip"))
+        .withColumn("reported",
+          (col("is_err") =!= col("flip")).cast("int")) // XOR
+      ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("is_err")).as("true_n"),
+             sum(col("reported")).as("rep_n"))
+        .select(col("day"), col("n"),
+                expr("true_n * 1000000 div n").as("true_rate_e6"),
+                expr("rep_n * 1000000 div n").as("obs_rate_e6"))
+        .withColumn("est_rate_e6",
+          lit(2L) * col("obs_rate_e6") - lit(500000L))
+        .withColumn("abs_err_e6",
+          abs(col("est_rate_e6") - col("true_rate_e6")))
+        .orderBy(col("day"))
+    }),
+
     // Single-sourced in Graft.tClosenessAudit (generic over QI columns
     // and the t = num/den gate).
     "privacy_t_closeness" -> ((s, dir) =>
@@ -668,6 +700,27 @@ object LayoutOps {
         |    ORDER BY pert_e6 DESC, source) AS rank FROM p)
         |SELECT rank::BIGINT AS rank, source, pert_e6
         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    "privacy_rr_frequency" ->
+      """WITH ev AS (
+        |  SELECT ts::DATE AS day,
+        |         (event_type = 'error')::INT AS is_err,
+        |         (('0x' || substr(md5(event_id::VARCHAR || ':rr'), 1, 4))::BIGINT
+        |            % 4 = 0)::INT AS flip
+        |  FROM events),
+        |r AS (SELECT day, is_err,
+        |        (is_err <> flip)::INT AS reported FROM ev),
+        |g AS (SELECT day, count(*) AS n,
+        |        sum(is_err)::BIGINT AS true_n,
+        |        sum(reported)::BIGINT AS rep_n
+        |      FROM r GROUP BY day),
+        |rates AS (SELECT day, n,
+        |        (true_n * 1000000 // n)::BIGINT AS true_rate_e6,
+        |        (rep_n * 1000000 // n)::BIGINT AS obs_rate_e6 FROM g)
+        |SELECT day, n, true_rate_e6, obs_rate_e6,
+        |       (2 * obs_rate_e6 - 500000)::BIGINT AS est_rate_e6,
+        |       abs(2 * obs_rate_e6 - 500000 - true_rate_e6)::BIGINT AS abs_err_e6
+        |FROM rates ORDER BY day""".stripMargin,
 
     // bloom sizing: shared e6 literal constants, pure integer formulas
     "layout_bloom_advisor" ->

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate operators — the expectation-suite / profiling /
+  * reconciliation checks a production ingestion pipeline runs BEFORE the
+  * analytical queries in this repo ever see a row.
+  *
+  * The reference validates nothing: `aws_bucket.py:101-124` uploads and
+  * re-lists objects with no row-level checks, and `transcription.py`
+  * consumes whatever parses. At 100 TB that is how a silently-truncated
+  * export poisons a training run; the standard defense (Deequ/
+  * Great Expectations style) is a small, fixed-size audit computed in
+  * ONE pass per table — which is exactly how these are built:
+  *
+  *  - `dq_expectation_suite`: each table contributes one conditional
+  *    aggregation pass (count + per-rule violation counters folded into
+  *    a single 1-row aggregate, then unpivoted row-wise); the two
+  *    referential checks are key-projected anti joins (the only columns
+  *    shuffled are the keys). Output is O(#rules), never O(rows).
+  *  - `dq_null_profile`: the per-column null/blank census is ONE
+  *    full-width scan reduced map-side to a single row, unpivoted to
+  *    (column, metric) AFTER aggregation — the wide data never shuffles.
+  *  - `dq_freshness_lag`: per-type max event time vs the corpus
+  *    watermark; the global max is re-derived from the 5-row grouped
+  *    result (no second scan) and broadcast back.
+  *  - `dq_reconcile_orders_items`: fact-vs-fact grain reconciliation
+  *    (orders ↔ lineitem rollup) — the item side is pre-aggregated to
+  *    the join grain before the join, so the shuffle carries one row
+  *    per orderkey, not one per item.
+  *
+  * Plan-census note (ledger): every single-partition exchange in this
+  * module is a ≤12-row expectation/unpivot table or a 1-row global
+  * aggregate — report-sized by construction.
+  */
+object QualityOps {
+
+  private val ruleCols = Seq("tbl", "expectation", "violations", "checked")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+
+    // Expectation suite: uniqueness / not-null / range / domain /
+    // referential rules, one row per rule with its violation count.
+    "dq_expectation_suite" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val li     = Tables.lineitem(s, dir)
+      val docs   = Tables.documents(s, dir)
+      val cust   = Tables.customer(s, dir)
+
+      // One aggregation pass per table; unpivot the 1-row result.
+      val ordAgg = orders.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd_key"),
+        count(when(col("o_custkey").isNull, 1)).as("null_cust"),
+        count(when(col("o_totalprice") < 0, 1)).as("neg_total"))
+      val ordRules = ordAgg.selectExpr(
+        """stack(3,
+           'pk_unique_o_orderkey',      n - nd_key,
+           'not_null_o_custkey',        null_cust,
+           'range_o_totalprice_nonneg', neg_total) AS (expectation, violations)""",
+        "n AS checked").withColumn("tbl", lit("orders"))
+
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+          .as("disc_viol"),
+        count(when(col("l_quantity") <= 0, 1)).as("qty_viol"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), 1))
+          .as("flag_viol"))
+      val liRules = liAgg.selectExpr(
+        """stack(3,
+           'range_l_discount_0_1',   disc_viol,
+           'range_l_quantity_pos',   qty_viol,
+           'domain_l_returnflag',    flag_viol) AS (expectation, violations)""",
+        "n AS checked").withColumn("tbl", lit("lineitem"))
+
+      val docAgg = docs.agg(
+        count(lit(1)).as("n"),
+        count(when(col("text").isNull || trim(col("text")) === "", 1))
+          .as("blank_text"),
+        count(when(col("n_chars") < 0, 1)).as("neg_chars"))
+      val docRules = docAgg.selectExpr(
+        """stack(2,
+           'not_blank_text',   blank_text,
+           'nonneg_n_chars',   neg_chars) AS (expectation, violations)""",
+        "n AS checked").withColumn("tbl", lit("documents"))
+
+      val custRules = cust
+        .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nd"))
+        .select(lit("pk_unique_c_custkey").as("expectation"),
+                (col("n") - col("nd")).as("violations"), col("n").as("checked"))
+        .withColumn("tbl", lit("customer"))
+
+      // Referential integrity: project to keys before the anti join so
+      // only key columns shuffle; counts ride a 1-row aggregate.
+      def fkViolations(fact: DataFrame, factKey: String,
+                       dim: DataFrame, dimKey: String): DataFrame = {
+        val orphans = fact.select(col(factKey))
+          .join(dim.select(col(dimKey)).distinct(),
+                col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+        fact.agg(count(lit(1)).as("checked")).crossJoin(orphans)
+      }
+      val fkOrders = fkViolations(orders, "o_custkey", cust, "c_custkey")
+        .select(lit("fk_o_custkey_customer").as("expectation"),
+                col("violations"), col("checked"))
+        .withColumn("tbl", lit("orders"))
+      val fkItems = fkViolations(li, "l_orderkey", orders, "o_orderkey")
+        .select(lit("fk_l_orderkey_orders").as("expectation"),
+                col("violations"), col("checked"))
+        .withColumn("tbl", lit("lineitem"))
+
+      Seq(ordRules, liRules, docRules, custRules, fkOrders, fkItems)
+        .map(_.select(ruleCols.head, ruleCols.tail: _*))
+        .reduce(_ unionByName _)
+        .withColumn("ok", (col("violations") === 0).cast("int"))
+        .orderBy(col("tbl"), col("expectation"))
+    }),
+
+    // Per-column null/blank profile of orders: one scan, one 1-row
+    // aggregate, row-wise unpivot after reduction.
+    "dq_null_profile" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val stringCols = Set("o_orderstatus", "o_orderpriority")
+      val cols = orders.columns.toSeq
+      val aggs = cols.flatMap { c =>
+        Seq(count(when(col(c).isNull, 1)).as(s"null_$c"),
+            (if (stringCols(c))
+               count(when(trim(col(c)) === "", 1))
+             else lit(0L)).as(s"blank_$c"))
+      } :+ count(lit(1)).as("n")
+      val one = orders.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', null_$c, blank_$c").mkString(", ")
+      one.selectExpr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_blank)",
+          "n")
+        .select(col("col_name"), col("n_null"), col("n_blank"),
+                expr("n_null * 1000000 div n").as("null_rate_e6"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Freshness: per-event-type max event time vs the corpus watermark.
+    // The global max comes from the grouped 5-row table, not a rescan.
+    "dq_freshness_lag" -> ((s, dir) => {
+      val perType = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+      val global = perType.agg(max(col("max_us")).as("global_us"))
+      perType.crossJoin(broadcast(global))
+        .select(col("event_type"),
+                col("max_us"),
+                expr("(global_us - max_us) div 60000000").as("lag_min"))
+        .withColumn("stale", (col("lag_min") > 60).cast("int"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Grain reconciliation: monthly orders vs their lineitem rollup —
+    // orphaned orders (no items) and item-row mass per month. The item
+    // side is reduced to (orderkey, n_items) before joining.
+    "dq_reconcile_orders_items" -> ((s, dir) => {
+      val itemsPerOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM")
+          .as("month"))
+        .join(itemsPerOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             count(col("l_orderkey")).as("n_matched"),
+             count(when(col("l_orderkey").isNull, 1)).as("n_orphan"),
+             coalesce(sum(col("n_items")), lit(0L)).as("n_item_rows"))
+        .orderBy(col("month"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dq_expectation_suite" ->
+      """WITH ord AS (
+        |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd_key,
+        |         count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+        |         count(*) FILTER (WHERE o_totalprice < 0) AS neg_total
+        |  FROM orders),
+        |li AS (
+        |  SELECT count(*) AS n,
+        |         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS disc_viol,
+        |         count(*) FILTER (WHERE l_quantity <= 0) AS qty_viol,
+        |         count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS flag_viol
+        |  FROM lineitem),
+        |doc AS (
+        |  SELECT count(*) AS n,
+        |         count(*) FILTER (WHERE text IS NULL OR trim(text) = '') AS blank_text,
+        |         count(*) FILTER (WHERE n_chars < 0) AS neg_chars
+        |  FROM documents),
+        |cst AS (
+        |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS nd FROM customer),
+        |fk1 AS (
+        |  SELECT (SELECT count(*) FROM orders) AS checked,
+        |         (SELECT count(*) FROM orders o ANTI JOIN customer c
+        |            ON o.o_custkey = c.c_custkey) AS violations),
+        |fk2 AS (
+        |  SELECT (SELECT count(*) FROM lineitem) AS checked,
+        |         (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |            ON l.l_orderkey = o.o_orderkey) AS violations),
+        |rules AS (
+        |  SELECT 'orders' AS tbl, 'pk_unique_o_orderkey' AS expectation,
+        |         n - nd_key AS violations, n AS checked FROM ord
+        |  UNION ALL SELECT 'orders', 'not_null_o_custkey', null_cust, n FROM ord
+        |  UNION ALL SELECT 'orders', 'range_o_totalprice_nonneg', neg_total, n FROM ord
+        |  UNION ALL SELECT 'lineitem', 'range_l_discount_0_1', disc_viol, n FROM li
+        |  UNION ALL SELECT 'lineitem', 'range_l_quantity_pos', qty_viol, n FROM li
+        |  UNION ALL SELECT 'lineitem', 'domain_l_returnflag', flag_viol, n FROM li
+        |  UNION ALL SELECT 'documents', 'not_blank_text', blank_text, n FROM doc
+        |  UNION ALL SELECT 'documents', 'nonneg_n_chars', neg_chars, n FROM doc
+        |  UNION ALL SELECT 'customer', 'pk_unique_c_custkey', n - nd, n FROM cst
+        |  UNION ALL SELECT 'orders', 'fk_o_custkey_customer', violations, checked FROM fk1
+        |  UNION ALL SELECT 'lineitem', 'fk_l_orderkey_orders', violations, checked FROM fk2)
+        |SELECT tbl, expectation, violations::BIGINT AS violations,
+        |       checked::BIGINT AS checked,
+        |       (violations = 0)::INT AS ok
+        |FROM rules ORDER BY tbl, expectation""".stripMargin,
+
+    "dq_null_profile" ->
+      """WITH one AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+        |    count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_o_orderstatus,
+        |    count(*) FILTER (WHERE trim(o_orderstatus) = '') AS blank_o_orderstatus,
+        |    count(*) FILTER (WHERE o_totalprice IS NULL) AS null_o_totalprice,
+        |    count(*) FILTER (WHERE o_orderdate IS NULL) AS null_o_orderdate,
+        |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS null_o_orderpriority,
+        |    count(*) FILTER (WHERE trim(o_orderpriority) = '') AS blank_o_orderpriority
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'o_orderkey' AS col_name, null_o_orderkey AS n_null, 0 AS n_blank, n FROM one
+        |  UNION ALL SELECT 'o_custkey', null_o_custkey, 0, n FROM one
+        |  UNION ALL SELECT 'o_orderstatus', null_o_orderstatus, blank_o_orderstatus, n FROM one
+        |  UNION ALL SELECT 'o_totalprice', null_o_totalprice, 0, n FROM one
+        |  UNION ALL SELECT 'o_orderdate', null_o_orderdate, 0, n FROM one
+        |  UNION ALL SELECT 'o_orderpriority', null_o_orderpriority, blank_o_orderpriority, n FROM one)
+        |SELECT col_name, n_null::BIGINT AS n_null, n_blank::BIGINT AS n_blank,
+        |       (n_null * 1000000 // n)::BIGINT AS null_rate_e6
+        |FROM rows_ ORDER BY col_name""".stripMargin,
+
+    "dq_freshness_lag" ->
+      """WITH per_type AS (
+        |  SELECT event_type, max(epoch_us(ts)) AS max_us
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT max(max_us) AS global_us FROM per_type)
+        |SELECT event_type, max_us,
+        |       ((global_us - max_us) // 60000000)::BIGINT AS lag_min,
+        |       (((global_us - max_us) // 60000000) > 60)::INT AS stale
+        |FROM per_type, g ORDER BY event_type""".stripMargin,
+
+    "dq_reconcile_orders_items" ->
+      """WITH ipo AS (
+        |  SELECT l_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS n_orders,
+        |       count(ipo.l_orderkey) AS n_matched,
+        |       count(*) FILTER (WHERE ipo.l_orderkey IS NULL) AS n_orphan,
+        |       coalesce(sum(n_items), 0)::BIGINT AS n_item_rows
+        |FROM orders LEFT JOIN ipo ON o_orderkey = ipo.l_orderkey
+        |GROUP BY 1 ORDER BY month""".stripMargin
+  )
+}
