@@ -95,20 +95,22 @@ object QualityOps {
         .withColumn("tbl", lit("customer"))
 
       // Referential integrity: project to keys before the anti join so
-      // only key columns shuffle; counts ride a 1-row aggregate.
+      // only key columns shuffle; the `checked` denominator reuses the
+      // table's rule-pass 1-row aggregate instead of a second scan.
       def fkViolations(fact: DataFrame, factKey: String,
-                       dim: DataFrame, dimKey: String): DataFrame = {
+                       dim: DataFrame, dimKey: String,
+                       checkedOf: DataFrame): DataFrame = {
         val orphans = fact.select(col(factKey))
           .join(dim.select(col(dimKey)).distinct(),
                 col(factKey) === col(dimKey), "left_anti")
           .agg(count(lit(1)).as("violations"))
-        fact.agg(count(lit(1)).as("checked")).crossJoin(orphans)
+        checkedOf.select(col("n").as("checked")).crossJoin(orphans)
       }
-      val fkOrders = fkViolations(orders, "o_custkey", cust, "c_custkey")
+      val fkOrders = fkViolations(orders, "o_custkey", cust, "c_custkey", ordAgg)
         .select(lit("fk_o_custkey_customer").as("expectation"),
                 col("violations"), col("checked"))
         .withColumn("tbl", lit("orders"))
-      val fkItems = fkViolations(li, "l_orderkey", orders, "o_orderkey")
+      val fkItems = fkViolations(li, "l_orderkey", orders, "o_orderkey", liAgg)
         .select(lit("fk_l_orderkey_orders").as("expectation"),
                 col("violations"), col("checked"))
         .withColumn("tbl", lit("lineitem"))

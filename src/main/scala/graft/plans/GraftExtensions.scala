@@ -124,17 +124,47 @@ object FoldConstantHigherOrderFunctions extends Rule[LogicalPlan] {
   * nothing else; it is idempotent (the rewritten root is a local sort,
   * which no longer matches).
   *
+  * SKIPPED when the sort's child already collapses to one partition —
+  * a GlobalLimit, an empty-partition Window, an ungrouped Aggregate, or
+  * an existing Repartition(1) below the root (seen through
+  * deterministic Projects/Filters/aliases): SinglePartition satisfies
+  * OrderedDistribution, so those plans never carried a range exchange
+  * to shed, and inserting Repartition(1) would ADD a round-robin
+  * exchange the r11 plan did not have (the 16 `single_partition +1`
+  * ledger flags the first r12 ledger cut surfaced).
+  *
   * Under an order-SENSITIVE output consumer this is still safe: the
   * single post-shuffle partition is sorted as one run, so ties tie-break
   * identically to the range-partitioned form only when the sort key is
   * total — which every registered query guarantees (the r11 driver dump
   * matched DuckDB's row order exactly on all 351 queries). */
 object TailSortSinglePartition extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{Project, Repartition, Sort, SubqueryAlias}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+    GlobalLimit, Join, Project, Repartition, Sort, SubqueryAlias, Window}
+
+  /** Child subtree is already guaranteed to be a single partition at
+    * execution time, so a global sort over it plans as a bare local
+    * SortExec with no exchange — rewriting would only add one. */
+  private def alreadySinglePartition(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit                       => true
+    case w: Window if w.partitionSpec.isEmpty => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case r: Repartition if r.numPartitions == 1 => true
+    case pr: Project => alreadySinglePartition(pr.child)
+    case f: Filter   => alreadySinglePartition(f.child)
+    case sa: SubqueryAlias => alreadySinglePartition(sa.child)
+    // a join whose BOTH sides are single-partition (the scalar
+    // crossJoin chains) streams one partition whichever side builds
+    case j: Join =>
+      alreadySinglePartition(j.left) && alreadySinglePartition(j.right)
+    case _ => false
+  }
 
   private def rewritten(p: LogicalPlan): Option[LogicalPlan] = p match {
     case s @ Sort(_, true, child, _) =>
-      Some(s.copy(global = false, child = Repartition(1, shuffle = true, child)))
+      if (alreadySinglePartition(child)) None
+      else Some(s.copy(global = false,
+                       child = Repartition(1, shuffle = true, child)))
     case pr: Project if pr.projectList.forall(_.deterministic) =>
       rewritten(pr.child).map(c => pr.copy(child = c))
     case sa: SubqueryAlias =>

@@ -51,6 +51,25 @@ class Round12Spec extends SparkSpec {
     assert(got == exp, "rewrite must preserve rows and their order")
   }
 
+  test("tail-sort rewrite skips tails that already collapse to one partition") {
+    // privacy_dp_topk's root sort sits over a filter on an
+    // empty-partition window: SinglePartition already satisfies the
+    // sort's distribution, so the rule must NOT add a repartition —
+    // flag on and off must produce the same physical plan shape
+    val on = SparkEntry.queries("privacy_dp_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    spark.conf.set("spark.graft.tailSortSinglePartition", "false")
+    val off = try SparkEntry.queries("privacy_dp_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.graft.tailSortSinglePartition", "true")
+    def shape(p: String) = (p.sliding("Exchange".length).count(_ == "Exchange"),
+      p.contains("rangepartitioning"))
+    assert(shape(on) == shape(off),
+      "guard must leave already-single-partition tails untouched")
+    // while a plain groupBy tail (a1) IS rewritten — pinned by the
+    // "tail-sort rewrite" test above
+  }
+
   test("packed-draw helpers reproduce the legacy fragments verbatim") {
     // the resampling family's oracles replay these strings in DuckDB —
     // byte-identity is the lockstep contract
