@@ -86,6 +86,53 @@ object GeoOps {
         .orderBy(col("user_id"))
     }),
 
+    // Grid kNN at 4× finer pitch (16×16) with a PER-CELL CANDIDATE CAP
+    // (K = 4, md5-ranked): the worst-case candidate volume is bounded
+    // by 9·K per probe point regardless of how skewed the point
+    // distribution is — the spatial analog of the LSH hot-band cap in
+    // dedup_minhash_lsh (Graft.cappedBucketPairs). Every point still
+    // probes; only the CANDIDATE side is capped, so a probe in a dense
+    // cell sees the K deterministic representatives of each neighbor
+    // cell (declared approximate semantics, recall traded for a hard
+    // bound — the oracle implements the same cap, so the trade is
+    // pinned, not hidden). The cap binds at sf0.1 (≈6 points/cell mean,
+    // skewed cells above K) and rarely at sf0.01 — both gates run.
+    "geo_grid_knn_capped" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .withColumn("cx", expr("xi div 4096"))
+        .withColumn("cy", expr("yi div 4096"))
+      val capped = cells
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cx"), col("cy"))
+            .orderBy(md5(concat(col("user_id").cast("string"), lit(":cap"))),
+                     col("user_id"))))
+        .where(col("rn") <= 4)
+        .select(col("user_id").as("nb"), col("xi").as("bxi"),
+                col("yi").as("byi"), col("cx").as("bcx"), col("cy").as("bcy"))
+      val probes = cells
+        .withColumn("dx", explode(offs))
+        .withColumn("dy", explode(offs))
+        .select(col("user_id"), col("xi"), col("yi"),
+                (col("cx") + col("dx")).as("ncx"),
+                (col("cy") + col("dy")).as("ncy"))
+      val cand = probes.join(capped,
+          col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
+            col("nb") =!= col("user_id"))
+        .select(col("user_id"), col("nb"),
+                ((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+                 (col("yi") - col("byi")) * (col("yi") - col("byi")))
+                  .as("dist2"))
+      val w = Window.partitionBy(col("user_id"))
+      cand
+        .withColumn("rnk", row_number().over(
+          w.orderBy(col("dist2"), col("nb"))))
+        .withColumn("n_candidates", count(lit(1)).over(w))
+        .where(col("rnk") === 1)
+        .select(col("user_id"), col("nb").as("nn_user_id"), col("dist2"),
+                col("n_candidates"))
+        .orderBy(col("user_id"))
+    }),
+
     // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner 1)
     // on a 16×16 grid, computed entirely on the reduced cell table.
     "geo_heatmap_smooth" -> ((s, dir) => {
@@ -139,6 +186,36 @@ object GeoOps {
         |  FROM cand)
         |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
         |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "geo_grid_knn_capped" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT user_id, xi, yi, xi // 4096 AS cx, yi // 4096 AS cy FROM p),
+        |capped AS (
+        |  SELECT user_id AS nb, xi AS bxi, yi AS byi, cx AS bcx, cy AS bcy
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cx, cy
+        |          ORDER BY md5(user_id::VARCHAR || ':cap'), user_id) AS rn
+        |        FROM c)
+        |  WHERE rn <= 4),
+        |off AS (SELECT dx, dy
+        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+        |cand AS (
+        |  SELECT a.user_id, b.nb,
+        |         (a.xi - b.bxi) * (a.xi - b.bxi) +
+        |         (a.yi - b.byi) * (a.yi - b.byi) AS dist2
+        |  FROM c a CROSS JOIN off
+        |  JOIN capped b ON b.bcx = a.cx + off.dx AND b.bcy = a.cy + off.dy
+        |              AND b.nb <> a.user_id),
+        |rk AS (
+        |  SELECT user_id, nb, dist2,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY dist2, nb) AS rnk,
+        |         count(*) OVER (PARTITION BY user_id) AS n_candidates
+        |  FROM cand)
+        |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
+        |FROM rk WHERE rnk = 1 ORDER BY user_id""".stripMargin,
 
     "geo_heatmap_smooth" ->
       """WITH p AS (

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage (Fellegi–Sunter 1969) — the field-wise
@@ -29,33 +29,53 @@ import org.apache.spark.sql.functions._
   */
 object LinkageOps {
 
+  /** The clean and md5-noised record sides, blocked-join-ready. */
+  private def sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, dir)
+    def draw(salt: String) =
+      conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(salt))), 1, 4), 16, 10).cast("long")
+    val clean = cust.select(
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_nationkey").as("a_nation"), col("c_mktsegment").as("a_seg"),
+      floor(col("c_acctbal") / 500.0).cast("long").as("a_bucket"))
+    val dirty = cust
+      .withColumn("name_d",
+        when(draw(":fs1") % 10 === 0,
+             expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(col("c_name")))
+      .withColumn("nation_d",
+        when(draw(":fs2") % 20 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")))
+      .withColumn("acct_d", col("c_acctbal") + (draw(":fs3") % 11 - 5))
+      .select(col("c_custkey").as("b_key"), col("name_d").as("b_name"),
+              col("nation_d").as("b_nation"),
+              col("c_mktsegment").as("b_seg"),
+              floor(col("acct_d") / 500.0).cast("long").as("b_bucket"))
+    (clean, dirty)
+  }
+
+  /** Blocked candidate pairs reduced to the agreement-pattern grain. */
+  private def patternTable(s: SparkSession, dir: String): DataFrame = {
+    val (clean, dirty) = sides(s, dir)
+    clean.join(dirty,
+        col("a_seg") === col("b_seg") && col("a_nation") === col("b_nation"))
+      .select(
+        (col("a_name") === col("b_name")).cast("int").as("ag_name"),
+        lit(1).as("ag_nation"), // blocking key — agrees by construction
+        (col("a_bucket") === col("b_bucket")).cast("int").as("ag_bucket"),
+        (col("a_key") === col("b_key")).cast("int").as("is_true"))
+      .groupBy(col("ag_name"), col("ag_nation"), col("ag_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
     // Fellegi–Sunter decision table: one row per agreement pattern with
     // pair count, true-match count, and the pattern's log2 match weight.
     "link_fellegi_sunter" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir)
-      def draw(salt: String) =
-        conv(substring(md5(concat(col("c_custkey").cast("string"),
-          lit(salt))), 1, 4), 16, 10).cast("long")
-      val clean = cust.select(
-        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
-        col("c_nationkey").as("a_nation"), col("c_mktsegment").as("a_seg"),
-        floor(col("c_acctbal") / 500.0).cast("long").as("a_bucket"))
-      val dirty = cust
-        .withColumn("name_d",
-          when(draw(":fs1") % 10 === 0,
-               expr("substring(c_name, 1, length(c_name) - 1)"))
-            .otherwise(col("c_name")))
-        .withColumn("nation_d",
-          when(draw(":fs2") % 20 === 0, (col("c_nationkey") + 1) % 25)
-            .otherwise(col("c_nationkey")))
-        .withColumn("acct_d", col("c_acctbal") + (draw(":fs3") % 11 - 5))
-        .select(col("c_custkey").as("b_key"), col("name_d").as("b_name"),
-                col("nation_d").as("b_nation"),
-                col("c_mktsegment").as("b_seg"),
-                floor(col("acct_d") / 500.0).cast("long").as("b_bucket"))
+      val (clean, _) = sides(s, dir)
 
       // u-probabilities from the clean side's value distributions:
       // P(two random records agree on field f) = Σ_v (n_v / N)².
@@ -67,15 +87,7 @@ object LinkageOps {
         .crossJoin(uProb(clean, "a_nation", "u_nation"))
         .crossJoin(uProb(clean, "a_bucket", "u_bucket"))
 
-      val patterns = clean.join(dirty,
-          col("a_seg") === col("b_seg") && col("a_nation") === col("b_nation"))
-        .select(
-          (col("a_name") === col("b_name")).cast("int").as("ag_name"),
-          lit(1).as("ag_nation"), // blocking key — agrees by construction
-          (col("a_bucket") === col("b_bucket")).cast("int").as("ag_bucket"),
-          (col("a_key") === col("b_key")).cast("int").as("is_true"))
-        .groupBy(col("ag_name"), col("ag_nation"), col("ag_bucket"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+      val patterns = patternTable(s, dir)
 
       // m = 0.95, 1-m written as the literal 0.05 (not computed — the
       // double 1.0-0.95 is not exactly 0.05; the oracle uses the same
@@ -91,6 +103,58 @@ object LinkageOps {
                        w("ag_bucket", "u_bucket")) / log(lit(2.0)), 6)
                   .as("score_r6"))
         .orderBy(desc("score_r6"), col("ag_name"), col("ag_bucket"))
+    }),
+
+    // EM-estimated m/u weights (Winkler 1988): two unrolled EM rounds
+    // over the agreement-PATTERN table — the E-step posterior and the
+    // M-step reweighting never touch a pair row, only the 4-row
+    // pattern census, which is the whole point of the F-S reduction:
+    // at 100 TB the EM cost is O(patterns · rounds), data passes stay
+    // at ONE blocked join. Initial params are the textbook m=0.9,
+    // u=0.1, p=0.5; literals and operation order are written
+    // identically in both engines (left-assoc products, ::DOUBLE
+    // literals in the oracle so DuckDB does not lift them to DECIMAL).
+    // Output: the pattern table with its round-2 posterior and the
+    // round-2 parameter estimates (constant columns).
+    "link_em_weights" -> ((s, dir) => {
+      val pat = patternTable(s, dir)
+        .select(col("ag_name"), col("ag_bucket"), col("n_pairs"))
+      def g(p: Column, m1: Column, u1: Column, m2: Column, u2: Column) = {
+        val pm = p *
+          when(col("ag_name") === 1, m1).otherwise(lit(1.0) - m1) *
+          when(col("ag_bucket") === 1, m2).otherwise(lit(1.0) - m2)
+        val pu = (lit(1.0) - p) *
+          when(col("ag_name") === 1, u1).otherwise(lit(1.0) - u1) *
+          when(col("ag_bucket") === 1, u2).otherwise(lit(1.0) - u2)
+        pm / (pm + pu)
+      }
+      def mStep(withG: DataFrame): DataFrame = withG.agg(
+        (sum(col("n_pairs") * col("g")) / sum(col("n_pairs"))).as("p"),
+        (sum(col("n_pairs") * col("g") * col("ag_name")) /
+          sum(col("n_pairs") * col("g"))).as("m1"),
+        (sum(col("n_pairs") * (lit(1.0) - col("g")) * col("ag_name")) /
+          sum(col("n_pairs") * (lit(1.0) - col("g")))).as("u1"),
+        (sum(col("n_pairs") * col("g") * col("ag_bucket")) /
+          sum(col("n_pairs") * col("g"))).as("m2"),
+        (sum(col("n_pairs") * (lit(1.0) - col("g")) * col("ag_bucket")) /
+          sum(col("n_pairs") * (lit(1.0) - col("g")))).as("u2"))
+      val p1 = mStep(pat.withColumn("g",
+        g(lit(0.5), lit(0.9), lit(0.1), lit(0.9), lit(0.1))))
+      val withG2 = pat.crossJoin(broadcast(p1)).withColumn("g",
+        g(col("p"), col("m1"), col("u1"), col("m2"), col("u2")))
+      val p2 = mStep(withG2).select(
+        col("p").as("p2"), col("m1").as("m1f"), col("u1").as("u1f"),
+        col("m2").as("m2f"), col("u2").as("u2f"))
+      withG2
+        .crossJoin(broadcast(p2))
+        .select(col("ag_name"), col("ag_bucket"), col("n_pairs"),
+                round(col("g"), 6).as("g2_r6"),
+                round(col("p2"), 6).as("p_r6"),
+                round(col("m1f"), 6).as("m_name_r6"),
+                round(col("u1f"), 6).as("u_name_r6"),
+                round(col("m2f"), 6).as("m_bucket_r6"),
+                round(col("u2f"), 6).as("u_bucket_r6"))
+        .orderBy(col("ag_name"), col("ag_bucket"))
     })
   )
 
@@ -136,6 +200,82 @@ object LinkageOps {
         |     CASE WHEN ag_bucket = 1 THEN ln(0.95 / u_bucket)
         |          ELSE ln(0.05 / (1 - u_bucket)) END) / ln(2.0)), 6) AS score_r6
         |FROM pat, u_name, u_nation, u_bucket
-        |ORDER BY score_r6 DESC, ag_name, ag_bucket""".stripMargin
+        |ORDER BY score_r6 DESC, ag_name, ag_bucket""".stripMargin,
+
+    "link_em_weights" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS a_key, c_name AS a_name,
+        |         c_nationkey AS a_nation, c_mktsegment AS a_seg,
+        |         floor(c_acctbal / 500.0)::BIGINT AS a_bucket
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS b_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs1'), 1, 4))::BIGINT % 10 = 0
+        |         THEN substr(c_name, 1, length(c_name) - 1) ELSE c_name END AS b_name,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS b_nation,
+        |    c_mktsegment AS b_seg,
+        |    floor((c_acctbal +
+        |      (('0x' || substr(md5(c_custkey::VARCHAR || ':fs3'), 1, 4))::BIGINT % 11 - 5))
+        |      / 500.0)::BIGINT AS b_bucket
+        |  FROM customer),
+        |pat AS (
+        |  SELECT (a_name = b_name)::INT AS ag_name,
+        |         (a_bucket = b_bucket)::INT AS ag_bucket,
+        |         count(*) AS n_pairs
+        |  FROM clean JOIN dirty
+        |    ON a_seg = b_seg AND a_nation = b_nation
+        |  GROUP BY 1, 2),
+        |r1g AS (
+        |  SELECT ag_name, ag_bucket, n_pairs,
+        |    (0.5::DOUBLE
+        |       * (CASE WHEN ag_name = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END)
+        |       * (CASE WHEN ag_bucket = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END))
+        |    / ((0.5::DOUBLE
+        |       * (CASE WHEN ag_name = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END)
+        |       * (CASE WHEN ag_bucket = 1 THEN 0.9::DOUBLE ELSE 1.0::DOUBLE - 0.9::DOUBLE END))
+        |      + ((1.0::DOUBLE - 0.5::DOUBLE)
+        |       * (CASE WHEN ag_name = 1 THEN 0.1::DOUBLE ELSE 1.0::DOUBLE - 0.1::DOUBLE END)
+        |       * (CASE WHEN ag_bucket = 1 THEN 0.1::DOUBLE ELSE 1.0::DOUBLE - 0.1::DOUBLE END)))
+        |    AS g
+        |  FROM pat),
+        |p1 AS (
+        |  SELECT sum(n_pairs * g) / sum(n_pairs) AS p,
+        |         sum(n_pairs * g * ag_name) / sum(n_pairs * g) AS m1,
+        |         sum(n_pairs * (1.0::DOUBLE - g) * ag_name)
+        |           / sum(n_pairs * (1.0::DOUBLE - g)) AS u1,
+        |         sum(n_pairs * g * ag_bucket) / sum(n_pairs * g) AS m2,
+        |         sum(n_pairs * (1.0::DOUBLE - g) * ag_bucket)
+        |           / sum(n_pairs * (1.0::DOUBLE - g)) AS u2
+        |  FROM r1g),
+        |r2g AS (
+        |  SELECT ag_name, ag_bucket, n_pairs,
+        |    (p * (CASE WHEN ag_name = 1 THEN m1 ELSE 1.0::DOUBLE - m1 END)
+        |       * (CASE WHEN ag_bucket = 1 THEN m2 ELSE 1.0::DOUBLE - m2 END))
+        |    / ((p * (CASE WHEN ag_name = 1 THEN m1 ELSE 1.0::DOUBLE - m1 END)
+        |       * (CASE WHEN ag_bucket = 1 THEN m2 ELSE 1.0::DOUBLE - m2 END))
+        |      + ((1.0::DOUBLE - p)
+        |       * (CASE WHEN ag_name = 1 THEN u1 ELSE 1.0::DOUBLE - u1 END)
+        |       * (CASE WHEN ag_bucket = 1 THEN u2 ELSE 1.0::DOUBLE - u2 END)))
+        |    AS g
+        |  FROM pat CROSS JOIN p1),
+        |p2 AS (
+        |  SELECT sum(n_pairs * g) / sum(n_pairs) AS p2,
+        |         sum(n_pairs * g * ag_name) / sum(n_pairs * g) AS m1f,
+        |         sum(n_pairs * (1.0::DOUBLE - g) * ag_name)
+        |           / sum(n_pairs * (1.0::DOUBLE - g)) AS u1f,
+        |         sum(n_pairs * g * ag_bucket) / sum(n_pairs * g) AS m2f,
+        |         sum(n_pairs * (1.0::DOUBLE - g) * ag_bucket)
+        |           / sum(n_pairs * (1.0::DOUBLE - g)) AS u2f
+        |  FROM r2g)
+        |SELECT ag_name, ag_bucket, n_pairs,
+        |       round(g, 6) AS g2_r6,
+        |       round(p2, 6) AS p_r6,
+        |       round(m1f, 6) AS m_name_r6,
+        |       round(u1f, 6) AS u_name_r6,
+        |       round(m2f, 6) AS m_bucket_r6,
+        |       round(u2f, 6) AS u_bucket_r6
+        |FROM r2g CROSS JOIN p2
+        |ORDER BY ag_name, ag_bucket""".stripMargin
   )
 }

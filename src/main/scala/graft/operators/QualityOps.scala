@@ -159,6 +159,70 @@ object QualityOps {
         .orderBy(col("event_type"))
     }),
 
+    // Schema-drift gate: two parquet snapshots of the same logical
+    // table (v2 widens o_orderkey int→bigint, drops o_orderstatus,
+    // adds o_orderpriority), drift censused from the REAL file footers
+    // on both sides — Spark reads its own schemas; the DuckDB oracle
+    // parses the same footers via parquet_schema(), so the verdicts
+    // (added/dropped/type_changed/same) are independently derived.
+    // Type equality is judged within each engine (Spark ints vs
+    // DuckDB's INT32/INT64 physical names never cross-compare).
+    // Scale: schema work is footer metadata — O(columns), zero data.
+    "dq_schema_drift" -> ((s, dir) => {
+      val v1Out = new java.io.File(
+        "target/graft_file_fixtures/dq_schema_v1").getAbsolutePath
+      val v2Out = new java.io.File(
+        "target/graft_file_fixtures/dq_schema_v2").getAbsolutePath
+      val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+      orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+                    col("o_totalprice"), col("o_orderstatus"))
+        .coalesce(1).write.mode("overwrite").parquet(v1Out)
+      orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
+                    col("o_totalprice"), col("o_orderpriority"))
+        .coalesce(1).write.mode("overwrite").parquet(v2Out)
+      val t1 = s.read.parquet(v1Out).schema.map(f => f.name -> f.dataType.sql).toMap
+      val t2 = s.read.parquet(v2Out).schema.map(f => f.name -> f.dataType.sql).toMap
+      import s.implicits._
+      (t1.keySet ++ t2.keySet).toSeq.sorted.map { c =>
+        val status = (t1.get(c), t2.get(c)) match {
+          case (None, Some(_))          => "added"
+          case (Some(_), None)          => "dropped"
+          case (Some(a), Some(b)) if a == b => "same"
+          case _                        => "type_changed"
+        }
+        (c, if (t1.contains(c)) 1 else 0, if (t2.contains(c)) 1 else 0, status)
+      }.toDF("col_name", "in_v1", "in_v2", "status")
+        .orderBy(col("col_name"))
+    }),
+
+    // Volume-anomaly gate: per (event_type, day) row volume vs the
+    // trailing-7-day window, the |z| > 2 test carried out ENTIRELY in
+    // integers (3·(7n−Σ)² > 14·(7·Σx²−Σ²) ⟺ (n−μ)² > 4σ̂² with
+    // sample variance) so both engines agree bit-for-bit — no
+    // floating-point mean/stddev whose accumulation order could
+    // diverge. Scale: one groupBy to the (type, day) grain, then
+    // windows over the tiny daily table.
+    "dq_volume_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("w_cnt", count(col("n")).over(w))
+        .withColumn("sum7", sum(col("n")).over(w))
+        .withColumn("sumsq7", sum(col("n") * col("n")).over(w))
+        .where(col("w_cnt") === 7)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+                col("n"), col("sum7"), col("sumsq7"),
+                (lit(3L) * (lit(7L) * col("n") - col("sum7")) *
+                   (lit(7L) * col("n") - col("sum7")) >
+                 lit(14L) * (lit(7L) * col("sumsq7") -
+                   col("sum7") * col("sum7"))).cast("int").as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Grain reconciliation: monthly orders vs their lineitem rollup —
     // orphaned orders (no items) and item-row mass per month. The item
     // side is reduced to (orderkey, n_items) before joining.
@@ -257,6 +321,47 @@ object QualityOps {
         |       ((global_us - max_us) // 60000000)::BIGINT AS lag_min,
         |       (((global_us - max_us) // 60000000) > 60)::INT AS stale
         |FROM per_type, g ORDER BY event_type""".stripMargin,
+
+    "dq_schema_drift" -> {
+      val v1 = new java.io.File(
+        "target/graft_file_fixtures/dq_schema_v1").getAbsolutePath
+      val v2 = new java.io.File(
+        "target/graft_file_fixtures/dq_schema_v2").getAbsolutePath
+      s"""WITH s1 AS (SELECT name, type FROM parquet_schema('$v1/*.parquet')
+         |  WHERE type IS NOT NULL),
+         |s2 AS (SELECT name, type FROM parquet_schema('$v2/*.parquet')
+         |  WHERE type IS NOT NULL),
+         |allc AS (
+         |  SELECT coalesce(s1.name, s2.name) AS col_name,
+         |         s1.type AS t1, s2.type AS t2
+         |  FROM s1 FULL JOIN s2 ON s1.name = s2.name)
+         |SELECT col_name,
+         |       (t1 IS NOT NULL)::INT AS in_v1,
+         |       (t2 IS NOT NULL)::INT AS in_v2,
+         |       CASE WHEN t1 IS NULL THEN 'added'
+         |            WHEN t2 IS NULL THEN 'dropped'
+         |            WHEN t1 = t2 THEN 'same'
+         |            ELSE 'type_changed' END AS status
+         |FROM allc ORDER BY col_name""".stripMargin
+    },
+
+    "dq_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, (ts::DATE)::VARCHAR AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(n) OVER win AS w_cnt,
+        |    sum(n) OVER win AS sum7,
+        |    sum(n * n) OVER win AS sumsq7
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, sum7::BIGINT AS sum7,
+        |       sumsq7::BIGINT AS sumsq7,
+        |       (3 * (7 * n - sum7) * (7 * n - sum7) >
+        |        14 * (7 * sumsq7 - sum7 * sum7))::INT AS anomaly
+        |FROM w WHERE w_cnt = 7 ORDER BY event_type, day""".stripMargin,
 
     "dq_reconcile_orders_items" ->
       """WITH ipo AS (

@@ -49,6 +49,99 @@ class QualityGeoSpec extends SparkSpec {
       "every lineitem row must be attributed to exactly one month")
   }
 
+  test("dq_schema_drift: footer census yields the constructed drift") {
+    val out = SparkEntry.queries("dq_schema_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Int]("in_v1"), r.getAs[Int]("in_v2"),
+          r.getAs[String]("status")))).toMap
+    assert(out == Map(
+      "o_orderkey"      -> ((1, 1, "type_changed")),
+      "o_orderpriority" -> ((0, 1, "added")),
+      "o_orderstatus"   -> ((1, 0, "dropped")),
+      "o_totalprice"    -> ((1, 1, "same"))))
+  }
+
+  test("dq_volume_anomaly: integer z-gate replays from the daily counts") {
+    val out = SparkEntry.queries("dq_volume_anomaly")(spark, sf).collect()
+    out.foreach { r =>
+      val (n, s7, sq7) = (r.getAs[Long]("n"), r.getAs[Long]("sum7"),
+        r.getAs[Long]("sumsq7"))
+      val lhs = BigInt(3) * BigInt(7 * n - s7) * BigInt(7 * n - s7)
+      val rhs = BigInt(14) * (BigInt(7) * sq7 - BigInt(s7) * s7)
+      assert((lhs > rhs) == (r.getAs[Int]("anomaly") == 1))
+    }
+    // daily grain accounting: trailing sums must come from real rows
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byType = daily.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> ks.map(_._2).toSeq.sorted
+    }
+    out.foreach { r =>
+      val (t, d) = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      val days = byType(t)
+      val i = days.indexOf(d)
+      assert(i >= 7, "gated rows must have a full 7-day trailing window")
+      val win = days.slice(i - 7, i).map(dd => daily((t, dd)))
+      assert(r.getAs[Long]("sum7") == win.sum)
+      assert(r.getAs[Long]("sumsq7") == win.map(x => x * x).sum)
+    }
+  }
+
+  test("link_em_weights: EM posteriors and weights are coherent") {
+    val out = SparkEntry.queries("link_em_weights")(spark, sf).collect()
+    // sf0.001 has no (name-agrees, bucket-differs) pair — 3 patterns
+    // there, all 4 at the gate SFs
+    assert(out.length >= 3 && out.length <= 4)
+    val byPat = out.map(r => (r.getAs[Int]("ag_name"), r.getAs[Int]("ag_bucket"))
+      -> r.getAs[Double]("g2_r6")).toMap
+    // full agreement must carry the highest match posterior, full
+    // disagreement the lowest
+    assert(byPat((1, 1)) == out.map(_.getAs[Double]("g2_r6")).max)
+    assert(byPat((0, 0)) == out.map(_.getAs[Double]("g2_r6")).min)
+    val r0 = out.head
+    assert(r0.getAs[Double]("p_r6") > 0 && r0.getAs[Double]("p_r6") < 1)
+    // each field must be MORE likely to agree under match than non-match
+    assert(r0.getAs[Double]("m_name_r6") > r0.getAs[Double]("u_name_r6"))
+    assert(r0.getAs[Double]("m_bucket_r6") > r0.getAs[Double]("u_bucket_r6"))
+  }
+
+  test("geo_grid_knn_capped: replay honors the 9-cell x K=4 cap") {
+    val out = SparkEntry.queries("geo_grid_knn_capped")(spark, sf).collect()
+    assert(out.forall(_.getAs[Long]("n_candidates") <= 36),
+      "candidate volume must be bounded by 9 cells x cap 4")
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pts = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0)).map { u =>
+        val hx = h(u.toString)
+        (u, java.lang.Long.parseLong(hx.substring(0, 4), 16),
+            java.lang.Long.parseLong(hx.substring(4, 8), 16))
+      }
+    val capped = pts.groupBy { case (_, x, y) => (x / 4096, y / 4096) }
+      .flatMap { case (_, members) =>
+        members.toSeq.sortBy { case (u, _, _) => (h(s"$u:cap"), u) }.take(4)
+      }.toSeq
+    val got = out.map(r => r.getAs[Long]("user_id") ->
+      ((r.getAs[Long]("nn_user_id"), r.getAs[Long]("dist2"),
+        r.getAs[Long]("n_candidates")))).toMap
+    pts.foreach { case (u, xi, yi) =>
+      val (cx, cy) = (xi / 4096, yi / 4096)
+      val cands = capped.filter { case (v, bx, by) =>
+        v != u && math.abs(bx / 4096 - cx) <= 1 && math.abs(by / 4096 - cy) <= 1
+      }.map { case (v, bx, by) =>
+        (v, (xi - bx) * (xi - bx) + (yi - by) * (yi - by))
+      }
+      if (cands.isEmpty) assert(!got.contains(u))
+      else assert(got(u) ==
+        ((cands.minBy { case (v, d) => (d, v) }._1,
+          cands.map(_._2).min, cands.length.toLong)), s"user $u mismatch")
+    }
+  }
+
   test("geo_grid_knn matches a brute-force replay of its grid semantics") {
     val out = SparkEntry.queries("geo_grid_knn")(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
