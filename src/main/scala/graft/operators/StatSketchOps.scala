@@ -591,6 +591,70 @@ object StatSketchOps {
     // which is the point. The contract is claimed only at sketchable
     // group sizes (n >= 32, both engines identically): below that the
     // window tests tie layout, not the sketch.
+    // A/B experimentation readout: deterministic 50/50 assignment
+    // (md5), sample-ratio-mismatch χ² gate, and a CUPED-adjusted
+    // treatment effect (Deng et al. 2013) with pooled θ. Everything
+    // flows from INTEGER sufficient statistics (cents sums, Σx, Σx²,
+    // Σxy as BIGINTs — exact in any summation order), so both engines
+    // derive bit-identical doubles; the χ² gate is e6-quantized
+    // integer arithmetic. Scale: ONE corpus scan to the (user, day)
+    // cents grain, a per-user rollup, then 1-row algebra; product
+    // magnitudes are bounded by (30 days · corpus cents)² — at true
+    // 100 TB the sums move to DECIMAL(38), same shape.
+    "stat_cuped_ab_effect" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum(cents(col("value"))).as("c"))
+      val d0 = daily.agg(min(col("d")).as("d0"))
+      val perUser = daily.crossJoin(broadcast(d0))
+        .withColumn("pre", datediff(col("d"), col("d0")) < 15)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
+             coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
+      val stats = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      stats.select(
+        col("n"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+          .as("srm_chi2_e6"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * lit(1000000L) >
+          lit(3841459L) * (col("n_a") + col("n_b"))).cast("int").as("srm_flag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("theta_r6"),
+        round(col("sy_a").cast("double") / col("n_a") -
+              col("sy_b").cast("double") / col("n_b"), 6).as("effect_raw_r6"),
+        round((col("sy_a").cast("double") / col("n_a") -
+               ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                 (col("sx_a").cast("double") / col("n_a") -
+                  col("sx").cast("double") / col("n"))) -
+              (col("sy_b").cast("double") / col("n_b") -
+               ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                 (col("sx_b").cast("double") / col("n_b") -
+                  col("sx").cast("double") / col("n"))), 6)
+          .as("effect_cuped_r6"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+               (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("var_reduction_r6"))
+    }),
+
     "stat_kll_by_type_day" -> ((s, dir) => {
       import s.implicits._
       val qsE6 = Seq(250000L, 500000L, 750000L, 950000L)
@@ -1595,6 +1659,53 @@ object StatSketchOps {
         |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
         |    AS within_rank_5pct
         |FROM r WHERE n >= 32 ORDER BY event_type, day, q_e6""".stripMargin,
+
+    "stat_cuped_ab_effect" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS d,
+        |         sum(floor(value * 100 + 0.5)::BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |pu AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN d - d0 < 15 THEN c END), 0)::BIGINT AS x,
+        |    coalesce(sum(CASE WHEN NOT (d - d0 < 15) THEN c END), 0)::BIGINT AS y
+        |  FROM daily CROSS JOIN d0 GROUP BY user_id),
+        |pa AS (
+        |  SELECT user_id, x, y,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 4))::BIGINT % 2 AS arm
+        |  FROM pu),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+        |    sum(y * y)::BIGINT AS syy,
+        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx_a,
+        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx_b,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy_a,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy_b
+        |  FROM pa)
+        |SELECT n, n_a, n_b,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT
+        |    AS srm_chi2_e6,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b))::INT
+        |    AS srm_flag,
+        |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+        |    AS theta_r6,
+        |  round(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6) AS effect_raw_r6,
+        |  round((sy_a::DOUBLE / n_a -
+        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+        |           (sx_a::DOUBLE / n_a - sx::DOUBLE / n)) -
+        |        (sy_b::DOUBLE / n_b -
+        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+        |           (sx_b::DOUBLE / n_b - sx::DOUBLE / n)), 6)
+        |    AS effect_cuped_r6,
+        |  round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+        |        ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    AS var_reduction_r6
+        |FROM st""".stripMargin,
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n

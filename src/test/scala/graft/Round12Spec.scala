@@ -70,6 +70,20 @@ class Round12Spec extends SparkSpec {
     // "tail-sort rewrite" test above
   }
 
+  test("cuped readout: books balance and the adjustment is coherent") {
+    val r = SparkEntry.queries("stat_cuped_ab_effect")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == r.getAs[Long]("n"))
+    val rho2 = r.getAs[Double]("var_reduction_r6")
+    assert(rho2 >= 0.0 && rho2 <= 1.0, "rho^2 must be a valid proportion")
+    assert(r.getAs[Long]("srm_chi2_e6") >= 0L)
+    // the flag must be exactly the e6-quantized chi-square inequality
+    // (at sf0.001's ~15 users the md5 split legitimately trips it;
+    // at the gate SFs it reads 0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert((r.getAs[Int]("srm_flag") == 1) ==
+      ((na - nb) * (na - nb) * 1000000L > 3841459L * (na + nb)))
+  }
+
   test("packed-draw helpers reproduce the legacy fragments verbatim") {
     // the resampling family's oracles replay these strings in DuckDB —
     // byte-identity is the lockstep contract
