@@ -2724,4 +2724,123 @@ object Graft {
       .select(col("phrase"), col("n_words"), col("n_occ"), col("score_e6"))
       .orderBy(col("score_e6").desc, col("phrase")).limit(k)
   }
+
+  /** One-pass expectation evaluation: each rule is a BOOLEAN violation
+    * predicate; the whole suite is a single conditional aggregation
+    * over `df` (count + one counter per rule), unpivoted to one row
+    * per rule AFTER the reduction — output is O(#rules), never
+    * O(rows). Single-sources `dq_expectation_suite`'s per-table
+    * passes. */
+  def expectationRules(df: DataFrame, tbl: String,
+      rules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Column)] = Nil): DataFrame = {
+    val predAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(pred, 1)).as(s"__v$i")
+    }
+    val uniqAggs = uniqueRules.zipWithIndex.map { case ((_, key), i) =>
+      countDistinct(key).as(s"__d$i")
+    }
+    val aggs = predAggs ++ uniqAggs :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (rules.zipWithIndex
+        .map { case ((name, _), i) => s"'$name', __v$i" } ++
+      uniqueRules.zipWithIndex
+        .map { case ((name, _), i) => s"'$name', __n - __d$i" })
+      .mkString(", ")
+    one.selectExpr(
+        s"stack(${rules.size + uniqueRules.size}, $stackArgs)" +
+          " AS (expectation, violations)",
+        "__n AS checked")
+      .select(lit(tbl).as("tbl"), col("expectation"), col("violations"),
+              col("checked"),
+              (col("violations") === 0).cast("int").as("ok"))
+  }
+
+  /** Grid-bucketed nearest neighbor over integer points: snap to a
+    * `pitch`-sized grid, join candidates through the 3×3 neighbor-cell
+    * equi keys, exact integer distances, per-point argmin in a
+    * PARTITIONED window. `cap` limits each cell to its K md5-ranked
+    * representatives on the candidate side — the spatial analog of the
+    * LSH hot-band cap: worst-case candidate volume 9K per probe
+    * regardless of skew. Single-sources `geo_grid_knn` (cap = None)
+    * and `geo_grid_knn_capped`. */
+  def gridKnn(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      pitch: Long, cap: Option[Int] = None): DataFrame = {
+    val cells = points.select(
+        col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
+      .withColumn("__cx", expr(s"__xi div $pitch"))
+      .withColumn("__cy", expr(s"__yi div $pitch"))
+    val bSide = cap.fold(cells) { k =>
+      cells.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__cx"), col("__cy"))
+            .orderBy(md5(concat(col("__id").cast("string"), lit(":cap"))),
+                     col("__id"))))
+        .where(col("__rn") <= k).drop("__rn")
+    }.select(col("__id").as("__nb"), col("__xi").as("__bxi"),
+             col("__yi").as("__byi"), col("__cx").as("__bcx"),
+             col("__cy").as("__bcy"))
+    val offs = array((-1 to 1).map(lit): _*)
+    val probes = cells
+      .withColumn("__dx", explode(offs))
+      .withColumn("__dy", explode(offs))
+      .select(col("__id"), col("__xi"), col("__yi"),
+              (col("__cx") + col("__dx")).as("__ncx"),
+              (col("__cy") + col("__dy")).as("__ncy"))
+    val cand = probes.join(bSide,
+        col("__bcx") === col("__ncx") && col("__bcy") === col("__ncy") &&
+          col("__nb") =!= col("__id"))
+      .select(col("__id"), col("__nb"),
+              ((col("__xi") - col("__bxi")) * (col("__xi") - col("__bxi")) +
+               (col("__yi") - col("__byi")) * (col("__yi") - col("__byi")))
+                .as("dist2"))
+    val w = Window.partitionBy(col("__id"))
+    cand
+      .withColumn("__rnk", row_number().over(
+        w.orderBy(col("dist2"), col("__nb"))))
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .where(col("__rnk") === 1)
+      .select(col("__id").as(idCol), col("__nb").as("nn_" + idCol),
+              col("dist2"), col("n_candidates"))
+  }
+
+  /** CUPED readout (Deng et al. 2013) from a per-unit frame of
+    * (covariate x, metric y, arm ∈ {0,1}): SRM χ² gate as an
+    * e6-quantized INTEGER inequality, pooled θ, adjusted effect and
+    * variance-reduction ratio — every double derived from exact
+    * integer sufficient statistics, so any two engines (or summation
+    * orders) agree bit-for-bit. Single-sources
+    * `stat_cuped_ab_effect`'s tail. */
+  def cupedReadout(perUnit: DataFrame, xCol: String, yCol: String,
+      armCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol); val arm = col(armCol)
+    val stats = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(when(arm === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(arm === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"),
+      sum(when(arm === 0, x).otherwise(0L)).as("sx_a"),
+      sum(when(arm === 1, x).otherwise(0L)).as("sx_b"),
+      sum(when(arm === 0, y).otherwise(0L)).as("sy_a"),
+      sum(when(arm === 1, y).otherwise(0L)).as("sy_b"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    def adj(syArm: String, sxArm: String, nArm: String) =
+      col(syArm).cast("double") / col(nArm) -
+        (num / den) * (col(sxArm).cast("double") / col(nArm) -
+                       col("sx").cast("double") / col("n"))
+    stats.select(
+      col("n"), col("n_a"), col("n_b"),
+      expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+        .as("srm_chi2_e6"),
+      ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * lit(1000000L) >
+        lit(3841459L) * (col("n_a") + col("n_b"))).cast("int").as("srm_flag"),
+      round(num / den, 6).as("theta_r6"),
+      round(col("sy_a").cast("double") / col("n_a") -
+            col("sy_b").cast("double") / col("n_b"), 6).as("effect_raw_r6"),
+      round(adj("sy_a", "sx_a", "n_a") - adj("sy_b", "sx_b", "n_b"), 6)
+        .as("effect_cuped_r6"),
+      round((num * num) / (den * deny), 6).as("var_reduction_r6"))
+  }
 }

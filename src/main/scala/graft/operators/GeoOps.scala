@@ -55,36 +55,12 @@ object GeoOps {
     // Grid-bucketed nearest neighbor: 4×4 grid (pitch 16384), candidates
     // from the 3×3 neighborhood, exact integer distance, deterministic
     // tie-break on neighbor id.
-    "geo_grid_knn" -> ((s, dir) => {
-      val cells = points(s, dir)
-        .withColumn("cx", expr("xi div 16384"))
-        .withColumn("cy", expr("yi div 16384"))
-      val probes = cells
-        .withColumn("dx", explode(offs))
-        .withColumn("dy", explode(offs))
-        .select(col("user_id"), col("xi"), col("yi"),
-                (col("cx") + col("dx")).as("ncx"),
-                (col("cy") + col("dy")).as("ncy"))
-      val b = cells.select(
-        col("user_id").as("nb"), col("xi").as("bxi"), col("yi").as("byi"),
-        col("cx").as("bcx"), col("cy").as("bcy"))
-      val cand = probes.join(b,
-          col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
-            col("nb") =!= col("user_id"))
-        .select(col("user_id"), col("nb"),
-                ((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
-                 (col("yi") - col("byi")) * (col("yi") - col("byi")))
-                  .as("dist2"))
-      val w = Window.partitionBy(col("user_id"))
-      cand
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("dist2"), col("nb"))))
-        .withColumn("n_candidates", count(lit(1)).over(w))
-        .where(col("rn") === 1)
-        .select(col("user_id"), col("nb").as("nn_user_id"), col("dist2"),
-                col("n_candidates"))
-        .orderBy(col("user_id"))
-    }),
+    // Single-sourced in Graft.gridKnn (generic over id/coordinate
+    // columns, pitch, and the optional per-cell cap).
+    "geo_grid_knn" -> ((s, dir) =>
+      graft.api.Graft.gridKnn(points(s, dir), "user_id", "xi", "yi",
+          pitch = 16384L)
+        .orderBy(col("user_id"))),
 
     // Grid kNN at 4× finer pitch (16×16) with a PER-CELL CANDIDATE CAP
     // (K = 4, md5-ranked): the worst-case candidate volume is bounded
@@ -97,41 +73,10 @@ object GeoOps {
     // bound — the oracle implements the same cap, so the trade is
     // pinned, not hidden). The cap binds at sf0.1 (≈6 points/cell mean,
     // skewed cells above K) and rarely at sf0.01 — both gates run.
-    "geo_grid_knn_capped" -> ((s, dir) => {
-      val cells = points(s, dir)
-        .withColumn("cx", expr("xi div 4096"))
-        .withColumn("cy", expr("yi div 4096"))
-      val capped = cells
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cx"), col("cy"))
-            .orderBy(md5(concat(col("user_id").cast("string"), lit(":cap"))),
-                     col("user_id"))))
-        .where(col("rn") <= 4)
-        .select(col("user_id").as("nb"), col("xi").as("bxi"),
-                col("yi").as("byi"), col("cx").as("bcx"), col("cy").as("bcy"))
-      val probes = cells
-        .withColumn("dx", explode(offs))
-        .withColumn("dy", explode(offs))
-        .select(col("user_id"), col("xi"), col("yi"),
-                (col("cx") + col("dx")).as("ncx"),
-                (col("cy") + col("dy")).as("ncy"))
-      val cand = probes.join(capped,
-          col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
-            col("nb") =!= col("user_id"))
-        .select(col("user_id"), col("nb"),
-                ((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
-                 (col("yi") - col("byi")) * (col("yi") - col("byi")))
-                  .as("dist2"))
-      val w = Window.partitionBy(col("user_id"))
-      cand
-        .withColumn("rnk", row_number().over(
-          w.orderBy(col("dist2"), col("nb"))))
-        .withColumn("n_candidates", count(lit(1)).over(w))
-        .where(col("rnk") === 1)
-        .select(col("user_id"), col("nb").as("nn_user_id"), col("dist2"),
-                col("n_candidates"))
-        .orderBy(col("user_id"))
-    }),
+    "geo_grid_knn_capped" -> ((s, dir) =>
+      graft.api.Graft.gridKnn(points(s, dir), "user_id", "xi", "yi",
+          pitch = 4096L, cap = Some(4))
+        .orderBy(col("user_id"))),
 
     // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner 1)
     // on a 16×16 grid, computed entirely on the reduced cell table.

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityOps {
 
-  private val ruleCols = Seq("tbl", "expectation", "violations", "checked")
+  private val ruleCols = Seq("tbl", "expectation", "violations", "checked", "ok")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -45,80 +45,52 @@ object QualityOps {
     // Expectation suite: uniqueness / not-null / range / domain /
     // referential rules, one row per rule with its violation count.
     "dq_expectation_suite" -> ((s, dir) => {
+      import graft.api.Graft.expectationRules
       val orders = Tables.orders(s, dir)
       val li     = Tables.lineitem(s, dir)
-      val docs   = Tables.documents(s, dir)
-      val cust   = Tables.customer(s, dir)
 
-      // One aggregation pass per table; unpivot the 1-row result.
-      val ordAgg = orders.agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("o_orderkey")).as("nd_key"),
-        count(when(col("o_custkey").isNull, 1)).as("null_cust"),
-        count(when(col("o_totalprice") < 0, 1)).as("neg_total"))
-      val ordRules = ordAgg.selectExpr(
-        """stack(3,
-           'pk_unique_o_orderkey',      n - nd_key,
-           'not_null_o_custkey',        null_cust,
-           'range_o_totalprice_nonneg', neg_total) AS (expectation, violations)""",
-        "n AS checked").withColumn("tbl", lit("orders"))
-
-      val liAgg = li.agg(
-        count(lit(1)).as("n"),
-        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
-          .as("disc_viol"),
-        count(when(col("l_quantity") <= 0, 1)).as("qty_viol"),
-        count(when(!col("l_returnflag").isin("A", "N", "R"), 1))
-          .as("flag_viol"))
-      val liRules = liAgg.selectExpr(
-        """stack(3,
-           'range_l_discount_0_1',   disc_viol,
-           'range_l_quantity_pos',   qty_viol,
-           'domain_l_returnflag',    flag_viol) AS (expectation, violations)""",
-        "n AS checked").withColumn("tbl", lit("lineitem"))
-
-      val docAgg = docs.agg(
-        count(lit(1)).as("n"),
-        count(when(col("text").isNull || trim(col("text")) === "", 1))
-          .as("blank_text"),
-        count(when(col("n_chars") < 0, 1)).as("neg_chars"))
-      val docRules = docAgg.selectExpr(
-        """stack(2,
-           'not_blank_text',   blank_text,
-           'nonneg_n_chars',   neg_chars) AS (expectation, violations)""",
-        "n AS checked").withColumn("tbl", lit("documents"))
-
-      val custRules = cust
-        .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nd"))
-        .select(lit("pk_unique_c_custkey").as("expectation"),
-                (col("n") - col("nd")).as("violations"), col("n").as("checked"))
-        .withColumn("tbl", lit("customer"))
+      // One aggregation pass per table (Graft.expectationRules:
+      // violation predicates + uniqueness keys folded into a single
+      // conditional aggregate, unpivoted after reduction).
+      val ordRules = expectationRules(orders, "orders",
+        Seq("not_null_o_custkey"        -> col("o_custkey").isNull,
+            "range_o_totalprice_nonneg" -> (col("o_totalprice") < 0)),
+        Seq("pk_unique_o_orderkey"      -> col("o_orderkey")))
+      val liRules = expectationRules(li, "lineitem",
+        Seq("range_l_discount_0_1" ->
+              (col("l_discount") < 0 || col("l_discount") > 1),
+            "range_l_quantity_pos" -> (col("l_quantity") <= 0),
+            "domain_l_returnflag"  -> !col("l_returnflag").isin("A", "N", "R")))
+      val docRules = expectationRules(Tables.documents(s, dir), "documents",
+        Seq("not_blank_text" -> (col("text").isNull || trim(col("text")) === ""),
+            "nonneg_n_chars" -> (col("n_chars") < 0)))
+      val custRules = expectationRules(Tables.customer(s, dir), "customer",
+        Nil, Seq("pk_unique_c_custkey" -> col("c_custkey")))
 
       // Referential integrity: project to keys before the anti join so
-      // only key columns shuffle; the `checked` denominator reuses the
-      // table's rule-pass 1-row aggregate instead of a second scan.
+      // only key columns shuffle; the `checked` denominator re-derives
+      // from the table's rule rows instead of a second count scan.
       def fkViolations(fact: DataFrame, factKey: String,
-                       dim: DataFrame, dimKey: String,
-                       checkedOf: DataFrame): DataFrame = {
+                       dim: DataFrame, dimKey: String, tbl: String,
+                       name: String, checkedOf: DataFrame): DataFrame = {
         val orphans = fact.select(col(factKey))
           .join(dim.select(col(dimKey)).distinct(),
                 col(factKey) === col(dimKey), "left_anti")
           .agg(count(lit(1)).as("violations"))
-        checkedOf.select(col("n").as("checked")).crossJoin(orphans)
+        checkedOf.agg(max(col("checked")).as("checked")).crossJoin(orphans)
+          .select(lit(tbl).as("tbl"), lit(name).as("expectation"),
+                  col("violations"), col("checked"),
+                  (col("violations") === 0).cast("int").as("ok"))
       }
-      val fkOrders = fkViolations(orders, "o_custkey", cust, "c_custkey", ordAgg)
-        .select(lit("fk_o_custkey_customer").as("expectation"),
-                col("violations"), col("checked"))
-        .withColumn("tbl", lit("orders"))
-      val fkItems = fkViolations(li, "l_orderkey", orders, "o_orderkey", liAgg)
-        .select(lit("fk_l_orderkey_orders").as("expectation"),
-                col("violations"), col("checked"))
-        .withColumn("tbl", lit("lineitem"))
+      val fkOrders = fkViolations(orders, "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders",
+        "fk_o_custkey_customer", ordRules)
+      val fkItems = fkViolations(li, "l_orderkey", orders, "o_orderkey",
+        "lineitem", "fk_l_orderkey_orders", liRules)
 
       Seq(ordRules, liRules, docRules, custRules, fkOrders, fkItems)
         .map(_.select(ruleCols.head, ruleCols.tail: _*))
         .reduce(_ unionByName _)
-        .withColumn("ok", (col("violations") === 0).cast("int"))
         .orderBy(col("tbl"), col("expectation"))
     }),
 

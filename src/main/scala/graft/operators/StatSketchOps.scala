@@ -614,45 +614,8 @@ object StatSketchOps {
         .withColumn("arm",
           conv(substring(md5(concat(col("user_id").cast("string"),
             lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
-      val stats = perUser.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
-        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
-        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
-        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
-      stats.select(
-        col("n"), col("n_a"), col("n_b"),
-        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
-          .as("srm_chi2_e6"),
-        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * lit(1000000L) >
-          lit(3841459L) * (col("n_a") + col("n_b"))).cast("int").as("srm_flag"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
-          .as("theta_r6"),
-        round(col("sy_a").cast("double") / col("n_a") -
-              col("sy_b").cast("double") / col("n_b"), 6).as("effect_raw_r6"),
-        round((col("sy_a").cast("double") / col("n_a") -
-               ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-                 (col("sx_a").cast("double") / col("n_a") -
-                  col("sx").cast("double") / col("n"))) -
-              (col("sy_b").cast("double") / col("n_b") -
-               ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-                 (col("sx_b").cast("double") / col("n_b") -
-                  col("sx").cast("double") / col("n"))), 6)
-          .as("effect_cuped_r6"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
-               (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
-              ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
-          .as("var_reduction_r6"))
+      // readout tail single-sourced in Graft.cupedReadout
+      graft.api.Graft.cupedReadout(perUser, "x", "y", "arm")
     }),
 
     "stat_kll_by_type_day" -> ((s, dir) => {

@@ -376,4 +376,62 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_docs")).toMap
     assert(viaApi == viaQuery)
   }
+
+  test("expectationRules on a synthetic frame counts violations exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), "a"), (2L, None, "b"), (3L, Some(-5L), "b"),
+      (3L, Some(7L), ""), (4L, Some(0L), "c")
+    ).toDF("id", "v", "s")
+    val out = Graft.expectationRules(df, "t",
+      Seq("not_null_v" -> col("v").isNull,
+          "nonneg_v"   -> (col("v") < 0),
+          "not_blank_s" -> (trim(col("s")) === "")),
+      Seq("pk_unique_id" -> col("id"))).collect()
+      .map(r => r.getAs[String]("expectation") ->
+        ((r.getAs[Long]("violations"), r.getAs[Long]("checked"),
+          r.getAs[Int]("ok")))).toMap
+    assert(out("not_null_v")   == ((1L, 5L, 0)))
+    assert(out("nonneg_v")     == ((1L, 5L, 0)))
+    assert(out("not_blank_s")  == ((1L, 5L, 0)))
+    assert(out("pk_unique_id") == ((1L, 5L, 0)), "5 rows, 4 distinct ids")
+  }
+
+  test("gridKnn on a hand grid: capped and uncapped candidate sets") {
+    import spark.implicits._
+    // pitch 10: cells (0,0): p1(1,1) p2(2,2) p3(9,9); cell (1,1): p4(11,11)
+    // far point p5(95,95) has no neighbor within its 3x3 cells
+    val pts = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 9L, 9L),
+                  (4L, 11L, 11L), (5L, 95L, 95L))
+      .toDF("id", "x", "y")
+    val out = Graft.gridKnn(pts, "id", "x", "y", pitch = 10L).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Long]("dist2"),
+          r.getAs[Long]("n_candidates")))).toMap
+    assert(out(1L) == ((2L, 2L, 3L)))   // (1,1)->(2,2): dist2 = 2
+    assert(out(2L) == ((1L, 2L, 3L)))
+    assert(out(3L) == ((4L, 8L, 3L)))   // (9,9)->(11,11): dist2 = 8
+    assert(out(4L) == ((3L, 8L, 3L)))
+    assert(!out.contains(5L), "isolated point has no grid candidates")
+    // cap = 1: each cell contributes its single md5-ranked representative
+    val capped = Graft.gridKnn(pts, "id", "x", "y", pitch = 10L, cap = Some(1))
+      .collect()
+    assert(capped.forall(_.getAs[Long]("n_candidates") <= 9L))
+  }
+
+  test("cupedReadout: perfectly correlated covariate removes all variance") {
+    import spark.implicits._
+    // y = 2x exactly, no treatment effect; arms split 3/3
+    val df = Seq((10L, 20L, 0L), (20L, 40L, 0L), (30L, 60L, 0L),
+                 (12L, 24L, 1L), (22L, 44L, 1L), (32L, 64L, 1L))
+      .toDF("x", "y", "arm")
+    val r = Graft.cupedReadout(df, "x", "y", "arm").collect().head
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_a") == 3)
+    assert(r.getAs[Int]("srm_flag") == 0)
+    assert(math.abs(r.getAs[Double]("theta_r6") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_reduction_r6") - 1.0) < 1e-6)
+    // raw effect -4 (arm b shifted +2 in x, +4 in y); CUPED removes it
+    assert(math.abs(r.getAs[Double]("effect_raw_r6") + 4.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("effect_cuped_r6")) < 1e-6)
+  }
 }
