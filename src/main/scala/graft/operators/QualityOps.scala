@@ -131,6 +131,40 @@ object QualityOps {
         .orderBy(col("event_type"))
     }),
 
+    // Row-level quarantine routing — the per-row complement of the
+    // suite: a deterministically-dirtied feed (md5 draws flip ~2% of
+    // totals negative, null ~1% of custkeys, blank ~1% of priorities)
+    // has its violating rows ROUTED OUT with the list of failed rules,
+    // the split every ingestion pipeline puts in front of the lake
+    // (clean rows continue, quarantine gets human eyes). One scan,
+    // rule predicates evaluated map-side, output only the violators.
+    "dq_quarantine_rules" -> ((s, dir) => {
+      def draw(salt: String) =
+        conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit(salt))), 1, 4), 16, 10).cast("long")
+      val feed = Tables.orders(s, dir)
+        .withColumn("o_totalprice",
+          when(draw(":q1") % 50 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_custkey",
+          when(draw(":q2") % 100 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderpriority",
+          when(draw(":q3") % 100 === 0, lit(" "))
+            .otherwise(col("o_orderpriority")))
+      feed
+        .withColumn("violated", concat_ws(",",
+          when(col("o_custkey").isNull, lit("not_null_o_custkey")),
+          when(col("o_totalprice") < 0, lit("range_o_totalprice_nonneg")),
+          when(trim(col("o_orderpriority")) === "",
+               lit("not_blank_o_orderpriority"))))
+        .where(col("violated") =!= "")
+        .select(col("o_orderkey"), col("violated"),
+                (size(split(col("violated"), ",")))
+                  .cast("long").as("n_violations"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Schema-drift gate: two parquet snapshots of the same logical
     // table (v2 widens o_orderkey int→bigint, drops o_orderstatus,
     // adds o_orderpriority), drift censused from the REAL file footers
@@ -293,6 +327,28 @@ object QualityOps {
         |       ((global_us - max_us) // 60000000)::BIGINT AS lag_min,
         |       (((global_us - max_us) // 60000000) > 60)::INT AS stale
         |FROM per_type, g ORDER BY event_type""".stripMargin,
+
+    "dq_quarantine_rules" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':q1'), 1, 4))::BIGINT % 50 = 0
+        |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':q2'), 1, 4))::BIGINT % 100 = 0
+        |         THEN NULL ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':q3'), 1, 4))::BIGINT % 100 = 0
+        |         THEN ' ' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_orderkey,
+        |    concat_ws(',',
+        |      CASE WHEN o_custkey IS NULL THEN 'not_null_o_custkey' END,
+        |      CASE WHEN o_totalprice < 0 THEN 'range_o_totalprice_nonneg' END,
+        |      CASE WHEN trim(o_orderpriority) = '' THEN 'not_blank_o_orderpriority' END)
+        |      AS violated
+        |  FROM feed)
+        |SELECT o_orderkey, violated,
+        |       len(string_split(violated, ','))::BIGINT AS n_violations
+        |FROM v WHERE violated <> '' ORDER BY o_orderkey""".stripMargin,
 
     "dq_schema_drift" -> {
       val v1 = new java.io.File(

@@ -49,6 +49,17 @@ class QualityGeoSpec extends SparkSpec {
       "every lineitem row must be attributed to exactly one month")
   }
 
+  test("dq_quarantine_rules: violated list is consistent and non-empty") {
+    val out = SparkEntry.queries("dq_quarantine_rules")(spark, sf).collect()
+    assert(out.nonEmpty, "the md5-dirtied feed must route some rows out")
+    out.foreach { r =>
+      val rules = r.getAs[String]("violated").split(",")
+      assert(rules.nonEmpty && rules.forall(Set("not_null_o_custkey",
+        "range_o_totalprice_nonneg", "not_blank_o_orderpriority")))
+      assert(rules.length.toLong == r.getAs[Long]("n_violations"))
+    }
+  }
+
   test("dq_schema_drift: footer census yields the constructed drift") {
     val out = SparkEntry.queries("dq_schema_drift")(spark, sf).collect()
       .map(r => r.getAs[String]("col_name") ->
