@@ -67,6 +67,10 @@ object LinkageOps {
         (col("a_key") === col("b_key")).cast("int").as("is_true"))
       .groupBy(col("ag_name"), col("ag_nation"), col("ag_bucket"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"))
+      // lineage pin (r11 verdict #6 discipline): the EM consumer reads
+      // this ≤8-row table three times — un-pinned, each read re-runs
+      // the blocked join
+      .localCheckpoint(false)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -605,6 +605,9 @@ object StatSketchOps {
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(sum(cents(col("value"))).as("c"))
+        // lineage pin: d0 and the per-user rollup both consume this
+        // |users|·|days| digest — un-pinned, each re-scans the corpus
+        .localCheckpoint(false)
       val d0 = daily.agg(min(col("d")).as("d0"))
       val perUser = daily.crossJoin(broadcast(d0))
         .withColumn("pre", datediff(col("d"), col("d0")) < 15)
