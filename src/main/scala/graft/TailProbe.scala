@@ -19,9 +19,11 @@ object TailProbe {
         spark.conf.set("spark.graft.tailSortSinglePartition", flag.toString)
         val p = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
-        val ex  = p.sliding(9).count(_ == "Exchange ")
-        val sp  = p.sliding(25).count(_ == "Exchange SinglePartition")
-        val rp  = p.sliding(26).count(_ == "Exchange rangepartitioning")
+        def occurrences(needle: String) =
+          p.sliding(needle.length).count(_ == needle)
+        val ex  = occurrences("Exchange ")
+        val sp  = occurrences("Exchange SinglePartition")
+        val rp  = occurrences("Exchange rangepartitioning")
         println(s"[tail] $name flag=$flag exchanges=$ex sp=$sp range=$rp")
         println(p.linesIterator.take(12).map("    " + _).mkString("\n"))
       }

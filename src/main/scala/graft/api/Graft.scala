@@ -837,14 +837,6 @@ object Graft {
       .withColumn("keep", (col("reason") === "ok").cast("int"))
   }
 
-  /** Byte-balanced output sharding by GLOBAL running sum in `idCol`
-    * order — the canonical two-pass distributed prefix sum (Spark has
-    * no scalable global window): range-partition on the sort key,
-    * per-partition totals → running offsets on the numParts-row table
-    * (the only single-partition window), then a pid-PARTITIONED window
-    * + broadcast offset join. Output (idCol, n_bytes, cum_bytes, shard)
-    * is invariant to the sampled range boundaries. Same pattern yields
-    * scalable global row_number / ntile. */
   /** Packed deterministic draws — the resampling family's scale idiom
     * (r10 verdict #3, codified per r11 verdict #7): draw b ∈ [0, B) for
     * a row is a fixed-width hex slice of one of a FEW md5 columns
@@ -874,6 +866,14 @@ object Graft {
     s"substring(CASE WHEN b < $perCol THEN h0 ELSE h1 END, " +
       s"(b % $perCol) * $hexWidth + 1, $hexWidth)"
 
+  /** Byte-balanced output sharding by GLOBAL running sum in `idCol`
+    * order — the canonical two-pass distributed prefix sum (Spark has
+    * no scalable global window): range-partition on the sort key,
+    * per-partition totals → running offsets on the numParts-row table
+    * (the only single-partition window), then a pid-PARTITIONED window
+    * + broadcast offset join. Output (idCol, n_bytes, cum_bytes, shard)
+    * is invariant to the sampled range boundaries. Same pattern yields
+    * scalable global row_number / ntile. */
   def shardByBytes(df: DataFrame, idCol: String, bytesCol: String,
                    targetBytes: Long, numParts: Int = 8): DataFrame = {
     val parts = df
@@ -2734,6 +2734,8 @@ object Graft {
   def expectationRules(df: DataFrame, tbl: String,
       rules: Seq[(String, Column)],
       uniqueRules: Seq[(String, Column)] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueRules.nonEmpty,
+      "expectationRules: at least one rule or uniqueness key is required")
     val predAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       count(when(pred, 1)).as(s"__v$i")
     }
@@ -2766,10 +2768,18 @@ object Graft {
     * and `geo_grid_knn_capped`. */
   def gridKnn(points: DataFrame, idCol: String, xCol: String, yCol: String,
       pitch: Long, cap: Option[Int] = None): DataFrame = {
+    require(pitch > 0, s"gridKnn: pitch must be positive, got $pitch")
+    // FLOOR division (integer-exact, signed-safe): `div` truncates
+    // toward zero, which would double-width the cell at the origin for
+    // callers with negative coordinates and diverge from the standard
+    // grid definition (and the DuckDB `//` oracle replay)
+    // (c - pmod(c, p)) is exactly divisible by p, so truncating `div`
+    // equals floor division — all-integer, no double round-trip
+    def cellOf(c: String) = expr(s"($c - pmod($c, $pitch)) div $pitch")
     val cells = points.select(
         col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
-      .withColumn("__cx", expr(s"__xi div $pitch"))
-      .withColumn("__cy", expr(s"__yi div $pitch"))
+      .withColumn("__cx", cellOf("__xi"))
+      .withColumn("__cy", cellOf("__yi"))
     val bSide = cap.fold(cells) { k =>
       cells.withColumn("__rn", row_number().over(
           Window.partitionBy(col("__cx"), col("__cy"))

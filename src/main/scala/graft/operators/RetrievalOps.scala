@@ -171,42 +171,10 @@ object RetrievalOps {
     * the streaming index-maintenance monitor. JSON doubles round-trip
     * exactly (shortest-representation printing), so the streamed
     * vectors are bit-identical to the batch-side cast. */
-  private def embBatchFixtureDir(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(12).map(b => f"$b%02x").mkString
-    val root = Paths.get(s"target/graft_stream_fixtures/emb_batches_$tag")
-    val sentinel = root.resolve(".complete")
-    if (!Files.exists(sentinel)) {
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        if (f.exists && !f.delete())
-          sys.error(s"fixture wipe failed: ${f.getPath}")
-      }
-      wipe(root.toFile)
-      Files.createDirectories(root)
-      val nt = graft.api.Graft.globalNtile(
-        corpus(s, dir), 4, "batch", col("vec_id"))
-      (1 to 4).foreach { k =>
-        val tmp = root.resolve(s"tmp_b$k")
-        nt.filter(col("batch") === k).select(col("vec_id"), col("v"))
-          .coalesce(1).write.json(tmp.toString)
-        val listing = Files.list(tmp)
-        val part = try {
-          listing.filter(p => p.getFileName.toString.startsWith("part-"))
-            .findFirst.get
-        } finally listing.close()
-        Files.move(part, root.resolve(f"b$k%02d.json"))
-        wipe(tmp.toFile)
-        root.resolve(f"b$k%02d.json").toFile
-          .setLastModified(1700000000000L + k * 60000L): Unit
-      }
-      Files.write(sentinel, Array.emptyByteArray)
-    }
-    root.toString
-  }
+  // single-sourced 4-batch fixture recipe (see StreamingOps scaladoc)
+  private def embBatchFixtureDir(s: SparkSession, dir: String): String =
+    graft.streaming.StreamingOps.ntileBatchFixtureDir(dir, "emb_batches",
+      corpus(s, dir).select(col("vec_id"), col("v")), "vec_id")
 
   /** The IVF recall/cost curve over nprobe ∈ 1..4 — (nprobe, n_hits,
     * recall_e6, scanned_e6), 4 rows. Shared by ann_nprobe_recall_curve

@@ -72,26 +72,38 @@ object StreamingOps {
     * order. Written by Spark jobs (filter + coalesce(1) per batch) —
     * no driver-side row materialization. Keyed per data dir; sentinel-
     * idempotent like t4FixtureDir. */
-  private[graft] def docsBatchFixtureDir(s: SparkSession, dir: String): String = {
+  private[graft] def docsBatchFixtureDir(s: SparkSession, dir: String): String =
+    ntileBatchFixtureDir(dir, "docs_batches",
+      graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id")
+
+  /** Shared 4-batch JSON fixture recipe (single-sourced for the docs
+    * and embeddings streams): ntile(4) by `orderCol` — the exact
+    * assignment the DuckDB oracles replay — one coalesced JSON file
+    * per batch with strictly ascending mtimes so the file source
+    * drains in batch order; written by Spark jobs, no driver-side row
+    * materialization; sentinel-idempotent. Tag = SHA-256 of the FULL
+    * canonical data path (r9 advice): a 32-bit String.hashCode
+    * collision between two data dirs would silently serve one dir's
+    * micro-batches to the other's query. */
+  private[graft] def ntileBatchFixtureDir(dir: String, name: String,
+      src: => org.apache.spark.sql.DataFrame, orderCol: String): String = {
     import java.nio.file.{Files, Paths}
-    // Tag = SHA-256 of the FULL canonical path (r9 advice): a 32-bit
-    // String.hashCode collision between two data dirs would silently
-    // serve one dir's micro-batches to the other's query.
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(Paths.get(dir).toAbsolutePath.normalize.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map(b => f"$b%02x").mkString
-    val root = Paths.get(s"target/graft_stream_fixtures/docs_batches_$tag")
+    val root = Paths.get(s"target/graft_stream_fixtures/${name}_$tag")
     val sentinel = root.resolve(".complete")
     if (!Files.exists(sentinel)) {
       deleteRecursively(root.toFile)
       Files.createDirectories(root)
-      val nt = graft.api.Graft.globalNtile(
-        graft.Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        4, "batch", col("doc_id"))
+      val persisted = src
+      val nt = graft.api.Graft.globalNtile(persisted, 4, "batch", col(orderCol))
       (1 to 4).foreach { k =>
         val tmp = root.resolve(s"tmp_b$k")
-        nt.filter(col("batch") === k).select(col("doc_id"), col("text"))
+        nt.filter(col("batch") === k)
+          .select(persisted.columns.map(col).toSeq: _*)
           .coalesce(1).write.json(tmp.toString)
         val listing = Files.list(tmp) // stream MUST be closed (fd leak per batch)
         val part = try {
