@@ -567,6 +567,49 @@ object LayoutOps {
     // One aggregate per candidate over the same scan, all-BIGINT; the
     // advisor table is 3 rows. At 100 TB this IS the query you run
     // before committing a layout, on a sample or full pass.
+    // JOIN-CARDINALITY estimation advisor — the statistic a 100 TB
+    // optimizer needs BEFORE running a join it cannot afford to get
+    // wrong: |A⋈B| = Σ_k f_A(k)·f_B(k) on a non-FK skewed join
+    // (events.user_id ⋈ orders.o_custkey — only custkeys < |users|
+    // match, frequencies are uneven). Three methods side by side:
+    // exact (the frequency join itself — affordable here because both
+    // sides are REDUCED to per-key counts first, so the join moves
+    // |keys| rows, never data rows), the uniformity assumption
+    // nA·nB / max(dA, dB) (what a naive optimizer assumes — its error
+    // IS the lesson), and a hash-coordinated 1/8 key sample (md5-
+    // sampled keys are sampled on BOTH sides by construction, the
+    // end-biased-sample fix that makes join sampling work at all;
+    // scale-up ×8). All integer arithmetic.
+    "layout_join_card_advisor" -> ((s, dir) => {
+      val fa = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("fa"))
+      val fb = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("fb"))
+      val perKey = fa.join(fb, "k")
+        .select(col("k"), (col("fa") * col("fb")).as("fab"))
+        .withColumn("sampled",
+          (conv(substring(md5(concat(col("k").cast("string"), lit(":jc"))),
+            1, 4), 16, 10).cast("long") % 8 === 0).cast("int"))
+      val totals = fa.agg(sum(col("fa")).as("na"),
+                          count(lit(1)).as("da"))
+        .crossJoin(fb.agg(sum(col("fb")).as("nb"), count(lit(1)).as("db")))
+      val agg = perKey.agg(
+        sum(col("fab")).as("exact"),
+        (sum(col("fab") * col("sampled")) * lit(8L)).as("sampled_est"))
+        .crossJoin(broadcast(totals))
+      agg.select(
+          lit("exact").as("method"), col("exact").as("est"), col("exact"))
+        .unionByName(agg.select(
+          lit("uniform").as("method"),
+          expr("na * nb div greatest(da, db)").as("est"), col("exact")))
+        .unionByName(agg.select(
+          lit("hash_sample_8x").as("method"),
+          col("sampled_est").as("est"), col("exact")))
+        .withColumn("rel_err_e6",
+          expr("abs(est - exact) * 1000000 div exact"))
+        .orderBy(col("method"))
+    }),
+
     "layout_partition_skew_advisor" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def profile(name: String, key: Column): DataFrame =
@@ -700,6 +743,32 @@ object LayoutOps {
         |    ORDER BY pert_e6 DESC, source) AS rank FROM p)
         |SELECT rank::BIGINT AS rank, source, pert_e6
         |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    "layout_join_card_advisor" ->
+      """WITH fa AS (SELECT user_id AS k, count(*) AS fa FROM events GROUP BY 1),
+        |fb AS (SELECT o_custkey AS k, count(*) AS fb FROM orders GROUP BY 1),
+        |pk AS (
+        |  SELECT fa.k, fa * fb AS fab,
+        |    (('0x' || substr(md5(fa.k::VARCHAR || ':jc'), 1, 4))::BIGINT % 8 = 0)::INT
+        |      AS sampled
+        |  FROM fa JOIN fb ON fa.k = fb.k),
+        |tot AS (
+        |  SELECT (SELECT sum(fa) FROM fa) AS na, (SELECT count(*) FROM fa) AS da,
+        |         (SELECT sum(fb) FROM fb) AS nb, (SELECT count(*) FROM fb) AS db),
+        |ag AS (
+        |  SELECT sum(fab)::BIGINT AS exact,
+        |         (sum(fab * sampled) * 8)::BIGINT AS sampled_est
+        |  FROM pk),
+        |m AS (
+        |  SELECT 'exact' AS method, exact AS est, exact FROM ag
+        |  UNION ALL
+        |  SELECT 'uniform', (na * nb // greatest(da, db))::BIGINT, exact
+        |  FROM ag, tot
+        |  UNION ALL
+        |  SELECT 'hash_sample_8x', sampled_est, exact FROM ag)
+        |SELECT method, est, exact,
+        |       (abs(est - exact) * 1000000 // exact)::BIGINT AS rel_err_e6
+        |FROM m ORDER BY method""".stripMargin,
 
     "privacy_rr_frequency" ->
       """WITH ev AS (
