@@ -2736,6 +2736,14 @@ object Graft {
       uniqueRules: Seq[(String, Column)] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueRules.nonEmpty,
       "expectationRules: at least one rule or uniqueness key is required")
+    // rule names are spliced into a selectExpr stack() as '$name' — a
+    // quote or other SQL metacharacter would break parsing or silently
+    // alter the expression on this public facade (r12 advice), so
+    // names are restricted to identifier characters up front
+    (rules ++ uniqueRules).foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"expectationRules: rule name must match [A-Za-z0-9_]+: '$name'")
+    }
     val predAggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       count(when(pred, 1)).as(s"__v$i")
     }
@@ -2821,18 +2829,37 @@ object Graft {
     * orders) agree bit-for-bit. Single-sources
     * `stat_cuped_ab_effect`'s tail. */
   def cupedReadout(perUnit: DataFrame, xCol: String, yCol: String,
-      armCol: String): DataFrame = {
-    val x = col(xCol); val y = col(yCol); val arm = col(armCol)
-    val stats = perUnit.agg(
+      armCol: String): DataFrame =
+    cupedReadoutBy(perUnit, xCol, yCol, armCol, Nil)
+
+  /** [[cupedReadout]] at a grouped grain — one CUPED/CUPAC row per
+    * stratum (`byCols`), each stratum's θ fitted from its OWN exact
+    * sufficient statistics. The cross-products accumulate in
+    * DECIMAL(38,0), not BIGINT (r12 advice): non-ANSI BIGINT products
+    * wrap SILENTLY on overflow while the DuckDB oracle errors loudly —
+    * decimal is exact up to 10³⁸ (any product of two longs fits), and
+    * past that Spark yields NULL, which fails the gate loudly instead
+    * of emitting a plausible-but-wrong θ. Single-sources
+    * `stat_cupac_stratified`. */
+  def cupedReadoutBy(perUnit: DataFrame, xCol: String, yCol: String,
+      armCol: String, byCols: Seq[String]): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val arm = col(armCol)
+    val zero = lit(0L).cast("decimal(38,0)")
+    val aggs = Seq(
       count(lit(1)).as("n"),
       sum(when(arm === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(arm === 1, 1L).otherwise(0L)).as("n_b"),
       sum(x).as("sx"), sum(y).as("sy"),
       sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"),
-      sum(when(arm === 0, x).otherwise(0L)).as("sx_a"),
-      sum(when(arm === 1, x).otherwise(0L)).as("sx_b"),
-      sum(when(arm === 0, y).otherwise(0L)).as("sy_a"),
-      sum(when(arm === 1, y).otherwise(0L)).as("sy_b"))
+      sum(when(arm === 0, x).otherwise(zero)).as("sx_a"),
+      sum(when(arm === 1, x).otherwise(zero)).as("sx_b"),
+      sum(when(arm === 0, y).otherwise(zero)).as("sy_a"),
+      sum(when(arm === 1, y).otherwise(zero)).as("sy_b"))
+    val stats =
+      if (byCols.isEmpty) perUnit.agg(aggs.head, aggs.tail: _*)
+      else perUnit.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -2840,7 +2867,7 @@ object Graft {
       col(syArm).cast("double") / col(nArm) -
         (num / den) * (col(sxArm).cast("double") / col(nArm) -
                        col("sx").cast("double") / col("n"))
-    stats.select(
+    stats.select(byCols.map(col) ++ Seq(
       col("n"), col("n_a"), col("n_b"),
       expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
         .as("srm_chi2_e6"),
@@ -2851,6 +2878,6 @@ object Graft {
             col("sy_b").cast("double") / col("n_b"), 6).as("effect_raw_r6"),
       round(adj("sy_a", "sx_a", "n_a") - adj("sy_b", "sx_b", "n_b"), 6)
         .as("effect_cuped_r6"),
-      round((num * num) / (den * deny), 6).as("var_reduction_r6"))
+      round((num * num) / (den * deny), 6).as("var_reduction_r6")): _*)
   }
 }

@@ -605,8 +605,12 @@ object LayoutOps {
         .unionByName(agg.select(
           lit("hash_sample_8x").as("method"),
           col("sampled_est").as("est"), col("exact")))
+        // greatest(exact, 1): on a degenerate fixture where no key
+        // matches (exact = 0) Spark's div yields NULL while DuckDB's
+        // // raises — guard the denominator identically in both
+        // engines (r12 advice)
         .withColumn("rel_err_e6",
-          expr("abs(est - exact) * 1000000 div exact"))
+          expr("abs(est - exact) * 1000000 div greatest(exact, 1)"))
         .orderBy(col("method"))
     }),
 
@@ -767,7 +771,8 @@ object LayoutOps {
         |  UNION ALL
         |  SELECT 'hash_sample_8x', sampled_est, exact FROM ag)
         |SELECT method, est, exact,
-        |       (abs(est - exact) * 1000000 // exact)::BIGINT AS rel_err_e6
+        |       (abs(est - exact) * 1000000 // greatest(exact, 1))::BIGINT
+        |         AS rel_err_e6
         |FROM m ORDER BY method""".stripMargin,
 
     "privacy_rr_frequency" ->

@@ -39,6 +39,48 @@ object QualityOps {
 
   private val ruleCols = Seq("tbl", "expectation", "violations", "checked", "ok")
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    if (f.exists && !f.delete())
+      sys.error(s"could not delete fixture path: $f")
+  }
+
+  /** SHA-tagged, sentinel-idempotent parquet fixture pair for the
+    * schema-drift gate (r12 advice: the untagged fixed path was
+    * overwritten on every invocation, so concurrent gate runs over
+    * different data dirs could race the oracle's footer read). Tag =
+    * SHA-256 of the canonical data dir, the ntileBatchFixtureDir
+    * recipe; written once, never rewritten. The DuckDB oracle globs
+    * ALL tag dirs with DISTINCT — sound because the fixture SCHEMA is
+    * data-dir-invariant by construction (fixed columns, fixed casts),
+    * and the schema is the only thing either engine reads. */
+  private[graft] def schemaDriftFixtureDirs(
+      s: SparkSession, dir: String): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+    val root = new java.io.File(
+      s"target/graft_file_fixtures/dq_schema_drift_$tag").getAbsoluteFile
+    val sentinel = root.toPath.resolve(".complete")
+    val v1 = root.toPath.resolve("v1").toString
+    val v2 = root.toPath.resolve("v2").toString
+    if (!Files.exists(sentinel)) {
+      deleteRecursively(root)
+      Files.createDirectories(root.toPath)
+      val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+      orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+                    col("o_totalprice"), col("o_orderstatus"))
+        .coalesce(1).write.mode("overwrite").parquet(v1)
+      orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
+                    col("o_totalprice"), col("o_orderpriority"))
+        .coalesce(1).write.mode("overwrite").parquet(v2)
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    (v1, v2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
@@ -100,6 +142,10 @@ object QualityOps {
       val orders = Tables.orders(s, dir)
       val stringCols = Set("o_orderstatus", "o_orderpriority")
       val cols = orders.columns.toSeq
+      // same splice guard as Graft.expectationRules (r12 advice): the
+      // column names land inside a selectExpr stack() as '$c'
+      cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+        s"dq_null_profile: column name must match [A-Za-z0-9_]+: '$c'"))
       val aggs = cols.flatMap { c =>
         Seq(count(when(col(c).isNull, 1)).as(s"null_$c"),
             (if (stringCols(c))
@@ -175,17 +221,7 @@ object QualityOps {
     // DuckDB's INT32/INT64 physical names never cross-compare).
     // Scale: schema work is footer metadata — O(columns), zero data.
     "dq_schema_drift" -> ((s, dir) => {
-      val v1Out = new java.io.File(
-        "target/graft_file_fixtures/dq_schema_v1").getAbsolutePath
-      val v2Out = new java.io.File(
-        "target/graft_file_fixtures/dq_schema_v2").getAbsolutePath
-      val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
-      orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
-                    col("o_totalprice"), col("o_orderstatus"))
-        .coalesce(1).write.mode("overwrite").parquet(v1Out)
-      orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
-                    col("o_totalprice"), col("o_orderpriority"))
-        .coalesce(1).write.mode("overwrite").parquet(v2Out)
+      val (v1Out, v2Out) = schemaDriftFixtureDirs(s, dir)
       val t1 = s.read.parquet(v1Out).schema.map(f => f.name -> f.dataType.sql).toMap
       val t2 = s.read.parquet(v2Out).schema.map(f => f.name -> f.dataType.sql).toMap
       import s.implicits._
@@ -351,13 +387,18 @@ object QualityOps {
         |FROM v WHERE violated <> '' ORDER BY o_orderkey""".stripMargin,
 
     "dq_schema_drift" -> {
-      val v1 = new java.io.File(
-        "target/graft_file_fixtures/dq_schema_v1").getAbsolutePath
-      val v2 = new java.io.File(
-        "target/graft_file_fixtures/dq_schema_v2").getAbsolutePath
-      s"""WITH s1 AS (SELECT name, type FROM parquet_schema('$v1/*.parquet')
+      // glob over ALL tag dirs + DISTINCT: every tag's fixture schema is
+      // identical by construction (see schemaDriftFixtureDirs), and the
+      // schema is the only thing this oracle reads
+      val base = new java.io.File(
+        "target/graft_file_fixtures").getAbsolutePath
+      val v1 = s"$base/dq_schema_drift_*/v1"
+      val v2 = s"$base/dq_schema_drift_*/v2"
+      s"""WITH s1 AS (SELECT DISTINCT name, type
+         |  FROM parquet_schema('$v1/*.parquet')
          |  WHERE type IS NOT NULL),
-         |s2 AS (SELECT name, type FROM parquet_schema('$v2/*.parquet')
+         |s2 AS (SELECT DISTINCT name, type
+         |  FROM parquet_schema('$v2/*.parquet')
          |  WHERE type IS NOT NULL),
          |allc AS (
          |  SELECT coalesce(s1.name, s2.name) AS col_name,

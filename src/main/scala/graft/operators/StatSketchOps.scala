@@ -1645,13 +1645,13 @@ object StatSketchOps {
         |  SELECT count(*)::BIGINT AS n,
         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
-        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
-        |    sum(y * y)::BIGINT AS syy,
-        |    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx_a,
-        |    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx_b,
-        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy_a,
-        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy_b
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+        |    sum(y::HUGEINT * y) AS syy,
+        |    sum((CASE WHEN arm = 0 THEN x ELSE 0 END)::HUGEINT) AS sx_a,
+        |    sum((CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT) AS sx_b,
+        |    sum((CASE WHEN arm = 0 THEN y ELSE 0 END)::HUGEINT) AS sy_a,
+        |    sum((CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT) AS sy_b
         |  FROM pa)
         |SELECT n, n_a, n_b,
         |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT

@@ -98,7 +98,10 @@ object StreamingOps {
     if (!Files.exists(sentinel)) {
       deleteRecursively(root.toFile)
       Files.createDirectories(root)
-      val persisted = src
+      // cache the source across the ntile shuffle + 4 filtered batch
+      // writes (r12 advice: the binding existed but never persisted, so
+      // each write recomputed the source and its global-ntile shuffle)
+      val persisted = src.persist()
       val nt = graft.api.Graft.globalNtile(persisted, 4, "batch", col(orderCol))
       (1 to 4).foreach { k =>
         val tmp = root.resolve(s"tmp_b$k")
@@ -115,6 +118,7 @@ object StreamingOps {
         deleteRecursively(tmp.toFile)
         dest.toFile.setLastModified(1700000000000L + k * 60000L): Unit
       }
+      persisted.unpersist()
       Files.write(sentinel, Array.emptyByteArray)
     }
     root.toString
