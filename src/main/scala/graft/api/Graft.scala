@@ -2788,6 +2788,60 @@ object Graft {
         col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
       .withColumn("__cx", cellOf("__xi"))
       .withColumn("__cy", cellOf("__yi"))
+    gridKnnFromCells(cells, idCol, cap)
+  }
+
+  /** [[gridKnn]] with the pitch DERIVED from a cell-occupancy target
+    * instead of hand-chosen (r12 verdict #1: a fixed pitch is
+    * density-quadratic — candidate volume is n·9ρ and ρ grows linearly
+    * with input at fixed pitch, so a human must re-choose the constant
+    * at every scale-up). One count picks the COARSEST power-of-two
+    * pitch from the ladder whose mean occupancy n·pitch²/span² stays
+    * ≤ `targetOccupancy` — the dedup_minhash_band_tuning shape: the
+    * layout knob is measured from the data, never assumed. The pick is
+    * a 1-row broadcast scalar (pure integer inequality, no logs, no
+    * floats), so the whole derivation stays inside the plan — no
+    * driver-side collect. With occupancy bounded, candidate volume is
+    * ≤ 9·targetOccupancy per probe in EXPECTATION at any n; worst-case
+    * skew is still unbounded (md5 coordinates are uniform here) — the
+    * capped variant remains the adversarial hard bound. The ladder
+    * spans the full coordinate space (pitch 1 ⇒ span² cells), so no
+    * input density within the space can outgrow it. Output carries the
+    * chosen `pitch` as a constant column. */
+  def gridKnnAutoPitch(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, span: Long = 65536L, targetOccupancy: Long = 8L,
+      cap: Option[Int] = None): DataFrame = {
+    require(span > 0 && (span & (span - 1)) == 0,
+      s"gridKnnAutoPitch: span must be a positive power of two, got $span")
+    require(targetOccupancy > 0,
+      s"gridKnnAutoPitch: targetOccupancy must be positive")
+    val s = points.sparkSession
+    val ladder = s.createDataFrame(
+        Iterator.iterate(span / 4)(_ / 2).takeWhile(_ >= 1L)
+          .map(Tuple1(_)).toSeq)
+      .toDF("pitch")
+    val n = points.agg(count(lit(1)).as("__n"))
+    // coarsest pitch with n·pitch² ≤ target·span² (⇔ mean occupancy ≤
+    // target); n ≤ span² by pigeonhole on distinct points, so pitch=1
+    // always qualifies and the coalesce floor never binds on real input
+    val pick = ladder.crossJoin(n)
+      .where(col("__n") * col("pitch") * col("pitch") <=
+             lit(targetOccupancy * span * span))
+      .agg(coalesce(max(col("pitch")), lit(1L)).as("pitch"))
+    val cells = points.select(
+        col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
+      .crossJoin(broadcast(pick))
+      .withColumn("__cx", expr("(__xi - pmod(__xi, pitch)) div pitch"))
+      .withColumn("__cy", expr("(__yi - pmod(__yi, pitch)) div pitch"))
+    gridKnnFromCells(cells, idCol, cap, carry = Seq("pitch"))
+  }
+
+  /** Shared tail of the grid-kNN family: 3×3 neighbor-cell candidate
+    * join, exact integer distances, per-point argmin in a PARTITIONED
+    * window. `cells` carries __id/__xi/__yi/__cx/__cy (+ any `carry`
+    * columns, constant per input, echoed on the output). */
+  private def gridKnnFromCells(cells: DataFrame, idCol: String,
+      cap: Option[Int], carry: Seq[String] = Nil): DataFrame = {
     val bSide = cap.fold(cells) { k =>
       cells.withColumn("__rn", row_number().over(
           Window.partitionBy(col("__cx"), col("__cy"))
@@ -2801,24 +2855,25 @@ object Graft {
     val probes = cells
       .withColumn("__dx", explode(offs))
       .withColumn("__dy", explode(offs))
-      .select(col("__id"), col("__xi"), col("__yi"),
+      .select(Seq(col("__id"), col("__xi"), col("__yi"),
               (col("__cx") + col("__dx")).as("__ncx"),
-              (col("__cy") + col("__dy")).as("__ncy"))
+              (col("__cy") + col("__dy")).as("__ncy")) ++
+              carry.map(col): _*)
     val cand = probes.join(bSide,
         col("__bcx") === col("__ncx") && col("__bcy") === col("__ncy") &&
           col("__nb") =!= col("__id"))
-      .select(col("__id"), col("__nb"),
+      .select(Seq(col("__id"), col("__nb"),
               ((col("__xi") - col("__bxi")) * (col("__xi") - col("__bxi")) +
                (col("__yi") - col("__byi")) * (col("__yi") - col("__byi")))
-                .as("dist2"))
+                .as("dist2")) ++ carry.map(col): _*)
     val w = Window.partitionBy(col("__id"))
     cand
       .withColumn("__rnk", row_number().over(
         w.orderBy(col("dist2"), col("__nb"))))
       .withColumn("n_candidates", count(lit(1)).over(w))
       .where(col("__rnk") === 1)
-      .select(col("__id").as(idCol), col("__nb").as("nn_" + idCol),
-              col("dist2"), col("n_candidates"))
+      .select(Seq(col("__id").as(idCol), col("__nb").as("nn_" + idCol),
+              col("dist2"), col("n_candidates")) ++ carry.map(col): _*)
   }
 
   /** CUPED readout (Deng et al. 2013) from a per-unit frame of
