@@ -91,6 +91,45 @@ object GeoOps {
           pitch = 4096L, cap = Some(4))
         .orderBy(col("user_id"))),
 
+    // Per-user trajectory summary (r12 verdict #5): each EVENT gets a
+    // deterministic md5(event_id) point, ordered by (ts, event_id)
+    // within user; path length = Σ consecutive L1 steps, net
+    // displacement = L1(first, last), tortuosity = path·1e6 div
+    // max(net, 1). L1 (Manhattan) keeps every distance an EXACT
+    // BIGINT — the module's no-floating-point-geometry discipline
+    // extends to sequences. Plan shape: ONE shuffle on user_id; the
+    // lag window, the first/last full-frame window, and the per-user
+    // rollup all share that partitioning (sort-within-group only —
+    // never a global sort), so the op costs one exchange at any scale.
+    "geo_trajectory_l1" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                md5(col("event_id").cast("string")).as("h"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+                conv(substring(col("h"), 1, 4), 16, 10).cast("long").as("xi"),
+                conv(substring(col("h"), 5, 4), 16, 10).cast("long").as("yi"))
+        .withColumn("px", lag(col("xi"), 1).over(ord))
+        .withColumn("py", lag(col("yi"), 1).over(ord))
+        .withColumn("fx", first(col("xi")).over(full))
+        .withColumn("fy", first(col("yi")).over(full))
+        .withColumn("lx", last(col("xi")).over(full))
+        .withColumn("ly", last(col("yi")).over(full))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+             coalesce(sum(abs(col("xi") - col("px")) +
+                          abs(col("yi") - col("py"))), lit(0L))
+               .as("path_len_l1"),
+             (abs(max(col("lx")) - max(col("fx"))) +
+              abs(max(col("ly")) - max(col("fy")))).as("net_disp_l1"))
+        .withColumn("tortuosity_e6",
+          expr("path_len_l1 * 1000000 div greatest(net_disp_l1, 1)"))
+        .orderBy(col("user_id"))
+    }),
+
     // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner 1)
     // on a 16×16 grid, computed entirely on the reduced cell table.
     "geo_heatmap_smooth" -> ((s, dir) => {
@@ -185,6 +224,34 @@ object GeoOps {
         |  FROM cand)
         |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
         |FROM rk WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+
+    "geo_trajectory_l1" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(event_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, xi, yi,
+        |         lag(xi) OVER w AS px, lag(yi) OVER w AS py,
+        |         first_value(xi) OVER w2 AS fx, first_value(yi) OVER w2 AS fy,
+        |         last_value(xi) OVER w2 AS lx, last_value(yi) OVER w2 AS ly
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)),
+        |agg AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_points,
+        |         coalesce(sum(abs(xi - px) + abs(yi - py)), 0)::BIGINT
+        |           AS path_len_l1,
+        |         (abs(max(lx) - max(fx)) + abs(max(ly) - max(fy)))::BIGINT
+        |           AS net_disp_l1
+        |  FROM st GROUP BY user_id)
+        |SELECT user_id, n_points, path_len_l1, net_disp_l1,
+        |       (path_len_l1 * 1000000 // greatest(net_disp_l1, 1))::BIGINT
+        |         AS tortuosity_e6
+        |FROM agg ORDER BY user_id""".stripMargin,
 
     "geo_heatmap_smooth" ->
       """WITH p AS (
