@@ -598,9 +598,10 @@ object StatSketchOps {
     // Σxy as BIGINTs — exact in any summation order), so both engines
     // derive bit-identical doubles; the χ² gate is e6-quantized
     // integer arithmetic. Scale: ONE corpus scan to the (user, day)
-    // cents grain, a per-user rollup, then 1-row algebra; product
-    // magnitudes are bounded by (30 days · corpus cents)² — at true
-    // 100 TB the sums move to DECIMAL(38), same shape.
+    // cents grain, a per-user rollup, then 1-row algebra; since r13
+    // the cross-products accumulate in DECIMAL(38,0) (r12 advice —
+    // exact for any product of two longs, NULL-loud past 10³⁸, never
+    // a silent BIGINT wrap) with the oracle in HUGEINT.
     "stat_cuped_ab_effect" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), to_date(col("ts")).as("d"))
@@ -619,6 +620,42 @@ object StatSketchOps {
             lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
       // readout tail single-sourced in Graft.cupedReadout
       graft.api.Graft.cupedReadout(perUser, "x", "y", "arm")
+    }),
+
+    // CUPAC-style stratified adjustment (r12 verdict #3): the CUPED
+    // readout at a GROUPED grain — unit is (user, event_type), stratum
+    // is the event_type, and each stratum fits its OWN θ from its own
+    // exact sufficient statistics (Graft.cupedReadoutBy — the same
+    // DECIMAL(38,0) integer-statistic discipline, so every stratum row
+    // is bit-identical across engines; SRM χ² gate inherited per
+    // stratum). This is the production follow-on to the single-θ
+    // readout: when pre-period behavior predicts the metric
+    // differently per segment, a per-stratum θ strictly dominates the
+    // pooled one (Deng et al. 2013 §5; CUPAC generalizes the covariate
+    // to any pre-experiment predictor). The pooled cross-stratum
+    // effect is a trivial 5-row weighted reduction the consumer does —
+    // deliberately NOT emitted here, because summing the per-stratum
+    // doubles in a fixed order is the consumer's presentation choice,
+    // not an engine artifact. Plan: one scan to the (user, type, day)
+    // grain, one rollup to (user, type), one grouped aggregate — the
+    // stratum key rides the SAME shuffle the rollup already pays.
+    "stat_cupac_stratified" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(cents(col("value"))).as("c"))
+        .localCheckpoint(false)
+      val d0 = daily.agg(min(col("d")).as("d0"))
+      val perUnit = daily.crossJoin(broadcast(d0))
+        .withColumn("pre", datediff(col("d"), col("d0")) < 15)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
+             coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
+      graft.api.Graft.cupedReadoutBy(perUnit, "x", "y", "arm",
+          Seq("event_type"))
+        .orderBy(col("event_type"))
     }),
 
     "stat_kll_by_type_day" -> ((s, dir) => {
@@ -1672,6 +1709,55 @@ object StatSketchOps {
         |        ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
         |    AS var_reduction_r6
         |FROM st""".stripMargin,
+
+    // the CUPED tail per event_type stratum — HUGEINT statistics, same
+    // double algebra as stat_cuped_ab_effect at the grouped grain
+    "stat_cupac_stratified" ->
+      """WITH daily AS (
+        |  SELECT user_id, event_type, ts::DATE AS d,
+        |         sum(floor(value * 100 + 0.5)::BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |d0 AS (SELECT min(d) AS d0 FROM daily),
+        |pu AS (
+        |  SELECT user_id, event_type,
+        |    coalesce(sum(CASE WHEN d - d0 < 15 THEN c END), 0)::BIGINT AS x,
+        |    coalesce(sum(CASE WHEN NOT (d - d0 < 15) THEN c END), 0)::BIGINT AS y
+        |  FROM daily CROSS JOIN d0 GROUP BY user_id, event_type),
+        |pa AS (
+        |  SELECT user_id, event_type, x, y,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 4))::BIGINT % 2 AS arm
+        |  FROM pu),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+        |    sum(y::HUGEINT * y) AS syy,
+        |    sum((CASE WHEN arm = 0 THEN x ELSE 0 END)::HUGEINT) AS sx_a,
+        |    sum((CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT) AS sx_b,
+        |    sum((CASE WHEN arm = 0 THEN y ELSE 0 END)::HUGEINT) AS sy_a,
+        |    sum((CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT) AS sy_b
+        |  FROM pa GROUP BY event_type)
+        |SELECT event_type, n, n_a, n_b,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT
+        |    AS srm_chi2_e6,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b))::INT
+        |    AS srm_flag,
+        |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+        |    AS theta_r6,
+        |  round(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6) AS effect_raw_r6,
+        |  round((sy_a::DOUBLE / n_a -
+        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+        |           (sx_a::DOUBLE / n_a - sx::DOUBLE / n)) -
+        |        (sy_b::DOUBLE / n_b -
+        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+        |           (sx_b::DOUBLE / n_b - sx::DOUBLE / n)), 6)
+        |    AS effect_cuped_r6,
+        |  round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+        |        ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    AS var_reduction_r6
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
