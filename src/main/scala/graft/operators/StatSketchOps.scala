@@ -658,6 +658,49 @@ object StatSketchOps {
         .orderBy(col("event_type"))
     }),
 
+    // The t-digest at the SAME (event_type, day) grain the KLL query
+    // proved (r12 verdict #7): many small digests merging across the
+    // exchange is precisely where the levelless merge earns its keep —
+    // ~150 O(δ) digests per day-grain instead of the corpus sorting
+    // per group. TDigestAgg is reused UNCHANGED (δ = 200, the corpus-
+    // grain query's construction); the composite key rides as one
+    // groupByKey string, the KllAgg discipline. Contract: the same
+    // windowed-rank ±5%·n claim at sketchable group sizes (n ≥ 32) —
+    // at 50-90 rows/group a ±2% window is sub-row, so the tail-
+    // tightness claim stays with the corpus-grain query where n
+    // affords it. DuckDB's approx_quantile (itself t-digest-backed)
+    // checks its own exact ranks — each engine audits its own sketch.
+    "stat_tdigest_by_type_day" -> ((s, dir) => {
+      import s.implicits._
+      val qsE6 = Seq(250000L, 500000L, 750000L, 950000L)
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+                cents(col("value")).as("cents"))
+      val est = d
+        .select(concat_ws("|", col("event_type"), col("day")).as("k"),
+                col("cents"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.TDigestAgg(200, qsE6).toColumn.name("ests"))
+        .toDF("k", "ests")
+        .select(split(col("k"), "[|]").getItem(0).as("event_type"),
+                split(col("k"), "[|]").getItem(1).as("day"),
+                posexplode(col("ests")).as(Seq("qi", "est")))
+        .withColumn("q_e6", element_at(typedLit(qsE6), col("qi") + 1))
+        .select(col("event_type"), col("day"), col("q_e6"), col("est"))
+      d.join(broadcast(est), Seq("event_type", "day"))
+        .groupBy(col("event_type"), col("day"), col("q_e6"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("rank_lt"),
+             sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("rank_le"))
+        .filter(col("n") >= 32)
+        .select(col("event_type"), col("day"), col("q_e6"), col("n"),
+          (col("q_e6") * col("n") >= col("rank_lt") * 1000000L - col("n") * 50000L &&
+           col("q_e6") * col("n") <= col("rank_le") * 1000000L + col("n") * 50000L)
+            .cast("int").as("within_rank_5pct"))
+        .orderBy(col("event_type"), col("day"), col("q_e6"))
+    }),
+
     "stat_kll_by_type_day" -> ((s, dir) => {
       import s.implicits._
       val qsE6 = Seq(250000L, 500000L, 750000L, 950000L)
@@ -1640,6 +1683,29 @@ object StatSketchOps {
         |   AND q_e6 * n <= rank_le * 1000000 + n * 20000)::INT
         |    AS within_rank_2pct
         |FROM r ORDER BY event_type, q_e6""".stripMargin,
+
+    // the t-digest contract at the (event_type, day) grain — same
+    // engine-audits-own-sketch recipe as the KLL twin
+    "stat_tdigest_by_type_day" ->
+      """WITH d AS (SELECT event_type, (ts::DATE)::VARCHAR AS day,
+        |    floor(value * 100 + 0.5)::BIGINT AS cents FROM events),
+        |qs AS (SELECT event_type, day,
+        |    approx_quantile(cents, [0.25, 0.5, 0.75, 0.95]::FLOAT[]) AS ests
+        |  FROM d GROUP BY event_type, day),
+        |est AS (SELECT event_type, day,
+        |    unnest([250000, 500000, 750000, 950000]) AS q_e6,
+        |    unnest(ests) AS est
+        |  FROM qs),
+        |r AS (SELECT d.event_type, d.day, q_e6, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN cents < est THEN 1 ELSE 0 END)::BIGINT AS rank_lt,
+        |    sum(CASE WHEN cents <= est THEN 1 ELSE 0 END)::BIGINT AS rank_le
+        |  FROM d JOIN est USING (event_type, day)
+        |  GROUP BY d.event_type, d.day, q_e6)
+        |SELECT event_type, day, q_e6::BIGINT AS q_e6, n,
+        |  (q_e6 * n >= rank_lt * 1000000 - n * 50000
+        |   AND q_e6 * n <= rank_le * 1000000 + n * 50000)::INT
+        |    AS within_rank_5pct
+        |FROM r WHERE n >= 32 ORDER BY event_type, day, q_e6""".stripMargin,
 
     // the KLL contract at the (event_type, day) grain
     "stat_kll_by_type_day" ->
