@@ -579,7 +579,10 @@ object LayoutOps {
     // IS the lesson), and a hash-coordinated 1/8 key sample (md5-
     // sampled keys are sampled on BOTH sides by construction, the
     // end-biased-sample fix that makes join sampling work at all;
-    // scale-up ×8). All integer arithmetic.
+    // scale-up ×8). All integer arithmetic. The exact pass here is the
+    // family's CALIBRATION YARDSTICK (binary case, |keys|-row cost);
+    // the deployable statistics-only variant an optimizer consumes at
+    // 100 TB is layout_join_card_chain below.
     "layout_join_card_advisor" -> ((s, dir) => {
       val fa = Tables.events(s, dir)
         .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("fa"))
@@ -611,6 +614,103 @@ object LayoutOps {
         // engines (r12 advice)
         .withColumn("rel_err_e6",
           expr("abs(est - exact) * 1000000 div greatest(exact, 1)"))
+        .orderBy(col("method"))
+    }),
+
+    // STATISTICS-ONLY 3-way join-cardinality chain (r12 verdict #4):
+    // estimate |events ⋈ orders ⋈ lineitem| (user_id→o_custkey,
+    // o_orderkey→l_orderkey) WITHOUT ever executing the join — the
+    // statistic an optimizer consumes at 100 TB, where the exact pass
+    // of layout_join_card_advisor (kept as the labeled calibration
+    // yardstick for the binary case) is unaffordable. Three estimators
+    // over per-key FREQUENCY TABLES, never data rows:
+    //  - freq_histogram: Σ_orders fE(o_custkey)·fL(o_orderkey) — one
+    //    pass over the MIDDLE relation joined to the two REDUCED freq
+    //    tables (shuffle volume |keys|, exact-by-construction for an
+    //    equi chain; the self-calibration of the family).
+    //  - mcv_top8_uniform_tail: what a catalog actually persists —
+    //    each side keeps its 8 most-common values exactly (ties
+    //    key-asc) and models the tail as uniform with the System-R
+    //    max-d discipline (avg_e6 = n_tail·1e6 div max(d_tail_build,
+    //    d_tail_probe) — the probe side's tail distinct count caps the
+    //    per-key expectation, the Postgres eqjoinsel shape; dividing
+    //    by the build side alone would hand every absent probe key the
+    //    full tail average and overcount ~d_probe/d_build ×). Probes
+    //    are two ≤8-row broadcast maps; the residual error vs the
+    //    histogram is the method's documented honesty gap.
+    //    Contributions quantized e6, identically in both engines.
+    //  - uniform: System-R containment composed across the chain —
+    //    nE·nO div max(dE,dOc), then ·nL div max(dOk,dLk); its error
+    //    vs the histogram is the lesson.
+    // All BIGINT; at true 100 TB the Σf·f sums move to DECIMAL(38),
+    // same shape.
+    "layout_join_card_chain" -> ((s, dir) => {
+      val fe = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("f"))
+      val fl = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("f"))
+      val ord = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+      import org.apache.spark.sql.expressions.Window
+      def mcv(ft: DataFrame): DataFrame = ft
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("f").desc, col("k"))))
+        .where(col("rn") <= 8).drop("rn")
+      def stats(ft: DataFrame): DataFrame =
+        ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
+      // tail average per System-R max-d: n_tail / max(d_tail_build,
+      // d_tail_probe), probe tail = the middle relation's distinct
+      // keys minus its MCV hits (approximated as md — the ≤8 MCVs)
+      def tail(st: DataFrame, m: DataFrame, probeD: DataFrame): DataFrame =
+        st.crossJoin(m.agg(
+            coalesce(sum(col("f")), lit(0L)).as("mn"),
+            count(lit(1)).as("md")))
+          .crossJoin(probeD)
+          .select((col("n") - col("mn")).as("n_tail"),
+                  (col("d") - col("md")).as("d_tail"),
+                  (col("pd") - col("md")).as("d_tail_probe"))
+          .select(expr(
+            "n_tail * 1000000 div greatest(greatest(d_tail, d_tail_probe), 1)")
+            .as("avg_e6"))
+      val (me, ml) = (mcv(fe), mcv(fl))
+      val (se, sl) = (stats(fe), stats(fl))
+      val soD = ord.agg(countDistinct(col("o_custkey")).as("pdc"),
+                        countDistinct(col("o_orderkey")).as("pdk"))
+      val hist = ord
+        .join(fe.select(col("k").as("ek"), col("f").as("fe")),
+              col("o_custkey") === col("ek"))
+        .join(fl.select(col("k").as("lk"), col("f").as("fl")),
+              col("o_orderkey") === col("lk"))
+        .agg(coalesce(sum(col("fe") * col("fl")), lit(0L)).as("est"))
+      val mcvEst = ord
+        .join(broadcast(me.select(col("k").as("ek"), col("f").as("fe"))),
+              col("o_custkey") === col("ek"), "left")
+        .join(broadcast(ml.select(col("k").as("lk"), col("f").as("fl"))),
+              col("o_orderkey") === col("lk"), "left")
+        .crossJoin(broadcast(tail(se, me, soD.select(col("pdc").as("pd")))
+          .select(col("avg_e6").as("ave"))))
+        .crossJoin(broadcast(tail(sl, ml, soD.select(col("pdk").as("pd")))
+          .select(col("avg_e6").as("avl"))))
+        .select(expr(
+          "(coalesce(fe * 1000000, ave) * coalesce(fl * 1000000, avl))" +
+          " div 1000000").as("c_e6"))
+        .agg(expr("coalesce(sum(c_e6), 0) div 1000000").as("est"))
+      val so = ord.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("dc"),
+        countDistinct(col("o_orderkey")).as("dk"))
+      val uni = se.select(col("n").as("ne"), col("d").as("de"))
+        .crossJoin(so)
+        .crossJoin(sl.select(col("n").as("nl"), col("d").as("dl")))
+        .select(expr(
+          "(ne * n div greatest(greatest(de, dc), 1)) * nl" +
+          " div greatest(greatest(dk, dl), 1)").as("est"))
+      val rows = hist.select(lit("freq_histogram").as("method"), col("est"))
+        .unionByName(mcvEst.select(
+          lit("mcv_top8_uniform_tail").as("method"), col("est")))
+        .unionByName(uni.select(lit("uniform").as("method"), col("est")))
+      rows.crossJoin(broadcast(hist.select(col("est").as("hist_est"))))
+        .withColumn("rel_err_vs_hist_e6",
+          expr("abs(est - hist_est) * 1000000 div greatest(hist_est, 1)"))
+        .drop("hist_est")
         .orderBy(col("method"))
     }),
 
@@ -774,6 +874,59 @@ object LayoutOps {
         |       (abs(est - exact) * 1000000 // greatest(exact, 1))::BIGINT
         |         AS rel_err_e6
         |FROM m ORDER BY method""".stripMargin,
+
+    "layout_join_card_chain" ->
+      """WITH fe AS (SELECT user_id AS k, count(*)::BIGINT AS f
+        |  FROM events GROUP BY 1),
+        |fl AS (SELECT l_orderkey AS k, count(*)::BIGINT AS f
+        |  FROM lineitem GROUP BY 1),
+        |ord AS (SELECT o_custkey, o_orderkey FROM orders),
+        |hist AS (
+        |  SELECT coalesce(sum(fe.f * fl.f), 0)::BIGINT AS est
+        |  FROM ord JOIN fe ON fe.k = o_custkey
+        |           JOIN fl ON fl.k = o_orderkey),
+        |se AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fe),
+        |sl AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fl),
+        |mcve AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fe)
+        |  WHERE rn <= 8),
+        |mcvl AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fl)
+        |  WHERE rn <= 8),
+        |sod AS (SELECT count(DISTINCT o_custkey)::BIGINT AS pdc,
+        |               count(DISTINCT o_orderkey)::BIGINT AS pdk FROM ord),
+        |ave AS (SELECT ((se.n - coalesce((SELECT sum(f) FROM mcve), 0)) * 1000000
+        |          // greatest(greatest(
+        |               se.d - (SELECT count(*) FROM mcve),
+        |               sod.pdc - (SELECT count(*) FROM mcve)), 1))::BIGINT
+        |          AS ave FROM se, sod),
+        |avl AS (SELECT ((sl.n - coalesce((SELECT sum(f) FROM mcvl), 0)) * 1000000
+        |          // greatest(greatest(
+        |               sl.d - (SELECT count(*) FROM mcvl),
+        |               sod.pdk - (SELECT count(*) FROM mcvl)), 1))::BIGINT
+        |          AS avl FROM sl, sod),
+        |mcv_est AS (
+        |  SELECT (coalesce(sum(
+        |      (coalesce(me.f * 1000000, ave) * coalesce(ml.f * 1000000, avl))
+        |        // 1000000), 0) // 1000000)::BIGINT AS est
+        |  FROM ord LEFT JOIN mcve me ON me.k = o_custkey
+        |           LEFT JOIN mcvl ml ON ml.k = o_orderkey
+        |           CROSS JOIN ave CROSS JOIN avl),
+        |so AS (SELECT count(*)::BIGINT AS n,
+        |              count(DISTINCT o_custkey)::BIGINT AS dc,
+        |              count(DISTINCT o_orderkey)::BIGINT AS dk FROM ord),
+        |uni AS (
+        |  SELECT ((se.n * so.n // greatest(greatest(se.d, so.dc), 1)) * sl.n
+        |          // greatest(greatest(so.dk, sl.d), 1))::BIGINT AS est
+        |  FROM se, so, sl),
+        |m AS (
+        |  SELECT 'freq_histogram' AS method, est FROM hist
+        |  UNION ALL SELECT 'mcv_top8_uniform_tail', est FROM mcv_est
+        |  UNION ALL SELECT 'uniform', est FROM uni)
+        |SELECT method, m.est AS est,
+        |       (abs(m.est - hist.est) * 1000000 // greatest(hist.est, 1))::BIGINT
+        |         AS rel_err_vs_hist_e6
+        |FROM m CROSS JOIN hist ORDER BY method""".stripMargin,
 
     "privacy_rr_frequency" ->
       """WITH ev AS (
