@@ -81,6 +81,67 @@ object QualityOps {
     (v1, v2)
   }
 
+  private val ordersStringCols = Set("o_orderstatus", "o_orderpriority")
+
+  /** One-pass per-column null/blank census: a single conditional
+    * aggregate over the full width, unpivoted to (col_name, n_null,
+    * n_blank, n) AFTER the 1-row reduction — the wide data never
+    * shuffles. Single-sources dq_null_profile and both sides of
+    * dq_profile_drift. */
+  private def nullProfile(df: DataFrame, stringCols: Set[String]): DataFrame = {
+    val cols = df.columns.toSeq
+    // splice guard (r12 advice): the column names land inside a
+    // selectExpr stack() as '$c'
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"nullProfile: column name must match [A-Za-z0-9_]+: '$c'"))
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"null_$c"),
+          (if (stringCols(c))
+             count(when(trim(col(c)) === "", 1))
+           else lit(0L)).as(s"blank_$c"))
+    } :+ count(lit(1)).as("n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', null_$c, blank_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_blank)",
+      "n")
+  }
+
+  /** SHA-tagged, sentinel-idempotent snapshot of the PRIOR ingest
+    * run's null/blank profile (the md5-degraded orders feed) — the
+    * drift memory dq_profile_drift diffs against. Content is
+    * data-dir-dependent, hence per-dir tagging AND a closed-form
+    * oracle replay instead of a glob. */
+  private[graft] def profileSnapshotDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+    val root = new java.io.File(
+      s"target/graft_file_fixtures/dq_profile_prior_$tag").getAbsoluteFile
+    val sentinel = root.toPath.resolve(".complete")
+    val out = root.toPath.resolve("profile").toString
+    if (!Files.exists(sentinel)) {
+      deleteRecursively(root)
+      Files.createDirectories(root.toPath)
+      def draw(salt: String) =
+        conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit(salt))), 1, 4), 16, 10).cast("long")
+      val priorFeed = Tables.orders(s, dir)
+        .withColumn("o_custkey",
+          when(draw(":pd1") % 25 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderpriority",
+          when(draw(":pd2") % 50 === 0, lit(" "))
+            .otherwise(col("o_orderpriority")))
+      nullProfile(priorFeed, ordersStringCols)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
@@ -137,28 +198,48 @@ object QualityOps {
     }),
 
     // Per-column null/blank profile of orders: one scan, one 1-row
-    // aggregate, row-wise unpivot after reduction.
-    "dq_null_profile" -> ((s, dir) => {
-      val orders = Tables.orders(s, dir)
-      val stringCols = Set("o_orderstatus", "o_orderpriority")
-      val cols = orders.columns.toSeq
-      // same splice guard as Graft.expectationRules (r12 advice): the
-      // column names land inside a selectExpr stack() as '$c'
-      cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
-        s"dq_null_profile: column name must match [A-Za-z0-9_]+: '$c'"))
-      val aggs = cols.flatMap { c =>
-        Seq(count(when(col(c).isNull, 1)).as(s"null_$c"),
-            (if (stringCols(c))
-               count(when(trim(col(c)) === "", 1))
-             else lit(0L)).as(s"blank_$c"))
-      } :+ count(lit(1)).as("n")
-      val one = orders.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c => s"'$c', null_$c, blank_$c").mkString(", ")
-      one.selectExpr(
-          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_blank)",
-          "n")
+    // aggregate, row-wise unpivot after reduction (nullProfile).
+    "dq_null_profile" -> ((s, dir) =>
+      nullProfile(Tables.orders(s, dir), ordersStringCols)
         .select(col("col_name"), col("n_null"), col("n_blank"),
                 expr("n_null * 1000000 div n").as("null_rate_e6"))
+        .orderBy(col("col_name"))),
+
+    // Cross-run drift memory (r12 verdict #8): the production follow-on
+    // to dq_volume_anomaly's within-table window — PERSIST the per-
+    // column profile of the prior ingest run and diff the current run
+    // against that parquet snapshot. The "prior run" here is the
+    // deterministic md5-degraded orders feed (1/25 custkeys nulled,
+    // 1/50 priorities blanked — a historical bad ingest), profiled once
+    // into a SHA-tagged sentinel-idempotent snapshot
+    // (profileSnapshotDir — the schemaDriftFixtureDirs recipe); the
+    // Spark side genuinely READS the snapshot back, while the DuckDB
+    // oracle replays the prior profile closed-form from orders (the
+    // streaming-fixture oracle discipline — snapshot CONTENT is
+    // dir-dependent, so the oracle cannot glob it). Integer e6 rate
+    // gate: |Δ| > 5000 on either the null or the blank rate flags the
+    // column. Scale: both profiles are O(columns) rows; the diff join
+    // moves 6 rows.
+    "dq_profile_drift" -> ((s, dir) => {
+      val prior = s.read.parquet(profileSnapshotDir(s, dir))
+        .select(col("col_name"),
+                expr("n_null * 1000000 div n").as("prior_null_e6"),
+                expr("n_blank * 1000000 div n").as("prior_blank_e6"))
+      val cur = nullProfile(Tables.orders(s, dir), ordersStringCols)
+        .select(col("col_name"),
+                expr("n_null * 1000000 div n").as("cur_null_e6"),
+                expr("n_blank * 1000000 div n").as("cur_blank_e6"))
+      cur.join(prior, "col_name")
+        .select(col("col_name"),
+                col("prior_null_e6"), col("cur_null_e6"),
+                (col("cur_null_e6") - col("prior_null_e6"))
+                  .as("delta_null_e6"),
+                col("prior_blank_e6"), col("cur_blank_e6"),
+                (col("cur_blank_e6") - col("prior_blank_e6"))
+                  .as("delta_blank_e6"))
+        .withColumn("drift",
+          (abs(col("delta_null_e6")) > 5000 ||
+           abs(col("delta_blank_e6")) > 5000).cast("int"))
         .orderBy(col("col_name"))
     }),
 
@@ -353,6 +434,65 @@ object QualityOps {
         |SELECT col_name, n_null::BIGINT AS n_null, n_blank::BIGINT AS n_blank,
         |       (n_null * 1000000 // n)::BIGINT AS null_rate_e6
         |FROM rows_ ORDER BY col_name""".stripMargin,
+
+    // prior profile replayed closed-form from orders (same md5 feed as
+    // profileSnapshotDir); current profile = dq_null_profile's census
+    "dq_profile_drift" ->
+      """WITH pfeed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':pd1'), 1, 4))::BIGINT % 25 = 0
+        |         THEN NULL ELSE o_custkey END AS o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':pd2'), 1, 4))::BIGINT % 50 = 0
+        |         THEN ' ' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |pone AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+        |    count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_o_orderstatus,
+        |    count(*) FILTER (WHERE trim(o_orderstatus) = '') AS blank_o_orderstatus,
+        |    count(*) FILTER (WHERE o_totalprice IS NULL) AS null_o_totalprice,
+        |    count(*) FILTER (WHERE o_orderdate IS NULL) AS null_o_orderdate,
+        |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS null_o_orderpriority,
+        |    count(*) FILTER (WHERE trim(o_orderpriority) = '') AS blank_o_orderpriority
+        |  FROM pfeed),
+        |cone AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+        |    count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+        |    count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_o_orderstatus,
+        |    count(*) FILTER (WHERE trim(o_orderstatus) = '') AS blank_o_orderstatus,
+        |    count(*) FILTER (WHERE o_totalprice IS NULL) AS null_o_totalprice,
+        |    count(*) FILTER (WHERE o_orderdate IS NULL) AS null_o_orderdate,
+        |    count(*) FILTER (WHERE o_orderpriority IS NULL) AS null_o_orderpriority,
+        |    count(*) FILTER (WHERE trim(o_orderpriority) = '') AS blank_o_orderpriority
+        |  FROM orders),
+        |prior AS (
+        |  SELECT 'o_orderkey' AS col_name, null_o_orderkey AS n_null, 0 AS n_blank, n FROM pone
+        |  UNION ALL SELECT 'o_custkey', null_o_custkey, 0, n FROM pone
+        |  UNION ALL SELECT 'o_orderstatus', null_o_orderstatus, blank_o_orderstatus, n FROM pone
+        |  UNION ALL SELECT 'o_totalprice', null_o_totalprice, 0, n FROM pone
+        |  UNION ALL SELECT 'o_orderdate', null_o_orderdate, 0, n FROM pone
+        |  UNION ALL SELECT 'o_orderpriority', null_o_orderpriority, blank_o_orderpriority, n FROM pone),
+        |cur AS (
+        |  SELECT 'o_orderkey' AS col_name, null_o_orderkey AS n_null, 0 AS n_blank, n FROM cone
+        |  UNION ALL SELECT 'o_custkey', null_o_custkey, 0, n FROM cone
+        |  UNION ALL SELECT 'o_orderstatus', null_o_orderstatus, blank_o_orderstatus, n FROM cone
+        |  UNION ALL SELECT 'o_totalprice', null_o_totalprice, 0, n FROM cone
+        |  UNION ALL SELECT 'o_orderdate', null_o_orderdate, 0, n FROM cone
+        |  UNION ALL SELECT 'o_orderpriority', null_o_orderpriority, blank_o_orderpriority, n FROM cone),
+        |pr AS (SELECT col_name, (n_null * 1000000 // n)::BIGINT AS prior_null_e6,
+        |              (n_blank * 1000000 // n)::BIGINT AS prior_blank_e6 FROM prior),
+        |cu AS (SELECT col_name, (n_null * 1000000 // n)::BIGINT AS cur_null_e6,
+        |              (n_blank * 1000000 // n)::BIGINT AS cur_blank_e6 FROM cur)
+        |SELECT col_name, prior_null_e6, cur_null_e6,
+        |       (cur_null_e6 - prior_null_e6)::BIGINT AS delta_null_e6,
+        |       prior_blank_e6, cur_blank_e6,
+        |       (cur_blank_e6 - prior_blank_e6)::BIGINT AS delta_blank_e6,
+        |       (abs(cur_null_e6 - prior_null_e6) > 5000 OR
+        |        abs(cur_blank_e6 - prior_blank_e6) > 5000)::INT AS drift
+        |FROM cu JOIN pr USING (col_name) ORDER BY col_name""".stripMargin,
 
     "dq_freshness_lag" ->
       """WITH per_type AS (
