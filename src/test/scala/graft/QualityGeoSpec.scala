@@ -154,11 +154,12 @@ class QualityGeoSpec extends SparkSpec {
   }
 
   test("geo_grid_knn matches a brute-force replay of its grid semantics") {
-    val out = SparkEntry.queries("geo_grid_knn")(spark, sf).collect()
-      .map(r => r.getAs[Long]("user_id") ->
+    val rows = SparkEntry.queries("geo_grid_knn")(spark, sf).collect()
+    val out = rows.map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Long]("nn_user_id"), r.getAs[Long]("dist2"),
           r.getAs[Long]("n_candidates")))).toMap
-    // brute-force: same md5-derived points, same 3×3 candidate rule
+    // brute-force: same md5-derived points, same 3×3 candidate rule,
+    // pitch derived from the same occupancy ladder the query uses
     val pts = Tables.events(spark, sf).select("user_id").distinct()
       .collect().map(_.getLong(0)).map { u =>
         val h = java.security.MessageDigest.getInstance("MD5")
@@ -167,10 +168,16 @@ class QualityGeoSpec extends SparkSpec {
         (u, java.lang.Long.parseLong(h.substring(0, 4), 16),
             java.lang.Long.parseLong(h.substring(4, 8), 16))
       }
+    val n = pts.length.toLong
+    val pitch = Iterator.iterate(16384L)(_ / 2).takeWhile(_ >= 1L)
+      .filter(p => n * p * p <= 8L * 65536L * 65536L)
+      .nextOption().getOrElse(1L)
+    assert(rows.forall(_.getAs[Long]("pitch") == pitch),
+      "query must report the occupancy-derived pitch")
     pts.foreach { case (u, xi, yi) =>
-      val (cx, cy) = (xi / 16384, yi / 16384)
+      val (cx, cy) = (xi / pitch, yi / pitch)
       val cands = pts.filter { case (v, bx, by) =>
-        v != u && math.abs(bx / 16384 - cx) <= 1 && math.abs(by / 16384 - cy) <= 1
+        v != u && math.abs(bx / pitch - cx) <= 1 && math.abs(by / pitch - cy) <= 1
       }.map { case (v, bx, by) =>
         (v, (xi - bx) * (xi - bx) + (yi - by) * (yi - by))
       }
@@ -180,6 +187,38 @@ class QualityGeoSpec extends SparkSpec {
         assert(out(u) == ((best._1, best._2, cands.length.toLong)),
           s"user $u grid-kNN mismatch")
       }
+    }
+  }
+
+  test("geo_trajectory_l1 matches a brute-force per-user path replay") {
+    val out = SparkEntry.queries("geo_trajectory_l1")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("path_len_l1"),
+          r.getAs[Long]("net_disp_l1"), r.getAs[Long]("tortuosity_e6"))))
+      .toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"), col("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tsl"),
+                 r.getAs[Long]("event_id")))
+    val byUser = ev.groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val path = rows.sortBy { case (_, t, e) => (t, e) }.map { case (_, _, e) =>
+        val h = md5hex(e.toString)
+        (java.lang.Long.parseLong(h.substring(0, 4), 16),
+         java.lang.Long.parseLong(h.substring(4, 8), 16))
+      }
+      val len = path.sliding(2).collect { case Array((x1, y1), (x2, y2)) =>
+        math.abs(x2 - x1) + math.abs(y2 - y1) }.sum
+      val net = math.abs(path.last._1 - path.head._1) +
+                math.abs(path.last._2 - path.head._2)
+      val tort = len * 1000000L / math.max(net, 1L)
+      assert(out(u) == ((path.length.toLong, len, net, tort)),
+        s"user $u trajectory mismatch")
     }
   }
 
