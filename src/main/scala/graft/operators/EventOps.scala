@@ -1509,7 +1509,12 @@ object EventOps {
         .join(area, "day")
         .select(col("day"), col("n_sessions"), col("sum_dur_us"), col("area_us"),
           expr("sum_dur_us div n_sessions").as("w_mean_us"),
-          expr("area_us * 1000000 div 86400000000").as("l_e6"),
+          // ≡ area_us · 1e6 div 86400e6 (86400000000 = 86400·10⁶ and
+          // area ≥ 0, so the common 10⁶ factor cancels EXACTLY) — the
+          // pre-multiplied form overflowed BIGINT at sf0.1
+          // (area_us ~1.3e14 · 1e6 > 2⁶³; caught by the r13 full-
+          // registry sf0.1 Verify, the first round to run one)
+          expr("area_us div 86400").as("l_e6"),
           expr("n_sessions * 1000000 div 86400").as("lambda_e6"))
         .orderBy(col("day"))
     }),
@@ -2449,7 +2454,7 @@ object EventOps {
         |    sum(t1 - t0)::BIGINT AS sum_dur_us FROM sess GROUP BY day)
         |SELECT agg.day, n_sessions, sum_dur_us, area_us,
         |  (sum_dur_us // n_sessions)::BIGINT AS w_mean_us,
-        |  (area_us * 1000000 // 86400000000)::BIGINT AS l_e6,
+        |  (area_us // 86400)::BIGINT AS l_e6,
         |  (n_sessions * 1000000 // 86400)::BIGINT AS lambda_e6
         |FROM agg JOIN area USING (day) ORDER BY day""".stripMargin,
 
