@@ -645,11 +645,17 @@ object LayoutOps {
     // All BIGINT; at true 100 TB the Σf·f sums move to DECIMAL(38),
     // same shape.
     "layout_join_card_chain" -> ((s, dir) => {
+      // lineage pins: each frequency table feeds 3-4 consumers (MCV,
+      // stats, histogram pass) — un-pinned, every consumer re-scans
+      // and re-aggregates the fact table
       val fe = Tables.events(s, dir)
         .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
       val fl = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
       val ord = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+        .localCheckpoint(false)
       import org.apache.spark.sql.expressions.Window
       def mcv(ft: DataFrame): DataFrame = ft
         .withColumn("rn", row_number().over(
