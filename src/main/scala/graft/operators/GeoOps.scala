@@ -91,6 +91,59 @@ object GeoOps {
           pitch = 4096L, cap = Some(4))
         .orderBy(col("user_id"))),
 
+    // DBSCAN-style density classification (core / border / noise) on
+    // the user point set: ε = 3000 (exact integer dist² ≤ 9e6), minPts
+    // = 2 neighbors. Candidates come through the SAME 3×3 grid equi
+    // join as geo_grid_knn — correctness requires pitch ≥ ε (every
+    // ε-ball fits the 3×3 neighborhood; pitch 4096 > 3000), and at
+    // scale pitch = ε with the per-cell cap is the standard density-
+    // bounded shape. Two statistics passes, no iteration: neighbor
+    // counts classify cores map-side after one grid join; border =
+    // non-core with ≥1 core ε-neighbor via a semi join of the SAME
+    // candidate table against the core set (the full DBSCAN cluster
+    // labeling would be connected components over core-core edges —
+    // graph_connected_components' territory; this op is the density
+    // CENSUS that decides whether that expense is worth running).
+    "geo_dbscan_core" -> ((s, dir) => {
+      val pts = points(s, dir)
+      def cellsOf(df: DataFrame) = df
+        .withColumn("cx", expr("xi div 4096"))
+        .withColumn("cy", expr("yi div 4096"))
+      val base = cellsOf(pts)
+      val build = base.select(col("user_id").as("nb"), col("xi").as("bxi"),
+        col("yi").as("byi"), col("cx").as("bcx"), col("cy").as("bcy"))
+      val cand = base
+        .withColumn("dx", explode(offs)).withColumn("dy", explode(offs))
+        .select(col("user_id"), col("xi"), col("yi"),
+                (col("cx") + col("dx")).as("ncx"),
+                (col("cy") + col("dy")).as("ncy"))
+        .join(build, col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
+                     col("nb") =!= col("user_id"))
+        .where((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+               (col("yi") - col("byi")) * (col("yi") - col("byi")) <=
+               lit(9000000L))
+        .select(col("user_id"), col("nb"))
+        // both the count pass and the border semi join read this
+        .localCheckpoint(false)
+      val counts = cand.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_within_r"))
+      val core = counts.filter(col("n_within_r") >= 2)
+        .select(col("user_id").as("core_id"))
+      val borderIds = cand
+        .join(core, col("nb") === col("core_id"), "left_semi")
+        .select(col("user_id")).distinct()
+        .withColumn("near_core", lit(1))
+      pts.select(col("user_id"))
+        .join(counts, Seq("user_id"), "left")
+        .join(borderIds, Seq("user_id"), "left")
+        .select(col("user_id"),
+                coalesce(col("n_within_r"), lit(0L)).as("n_within_r"),
+                when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
+                  .when(col("near_core") === 1, "border")
+                  .otherwise("noise").as("cls"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-user trajectory summary (r12 verdict #5): each EVENT gets a
     // deterministic md5(event_id) point, ordered by (ts, event_id)
     // within user; path length = Σ consecutive L1 steps, net
@@ -224,6 +277,36 @@ object GeoOps {
         |  FROM cand)
         |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
         |FROM rk WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+
+    "geo_dbscan_core" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT user_id, xi, yi, xi // 4096 AS cx, yi // 4096 AS cy FROM p),
+        |off AS (SELECT dx, dy
+        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+        |cand AS (
+        |  SELECT a.user_id, b.user_id AS nb
+        |  FROM c a CROSS JOIN off
+        |  JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+        |          AND b.user_id <> a.user_id
+        |  WHERE (a.xi - b.xi) * (a.xi - b.xi) +
+        |        (a.yi - b.yi) * (a.yi - b.yi) <= 9000000),
+        |counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
+        |  FROM cand GROUP BY user_id),
+        |core AS (SELECT user_id FROM counts WHERE n_within_r >= 2),
+        |border AS (SELECT DISTINCT cand.user_id
+        |  FROM cand JOIN core ON cand.nb = core.user_id)
+        |SELECT p.user_id,
+        |       coalesce(n_within_r, 0)::BIGINT AS n_within_r,
+        |       CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
+        |            WHEN border.user_id IS NOT NULL THEN 'border'
+        |            ELSE 'noise' END AS cls
+        |FROM p LEFT JOIN counts USING (user_id)
+        |       LEFT JOIN border ON p.user_id = border.user_id
+        |ORDER BY p.user_id""".stripMargin,
 
     "geo_trajectory_l1" ->
       """WITH pts AS (
