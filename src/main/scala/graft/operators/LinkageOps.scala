@@ -38,7 +38,8 @@ object LinkageOps {
     val clean = cust.select(
       col("c_custkey").as("a_key"), col("c_name").as("a_name"),
       col("c_nationkey").as("a_nation"), col("c_mktsegment").as("a_seg"),
-      floor(col("c_acctbal") / 500.0).cast("long").as("a_bucket"))
+      floor(col("c_acctbal") / 500.0).cast("long").as("a_bucket"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("a_cents"))
     val dirty = cust
       .withColumn("name_d",
         when(draw(":fs1") % 10 === 0,
@@ -51,7 +52,8 @@ object LinkageOps {
       .select(col("c_custkey").as("b_key"), col("name_d").as("b_name"),
               col("nation_d").as("b_nation"),
               col("c_mktsegment").as("b_seg"),
-              floor(col("acct_d") / 500.0).cast("long").as("b_bucket"))
+              floor(col("acct_d") / 500.0).cast("long").as("b_bucket"),
+              floor(col("acct_d") * 100 + 0.5).cast("long").as("b_cents"))
     (clean, dirty)
   }
 
@@ -147,6 +149,45 @@ object LinkageOps {
         (next, acc :+ row)
       }._2
       rows.reduce(_ unionByName _).orderBy(col("round"))
+    }),
+
+    // Field-level SURVIVORSHIP — the golden-record step after linkage
+    // decides two records describe one entity (MDM "merge" — the
+    // complement of dedup_keep_best, which picks a whole RECORD; this
+    // merges per FIELD under per-field rules): name by COMPLETENESS
+    // (longest value; a length tie implies identical names in this
+    // fixture, so the pick is deterministic), nation by SOURCE TRUST
+    // (lowest source rank = the clean feed), balance by CONSENSUS
+    // (mean of the observed cents, half-up via the floor identity
+    // floor((Σ+1)/2) — written as the pmod floor-division form in BOTH
+    // engines: balances go negative and DuckDB's bare // TRUNCATES
+    // toward zero there, so the even-numerator pmod form is the only
+    // portable floor; caught by the oracle gate on first run), plus a
+    // per-entity conflict census. One union + ONE entity-keyed
+    // aggregate — survivorship never joins, so at 100 TB it costs one
+    // shuffle of (entity, fields) regardless of how many sources feed
+    // an entity.
+    "link_survivorship" -> ((s, dir) => {
+      val (clean, dirty) = sides(s, dir)
+      val stacked = clean.select(col("a_key").as("k"), lit(1).as("src"),
+          col("a_name").as("nm"), col("a_nation").as("nat"),
+          col("a_cents").as("cents"))
+        .unionByName(dirty.select(col("b_key").as("k"), lit(2).as("src"),
+          col("b_name").as("nm"), col("b_nation").as("nat"),
+          col("b_cents").as("cents")))
+      stacked.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_records"),
+             max_by(col("nm"), length(col("nm"))).as("name_golden"),
+             min_by(col("nat"), col("src")).as("nation_golden"),
+             sum(col("cents")).as("sc"),
+             (countDistinct(col("nm")) - 1 + countDistinct(col("nat")) - 1 +
+              countDistinct(col("cents")) - 1).as("n_conflicts"))
+        .select(col("k").as("custkey"), col("n_records"),
+                col("name_golden"), col("nation_golden"),
+                expr("((sc + 1) - pmod(sc + 1, 2)) div 2")
+                  .as("acct_golden_cents"),
+                col("n_conflicts"))
+        .orderBy(col("custkey"))
     }),
 
     // Fellegi–Sunter decision table: one row per agreement pattern with
@@ -306,6 +347,36 @@ object LinkageOps {
 
   def oracles: Map[String, String] = Map(
     "link_em_convergence" -> emConvergenceSql,
+
+    "link_survivorship" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS a_key, c_name AS a_name,
+        |         c_nationkey AS a_nation,
+        |         floor(c_acctbal * 100 + 0.5)::BIGINT AS a_cents
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS b_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs1'), 1, 4))::BIGINT % 10 = 0
+        |         THEN substr(c_name, 1, length(c_name) - 1) ELSE c_name END AS b_name,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS b_nation,
+        |    floor((c_acctbal +
+        |      (('0x' || substr(md5(c_custkey::VARCHAR || ':fs3'), 1, 4))::BIGINT % 11 - 5))
+        |      * 100 + 0.5)::BIGINT AS b_cents
+        |  FROM customer),
+        |st AS (
+        |  SELECT a_key AS k, 1 AS src, a_name AS nm, a_nation AS nat,
+        |         a_cents AS cents FROM clean
+        |  UNION ALL
+        |  SELECT b_key, 2, b_name, b_nation, b_cents FROM dirty)
+        |SELECT k AS custkey, count(*)::BIGINT AS n_records,
+        |       arg_max(nm, length(nm)) AS name_golden,
+        |       arg_min(nat, src) AS nation_golden,
+        |       (((sum(cents) + 1) - ((sum(cents) + 1) % 2 + 2) % 2) // 2)
+        |         ::BIGINT AS acct_golden_cents,
+        |       (count(DISTINCT nm) - 1 + count(DISTINCT nat) - 1 +
+        |        count(DISTINCT cents) - 1)::BIGINT AS n_conflicts
+        |FROM st GROUP BY k ORDER BY custkey""".stripMargin,
 
     "link_fellegi_sunter" ->
       """WITH clean AS (
