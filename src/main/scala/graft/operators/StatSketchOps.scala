@@ -33,6 +33,26 @@ object StatSketchOps {
     * anomaly_mad_outliers family uses on both engines */
   private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
+  /** Per-event_type CUPED/CUPAC readout (unordered) — single-sources
+    * stat_cupac_stratified and the pooled follow-on. */
+  private def cupacStrata(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(cents(col("value"))).as("c"))
+      .localCheckpoint(false)
+    val d0 = daily.agg(min(col("d")).as("d0"))
+    val perUnit = daily.crossJoin(broadcast(d0))
+      .withColumn("pre", datediff(col("d"), col("d0")) < 15)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
+           coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
+    graft.api.Graft.cupedReadoutBy(perUnit, "x", "y", "arm",
+      Seq("event_type"))
+  }
+
   /** The (event_type, event_id, cents) fact projection both resampling
     * tests start from — memoized UN-exploded (r10 advice): the shared
     * checkpoint holds a 1× events digest, never a 16× copy pinned in
@@ -639,23 +659,37 @@ object StatSketchOps {
     // not an engine artifact. Plan: one scan to the (user, type, day)
     // grain, one rollup to (user, type), one grouped aggregate — the
     // stratum key rides the SAME shuffle the rollup already pays.
-    "stat_cupac_stratified" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
-        .agg(sum(cents(col("value"))).as("c"))
-        .localCheckpoint(false)
-      val d0 = daily.agg(min(col("d")).as("d0"))
-      val perUnit = daily.crossJoin(broadcast(d0))
-        .withColumn("pre", datediff(col("d"), col("d0")) < 15)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(coalesce(sum(when(col("pre"), col("c"))), lit(0L)).as("x"),
-             coalesce(sum(when(!col("pre"), col("c"))), lit(0L)).as("y"))
-        .withColumn("arm",
-          conv(substring(md5(concat(col("user_id").cast("string"),
-            lit(":ab"))), 1, 4), 16, 10).cast("long") % 2)
-      graft.api.Graft.cupedReadoutBy(perUnit, "x", "y", "arm",
-          Seq("event_type"))
-        .orderBy(col("event_type"))
+    "stat_cupac_stratified" -> ((s, dir) =>
+      cupacStrata(s, dir).orderBy(col("event_type"))),
+
+    // The one-number readout over the stratum table: pooled raw and
+    // CUPAC-adjusted effects as the n_s-weighted mean of the per-
+    // stratum effects, computed by a FIXED-ORDER fold (sort_array of
+    // the stratum structs by event_type, then a left fold from 0.0 —
+    // the one place cross-stratum doubles are summed, so the
+    // accumulation order is pinned identically in both engines rather
+    // than left to partition order), plus the effect span as the
+    // cheapest heterogeneity signal (a wide span says the pooled
+    // number hides segment structure — read the stratified table).
+    // Scale: input is the |strata|-row readout; everything here is a
+    // 5-row reduction.
+    "stat_cupac_pooled" -> ((s, dir) => {
+      val l = cupacStrata(s, dir).agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("n")).as("n_total"),
+        (max(col("effect_cuped_r6")) - min(col("effect_cuped_r6")))
+          .as("span"),
+        sort_array(collect_list(struct(col("event_type"), col("n"),
+          col("effect_raw_r6").as("er"), col("effect_cuped_r6").as("ec"))))
+          .as("lst"))
+      l.select(col("n_strata"), col("n_total"),
+        round(aggregate(col("lst"), lit(0.0),
+          (a, x) => a + x.getField("n") * x.getField("er")) /
+          col("n_total"), 6).as("effect_raw_pooled_r6"),
+        round(aggregate(col("lst"), lit(0.0),
+          (a, x) => a + x.getField("n") * x.getField("ec")) /
+          col("n_total"), 6).as("effect_cupac_pooled_r6"),
+        round(col("span"), 6).as("effect_span_r6"))
     }),
 
     // The t-digest at the SAME (event_type, day) grain the KLL query
@@ -1484,6 +1518,55 @@ object StatSketchOps {
         .orderBy(col("lang")))
   )
 
+  /** The stratified CUPAC readout body (no ORDER BY) — shared between
+    * the stratified oracle and the pooled follow-on's CTE. */
+  private val cupacStratifiedSql =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, ts::DATE AS d,
+      |         sum(floor(value * 100 + 0.5)::BIGINT) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |d0 AS (SELECT min(d) AS d0 FROM daily),
+      |pu AS (
+      |  SELECT user_id, event_type,
+      |    coalesce(sum(CASE WHEN d - d0 < 15 THEN c END), 0)::BIGINT AS x,
+      |    coalesce(sum(CASE WHEN NOT (d - d0 < 15) THEN c END), 0)::BIGINT AS y
+      |  FROM daily CROSS JOIN d0 GROUP BY user_id, event_type),
+      |pa AS (
+      |  SELECT user_id, event_type, x, y,
+      |    ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 4))::BIGINT % 2 AS arm
+      |  FROM pu),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+      |    sum(y::HUGEINT * y) AS syy,
+      |    sum((CASE WHEN arm = 0 THEN x ELSE 0 END)::HUGEINT) AS sx_a,
+      |    sum((CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT) AS sx_b,
+      |    sum((CASE WHEN arm = 0 THEN y ELSE 0 END)::HUGEINT) AS sy_a,
+      |    sum((CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT) AS sy_b
+      |  FROM pa GROUP BY event_type)
+      |SELECT event_type, n, n_a, n_b,
+      |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT
+      |    AS srm_chi2_e6,
+      |  ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b))::INT
+      |    AS srm_flag,
+      |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+      |    AS theta_r6,
+      |  round(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6) AS effect_raw_r6,
+      |  round((sy_a::DOUBLE / n_a -
+      |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+      |           (sx_a::DOUBLE / n_a - sx::DOUBLE / n)) -
+      |        (sy_b::DOUBLE / n_b -
+      |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+      |           (sx_b::DOUBLE / n_b - sx::DOUBLE / n)), 6)
+      |    AS effect_cuped_r6,
+      |  round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
+      |        ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+      |    AS var_reduction_r6
+      |FROM st""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "prep_quantile_bins" ->
       """WITH ev AS (SELECT event_type, event_id,
@@ -1778,52 +1861,29 @@ object StatSketchOps {
 
     // the CUPED tail per event_type stratum — HUGEINT statistics, same
     // double algebra as stat_cuped_ab_effect at the grouped grain
-    "stat_cupac_stratified" ->
-      """WITH daily AS (
-        |  SELECT user_id, event_type, ts::DATE AS d,
-        |         sum(floor(value * 100 + 0.5)::BIGINT) AS c
-        |  FROM events GROUP BY 1, 2, 3),
-        |d0 AS (SELECT min(d) AS d0 FROM daily),
-        |pu AS (
-        |  SELECT user_id, event_type,
-        |    coalesce(sum(CASE WHEN d - d0 < 15 THEN c END), 0)::BIGINT AS x,
-        |    coalesce(sum(CASE WHEN NOT (d - d0 < 15) THEN c END), 0)::BIGINT AS y
-        |  FROM daily CROSS JOIN d0 GROUP BY user_id, event_type),
-        |pa AS (
-        |  SELECT user_id, event_type, x, y,
-        |    ('0x' || substr(md5(user_id::VARCHAR || ':ab'), 1, 4))::BIGINT % 2 AS arm
-        |  FROM pu),
-        |st AS (
-        |  SELECT event_type, count(*)::BIGINT AS n,
-        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
-        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
-        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
-        |    sum(y::HUGEINT * y) AS syy,
-        |    sum((CASE WHEN arm = 0 THEN x ELSE 0 END)::HUGEINT) AS sx_a,
-        |    sum((CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT) AS sx_b,
-        |    sum((CASE WHEN arm = 0 THEN y ELSE 0 END)::HUGEINT) AS sy_a,
-        |    sum((CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT) AS sy_b
-        |  FROM pa GROUP BY event_type)
-        |SELECT event_type, n, n_a, n_b,
-        |  ((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b))::BIGINT
-        |    AS srm_chi2_e6,
-        |  ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b))::INT
-        |    AS srm_flag,
-        |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
-        |    AS theta_r6,
-        |  round(sy_a::DOUBLE / n_a - sy_b::DOUBLE / n_b, 6) AS effect_raw_r6,
-        |  round((sy_a::DOUBLE / n_a -
-        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
-        |           (sx_a::DOUBLE / n_a - sx::DOUBLE / n)) -
-        |        (sy_b::DOUBLE / n_b -
-        |         ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
-        |           (sx_b::DOUBLE / n_b - sx::DOUBLE / n)), 6)
-        |    AS effect_cuped_r6,
-        |  round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE) /
-        |        ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
-        |    AS var_reduction_r6
-        |FROM st ORDER BY event_type""".stripMargin,
+    "stat_cupac_stratified" -> (cupacStratifiedSql + "\nORDER BY event_type"),
+
+    // pooled readout: fixed-order fold over the event_type-sorted
+    // stratum structs — the same 0.0-seeded left fold the Spark side
+    // runs (list_reduce is in-order; 0.0 + t1 ≡ t1, so seeded and
+    // unseeded folds agree)
+    "stat_cupac_pooled" ->
+      s"""WITH strata AS (
+         |$cupacStratifiedSql
+         |),
+         |l AS (SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS n_total,
+         |        max(effect_cuped_r6) - min(effect_cuped_r6) AS span,
+         |        list(struct_pack(n := n, er := effect_raw_r6,
+         |                         ec := effect_cuped_r6)
+         |             ORDER BY event_type) AS lst
+         |      FROM strata)
+         |SELECT n_strata, n_total,
+         |  round(list_reduce(list_transform(lst, x -> x.n * x.er),
+         |        (a, b) -> a + b) / n_total, 6) AS effect_raw_pooled_r6,
+         |  round(list_reduce(list_transform(lst, x -> x.n * x.ec),
+         |        (a, b) -> a + b) / n_total, 6) AS effect_cupac_pooled_r6,
+         |  round(span, 6) AS effect_span_r6
+         |FROM l""".stripMargin,
 
     "stat_cusum_shift" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n
