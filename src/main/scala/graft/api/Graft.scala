@@ -2876,6 +2876,37 @@ object Graft {
               col("dist2"), col("n_candidates")) ++ carry.map(col): _*)
   }
 
+  /** SHA-tagged, sentinel-idempotent fixture/snapshot directory: tag =
+    * SHA-256 of the canonical data dir (a 32-bit hash collision between
+    * two data dirs would silently serve one dir's snapshot to the
+    * other — the r9 lesson), written ONCE by `write(outPath)` then
+    * never rewritten, so concurrent gate runs over different data dirs
+    * cannot race a half-written directory. Single-sources the
+    * schema-drift, profile-drift, and stats-snapshot fixtures. */
+  def snapshotFixtureDir(name: String, dataDir: String)
+      (write: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(wipe)
+      if (f.exists && !f.delete()) sys.error(s"could not delete fixture: $f")
+    }
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Paths.get(dataDir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+    val root = new java.io.File(
+      s"target/graft_file_fixtures/${name}_$tag").getAbsoluteFile
+    val sentinel = root.toPath.resolve(".complete")
+    val out = root.toPath.resolve("data").toString
+    if (!Files.exists(sentinel)) {
+      wipe(root)
+      Files.createDirectories(root.toPath)
+      write(out)
+      Files.write(sentinel, Array.emptyByteArray)
+    }
+    out
+  }
+
   /** CUPED readout (Deng et al. 2013) from a per-unit frame of
     * (covariate x, metric y, arm ∈ {0,1}): SRM χ² gate as an
     * e6-quantized INTEGER inequality, pooled θ, adjusted effect and

@@ -68,6 +68,34 @@ object LayoutOps {
     (liName, ordName)
   }
 
+  /** Top-8 most-common values of a (k, f) frequency table, ties broken
+    * key-ascending — the deterministic MCV list the chain estimator and
+    * the persisted stats snapshot share. */
+  private def mcv8(ft: DataFrame): DataFrame = ft
+    .withColumn("rn", row_number().over(
+      Window.orderBy(col("f").desc, col("k"))))
+    .where(col("rn") <= 8).drop("rn")
+
+  /** ANALYZE-TABLE-as-a-lake-artifact: per-side MCV top-8 + (n, d)
+    * totals for events.user_id and lineitem.l_orderkey, written ONCE
+    * to a SHA-tagged snapshot — the statistics a catalog persists so
+    * the optimizer never rescans the fact tables at plan time. */
+  private def statsSnapshotDir(s: SparkSession, dir: String): String =
+    graft.api.Graft.snapshotFixtureDir("layout_stats", dir) { out =>
+      def freq(df: DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+      def sideRows(ft: DataFrame, side: String): DataFrame =
+        mcv8(ft).select(lit(side).as("side"), col("k"), col("f"),
+            lit(null).cast("long").as("n"), lit(null).cast("long").as("d"))
+          .unionByName(ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
+            .select(lit(side).as("side"), lit(null).cast("long").as("k"),
+                    lit(null).cast("long").as("f"), col("n"), col("d")))
+      sideRows(freq(Tables.events(s, dir), "user_id"), "events_user")
+        .unionByName(
+          sideRows(freq(Tables.lineitem(s, dir), "l_orderkey"), "lineitem_ok"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // Fact-fact join through bucketed co-located layout: revenue by order
@@ -656,11 +684,7 @@ object LayoutOps {
         .localCheckpoint(false)
       val ord = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
         .localCheckpoint(false)
-      import org.apache.spark.sql.expressions.Window
-      def mcv(ft: DataFrame): DataFrame = ft
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("f").desc, col("k"))))
-        .where(col("rn") <= 8).drop("rn")
+      def mcv(ft: DataFrame): DataFrame = mcv8(ft)
       def stats(ft: DataFrame): DataFrame =
         ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
       // tail average per System-R max-d: n_tail / max(d_tail_build,
@@ -718,6 +742,58 @@ object LayoutOps {
           expr("abs(est - hist_est) * 1000000 div greatest(hist_est, 1)"))
         .drop("hist_est")
         .orderBy(col("method"))
+    }),
+
+    // PERSISTED catalog statistics consumed for estimation (r13 seed):
+    // the MCV+totals snapshot is written once (statsSnapshotDir) and
+    // the estimator reads ONLY the snapshot + the middle relation —
+    // the production shape where ANALYZE runs at ingest time and every
+    // later plan consults the stored statistics without touching the
+    // fact tables. The estimate is ARITHMETICALLY IDENTICAL to
+    // layout_join_card_chain's mcv_top8_uniform_tail row (same stats,
+    // same max-d tail, e6 quantization — pinned in Round13Spec); what
+    // this query adds is the persistence round-trip. Oracle replays
+    // the statistics closed-form (snapshot content is dir-dependent).
+    "layout_stats_snapshot_estimate" -> ((s, dir) => {
+      val snap = s.read.parquet(statsSnapshotDir(s, dir))
+        .localCheckpoint(false)
+      def mcvOf(side: String, kc: String, fc: String) =
+        snap.filter(col("side") === side && col("k").isNotNull)
+          .select(col("k").as(kc), col("f").as(fc))
+      def totOf(side: String, nc: String, dc: String) =
+        snap.filter(col("side") === side && col("k").isNull)
+          .select(col("n").as(nc), col("d").as(dc))
+      val (me, ml) = (mcvOf("events_user", "ek", "fe"),
+                      mcvOf("lineitem_ok", "lk", "fl"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"))
+      val soD = ord.agg(countDistinct(col("o_custkey")).as("pdc"),
+                        countDistinct(col("o_orderkey")).as("pdk"))
+      def tailAvg(tot: DataFrame, m: DataFrame, probeD: DataFrame,
+          alias: String) =
+        tot.crossJoin(m.agg(coalesce(sum(m.columns.map(col).last), lit(0L))
+            .as("mn"), count(lit(1)).as("md")))
+          .crossJoin(probeD)
+          .select(expr(
+            s"(n - mn) * 1000000 div greatest(greatest(d - md, pd - md), 1)")
+            .as(alias))
+      val ave = tailAvg(totOf("events_user", "n", "d"), me,
+        soD.select(col("pdc").as("pd")), "ave")
+      val avl = tailAvg(totOf("lineitem_ok", "n", "d"), ml,
+        soD.select(col("pdk").as("pd")), "avl")
+      val est = ord
+        .join(broadcast(me), col("o_custkey") === col("ek"), "left")
+        .join(broadcast(ml), col("o_orderkey") === col("lk"), "left")
+        .crossJoin(broadcast(ave)).crossJoin(broadcast(avl))
+        .select(expr(
+          "(coalesce(fe * 1000000, ave) * coalesce(fl * 1000000, avl))" +
+          " div 1000000").as("c_e6"))
+        .agg(expr("coalesce(sum(c_e6), 0) div 1000000").as("est"))
+      est.crossJoin(broadcast(totOf("events_user", "n_events", "d_events")))
+        .crossJoin(broadcast(
+          totOf("lineitem_ok", "n_lineitem", "d_lineitem")))
+        .select(col("est"), col("n_events"), col("d_events"),
+                col("n_lineitem"), col("d_lineitem"))
     }),
 
     "layout_partition_skew_advisor" -> ((s, dir) => {
@@ -880,6 +956,45 @@ object LayoutOps {
         |       (abs(est - exact) * 1000000 // greatest(exact, 1))::BIGINT
         |         AS rel_err_e6
         |FROM m ORDER BY method""".stripMargin,
+
+    // the statistics replayed closed-form; est ≡ the chain oracle's
+    // mcv branch with snapshot-provenance totals alongside
+    "layout_stats_snapshot_estimate" ->
+      """WITH fe AS (SELECT user_id AS k, count(*)::BIGINT AS f
+        |  FROM events GROUP BY 1),
+        |fl AS (SELECT l_orderkey AS k, count(*)::BIGINT AS f
+        |  FROM lineitem GROUP BY 1),
+        |ord AS (SELECT o_custkey, o_orderkey FROM orders),
+        |se AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fe),
+        |sl AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fl),
+        |mcve AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fe)
+        |  WHERE rn <= 8),
+        |mcvl AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fl)
+        |  WHERE rn <= 8),
+        |sod AS (SELECT count(DISTINCT o_custkey)::BIGINT AS pdc,
+        |               count(DISTINCT o_orderkey)::BIGINT AS pdk FROM ord),
+        |ave AS (SELECT ((se.n - coalesce((SELECT sum(f) FROM mcve), 0)) * 1000000
+        |          // greatest(greatest(
+        |               se.d - (SELECT count(*) FROM mcve),
+        |               sod.pdc - (SELECT count(*) FROM mcve)), 1))::BIGINT
+        |          AS ave FROM se, sod),
+        |avl AS (SELECT ((sl.n - coalesce((SELECT sum(f) FROM mcvl), 0)) * 1000000
+        |          // greatest(greatest(
+        |               sl.d - (SELECT count(*) FROM mcvl),
+        |               sod.pdk - (SELECT count(*) FROM mcvl)), 1))::BIGINT
+        |          AS avl FROM sl, sod),
+        |mcv_est AS (
+        |  SELECT (coalesce(sum(
+        |      (coalesce(me.f * 1000000, ave) * coalesce(ml.f * 1000000, avl))
+        |        // 1000000), 0) // 1000000)::BIGINT AS est
+        |  FROM ord LEFT JOIN mcve me ON me.k = o_custkey
+        |           LEFT JOIN mcvl ml ON ml.k = o_orderkey
+        |           CROSS JOIN ave CROSS JOIN avl)
+        |SELECT est, se.n AS n_events, se.d AS d_events,
+        |       sl.n AS n_lineitem, sl.d AS d_lineitem
+        |FROM mcv_est, se, sl""".stripMargin,
 
     "layout_join_card_chain" ->
       """WITH fe AS (SELECT user_id AS k, count(*)::BIGINT AS f

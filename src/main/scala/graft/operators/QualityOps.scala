@@ -112,19 +112,8 @@ object QualityOps {
     * drift memory dq_profile_drift diffs against. Content is
     * data-dir-dependent, hence per-dir tagging AND a closed-form
     * oracle replay instead of a glob. */
-  private[graft] def profileSnapshotDir(s: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(12).map(b => f"$b%02x").mkString
-    val root = new java.io.File(
-      s"target/graft_file_fixtures/dq_profile_prior_$tag").getAbsoluteFile
-    val sentinel = root.toPath.resolve(".complete")
-    val out = root.toPath.resolve("profile").toString
-    if (!Files.exists(sentinel)) {
-      deleteRecursively(root)
-      Files.createDirectories(root.toPath)
+  private[graft] def profileSnapshotDir(s: SparkSession, dir: String): String =
+    graft.api.Graft.snapshotFixtureDir("dq_profile_prior", dir) { out =>
       def draw(salt: String) =
         conv(substring(md5(concat(col("o_orderkey").cast("string"),
           lit(salt))), 1, 4), 16, 10).cast("long")
@@ -137,10 +126,7 @@ object QualityOps {
             .otherwise(col("o_orderpriority")))
       nullProfile(priorFeed, ordersStringCols)
         .coalesce(1).write.mode("overwrite").parquet(out)
-      Files.write(sentinel, Array.emptyByteArray)
     }
-    out
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
