@@ -159,6 +159,101 @@ class Round13Spec extends SparkSpec {
       "every grouped t-digest estimate inside the ±5% rank window")
   }
 
+  test("geo_dbscan_core matches a brute-force density replay") {
+    val out = SparkEntry.queries("geo_dbscan_core")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_within_r"), r.getAs[String]("cls")))).toMap
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pts = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0)).map { u =>
+        val hx = h(u.toString)
+        (u, java.lang.Long.parseLong(hx.substring(0, 4), 16),
+            java.lang.Long.parseLong(hx.substring(4, 8), 16))
+      }
+    // exact epsilon-ball counts (grid equivalence holds because
+    // pitch 4096 > eps 3000)
+    val nbrs = pts.map { case (u, x, y) =>
+      u -> pts.filter { case (v, bx, by) =>
+        v != u && (x - bx) * (x - bx) + (y - by) * (y - by) <= 9000000L
+      }.map(_._1)
+    }.toMap
+    val cores = nbrs.filter(_._2.length >= 2).keySet
+    pts.foreach { case (u, _, _) =>
+      val expCls =
+        if (cores(u)) "core"
+        else if (nbrs(u).exists(cores)) "border"
+        else "noise"
+      assert(out(u) == ((nbrs(u).length.toLong, expCls)), s"user $u")
+    }
+  }
+
+  test("link_survivorship: rules replay against the collected sides") {
+    val out = SparkEntry.queries("link_survivorship")(spark, sf).collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def draw(k: Long, salt: String): Long =
+      java.lang.Long.parseLong(h(s"$k$salt").substring(0, 4), 16)
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+              col("c_nationkey").cast("long"), col("c_acctbal"))
+      .collect()
+    assert(out.size == cust.length)
+    cust.foreach { r =>
+      val (k, nm, nat) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val bal = r.getDouble(3)
+      val dnm = if (draw(k, ":fs1") % 10 == 0) nm.dropRight(1) else nm
+      val dnat = if (draw(k, ":fs2") % 20 == 0) (nat + 1) % 25 else nat
+      val dbal = bal + (draw(k, ":fs3") % 11 - 5)
+      val cents = math.floor(bal * 100 + 0.5).toLong
+      val dcents = math.floor(dbal * 100 + 0.5).toLong
+      val g = out(k)
+      assert(g.getAs[String]("name_golden") ==
+        (if (dnm.length > nm.length) dnm else nm)) // completeness
+      assert(g.getAs[Number]("nation_golden").longValue == nat) // source trust
+      assert(g.getAs[Long]("acct_golden_cents") ==
+        Math.floorDiv(cents + dcents + 1, 2L)) // consensus half-up
+      val conflicts = (if (nm != dnm) 1 else 0) +
+        (if (nat != dnat) 1 else 0) + (if (cents != dcents) 1 else 0)
+      assert(g.getAs[Long]("n_conflicts") == conflicts.toLong)
+      assert(g.getAs[Long]("n_records") == 2L)
+    }
+  }
+
+  test("stat_cupac_pooled replays the fixed-order fold over the strata") {
+    val strata = SparkEntry.queries("stat_cupac_stratified")(spark, sf)
+      .collect()
+      .sortBy(_.getAs[String]("event_type"))
+    val pooled = SparkEntry.queries("stat_cupac_pooled")(spark, sf)
+      .collect().head
+    assert(pooled.getAs[Long]("n_strata") == strata.length.toLong)
+    val nTotal = strata.map(_.getAs[Long]("n")).sum
+    assert(pooled.getAs[Long]("n_total") == nTotal)
+    def fold(c: String): Double = strata.foldLeft(0.0) { (a, r) =>
+      a + r.getAs[Long]("n") * r.getAs[Double](c) }
+    assert(pooled.getAs[Double]("effect_raw_pooled_r6") ==
+      BigDecimal(fold("effect_raw_r6") / nTotal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val span = strata.map(_.getAs[Double]("effect_cuped_r6")).max -
+               strata.map(_.getAs[Double]("effect_cuped_r6")).min
+    assert(math.abs(pooled.getAs[Double]("effect_span_r6") - span) <= 1e-6)
+  }
+
+  test("layout_stats_snapshot_estimate equals the chain's MCV estimator") {
+    val snap = SparkEntry.queries("layout_stats_snapshot_estimate")(
+      spark, sf).collect().head
+    val chain = SparkEntry.queries("layout_join_card_chain")(spark, sf)
+      .collect()
+      .find(_.getAs[String]("method") == "mcv_top8_uniform_tail").get
+    assert(snap.getAs[Long]("est") == chain.getAs[Long]("est"),
+      "persisted-stats estimate must equal the live-stats estimate")
+    assert(snap.getAs[Long]("n_events") > 0 &&
+           snap.getAs[Long]("d_lineitem") > 0)
+  }
+
   test("expectationRules rejects splice-hostile rule names") {
     val df = Tables.orders(spark, sf)
     intercept[IllegalArgumentException] {
