@@ -254,6 +254,51 @@ class Round13Spec extends SparkSpec {
            snap.getAs[Long]("d_lineitem") > 0)
   }
 
+  test("gridKnnAutoPitch: empty input yields an empty result, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("pid", "x", "y")
+    assert(graft.api.Graft.gridKnnAutoPitch(empty, "pid", "x", "y")
+      .count() == 0L)
+  }
+
+  test("snapshotFixtureDir is write-once (sentinel-idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_test")
+      .toString
+    var writes = 0
+    val p1 = graft.api.Graft.snapshotFixtureDir("r13spec_probe", dir) { out =>
+      writes += 1
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      ()
+    }
+    val p2 = graft.api.Graft.snapshotFixtureDir("r13spec_probe", dir) { _ =>
+      writes += 1
+    }
+    assert(p1 == p2 && writes == 1,
+      "second call must reuse the completed snapshot without rewriting")
+    // a different data dir gets its own tag
+    val other = java.nio.file.Files.createTempDirectory("graft_snap_test2")
+      .toString
+    val p3 = graft.api.Graft.snapshotFixtureDir("r13spec_probe", other) { out =>
+      writes += 1
+    }
+    assert(p3 != p1 && writes == 2)
+  }
+
+  test("portable floor division: pmod form equals floorDiv on negatives") {
+    // the PLANS.md round-13 rule: Spark `div` truncates and DuckDB `//`
+    // truncates on negatives, so floor must be spelled via pmod — pin
+    // the Spark-side identity across signs and divisors
+    import spark.implicits._
+    val xs = (-25L to 25L).flatMap(x => Seq(2L, 3L, 7L).map(d => (x, d)))
+    val got = xs.toDF("x", "d")
+      .selectExpr("x", "d", "(x - pmod(x, d)) div d AS fd")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    xs.foreach { case (x, d) =>
+      assert(got((x, d)) == Math.floorDiv(x, d), s"floorDiv($x, $d)")
+    }
+  }
+
   test("expectationRules rejects splice-hostile rule names") {
     val df = Tables.orders(spark, sf)
     intercept[IllegalArgumentException] {
