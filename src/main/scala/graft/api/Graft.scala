@@ -2823,10 +2823,18 @@ object Graft {
     val n = points.agg(count(lit(1)).as("__n"))
     // coarsest pitch with n·pitch² ≤ target·span² (⇔ mean occupancy ≤
     // target); n ≤ span² by pigeonhole on distinct points, so pitch=1
-    // always qualifies and the coalesce floor never binds on real input
+    // always qualifies and the coalesce floor never binds on real
+    // input. The inequality evaluates in DECIMAL(38,0) on BOTH sides:
+    // target·span² wraps silently in Long for span ≥ 2³¹ (degrading
+    // the pick to 1 with no error — r13 self-review), and n·pitch²
+    // can exceed 2⁶³ for large spans too; decimal is exact to 10³⁸,
+    // far past any representable input (n ≤ span² ≤ 2⁶², pitch² ≤
+    // 2⁶⁰ ⇒ products < 10³⁷).
+    val occCap = (BigDecimal(targetOccupancy) * BigDecimal(span) *
+      BigDecimal(span)).bigDecimal
     val pick = ladder.crossJoin(n)
-      .where(col("__n") * col("pitch") * col("pitch") <=
-             lit(targetOccupancy * span * span))
+      .where(col("__n").cast("decimal(38,0)") *
+             col("pitch") * col("pitch") <= lit(occCap))
       .agg(coalesce(max(col("pitch")), lit(1L)).as("pitch"))
     val cells = points.select(
         col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
@@ -2880,12 +2888,16 @@ object Graft {
     * SHA-256 of the canonical data dir (a 32-bit hash collision between
     * two data dirs would silently serve one dir's snapshot to the
     * other — the r9 lesson), written ONCE by `write(outPath)` then
-    * never rewritten, so concurrent gate runs over different data dirs
-    * cannot race a half-written directory. Single-sources the
+    * never rewritten. The build lands in a process-private temp root
+    * that is ATOMICALLY renamed into place (r13 self-review): a reader
+    * globbing across tag dirs (dq_schema_drift's oracle) can therefore
+    * never observe a half-written fixture, even if a previous writer
+    * crashed mid-build — the crashed temp root is invisible to the
+    * glob and swept on the next attempt. Single-sources the
     * schema-drift, profile-drift, and stats-snapshot fixtures. */
   def snapshotFixtureDir(name: String, dataDir: String)
       (write: String => Unit): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(wipe)
       if (f.exists && !f.delete()) sys.error(s"could not delete fixture: $f")
@@ -2894,15 +2906,21 @@ object Graft {
       .digest(Paths.get(dataDir).toAbsolutePath.normalize.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map(b => f"$b%02x").mkString
-    val root = new java.io.File(
-      s"target/graft_file_fixtures/${name}_$tag").getAbsoluteFile
+    val base = new java.io.File("target/graft_file_fixtures").getAbsoluteFile
+    val root = new java.io.File(base, s"${name}_$tag")
     val sentinel = root.toPath.resolve(".complete")
     val out = root.toPath.resolve("data").toString
     if (!Files.exists(sentinel)) {
       wipe(root)
-      Files.createDirectories(root.toPath)
-      write(out)
-      Files.write(sentinel, Array.emptyByteArray)
+      // temp roots start with '.' so fixture globs (name_*/data/...)
+      // can never match an in-progress build
+      val tmp = new java.io.File(base,
+        s".${name}_${tag}_tmp_${ProcessHandle.current.pid}")
+      wipe(tmp)
+      Files.createDirectories(tmp.toPath)
+      write(tmp.toPath.resolve("data").toString)
+      Files.write(tmp.toPath.resolve(".complete"), Array.emptyByteArray)
+      Files.move(tmp.toPath, root.toPath, StandardCopyOption.ATOMIC_MOVE)
     }
     out
   }

@@ -70,11 +70,14 @@ object LayoutOps {
 
   /** Top-8 most-common values of a (k, f) frequency table, ties broken
     * key-ascending — the deterministic MCV list the chain estimator and
-    * the persisted stats snapshot share. */
-  private def mcv8(ft: DataFrame): DataFrame = ft
-    .withColumn("rn", row_number().over(
-      Window.orderBy(col("f").desc, col("k"))))
-    .where(col("rn") <= 8).drop("rn")
+    * the persisted stats snapshot share. orderBy+limit compiles to
+    * TakeOrderedAndProject (parallel per-partition top-8 + a merge of
+    * 8-row partials), NOT a single-partition global sort — at 100 TB
+    * the frequency table is |keys| rows and must never funnel through
+    * one task (r13 self-review fix; result identical since k is a
+    * unique group key). */
+  private def mcv8(ft: DataFrame): DataFrame =
+    ft.orderBy(col("f").desc, col("k")).limit(8)
 
   /** ANALYZE-TABLE-as-a-lake-artifact: per-side MCV top-8 + (n, d)
     * totals for events.user_id and lineitem.l_orderkey, written ONCE
@@ -82,13 +85,21 @@ object LayoutOps {
     * the optimizer never rescans the fact tables at plan time. */
   private def statsSnapshotDir(s: SparkSession, dir: String): String =
     graft.api.Graft.snapshotFixtureDir("layout_stats", dir) { out =>
+      // kind is an EXPLICIT marker, not k IS NULL: a genuine null-key
+      // frequency group reaching the MCV list must never be misread
+      // as a totals row (r13 self-review). freq is pinned — the MCV
+      // and totals branches would otherwise each re-scan the fact
+      // table at snapshot-write time.
       def freq(df: DataFrame, key: String) =
         df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(false)
       def sideRows(ft: DataFrame, side: String): DataFrame =
-        mcv8(ft).select(lit(side).as("side"), col("k"), col("f"),
+        mcv8(ft).select(lit(side).as("side"), lit("mcv").as("kind"),
+            col("k"), col("f"),
             lit(null).cast("long").as("n"), lit(null).cast("long").as("d"))
           .unionByName(ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
-            .select(lit(side).as("side"), lit(null).cast("long").as("k"),
+            .select(lit(side).as("side"), lit("tot").as("kind"),
+                    lit(null).cast("long").as("k"),
                     lit(null).cast("long").as("f"), col("n"), col("d")))
       sideRows(freq(Tables.events(s, dir), "user_id"), "events_user")
         .unionByName(
@@ -684,7 +695,6 @@ object LayoutOps {
         .localCheckpoint(false)
       val ord = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
         .localCheckpoint(false)
-      def mcv(ft: DataFrame): DataFrame = mcv8(ft)
       def stats(ft: DataFrame): DataFrame =
         ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
       // tail average per System-R max-d: n_tail / max(d_tail_build,
@@ -701,32 +711,37 @@ object LayoutOps {
           .select(expr(
             "n_tail * 1000000 div greatest(greatest(d_tail, d_tail_probe), 1)")
             .as("avg_e6"))
-      val (me, ml) = (mcv(fe), mcv(fl))
+      val (me, ml) = (mcv8(fe), mcv8(fl))
       val (se, sl) = (stats(fe), stats(fl))
-      val soD = ord.agg(countDistinct(col("o_custkey")).as("pdc"),
-                        countDistinct(col("o_orderkey")).as("pdk"))
+      // ONE orders-stats aggregate feeds both the uniform estimator
+      // (n/dc/dk) and the two probe-side tail denominators; pinned so
+      // the two countDistincts run once (r13 self-review — was two
+      // separate aggs recomputing the same distincts)
+      val so = ord.agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("dc"),
+          countDistinct(col("o_orderkey")).as("dk"))
+        .localCheckpoint(false)
+      // pinned: consumed by its method row AND the rel_err denominator
       val hist = ord
         .join(fe.select(col("k").as("ek"), col("f").as("fe")),
               col("o_custkey") === col("ek"))
         .join(fl.select(col("k").as("lk"), col("f").as("fl")),
               col("o_orderkey") === col("lk"))
         .agg(coalesce(sum(col("fe") * col("fl")), lit(0L)).as("est"))
+        .localCheckpoint(false)
       val mcvEst = ord
         .join(broadcast(me.select(col("k").as("ek"), col("f").as("fe"))),
               col("o_custkey") === col("ek"), "left")
         .join(broadcast(ml.select(col("k").as("lk"), col("f").as("fl"))),
               col("o_orderkey") === col("lk"), "left")
-        .crossJoin(broadcast(tail(se, me, soD.select(col("pdc").as("pd")))
+        .crossJoin(broadcast(tail(se, me, so.select(col("dc").as("pd")))
           .select(col("avg_e6").as("ave"))))
-        .crossJoin(broadcast(tail(sl, ml, soD.select(col("pdk").as("pd")))
+        .crossJoin(broadcast(tail(sl, ml, so.select(col("dk").as("pd")))
           .select(col("avg_e6").as("avl"))))
         .select(expr(
           "(coalesce(fe * 1000000, ave) * coalesce(fl * 1000000, avl))" +
           " div 1000000").as("c_e6"))
         .agg(expr("coalesce(sum(c_e6), 0) div 1000000").as("est"))
-      val so = ord.agg(count(lit(1)).as("n"),
-        countDistinct(col("o_custkey")).as("dc"),
-        countDistinct(col("o_orderkey")).as("dk"))
       val uni = se.select(col("n").as("ne"), col("d").as("de"))
         .crossJoin(so)
         .crossJoin(sl.select(col("n").as("nl"), col("d").as("dl")))
@@ -758,10 +773,10 @@ object LayoutOps {
       val snap = s.read.parquet(statsSnapshotDir(s, dir))
         .localCheckpoint(false)
       def mcvOf(side: String, kc: String, fc: String) =
-        snap.filter(col("side") === side && col("k").isNotNull)
+        snap.filter(col("side") === side && col("kind") === "mcv")
           .select(col("k").as(kc), col("f").as(fc))
       def totOf(side: String, nc: String, dc: String) =
-        snap.filter(col("side") === side && col("k").isNull)
+        snap.filter(col("side") === side && col("kind") === "tot")
           .select(col("n").as(nc), col("d").as(dc))
       val (me, ml) = (mcvOf("events_user", "ek", "fe"),
                       mcvOf("lineitem_ok", "lk", "fl"))

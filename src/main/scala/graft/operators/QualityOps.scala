@@ -39,46 +39,29 @@ object QualityOps {
 
   private val ruleCols = Seq("tbl", "expectation", "violations", "checked", "ok")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
-    if (f.exists && !f.delete())
-      sys.error(s"could not delete fixture path: $f")
-  }
-
-  /** SHA-tagged, sentinel-idempotent parquet fixture pair for the
-    * schema-drift gate (r12 advice: the untagged fixed path was
-    * overwritten on every invocation, so concurrent gate runs over
-    * different data dirs could race the oracle's footer read). Tag =
-    * SHA-256 of the canonical data dir, the ntileBatchFixtureDir
-    * recipe; written once, never rewritten. The DuckDB oracle globs
-    * ALL tag dirs with DISTINCT — sound because the fixture SCHEMA is
-    * data-dir-invariant by construction (fixed columns, fixed casts),
-    * and the schema is the only thing either engine reads. */
+  /** SHA-tagged, write-once parquet fixture pair for the schema-drift
+    * gate (r12 advice: the untagged fixed path was overwritten on
+    * every invocation, so concurrent gate runs over different data
+    * dirs could race the oracle's footer read). Rides the shared
+    * Graft.snapshotFixtureDir lifecycle (tag + sentinel + ATOMIC
+    * rename — a cross-tag glob can never observe a partial build).
+    * The DuckDB oracle globs ALL tag dirs with DISTINCT — sound
+    * because the fixture SCHEMA is data-dir-invariant by construction
+    * (fixed columns, fixed casts), and the schema is the only thing
+    * either engine reads. */
   private[graft] def schemaDriftFixtureDirs(
       s: SparkSession, dir: String): (String, String) = {
-    import java.nio.file.{Files, Paths}
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(Paths.get(dir).toAbsolutePath.normalize.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(12).map(b => f"$b%02x").mkString
-    val root = new java.io.File(
-      s"target/graft_file_fixtures/dq_schema_drift_$tag").getAbsoluteFile
-    val sentinel = root.toPath.resolve(".complete")
-    val v1 = root.toPath.resolve("v1").toString
-    val v2 = root.toPath.resolve("v2").toString
-    if (!Files.exists(sentinel)) {
-      deleteRecursively(root)
-      Files.createDirectories(root.toPath)
-      val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
-      orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
-                    col("o_totalprice"), col("o_orderstatus"))
-        .coalesce(1).write.mode("overwrite").parquet(v1)
-      orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
-                    col("o_totalprice"), col("o_orderpriority"))
-        .coalesce(1).write.mode("overwrite").parquet(v2)
-      Files.write(sentinel, Array.emptyByteArray)
+    val out = graft.api.Graft.snapshotFixtureDir("dq_schema_drift", dir) {
+      root =>
+        val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+        orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+                      col("o_totalprice"), col("o_orderstatus"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/v1")
+        orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
+                      col("o_totalprice"), col("o_orderpriority"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/v2")
     }
-    (v1, v2)
+    (s"$out/v1", s"$out/v2")
   }
 
   private val ordersStringCols = Set("o_orderstatus", "o_orderpriority")
@@ -518,8 +501,8 @@ object QualityOps {
       // schema is the only thing this oracle reads
       val base = new java.io.File(
         "target/graft_file_fixtures").getAbsolutePath
-      val v1 = s"$base/dq_schema_drift_*/v1"
-      val v2 = s"$base/dq_schema_drift_*/v2"
+      val v1 = s"$base/dq_schema_drift_*/data/v1"
+      val v2 = s"$base/dq_schema_drift_*/data/v2"
       s"""WITH s1 AS (SELECT DISTINCT name, type
          |  FROM parquet_schema('$v1/*.parquet')
          |  WHERE type IS NOT NULL),
