@@ -2811,10 +2811,27 @@ object Graft {
   def gridKnnAutoPitch(points: DataFrame, idCol: String, xCol: String,
       yCol: String, span: Long = 65536L, targetOccupancy: Long = 8L,
       cap: Option[Int] = None): DataFrame = {
+    val pick = autoPitch(points, span, targetOccupancy)
+    val cells = points.select(
+        col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
+      .crossJoin(broadcast(pick))
+      .withColumn("__cx", expr("(__xi - pmod(__xi, pitch)) div pitch"))
+      .withColumn("__cy", expr("(__yi - pmod(__yi, pitch)) div pitch"))
+    gridKnnFromCells(cells, idCol, cap, carry = Seq("pitch"))
+  }
+
+  /** The occupancy-ladder pitch derivation on its own (r13 seed #2 —
+    * reused by [[gridKnnAutoPitch]] and the heatmap raster): one count
+    * picks the COARSEST power-of-two pitch from the ladder whose mean
+    * cell occupancy n·pitch²/span² stays ≤ `targetOccupancy`, as a
+    * 1-row DataFrame ready for a broadcast cross. Pure integer
+    * inequality (no logs, no floats), entirely inside the plan — no
+    * driver-side collect. */
+  def autoPitch(points: DataFrame, span: Long,
+      targetOccupancy: Long): DataFrame = {
     require(span > 0 && (span & (span - 1)) == 0,
-      s"gridKnnAutoPitch: span must be a positive power of two, got $span")
-    require(targetOccupancy > 0,
-      s"gridKnnAutoPitch: targetOccupancy must be positive")
+      s"autoPitch: span must be a positive power of two, got $span")
+    require(targetOccupancy > 0, "autoPitch: targetOccupancy must be positive")
     val s = points.sparkSession
     val ladder = s.createDataFrame(
         Iterator.iterate(span / 4)(_ / 2).takeWhile(_ >= 1L)
@@ -2832,16 +2849,10 @@ object Graft {
     // 2⁶⁰ ⇒ products < 10³⁷).
     val occCap = (BigDecimal(targetOccupancy) * BigDecimal(span) *
       BigDecimal(span)).bigDecimal
-    val pick = ladder.crossJoin(n)
+    ladder.crossJoin(n)
       .where(col("__n").cast("decimal(38,0)") *
              col("pitch") * col("pitch") <= lit(occCap))
       .agg(coalesce(max(col("pitch")), lit(1L)).as("pitch"))
-    val cells = points.select(
-        col(idCol).as("__id"), col(xCol).as("__xi"), col(yCol).as("__yi"))
-      .crossJoin(broadcast(pick))
-      .withColumn("__cx", expr("(__xi - pmod(__xi, pitch)) div pitch"))
-      .withColumn("__cy", expr("(__yi - pmod(__yi, pitch)) div pitch"))
-    gridKnnFromCells(cells, idCol, cap, carry = Seq("pitch"))
   }
 
   /** Shared tail of the grid-kNN family: 3×3 neighbor-cell candidate
@@ -2884,17 +2895,50 @@ object Graft {
               col("dist2"), col("n_candidates")) ++ carry.map(col): _*)
   }
 
+  /** HashMin connected-component labels: `rounds` unrolled rounds of
+    * min-id propagation over a SYMMETRIC (a, b) edge list — lbl₀(v) =
+    * v, then each round lbl(v) ← min(lbl(v), min over neighbors'
+    * lbl). Deterministic at ANY unroll depth (min is idempotent and
+    * commutative), so a fixed-depth consumer is closed-form
+    * oracle-checkable; converges in O(diameter) rounds. Each round is
+    * one |E|-join + min-aggregate against the pre-partitioned, pinned
+    * edge set. Single-sources graph_connected_components and
+    * geo_dbscan_label (r14: DBSCAN cluster labeling = HashMin on the
+    * core-core ε-edge subgraph). */
+  def hashMinLabels(symEdges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"hashMinLabels: rounds must be positive, got $rounds")
+    val edges = symEdges.select(col("a"), col("b"))
+      .repartition(col("b"))
+      .localCheckpoint()
+    val l0 = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    def step(l: DataFrame): DataFrame =
+      l.join(
+        edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+          .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
+        Seq("v"), "left")
+       .select(col("v"),
+               least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+    (1 to rounds).foldLeft(l0)((l, _) => step(l))
+  }
+
   /** SHA-tagged, sentinel-idempotent fixture/snapshot directory: tag =
-    * SHA-256 of the canonical data dir (a 32-bit hash collision between
-    * two data dirs would silently serve one dir's snapshot to the
-    * other — the r9 lesson), written ONCE by `write(outPath)` then
-    * never rewritten. The build lands in a process-private temp root
-    * that is ATOMICALLY renamed into place (r13 self-review): a reader
-    * globbing across tag dirs (dq_schema_drift's oracle) can therefore
-    * never observe a half-written fixture, even if a previous writer
-    * crashed mid-build — the crashed temp root is invisible to the
-    * glob and swept on the next attempt. Single-sources the
-    * schema-drift, profile-drift, and stats-snapshot fixtures. */
+    * SHA-256 of the canonical data dir path PLUS a cheap content stamp
+    * (per-file relative path, size, mtime — r13 advice: a path-only tag
+    * silently serves stale snapshots when data is regenerated in
+    * place; with the stamp, regenerating the dir mints a fresh tag and
+    * the snapshot rebuilds), written ONCE by `write(outPath)` then
+    * never rewritten. The build lands in a WRITER-private temp root
+    * (pid + thread id — two threads of one process must not share a
+    * tmp path, r13 advice) that is ATOMICALLY renamed into place: a
+    * reader globbing across tag dirs (dq_schema_drift's oracle) can
+    * never observe a half-written fixture. If the rename loses a
+    * concurrent first-build race, the loser re-checks the sentinel and
+    * returns the winner's fixture instead of propagating. Temp roots
+    * from CRASHED runs (embedded pid no longer alive) are swept before
+    * building; a live foreign builder's tmp is never touched.
+    * Single-sources the schema-drift, profile-drift, and
+    * stats-snapshot fixtures. */
   def snapshotFixtureDir(name: String, dataDir: String)
       (write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -2902,8 +2946,28 @@ object Graft {
       if (f.isDirectory) f.listFiles.foreach(wipe)
       if (f.exists && !f.delete()) sys.error(s"could not delete fixture: $f")
     }
+    val canonical = Paths.get(dataDir).toAbsolutePath.normalize
+    // content stamp: (relative path, size, mtime-millis) per regular
+    // file, sorted — O(file count) metadata reads, no data I/O. The
+    // test SF dirs hold tens of files; a real lake catalog would use
+    // its snapshot/commit id here, same role.
+    val stamp = {
+      val sb = new StringBuilder
+      if (Files.isDirectory(canonical)) {
+        val walk = Files.walk(canonical)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator.asScala
+            .filter(Files.isRegularFile(_))
+            .map(p => s"${canonical.relativize(p)}|${Files.size(p)}|" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted.foreach(l => sb.append(l).append('\n'))
+        } finally walk.close()
+      }
+      sb.toString
+    }
     val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(Paths.get(dataDir).toAbsolutePath.normalize.toString
+      .digest((canonical.toString + " " + stamp)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map(b => f"$b%02x").mkString
     val base = new java.io.File("target/graft_file_fixtures").getAbsoluteFile
@@ -2912,15 +2976,36 @@ object Graft {
     val out = root.toPath.resolve("data").toString
     if (!Files.exists(sentinel)) {
       wipe(root)
+      // sweep ABANDONED temp roots for this (name, tag): only those
+      // whose embedded pid is dead — an alive foreign pid may be
+      // mid-build and its tmp must not be wiped out from under it
+      Option(base.listFiles).getOrElse(Array.empty).foreach { f =>
+        val pfx = s".${name}_${tag}_tmp_"
+        if (f.getName.startsWith(pfx)) {
+          val pid = f.getName.stripPrefix(pfx).takeWhile(_.isDigit)
+          val alive = pid.nonEmpty && {
+            val h = ProcessHandle.of(pid.toLong)
+            h.isPresent && h.get.isAlive
+          }
+          if (!alive && pid != ProcessHandle.current.pid.toString) wipe(f)
+        }
+      }
       // temp roots start with '.' so fixture globs (name_*/data/...)
-      // can never match an in-progress build
+      // can never match an in-progress build; pid + threadId makes the
+      // path unique per concurrent builder
       val tmp = new java.io.File(base,
-        s".${name}_${tag}_tmp_${ProcessHandle.current.pid}")
+        s".${name}_${tag}_tmp_${ProcessHandle.current.pid}_" +
+          Thread.currentThread.getId)
       wipe(tmp)
       Files.createDirectories(tmp.toPath)
       write(tmp.toPath.resolve("data").toString)
       Files.write(tmp.toPath.resolve(".complete"), Array.emptyByteArray)
-      Files.move(tmp.toPath, root.toPath, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(tmp.toPath, root.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: java.nio.file.FileSystemException =>
+        // lost a concurrent first-build race: the winner's fixture is
+        // complete (sentinel present) — discard ours and use theirs
+        if (Files.exists(sentinel)) wipe(tmp) else throw e
+      }
     }
     out
   }

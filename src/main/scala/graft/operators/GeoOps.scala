@@ -41,11 +41,22 @@ import org.apache.spark.sql.expressions.Window
   *    SKEW remains unbounded in the uncapped form (md5 coordinates
   *    are uniform here); `geo_grid_knn_capped` stays the adversarial
   *    hard bound (≤ 9K candidates per probe regardless of skew).
+  *  - the DBSCAN family (r13/r14): `geo_dbscan_core_capped` is the
+  *    SCALE SHAPE — pitch = ε with the per-cell candidate cap, so the
+  *    worst-case candidate volume is 9K per probe no matter how
+  *    skewed a hot ε-cell gets; `geo_dbscan_core` (uncapped, pitch
+  *    4096) stays the declared EXACT census yardstick the capped form
+  *    calibrates against, and `geo_dbscan_label` completes the
+  *    clustering story by running HashMin connected components over
+  *    the core-core ε-edges only.
   *  - `geo_heatmap_smooth` reduces points to per-cell counts FIRST
   *    (map-side combinable groupBy), then runs the 3×3 kernel
   *    convolution as a self-join on the reduced cell table — the
   *    convolution cost is O(nonzero cells · 9), independent of row
-  *    count.
+  *    count. Since r14 the raster pitch is occupancy-derived too
+  *    (Graft.autoPitch — r13 verdict watch #2): resolution grows with
+  *    data density so cells keep ~8 points of mass at any SF, instead
+  *    of a human re-choosing the 4096 constant.
   */
 object GeoOps {
 
@@ -59,6 +70,65 @@ object GeoOps {
               conv(substring(col("h"), 5, 4), 16, 10).cast("long").as("yi"))
 
   private val offs: Column = array((-1 to 1).map(lit): _*)
+
+  /** Candidate ε-pairs (user_id, nb) through the 3×3 neighbor-cell
+    * equi join at `pitch` (correctness requires pitch ≥ ε so every
+    * ε-ball fits the neighborhood), exact BIGINT distance filter
+    * dist² ≤ eps2. `cap` bounds the BUILD side to the K md5-ranked
+    * representatives per cell (Graft.gridKnnFromCells' cap shape —
+    * worst-case candidate volume 9K per probe regardless of skew;
+    * declared approximate: neighbor counts become lower bounds).
+    * Single-sources the three dbscan queries. */
+  private def epsilonPairs(pts: DataFrame, pitch: Long, eps2: Long,
+      cap: Option[Int]): DataFrame = {
+    val base = pts
+      .withColumn("cx", expr(s"xi div $pitch"))
+      .withColumn("cy", expr(s"yi div $pitch"))
+    val bSide = cap.fold(base) { k =>
+      base.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cx"), col("cy"))
+            .orderBy(md5(concat(col("user_id").cast("string"), lit(":cap"))),
+                     col("user_id"))))
+        .where(col("rn") <= k).drop("rn")
+    }
+    val build = bSide.select(col("user_id").as("nb"), col("xi").as("bxi"),
+      col("yi").as("byi"), col("cx").as("bcx"), col("cy").as("bcy"))
+    base
+      .withColumn("dx", explode(offs)).withColumn("dy", explode(offs))
+      .select(col("user_id"), col("xi"), col("yi"),
+              (col("cx") + col("dx")).as("ncx"),
+              (col("cy") + col("dy")).as("ncy"))
+      .join(build, col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
+                   col("nb") =!= col("user_id"))
+      .where((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
+             (col("yi") - col("byi")) * (col("yi") - col("byi")) <=
+             lit(eps2))
+      .select(col("user_id"), col("nb"))
+  }
+
+  /** The core/border/noise census over a pinned candidate-pair table:
+    * neighbor counts classify cores (minPts = 2); border = non-core
+    * with ≥1 core ε-neighbor via a semi join of the SAME candidates
+    * against the core set. */
+  private def dbscanCensus(pts: DataFrame, cand: DataFrame): DataFrame = {
+    val counts = cand.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_within_r"))
+    val core = counts.filter(col("n_within_r") >= 2)
+      .select(col("user_id").as("core_id"))
+    val borderIds = cand
+      .join(core, col("nb") === col("core_id"), "left_semi")
+      .select(col("user_id")).distinct()
+      .withColumn("near_core", lit(1))
+    pts.select(col("user_id"))
+      .join(counts, Seq("user_id"), "left")
+      .join(borderIds, Seq("user_id"), "left")
+      .select(col("user_id"),
+              coalesce(col("n_within_r"), lit(0L)).as("n_within_r"),
+              when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
+                .when(col("near_core") === 1, "border")
+                .otherwise("noise").as("cls"))
+      .orderBy(col("user_id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -94,53 +164,98 @@ object GeoOps {
     // DBSCAN-style density classification (core / border / noise) on
     // the user point set: ε = 3000 (exact integer dist² ≤ 9e6), minPts
     // = 2 neighbors. Candidates come through the SAME 3×3 grid equi
-    // join as geo_grid_knn — correctness requires pitch ≥ ε (every
-    // ε-ball fits the 3×3 neighborhood; pitch 4096 > 3000), and at
-    // scale pitch = ε with the per-cell cap is the standard density-
-    // bounded shape. Two statistics passes, no iteration: neighbor
-    // counts classify cores map-side after one grid join; border =
-    // non-core with ≥1 core ε-neighbor via a semi join of the SAME
-    // candidate table against the core set (the full DBSCAN cluster
-    // labeling would be connected components over core-core edges —
-    // graph_connected_components' territory; this op is the density
-    // CENSUS that decides whether that expense is worth running).
+    // join as geo_grid_knn at pitch 4096 ≥ ε, UNCAPPED — this is the
+    // declared EXACT CENSUS YARDSTICK of the family: its candidate
+    // volume is within a constant factor of the true ε-neighborhood
+    // graph (which exact DBSCAN must see regardless), but a hot ε-cell
+    // is still quadratic in that cell's population under adversarial
+    // skew. The density-bounded scale shape is geo_dbscan_core_capped
+    // below (pitch = ε + per-cell cap — r13 verdict watch #1); this
+    // form is what the capped one calibrates against, exactly as
+    // geo_grid_knn_capped yardsticks geo_grid_knn.
     "geo_dbscan_core" -> ((s, dir) => {
       val pts = points(s, dir)
-      def cellsOf(df: DataFrame) = df
-        .withColumn("cx", expr("xi div 4096"))
-        .withColumn("cy", expr("yi div 4096"))
-      val base = cellsOf(pts)
-      val build = base.select(col("user_id").as("nb"), col("xi").as("bxi"),
-        col("yi").as("byi"), col("cx").as("bcx"), col("cy").as("bcy"))
-      val cand = base
-        .withColumn("dx", explode(offs)).withColumn("dy", explode(offs))
-        .select(col("user_id"), col("xi"), col("yi"),
-                (col("cx") + col("dx")).as("ncx"),
-                (col("cy") + col("dy")).as("ncy"))
-        .join(build, col("bcx") === col("ncx") && col("bcy") === col("ncy") &&
-                     col("nb") =!= col("user_id"))
-        .where((col("xi") - col("bxi")) * (col("xi") - col("bxi")) +
-               (col("yi") - col("byi")) * (col("yi") - col("byi")) <=
-               lit(9000000L))
-        .select(col("user_id"), col("nb"))
-        // both the count pass and the border semi join read this
-        .localCheckpoint(false)
+      // both the count pass and the border semi join read cand
+      val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
+        cap = None).localCheckpoint(false)
+      dbscanCensus(pts, cand)
+    }),
+
+    // The DENSITY-BOUNDED form of the census (r13 verdict watch #1):
+    // pitch = ε = 3000 (the standard DBSCAN grid — every ε-ball still
+    // fits the 3×3 neighborhood) with the per-cell candidate cap K = 8
+    // (md5-ranked, the geo_grid_knn_capped / LSH hot-band shape), so a
+    // hot ε-cell contributes at most 9K candidates per probe REGARDLESS
+    // of its population — the worst case is linear, never quadratic.
+    // Declared approximate: capped neighbor counts are lower bounds, so
+    // a core in a dense region is still classified core as long as ≥2
+    // of the ≤72 deterministic representatives fall inside ε (minPts=2
+    // makes the cap generous); the oracle implements the SAME cap, so
+    // the trade is pinned. The uncapped geo_dbscan_core above is the
+    // exact yardstick this calibrates against.
+    "geo_dbscan_core_capped" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val cand = epsilonPairs(pts, pitch = 3000L, eps2 = 9000000L,
+        cap = Some(8)).localCheckpoint(false)
+      dbscanCensus(pts, cand)
+    }),
+
+    // DBSCAN CLUSTER LABELING (r13 verdict #2 — the step the census
+    // prices): cluster = connected component of the CORE-CORE ε-edge
+    // subgraph (Graft.hashMinLabels, 4 unrolled HashMin rounds — the
+    // graph_connected_components machinery, deterministic at any
+    // depth); borders attach to the MIN cluster label among their core
+    // ε-neighbors; noise gets NULL. Cost: the census' one grid join +
+    // CC on the core-edge SUBGRAPH only (the candidate table is pinned
+    // once and feeds the counts pass, the core-core edge filter, and
+    // the border attach — never rebuilt). At sf0.01/sf0.1 the 4-round
+    // unroll is converged (Round14Spec replays true components by
+    // union-find and pins label-set equality); at adversarial diameter
+    // the fixed depth under-merges predictably — the declared contract
+    // is 4-round HashMin, which the oracle replays verbatim.
+    "geo_dbscan_label" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
+        cap = None).localCheckpoint(false)
       val counts = cand.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_within_r"))
+        .localCheckpoint(false) // read by core set AND the final frame
       val core = counts.filter(col("n_within_r") >= 2)
         .select(col("user_id").as("core_id"))
-      val borderIds = cand
-        .join(core, col("nb") === col("core_id"), "left_semi")
-        .select(col("user_id")).distinct()
-        .withColumn("near_core", lit(1))
+      val coreEdges = cand
+        .join(core.select(col("core_id").as("user_id")),
+              Seq("user_id"), "left_semi")
+        .join(core.select(col("core_id").as("nb")), Seq("nb"), "left_semi")
+        .select(col("user_id").as("a"), col("nb").as("b"))
+      val lbl = graft.api.Graft.hashMinLabels(coreEdges, rounds = 4)
+      // isolated cores (no core-core edge) label themselves
+      val coreLbl = core
+        .join(lbl, core("core_id") === lbl("v"), "left")
+        .select(col("core_id"),
+                coalesce(col("lbl"), col("core_id")).as("cluster"))
+        .localCheckpoint(false) // core output rows + border attach
+      val borderLbl = cand
+        .join(coreLbl.select(col("core_id").as("nb"), col("cluster")),
+              Seq("nb"))
+        .groupBy(col("user_id")).agg(min(col("cluster")).as("b_cluster"))
       pts.select(col("user_id"))
         .join(counts, Seq("user_id"), "left")
-        .join(borderIds, Seq("user_id"), "left")
+        .join(coreLbl.select(col("core_id").as("user_id"),
+                col("cluster").as("c_cluster")), Seq("user_id"), "left")
+        .join(borderLbl, Seq("user_id"), "left")
         .select(col("user_id"),
                 coalesce(col("n_within_r"), lit(0L)).as("n_within_r"),
                 when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
-                  .when(col("near_core") === 1, "border")
-                  .otherwise("noise").as("cls"))
+                  .when(col("b_cluster").isNotNull, "border")
+                  .otherwise("noise").as("cls"),
+                // noise carries the -1 sentinel, not NULL: ids are
+                // non-negative, and a typed sentinel keeps the column
+                // NON-NULLABLE end to end (a nullable BIGINT lands as
+                // float64+NaN in any pandas/arrow consumer)
+                coalesce(
+                  when(coalesce(col("n_within_r"), lit(0L)) >= 2,
+                       col("c_cluster"))
+                    .otherwise(col("b_cluster")), lit(-1L)).as("cluster"))
         .orderBy(col("user_id"))
     }),
 
@@ -183,34 +298,132 @@ object GeoOps {
         .orderBy(col("user_id"))
     }),
 
-    // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner 1)
-    // on a 16×16 grid, computed entirely on the reduced cell table.
+    // Raster density + 3×3 kernel smoothing (center 4, edge 2, corner
+    // 1) computed entirely on the reduced cell table, with the raster
+    // pitch OCCUPANCY-DERIVED (Graft.autoPitch, target 8 — r13 verdict
+    // watch #2): the grid resolves finer as density grows so cells
+    // keep ~8 points of statistical mass at any SF (dim = 65536/pitch:
+    // 4×4 at sf0.001, 8×8 at sf0.01, 16×16 at sf0.1) instead of a
+    // human re-choosing the 4096 constant at every scale-up. The pick
+    // is a 1-row broadcast scalar; the chosen pitch is echoed as an
+    // output column.
     "geo_heatmap_smooth" -> ((s, dir) => {
-      val cellCounts = points(s, dir)
-        .withColumn("cx", expr("xi div 4096"))
-        .withColumn("cy", expr("yi div 4096"))
-        .groupBy(col("cx"), col("cy"))
+      val pts = points(s, dir)
+      val pick = graft.api.Graft.autoPitch(pts, span = 65536L,
+        targetOccupancy = 8L)
+      val cellCounts = pts.crossJoin(broadcast(pick))
+        .withColumn("cx", expr("xi div pitch"))
+        .withColumn("cy", expr("yi div pitch"))
+        .groupBy(col("cx"), col("cy"), col("pitch"))
         .agg(count(lit(1)).as("n"))
       val contrib = cellCounts
         .withColumn("dx", explode(offs))
         .withColumn("dy", explode(offs))
-        .select((col("cx") + col("dx")).as("tx"),
+        .select(col("pitch"),
+                (col("cx") + col("dx")).as("tx"),
                 (col("cy") + col("dy")).as("ty"),
                 (col("n") * when(col("dx") === 0 && col("dy") === 0, 4)
                   .when(abs(col("dx")) + abs(col("dy")) === 1, 2)
                   .otherwise(1)).as("wn"))
-        .where(col("tx") >= 0 && col("tx") < 16 &&
-               col("ty") >= 0 && col("ty") < 16)
+        .where(col("tx") >= 0 && col("tx") < expr("65536 div pitch") &&
+               col("ty") >= 0 && col("ty") < expr("65536 div pitch"))
       contrib
-        .groupBy(col("tx"), col("ty"))
+        .groupBy(col("tx"), col("ty"), col("pitch"))
         .agg(sum(col("wn")).as("smoothed"))
-        .join(cellCounts,
+        .join(cellCounts.select(col("cx"), col("cy"), col("n")),
               col("tx") === col("cx") && col("ty") === col("cy"), "left")
         .select(col("tx").as("gx"), col("ty").as("gy"),
-                coalesce(col("n"), lit(0L)).as("n"), col("smoothed"))
+                coalesce(col("n"), lit(0L)).as("n"), col("smoothed"),
+                col("pitch"))
         .orderBy(col("gx"), col("gy"))
     })
   )
+
+  /** Shared oracle prefix: the md5 point set and its ε-candidate pairs
+    * at `pitch` (optionally per-cell-capped at K, md5-ranked — the
+    * exact cap recipe of the Spark side). */
+  private def candSql(pitch: Long, cap: Option[Int]): String = {
+    val buildSrc = cap.fold("c") { k =>
+      s"""(SELECT user_id, xi, yi, cx, cy
+         |   FROM (SELECT *, row_number() OVER (PARTITION BY cx, cy
+         |           ORDER BY md5(user_id::VARCHAR || ':cap'), user_id) AS rn
+         |         FROM c)
+         |   WHERE rn <= $k)""".stripMargin
+    }
+    s"""p AS (
+       |  SELECT user_id,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |c AS (SELECT user_id, xi, yi, xi // $pitch AS cx, yi // $pitch AS cy
+       |      FROM p),
+       |off AS (SELECT dx, dy
+       |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+       |cand AS (
+       |  SELECT a.user_id, b.user_id AS nb
+       |  FROM c a CROSS JOIN off
+       |  JOIN $buildSrc b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+       |          AND b.user_id <> a.user_id
+       |  WHERE (a.xi - b.xi) * (a.xi - b.xi) +
+       |        (a.yi - b.yi) * (a.yi - b.yi) <= 9000000)""".stripMargin
+  }
+
+  /** The census tail over `cand` — shared by both dbscan_core forms. */
+  private val censusTailSql =
+    """counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
+      |  FROM cand GROUP BY user_id),
+      |core AS (SELECT user_id FROM counts WHERE n_within_r >= 2),
+      |border AS (SELECT DISTINCT cand.user_id
+      |  FROM cand JOIN core ON cand.nb = core.user_id)
+      |SELECT p.user_id,
+      |       coalesce(n_within_r, 0)::BIGINT AS n_within_r,
+      |       CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
+      |            WHEN border.user_id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS cls
+      |FROM p LEFT JOIN counts USING (user_id)
+      |       LEFT JOIN border ON p.user_id = border.user_id
+      |ORDER BY p.user_id""".stripMargin
+
+  /** 4 unrolled HashMin rounds over the core-core edges + border
+    * attach — generated by the same round loop shape as the Spark
+    * side's Graft.hashMinLabels(rounds = 4). */
+  private def labelSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""s$r AS (SELECT e.a AS v, min(l.lbl) AS nb
+         |  FROM ce e JOIN l${r - 1} l ON l.v = e.b GROUP BY e.a),
+         |l$r AS (SELECT l.v, least(l.lbl, coalesce(s$r.nb, l.lbl)) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN s$r ON l.v = s$r.v)""".stripMargin
+    }.mkString(",\n")
+    s"""${candSql(4096L, None)},
+       |counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
+       |  FROM cand GROUP BY user_id),
+       |core AS (SELECT user_id AS core_id FROM counts WHERE n_within_r >= 2),
+       |ce AS (
+       |  SELECT cand.user_id AS a, cand.nb AS b FROM cand
+       |  JOIN core x ON cand.user_id = x.core_id
+       |  JOIN core y ON cand.nb = y.core_id),
+       |l0 AS (SELECT core_id AS v, core_id AS lbl FROM core),
+       |$rounds,
+       |corelbl AS (
+       |  SELECT core.core_id, coalesce(l4.lbl, core.core_id) AS cluster
+       |  FROM core LEFT JOIN l4 ON l4.v = core.core_id),
+       |blbl AS (
+       |  SELECT cand.user_id, min(cl.cluster) AS b_cluster
+       |  FROM cand JOIN corelbl cl ON cand.nb = cl.core_id
+       |  GROUP BY cand.user_id)
+       |SELECT p.user_id,
+       |       coalesce(n_within_r, 0)::BIGINT AS n_within_r,
+       |       CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
+       |            WHEN b_cluster IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS cls,
+       |       coalesce(CASE WHEN coalesce(n_within_r, 0) >= 2
+       |                     THEN corelbl.cluster
+       |                     ELSE b_cluster END, -1)::BIGINT AS cluster
+       |FROM p LEFT JOIN counts USING (user_id)
+       |       LEFT JOIN corelbl ON p.user_id = corelbl.core_id
+       |       LEFT JOIN blbl ON p.user_id = blbl.user_id
+       |ORDER BY p.user_id""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // occupancy-derived pitch: coarsest power-of-two rung with
@@ -279,34 +492,12 @@ object GeoOps {
         |FROM rk WHERE rnk = 1 ORDER BY user_id""".stripMargin,
 
     "geo_dbscan_core" ->
-      """WITH p AS (
-        |  SELECT user_id,
-        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
-        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
-        |  FROM (SELECT DISTINCT user_id FROM events)),
-        |c AS (SELECT user_id, xi, yi, xi // 4096 AS cx, yi // 4096 AS cy FROM p),
-        |off AS (SELECT dx, dy
-        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
-        |cand AS (
-        |  SELECT a.user_id, b.user_id AS nb
-        |  FROM c a CROSS JOIN off
-        |  JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
-        |          AND b.user_id <> a.user_id
-        |  WHERE (a.xi - b.xi) * (a.xi - b.xi) +
-        |        (a.yi - b.yi) * (a.yi - b.yi) <= 9000000),
-        |counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
-        |  FROM cand GROUP BY user_id),
-        |core AS (SELECT user_id FROM counts WHERE n_within_r >= 2),
-        |border AS (SELECT DISTINCT cand.user_id
-        |  FROM cand JOIN core ON cand.nb = core.user_id)
-        |SELECT p.user_id,
-        |       coalesce(n_within_r, 0)::BIGINT AS n_within_r,
-        |       CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
-        |            WHEN border.user_id IS NOT NULL THEN 'border'
-        |            ELSE 'noise' END AS cls
-        |FROM p LEFT JOIN counts USING (user_id)
-        |       LEFT JOIN border ON p.user_id = border.user_id
-        |ORDER BY p.user_id""".stripMargin,
+      s"WITH ${candSql(4096L, None)},\n$censusTailSql",
+
+    "geo_dbscan_core_capped" ->
+      s"WITH ${candSql(3000L, Some(8))},\n$censusTailSql",
+
+    "geo_dbscan_label" -> s"WITH $labelSql",
 
     "geo_trajectory_l1" ->
       """WITH pts AS (
@@ -336,27 +527,37 @@ object GeoOps {
         |         AS tortuosity_e6
         |FROM agg ORDER BY user_id""".stripMargin,
 
+    // raster pitch from the same occupancy ladder as geo_grid_knn's
+    // oracle (target 8 ⇒ cap 8·65536² = 34359738368); dim = 65536 //
+    // pitch bounds the smoothing targets
     "geo_heatmap_smooth" ->
       """WITH p AS (
         |  SELECT user_id,
         |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
         |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
         |  FROM (SELECT DISTINCT user_id FROM events)),
+        |np AS (SELECT count(*)::BIGINT AS n FROM p),
+        |lad AS (SELECT unnest([16384, 8192, 4096, 2048, 1024, 512, 256,
+        |                      128, 64, 32, 16, 8, 4, 2, 1]) AS pitch),
+        |pick AS (SELECT coalesce(max(pitch), 1)::BIGINT AS pitch
+        |         FROM lad, np WHERE n * pitch * pitch <= 34359738368),
         |cc AS (
-        |  SELECT xi // 4096 AS cx, yi // 4096 AS cy, count(*) AS n
-        |  FROM p GROUP BY 1, 2),
+        |  SELECT xi // pitch AS cx, yi // pitch AS cy, pitch, count(*) AS n
+        |  FROM p, pick GROUP BY 1, 2, 3),
         |off AS (SELECT dx, dy
         |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
         |contrib AS (
-        |  SELECT cx + dx AS tx, cy + dy AS ty,
+        |  SELECT cx + dx AS tx, cy + dy AS ty, pitch,
         |         n * (CASE WHEN dx = 0 AND dy = 0 THEN 4
         |                   WHEN abs(dx) + abs(dy) = 1 THEN 2
         |                   ELSE 1 END) AS wn
         |  FROM cc CROSS JOIN off
-        |  WHERE cx + dx BETWEEN 0 AND 15 AND cy + dy BETWEEN 0 AND 15),
-        |sm AS (SELECT tx, ty, sum(wn)::BIGINT AS smoothed
-        |       FROM contrib GROUP BY tx, ty)
-        |SELECT tx AS gx, ty AS gy, coalesce(n, 0)::BIGINT AS n, smoothed
+        |  WHERE cx + dx BETWEEN 0 AND (65536 // pitch) - 1
+        |    AND cy + dy BETWEEN 0 AND (65536 // pitch) - 1),
+        |sm AS (SELECT tx, ty, pitch, sum(wn)::BIGINT AS smoothed
+        |       FROM contrib GROUP BY tx, ty, pitch)
+        |SELECT tx AS gx, ty AS gy, coalesce(n, 0)::BIGINT AS n, smoothed,
+        |       sm.pitch
         |FROM sm LEFT JOIN cc ON tx = cx AND ty = cy
         |ORDER BY gx, gy""".stripMargin
   )

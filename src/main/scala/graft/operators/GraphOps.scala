@@ -241,18 +241,8 @@ object GraphOps {
     // output is the per-label vertex census after rounds 3.
     "graph_connected_components" -> ((s, dir) => {
       val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
-      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .repartition(col("b"))
-        .localCheckpoint()
-      val l0 = edges.select(col("a").as("v")).distinct()
-        .withColumn("lbl", col("v"))
-      def step(l: DataFrame): DataFrame =
-        l.join(
-          edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
-            .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
-          Seq("v"), "left")
-         .select(col("v"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-      val l3 = step(step(step(l0)))
+      val l3 = graft.api.Graft.hashMinLabels(
+        e0.union(e0.select(col("b").as("a"), col("a").as("b"))), rounds = 3)
       l3.groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("component"))

@@ -79,31 +79,53 @@ object LayoutOps {
   private def mcv8(ft: DataFrame): DataFrame =
     ft.orderBy(col("f").desc, col("k")).limit(8)
 
+  /** Pinned per-key frequency table — the MCV and totals branches both
+    * read it, so the fact table is scanned once per snapshot side. */
+  private def freqTable(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(false)
+
+  /** One side's snapshot rows: MCV top-8 + (n, d) totals in a single
+    * row shape. kind is an EXPLICIT marker, not k IS NULL: a genuine
+    * null-key frequency group reaching the MCV list must never be
+    * misread as a totals row (r13 self-review). Shared by the stats
+    * snapshot, the prior-stats snapshot, and the staleness gate's live
+    * side. */
+  private def statsSideRows(ft: DataFrame, side: String): DataFrame =
+    mcv8(ft).select(lit(side).as("side"), lit("mcv").as("kind"),
+        col("k"), col("f"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("d"))
+      .unionByName(ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
+        .select(lit(side).as("side"), lit("tot").as("kind"),
+                lit(null).cast("long").as("k"),
+                lit(null).cast("long").as("f"), col("n"), col("d")))
+
   /** ANALYZE-TABLE-as-a-lake-artifact: per-side MCV top-8 + (n, d)
     * totals for events.user_id and lineitem.l_orderkey, written ONCE
     * to a SHA-tagged snapshot — the statistics a catalog persists so
     * the optimizer never rescans the fact tables at plan time. */
   private def statsSnapshotDir(s: SparkSession, dir: String): String =
     graft.api.Graft.snapshotFixtureDir("layout_stats", dir) { out =>
-      // kind is an EXPLICIT marker, not k IS NULL: a genuine null-key
-      // frequency group reaching the MCV list must never be misread
-      // as a totals row (r13 self-review). freq is pinned — the MCV
-      // and totals branches would otherwise each re-scan the fact
-      // table at snapshot-write time.
-      def freq(df: DataFrame, key: String) =
-        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
-          .localCheckpoint(false)
-      def sideRows(ft: DataFrame, side: String): DataFrame =
-        mcv8(ft).select(lit(side).as("side"), lit("mcv").as("kind"),
-            col("k"), col("f"),
-            lit(null).cast("long").as("n"), lit(null).cast("long").as("d"))
-          .unionByName(ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
-            .select(lit(side).as("side"), lit("tot").as("kind"),
-                    lit(null).cast("long").as("k"),
-                    lit(null).cast("long").as("f"), col("n"), col("d")))
-      sideRows(freq(Tables.events(s, dir), "user_id"), "events_user")
-        .unionByName(
-          sideRows(freq(Tables.lineitem(s, dir), "l_orderkey"), "lineitem_ok"))
+      statsSideRows(freqTable(Tables.events(s, dir), "user_id"),
+          "events_user")
+        .unionByName(statsSideRows(
+          freqTable(Tables.lineitem(s, dir), "l_orderkey"), "lineitem_ok"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+
+  /** The PRIOR ingest state's statistics (r13 verdict #5): the same
+    * MCV+totals artifact, but the events side is profiled BEFORE its
+    * latest ~1/8 md5-sampled batch arrived (a deterministic subset —
+    * the historical ANALYZE run), lineitem unchanged. The staleness
+    * gate diffs live statistics against this. */
+  private def statsPriorSnapshotDir(s: SparkSession, dir: String): String =
+    graft.api.Graft.snapshotFixtureDir("layout_stats_prior", dir) { out =>
+      val priorEvents = Tables.events(s, dir).filter(
+        conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":st"))), 1, 4), 16, 10).cast("long") % 8 =!= 0)
+      statsSideRows(freqTable(priorEvents, "user_id"), "events_user")
+        .unionByName(statsSideRows(
+          freqTable(Tables.lineitem(s, dir), "l_orderkey"), "lineitem_ok"))
         .coalesce(1).write.mode("overwrite").parquet(out)
     }
 
@@ -811,6 +833,65 @@ object LayoutOps {
                 col("n_lineitem"), col("d_lineitem"))
     }),
 
+    // STATS-SNAPSHOT STALENESS GATE (r13 verdict #5 — the missing half
+    // of the ANALYZE-at-ingest story: stale statistics are how 100 TB
+    // plans go wrong): diff the LIVE per-key statistics against the
+    // PERSISTED prior-run snapshot (statsPriorSnapshotDir — the same
+    // snapshotFixtureDir lifecycle as dq_profile_drift's memory) with
+    // integer e6 gates and emit a re-ANALYZE flag per side. The prior
+    // snapshot profiled events BEFORE its latest ~1/8 md5-sampled
+    // batch, so the events side genuinely drifted (~+14% row mass —
+    // flag 1) while lineitem is byte-identical (flag 0) — both gate
+    // branches exercised. Gates: row-mass drift > 5%, any persisted
+    // MCV key out of the live top-8, or any persisted MCV frequency
+    // off by > 10%. Drift magnitudes go through abs() BEFORE the
+    // integer division in both engines (negative-numerator div///
+    // diverges — the link_survivorship floor lesson). Cost: ONE
+    // frequency aggregate per live side (the pinned table feeds
+    // totals, the top-8, and the two ≤8-row MCV probes) + an O(rows)
+    // snapshot read; nothing per-pair, nothing quadratic.
+    "layout_stats_staleness" -> ((s, dir) => {
+      val snap = s.read.parquet(statsPriorSnapshotDir(s, dir))
+        .localCheckpoint(false)
+      // ft arrives pinned from freqTable — totals, top-8, and the MCV
+      // probe all read the one materialization
+      def sideReport(side: String, ft: DataFrame): DataFrame = {
+        val sTot = snap.filter(col("side") === side && col("kind") === "tot")
+          .select(col("n").as("n_snap"), col("d").as("d_snap"))
+        val sMcv = snap.filter(col("side") === side && col("kind") === "mcv")
+          .select(col("k"), col("f").as("f_snap"))
+        val lTot = ft.agg(sum(col("f")).as("n_live"),
+          count(lit(1)).as("d_live"))
+        val overlap = sMcv
+          .join(mcv8(ft).select(col("k").as("mk")),
+                col("k") === col("mk"), "left_semi")
+          .agg(count(lit(1)).as("mcv_overlap"))
+        // live frequency of the PERSISTED MCV keys (⤳ inner join is
+        // exact here: the prior feed is a subset of live, so its keys
+        // all survive; a vanished key would surface through overlap)
+        val drift = ft.join(broadcast(sMcv), Seq("k"))
+          .select(expr("abs(f - f_snap) * 1000000 div greatest(f_snap, 1)")
+            .as("fd"))
+          .agg(coalesce(max(col("fd")), lit(0L)).as("max_mcv_f_drift_e6"))
+        sTot.crossJoin(lTot).crossJoin(overlap).crossJoin(drift)
+          .select(lit(side).as("side"), col("n_snap"), col("n_live"),
+                  col("d_snap"), col("d_live"), col("mcv_overlap"),
+                  col("max_mcv_f_drift_e6"))
+          .withColumn("drift_n_e6",
+            expr("abs(n_live - n_snap) * 1000000 div greatest(n_snap, 1)"))
+          .withColumn("drift_d_e6",
+            expr("abs(d_live - d_snap) * 1000000 div greatest(d_snap, 1)"))
+          .withColumn("reanalyze",
+            (col("drift_n_e6") > 50000 || col("mcv_overlap") < 8 ||
+             col("max_mcv_f_drift_e6") > 100000).cast("int"))
+      }
+      sideReport("events_user",
+          freqTable(Tables.events(s, dir), "user_id"))
+        .unionByName(sideReport("lineitem_ok",
+          freqTable(Tables.lineitem(s, dir), "l_orderkey")))
+        .orderBy(col("side"))
+    }),
+
     "layout_partition_skew_advisor" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       def profile(name: String, key: Column): DataFrame =
@@ -1010,6 +1091,64 @@ object LayoutOps {
         |SELECT est, se.n AS n_events, se.d AS d_events,
         |       sl.n AS n_lineitem, sl.d AS d_lineitem
         |FROM mcv_est, se, sl""".stripMargin,
+
+    // prior statistics replayed closed-form from the subset feed (the
+    // snapshot CONTENT is dir-dependent — the dq_profile_drift oracle
+    // discipline); live statistics from the full tables; identical
+    // top-8 tie-break (f DESC, k) and abs-before-div drift math
+    "layout_stats_staleness" ->
+      """WITH pe AS (SELECT user_id FROM events
+        |  WHERE ('0x' || substr(md5(event_id::VARCHAR || ':st'), 1, 4))::BIGINT
+        |        % 8 <> 0),
+        |fe_p AS (SELECT user_id AS k, count(*)::BIGINT AS f FROM pe GROUP BY 1),
+        |fe_l AS (SELECT user_id AS k, count(*)::BIGINT AS f
+        |  FROM events GROUP BY 1),
+        |fl AS (SELECT l_orderkey AS k, count(*)::BIGINT AS f
+        |  FROM lineitem GROUP BY 1),
+        |ep_tot AS (SELECT sum(f)::BIGINT AS n_snap, count(*)::BIGINT AS d_snap
+        |  FROM fe_p),
+        |el_tot AS (SELECT sum(f)::BIGINT AS n_live, count(*)::BIGINT AS d_live
+        |  FROM fe_l),
+        |l_tot AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fl),
+        |ep_mcv AS (SELECT k, f AS f_snap FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fe_p)
+        |  WHERE rn <= 8),
+        |el_mcv AS (SELECT k FROM (
+        |    SELECT k, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fe_l)
+        |  WHERE rn <= 8),
+        |l_mcv AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fl)
+        |  WHERE rn <= 8),
+        |e_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM ep_mcv
+        |  WHERE k IN (SELECT k FROM el_mcv)),
+        |e_drift AS (SELECT coalesce(max(
+        |    abs(f - f_snap) * 1000000 // greatest(f_snap, 1)), 0)::BIGINT
+        |    AS max_mcv_f_drift_e6
+        |  FROM fe_l JOIN ep_mcv USING (k)),
+        |l_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM l_mcv
+        |  WHERE k IN (SELECT k FROM l_mcv)),
+        |l_drift AS (SELECT coalesce(max(
+        |    abs(fl.f - l_mcv.f) * 1000000 // greatest(l_mcv.f, 1)), 0)::BIGINT
+        |    AS max_mcv_f_drift_e6
+        |  FROM fl JOIN l_mcv USING (k)),
+        |rows_ AS (
+        |  SELECT 'events_user' AS side, n_snap, n_live, d_snap, d_live,
+        |         mcv_overlap, max_mcv_f_drift_e6
+        |  FROM ep_tot, el_tot, e_overlap, e_drift
+        |  UNION ALL
+        |  SELECT 'lineitem_ok', l_tot.n, l_tot.n, l_tot.d, l_tot.d,
+        |         mcv_overlap, max_mcv_f_drift_e6
+        |  FROM l_tot, l_overlap, l_drift)
+        |SELECT side, n_snap, n_live, d_snap, d_live, mcv_overlap,
+        |       max_mcv_f_drift_e6,
+        |       (abs(n_live - n_snap) * 1000000 // greatest(n_snap, 1))::BIGINT
+        |         AS drift_n_e6,
+        |       (abs(d_live - d_snap) * 1000000 // greatest(d_snap, 1))::BIGINT
+        |         AS drift_d_e6,
+        |       ((abs(n_live - n_snap) * 1000000 // greatest(n_snap, 1)) > 50000
+        |        OR mcv_overlap < 8
+        |        OR max_mcv_f_drift_e6 > 100000)::INT AS reanalyze
+        |FROM rows_ ORDER BY side""".stripMargin,
 
     "layout_join_card_chain" ->
       """WITH fe AS (SELECT user_id AS k, count(*)::BIGINT AS f

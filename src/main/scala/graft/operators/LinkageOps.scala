@@ -57,6 +57,32 @@ object LinkageOps {
     (clean, dirty)
   }
 
+  /** The THIRD record source (r13 verdict #4 — fan-in 3): names
+    * truncated by 2 chars (1/7, salt :sv1), balances jittered ±5
+    * (salt :sv3), nation keys shifted on the SAME :fs2 draw as the
+    * second source — the two noisy feeds share an upstream geocoder,
+    * so their errors correlate and the majority-vote rule has real
+    * both-shifted cases to decide (independent draws would make that
+    * a 1/400 event the small fixture never exhibits). */
+  private def thirdSide(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    def draw(salt: String) =
+      conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(salt))), 1, 4), 16, 10).cast("long")
+    cust
+      .withColumn("name_t",
+        when(draw(":sv1") % 7 === 0,
+             expr("substring(c_name, 1, length(c_name) - 2)"))
+          .otherwise(col("c_name")))
+      .withColumn("nation_t",
+        when(draw(":fs2") % 20 === 0, (col("c_nationkey") + 1) % 25)
+          .otherwise(col("c_nationkey")))
+      .withColumn("acct_t", col("c_acctbal") + (draw(":sv3") % 11 - 5))
+      .select(col("c_custkey").as("t_key"), col("name_t").as("t_name"),
+              col("nation_t").as("t_nation"),
+              floor(col("acct_t") * 100 + 0.5).cast("long").as("t_cents"))
+  }
+
   /** Blocked candidate pairs reduced to the agreement-pattern grain. */
   private def patternTable(s: SparkSession, dir: String): DataFrame = {
     val (clean, dirty) = sides(s, dir)
@@ -185,6 +211,65 @@ object LinkageOps {
         .select(col("k").as("custkey"), col("n_records"),
                 col("name_golden"), col("nation_golden"),
                 expr("((sc + 1) - pmod(sc + 1, 2)) div 2")
+                  .as("acct_golden_cents"),
+                col("n_conflicts"))
+        .orderBy(col("custkey"))
+    }),
+
+    // SURVIVORSHIP AT FAN-IN 3 (r13 verdict #4): a third md5-noised
+    // source exercises the MAJORITY rule that the 2-source fixture can
+    // never reach (2-source consensus degenerates to tie-break). The
+    // third feed truncates names by 2 chars (1/7, salt :sv1), jitters
+    // balances ±5 (salt :sv3) — and shifts nation keys on the SAME
+    // :fs2 draw as source 2 (the two noisy feeds model downstreams of
+    // one shared bad geocoder, so their nation errors CORRELATE; with
+    // independent 1/20 draws the both-shift event is 1/400 and the
+    // sf0.01 fixture would never exhibit it). Rules: name by
+    // completeness (longest), nation by MAJORITY VOTE (count, ties to
+    // the most-trusted source via the unique score cnt·10 − best_src —
+    // scores cannot collide within an entity because distinct values
+    // partition 3 rows), nation by source trust REPORTED ALONGSIDE
+    // (for the ~5% of entities where both noisy feeds shifted,
+    // majority ≠ trust — majority_ne_trust marks them; Round14Spec
+    // pins one), balance by consensus mean of 3 half-up via the
+    // portable pmod floor form (floor((2Σ+3)/6); balances go negative
+    // and DuckDB's // truncates there — the link_survivorship lesson).
+    // Plan: one 3-way union + ONE entity aggregate + one ≤3-rows-per-
+    // entity majority rollup joined back — two exchanges on the entity
+    // key at any scale, never a join against data rows.
+    "link_survivorship3" -> ((s, dir) => {
+      val (clean, dirty) = sides(s, dir)
+      val third = thirdSide(s, dir)
+      val stacked = clean.select(col("a_key").as("k"), lit(1).as("src"),
+          col("a_name").as("nm"), col("a_nation").as("nat"),
+          col("a_cents").as("cents"))
+        .unionByName(dirty.select(col("b_key").as("k"), lit(2).as("src"),
+          col("b_name").as("nm"), col("b_nation").as("nat"),
+          col("b_cents").as("cents")))
+        .unionByName(third.select(col("t_key").as("k"), lit(3).as("src"),
+          col("t_name").as("nm"), col("t_nation").as("nat"),
+          col("t_cents").as("cents")))
+        // main aggregate + majority rollup both read the union
+        .localCheckpoint(false)
+      val majority = stacked.groupBy(col("k"), col("nat"))
+        .agg(count(lit(1)).as("cnt"), min(col("src")).as("best_src"))
+        .groupBy(col("k"))
+        .agg(max_by(col("nat"), col("cnt") * 10 - col("best_src"))
+          .as("nation_majority"))
+      stacked.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_records"),
+             max_by(col("nm"), length(col("nm"))).as("name_golden"),
+             min_by(col("nat"), col("src")).as("nation_trust"),
+             sum(col("cents")).as("sc"),
+             (countDistinct(col("nm")) - 1 + countDistinct(col("nat")) - 1 +
+              countDistinct(col("cents")) - 1).as("n_conflicts"))
+        .join(majority, Seq("k"))
+        .select(col("k").as("custkey"), col("n_records"),
+                col("name_golden"), col("nation_majority"),
+                col("nation_trust"),
+                (col("nation_majority") =!= col("nation_trust")).cast("int")
+                  .as("majority_ne_trust"),
+                expr("((2*sc + 3) - pmod(2*sc + 3, 6)) div 6")
                   .as("acct_golden_cents"),
                 col("n_conflicts"))
         .orderBy(col("custkey"))
@@ -377,6 +462,60 @@ object LinkageOps {
         |       (count(DISTINCT nm) - 1 + count(DISTINCT nat) - 1 +
         |        count(DISTINCT cents) - 1)::BIGINT AS n_conflicts
         |FROM st GROUP BY k ORDER BY custkey""".stripMargin,
+
+    "link_survivorship3" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS a_key, c_name AS a_name,
+        |         c_nationkey AS a_nation,
+        |         floor(c_acctbal * 100 + 0.5)::BIGINT AS a_cents
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS b_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs1'), 1, 4))::BIGINT % 10 = 0
+        |         THEN substr(c_name, 1, length(c_name) - 1) ELSE c_name END AS b_name,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS b_nation,
+        |    floor((c_acctbal +
+        |      (('0x' || substr(md5(c_custkey::VARCHAR || ':fs3'), 1, 4))::BIGINT % 11 - 5))
+        |      * 100 + 0.5)::BIGINT AS b_cents
+        |  FROM customer),
+        |third AS (
+        |  SELECT c_custkey AS t_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':sv1'), 1, 4))::BIGINT % 7 = 0
+        |         THEN substr(c_name, 1, length(c_name) - 2) ELSE c_name END AS t_name,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS t_nation,
+        |    floor((c_acctbal +
+        |      (('0x' || substr(md5(c_custkey::VARCHAR || ':sv3'), 1, 4))::BIGINT % 11 - 5))
+        |      * 100 + 0.5)::BIGINT AS t_cents
+        |  FROM customer),
+        |st AS (
+        |  SELECT a_key AS k, 1 AS src, a_name AS nm, a_nation AS nat,
+        |         a_cents AS cents FROM clean
+        |  UNION ALL
+        |  SELECT b_key, 2, b_name, b_nation, b_cents FROM dirty
+        |  UNION ALL
+        |  SELECT t_key, 3, t_name, t_nation, t_cents FROM third),
+        |maj AS (
+        |  SELECT k, arg_max(nat, cnt * 10 - best_src) AS nation_majority
+        |  FROM (SELECT k, nat, count(*) AS cnt, min(src) AS best_src
+        |        FROM st GROUP BY k, nat)
+        |  GROUP BY k),
+        |agg AS (
+        |  SELECT k, count(*)::BIGINT AS n_records,
+        |         arg_max(nm, length(nm)) AS name_golden,
+        |         arg_min(nat, src) AS nation_trust,
+        |         sum(cents) AS sc,
+        |         (count(DISTINCT nm) - 1 + count(DISTINCT nat) - 1 +
+        |          count(DISTINCT cents) - 1)::BIGINT AS n_conflicts
+        |  FROM st GROUP BY k)
+        |SELECT k AS custkey, n_records, name_golden, nation_majority,
+        |       nation_trust,
+        |       (nation_majority <> nation_trust)::INT AS majority_ne_trust,
+        |       (((2*sc + 3) - ((2*sc + 3) % 6 + 6) % 6) // 6)::BIGINT
+        |         AS acct_golden_cents,
+        |       n_conflicts
+        |FROM agg JOIN maj USING (k) ORDER BY custkey""".stripMargin,
 
     "link_fellegi_sunter" ->
       """WITH clean AS (

@@ -46,19 +46,26 @@ object QualityOps {
     * Graft.snapshotFixtureDir lifecycle (tag + sentinel + ATOMIC
     * rename — a cross-tag glob can never observe a partial build).
     * The DuckDB oracle globs ALL tag dirs with DISTINCT — sound
-    * because the fixture SCHEMA is data-dir-invariant by construction
-    * (fixed columns, fixed casts), and the schema is the only thing
-    * either engine reads. */
+    * because EVERY column is written through an explicit cast (r13
+    * advice: the previously-uncast o_totalprice/o_orderstatus columns
+    * inherited the SOURCE's physical types, so a data dir generated
+    * with, say, DECIMAL prices would have minted a tag whose fixture
+    * schema conflicted with the others under the glob), making the
+    * fixture schema data-dir-invariant by construction — and the
+    * schema is the only thing either engine reads. */
   private[graft] def schemaDriftFixtureDirs(
       s: SparkSession, dir: String): (String, String) = {
     val out = graft.api.Graft.snapshotFixtureDir("dq_schema_drift", dir) {
       root =>
         val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
         orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
-                      col("o_totalprice"), col("o_orderstatus"))
+                      col("o_totalprice").cast("double").as("o_totalprice"),
+                      col("o_orderstatus").cast("string").as("o_orderstatus"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/v1")
         orders.select(col("o_orderkey").cast("long").as("o_orderkey"),
-                      col("o_totalprice"), col("o_orderpriority"))
+                      col("o_totalprice").cast("double").as("o_totalprice"),
+                      col("o_orderpriority").cast("string")
+                        .as("o_orderpriority"))
           .coalesce(1).write.mode("overwrite").parquet(s"$root/v2")
     }
     (s"$out/v1", s"$out/v2")
