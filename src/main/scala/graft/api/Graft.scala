@@ -2922,6 +2922,59 @@ object Graft {
     (1 to rounds).foldLeft(l0)((l, _) => step(l))
   }
 
+  /** Connected-component labels to FIXPOINT: HashMin propagation plus
+    * a POINTER-JUMPING step per round (lbl ← lbl(lbl) — every label is
+    * itself a vertex id, so the indirection is a self-join), which
+    * doubles the propagated distance each round and converges in
+    * O(log diameter) rounds instead of [[hashMinLabels]]' O(diameter).
+    * The driver loop runs until a full round changes nothing,
+    * witnessed by the per-round label SUM in DECIMAL(38,0): labels
+    * only ever decrease elementwise under min-propagation, so an
+    * unchanged sum ⟺ an unchanged labeling — ONE 1-row aggregate
+    * action per round (the repo's bounded-driver-pattern budget; the
+    * labels table itself is |V| rows and localCheckpoint-pinned each
+    * round, the label-prop lineage discipline). `maxRounds` = 64 is a
+    * safety bound no finite input reaches (doubling covers diameter
+    * 2⁶⁴). At fixpoint HashMin labels ARE the true components, so a
+    * consumer's oracle can replay them engine-independently (DuckDB:
+    * recursive reachability + min). Backs geo_dbscan_label. */
+  def connectedComponentLabels(symEdges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val edges = symEdges.select(col("a"), col("b"))
+      .repartition(col("b"))
+      .localCheckpoint()
+    var l = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prev = lblSum(l)
+    var done = false
+    var i = 0
+    while (!done && i < maxRounds) {
+      val propagated = l.join(
+          edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
+            .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
+          Seq("v"), "left")
+        .select(col("v"),
+                least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+      val jumped = propagated.as("x").join(
+          propagated.select(col("v").as("jv"), col("lbl").as("jl")),
+          col("x.lbl") === col("jv"), "left")
+        .select(col("x.v").as("v"),
+                coalesce(col("jl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint()
+      val cur = lblSum(jumped)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      l = jumped
+      i += 1
+    }
+    l
+  }
+
   /** SHA-tagged, sentinel-idempotent fixture/snapshot directory: tag =
     * SHA-256 of the canonical data dir path PLUS a cheap content stamp
     * (per-file relative path, size, mtime — r13 advice: a path-only tag

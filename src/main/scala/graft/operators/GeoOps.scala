@@ -47,8 +47,8 @@ import org.apache.spark.sql.expressions.Window
   *    skewed a hot ε-cell gets; `geo_dbscan_core` (uncapped, pitch
   *    4096) stays the declared EXACT census yardstick the capped form
   *    calibrates against, and `geo_dbscan_label` completes the
-  *    clustering story by running HashMin connected components over
-  *    the core-core ε-edges only.
+  *    clustering story by running FIXPOINT connected components
+  *    (HashMin + pointer jumping) over the core-core ε-edges only.
   *  - `geo_heatmap_smooth` reduces points to per-cell counts FIRST
   *    (map-side combinable groupBy), then runs the 3×3 kernel
   *    convolution as a self-join on the reduced cell table — the
@@ -201,18 +201,22 @@ object GeoOps {
     }),
 
     // DBSCAN CLUSTER LABELING (r13 verdict #2 — the step the census
-    // prices): cluster = connected component of the CORE-CORE ε-edge
-    // subgraph (Graft.hashMinLabels, 4 unrolled HashMin rounds — the
-    // graph_connected_components machinery, deterministic at any
-    // depth); borders attach to the MIN cluster label among their core
-    // ε-neighbors; noise gets NULL. Cost: the census' one grid join +
-    // CC on the core-edge SUBGRAPH only (the candidate table is pinned
-    // once and feeds the counts pass, the core-core edge filter, and
-    // the border attach — never rebuilt). At sf0.01/sf0.1 the 4-round
-    // unroll is converged (Round14Spec replays true components by
-    // union-find and pins label-set equality); at adversarial diameter
-    // the fixed depth under-merges predictably — the declared contract
-    // is 4-round HashMin, which the oracle replays verbatim.
+    // prices): cluster = TRUE connected component of the CORE-CORE
+    // ε-edge subgraph via Graft.connectedComponentLabels — HashMin
+    // plus pointer-jumping to FIXPOINT in O(log diameter) driver-loop
+    // rounds (one 1-row sum action per round, labels pinned each
+    // round). Fixed-depth HashMin was measured 60× under-merged here
+    // at sf0.1: ε = 3000 at 1500 points gives mean degree ≈ 10, the
+    // core graph percolates into ONE giant component of diameter ~30,
+    // and a 4-round unroll leaves 60 labels — exactly the
+    // plausible-but-wrong cut a fixpoint contract removes. Because
+    // the result IS the true component labeling, the oracle replays
+    // it engine-independently (recursive reachability + min — no
+    // depth coupling). Borders attach to the MIN cluster label among
+    // their core ε-neighbors; noise carries -1. Cost: the census' one
+    // grid join + CC on the core-edge SUBGRAPH only (the candidate
+    // table is pinned once and feeds the counts pass, the core-core
+    // edge filter, and the border attach — never rebuilt).
     "geo_dbscan_label" -> ((s, dir) => {
       val pts = points(s, dir)
       val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
@@ -227,7 +231,7 @@ object GeoOps {
               Seq("user_id"), "left_semi")
         .join(core.select(col("core_id").as("nb")), Seq("nb"), "left_semi")
         .select(col("user_id").as("a"), col("nb").as("b"))
-      val lbl = graft.api.Graft.hashMinLabels(coreEdges, rounds = 4)
+      val lbl = graft.api.Graft.connectedComponentLabels(coreEdges)
       // isolated cores (no core-core edge) label themselves
       val coreLbl = core
         .join(lbl, core("core_id") === lbl("v"), "left")
@@ -384,16 +388,11 @@ object GeoOps {
       |       LEFT JOIN border ON p.user_id = border.user_id
       |ORDER BY p.user_id""".stripMargin
 
-  /** 4 unrolled HashMin rounds over the core-core edges + border
-    * attach — generated by the same round loop shape as the Spark
-    * side's Graft.hashMinLabels(rounds = 4). */
-  private def labelSql: String = {
-    val rounds = (1 to 4).map { r =>
-      s"""s$r AS (SELECT e.a AS v, min(l.lbl) AS nb
-         |  FROM ce e JOIN l${r - 1} l ON l.v = e.b GROUP BY e.a),
-         |l$r AS (SELECT l.v, least(l.lbl, coalesce(s$r.nb, l.lbl)) AS lbl
-         |  FROM l${r - 1} l LEFT JOIN s$r ON l.v = s$r.v)""".stripMargin
-    }.mkString(",\n")
+  /** TRUE component labels over the core-core edges + border attach:
+    * recursive reachability (walk enumerates every (vertex, reachable
+    * id) pair — fine at oracle SF) reduced by min — depth-independent,
+    * so it matches the Spark side's fixpoint by construction. */
+  private def labelSql: String =
     s"""${candSql(4096L, None)},
        |counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
        |  FROM cand GROUP BY user_id),
@@ -402,11 +401,13 @@ object GeoOps {
        |  SELECT cand.user_id AS a, cand.nb AS b FROM cand
        |  JOIN core x ON cand.user_id = x.core_id
        |  JOIN core y ON cand.nb = y.core_id),
-       |l0 AS (SELECT core_id AS v, core_id AS lbl FROM core),
-       |$rounds,
+       |walk(v, lbl) AS (
+       |  SELECT core_id, core_id FROM core
+       |  UNION
+       |  SELECT e.a, w.lbl FROM ce e JOIN walk w ON w.v = e.b),
        |corelbl AS (
-       |  SELECT core.core_id, coalesce(l4.lbl, core.core_id) AS cluster
-       |  FROM core LEFT JOIN l4 ON l4.v = core.core_id),
+       |  SELECT v AS core_id, min(lbl)::BIGINT AS cluster
+       |  FROM walk GROUP BY v),
        |blbl AS (
        |  SELECT cand.user_id, min(cl.cluster) AS b_cluster
        |  FROM cand JOIN corelbl cl ON cand.nb = cl.core_id
@@ -423,7 +424,6 @@ object GeoOps {
        |       LEFT JOIN corelbl ON p.user_id = corelbl.core_id
        |       LEFT JOIN blbl ON p.user_id = blbl.user_id
        |ORDER BY p.user_id""".stripMargin
-  }
 
   def oracles: Map[String, String] = Map(
     // occupancy-derived pitch: coarsest power-of-two rung with
@@ -497,7 +497,7 @@ object GeoOps {
     "geo_dbscan_core_capped" ->
       s"WITH ${candSql(3000L, Some(8))},\n$censusTailSql",
 
-    "geo_dbscan_label" -> s"WITH $labelSql",
+    "geo_dbscan_label" -> s"WITH RECURSIVE $labelSql",
 
     "geo_trajectory_l1" ->
       """WITH pts AS (
