@@ -2922,57 +2922,112 @@ object Graft {
     (1 to rounds).foldLeft(l0)((l, _) => step(l))
   }
 
-  /** Connected-component labels to FIXPOINT: HashMin propagation plus
-    * a POINTER-JUMPING step per round (lbl ← lbl(lbl) — every label is
-    * itself a vertex id, so the indirection is a self-join), which
-    * doubles the propagated distance each round and converges in
-    * O(log diameter) rounds instead of [[hashMinLabels]]' O(diameter).
-    * The driver loop runs until a full round changes nothing,
-    * witnessed by the per-round label SUM in DECIMAL(38,0): labels
-    * only ever decrease elementwise under min-propagation, so an
-    * unchanged sum ⟺ an unchanged labeling — ONE 1-row aggregate
-    * action per round (the repo's bounded-driver-pattern budget; the
-    * labels table itself is |V| rows and localCheckpoint-pinned each
-    * round, the label-prop lineage discipline). `maxRounds` = 64 is a
-    * safety bound no finite input reaches (doubling covers diameter
-    * 2⁶⁴). At fixpoint HashMin labels ARE the true components, so a
-    * consumer's oracle can replay them engine-independently (DuckDB:
-    * recursive reachability + min). Backs geo_dbscan_label. */
+  /** Connected-component labels to FIXPOINT over a SYMMETRIC (a, b)
+    * edge list — returns (v, lbl) with lbl = the component's min id
+    * (the true components, so a consumer's oracle replays them
+    * engine-independently: recursive reachability + min, no depth
+    * coupling). Two paths behind one measured size guard, the
+    * GraphFrames discipline:
+    *
+    *  - |E| ≤ `localEdgeThreshold` (default 1M pairs ≈ 16 MB): ONE
+    *    bounded collect + driver union-find with path compression —
+    *    exact in O(E α(E)). Iterative CC on a subgraph this small is
+    *    all scheduling: the distributed round was measured at a FIXED
+    *    ~0.2-0.35 s of driver floor (Catalyst planning in a DataFrame
+    *    loop, DAG submission in an RDD loop — substrate-independent)
+    *    × ~13 rounds at sf0.1's giant component, 4.5 s to label 30k
+    *    edges. The collect is the repo's declared bounded-driver
+    *    pattern: the bound is the guard itself.
+    *  - above the guard: HashMin + pointer jumping on
+    *    RDD[(Long, Long)] (Pregel-class iteration is the imperative
+    *    kernel RDDs exist for; a DataFrame loop re-pays full Catalyst
+    *    planning every round for a data-dependent round count no
+    *    unroll can amortize). Partitioner sized to ~50k edges/task,
+    *    conf-bounded upward. Per-round cost is one co-partitioned
+    *    join + reduceByKey + one jump self-join; labels only decrease
+    *    under min-propagation, so the per-round BigInt label sum is
+    *    an exact convergence witness (one small action per round).
+    *    `maxRounds` = 64 is a safety bound (pointer doubling covers
+    *    diameter 2⁶⁴).
+    *
+    * Round14Spec pins the two paths equal on the sf0.01 core graph.
+    * Backs geo_dbscan_label. */
   def connectedComponentLabels(symEdges: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
-    val edges = symEdges.select(col("a"), col("b"))
-      .repartition(col("b"))
-      .localCheckpoint()
-    var l = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint()
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
-    var prev = lblSum(l)
-    var done = false
-    var i = 0
-    while (!done && i < maxRounds) {
-      val propagated = l.join(
-          edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
-            .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
-          Seq("v"), "left")
-        .select(col("v"),
-                least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-      val jumped = propagated.as("x").join(
-          propagated.select(col("v").as("jv"), col("lbl").as("jl")),
-          col("x.lbl") === col("jv"), "left")
-        .select(col("x.v").as("v"),
-                coalesce(col("jl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
-      val cur = lblSum(jumped)
-      done = cur.compareTo(prev) == 0
-      prev = cur
-      l = jumped
-      i += 1
+      maxRounds: Int = 64,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val s = symEdges.sparkSession
+    // edges keyed by destination: (b, a) — the propagation join side
+    val edgesRaw = symEdges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => (r.getLong(1), r.getLong(0)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = edgesRaw.count()
+    if (eCount <= localEdgeThreshold) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val pairs = edgesRaw.collect()
+      edgesRaw.unpersist(blocking = false)
+      pairs.foreach { case (b, a) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toArray.map(v => (v, find(v)))
+      s.createDataFrame(s.sparkContext.parallelize(labels.toSeq))
+        .toDF("v", "lbl")
+    } else {
+      val confPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val nPart = math.max(1L,
+        math.min(confPart.toLong, eCount / 50000L + 1L)).toInt
+      val part = new HashPartitioner(nPart)
+      val edges = edgesRaw.partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels: RDD[(Long, Long)] = edges.values.distinct(nPart)
+        .map(v => (v, v))
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def lblSum(r: RDD[(Long, Long)]): BigInt =
+        r.values.map(BigInt(_)).fold(BigInt(0))(_ + _)
+      var prev = lblSum(labels)
+      var done = false
+      var i = 0
+      while (!done && i < maxRounds) {
+        // HashMin step: min neighbor label per vertex, folded into own
+        val nb = edges.join(labels)
+          .map { case (_, (a, lblB)) => (a, lblB) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val prop = labels.leftOuterJoin(nb, part)
+          .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
+        // pointer jump: lbl ← lbl(lbl) — every label is a vertex id,
+        // so the indirection is one self-join doubling propagated
+        // distance per round
+        val jumped = prop.map { case (v, l) => (l, v) }
+          .join(prop, part)
+          .map { case (_, (v, ll)) => (v, ll) }
+          .partitionBy(part)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        jumped.localCheckpoint() // truncate lineage: the DAGScheduler
+        // re-walks the full ancestry on every job otherwise
+        val cur = lblSum(jumped) // labels only decrease, so an
+        done = cur == prev       // unchanged sum ⟺ unchanged labeling
+        labels.unpersist(blocking = false)
+        prev = cur
+        labels = jumped
+        i += 1
+      }
+      edgesRaw.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      s.createDataFrame(labels).toDF("v", "lbl")
     }
-    l
   }
 
   /** SHA-tagged, sentinel-idempotent fixture/snapshot directory: tag =

@@ -202,10 +202,12 @@ object GeoOps {
 
     // DBSCAN CLUSTER LABELING (r13 verdict #2 — the step the census
     // prices): cluster = TRUE connected component of the CORE-CORE
-    // ε-edge subgraph via Graft.connectedComponentLabels — HashMin
-    // plus pointer-jumping to FIXPOINT in O(log diameter) driver-loop
-    // rounds (one 1-row sum action per round, labels pinned each
-    // round). Fixed-depth HashMin was measured 60× under-merged here
+    // ε-edge subgraph via Graft.connectedComponentLabels — the
+    // size-guarded two-path CC (≤1M edges: one bounded collect +
+    // driver union-find; above: HashMin + pointer-jumping RDD loop to
+    // fixpoint — see its scaladoc for the measured driver-floor
+    // numbers; Round14Spec pins the paths equal on this very graph).
+    // Fixed-depth HashMin was measured 60× under-merged here
     // at sf0.1: ε = 3000 at 1500 points gives mean degree ≈ 10, the
     // core graph percolates into ONE giant component of diameter ~30,
     // and a 4-round unroll leaves 60 labels — exactly the

@@ -237,6 +237,35 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("connectedComponentLabels: distributed loop path equals local union-find path") {
+    // the sf0.01 core-core ε-edge graph, built the geo_dbscan_label way
+    val pts = geoPoints(geoSf)
+    val cores = {
+      def inEps(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+        val (dx, dy) = (a._2 - b._2, a._3 - b._3)
+        dx * dx + dy * dy <= 9000000L
+      }
+      val n = pts.map(p =>
+        p._1 -> pts.count(q => q._1 != p._1 && inEps(p, q))).toMap
+      pts.filter(p => n(p._1) >= 2)
+    }
+    val edges = (for {
+      a <- cores; b <- cores
+      if a._1 != b._1 && ((a._2 - b._2) * (a._2 - b._2) +
+        (a._3 - b._3) * (a._3 - b._3) <= 9000000L)
+    } yield (a._1, b._1)).toSeq
+    import spark.implicits._
+    val edgeDf = edges.toDF("a", "b")
+    def labelsOf(threshold: Long): Map[Long, Long] =
+      graft.api.Graft.connectedComponentLabels(
+          edgeDf, localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsOf(Long.MaxValue) // union-find fast path
+    val loop = labelsOf(0L)             // forced distributed fixpoint
+    assert(local.nonEmpty && local == loop,
+      "the guarded fast path and the distributed fixpoint must agree")
+  }
+
   test("snapshotFixtureDir: concurrent first-build race resolves to one winner") {
     import java.nio.file.{Files, Paths}
     val dataDir = Files.createTempDirectory(
