@@ -3050,9 +3050,15 @@ object Graft {
   def snapshotFixtureDir(name: String, dataDir: String)
       (write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // race-tolerant: a CONCURRENT sweeper may delete entries between
+    // our list/exists/delete calls (two builders can both see a dead
+    // pid's temp root — r14 self-review), so a vanished file is
+    // success, not an error
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(wipe)
-      if (f.exists && !f.delete()) sys.error(s"could not delete fixture: $f")
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(wipe)
+      if (f.exists && !f.delete() && f.exists)
+        sys.error(s"could not delete fixture: $f")
     }
     val canonical = Paths.get(dataDir).toAbsolutePath.normalize
     // content stamp: (relative path, size, mtime-millis) per regular
@@ -3083,14 +3089,22 @@ object Graft {
     val sentinel = root.toPath.resolve(".complete")
     val out = root.toPath.resolve("data").toString
     if (!Files.exists(sentinel)) {
-      wipe(root)
-      // sweep ABANDONED temp roots for this (name, tag): only those
+      // NO wipe(root) here (r14 self-review): the rename below is
+      // atomic, so a root can only ever exist COMPLETE — and wiping on
+      // a stale !sentinel read would delete a concurrent winner's
+      // finished fixture out from under its reader. A root that
+      // somehow exists without a sentinel fails the rename loudly
+      // instead.
+      // Sweep ABANDONED temp roots for this fixture NAME under ANY tag
+      // (a crashed build's tag dies with the data dir that minted it,
+      // so a tag-scoped sweep would never reclaim it): only roots
       // whose embedded pid is dead — an alive foreign pid may be
       // mid-build and its tmp must not be wiped out from under it
       Option(base.listFiles).getOrElse(Array.empty).foreach { f =>
-        val pfx = s".${name}_${tag}_tmp_"
-        if (f.getName.startsWith(pfx)) {
-          val pid = f.getName.stripPrefix(pfx).takeWhile(_.isDigit)
+        val n = f.getName
+        val marker = n.lastIndexOf("_tmp_")
+        if (n.startsWith(s".${name}_") && marker >= 0) {
+          val pid = n.substring(marker + 5).takeWhile(_.isDigit)
           val alive = pid.nonEmpty && {
             val h = ProcessHandle.of(pid.toLong)
             h.isPresent && h.get.isAlive

@@ -106,15 +106,25 @@ object GeoOps {
       .select(col("user_id"), col("nb"))
   }
 
+  /** Neighbor counts (pinned — they feed the core filter AND the final
+    * classification frame) and the minPts = 2 core set. Single-sources
+    * the census and the labeling query (r14 self-review: the pair was
+    * duplicated inline). */
+  private def dbscanCountsCore(cand: DataFrame): (DataFrame, DataFrame) = {
+    val counts = cand.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_within_r"))
+      .localCheckpoint(false)
+    val core = counts.filter(col("n_within_r") >= 2)
+      .select(col("user_id").as("core_id"))
+    (counts, core)
+  }
+
   /** The core/border/noise census over a pinned candidate-pair table:
     * neighbor counts classify cores (minPts = 2); border = non-core
     * with ≥1 core ε-neighbor via a semi join of the SAME candidates
     * against the core set. */
   private def dbscanCensus(pts: DataFrame, cand: DataFrame): DataFrame = {
-    val counts = cand.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_within_r"))
-    val core = counts.filter(col("n_within_r") >= 2)
-      .select(col("user_id").as("core_id"))
+    val (counts, core) = dbscanCountsCore(cand)
     val borderIds = cand
       .join(core, col("nb") === col("core_id"), "left_semi")
       .select(col("user_id")).distinct()
@@ -223,11 +233,7 @@ object GeoOps {
       val pts = points(s, dir)
       val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
         cap = None).localCheckpoint(false)
-      val counts = cand.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_within_r"))
-        .localCheckpoint(false) // read by core set AND the final frame
-      val core = counts.filter(col("n_within_r") >= 2)
-        .select(col("user_id").as("core_id"))
+      val (counts, core) = dbscanCountsCore(cand)
       val coreEdges = cand
         .join(core.select(col("core_id").as("user_id")),
               Seq("user_id"), "left_semi")

@@ -1125,8 +1125,12 @@ object LayoutOps {
         |    abs(f - f_snap) * 1000000 // greatest(f_snap, 1)), 0)::BIGINT
         |    AS max_mcv_f_drift_e6
         |  FROM fe_l JOIN ep_mcv USING (k)),
-        |l_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM l_mcv
-        |  WHERE k IN (SELECT k FROM l_mcv)),
+        |-- lineitem's prior snapshot IS its live table (the staleness
+        |-- fixture drifts only events), so snapshot-vs-live MCV overlap
+        |-- reduces to the list size — spelled plainly rather than as a
+        |-- self-comparison that could never detect churn (r14
+        |-- self-review)
+        |l_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM l_mcv),
         |l_drift AS (SELECT coalesce(max(
         |    abs(fl.f - l_mcv.f) * 1000000 // greatest(l_mcv.f, 1)), 0)::BIGINT
         |    AS max_mcv_f_drift_e6
