@@ -271,6 +271,45 @@ object GeoOps {
         .orderBy(col("user_id"))
     }),
 
+    // CAP RECALL AUDIT (r14 session two — the ann_truncated_recall
+    // discipline applied to the spatial cap): the capped kNN's
+    // declared approximation, QUANTIFIED. Both forms run at the SAME
+    // pitch (4096) so only the cap differs; a capped answer counts as
+    // correct when its nearest DISTANCE equals the uncapped one
+    // (distance-match is tie-robust — a different neighbor at the
+    // same dist² is not a recall loss). One full-outer join of two
+    // report-sized kNN outputs; all counters exact BIGINT, the
+    // distance inflation is the e6 ratio of summed dist² over the
+    // matched probe set. This is the number that justifies (or
+    // indicts) K=4 before anyone ships it at 100 TB.
+    "geo_cap_recall_audit" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val un = graft.api.Graft.gridKnn(pts, "user_id", "xi", "yi",
+          pitch = 4096L, cap = None)
+        .select(col("user_id"), col("dist2").as("d_un"))
+      val cp = graft.api.Graft.gridKnn(pts, "user_id", "xi", "yi",
+          pitch = 4096L, cap = Some(4))
+        .select(col("user_id"), col("dist2").as("d_cap"))
+      un.join(cp, Seq("user_id"), "full_outer")
+        .agg(count(col("d_un")).as("n_uncapped"),
+             count(col("d_cap")).as("n_capped"),
+             count(when(col("d_un").isNotNull && col("d_cap").isNotNull, 1))
+               .as("n_both"),
+             count(when(col("d_cap") === col("d_un"), 1))
+               .as("n_dist_match"),
+             coalesce(sum(when(col("d_cap").isNotNull, col("d_un"))),
+               lit(0L)).as("sum_un_matched"),
+             coalesce(sum(when(col("d_un").isNotNull, col("d_cap"))),
+               lit(0L)).as("sum_cap_matched"))
+        .select(col("n_uncapped"), col("n_capped"), col("n_both"),
+                col("n_dist_match"),
+                expr("n_dist_match * 1000000 div greatest(n_both, 1)")
+                  .as("recall_e6"),
+                expr("sum_cap_matched * 1000000 div" +
+                     " greatest(sum_un_matched, 1)")
+                  .as("dist_inflation_e6"))
+    }),
+
     // Per-user trajectory summary (r12 verdict #5): each EVENT gets a
     // deterministic md5(event_id) point, ordered by (ts, event_id)
     // within user; path length = Σ consecutive L1 steps, net
@@ -498,6 +537,57 @@ object GeoOps {
         |  FROM cand)
         |SELECT user_id, nb AS nn_user_id, dist2, n_candidates
         |FROM rk WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+
+    // both kNN forms at pitch 4096; a probe's nearest DISTANCE is
+    // min(dist²), identical to the argmin row's dist2
+    "geo_cap_recall_audit" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |c AS (SELECT user_id, xi, yi, xi // 4096 AS cx, yi // 4096 AS cy FROM p),
+        |off AS (SELECT dx, dy
+        |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+        |un AS (
+        |  SELECT a.user_id, min((a.xi - b.xi) * (a.xi - b.xi) +
+        |                        (a.yi - b.yi) * (a.yi - b.yi)) AS d_un
+        |  FROM c a CROSS JOIN off
+        |  JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+        |          AND b.user_id <> a.user_id
+        |  GROUP BY a.user_id),
+        |capped AS (
+        |  SELECT user_id AS nb, xi AS bxi, yi AS byi, cx AS bcx, cy AS bcy
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cx, cy
+        |          ORDER BY md5(user_id::VARCHAR || ':cap'), user_id) AS rn
+        |        FROM c)
+        |  WHERE rn <= 4),
+        |cp AS (
+        |  SELECT a.user_id, min((a.xi - b.bxi) * (a.xi - b.bxi) +
+        |                        (a.yi - b.byi) * (a.yi - b.byi)) AS d_cap
+        |  FROM c a CROSS JOIN off
+        |  JOIN capped b ON b.bcx = a.cx + off.dx AND b.bcy = a.cy + off.dy
+        |              AND b.nb <> a.user_id
+        |  GROUP BY a.user_id),
+        |j AS (SELECT d_un, d_cap FROM un FULL JOIN cp USING (user_id)),
+        |a AS (
+        |  SELECT count(d_un) AS n_uncapped, count(d_cap) AS n_capped,
+        |         count(*) FILTER (WHERE d_un IS NOT NULL
+        |                            AND d_cap IS NOT NULL) AS n_both,
+        |         count(*) FILTER (WHERE d_cap = d_un) AS n_dist_match,
+        |         coalesce(sum(d_un) FILTER (WHERE d_cap IS NOT NULL), 0)
+        |           AS sum_un_matched,
+        |         coalesce(sum(d_cap) FILTER (WHERE d_un IS NOT NULL), 0)
+        |           AS sum_cap_matched
+        |  FROM j)
+        |SELECT n_uncapped::BIGINT AS n_uncapped, n_capped::BIGINT AS n_capped,
+        |       n_both::BIGINT AS n_both,
+        |       n_dist_match::BIGINT AS n_dist_match,
+        |       (n_dist_match * 1000000 // greatest(n_both, 1))::BIGINT
+        |         AS recall_e6,
+        |       (sum_cap_matched * 1000000 // greatest(sum_un_matched, 1))::BIGINT
+        |         AS dist_inflation_e6
+        |FROM a""".stripMargin,
 
     "geo_dbscan_core" ->
       s"WITH ${candSql(4096L, None)},\n$censusTailSql",

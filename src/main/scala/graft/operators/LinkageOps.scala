@@ -275,6 +275,45 @@ object LinkageOps {
         .orderBy(col("custkey"))
     }),
 
+    // BLOCKING-QUALITY AUDIT (r14 session two): the two numbers every
+    // record-linkage deployment must publish about its blocking key
+    // BEFORE trusting the downstream weights — pair completeness
+    // (what fraction of TRUE matches share a block; here a true pair
+    // survives iff the dirty feed's nation wasn't shifted, since the
+    // segment always agrees by construction) and reduction ratio
+    // (1 − candidates/|A|·|B|). The candidate count comes from BLOCK
+    // SIZE statistics (Σ|A_b|·|B_b| over the joined per-block count
+    // tables) — pairs are never materialized, so the audit costs two
+    // key-grain aggregates + one |keys|-row join at any scale; the
+    // |A|·|B| product moves to DECIMAL(38,0) past ~3e9 rows per side,
+    // same shape. Ground truth is the fixture's known identity join.
+    "link_blocking_quality" -> ((s, dir) => {
+      val (clean, dirty) = sides(s, dir)
+      val ba = clean.groupBy(col("a_seg").as("seg"), col("a_nation").as("nat"))
+        .agg(count(lit(1)).as("na"))
+      val bb = dirty.groupBy(col("b_seg").as("seg"), col("b_nation").as("nat"))
+        .agg(count(lit(1)).as("nb"))
+      val candCount = ba.join(bb, Seq("seg", "nat"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_cand"))
+      val truth = clean.select(col("a_key"), col("a_nation"))
+        .join(dirty.select(col("b_key"), col("b_nation")),
+              col("a_key") === col("b_key"))
+        .agg(count(lit(1)).as("n_true"),
+             count(when(col("a_nation") === col("b_nation"), 1))
+               .as("n_true_blocked"))
+      val totals = clean.agg(count(lit(1)).as("n_a"))
+        .crossJoin(dirty.agg(count(lit(1)).as("n_b")))
+      truth.crossJoin(candCount).crossJoin(totals)
+        .select(col("n_a"), col("n_b"), col("n_true"),
+                col("n_true_blocked"), col("n_cand"),
+                expr("n_true_blocked * 1000000 div greatest(n_true, 1)")
+                  .as("pair_completeness_e6"),
+                expr("(n_a * n_b - n_cand) * 1000000 div" +
+                     " greatest(n_a * n_b, 1)").as("reduction_ratio_e6"),
+                expr("n_true_blocked * 1000000 div greatest(n_cand, 1)")
+                  .as("precision_e6"))
+    }),
+
     // Fellegi–Sunter decision table: one row per agreement pattern with
     // pair count, true-match count, and the pattern's log2 match weight.
     "link_fellegi_sunter" -> ((s, dir) => {
@@ -432,6 +471,39 @@ object LinkageOps {
 
   def oracles: Map[String, String] = Map(
     "link_em_convergence" -> emConvergenceSql,
+
+    "link_blocking_quality" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS a_key, c_nationkey AS a_nation,
+        |         c_mktsegment AS a_seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS b_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS b_nation,
+        |    c_mktsegment AS b_seg
+        |  FROM customer),
+        |ba AS (SELECT a_seg AS seg, a_nation AS nat, count(*) AS na
+        |  FROM clean GROUP BY 1, 2),
+        |bb AS (SELECT b_seg AS seg, b_nation AS nat, count(*) AS nb
+        |  FROM dirty GROUP BY 1, 2),
+        |cand AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_cand
+        |  FROM ba JOIN bb USING (seg, nat)),
+        |truth AS (
+        |  SELECT count(*)::BIGINT AS n_true,
+        |         count(*) FILTER (WHERE a_nation = b_nation)::BIGINT
+        |           AS n_true_blocked
+        |  FROM clean JOIN dirty ON a_key = b_key),
+        |tot AS (SELECT (SELECT count(*) FROM clean)::BIGINT AS n_a,
+        |               (SELECT count(*) FROM dirty)::BIGINT AS n_b)
+        |SELECT n_a, n_b, n_true, n_true_blocked, n_cand,
+        |       (n_true_blocked * 1000000 // greatest(n_true, 1))::BIGINT
+        |         AS pair_completeness_e6,
+        |       ((n_a * n_b - n_cand) * 1000000 // greatest(n_a * n_b, 1))::BIGINT
+        |         AS reduction_ratio_e6,
+        |       (n_true_blocked * 1000000 // greatest(n_cand, 1))::BIGINT
+        |         AS precision_e6
+        |FROM truth, cand, tot""".stripMargin,
 
     "link_survivorship" ->
       """WITH clean AS (

@@ -237,6 +237,70 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("geo_cap_recall_audit: counters replay against brute-force kNN at pitch 4096") {
+    val r = SparkEntry.queries("geo_cap_recall_audit")(spark, geoSf)
+      .collect().head
+    val pts = geoPoints(geoSf)
+    val pitch = 4096L
+    def cellOf(p: (Long, Long, Long)) = (p._2 / pitch, p._3 / pitch)
+    def neigh(p: (Long, Long, Long), pool: Array[(Long, Long, Long)]) =
+      pool.filter { q =>
+        val (cx, cy) = cellOf(p); val (bx, by) = cellOf(q)
+        q._1 != p._1 && math.abs(bx - cx) <= 1 && math.abs(by - cy) <= 1
+      }.map(q => (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3))
+    val capped = pts.groupBy(cellOf).view.mapValues(_.sortBy(q =>
+      (md5hex(q._1.toString + ":cap"), q._1)).take(4)).toMap
+      .values.flatten.toArray
+    val perProbe = pts.map { p =>
+      val dUn = neigh(p, pts).minOption
+      val dCap = neigh(p, capped).minOption
+      (dUn, dCap)
+    }
+    val both = perProbe.filter(x => x._1.nonEmpty && x._2.nonEmpty)
+    assert(r.getAs[Long]("n_uncapped") == perProbe.count(_._1.nonEmpty))
+    assert(r.getAs[Long]("n_capped") == perProbe.count(_._2.nonEmpty))
+    assert(r.getAs[Long]("n_both") == both.length)
+    val match_ = both.count(x => x._1.get == x._2.get)
+    assert(r.getAs[Long]("n_dist_match") == match_)
+    assert(r.getAs[Long]("recall_e6") ==
+      match_ * 1000000L / math.max(both.length, 1))
+    val (sumUn, sumCap) = (both.map(_._1.get).sum, both.map(_._2.get).sum)
+    assert(r.getAs[Long]("dist_inflation_e6") ==
+      sumCap * 1000000L / math.max(sumUn, 1L))
+    assert(r.getAs[Long]("dist_inflation_e6") >= 1000000L,
+      "capped nearest distance can never beat the uncapped one")
+  }
+
+  test("link_blocking_quality: statistics replay from the fixture truth") {
+    val r = SparkEntry.queries("link_blocking_quality")(spark, sf)
+      .collect().head
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .collect().map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue, x.getString(2)))
+    val dirtyNat = cust.map { case (k, nat, seg) =>
+      (k, if (hexDraw(s"$k:fs2") % 20 == 0) (nat + 1) % 25 else nat, seg)
+    }
+    val n = cust.length.toLong
+    val ba = cust.groupBy(c => (c._3, c._2)).view.mapValues(_.size.toLong)
+    val bb = dirtyNat.groupBy(c => (c._3, c._2)).view.mapValues(_.size.toLong)
+    val nCand = ba.map { case (k, na) => na * bb.getOrElse(k, 0L) }.sum
+    val nTrueBlocked = cust.zip(dirtyNat).count {
+      case ((_, a, _), (_, b, _)) => a == b }.toLong
+    assert(r.getAs[Long]("n_a") == n && r.getAs[Long]("n_b") == n)
+    assert(r.getAs[Long]("n_true") == n)
+    assert(r.getAs[Long]("n_true_blocked") == nTrueBlocked)
+    assert(r.getAs[Long]("n_cand") == nCand)
+    assert(r.getAs[Long]("pair_completeness_e6") == nTrueBlocked * 1000000L / n)
+    assert(r.getAs[Long]("reduction_ratio_e6") ==
+      (n * n - nCand) * 1000000L / (n * n))
+    assert(r.getAs[Long]("precision_e6") == nTrueBlocked * 1000000L / nCand)
+    // the blocking key must actually block: candidates well under n²,
+    // completeness near (not at) 1 — the 1/20 shift is the leak
+    assert(nCand < n * n / 10)
+    assert(nTrueBlocked < n && nTrueBlocked > n * 8 / 10)
+  }
+
   test("connectedComponentLabels: distributed loop path equals local union-find path") {
     // the sf0.01 core-core ε-edge graph, built the geo_dbscan_label way
     val pts = geoPoints(geoSf)
