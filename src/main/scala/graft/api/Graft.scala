@@ -2895,33 +2895,6 @@ object Graft {
               col("dist2"), col("n_candidates")) ++ carry.map(col): _*)
   }
 
-  /** HashMin connected-component labels: `rounds` unrolled rounds of
-    * min-id propagation over a SYMMETRIC (a, b) edge list — lbl₀(v) =
-    * v, then each round lbl(v) ← min(lbl(v), min over neighbors'
-    * lbl). Deterministic at ANY unroll depth (min is idempotent and
-    * commutative), so a fixed-depth consumer is closed-form
-    * oracle-checkable; converges in O(diameter) rounds. Each round is
-    * one |E|-join + min-aggregate against the pre-partitioned, pinned
-    * edge set. Single-sources graph_connected_components and
-    * geo_dbscan_label (r14: DBSCAN cluster labeling = HashMin on the
-    * core-core ε-edge subgraph). */
-  def hashMinLabels(symEdges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds > 0, s"hashMinLabels: rounds must be positive, got $rounds")
-    val edges = symEdges.select(col("a"), col("b"))
-      .repartition(col("b"))
-      .localCheckpoint()
-    val l0 = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-    def step(l: DataFrame): DataFrame =
-      l.join(
-        edges.join(l.select(col("v").as("b"), col("lbl").as("nlbl")), "b")
-          .groupBy(col("a").as("v")).agg(min(col("nlbl")).as("nb")),
-        Seq("v"), "left")
-       .select(col("v"),
-               least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-    (1 to rounds).foldLeft(l0)((l, _) => step(l))
-  }
-
   /** Connected-component labels to FIXPOINT over a SYMMETRIC (a, b)
     * edge list — returns (v, lbl) with lbl = the component's min id
     * (the true components, so a consumer's oracle replays them

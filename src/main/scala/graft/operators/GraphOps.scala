@@ -228,22 +228,25 @@ object GraphOps {
             .as("assortativity"))
     }),
 
-    // Connected components by 3 unrolled rounds of min-id propagation
-    // over the support-2 co-purchase graph — the HashMin variant of
-    // Pregel CC expressed relationally: lbl₀(v) = v, then each round
-    // lbl(v) ← min(lbl(v), min over neighbors). Deterministic at any
-    // unroll depth (min is idempotent/commutative), so the fixed-depth
-    // census is closed-form oracle-checkable; at scale the unroll
-    // becomes a loop with per-round localCheckpoint (label prop's
-    // discipline) and converges in O(diameter) rounds — small-world
-    // co-occurrence graphs are near-converged by round 3. Each round
-    // is one |E|-join + min-aggregate on the pre-partitioned edge set;
-    // output is the per-label vertex census after rounds 3.
+    // TRUE connected components of the support-2 co-purchase graph
+    // (r14 rework): component = min vertex id, per-component vertex
+    // census. Through r13 this was a 3-round HashMin unroll whose
+    // scaladoc claimed "near-converged by round 3" — measured FALSE:
+    // at sf0.01 the dense co-purchase graph has ONE ~1800-vertex
+    // near-giant component and 3 rounds reported 171 "components"
+    // against the true 8 (21× under-merged; sf0.1: 2395 vs 2308) —
+    // the same plausible-but-wrong cut geo_dbscan_label closed this
+    // round. Now runs Graft.connectedComponentLabels to FIXPOINT
+    // (size-guarded: ≤1M edges = bounded collect + union-find; above
+    // = the HashMin+pointer-jump RDD loop), and the oracle replays
+    // true components depth-independently (recursive reachability +
+    // min). RoundEightOpsSpec pins the census EQUAL to a union-find
+    // replay.
     "graph_connected_components" -> ((s, dir) => {
       val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
-      val l3 = graft.api.Graft.hashMinLabels(
-        e0.union(e0.select(col("b").as("a"), col("a").as("b"))), rounds = 3)
-      l3.groupBy(col("lbl").as("component"))
+      val lbl = graft.api.Graft.connectedComponentLabels(
+        e0.union(e0.select(col("b").as("a"), col("a").as("b"))))
+      lbl.groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("component"))
     }),
@@ -565,28 +568,23 @@ object GraphOps {
         |        (m * sxx - sx * sx)::DOUBLE, 6) AS assortativity
         |FROM g""".stripMargin,
 
+    // TRUE components, depth-independent (r14): recursive reachability
+    // enumerates (v, reachable id) pairs — Σ|component|² rows, fine at
+    // oracle SF — reduced by min
     "graph_connected_components" ->
-      """WITH e0 AS (SELECT a, b FROM (
+      """WITH RECURSIVE e0 AS (SELECT a, b FROM (
         |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
         |    FROM lineitem x JOIN lineitem y
         |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |    GROUP BY a, b) WHERE w >= 2),
         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-        |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
-        |s1 AS (SELECT e.a AS v, min(l0.lbl) AS nb
-        |  FROM e JOIN l0 ON l0.v = e.b GROUP BY e.a),
-        |l1 AS (SELECT l0.v, least(l0.lbl, coalesce(s1.nb, l0.lbl)) AS lbl
-        |  FROM l0 LEFT JOIN s1 USING (v)),
-        |s2 AS (SELECT e.a AS v, min(l1.lbl) AS nb
-        |  FROM e JOIN l1 ON l1.v = e.b GROUP BY e.a),
-        |l2 AS (SELECT l1.v, least(l1.lbl, coalesce(s2.nb, l1.lbl)) AS lbl
-        |  FROM l1 LEFT JOIN s2 USING (v)),
-        |s3 AS (SELECT e.a AS v, min(l2.lbl) AS nb
-        |  FROM e JOIN l2 ON l2.v = e.b GROUP BY e.a),
-        |l3 AS (SELECT l2.v, least(l2.lbl, coalesce(s3.nb, l2.lbl)) AS lbl
-        |  FROM l2 LEFT JOIN s3 USING (v))
-        |SELECT lbl::BIGINT AS component, count(*)::BIGINT AS n_nodes
-        |FROM l3 GROUP BY lbl ORDER BY component""".stripMargin,
+        |walk(v, lbl) AS (
+        |  SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT e.a, w.lbl FROM e JOIN walk w ON w.v = e.b),
+        |comp AS (SELECT v, min(lbl) AS component FROM walk GROUP BY v)
+        |SELECT component::BIGINT AS component, count(*)::BIGINT AS n_nodes
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "graph_2hop_reach" ->
       """WITH e AS (SELECT a, b FROM (

@@ -446,15 +446,15 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(out.nonEmpty, "the synthetic corpus's common words should clear 60% df")
   }
 
-  test("graph_connected_components: labels are component-consistent after convergence check") {
+  test("graph_connected_components: census EQUALS the union-find true components") {
     import spark.implicits._
     val census = operators.GraphOps.queries("graph_connected_components")(spark, sf)
       .collect().map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_nodes")).toMap
     assert(census.nonEmpty)
     // rebuild the support-2 edge set and run union-find to the TRUE
-    // components; the 3-round unroll must (a) cover all vertices,
-    // (b) never merge two true components, (c) every component label
-    // must be a member vertex of that component
+    // components: since the r14 fixpoint rework the census must match
+    // them EXACTLY — min-id labels, exact per-component sizes (the
+    // r8-r13 fixed-depth unroll under-merged 21× at sf0.01)
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
     val edges = li.alias("x")
       .join(li.alias("y"), $"x.l_orderkey" === $"y.l_orderkey" &&
@@ -469,12 +469,9 @@ class RoundEightOpsSpec extends SparkSpec {
     }
     edges.foreach { case (a, b) => parent(find(a)) = find(b) }
     val verts = edges.flatMap(t => Seq(t._1, t._2)).distinct
-    assert(census.values.sum == verts.length, "census must cover every vertex")
-    // every round-3 label is a vertex id inside the label's true component
-    census.keys.foreach { lbl => assert(verts.contains(lbl)) }
-    // 3 rounds can under-merge (diameter > 3) but never over-merge:
-    // the number of round-3 labels is >= the number of true components
-    val trueComponents = verts.map(find).distinct.length
-    assert(census.size >= trueComponents)
+    val expected = verts.groupBy(find).map { case (_, vs) =>
+      vs.min -> vs.length.toLong }
+    assert(census == expected,
+      "fixpoint census must equal the true min-id component sizes")
   }
 }
