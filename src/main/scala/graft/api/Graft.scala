@@ -2997,9 +2997,23 @@ object Graft {
         labels = jumped
         i += 1
       }
+      // An unconverged labeling is the exact plausible-but-wrong class
+      // this fixpoint exists to remove (r14 advice): never return it
+      // silently. Unreachable in practice — pointer doubling covers
+      // diameter 2^64 at maxRounds = 64 — but if it ever fires the
+      // caller must know, not ship under-merged components.
+      require(done,
+        s"connectedComponentLabels: no fixpoint after $maxRounds rounds")
       edgesRaw.unpersist(blocking = false)
       edges.unpersist(blocking = false)
-      s.createDataFrame(labels).toDF("v", "lbl")
+      // Eagerly localCheckpoint the RESULT DataFrame, then release the
+      // loop's final RDD (r14 advice: repeated calls in one session
+      // otherwise accumulate MEMORY_AND_DISK blocks that nothing ever
+      // unpersists). The checkpoint is one extra pass over |V| label
+      // rows; the returned frame owns its own blocks from here.
+      val out = s.createDataFrame(labels).toDF("v", "lbl").localCheckpoint()
+      labels.unpersist(blocking = false)
+      out
     }
   }
 
@@ -3019,8 +3033,28 @@ object Graft {
     * from CRASHED runs (embedded pid no longer alive) are swept before
     * building; a live foreign builder's tmp is never touched.
     * Single-sources the schema-drift, profile-drift, and
-    * stats-snapshot fixtures. */
-  def snapshotFixtureDir(name: String, dataDir: String)
+    * stats-snapshot fixtures.
+    *
+    * `recipeVersion` is folded into the tag (r14 advice): the stamp
+    * detects DATA changes, not CODE changes — without a version, a
+    * write()-recipe fix keeps serving the pre-fix fixture on any
+    * checkout with a warm target/graft_file_fixtures. Bump the
+    * caller's version whenever its write() recipe changes semantics;
+    * the global format constant below additionally re-mints every tag
+    * when the tag scheme itself changes.
+    *
+    * Known stamp limitation (documented per r14 advice, accepted): the
+    * content stamp is (path, size, mtime-millis) metadata only. A
+    * regeneration that preserves all three — identical byte sizes on a
+    * coarse-mtime filesystem, or an mtime-preserving copy/untar —
+    * reuses the old snapshot without error. That is the same contract
+    * every mtime-based build cache makes; a real lake would put its
+    * snapshot/commit id here, and the test SF dirs are written by a
+    * generator that never preserves mtimes. */
+  private val fixtureTagFormat = "gf2" // bump to re-mint ALL fixture tags
+  private val fixtureTmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  def snapshotFixtureDir(name: String, dataDir: String,
+      recipeVersion: Int = 1)
       (write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // race-tolerant: a CONCURRENT sweeper may delete entries between
@@ -3054,7 +3088,8 @@ object Graft {
       sb.toString
     }
     val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((canonical.toString + " " + stamp)
+      .digest((s"$fixtureTagFormat/$recipeVersion\u0000" +
+          canonical.toString + " " + stamp)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map(b => f"$b%02x").mkString
     val base = new java.io.File("target/graft_file_fixtures").getAbsoluteFile
@@ -3090,7 +3125,7 @@ object Graft {
       // path unique per concurrent builder
       val tmp = new java.io.File(base,
         s".${name}_${tag}_tmp_${ProcessHandle.current.pid}_" +
-          Thread.currentThread.getId)
+          fixtureTmpSeq.incrementAndGet)
       wipe(tmp)
       Files.createDirectories(tmp.toPath)
       write(tmp.toPath.resolve("data").toString)

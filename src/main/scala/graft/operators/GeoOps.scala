@@ -137,7 +137,72 @@ object GeoOps {
               when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
                 .when(col("near_core") === 1, "border")
                 .otherwise("noise").as("cls"))
-      .orderBy(col("user_id"))
+  }
+
+  /** One pitch/cap instantiation of the census (unsorted — the audit
+    * queries join two of these; the registered census queries add the
+    * orderBy themselves so no sort sits under the audit join). */
+  private def censusFrame(s: SparkSession, dir: String, pitch: Long,
+      cap: Option[Int]): DataFrame = {
+    val pts = points(s, dir)
+    // both the count pass and the border semi join read cand
+    val cand = epsilonPairs(pts, pitch, eps2 = 9000000L, cap)
+      .localCheckpoint(false)
+    dbscanCensus(pts, cand)
+  }
+
+  /** DBSCAN cluster labeling over one pitch/cap candidate
+    * instantiation: cluster = TRUE connected component (min core id)
+    * of the SYMMETRIZED core-core candidate subgraph via
+    * Graft.connectedComponentLabels; borders attach to the min
+    * cluster among their core candidate neighbors; noise carries the
+    * typed -1 sentinel. The explicit symmetrization is a no-op on the
+    * uncapped candidate set (ε-adjacency is symmetric and every point
+    * probes) but REQUIRED under a per-cell cap, where (probe,
+    * representative) edges are one-directional: component semantics
+    * are undirected, so the union makes that true by construction on
+    * both paths of the CC (and the oracle unions the same way). */
+  private def labelFrame(s: SparkSession, dir: String, pitch: Long,
+      cap: Option[Int]): DataFrame = {
+    val pts = points(s, dir)
+    val cand = epsilonPairs(pts, pitch, eps2 = 9000000L, cap)
+      .localCheckpoint(false)
+    val (counts, core) = dbscanCountsCore(cand)
+    val ce0 = cand
+      .join(core.select(col("core_id").as("user_id")),
+            Seq("user_id"), "left_semi")
+      .join(core.select(col("core_id").as("nb")), Seq("nb"), "left_semi")
+      .select(col("user_id").as("a"), col("nb").as("b"))
+    val coreEdges = ce0.union(ce0.select(col("b").as("a"), col("a").as("b")))
+    val lbl = graft.api.Graft.connectedComponentLabels(coreEdges)
+    // isolated cores (no core-core edge) label themselves
+    val coreLbl = core
+      .join(lbl, core("core_id") === lbl("v"), "left")
+      .select(col("core_id"),
+              coalesce(col("lbl"), col("core_id")).as("cluster"))
+      .localCheckpoint(false) // core output rows + border attach
+    val borderLbl = cand
+      .join(coreLbl.select(col("core_id").as("nb"), col("cluster")),
+            Seq("nb"))
+      .groupBy(col("user_id")).agg(min(col("cluster")).as("b_cluster"))
+    pts.select(col("user_id"))
+      .join(counts, Seq("user_id"), "left")
+      .join(coreLbl.select(col("core_id").as("user_id"),
+              col("cluster").as("c_cluster")), Seq("user_id"), "left")
+      .join(borderLbl, Seq("user_id"), "left")
+      .select(col("user_id"),
+              coalesce(col("n_within_r"), lit(0L)).as("n_within_r"),
+              when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
+                .when(col("b_cluster").isNotNull, "border")
+                .otherwise("noise").as("cls"),
+              // noise carries the -1 sentinel, not NULL: ids are
+              // non-negative, and a typed sentinel keeps the column
+              // NON-NULLABLE end to end (a nullable BIGINT lands as
+              // float64+NaN in any pandas/arrow consumer)
+              coalesce(
+                when(coalesce(col("n_within_r"), lit(0L)) >= 2,
+                     col("c_cluster"))
+                  .otherwise(col("b_cluster")), lit(-1L)).as("cluster"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -183,13 +248,9 @@ object GeoOps {
     // below (pitch = ε + per-cell cap — r13 verdict watch #1); this
     // form is what the capped one calibrates against, exactly as
     // geo_grid_knn_capped yardsticks geo_grid_knn.
-    "geo_dbscan_core" -> ((s, dir) => {
-      val pts = points(s, dir)
-      // both the count pass and the border semi join read cand
-      val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
-        cap = None).localCheckpoint(false)
-      dbscanCensus(pts, cand)
-    }),
+    "geo_dbscan_core" -> ((s, dir) =>
+      censusFrame(s, dir, pitch = 4096L, cap = None)
+        .orderBy(col("user_id"))),
 
     // The DENSITY-BOUNDED form of the census (r13 verdict watch #1):
     // pitch = ε = 3000 (the standard DBSCAN grid — every ε-ball still
@@ -203,11 +264,49 @@ object GeoOps {
     // makes the cap generous); the oracle implements the SAME cap, so
     // the trade is pinned. The uncapped geo_dbscan_core above is the
     // exact yardstick this calibrates against.
-    "geo_dbscan_core_capped" -> ((s, dir) => {
-      val pts = points(s, dir)
-      val cand = epsilonPairs(pts, pitch = 3000L, eps2 = 9000000L,
-        cap = Some(8)).localCheckpoint(false)
-      dbscanCensus(pts, cand)
+    "geo_dbscan_core_capped" -> ((s, dir) =>
+      censusFrame(s, dir, pitch = 3000L, cap = Some(8))
+        .orderBy(col("user_id"))),
+
+    // CAPPED-CENSUS ACCURACY AUDIT (r14 verdict #2): the number
+    // geo_dbscan_core_capped's K=8 generosity ARGUMENT was missing —
+    // capped vs exact census, full-outer on user_id, classification
+    // agreement at e6 plus the full confusion census. Because capped
+    // candidates are a SUBSET of the true ε-pairs and capped cores a
+    // subset of exact cores, the cap can only DEMOTE (core→border,
+    // core→noise, border→noise): n_upgraded counts the impossible
+    // upward moves and is pinned 0 by construction in BOTH engines —
+    // the audit proves the direction claim instead of asserting it.
+    // Cost: the two census builds (each one grid equi join) + one
+    // report-sized full-outer join; nothing new shuffles at scale.
+    "geo_dbscan_census_agreement" -> ((s, dir) => {
+      val ex = censusFrame(s, dir, pitch = 4096L, cap = None)
+        .select(col("user_id"), col("cls").as("cls_ex"))
+      val cp = censusFrame(s, dir, pitch = 3000L, cap = Some(8))
+        .select(col("user_id"), col("cls").as("cls_cap"))
+      ex.join(cp, Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("n_points"),
+             count(when(col("cls_ex") === col("cls_cap"), 1)).as("n_agree"),
+             count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
+             count(when(col("cls_cap") === "core", 1)).as("n_core_capped"),
+             count(when(col("cls_ex") === "core" &&
+                        col("cls_cap") === "border", 1))
+               .as("n_core_to_border"),
+             count(when(col("cls_ex") === "core" &&
+                        col("cls_cap") === "noise", 1)).as("n_core_to_noise"),
+             count(when(col("cls_ex") === "border" &&
+                        col("cls_cap") === "noise", 1))
+               .as("n_border_to_noise"),
+             count(when((col("cls_ex") === "border" &&
+                         col("cls_cap") === "core") ||
+                        (col("cls_ex") === "noise" &&
+                         col("cls_cap") =!= "noise"), 1)).as("n_upgraded"))
+        .select(col("n_points"), col("n_agree"),
+                expr("n_agree * 1000000 div greatest(n_points, 1)")
+                  .as("agreement_e6"),
+                col("n_core_exact"), col("n_core_capped"),
+                col("n_core_to_border"), col("n_core_to_noise"),
+                col("n_border_to_noise"), col("n_upgraded"))
     }),
 
     // DBSCAN CLUSTER LABELING (r13 verdict #2 — the step the census
@@ -229,46 +328,64 @@ object GeoOps {
     // grid join + CC on the core-edge SUBGRAPH only (the candidate
     // table is pinned once and feeds the counts pass, the core-core
     // edge filter, and the border attach — never rebuilt).
-    "geo_dbscan_label" -> ((s, dir) => {
-      val pts = points(s, dir)
-      val cand = epsilonPairs(pts, pitch = 4096L, eps2 = 9000000L,
-        cap = None).localCheckpoint(false)
-      val (counts, core) = dbscanCountsCore(cand)
-      val coreEdges = cand
-        .join(core.select(col("core_id").as("user_id")),
-              Seq("user_id"), "left_semi")
-        .join(core.select(col("core_id").as("nb")), Seq("nb"), "left_semi")
-        .select(col("user_id").as("a"), col("nb").as("b"))
-      val lbl = graft.api.Graft.connectedComponentLabels(coreEdges)
-      // isolated cores (no core-core edge) label themselves
-      val coreLbl = core
-        .join(lbl, core("core_id") === lbl("v"), "left")
-        .select(col("core_id"),
-                coalesce(col("lbl"), col("core_id")).as("cluster"))
-        .localCheckpoint(false) // core output rows + border attach
-      val borderLbl = cand
-        .join(coreLbl.select(col("core_id").as("nb"), col("cluster")),
-              Seq("nb"))
-        .groupBy(col("user_id")).agg(min(col("cluster")).as("b_cluster"))
-      pts.select(col("user_id"))
-        .join(counts, Seq("user_id"), "left")
-        .join(coreLbl.select(col("core_id").as("user_id"),
-                col("cluster").as("c_cluster")), Seq("user_id"), "left")
-        .join(borderLbl, Seq("user_id"), "left")
-        .select(col("user_id"),
-                coalesce(col("n_within_r"), lit(0L)).as("n_within_r"),
-                when(coalesce(col("n_within_r"), lit(0L)) >= 2, "core")
-                  .when(col("b_cluster").isNotNull, "border")
-                  .otherwise("noise").as("cls"),
-                // noise carries the -1 sentinel, not NULL: ids are
-                // non-negative, and a typed sentinel keeps the column
-                // NON-NULLABLE end to end (a nullable BIGINT lands as
-                // float64+NaN in any pandas/arrow consumer)
-                coalesce(
-                  when(coalesce(col("n_within_r"), lit(0L)) >= 2,
-                       col("c_cluster"))
-                    .otherwise(col("b_cluster")), lit(-1L)).as("cluster"))
-        .orderBy(col("user_id"))
+    "geo_dbscan_label" -> ((s, dir) =>
+      labelFrame(s, dir, pitch = 4096L, cap = None)
+        .orderBy(col("user_id"))),
+
+    // DBSCAN LABELING ON THE CAPPED CANDIDATE GRAPH (r14 verdict #1 —
+    // the family's one open scale edge: the exact labeler above keeps
+    // a hot ε-cell quadratic under adversarial skew; this form closes
+    // it with the same density bound the capped census ships).
+    // DECLARED-APPROXIMATE LABEL CONTRACT: clusters are the TRUE
+    // connected components (min core id, run to fixpoint — never a
+    // depth cut) of the SYMMETRIZED core-core subgraph of the CAPPED
+    // candidate set at pitch = ε = 3000, cap K = 8 per cell; core
+    // status comes from capped neighbor counts, which are LOWER
+    // bounds, so the approximation is strictly conservative — it can
+    // only demote points (fewer cores, components that split where
+    // every connecting edge was capped away), never invent a core or
+    // merge two exact clusters. Formally: capped cores ⊆ exact cores,
+    // capped core-core edges ⊆ exact core-core edges, hence every
+    // capped cluster is CONTAINED in exactly one exact cluster
+    // (Round15Spec pins this containment; geo_dbscan_label_agreement
+    // publishes the agreement number). Worst-case candidate volume is
+    // 9K per probe regardless of skew — the labeling now scales
+    // exactly as far as the census does.
+    "geo_dbscan_label_capped" -> ((s, dir) =>
+      labelFrame(s, dir, pitch = 3000L, cap = Some(8))
+        .orderBy(col("user_id"))),
+
+    // LABEL-AGREEMENT AUDIT (r14 verdict #1's done-criteria sibling —
+    // the geo_cap_recall_audit discipline applied to the labeling):
+    // fraction of points whose class / whose cluster id matches
+    // between the exact labeler and the capped one, at e6. Cluster
+    // ids are min-core-id labels in both forms, so id equality is the
+    // strictest possible agreement (a capped component that lost its
+    // exact min core to demotion counts as a miss even when the point
+    // SET is intact — the audit under-claims, never over-claims).
+    // This is the number that justifies (or indicts) K=8 for the
+    // labeling before it ships at 100 TB.
+    "geo_dbscan_label_agreement" -> ((s, dir) => {
+      val ex = labelFrame(s, dir, pitch = 4096L, cap = None)
+        .select(col("user_id"), col("cls").as("cls_ex"),
+                col("cluster").as("cl_ex"))
+      val cp = labelFrame(s, dir, pitch = 3000L, cap = Some(8))
+        .select(col("user_id"), col("cls").as("cls_cap"),
+                col("cluster").as("cl_cap"))
+      ex.join(cp, Seq("user_id"), "full_outer")
+        .agg(count(lit(1)).as("n_points"),
+             count(when(col("cls_ex") === col("cls_cap"), 1))
+               .as("n_cls_match"),
+             count(when(col("cl_ex") === col("cl_cap"), 1))
+               .as("n_cluster_match"),
+             count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
+             count(when(col("cls_cap") === "core", 1)).as("n_core_capped"))
+        .select(col("n_points"), col("n_cls_match"), col("n_cluster_match"),
+                expr("n_cls_match * 1000000 div greatest(n_points, 1)")
+                  .as("cls_agreement_e6"),
+                expr("n_cluster_match * 1000000 div greatest(n_points, 1)")
+                  .as("cluster_agreement_e6"),
+                col("n_core_exact"), col("n_core_capped"))
     }),
 
     // CAP RECALL AUDIT (r14 session two — the ann_truncated_recall
@@ -390,34 +507,48 @@ object GeoOps {
     })
   )
 
-  /** Shared oracle prefix: the md5 point set and its ε-candidate pairs
-    * at `pitch` (optionally per-cell-capped at K, md5-ranked — the
-    * exact cap recipe of the Spark side). */
-  private def candSql(pitch: Long, cap: Option[Int]): String = {
-    val buildSrc = cap.fold("c") { k =>
+  /** Shared oracle prologue: the md5 point set + the 3×3 offsets —
+    * defined ONCE so two candidate instantiations (the agreement
+    * audits) share them in one statement. */
+  private val pointsOffSql =
+    """p AS (
+      |  SELECT user_id,
+      |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+      |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |off AS (SELECT dx, dy
+      |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy))"""
+      .stripMargin
+
+  /** One SUFFIXED ε-candidate instantiation (cell grid at `pitch`,
+    * optionally per-cell-capped at K, md5-ranked — the exact cap
+    * recipe of the Spark side): CTEs c$suf / cand$suf, so the
+    * agreement audits can hold the exact and the capped candidate
+    * sets in a single statement. */
+  private def candSqlSuf(pitch: Long, cap: Option[Int],
+      suf: String): String = {
+    val buildSrc = cap.fold(s"c$suf") { k =>
       s"""(SELECT user_id, xi, yi, cx, cy
          |   FROM (SELECT *, row_number() OVER (PARTITION BY cx, cy
          |           ORDER BY md5(user_id::VARCHAR || ':cap'), user_id) AS rn
-         |         FROM c)
+         |         FROM c$suf)
          |   WHERE rn <= $k)""".stripMargin
     }
-    s"""p AS (
-       |  SELECT user_id,
-       |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
-       |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
-       |  FROM (SELECT DISTINCT user_id FROM events)),
-       |c AS (SELECT user_id, xi, yi, xi // $pitch AS cx, yi // $pitch AS cy
+    s"""c$suf AS (SELECT user_id, xi, yi, xi // $pitch AS cx, yi // $pitch AS cy
        |      FROM p),
-       |off AS (SELECT dx, dy
-       |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
-       |cand AS (
+       |cand$suf AS (
        |  SELECT a.user_id, b.user_id AS nb
-       |  FROM c a CROSS JOIN off
+       |  FROM c$suf a CROSS JOIN off
        |  JOIN $buildSrc b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
        |          AND b.user_id <> a.user_id
        |  WHERE (a.xi - b.xi) * (a.xi - b.xi) +
        |        (a.yi - b.yi) * (a.yi - b.yi) <= 9000000)""".stripMargin
   }
+
+  /** Unsuffixed prologue + candidates — the single-instantiation
+    * oracles (census forms) read this. */
+  private def candSql(pitch: Long, cap: Option[Int]): String =
+    pointsOffSql + ",\n" + candSqlSuf(pitch, cap, "")
 
   /** The census tail over `cand` — shared by both dbscan_core forms. */
   private val censusTailSql =
@@ -435,42 +566,74 @@ object GeoOps {
       |       LEFT JOIN border ON p.user_id = border.user_id
       |ORDER BY p.user_id""".stripMargin
 
-  /** TRUE component labels over the core-core edges + border attach:
-    * recursive reachability (walk enumerates every (vertex, reachable
-    * id) pair — fine at oracle SF) reduced by min — depth-independent,
-    * so it matches the Spark side's fixpoint by construction. */
-  private def labelSql: String =
-    s"""${candSql(4096L, None)},
-       |counts AS (SELECT user_id, count(*)::BIGINT AS n_within_r
-       |  FROM cand GROUP BY user_id),
-       |core AS (SELECT user_id AS core_id FROM counts WHERE n_within_r >= 2),
-       |ce AS (
-       |  SELECT cand.user_id AS a, cand.nb AS b FROM cand
-       |  JOIN core x ON cand.user_id = x.core_id
-       |  JOIN core y ON cand.nb = y.core_id),
-       |walk(v, lbl) AS (
-       |  SELECT core_id, core_id FROM core
+  /** Suffixed census-as-CTE (cls per point) over cand$suf — the
+    * agreement audit holds two of these in one statement. */
+  private def censusCteSql(suf: String): String =
+    s"""counts$suf AS (SELECT user_id, count(*)::BIGINT AS n_within_r
+       |  FROM cand$suf GROUP BY user_id),
+       |core$suf AS (SELECT user_id FROM counts$suf WHERE n_within_r >= 2),
+       |border$suf AS (SELECT DISTINCT cand$suf.user_id
+       |  FROM cand$suf JOIN core$suf ON cand$suf.nb = core$suf.user_id),
+       |cen$suf AS (
+       |  SELECT p.user_id,
+       |         CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
+       |              WHEN border$suf.user_id IS NOT NULL THEN 'border'
+       |              ELSE 'noise' END AS cls
+       |  FROM p LEFT JOIN counts$suf USING (user_id)
+       |         LEFT JOIN border$suf ON p.user_id = border$suf.user_id)"""
+      .stripMargin
+
+  /** TRUE component labels over the SYMMETRIZED core-core edges +
+    * border attach, suffixed, ending in lbl$suf(user_id, n_within_r,
+    * cls, cluster): recursive reachability (walk enumerates every
+    * (vertex, reachable id) pair — fine at oracle SF) reduced by min
+    * — depth-independent, so it matches the Spark side's fixpoint by
+    * construction. The explicit UNION symmetrization mirrors
+    * labelFrame: a no-op on uncapped candidates, REQUIRED under a
+    * per-cell cap where (probe, representative) edges are
+    * one-directional. */
+  private def labelCteSql(suf: String): String =
+    s"""counts$suf AS (SELECT user_id, count(*)::BIGINT AS n_within_r
+       |  FROM cand$suf GROUP BY user_id),
+       |core$suf AS (SELECT user_id AS core_id FROM counts$suf
+       |  WHERE n_within_r >= 2),
+       |ce0$suf AS (
+       |  SELECT cand$suf.user_id AS a, cand$suf.nb AS b FROM cand$suf
+       |  JOIN core$suf x ON cand$suf.user_id = x.core_id
+       |  JOIN core$suf y ON cand$suf.nb = y.core_id),
+       |ce$suf AS (SELECT a, b FROM ce0$suf
+       |  UNION SELECT b, a FROM ce0$suf),
+       |walk$suf(v, lbl) AS (
+       |  SELECT core_id, core_id FROM core$suf
        |  UNION
-       |  SELECT e.a, w.lbl FROM ce e JOIN walk w ON w.v = e.b),
-       |corelbl AS (
+       |  SELECT e.a, w.lbl FROM ce$suf e JOIN walk$suf w ON w.v = e.b),
+       |corelbl$suf AS (
        |  SELECT v AS core_id, min(lbl)::BIGINT AS cluster
-       |  FROM walk GROUP BY v),
-       |blbl AS (
-       |  SELECT cand.user_id, min(cl.cluster) AS b_cluster
-       |  FROM cand JOIN corelbl cl ON cand.nb = cl.core_id
-       |  GROUP BY cand.user_id)
-       |SELECT p.user_id,
-       |       coalesce(n_within_r, 0)::BIGINT AS n_within_r,
-       |       CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
-       |            WHEN b_cluster IS NOT NULL THEN 'border'
-       |            ELSE 'noise' END AS cls,
-       |       coalesce(CASE WHEN coalesce(n_within_r, 0) >= 2
-       |                     THEN corelbl.cluster
-       |                     ELSE b_cluster END, -1)::BIGINT AS cluster
-       |FROM p LEFT JOIN counts USING (user_id)
-       |       LEFT JOIN corelbl ON p.user_id = corelbl.core_id
-       |       LEFT JOIN blbl ON p.user_id = blbl.user_id
-       |ORDER BY p.user_id""".stripMargin
+       |  FROM walk$suf GROUP BY v),
+       |blbl$suf AS (
+       |  SELECT cand$suf.user_id, min(cl.cluster) AS b_cluster
+       |  FROM cand$suf JOIN corelbl$suf cl ON cand$suf.nb = cl.core_id
+       |  GROUP BY cand$suf.user_id),
+       |lbl$suf AS (
+       |  SELECT p.user_id,
+       |         coalesce(n_within_r, 0)::BIGINT AS n_within_r,
+       |         CASE WHEN coalesce(n_within_r, 0) >= 2 THEN 'core'
+       |              WHEN b_cluster IS NOT NULL THEN 'border'
+       |              ELSE 'noise' END AS cls,
+       |         coalesce(CASE WHEN coalesce(n_within_r, 0) >= 2
+       |                       THEN corelbl$suf.cluster
+       |                       ELSE b_cluster END, -1)::BIGINT AS cluster
+       |  FROM p LEFT JOIN counts$suf USING (user_id)
+       |         LEFT JOIN corelbl$suf ON p.user_id = corelbl$suf.core_id
+       |         LEFT JOIN blbl$suf ON p.user_id = blbl$suf.user_id)"""
+      .stripMargin
+
+  /** One full labeling oracle at (pitch, cap). */
+  private def labelSqlAt(pitch: Long, cap: Option[Int]): String =
+    s"""WITH RECURSIVE ${candSql(pitch, cap)},
+       |${labelCteSql("")}
+       |SELECT user_id, n_within_r, cls, cluster FROM lbl
+       |ORDER BY user_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // occupancy-derived pitch: coarsest power-of-two rung with
@@ -595,7 +758,78 @@ object GeoOps {
     "geo_dbscan_core_capped" ->
       s"WITH ${candSql(3000L, Some(8))},\n$censusTailSql",
 
-    "geo_dbscan_label" -> s"WITH RECURSIVE $labelSql",
+    // exact (suffix x, pitch 4096 uncapped) vs capped (suffix k,
+    // pitch ε cap 8) census in one statement; count(*) FILTER
+    // replays the confusion census, n_upgraded pinned 0 by the
+    // subset argument in both engines
+    "geo_dbscan_census_agreement" ->
+      s"""WITH $pointsOffSql,
+         |${candSqlSuf(4096L, None, "x")},
+         |${candSqlSuf(3000L, Some(8), "k")},
+         |${censusCteSql("x")},
+         |${censusCteSql("k")},
+         |j AS (SELECT x.cls AS cls_ex, k.cls AS cls_cap
+         |      FROM cenx x FULL JOIN cenk k USING (user_id)),
+         |a AS (
+         |  SELECT count(*) AS n_points,
+         |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_agree,
+         |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
+         |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped,
+         |         count(*) FILTER (WHERE cls_ex = 'core'
+         |           AND cls_cap = 'border') AS n_core_to_border,
+         |         count(*) FILTER (WHERE cls_ex = 'core'
+         |           AND cls_cap = 'noise') AS n_core_to_noise,
+         |         count(*) FILTER (WHERE cls_ex = 'border'
+         |           AND cls_cap = 'noise') AS n_border_to_noise,
+         |         count(*) FILTER (WHERE (cls_ex = 'border'
+         |             AND cls_cap = 'core')
+         |           OR (cls_ex = 'noise' AND cls_cap <> 'noise'))
+         |           AS n_upgraded
+         |  FROM j)
+         |SELECT n_points::BIGINT AS n_points, n_agree::BIGINT AS n_agree,
+         |       (n_agree * 1000000 // greatest(n_points, 1))::BIGINT
+         |         AS agreement_e6,
+         |       n_core_exact::BIGINT AS n_core_exact,
+         |       n_core_capped::BIGINT AS n_core_capped,
+         |       n_core_to_border::BIGINT AS n_core_to_border,
+         |       n_core_to_noise::BIGINT AS n_core_to_noise,
+         |       n_border_to_noise::BIGINT AS n_border_to_noise,
+         |       n_upgraded::BIGINT AS n_upgraded
+         |FROM a""".stripMargin,
+
+    "geo_dbscan_label" -> labelSqlAt(4096L, None),
+
+    "geo_dbscan_label_capped" -> labelSqlAt(3000L, Some(8)),
+
+    // the two labelings in one statement (two recursive walks —
+    // DuckDB allows several recursive CTEs under one WITH RECURSIVE);
+    // agreement on cls and on the min-core-id cluster label at e6
+    "geo_dbscan_label_agreement" ->
+      s"""WITH RECURSIVE $pointsOffSql,
+         |${candSqlSuf(4096L, None, "x")},
+         |${candSqlSuf(3000L, Some(8), "k")},
+         |${labelCteSql("x")},
+         |${labelCteSql("k")},
+         |j AS (SELECT x.cls AS cls_ex, x.cluster AS cl_ex,
+         |             k.cls AS cls_cap, k.cluster AS cl_cap
+         |      FROM lblx x FULL JOIN lblk k USING (user_id)),
+         |a AS (
+         |  SELECT count(*) AS n_points,
+         |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_cls_match,
+         |         count(*) FILTER (WHERE cl_ex = cl_cap) AS n_cluster_match,
+         |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
+         |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped
+         |  FROM j)
+         |SELECT n_points::BIGINT AS n_points,
+         |       n_cls_match::BIGINT AS n_cls_match,
+         |       n_cluster_match::BIGINT AS n_cluster_match,
+         |       (n_cls_match * 1000000 // greatest(n_points, 1))::BIGINT
+         |         AS cls_agreement_e6,
+         |       (n_cluster_match * 1000000 // greatest(n_points, 1))::BIGINT
+         |         AS cluster_agreement_e6,
+         |       n_core_exact::BIGINT AS n_core_exact,
+         |       n_core_capped::BIGINT AS n_core_capped
+         |FROM a""".stripMargin,
 
     "geo_trajectory_l1" ->
       """WITH pts AS (

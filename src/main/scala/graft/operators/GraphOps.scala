@@ -251,6 +251,32 @@ object GraphOps {
         .orderBy(col("component"))
     }),
 
+    // THE DISTRIBUTED CC LOOP UNDER THE GATE (r14 verdict watch #2):
+    // identical semantics and oracle to graph_connected_components,
+    // but with localEdgeThreshold = 0 so connectedComponentLabels
+    // takes its HashMin + pointer-jumping RDD path instead of the
+    // guarded driver union-find. DECLARED RATIONALE for forcing the
+    // guard: at the test SFs every registered graph sits far below
+    // the 1M-edge guard, so the loop — its edge-count-sized
+    // partitioner, per-round localCheckpoint cadence, and BigInt
+    // label-sum convergence witness — would otherwise first execute
+    // in production at the 100× scale-up, never under Verify/Bench.
+    // This key makes the loop a gated production surface: Verify
+    // proves it converges to the TRUE components (the oracle is
+    // depth-independent reachability), Bench prices its per-round
+    // driver floor honestly (~0.2 s/round × O(log diameter) rounds —
+    // that cost is the POINT of the measurement, not a regression;
+    // the guarded key above stays the fast path users run).
+    "graph_connected_components_loop" -> ((s, dir) => {
+      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+      val lbl = graft.api.Graft.connectedComponentLabels(
+        e0.union(e0.select(col("b").as("a"), col("a").as("b"))),
+        localEdgeThreshold = 0L)
+      lbl.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component"))
+    }),
+
     // Common-neighbors link prediction — the "you may also like" /
     // missing-edge scorer over the REPEAT co-purchase graph: for every
     // NON-adjacent pair (a, c) sharing ≥1 neighbor, the common-neighbor
@@ -572,6 +598,24 @@ object GraphOps {
     // enumerates (v, reachable id) pairs — Σ|component|² rows, fine at
     // oracle SF — reduced by min
     "graph_connected_components" ->
+      """WITH RECURSIVE e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |walk(v, lbl) AS (
+        |  SELECT DISTINCT a, a FROM e
+        |  UNION
+        |  SELECT e.a, w.lbl FROM e JOIN walk w ON w.v = e.b),
+        |comp AS (SELECT v, min(lbl) AS component FROM walk GROUP BY v)
+        |SELECT component::BIGINT AS component, count(*)::BIGINT AS n_nodes
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    // same TRUE-component oracle: the loop path must land on the
+    // identical fixpoint the guarded path (and the depth-independent
+    // reachability replay) computes
+    "graph_connected_components_loop" ->
       """WITH RECURSIVE e0 AS (SELECT a, b FROM (
         |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
         |    FROM lineitem x JOIN lineitem y
