@@ -91,14 +91,18 @@ object LayoutOps {
     * misread as a totals row (r13 self-review). Shared by the stats
     * snapshot, the prior-stats snapshot, and the staleness gate's live
     * side. */
-  private def statsSideRows(ft: DataFrame, side: String): DataFrame =
+  private def statsSideRowsTyped(ft: DataFrame, side: String,
+      kType: String): DataFrame =
     mcv8(ft).select(lit(side).as("side"), lit("mcv").as("kind"),
         col("k"), col("f"),
         lit(null).cast("long").as("n"), lit(null).cast("long").as("d"))
       .unionByName(ft.agg(sum(col("f")).as("n"), count(lit(1)).as("d"))
         .select(lit(side).as("side"), lit("tot").as("kind"),
-                lit(null).cast("long").as("k"),
+                lit(null).cast(kType).as("k"),
                 lit(null).cast("long").as("f"), col("n"), col("d")))
+
+  private def statsSideRows(ft: DataFrame, side: String): DataFrame =
+    statsSideRowsTyped(ft, side, "long")
 
   /** ANALYZE-TABLE-as-a-lake-artifact: per-side MCV top-8 + (n, d)
     * totals for events.user_id and lineitem.l_orderkey, written ONCE
@@ -128,6 +132,70 @@ object LayoutOps {
           freqTable(Tables.lineitem(s, dir), "l_orderkey"), "lineitem_ok"))
         .coalesce(1).write.mode("overwrite").parquet(out)
     }
+
+  /** SECOND TABLE FAMILY through the staleness machinery (r14 verdict
+    * #3): the same MCV+totals prior-stats artifact over the
+    * (source, lang) grain of `documents` — profiled BEFORE its latest
+    * ~1/8 md5-sampled ingest batch, the drifted branch — and the
+    * label grain of `embeddings`, whose prior IS its live table, the
+    * stable branch. The key column is STRING here (the composite
+    * source|lang and the stringified label), which the gate machinery
+    * — freqTable / mcv8 / the side report — never assumed away; only
+    * the snapshot's null-totals row needed its key type parameterized
+    * (statsSideRowsTyped). */
+  private def docStatsPriorSnapshotDir(s: SparkSession, dir: String): String =
+    graft.api.Graft.snapshotFixtureDir("layout_stats_prior_doc", dir) { out =>
+      val priorDocs = Tables.documents(s, dir).filter(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":std"))), 1, 4), 16, 10).cast("long") % 8 =!= 0)
+        .withColumn("src_lang",
+          concat(col("source"), lit("|"), col("lang")))
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("lbl", col("label").cast("string"))
+      statsSideRowsTyped(freqTable(priorDocs, "src_lang"),
+          "documents_srclang", "string")
+        .unionByName(statsSideRowsTyped(freqTable(emb, "lbl"),
+          "embeddings_label", "string"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    }
+
+  /** One side of the stats-staleness report: the live frequency table
+    * (pinned — totals, top-8, and the MCV probe all read the one
+    * materialization) diffed against the persisted prior snapshot
+    * with integer e6 gates → a re-ANALYZE flag. Key-type agnostic
+    * (BIGINT and STRING grains both flow through); shared by the
+    * events/lineitem gate and the documents/embeddings family. */
+  private def stalenessSide(snap: DataFrame, side: String,
+      ft: DataFrame): DataFrame = {
+    val sTot = snap.filter(col("side") === side && col("kind") === "tot")
+      .select(col("n").as("n_snap"), col("d").as("d_snap"))
+    val sMcv = snap.filter(col("side") === side && col("kind") === "mcv")
+      .select(col("k"), col("f").as("f_snap"))
+    val lTot = ft.agg(sum(col("f")).as("n_live"),
+      count(lit(1)).as("d_live"))
+    val overlap = sMcv
+      .join(mcv8(ft).select(col("k").as("mk")),
+            col("k") === col("mk"), "left_semi")
+      .agg(count(lit(1)).as("mcv_overlap"))
+    // live frequency of the PERSISTED MCV keys (⤳ inner join is
+    // exact here: the prior feed is a subset of live, so its keys
+    // all survive; a vanished key would surface through overlap)
+    val drift = ft.join(broadcast(sMcv), Seq("k"))
+      .select(expr("abs(f - f_snap) * 1000000 div greatest(f_snap, 1)")
+        .as("fd"))
+      .agg(coalesce(max(col("fd")), lit(0L)).as("max_mcv_f_drift_e6"))
+    sTot.crossJoin(lTot).crossJoin(overlap).crossJoin(drift)
+      .select(lit(side).as("side"), col("n_snap"), col("n_live"),
+              col("d_snap"), col("d_live"), col("mcv_overlap"),
+              col("max_mcv_f_drift_e6"))
+      .withColumn("drift_n_e6",
+        expr("abs(n_live - n_snap) * 1000000 div greatest(n_snap, 1)"))
+      .withColumn("drift_d_e6",
+        expr("abs(d_live - d_snap) * 1000000 div greatest(d_snap, 1)"))
+      .withColumn("reanalyze",
+        (col("drift_n_e6") > 50000 || col("mcv_overlap") < 8 ||
+         col("max_mcv_f_drift_e6") > 100000).cast("int"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
@@ -853,42 +921,32 @@ object LayoutOps {
     "layout_stats_staleness" -> ((s, dir) => {
       val snap = s.read.parquet(statsPriorSnapshotDir(s, dir))
         .localCheckpoint(false)
-      // ft arrives pinned from freqTable — totals, top-8, and the MCV
-      // probe all read the one materialization
-      def sideReport(side: String, ft: DataFrame): DataFrame = {
-        val sTot = snap.filter(col("side") === side && col("kind") === "tot")
-          .select(col("n").as("n_snap"), col("d").as("d_snap"))
-        val sMcv = snap.filter(col("side") === side && col("kind") === "mcv")
-          .select(col("k"), col("f").as("f_snap"))
-        val lTot = ft.agg(sum(col("f")).as("n_live"),
-          count(lit(1)).as("d_live"))
-        val overlap = sMcv
-          .join(mcv8(ft).select(col("k").as("mk")),
-                col("k") === col("mk"), "left_semi")
-          .agg(count(lit(1)).as("mcv_overlap"))
-        // live frequency of the PERSISTED MCV keys (⤳ inner join is
-        // exact here: the prior feed is a subset of live, so its keys
-        // all survive; a vanished key would surface through overlap)
-        val drift = ft.join(broadcast(sMcv), Seq("k"))
-          .select(expr("abs(f - f_snap) * 1000000 div greatest(f_snap, 1)")
-            .as("fd"))
-          .agg(coalesce(max(col("fd")), lit(0L)).as("max_mcv_f_drift_e6"))
-        sTot.crossJoin(lTot).crossJoin(overlap).crossJoin(drift)
-          .select(lit(side).as("side"), col("n_snap"), col("n_live"),
-                  col("d_snap"), col("d_live"), col("mcv_overlap"),
-                  col("max_mcv_f_drift_e6"))
-          .withColumn("drift_n_e6",
-            expr("abs(n_live - n_snap) * 1000000 div greatest(n_snap, 1)"))
-          .withColumn("drift_d_e6",
-            expr("abs(d_live - d_snap) * 1000000 div greatest(d_snap, 1)"))
-          .withColumn("reanalyze",
-            (col("drift_n_e6") > 50000 || col("mcv_overlap") < 8 ||
-             col("max_mcv_f_drift_e6") > 100000).cast("int"))
-      }
-      sideReport("events_user",
+      stalenessSide(snap, "events_user",
           freqTable(Tables.events(s, dir), "user_id"))
-        .unionByName(sideReport("lineitem_ok",
+        .unionByName(stalenessSide(snap, "lineitem_ok",
           freqTable(Tables.lineitem(s, dir), "l_orderkey")))
+        .orderBy(col("side"))
+    }),
+
+    // THE SAME GATE, SECOND TABLE FAMILY (r14 verdict #3): live
+    // documents at the (source, lang) STRING grain diffed against the
+    // docStatsPriorSnapshotDir artifact (prior profiled before the
+    // latest ~1/8 ingest batch — genuinely drifted, flag 1) and live
+    // embeddings at the label grain against a byte-identical prior
+    // (flag 0) — both gate branches exercised on keys the
+    // events/lineitem pair never covered. One shared stalenessSide
+    // report proves the machinery generalizes instead of re-deriving
+    // it per family.
+    "layout_stats_staleness_docs" -> ((s, dir) => {
+      val snap = s.read.parquet(docStatsPriorSnapshotDir(s, dir))
+        .localCheckpoint(false)
+      stalenessSide(snap, "documents_srclang",
+          freqTable(Tables.documents(s, dir)
+            .withColumn("src_lang",
+              concat(col("source"), lit("|"), col("lang"))), "src_lang"))
+        .unionByName(stalenessSide(snap, "embeddings_label",
+          freqTable(Tables.embeddings(s, dir)
+            .withColumn("lbl", col("label").cast("string")), "lbl")))
         .orderBy(col("side"))
     }),
 
@@ -1143,6 +1201,63 @@ object LayoutOps {
         |  SELECT 'lineitem_ok', l_tot.n, l_tot.n, l_tot.d, l_tot.d,
         |         mcv_overlap, max_mcv_f_drift_e6
         |  FROM l_tot, l_overlap, l_drift)
+        |SELECT side, n_snap, n_live, d_snap, d_live, mcv_overlap,
+        |       max_mcv_f_drift_e6,
+        |       (abs(n_live - n_snap) * 1000000 // greatest(n_snap, 1))::BIGINT
+        |         AS drift_n_e6,
+        |       (abs(d_live - d_snap) * 1000000 // greatest(d_snap, 1))::BIGINT
+        |         AS drift_d_e6,
+        |       ((abs(n_live - n_snap) * 1000000 // greatest(n_snap, 1)) > 50000
+        |        OR mcv_overlap < 8
+        |        OR max_mcv_f_drift_e6 > 100000)::INT AS reanalyze
+        |FROM rows_ ORDER BY side""".stripMargin,
+
+    // second family, same replay discipline: documents' prior
+    // statistics closed-form from the ~7/8 subset feed at the
+    // (source, lang) string grain; embeddings' prior IS its live
+    // table (the stable branch, spelled plainly like lineitem's)
+    "layout_stats_staleness_docs" ->
+      """WITH pd AS (SELECT source || '|' || lang AS k FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':std'), 1, 4))::BIGINT
+        |        % 8 <> 0),
+        |fd_p AS (SELECT k, count(*)::BIGINT AS f FROM pd GROUP BY 1),
+        |fd_l AS (SELECT source || '|' || lang AS k, count(*)::BIGINT AS f
+        |  FROM documents GROUP BY 1),
+        |fb AS (SELECT label::VARCHAR AS k, count(*)::BIGINT AS f
+        |  FROM embeddings GROUP BY 1),
+        |dp_tot AS (SELECT sum(f)::BIGINT AS n_snap, count(*)::BIGINT AS d_snap
+        |  FROM fd_p),
+        |dl_tot AS (SELECT sum(f)::BIGINT AS n_live, count(*)::BIGINT AS d_live
+        |  FROM fd_l),
+        |b_tot AS (SELECT sum(f)::BIGINT AS n, count(*)::BIGINT AS d FROM fb),
+        |dp_mcv AS (SELECT k, f AS f_snap FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fd_p)
+        |  WHERE rn <= 8),
+        |dl_mcv AS (SELECT k FROM (
+        |    SELECT k, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fd_l)
+        |  WHERE rn <= 8),
+        |b_mcv AS (SELECT k, f FROM (
+        |    SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rn FROM fb)
+        |  WHERE rn <= 8),
+        |d_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM dp_mcv
+        |  WHERE k IN (SELECT k FROM dl_mcv)),
+        |d_drift AS (SELECT coalesce(max(
+        |    abs(f - f_snap) * 1000000 // greatest(f_snap, 1)), 0)::BIGINT
+        |    AS max_mcv_f_drift_e6
+        |  FROM fd_l JOIN dp_mcv USING (k)),
+        |b_overlap AS (SELECT count(*)::BIGINT AS mcv_overlap FROM b_mcv),
+        |b_drift AS (SELECT coalesce(max(
+        |    abs(fb.f - b_mcv.f) * 1000000 // greatest(b_mcv.f, 1)), 0)::BIGINT
+        |    AS max_mcv_f_drift_e6
+        |  FROM fb JOIN b_mcv USING (k)),
+        |rows_ AS (
+        |  SELECT 'documents_srclang' AS side, n_snap, n_live, d_snap, d_live,
+        |         mcv_overlap, max_mcv_f_drift_e6
+        |  FROM dp_tot, dl_tot, d_overlap, d_drift
+        |  UNION ALL
+        |  SELECT 'embeddings_label', b_tot.n, b_tot.n, b_tot.d, b_tot.d,
+        |         mcv_overlap, max_mcv_f_drift_e6
+        |  FROM b_tot, b_overlap, b_drift)
         |SELECT side, n_snap, n_live, d_snap, d_live, mcv_overlap,
         |       max_mcv_f_drift_e6,
         |       (abs(n_live - n_snap) * 1000000 // greatest(n_snap, 1))::BIGINT

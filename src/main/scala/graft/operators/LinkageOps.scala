@@ -83,6 +83,22 @@ object LinkageOps {
               floor(col("acct_t") * 100 + 0.5).cast("long").as("t_cents"))
   }
 
+  /** Majority-vote nation per entity over a stacked (k, src, nat)
+    * feed: score = cnt·10 − best_src, so the COUNT decides first and
+    * the LOWEST (most-trusted) source carrying the value breaks ties
+    * — scores cannot collide within an entity because distinct
+    * values partition the ≤3 records and src values are distinct in
+    * 1..3. Factored out of link_survivorship3 so Round15Spec can pin
+    * the tie semantics in isolation (the fan-in-3 configuration the
+    * fixture replay does not exhibit: a 3-way split with all cnt = 1,
+    * where the trust order alone decides). */
+  private[graft] def nationMajority(stacked: DataFrame): DataFrame =
+    stacked.groupBy(col("k"), col("nat"))
+      .agg(count(lit(1)).as("cnt"), min(col("src")).as("best_src"))
+      .groupBy(col("k"))
+      .agg(max_by(col("nat"), col("cnt") * 10 - col("best_src"))
+        .as("nation_majority"))
+
   /** Blocked candidate pairs reduced to the agreement-pattern grain. */
   private def patternTable(s: SparkSession, dir: String): DataFrame = {
     val (clean, dirty) = sides(s, dir)
@@ -251,11 +267,7 @@ object LinkageOps {
           col("t_cents").as("cents")))
         // main aggregate + majority rollup both read the union
         .localCheckpoint(false)
-      val majority = stacked.groupBy(col("k"), col("nat"))
-        .agg(count(lit(1)).as("cnt"), min(col("src")).as("best_src"))
-        .groupBy(col("k"))
-        .agg(max_by(col("nat"), col("cnt") * 10 - col("best_src"))
-          .as("nation_majority"))
+      val majority = nationMajority(stacked)
       stacked.groupBy(col("k"))
         .agg(count(lit(1)).as("n_records"),
              max_by(col("nm"), length(col("nm"))).as("name_golden"),
@@ -312,6 +324,66 @@ object LinkageOps {
                      " greatest(n_a * n_b, 1)").as("reduction_ratio_e6"),
                 expr("n_true_blocked * 1000000 div greatest(n_cand, 1)")
                   .as("precision_e6"))
+    }),
+
+    // BLOCKING-KEY COMPARISON (r14 verdict #5): the single-key audit
+    // above grades the SHIPPED key; the decision it exists to inform
+    // is WHICH key to ship — so rank the candidates in one table.
+    // Same statistics-only candidate counting (Σ|A_b|·|B_b| over
+    // per-block count tables, pairs never materialized), one row per
+    // candidate key: the shipped (segment, nation), the coarser
+    // (segment) alone, and the segment-free (nation, balance-bucket).
+    // All three blocked-truth counters come from ONE identity-join
+    // pass (FILTER counters over the same join), so adding a
+    // candidate key costs one |keys|-row aggregate — never another
+    // pass over data pairs. Expected shape on this fixture: (segment)
+    // has perfect completeness (the segment is never noised) but ~25×
+    // the candidates; (nation, bucket) cuts candidates hardest but
+    // additionally loses every true pair whose jittered balance
+    // crossed a 500-cent bucket edge.
+    "link_blocking_quality_keys" -> ((s, dir) => {
+      val (clean, dirty) = sides(s, dir)
+      // 1-row scalars pinned: three key rows read each of them
+      val truth = clean.join(dirty, col("a_key") === col("b_key"))
+        .agg(count(lit(1)).as("n_true"),
+             count(when(col("a_seg") === col("b_seg"), 1)).as("tb_seg"),
+             count(when(col("a_seg") === col("b_seg") &&
+                        col("a_nation") === col("b_nation"), 1))
+               .as("tb_segnat"),
+             count(when(col("a_nation") === col("b_nation") &&
+                        col("a_bucket") === col("b_bucket"), 1))
+               .as("tb_natbuck"))
+        .localCheckpoint(false)
+      val totals = clean.agg(count(lit(1)).as("n_a"))
+        .crossJoin(dirty.agg(count(lit(1)).as("n_b")))
+        .localCheckpoint(false)
+      def candCount(aKey: Seq[String], bKey: Seq[String]): DataFrame = {
+        val ba = clean.groupBy(aKey.map(col): _*).agg(count(lit(1)).as("na"))
+        val bb = dirty.groupBy(bKey.map(col): _*).agg(count(lit(1)).as("nb"))
+        val cond = aKey.zip(bKey).map { case (a, b) => ba(a) === bb(b) }
+          .reduce(_ && _)
+        ba.join(bb, cond)
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_cand"))
+      }
+      def row(name: String, cand: DataFrame, tb: String): DataFrame =
+        truth.crossJoin(cand).crossJoin(totals)
+          .select(lit(name).as("blocking_key"), col("n_a"), col("n_b"),
+                  col("n_true"), col(tb).as("n_true_blocked"), col("n_cand"),
+                  expr(s"$tb * 1000000 div greatest(n_true, 1)")
+                    .as("pair_completeness_e6"),
+                  expr("(n_a * n_b - n_cand) * 1000000 div" +
+                       " greatest(n_a * n_b, 1)").as("reduction_ratio_e6"),
+                  expr(s"$tb * 1000000 div greatest(n_cand, 1)")
+                    .as("precision_e6"))
+      row("nation_bucket",
+          candCount(Seq("a_nation", "a_bucket"),
+                    Seq("b_nation", "b_bucket")), "tb_natbuck")
+        .unionByName(row("seg_nation",
+          candCount(Seq("a_seg", "a_nation"),
+                    Seq("b_seg", "b_nation")), "tb_segnat"))
+        .unionByName(row("segment",
+          candCount(Seq("a_seg"), Seq("b_seg")), "tb_seg"))
+        .orderBy(col("blocking_key"))
     }),
 
     // Fellegi–Sunter decision table: one row per agreement pattern with
@@ -504,6 +576,66 @@ object LinkageOps {
         |       (n_true_blocked * 1000000 // greatest(n_cand, 1))::BIGINT
         |         AS precision_e6
         |FROM truth, cand, tot""".stripMargin,
+
+    // same sides with buckets; three statistics-only candidate counts
+    // + one identity-join truth pass with per-key FILTER counters
+    "link_blocking_quality_keys" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS a_key, c_nationkey AS a_nation,
+        |         c_mktsegment AS a_seg,
+        |         floor(c_acctbal / 500.0)::BIGINT AS a_bucket
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT c_custkey AS b_key,
+        |    CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || ':fs2'), 1, 4))::BIGINT % 20 = 0
+        |         THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS b_nation,
+        |    c_mktsegment AS b_seg,
+        |    floor((c_acctbal +
+        |      (('0x' || substr(md5(c_custkey::VARCHAR || ':fs3'), 1, 4))::BIGINT % 11 - 5))
+        |      / 500.0)::BIGINT AS b_bucket
+        |  FROM customer),
+        |truth AS (
+        |  SELECT count(*)::BIGINT AS n_true,
+        |         count(*) FILTER (WHERE a_seg = b_seg)::BIGINT AS tb_seg,
+        |         count(*) FILTER (WHERE a_seg = b_seg
+        |           AND a_nation = b_nation)::BIGINT AS tb_segnat,
+        |         count(*) FILTER (WHERE a_nation = b_nation
+        |           AND a_bucket = b_bucket)::BIGINT AS tb_natbuck
+        |  FROM clean JOIN dirty ON a_key = b_key),
+        |tot AS (SELECT (SELECT count(*) FROM clean)::BIGINT AS n_a,
+        |               (SELECT count(*) FROM dirty)::BIGINT AS n_b),
+        |c_sn AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_cand FROM
+        |    (SELECT a_seg AS s, a_nation AS n, count(*) AS na
+        |     FROM clean GROUP BY 1, 2) x
+        |  JOIN (SELECT b_seg AS s, b_nation AS n, count(*) AS nb
+        |        FROM dirty GROUP BY 1, 2) y USING (s, n)),
+        |c_s AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_cand FROM
+        |    (SELECT a_seg AS s, count(*) AS na FROM clean GROUP BY 1) x
+        |  JOIN (SELECT b_seg AS s, count(*) AS nb FROM dirty GROUP BY 1) y
+        |    USING (s)),
+        |c_nb AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_cand FROM
+        |    (SELECT a_nation AS n, a_bucket AS bk, count(*) AS na
+        |     FROM clean GROUP BY 1, 2) x
+        |  JOIN (SELECT b_nation AS n, b_bucket AS bk, count(*) AS nb
+        |        FROM dirty GROUP BY 1, 2) y USING (n, bk)),
+        |rows_ AS (
+        |  SELECT 'nation_bucket' AS blocking_key, n_a, n_b, n_true,
+        |         tb_natbuck AS n_true_blocked, c_nb.n_cand
+        |  FROM truth, c_nb, tot
+        |  UNION ALL
+        |  SELECT 'seg_nation', n_a, n_b, n_true, tb_segnat, c_sn.n_cand
+        |  FROM truth, c_sn, tot
+        |  UNION ALL
+        |  SELECT 'segment', n_a, n_b, n_true, tb_seg, c_s.n_cand
+        |  FROM truth, c_s, tot)
+        |SELECT blocking_key, n_a, n_b, n_true, n_true_blocked, n_cand,
+        |       (n_true_blocked * 1000000 // greatest(n_true, 1))::BIGINT
+        |         AS pair_completeness_e6,
+        |       ((n_a * n_b - n_cand) * 1000000 // greatest(n_a * n_b, 1))::BIGINT
+        |         AS reduction_ratio_e6,
+        |       (n_true_blocked * 1000000 // greatest(n_cand, 1))::BIGINT
+        |         AS precision_e6
+        |FROM rows_ ORDER BY blocking_key""".stripMargin,
 
     "link_survivorship" ->
       """WITH clean AS (
