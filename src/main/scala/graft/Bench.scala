@@ -46,6 +46,11 @@ object Bench {
         "org.apache.spark.util.Utils",
         "org.apache.spark.sql.execution.datasources.FileFormatWriter",
         "org.apache.spark.rdd.MapPartitionsRDD",
+        // graph_connected_components_loop unpersists each round's
+        // localCheckpointed labels RDD once the next round is pinned —
+        // benign by construction (nothing re-reads it), but the RDD
+        // logger WARNs per round
+        "org.apache.spark.rdd.ShuffledRDD",
         "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitter")
       .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
         _, org.apache.logging.log4j.Level.OFF))

@@ -143,8 +143,15 @@ object GeoOps {
     * queries join two of these; the registered census queries add the
     * orderBy themselves so no sort sits under the audit join). */
   private def censusFrame(s: SparkSession, dir: String, pitch: Long,
+      cap: Option[Int]): DataFrame =
+    censusFromPoints(points(s, dir), pitch, cap)
+
+  /** Point-injectable census (package-private: Round15Spec drives a
+    * DENSE synthetic cell through it — the registered queries' md5
+    * points are uniform, so the per-cell cap never binds at test SFs
+    * and the cap's demotion branch would otherwise go unexercised). */
+  private[graft] def censusFromPoints(pts: DataFrame, pitch: Long,
       cap: Option[Int]): DataFrame = {
-    val pts = points(s, dir)
     // both the count pass and the border semi join read cand
     val cand = epsilonPairs(pts, pitch, eps2 = 9000000L, cap)
       .localCheckpoint(false)
@@ -163,8 +170,13 @@ object GeoOps {
     * are undirected, so the union makes that true by construction on
     * both paths of the CC (and the oracle unions the same way). */
   private def labelFrame(s: SparkSession, dir: String, pitch: Long,
+      cap: Option[Int]): DataFrame =
+    labelFromPoints(points(s, dir), pitch, cap)
+
+  /** Point-injectable labeling (package-private, same rationale as
+    * censusFromPoints). */
+  private[graft] def labelFromPoints(pts: DataFrame, pitch: Long,
       cap: Option[Int]): DataFrame = {
-    val pts = points(s, dir)
     val cand = epsilonPairs(pts, pitch, eps2 = 9000000L, cap)
       .localCheckpoint(false)
     val (counts, core) = dbscanCountsCore(cand)
