@@ -90,6 +90,18 @@ object DedupOps {
     * itself (the local scan is one split — see Tables.documentsSpread);
     * the projection sits between two differently-keyed exchanges so it
     * runs exactly once per document, on all cores. */
+  /** Analytic b=6, r=2 S-curve 1 − (1 − s²)⁶ at the similarity-bin
+    * midpoint s = min((2·bin+1)/20, 1), as ONE expression string both
+    * engines parse: every multiplication is written out left-assoc so
+    * the IEEE operation sequence — and therefore the 6-dp rounding —
+    * is identical by construction (a pow() call would leave each
+    * engine's libm to disagree in the last ulp). */
+  private val sCurveExpr: String = {
+    val s = "least((2 * bin + 1) / 20.0, 1.0)"
+    val q = s"(1.0 - $s * $s)"
+    s"round(1.0 - ($q * $q * $q * $q * $q * $q), 6)"
+  }
+
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     graft.api.Graft.memoizedExchange("dedup_shingled", s, dir) {
       Tables.documentsSpread(s, dir)
@@ -281,6 +293,57 @@ object DedupOps {
         .agg(count(lit(1)).as("n_total"),
              countDistinct(col("h")).as("n_unique"),
              (count(lit(1)) - countDistinct(col("h"))).as("n_removed"))),
+
+    // MEASURED LSH S-CURVE (r15 — the ann_truncated_recall /
+    // geo_cap_recall_audit discipline applied to the banding scheme
+    // itself): per similarity bin, what fraction of TRUE pairs does
+    // 6-band × 2-row banding actually surface? band_tuning publishes
+    // the ANALYTIC curve and candidate volume; this audit measures
+    // recall empirically against exact Jaccard ground truth and
+    // prints the analytic value alongside — the deviation IS the
+    // finite-signature (12-perm) noise a deployment should see
+    // before trusting the threshold at 100 TB. Ground truth is
+    // all-pairs exact Jaccard over a DETERMINISTIC 1/4 md5 doc
+    // sample — the declared audit bound: cost is (n/4)²/2 merge-walk
+    // intersects, and the sample divisor is the knob a larger corpus
+    // raises (the audit needs statistical mass per bin, not the full
+    // corpus). Band membership is the UNCAPPED banding contract —
+    // the hot-band cap's extra loss is cappedBucketPairs' own
+    // declared, runtime-asserted bound, not this audit's subject.
+    // Low bins SHOULD read ~0 recall: discarding dissimilar pairs is
+    // the point of LSH; the number that matters is recall above the
+    // s-threshold (~0.41 for b=6, r=2).
+    "dedup_lsh_recall_audit" -> ((s, dir) => {
+      def sampled(df: DataFrame): DataFrame = df.filter(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":rc"))), 1, 4), 16, 10).cast("long") % 4 === 0)
+      val sh = sampled(shingled(s, dir).filter(size(col("bg")) > 0))
+        .select(col("doc_id"), col("bg")).localCheckpoint(false)
+      val pairs = sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a"))
+        .join(sh.select(col("doc_id").as("b_id"), col("bg").as("bg_b")),
+              col("a_id") < col("b_id"))
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount.sortedIntersectCountLong(
+            col("bg_a"), col("bg_b")))
+        .select(col("a_id"), col("b_id"),
+          expr("inter * 1000000 div (size(bg_a) + size(bg_b) - inter)")
+            .as("j_e6"))
+      val bands = lshBands(sampled(minhashSigs(s, dir)))
+        .localCheckpoint(false) // both sides of the band self-join
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band")),
+              Seq("band"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .withColumn("banded", lit(1))
+      pairs.join(cand, Seq("a_id", "b_id"), "left")
+        .withColumn("bin", expr("j_e6 div 100000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"), count(col("banded")).as("n_banded"))
+        .withColumn("recall_e6", expr("n_banded * 1000000 div n_pairs"))
+        .withColumn("analytic_recall_r6", expr(sCurveExpr))
+        .orderBy(col("bin"))
+    }),
 
     // MinHash (12 perms as md5(seed:shingle) string-min) + LSH banding
     // (6 bands × 2 rows) → candidate pairs → exact-Jaccard verify ≥ 0.5.
@@ -791,6 +854,41 @@ object DedupOps {
          |  (sum(abs(est_e6 - j_e6)) // count(*))::BIGINT AS mean_abs_err_e6,
          |  max(abs(est_e6 - j_e6))::BIGINT AS max_abs_err_e6
          |FROM jx GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // sampled all-pairs ground truth + the full minhash/banding
+    // replay of the estimate-audit oracle, restricted to the same
+    // 1/4 md5 sample; the analytic column is the SHARED sCurveExpr
+    // text, so both engines run the identical IEEE sequence
+    "dedup_lsh_recall_audit" ->
+      s"""WITH toks0 AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),
+         |toks AS (SELECT doc_id, bg FROM toks0
+         |  WHERE len(bg) > 0
+         |    AND ('0x' || substr(md5(doc_id::VARCHAR || ':rc'), 1, 4))::BIGINT
+         |        % 4 = 0),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    (len(list_intersect(a.bg, b.bg)) * 1000000) //
+         |      len(list_distinct(a.bg || b.bg)) AS j_e6
+         |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM toks),
+         |mh AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+         |  GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS mhs
+         |  FROM mh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(6),
+         |  k -> k || ':' || mhs[2*k+1] || mhs[2*k+2])) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.doc_id < b.doc_id),
+         |j AS (SELECT pairs.j_e6, (cand.a_id IS NOT NULL)::INT AS banded
+         |  FROM pairs LEFT JOIN cand USING (a_id, b_id)),
+         |g AS (SELECT j_e6 // 100000 AS bin, count(*)::BIGINT AS n_pairs,
+         |    sum(banded)::BIGINT AS n_banded
+         |  FROM j GROUP BY 1)
+         |SELECT bin::BIGINT AS bin, n_pairs, n_banded,
+         |  (n_banded * 1000000 // n_pairs)::BIGINT AS recall_e6,
+         |  $sCurveExpr AS analytic_recall_r6
+         |FROM g ORDER BY bin""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg

@@ -441,6 +441,59 @@ object GraphOps {
         .orderBy(col("rank").desc, col("partkey")).limit(25)
     }),
 
+    // EXACT-INTEGER PAGERANK WITH A RESIDUAL COLUMN (r15 — the r14
+    // connected-components lesson applied to the rank family): the
+    // double-arithmetic pageRank above DECLARES 3 iterations; this
+    // twin runs 4 rounds in pure BIGINT (rank_e12; contributions
+    // floor-divide — the declared integer form) and puts the
+    // per-round L1 residual Σ|r_t − r_{t−1}| IN THE OUTPUT, so depth
+    // adequacy is measured, not asserted — the link_em_convergence
+    // compromise: the report claims its own convergence state and a
+    // consumer (or a 100 TB operator extending the unroll) reads the
+    // residual column instead of trusting a comment. sum_rank_e12
+    // additionally shows the floor-division mass leak per round
+    // (bounded by |E| units of 1e-12 per round — quantified, not
+    // hidden). Every round is one co-partitioned join + one
+    // sum-by-key on the memoized support-2 edge table; per-round
+    // frames are lazily checkpointed because each feeds BOTH the next
+    // round and its residual row (the scd2/psi re-expansion pin).
+    // Oracle SQL is GENERATED from the same round loop — one code
+    // path authors both engines' unrolls, so the depth can never
+    // drift between them (the emConvergenceSql discipline).
+    "graph_pagerank_residual" -> ((s, dir) => {
+      val SCALE = 1000000000000L
+      val p = graft.api.Graft.coPurchasePairs(s, dir).filter(col("w") >= 2)
+      val e = p.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(p.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val ow = e.groupBy(col("src")).agg(sum(col("w")).as("ww"))
+      val ep = e.join(ow, "src").localCheckpoint(false)
+      val vs = e.select(col("src").as("v")).distinct()
+        .localCheckpoint(false) // node frame + its count scalar
+      val nodes = vs.crossJoin(broadcast(vs.agg(count(lit(1)).as("n"))))
+        .localCheckpoint(false)
+      var rank = nodes.select(col("v"), expr(s"$SCALE div n").as("r"))
+        .localCheckpoint(false)
+      val rows = (1 to 4).map { t =>
+        val contrib = rank.join(ep, rank("v") === ep("src"))
+          .groupBy(col("dst")).agg(sum(expr("(r * w) div ww")).as("inr"))
+        val next = nodes
+          .join(contrib, nodes("v") === contrib("dst"), "left")
+          .select(nodes("v"),
+            expr(s"(15 * $SCALE) div (100 * n) + " +
+                 "(85 * coalesce(inr, 0)) div 100").as("r"))
+          .localCheckpoint(false) // next round + residual row
+        val row = next.select(col("v"), col("r").as("rn"))
+          .join(rank.select(col("v"), col("r").as("rp")), "v")
+          .agg(lit(t.toLong).as("round"),
+               sum(abs(col("rn") - col("rp"))).as("l1_residual_e12"),
+               max(abs(col("rn") - col("rp"))).as("max_delta_e12"),
+               sum(col("rn")).as("sum_rank_e12"))
+        rank = next
+        row
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("round"))
+    }),
+
     "graph_hits_bipartite" -> ((s, dir) => {
       val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
@@ -452,7 +505,49 @@ object GraphOps {
     })
   )
 
+  /** Oracle for graph_pagerank_residual, GENERATED from the same
+    * 4-round loop shape the Spark side runs: one authoring path, so
+    * the unroll depth and the floor-division operation order can
+    * never drift between engines. All arithmetic is BIGINT with
+    * floor division on non-negative operands (Spark div ≡ DuckDB //
+    * there). */
+  private def pagerankResidualSql: String = {
+    val S = "1000000000000"
+    val rounds = (1 to 4).map { t =>
+      s"""c$t AS (SELECT dst, sum((r * w) // ww)::BIGINT AS inr
+         |  FROM r${t - 1} JOIN ep ON r${t - 1}.v = ep.src GROUP BY dst),
+         |r$t AS (SELECT nodes.v,
+         |    ((15 * $S) // (100 * n) +
+         |     (85 * coalesce(inr, 0)) // 100)::BIGINT AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$t ON nodes.v = c$t.dst),
+         |d$t AS (SELECT $t::BIGINT AS round,
+         |    sum(abs(a.r - b.r))::BIGINT AS l1_residual_e12,
+         |    max(abs(a.r - b.r))::BIGINT AS max_delta_e12,
+         |    sum(a.r)::BIGINT AS sum_rank_e12
+         |  FROM r$t a JOIN r${t - 1} b USING (v))""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 4).map(t => s"SELECT * FROM d$t").mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT a, b, w FROM (
+       |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+       |    FROM lineitem x JOIN lineitem y
+       |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |    GROUP BY 1, 2) WHERE w >= 2),
+       |e AS (SELECT a AS src, b AS dst, w FROM p
+       |  UNION ALL SELECT b, a, w FROM p),
+       |ow AS (SELECT src, sum(w)::BIGINT AS ww FROM e GROUP BY src),
+       |ep AS (SELECT e.src, e.dst, e.w::BIGINT AS w, ww
+       |  FROM e JOIN ow USING (src)),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |r0 AS (SELECT v, ($S // n)::BIGINT AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "graph_pagerank_residual" -> pagerankResidualSql,
+
     "graph_event_rank" ->
       """WITH t AS (SELECT event_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
