@@ -95,11 +95,14 @@ object DedupOps {
     * engines parse: every multiplication is written out left-assoc so
     * the IEEE operation sequence — and therefore the 6-dp rounding —
     * is identical by construction (a pow() call would leave each
-    * engine's libm to disagree in the last ulp). */
+    * engine's libm to disagree in the last ulp). The literals carry
+    * e0 exponents because a bare `1.0` parses as DECIMAL in Spark SQL
+    * but DOUBLE in DuckDB — the scientific form is DOUBLE in both, so
+    * the shared text really does run the same arithmetic. */
   private val sCurveExpr: String = {
-    val s = "least((2 * bin + 1) / 20.0, 1.0)"
-    val q = s"(1.0 - $s * $s)"
-    s"round(1.0 - ($q * $q * $q * $q * $q * $q), 6)"
+    val s = "least((2 * bin + 1) / 20.0e0, 1.0e0)"
+    val q = s"(1.0e0 - $s * $s)"
+    s"round(1.0e0 - ($q * $q * $q * $q * $q * $q), 6)"
   }
 
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =

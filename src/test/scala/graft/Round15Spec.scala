@@ -227,6 +227,60 @@ class Round15Spec extends SparkSpec {
     assert(lbl.values.toSet == Set(1L) && lbl.size == 12)
   }
 
+  test("graph_pagerank_residual: exact driver replay of the 4 rounds") {
+    val out = SparkEntry.queries("graph_pagerank_residual")(spark, sf)
+      .collect().map(r => r.getAs[Long]("round") ->
+        ((r.getAs[Long]("l1_residual_e12"), r.getAs[Long]("max_delta_e12"),
+          r.getAs[Long]("sum_rank_e12")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // replay in plain Scala BigInt-free exact longs from the raw edges
+    val p = graft.api.Graft.coPurchasePairs(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("w") >= 2)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("w")))
+    val e = p.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val ww = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val vs = e.map(_._1).distinct.sorted
+    val n = vs.length.toLong
+    val S = 1000000000000L
+    var rank: Map[Long, Long] = vs.map(v => v -> S / n).toMap
+    (1 to 4).foreach { t =>
+      val inr = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (src, dst, w) =>
+        inr(dst) += rank(src) * w / ww(src)
+      }
+      val next = vs.map(v => v -> (15 * S / (100 * n) +
+        85 * inr(v) / 100)).toMap
+      val deltas = vs.map(v => math.abs(next(v) - rank(v)))
+      assert(out(t.toLong) == ((deltas.sum, deltas.max,
+        next.values.sum)), s"round $t books diverge from the replay")
+      rank = next
+    }
+    // residual must shrink round over round on this graph — the
+    // witness the column exists to carry
+    assert((1 to 3).forall(t => out(t.toLong)._1 > out(t + 1L)._1))
+  }
+
+  test("dedup_lsh_recall_audit: books and analytic curve are coherent") {
+    val rows = SparkEntry.queries("dedup_lsh_recall_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bin, np, nb) = (r.getAs[Long]("bin"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_banded"))
+      assert(nb >= 0 && nb <= np)
+      assert(r.getAs[Long]("recall_e6") == nb * 1000000L / np)
+      // the analytic S-curve column replays in plain Scala with the
+      // same left-assoc IEEE sequence
+      val s = math.min((2 * bin + 1) / 20.0, 1.0)
+      val q = 1.0 - s * s
+      val expect = BigDecimal(1.0 - q * q * q * q * q * q)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("analytic_recall_r6") - expect) == 0.0,
+        s"bin $bin analytic curve")
+    }
+  }
+
   test("snapshotFixtureDir: recipeVersion mints a fresh tag") {
     import java.nio.file.{Files, Paths}
     val dataDir = Files.createTempDirectory(
