@@ -46,14 +46,16 @@ object Bench {
         "org.apache.spark.util.Utils",
         "org.apache.spark.sql.execution.datasources.FileFormatWriter",
         "org.apache.spark.rdd.MapPartitionsRDD",
-        // graph_connected_components_loop unpersists each round's
-        // localCheckpointed labels RDD once the next round is pinned —
-        // benign by construction (nothing re-reads it), but the RDD
-        // logger WARNs per round
-        "org.apache.spark.rdd.ShuffledRDD",
         "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitter")
       .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
         _, org.apache.logging.log4j.Level.OFF))
+    // graph_connected_components_loop unpersists each round's
+    // localCheckpointed labels RDD once the next round is pinned —
+    // benign by construction (nothing re-reads it), but the RDD
+    // logger WARNs per round. ERROR (not OFF) so a genuine
+    // ShuffledRDD error in any other query still surfaces.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.ShuffledRDD", org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: JIT + whole-stage-codegen compilation and parquet
     // footer reads otherwise land entirely on the first measured query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -2997,15 +2997,23 @@ object Graft {
         labels = jumped
         i += 1
       }
+      // Release the loop's persisted RDDs BEFORE any failure exit: the
+      // no-fixpoint path must not leak MEMORY_AND_DISK blocks into the
+      // session (a caller that catches and retries would accumulate
+      // them — the very class the r14 advice flagged).
+      edgesRaw.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
       // An unconverged labeling is the exact plausible-but-wrong class
       // this fixpoint exists to remove (r14 advice): never return it
       // silently. Unreachable in practice — pointer doubling covers
       // diameter 2^64 at maxRounds = 64 — but if it ever fires the
       // caller must know, not ship under-merged components.
-      require(done,
-        s"connectedComponentLabels: no fixpoint after $maxRounds rounds")
-      edgesRaw.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      if (!done) {
+        labels.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"requirement failed: connectedComponentLabels: no fixpoint " +
+            s"after $maxRounds rounds")
+      }
       // Eagerly localCheckpoint the RESULT DataFrame, then release the
       // loop's final RDD (r14 advice: repeated calls in one session
       // otherwise accumulate MEMORY_AND_DISK blocks that nothing ever
@@ -3121,8 +3129,9 @@ object Graft {
         }
       }
       // temp roots start with '.' so fixture globs (name_*/data/...)
-      // can never match an in-progress build; pid + threadId makes the
-      // path unique per concurrent builder
+      // can never match an in-progress build; pid + an atomic
+      // per-process counter makes the path unique per concurrent
+      // builder (thread ids can be reused after thread death)
       val tmp = new java.io.File(base,
         s".${name}_${tag}_tmp_${ProcessHandle.current.pid}_" +
           fixtureTmpSeq.incrementAndGet)

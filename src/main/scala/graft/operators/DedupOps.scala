@@ -306,20 +306,43 @@ object DedupOps {
     // prints the analytic value alongside — the deviation IS the
     // finite-signature (12-perm) noise a deployment should see
     // before trusting the threshold at 100 TB. Ground truth is
-    // all-pairs exact Jaccard over a DETERMINISTIC 1/4 md5 doc
-    // sample — the declared audit bound: cost is (n/4)²/2 merge-walk
-    // intersects, and the sample divisor is the knob a larger corpus
-    // raises (the audit needs statistical mass per bin, not the full
-    // corpus). Band membership is the UNCAPPED banding contract —
-    // the hot-band cap's extra loss is cappedBucketPairs' own
+    // all-pairs exact Jaccard over a DETERMINISTIC md5 doc sample
+    // whose divisor is DERIVED, not hand-chosen (the
+    // gridKnnAutoPitch discipline applied to the audit knob): the
+    // smallest power-of-two divisor d with (n/d)(n/d−1)/2 ≤ 1e6
+    // pairs — one count + a 9-rung integer ladder, broadcast as a
+    // 1-row scalar, the chosen divisor echoed as an output column.
+    // At the test SFs that picks d = 1 (sf0.001/0.01 — FULL-corpus
+    // ground truth, no sampling loss at all) and d = 4 (sf0.1,
+    // ~780k pairs); at 100 TB it climbs the ladder to hold the pair
+    // budget — the audit needs statistical mass per bin, never the
+    // full corpus. Band membership is the UNCAPPED banding contract
+    // — the hot-band cap's extra loss is cappedBucketPairs' own
     // declared, runtime-asserted bound, not this audit's subject.
     // Low bins SHOULD read ~0 recall: discarding dissimilar pairs is
     // the point of LSH; the number that matters is recall above the
     // s-threshold (~0.41 for b=6, r=2).
     "dedup_lsh_recall_audit" -> ((s, dir) => {
-      def sampled(df: DataFrame): DataFrame = df.filter(
-        conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":rc"))), 1, 4), 16, 10).cast("long") % 4 === 0)
+      // m(m−1)/2 ≤ 1e6 pairs ⟺ m ≤ 1414 (1414·1413/2 = 998991; the
+      // next rung overshoots) — the inequality is evaluated in its
+      // closed single-factor form because the product form would
+      // square an n-sized BIGINT and wrap silently past ~3e9 docs in
+      // non-ANSI Spark (while the DuckDB twin errors loudly) — the
+      // engines must agree at every scale, not just the tested ones
+      val pick = shingled(s, dir).filter(size(col("bg")) > 0)
+        .agg(count(lit(1)).as("n"))
+        .select(explode(array(Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+          .map(lit): _*)).as("d"), col("n"))
+        .where(expr("(n div d) <= 1414"))
+        .agg(coalesce(min(col("d")), lit(256L)).as("sample_div"))
+        .localCheckpoint(false) // 1-row scalar, read by two sampled()
+                                // crossJoins + the output echo
+      def sampled(df: DataFrame): DataFrame = df
+        .crossJoin(broadcast(pick))
+        .filter(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":rc"))), 1, 4), 16, 10).cast("long")
+          % col("sample_div") === 0)
+        .drop("sample_div")
       val sh = sampled(shingled(s, dir).filter(size(col("bg")) > 0))
         .select(col("doc_id"), col("bg")).localCheckpoint(false)
       val pairs = sh.select(col("doc_id").as("a_id"), col("bg").as("bg_a"))
@@ -345,6 +368,7 @@ object DedupOps {
         .agg(count(lit(1)).as("n_pairs"), count(col("banded")).as("n_banded"))
         .withColumn("recall_e6", expr("n_banded * 1000000 div n_pairs"))
         .withColumn("analytic_recall_r6", expr(sCurveExpr))
+        .crossJoin(broadcast(pick)) // echo the derived divisor
         .orderBy(col("bin"))
     }),
 
@@ -864,10 +888,15 @@ object DedupOps {
     // text, so both engines run the identical IEEE sequence
     "dedup_lsh_recall_audit" ->
       s"""WITH toks0 AS (SELECT doc_id, $bigramsSqlExpr AS bg FROM documents),
-         |toks AS (SELECT doc_id, bg FROM toks0
+         |nn AS (SELECT count(*)::BIGINT AS n FROM toks0 WHERE len(bg) > 0),
+         |lad AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS d),
+         |pick AS (SELECT coalesce(min(d), 256)::BIGINT AS sample_div
+         |  FROM lad, nn
+         |  WHERE (n // d) <= 1414),
+         |toks AS (SELECT doc_id, bg FROM toks0, pick
          |  WHERE len(bg) > 0
          |    AND ('0x' || substr(md5(doc_id::VARCHAR || ':rc'), 1, 4))::BIGINT
-         |        % 4 = 0),
+         |        % sample_div = 0),
          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |    (len(list_intersect(a.bg, b.bg)) * 1000000) //
          |      len(list_distinct(a.bg || b.bg)) AS j_e6
@@ -890,8 +919,8 @@ object DedupOps {
          |  FROM j GROUP BY 1)
          |SELECT bin::BIGINT AS bin, n_pairs, n_banded,
          |  (n_banded * 1000000 // n_pairs)::BIGINT AS recall_e6,
-         |  $sCurveExpr AS analytic_recall_r6
-         |FROM g ORDER BY bin""".stripMargin,
+         |  $sCurveExpr AS analytic_recall_r6, sample_div
+         |FROM g, pick ORDER BY bin""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, lang, n_chars // 128 AS band, $bigramsSqlExpr AS bg

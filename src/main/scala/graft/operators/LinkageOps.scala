@@ -320,8 +320,13 @@ object LinkageOps {
                 col("n_true_blocked"), col("n_cand"),
                 expr("n_true_blocked * 1000000 div greatest(n_true, 1)")
                   .as("pair_completeness_e6"),
-                expr("(n_a * n_b - n_cand) * 1000000 div" +
-                     " greatest(n_a * n_b, 1)").as("reduction_ratio_e6"),
+                // n_a·n_b·1e6 wraps BIGINT past ~3M rows/side; the
+                // DECIMAL(38,0) form (DuckDB: HUGEINT) keeps both
+                // engines exact to ~1e13-row sides
+                expr("(((cast(n_a as decimal(38,0)) * n_b) - n_cand)" +
+                     " * 1000000) div" +
+                     " greatest(cast(n_a as decimal(38,0)) * n_b, 1)")
+                  .as("reduction_ratio_e6"),
                 expr("n_true_blocked * 1000000 div greatest(n_cand, 1)")
                   .as("precision_e6"))
     }),
@@ -371,8 +376,11 @@ object LinkageOps {
                   col("n_true"), col(tb).as("n_true_blocked"), col("n_cand"),
                   expr(s"$tb * 1000000 div greatest(n_true, 1)")
                     .as("pair_completeness_e6"),
-                  expr("(n_a * n_b - n_cand) * 1000000 div" +
-                       " greatest(n_a * n_b, 1)").as("reduction_ratio_e6"),
+                  // DECIMAL(38,0) product — see link_blocking_quality
+                  expr("(((cast(n_a as decimal(38,0)) * n_b) - n_cand)" +
+                       " * 1000000) div" +
+                       " greatest(cast(n_a as decimal(38,0)) * n_b, 1)")
+                    .as("reduction_ratio_e6"),
                   expr(s"$tb * 1000000 div greatest(n_cand, 1)")
                     .as("precision_e6"))
       row("nation_bucket",
@@ -571,7 +579,8 @@ object LinkageOps {
         |SELECT n_a, n_b, n_true, n_true_blocked, n_cand,
         |       (n_true_blocked * 1000000 // greatest(n_true, 1))::BIGINT
         |         AS pair_completeness_e6,
-        |       ((n_a * n_b - n_cand) * 1000000 // greatest(n_a * n_b, 1))::BIGINT
+        |       (((n_a::HUGEINT * n_b - n_cand) * 1000000)
+        |        // greatest(n_a::HUGEINT * n_b, 1))::BIGINT
         |         AS reduction_ratio_e6,
         |       (n_true_blocked * 1000000 // greatest(n_cand, 1))::BIGINT
         |         AS precision_e6
@@ -631,7 +640,8 @@ object LinkageOps {
         |SELECT blocking_key, n_a, n_b, n_true, n_true_blocked, n_cand,
         |       (n_true_blocked * 1000000 // greatest(n_true, 1))::BIGINT
         |         AS pair_completeness_e6,
-        |       ((n_a * n_b - n_cand) * 1000000 // greatest(n_a * n_b, 1))::BIGINT
+        |       (((n_a::HUGEINT * n_b - n_cand) * 1000000)
+        |        // greatest(n_a::HUGEINT * n_b, 1))::BIGINT
         |         AS reduction_ratio_e6,
         |       (n_true_blocked * 1000000 // greatest(n_cand, 1))::BIGINT
         |         AS precision_e6

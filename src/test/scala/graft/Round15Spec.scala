@@ -265,6 +265,17 @@ class Round15Spec extends SparkSpec {
     val rows = SparkEntry.queries("dedup_lsh_recall_audit")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
+    // the derived sample divisor replays from the eligible-doc count
+    // through the same pair-budget ladder
+    val nElig = operators.DedupOps.shingled(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("bg")) > 0).count()
+    val expectD = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+      .find(d => nElig / d <= 1414L) // m(m−1)/2 ≤ 1e6 ⟺ m ≤ 1414
+      .getOrElse(256L)
+    assert(rows.forall(_.getAs[Long]("sample_div") == expectD))
+    assert(expectD == 1L,
+      "at sf0.001 the ladder must pick FULL-corpus ground truth")
     rows.foreach { r =>
       val (bin, np, nb) = (r.getAs[Long]("bin"), r.getAs[Long]("n_pairs"),
         r.getAs[Long]("n_banded"))
