@@ -2179,6 +2179,22 @@ object Graft {
   def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters in [1,8]: $iters")
+    val (cov, v0) = pcaCovAndStart(df, idCol, vecCol)
+    var v = v0
+    for (_ <- 1 to iters) {
+      val w = pcaMatvec(cov, v)
+      v = pcaUnit(w, pcaWs2(w)).localCheckpoint()
+    }
+    v.select((col("__vj") + 1).cast("int").as("dim"), col("__v_e6").as("pc1_e6"))
+  }
+
+  /** Shared pieces of the power iteration — ONE authoring path for the
+    * fixed-depth key (pcaTopComponent) and the per-round convergence
+    * books (pcaPowerBooks), so the two can never drift (the
+    * emConvergenceSql / pagerankResidualSql discipline applied to the
+    * Scala side of an iterative operator). */
+  private def pcaCovAndStart(df: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
     val x = df.select(col(idCol).as("__rid"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__xd")))
       .select(col("__rid"), col("__i"),
@@ -2199,21 +2215,60 @@ object Graft {
               floor(col("__cq") / col("__cn")).cast("long").as("__cr"))
       .localCheckpoint() // reused by every iteration; cut the self-join lineage
     val dims = df.select(size(col(vecCol))).head.getInt(0)
-    var v = m.select(col("__i").as("__vj"),
+    val v0 = m.select(col("__i").as("__vj"),
       lit(math.floor(1e6 / math.sqrt(dims.toDouble)).toLong).as("__v_e6"))
-    for (_ <- 1 to iters) {
-      val w = cov.join(broadcast(v), col("__cj") === col("__vj"))
-        .groupBy(col("__ci"))
-        .agg(sum(col("__cr") * col("__v_e6")).as("__w"))
-      val nrm = w.agg(sum(floor(col("__w") / 1e8).cast("long") *
-                          floor(col("__w") / 1e8).cast("long")).as("__ws2"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("__ci").as("__vj"),
-          floor(col("__w") / (sqrt(col("__ws2").cast("double")) * 1e8) * 1e6 + 0.5)
-            .cast("long").as("__v_e6"))
-        .localCheckpoint()
+    (cov, v0)
+  }
+
+  private def pcaMatvec(cov: DataFrame, v: DataFrame): DataFrame =
+    cov.join(broadcast(v), col("__cj") === col("__vj"))
+      .groupBy(col("__ci"))
+      .agg(sum(col("__cr") * col("__v_e6")).as("__w"))
+
+  private def pcaWs2(w: DataFrame): DataFrame =
+    w.agg(sum(floor(col("__w") / 1e8).cast("long") *
+              floor(col("__w") / 1e8).cast("long")).as("__ws2"))
+
+  private def pcaUnit(w: DataFrame, nrm: DataFrame): DataFrame =
+    w.crossJoin(broadcast(nrm))
+      .select(col("__ci").as("__vj"),
+        floor(col("__w") / (sqrt(col("__ws2").cast("double")) * 1e8) * 1e6 + 0.5)
+          .cast("long").as("__v_e6"))
+
+  /** Per-round convergence books for the SAME power iteration
+    * pcaTopComponent runs (identical step functions — see
+    * pcaCovAndStart): one row per round with the L1 / max motion of
+    * the e6 unit vector and the round's exact matvec norm statistic
+    * __ws2 (the quantity whose round-over-round ratio estimates λ₁²),
+    * so the declared depth is MEASURED, not asserted — the r14
+    * connected-components lesson (a fixed unroll whose adequacy
+    * nothing checks) applied to the spectral family, exactly as
+    * graph_pagerank_residual applied it to the rank family. All book
+    * arithmetic is exact BIGINT on the e6-quantized vectors; no new
+    * FP enters anywhere.
+    *
+    * Out: (round, l1_dv_e6, max_dv_e6, ws2) — one row per round,
+    * round ordered. */
+  def pcaPowerBooks(df: DataFrame, idCol: String, vecCol: String,
+                    iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1,8]: $iters")
+    val (cov, v0) = pcaCovAndStart(df, idCol, vecCol)
+    var v = v0
+    val rows = (1 to iters).map { t =>
+      val w = pcaMatvec(cov, v)
+        .localCheckpoint(false) // feeds the unit step AND the ws2 book column
+      val ws2 = pcaWs2(w)
+      val next = pcaUnit(w, ws2).localCheckpoint(false)
+      val row = next.select(col("__vj"), col("__v_e6").as("__vn"))
+        .join(v.select(col("__vj"), col("__v_e6").as("__vp")), "__vj")
+        .agg(lit(t.toLong).as("round"),
+             sum(abs(col("__vn") - col("__vp"))).as("l1_dv_e6"),
+             max(abs(col("__vn") - col("__vp"))).as("max_dv_e6"))
+        .crossJoin(broadcast(ws2.select(col("__ws2").as("ws2"))))
+      v = next
+      row
     }
-    v.select((col("__vj") + 1).cast("int").as("dim"), col("__v_e6").as("pc1_e6"))
+    rows.reduce(_.unionByName(_))
   }
 
   /** Fixed-round full-batch gradient descent for logistic regression —
@@ -2239,31 +2294,88 @@ object Graft {
   def logisticGdSteps(df: DataFrame, idCol: String, labelCol: String,
                       vecCol: String, steps: Int = 3): DataFrame = {
     require(steps >= 1 && steps <= 8, s"steps in [1,8]: $steps")
+    val (x, n, w0) = logregFeatures(df, idCol, labelCol, vecCol)
+    var w = w0
+    for (_ <- 1 to steps)
+      w = logregNextW(x, n, w).localCheckpoint()
+    w.select((col("__wj") + 1).cast("int").as("dim"), col("__we").as("w_e6"))
+  }
+
+  /** Shared pieces of the GD loop — one authoring path for the
+    * fixed-depth key (logisticGdSteps) and the per-round convergence
+    * books (logisticGdBooks); same rationale as pcaCovAndStart. */
+  private def logregFeatures(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     val x = df.select(col(idCol).as("__rid"), col(labelCol).cast("int").as("__y"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__j", "__xd")))
       .select(col("__rid"), col("__y"), col("__j"),
         floor(col("__xd") * 1e6 + 0.5).cast("long").as("__xe"))
       .localCheckpoint() // consumed 2× per round
     val n = df.agg(count(lit(1)).as("__nn"))
-    var w = x.select(col("__j").as("__wj")).distinct()
+    val w0 = x.select(col("__j").as("__wj")).distinct()
       .select(col("__wj"), lit(0L).as("__we"))
-    for (_ <- 1 to steps) {
-      val margins = x.join(broadcast(w), col("__j") === col("__wj"))
-        .groupBy(col("__rid"), col("__y"))
-        .agg(sum(col("__we") * col("__xe")).as("__mq"))
-      val resid = margins.select(col("__rid"),
-        (lit(1.0) / (lit(1.0) + exp(-(col("__mq") / 1e12))) - col("__y")).as("__rr"))
-      val grad = x.join(broadcast(resid), "__rid")
-        .groupBy(col("__j"))
-        .agg(sum(floor(col("__rr") * col("__xe") + 0.5).cast("long")).as("__gq"))
-      w = w.join(grad, col("__wj") === col("__j"))
-        .crossJoin(broadcast(n))
-        .select(col("__wj"),
-          (col("__we") - floor(col("__gq") / col("__nn") + 0.5).cast("long"))
-            .as("__we"))
-        .localCheckpoint()
+    (x, n, w0)
+  }
+
+  private def logregMargins(x: DataFrame, w: DataFrame): DataFrame =
+    x.join(broadcast(w), col("__j") === col("__wj"))
+      .groupBy(col("__rid"), col("__y"))
+      .agg(sum(col("__we") * col("__xe")).as("__mq"))
+
+  private def logregNextW(x: DataFrame, n: DataFrame, w: DataFrame): DataFrame = {
+    val resid = logregMargins(x, w).select(col("__rid"),
+      (lit(1.0) / (lit(1.0) + exp(-(col("__mq") / 1e12))) - col("__y")).as("__rr"))
+    val grad = x.join(broadcast(resid), "__rid")
+      .groupBy(col("__j"))
+      .agg(sum(floor(col("__rr") * col("__xe") + 0.5).cast("long")).as("__gq"))
+    w.join(grad, col("__wj") === col("__j"))
+      .crossJoin(broadcast(n))
+      .select(col("__wj"),
+        (col("__we") - floor(col("__gq") / col("__nn") + 0.5).cast("long"))
+          .as("__we"))
+  }
+
+  /** Per-round convergence books for the SAME full-batch GD loop
+    * logisticGdSteps runs (identical step functions — see
+    * logregFeatures): one row per round with the L1 / max weight
+    * motion and the post-round training accuracy, so the declared
+    * depth is measured, not asserted — the graph_pagerank_residual
+    * discipline applied to the training-step family. Every book
+    * column is EXACT: weight motion is BIGINT arithmetic on the e6
+    * weights, and accuracy comes from the SIGN of the exact BIGINT
+    * margin (prediction = margin > 0; a zero margin predicts the
+    * negative class — pinned convention), so no float summation or
+    * transcendental enters the report anywhere — the one float in the
+    * loop (the sigmoid residual) stays inside the weight update,
+    * where it is already the declared identical-scalar-expression
+    * compromise.
+    *
+    * Out: (round, l1_dw_e6, max_dw_e6, n_correct, n_rows, acc_e6). */
+  def logisticGdBooks(df: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps in [1,8]: $steps")
+    val (x, n, w0) = logregFeatures(df, idCol, labelCol, vecCol)
+    var w = w0
+    val rows = (1 to steps).map { t =>
+      val next = logregNextW(x, n, w)
+        .localCheckpoint(false) // feeds the book row AND the next round
+      val motion = next.select(col("__wj"), col("__we").as("__wn"))
+        .join(w.select(col("__wj"), col("__we").as("__wp")), "__wj")
+        .agg(lit(t.toLong).as("round"),
+             sum(abs(col("__wn") - col("__wp"))).as("l1_dw_e6"),
+             max(abs(col("__wn") - col("__wp"))).as("max_dw_e6"))
+      val acc = logregMargins(x, next)
+        .agg(count(when((col("__mq") > 0) === (col("__y") === 1), 1))
+               .as("n_correct"),
+             count(lit(1)).as("n_rows"))
+      val row = motion.crossJoin(broadcast(acc))
+        .select(col("round"), col("l1_dw_e6"), col("max_dw_e6"),
+                col("n_correct"), col("n_rows"),
+                expr("n_correct * 1000000 div n_rows").as("acc_e6"))
+      w = next
+      row
     }
-    w.select((col("__wj") + 1).cast("int").as("dim"), col("__we").as("w_e6"))
+    rows.reduce(_.unionByName(_))
   }
 
   /** Weekly cohort retention matrix. In: (keyCol, tsCol). Out:

@@ -1074,6 +1074,27 @@ object RetrievalOps {
           "vec_id", "y", "embedding", steps = 3)
         .orderBy(col("dim"))),
 
+    // PER-ROUND CONVERGENCE BOOKS for the gd3 loop above (the r14
+    // connected-components lesson applied to the training-step family,
+    // as graph_pagerank_residual applied it to ranks): ml_logreg_gd3
+    // DECLARES 3 rounds; this twin publishes, per round, the L1/max
+    // weight motion and the post-round training accuracy so depth
+    // adequacy is measured, not asserted. Spark and oracle run the
+    // IDENTICAL loop: the Scala side composes the same step functions
+    // as logisticGdSteps (Graft.logregFeatures/logregNextW — one
+    // authoring path), and the oracle unroll is GENERATED from the
+    // same round loop below (the pagerankResidualSql discipline).
+    // Every book column is exact BIGINT — accuracy comes from the
+    // SIGN of the exact integer margin (margin > 0 predicts 1; zero
+    // predicts 0, pinned), never from a summed float.
+    "ml_logreg_residual" -> ((s, dir) =>
+      graft.api.Graft.logisticGdBooks(
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), (col("label") >= 5).cast("int").as("y"),
+                    col("embedding")),
+          "vec_id", "y", "embedding", steps = 3)
+        .orderBy(col("round"))),
+
     // Exact decision-stump training over the first 8 embedding dims
     // against the binary label (≥ 5) — the "is there ANY single
     // dimension that separates the classes?" probe run before training
@@ -1144,6 +1165,19 @@ object RetrievalOps {
       graft.api.Graft.pcaTopComponent(
           Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
         .orderBy(col("dim"))),
+
+    // PER-ROUND CONVERGENCE BOOKS for the power iteration above (same
+    // discipline as ml_logreg_residual): per round, the L1/max motion
+    // of the e6 unit eigenvector and the exact matvec norm statistic
+    // ws2 (its round-over-round ratio estimates λ₁² — the quantity a
+    // consumer reads to decide whether 3 rounds were enough). Scala
+    // side composes pcaTopComponent's own step functions
+    // (Graft.pcaCovAndStart/pcaMatvec/pcaUnit); the oracle unroll is
+    // generated from the same round loop. All books are exact BIGINT.
+    "v_pca_power_residual" -> ((s, dir) =>
+      graft.api.Graft.pcaPowerBooks(
+          Tables.embeddings(s, dir), "vec_id", "embedding", iters = 3)
+        .orderBy(col("round"))),
 
     // Per-label centroids — the class-prototype table behind nearest-
     // centroid classification and IVF-style partition seeding. Same
@@ -1494,6 +1528,84 @@ object RetrievalOps {
       |  (sc.scanned_rows * 1000000 // (5 * nc.n_corpus))::BIGINT AS scanned_e6
       |FROM sc LEFT JOIN h USING (np) CROSS JOIN nc
       |ORDER BY nprobe""".stripMargin
+
+  /** Oracle for ml_logreg_residual, GENERATED from the same round
+    * loop shape the Spark side runs (Graft.logisticGdBooks) — one
+    * authoring path so the unroll depth, the update arithmetic, and
+    * the book formulas can never drift between engines (the
+    * pagerankResidualSql discipline). The per-round CTEs m/r/g/w are
+    * textually the ml_logreg_gd3 oracle's; ma/d/a/b add the
+    * post-round margins and the exact-integer book columns. */
+  private def logregResidualSql(steps: Int): String = {
+    val rounds = (1 to steps).map { t =>
+      s"""m$t AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+         |  FROM x JOIN w${t - 1} ON j = wj GROUP BY rid, y),
+         |r$t AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr FROM m$t),
+         |g$t AS (SELECT j, sum(floor(rr * xe + 0.5)::BIGINT)::BIGINT AS gq
+         |  FROM x JOIN r$t USING (rid) GROUP BY j),
+         |w$t AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
+         |  FROM w${t - 1} JOIN g$t ON wj = j CROSS JOIN n),
+         |ma$t AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+         |  FROM x JOIN w$t ON j = wj GROUP BY rid, y),
+         |d$t AS (SELECT sum(abs(a.we - b.we))::BIGINT AS l1_dw_e6,
+         |    max(abs(a.we - b.we))::BIGINT AS max_dw_e6
+         |  FROM w$t a JOIN w${t - 1} b USING (wj)),
+         |a$t AS (SELECT count(CASE WHEN (mq > 0) = (y = 1) THEN 1 END)::BIGINT
+         |      AS n_correct, count(*)::BIGINT AS n_rows FROM ma$t),
+         |b$t AS (SELECT $t::BIGINT AS round, l1_dw_e6, max_dw_e6, n_correct,
+         |    n_rows, (n_correct * 1000000 // n_rows)::BIGINT AS acc_e6
+         |  FROM d$t CROSS JOIN a$t)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to steps).map(t => s"SELECT * FROM b$t").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS rid, (label >= 5)::INT AS y,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT rid, y, generate_subscripts(v, 1) - 1 AS j,
+       |    floor(unnest(v) * 1e6 + 0.5)::BIGINT AS xe FROM e),
+       |n AS (SELECT count(*)::BIGINT AS nn FROM e),
+       |w0 AS (SELECT DISTINCT j AS wj, 0::BIGINT AS we FROM x),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Oracle for v_pca_power_residual, generated from the same round
+    * loop as Graft.pcaPowerBooks; base CTEs are the v_pca_power
+    * oracle's, per-round w/n/v are its unroll, d/b add the exact
+    * motion and ws2 book columns. */
+  private def pcaResidualSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS (SELECT ci, sum(cr * ve)::BIGINT AS w
+         |  FROM cov JOIN v${t - 1} ON cj = vj GROUP BY ci),
+         |n$t AS (SELECT sum(floor(w / 1e8)::BIGINT * floor(w / 1e8)::BIGINT)::BIGINT
+         |    AS ws2 FROM w$t),
+         |v$t AS (SELECT ci AS vj,
+         |    floor(w / (sqrt(ws2::DOUBLE) * 1e8) * 1e6 + 0.5)::BIGINT AS ve
+         |  FROM w$t CROSS JOIN n$t),
+         |d$t AS (SELECT sum(abs(a.ve - b.ve))::BIGINT AS l1_dv_e6,
+         |    max(abs(a.ve - b.ve))::BIGINT AS max_dv_e6
+         |  FROM v$t a JOIN v${t - 1} b USING (vj)),
+         |b$t AS (SELECT $t::BIGINT AS round, l1_dv_e6, max_dv_e6, ws2
+         |  FROM d$t CROSS JOIN n$t)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to iters).map(t => s"SELECT * FROM b$t").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS rid, embedding::DOUBLE[] AS v FROM embeddings),
+       |x0 AS (SELECT rid, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xd FROM e),
+       |x AS (SELECT rid, i, floor(xd * 1e6 + 0.5) / 1e6 AS x FROM x0),
+       |m AS (SELECT i, sum(floor(x * 1e6 + 0.5)::BIGINT)::BIGINT AS sum_e6,
+       |    count(*)::BIGINT AS n FROM x GROUP BY i),
+       |mm AS (SELECT i, sum_e6 / 1e6 / n AS m FROM m),
+       |c AS (SELECT rid, x.i, x.x - mm.m AS c FROM x JOIN mm ON x.i = mm.i),
+       |cov AS (SELECT a.i AS ci, b.i AS cj,
+       |    floor(sum(floor(a.c * b.c * 1e9 + 0.5)::BIGINT)::BIGINT
+       |          / count(*))::BIGINT AS cr
+       |  FROM c a JOIN c b ON a.rid = b.rid GROUP BY ci, cj),
+       |v0 AS (SELECT i AS vj,
+       |    floor(1e6 / sqrt((SELECT count(*) FROM m)::DOUBLE))::BIGINT AS ve
+       |  FROM m),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "ann_beam_search_graph" ->
@@ -1973,6 +2085,9 @@ object RetrievalOps {
         |w3 AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
         |  FROM w2 JOIN g3 ON wj = j CROSS JOIN n)
         |SELECT (wj + 1)::INT AS dim, we AS w_e6 FROM w3 ORDER BY dim""".stripMargin,
+
+    "ml_logreg_residual" -> logregResidualSql(3),
+    "v_pca_power_residual" -> pcaResidualSql(3),
 
     "v_random_projection_jl" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
