@@ -1147,6 +1147,49 @@ object EventOps {
         .limit(20)
     }),
 
+    // SEQUENTIAL PATTERN MINING, gap-bounded skip-gram form: ordered
+    // event-type pairs a→b occurring within the same 30-min session
+    // with 1 ≤ position gap ≤ 3 — the non-contiguous generalization of
+    // e_session_path_trigrams (contiguous n-grams miss "view … …
+    // purchase" with noise events between; unbounded sequential mining
+    // (PrefixSpan-style) is quadratic per session). The HARD gap bound
+    // is what makes it scale: candidate volume is ≤ 3 rows per event —
+    // LINEAR, produced by three lead() offsets inside the one (user)
+    // window shuffle sessionization already pays (same partition+order
+    // spec → one WindowExec), never a within-session self-join.
+    // Support = distinct sessions containing the pattern (the
+    // sequential-mining support definition); n_adjacent isolates the
+    // contiguous-bigram share so the readout shows what the skip
+    // window adds. Census is |types|²-bounded after one partial-agg
+    // exchange.
+    "e_seq_skipgram" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("n1", lead(col("event_type"), 1).over(bySess))
+        .withColumn("n2", lead(col("event_type"), 2).over(bySess))
+        .withColumn("n3", lead(col("event_type"), 3).over(bySess))
+        .select(col("user_id"), col("session_id"), col("event_type").as("t_from"),
+                posexplode(array(col("n1"), col("n2"), col("n3")))
+                  .as(Seq("gap0", "t_to")))
+        .filter(col("t_to").isNotNull)
+        .groupBy(col("t_from"), col("t_to"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             count(when(col("gap0") === 0, 1)).as("n_adjacent"),
+             countDistinct(col("user_id"), col("session_id")).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("n_occurrences").desc,
+                 col("t_from"), col("t_to"))
+    }),
+
     // Markov entropy of the event stream: conditional entropy of the
     // next event type given the current one, per from-state — "how
     // predictable is behavior from state X" (uniform rows → high
@@ -1789,6 +1832,36 @@ object EventOps {
         |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY t1, t2, t3
         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    "e_seq_skipgram" ->
+      """WITH se AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR
+        |      epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |      ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM se),
+        |led AS (SELECT user_id, session_id, event_type AS t_from,
+        |    lead(event_type, 1) OVER w2 AS n1,
+        |    lead(event_type, 2) OVER w2 AS n2,
+        |    lead(event_type, 3) OVER w2 AS n3
+        |  FROM sid
+        |  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+        |pg AS (
+        |  SELECT user_id, session_id, t_from, n1 AS t_to, 1 AS gap
+        |  FROM led WHERE n1 IS NOT NULL
+        |  UNION ALL SELECT user_id, session_id, t_from, n2, 2
+        |  FROM led WHERE n2 IS NOT NULL
+        |  UNION ALL SELECT user_id, session_id, t_from, n3, 3
+        |  FROM led WHERE n3 IS NOT NULL)
+        |SELECT t_from, t_to, count(*)::BIGINT AS n_occurrences,
+        |  count(CASE WHEN gap = 1 THEN 1 END)::BIGINT AS n_adjacent,
+        |  count(DISTINCT (user_id, session_id))::BIGINT AS n_sessions
+        |FROM pg GROUP BY t_from, t_to
+        |ORDER BY n_sessions DESC, n_occurrences DESC, t_from, t_to""".stripMargin,
 
     "a_markov_entropy_rate" ->
       """WITH t AS (SELECT event_type,
