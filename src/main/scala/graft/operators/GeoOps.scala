@@ -69,6 +69,125 @@ object GeoOps {
               conv(substring(col("h"), 1, 4), 16, 10).cast("long").as("xi"),
               conv(substring(col("h"), 5, 4), 16, 10).cast("long").as("yi"))
 
+  /** DENSE FIXTURE (r15, the verdict's "registered dense family" seed):
+    * 75 literal synthetic points (ids ≥ 9e7, disjoint from every SF's
+    * user_id range) that make the K = 8 per-cell cap BIND
+    * deterministically at EVERY SF — on the uniform md5 points the mean
+    * ε-cell occupancy is ≈ 3 < 8, so the cap never binds at gate SFs
+    * and the agreement audits read 1000000 e6 (regression tripwires,
+    * not informative numbers). Construction (pitch = ε = 3000 cells
+    * (10..12)², i.e. coords [30000, 38999]²):
+    *
+    *  - a DEMOTION SITE in cell (11,11): s = (33050, 33050) with
+    *    companions c1 = (33200, 33050), c2 = (33050, 33200) — mutually
+    *    within ε, so all three are EXACT cores (minPts = 2);
+    *  - 8 FILLERS in each of the 9 cells of s's 3×3 neighborhood,
+    *    placed in a 60-unit grid at the cell corner FARTHEST from s:
+    *    every filler is > ε from s, c1, AND c2 (min dist² = 14623682
+    *    vs ε² = 9000000, checked by the generator and re-asserted in
+    *    Round15bSpec).
+    *
+    * Filler ids were MINED so that md5(id || ":cap") < "0008…" (the
+    * per-cell cap rank key — each ≤ 1/8192 quantile), and site ids so
+    * that md5(id || ":cap") > "fff8…": in any population the 9 cells
+    * can reach at gate SFs, the 8 rep slots of every neighborhood cell
+    * belong to the fillers. Hence under the cap the site's candidate
+    * set is exactly the fillers — all out of ε — and s, c1, c2 carry
+    * capped neighbor count 0: the cap demotes all three core→noise AT
+    * EVERY SF, which is precisely the branch the uniform fixture never
+    * exercises under Verify (previously spec-only). A base md5 point
+    * would have to both fall in one of 9 specific cells AND hash below
+    * "0008…" to steal a rep slot (probability ≈ 1e-4 per point;
+    * empirically zero at all three SFs — and any such collision would
+    * be mirrored exactly by the oracle, which implements the same
+    * fixture from the same literals). */
+  private val denseSeq: Seq[(Long, Long, Long)] = Seq(
+    (90021824L, 33050L, 33050L),
+    (90026889L, 33200L, 33050L),
+    (90032534L, 33050L, 33200L),
+    (90002246L, 30050L, 30050L),
+    (90029917L, 30110L, 30050L),
+    (90034695L, 30170L, 30050L),
+    (90043651L, 30230L, 30050L),
+    (90046299L, 30050L, 30110L),
+    (90051420L, 30110L, 30110L),
+    (90058022L, 30170L, 30110L),
+    (90060499L, 30230L, 30110L),
+    (90064557L, 30050L, 35949L),
+    (90085138L, 30110L, 35949L),
+    (90089513L, 30170L, 35949L),
+    (90091257L, 30230L, 35949L),
+    (90128827L, 30050L, 35889L),
+    (90138437L, 30110L, 35889L),
+    (90150088L, 30170L, 35889L),
+    (90151348L, 30230L, 35889L),
+    (90173998L, 30050L, 38949L),
+    (90181997L, 30110L, 38949L),
+    (90182524L, 30170L, 38949L),
+    (90188309L, 30230L, 38949L),
+    (90200702L, 30050L, 38889L),
+    (90200883L, 30110L, 38889L),
+    (90204555L, 30170L, 38889L),
+    (90216484L, 30230L, 38889L),
+    (90220754L, 35949L, 30050L),
+    (90224639L, 35889L, 30050L),
+    (90228642L, 35829L, 30050L),
+    (90235393L, 35769L, 30050L),
+    (90261147L, 35949L, 30110L),
+    (90264846L, 35889L, 30110L),
+    (90279523L, 35829L, 30110L),
+    (90292915L, 35769L, 30110L),
+    (90306001L, 35949L, 35949L),
+    (90308000L, 35889L, 35949L),
+    (90312213L, 35829L, 35949L),
+    (90332220L, 35769L, 35949L),
+    (90340396L, 35949L, 35889L),
+    (90347009L, 35889L, 35889L),
+    (90348061L, 35829L, 35889L),
+    (90356826L, 35769L, 35889L),
+    (90376670L, 35949L, 38949L),
+    (90379056L, 35889L, 38949L),
+    (90407720L, 35829L, 38949L),
+    (90437816L, 35769L, 38949L),
+    (90442419L, 35949L, 38889L),
+    (90452601L, 35889L, 38889L),
+    (90501498L, 35829L, 38889L),
+    (90543437L, 35769L, 38889L),
+    (90546863L, 38949L, 30050L),
+    (90558851L, 38889L, 30050L),
+    (90559225L, 38829L, 30050L),
+    (90560983L, 38769L, 30050L),
+    (90585829L, 38949L, 30110L),
+    (90588476L, 38889L, 30110L),
+    (90613166L, 38829L, 30110L),
+    (90616479L, 38769L, 30110L),
+    (90618232L, 38949L, 35949L),
+    (90627089L, 38889L, 35949L),
+    (90638871L, 38829L, 35949L),
+    (90640447L, 38769L, 35949L),
+    (90642266L, 38949L, 35889L),
+    (90642907L, 38889L, 35889L),
+    (90649524L, 38829L, 35889L),
+    (90663101L, 38769L, 35889L),
+    (90663818L, 38949L, 38949L),
+    (90679581L, 38889L, 38949L),
+    (90695816L, 38829L, 38949L),
+    (90701922L, 38769L, 38949L),
+    (90709502L, 38949L, 38889L),
+    (90712968L, 38889L, 38889L),
+    (90714313L, 38829L, 38889L),
+    (90720559L, 38769L, 38889L))
+
+  /** Package-private: Round15bSpec re-asserts the fixture geometry. */
+  private[graft] def denseFixtureRows: Seq[(Long, Long, Long)] = denseSeq
+
+  /** The md5 point set plus the dense fixture — the input of the
+    * `_dense` agreement audits. */
+  private[graft] def densePoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir).unionByName(denseSeq.toDF("user_id", "xi", "yi"))
+  }
+
   private val offs: Column = array((-1 to 1).map(lit): _*)
 
   /** Candidate ε-pairs (user_id, nb) through the 3×3 neighbor-cell
@@ -217,6 +336,61 @@ object GeoOps {
                   .otherwise(col("b_cluster")), lit(-1L)).as("cluster"))
   }
 
+  /** The capped-vs-exact census confusion report (1 row) — shared by
+    * the base agreement audit and its dense-fixture sibling so the two
+    * can never drift. `exF`/`cpF` are census frames (user_id, …, cls). */
+  private def censusAgreementReport(exF: DataFrame, cpF: DataFrame): DataFrame = {
+    val ex = exF.select(col("user_id"), col("cls").as("cls_ex"))
+    val cp = cpF.select(col("user_id"), col("cls").as("cls_cap"))
+    ex.join(cp, Seq("user_id"), "full_outer")
+      .agg(count(lit(1)).as("n_points"),
+           count(when(col("cls_ex") === col("cls_cap"), 1)).as("n_agree"),
+           count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
+           count(when(col("cls_cap") === "core", 1)).as("n_core_capped"),
+           count(when(col("cls_ex") === "core" &&
+                      col("cls_cap") === "border", 1))
+             .as("n_core_to_border"),
+           count(when(col("cls_ex") === "core" &&
+                      col("cls_cap") === "noise", 1)).as("n_core_to_noise"),
+           count(when(col("cls_ex") === "border" &&
+                      col("cls_cap") === "noise", 1))
+             .as("n_border_to_noise"),
+           count(when((col("cls_ex") === "border" &&
+                       col("cls_cap") === "core") ||
+                      (col("cls_ex") === "noise" &&
+                       col("cls_cap") =!= "noise"), 1)).as("n_upgraded"))
+      .select(col("n_points"), col("n_agree"),
+              expr("n_agree * 1000000 div greatest(n_points, 1)")
+                .as("agreement_e6"),
+              col("n_core_exact"), col("n_core_capped"),
+              col("n_core_to_border"), col("n_core_to_noise"),
+              col("n_border_to_noise"), col("n_upgraded"))
+  }
+
+  /** The capped-vs-exact labeling agreement report (1 row) — shared by
+    * the base audit and the dense-fixture sibling. `exF`/`cpF` are
+    * labeling frames (user_id, …, cls, cluster). */
+  private def labelAgreementReport(exF: DataFrame, cpF: DataFrame): DataFrame = {
+    val ex = exF.select(col("user_id"), col("cls").as("cls_ex"),
+                        col("cluster").as("cl_ex"))
+    val cp = cpF.select(col("user_id"), col("cls").as("cls_cap"),
+                        col("cluster").as("cl_cap"))
+    ex.join(cp, Seq("user_id"), "full_outer")
+      .agg(count(lit(1)).as("n_points"),
+           count(when(col("cls_ex") === col("cls_cap"), 1))
+             .as("n_cls_match"),
+           count(when(col("cl_ex") === col("cl_cap"), 1))
+             .as("n_cluster_match"),
+           count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
+           count(when(col("cls_cap") === "core", 1)).as("n_core_capped"))
+      .select(col("n_points"), col("n_cls_match"), col("n_cluster_match"),
+              expr("n_cls_match * 1000000 div greatest(n_points, 1)")
+                .as("cls_agreement_e6"),
+              expr("n_cluster_match * 1000000 div greatest(n_points, 1)")
+                .as("cluster_agreement_e6"),
+              col("n_core_exact"), col("n_core_capped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
 
@@ -291,34 +465,29 @@ object GeoOps {
     // the audit proves the direction claim instead of asserting it.
     // Cost: the two census builds (each one grid equi join) + one
     // report-sized full-outer join; nothing new shuffles at scale.
-    "geo_dbscan_census_agreement" -> ((s, dir) => {
-      val ex = censusFrame(s, dir, pitch = 4096L, cap = None)
-        .select(col("user_id"), col("cls").as("cls_ex"))
-      val cp = censusFrame(s, dir, pitch = 3000L, cap = Some(8))
-        .select(col("user_id"), col("cls").as("cls_cap"))
-      ex.join(cp, Seq("user_id"), "full_outer")
-        .agg(count(lit(1)).as("n_points"),
-             count(when(col("cls_ex") === col("cls_cap"), 1)).as("n_agree"),
-             count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
-             count(when(col("cls_cap") === "core", 1)).as("n_core_capped"),
-             count(when(col("cls_ex") === "core" &&
-                        col("cls_cap") === "border", 1))
-               .as("n_core_to_border"),
-             count(when(col("cls_ex") === "core" &&
-                        col("cls_cap") === "noise", 1)).as("n_core_to_noise"),
-             count(when(col("cls_ex") === "border" &&
-                        col("cls_cap") === "noise", 1))
-               .as("n_border_to_noise"),
-             count(when((col("cls_ex") === "border" &&
-                         col("cls_cap") === "core") ||
-                        (col("cls_ex") === "noise" &&
-                         col("cls_cap") =!= "noise"), 1)).as("n_upgraded"))
-        .select(col("n_points"), col("n_agree"),
-                expr("n_agree * 1000000 div greatest(n_points, 1)")
-                  .as("agreement_e6"),
-                col("n_core_exact"), col("n_core_capped"),
-                col("n_core_to_border"), col("n_core_to_noise"),
-                col("n_border_to_noise"), col("n_upgraded"))
+    "geo_dbscan_census_agreement" -> ((s, dir) =>
+      censusAgreementReport(
+        censusFrame(s, dir, pitch = 4096L, cap = None),
+        censusFrame(s, dir, pitch = 3000L, cap = Some(8)))),
+
+    // THE SAME CENSUS AUDIT OVER THE DENSE FIXTURE (r15 — the verdict's
+    // "registered dense family" seed): on the uniform md5 points the
+    // K = 8 cap never binds at gate SFs (mean ε-cell occupancy ≈ 3),
+    // so the base audit reads 1000000 e6 and the cap's demotion branch
+    // was exercised only by Round15Spec's synthetic cell. This key
+    // registers that branch UNDER THE GATE: densePoints injects 75
+    // literal points (see denseSeq's scaladoc — a demotion site whose
+    // 3×3 neighborhood's rep slots are all owned by mined out-of-ε
+    // fillers), so the capped census deterministically demotes the 3
+    // site cores to noise at EVERY SF and agreement_e6 < 1000000 is
+    // now a gate-checked number, not a spec-only branch. The oracle
+    // implements the identical fixture from the same literals.
+    "geo_dbscan_census_agreement_dense" -> ((s, dir) => {
+      val pts = densePoints(s, dir)
+        .localCheckpoint(false) // feeds both census instantiations
+      censusAgreementReport(
+        censusFromPoints(pts, pitch = 4096L, cap = None),
+        censusFromPoints(pts, pitch = 3000L, cap = Some(8)))
     }),
 
     // DBSCAN CLUSTER LABELING (r13 verdict #2 — the step the census
@@ -378,26 +547,24 @@ object GeoOps {
     // This is the number that justifies (or indicts) K=8 for the
     // labeling before it ships at 100 TB.
     "geo_dbscan_label_agreement" -> ((s, dir) => {
-      val ex = labelFrame(s, dir, pitch = 4096L, cap = None)
-        .select(col("user_id"), col("cls").as("cls_ex"),
-                col("cluster").as("cl_ex"))
-      val cp = labelFrame(s, dir, pitch = 3000L, cap = Some(8))
-        .select(col("user_id"), col("cls").as("cls_cap"),
-                col("cluster").as("cl_cap"))
-      ex.join(cp, Seq("user_id"), "full_outer")
-        .agg(count(lit(1)).as("n_points"),
-             count(when(col("cls_ex") === col("cls_cap"), 1))
-               .as("n_cls_match"),
-             count(when(col("cl_ex") === col("cl_cap"), 1))
-               .as("n_cluster_match"),
-             count(when(col("cls_ex") === "core", 1)).as("n_core_exact"),
-             count(when(col("cls_cap") === "core", 1)).as("n_core_capped"))
-        .select(col("n_points"), col("n_cls_match"), col("n_cluster_match"),
-                expr("n_cls_match * 1000000 div greatest(n_points, 1)")
-                  .as("cls_agreement_e6"),
-                expr("n_cluster_match * 1000000 div greatest(n_points, 1)")
-                  .as("cluster_agreement_e6"),
-                col("n_core_exact"), col("n_core_capped"))
+      labelAgreementReport(
+        labelFrame(s, dir, pitch = 4096L, cap = None),
+        labelFrame(s, dir, pitch = 3000L, cap = Some(8)))
+    }),
+
+    // THE SAME LABEL AUDIT OVER THE DENSE FIXTURE (the
+    // census_agreement_dense rationale applied to the labeling): the
+    // 3 demoted site cores lose their cluster ids to the -1 noise
+    // sentinel under the cap, so cluster_agreement_e6 < 1000000 is a
+    // gate-checked number at every SF — the labeling's declared
+    // approximation now has a standing, informative readout under
+    // Verify instead of a constant-1.0 tripwire plus a spec branch.
+    "geo_dbscan_label_agreement_dense" -> ((s, dir) => {
+      val pts = densePoints(s, dir)
+        .localCheckpoint(false) // feeds both labeling instantiations
+      labelAgreementReport(
+        labelFromPoints(pts, pitch = 4096L, cap = None),
+        labelFromPoints(pts, pitch = 3000L, cap = Some(8)))
     }),
 
     // CAP RECALL AUDIT (r14 session two — the ann_truncated_recall
@@ -532,6 +699,26 @@ object GeoOps {
       |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy))"""
       .stripMargin
 
+  /** The dense-fixture prologue: the SAME CTE names (p / off) with the
+    * 75 literal fixture rows unioned in, generated from denseSeq
+    * itself — one source of truth for both engines' fixture. */
+  private def pointsOffDenseSql: String = {
+    val values = denseSeq
+      .map { case (id, x, y) => s"($id, $x, $y)" }
+      .grouped(4).map(_.mkString(", ")).mkString(",\n      |      ".stripMargin)
+    s"""p AS (
+       |  SELECT user_id,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,
+       |         ('0x' || substr(md5(user_id::VARCHAR), 5, 4))::BIGINT AS yi
+       |  FROM (SELECT DISTINCT user_id FROM events)
+       |  UNION ALL
+       |  SELECT user_id::BIGINT, xi::BIGINT, yi::BIGINT FROM (VALUES
+       |      $values) d(user_id, xi, yi)),
+       |off AS (SELECT dx, dy
+       |        FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy))"""
+      .stripMargin
+  }
+
   /** One SUFFIXED ε-candidate instantiation (cell grid at `pitch`,
     * optionally per-cell-capped at K, md5-ranked — the exact cap
     * recipe of the Spark side): CTEs c$suf / cand$suf, so the
@@ -639,6 +826,76 @@ object GeoOps {
        |         LEFT JOIN corelbl$suf ON p.user_id = corelbl$suf.core_id
        |         LEFT JOIN blbl$suf ON p.user_id = blbl$suf.user_id)"""
       .stripMargin
+
+  /** The census-agreement oracle body, parameterized over the points
+    * prologue — exact (suffix x, pitch 4096 uncapped) vs capped
+    * (suffix k, pitch ε cap 8) census in one statement; count(*)
+    * FILTER replays the confusion census, n_upgraded pinned 0 by the
+    * subset argument in both engines. The base audit passes
+    * pointsOffSql, the dense sibling pointsOffDenseSql — one body, so
+    * the two audits cannot drift. */
+  private def censusAgreementSqlOver(prologue: String): String =
+    s"""WITH $prologue,
+       |${candSqlSuf(4096L, None, "x")},
+       |${candSqlSuf(3000L, Some(8), "k")},
+       |${censusCteSql("x")},
+       |${censusCteSql("k")},
+       |j AS (SELECT x.cls AS cls_ex, k.cls AS cls_cap
+       |      FROM cenx x FULL JOIN cenk k USING (user_id)),
+       |a AS (
+       |  SELECT count(*) AS n_points,
+       |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_agree,
+       |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
+       |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped,
+       |         count(*) FILTER (WHERE cls_ex = 'core'
+       |           AND cls_cap = 'border') AS n_core_to_border,
+       |         count(*) FILTER (WHERE cls_ex = 'core'
+       |           AND cls_cap = 'noise') AS n_core_to_noise,
+       |         count(*) FILTER (WHERE cls_ex = 'border'
+       |           AND cls_cap = 'noise') AS n_border_to_noise,
+       |         count(*) FILTER (WHERE (cls_ex = 'border'
+       |             AND cls_cap = 'core')
+       |           OR (cls_ex = 'noise' AND cls_cap <> 'noise'))
+       |           AS n_upgraded
+       |  FROM j)
+       |SELECT n_points::BIGINT AS n_points, n_agree::BIGINT AS n_agree,
+       |       (n_agree * 1000000 // greatest(n_points, 1))::BIGINT
+       |         AS agreement_e6,
+       |       n_core_exact::BIGINT AS n_core_exact,
+       |       n_core_capped::BIGINT AS n_core_capped,
+       |       n_core_to_border::BIGINT AS n_core_to_border,
+       |       n_core_to_noise::BIGINT AS n_core_to_noise,
+       |       n_border_to_noise::BIGINT AS n_border_to_noise,
+       |       n_upgraded::BIGINT AS n_upgraded
+       |FROM a""".stripMargin
+
+  /** The label-agreement oracle body, parameterized the same way. */
+  private def labelAgreementSqlOver(prologue: String): String =
+    s"""WITH RECURSIVE $prologue,
+       |${candSqlSuf(4096L, None, "x")},
+       |${candSqlSuf(3000L, Some(8), "k")},
+       |${labelCteSql("x")},
+       |${labelCteSql("k")},
+       |j AS (SELECT x.cls AS cls_ex, x.cluster AS cl_ex,
+       |             k.cls AS cls_cap, k.cluster AS cl_cap
+       |      FROM lblx x FULL JOIN lblk k USING (user_id)),
+       |a AS (
+       |  SELECT count(*) AS n_points,
+       |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_cls_match,
+       |         count(*) FILTER (WHERE cl_ex = cl_cap) AS n_cluster_match,
+       |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
+       |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped
+       |  FROM j)
+       |SELECT n_points::BIGINT AS n_points,
+       |       n_cls_match::BIGINT AS n_cls_match,
+       |       n_cluster_match::BIGINT AS n_cluster_match,
+       |       (n_cls_match * 1000000 // greatest(n_points, 1))::BIGINT
+       |         AS cls_agreement_e6,
+       |       (n_cluster_match * 1000000 // greatest(n_points, 1))::BIGINT
+       |         AS cluster_agreement_e6,
+       |       n_core_exact::BIGINT AS n_core_exact,
+       |       n_core_capped::BIGINT AS n_core_capped
+       |FROM a""".stripMargin
 
   /** One full labeling oracle at (pitch, cap). */
   private def labelSqlAt(pitch: Long, cap: Option[Int]): String =
@@ -775,39 +1032,10 @@ object GeoOps {
     // replays the confusion census, n_upgraded pinned 0 by the
     // subset argument in both engines
     "geo_dbscan_census_agreement" ->
-      s"""WITH $pointsOffSql,
-         |${candSqlSuf(4096L, None, "x")},
-         |${candSqlSuf(3000L, Some(8), "k")},
-         |${censusCteSql("x")},
-         |${censusCteSql("k")},
-         |j AS (SELECT x.cls AS cls_ex, k.cls AS cls_cap
-         |      FROM cenx x FULL JOIN cenk k USING (user_id)),
-         |a AS (
-         |  SELECT count(*) AS n_points,
-         |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_agree,
-         |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
-         |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped,
-         |         count(*) FILTER (WHERE cls_ex = 'core'
-         |           AND cls_cap = 'border') AS n_core_to_border,
-         |         count(*) FILTER (WHERE cls_ex = 'core'
-         |           AND cls_cap = 'noise') AS n_core_to_noise,
-         |         count(*) FILTER (WHERE cls_ex = 'border'
-         |           AND cls_cap = 'noise') AS n_border_to_noise,
-         |         count(*) FILTER (WHERE (cls_ex = 'border'
-         |             AND cls_cap = 'core')
-         |           OR (cls_ex = 'noise' AND cls_cap <> 'noise'))
-         |           AS n_upgraded
-         |  FROM j)
-         |SELECT n_points::BIGINT AS n_points, n_agree::BIGINT AS n_agree,
-         |       (n_agree * 1000000 // greatest(n_points, 1))::BIGINT
-         |         AS agreement_e6,
-         |       n_core_exact::BIGINT AS n_core_exact,
-         |       n_core_capped::BIGINT AS n_core_capped,
-         |       n_core_to_border::BIGINT AS n_core_to_border,
-         |       n_core_to_noise::BIGINT AS n_core_to_noise,
-         |       n_border_to_noise::BIGINT AS n_border_to_noise,
-         |       n_upgraded::BIGINT AS n_upgraded
-         |FROM a""".stripMargin,
+      censusAgreementSqlOver(pointsOffSql),
+
+    "geo_dbscan_census_agreement_dense" ->
+      censusAgreementSqlOver(pointsOffDenseSql),
 
     "geo_dbscan_label" -> labelSqlAt(4096L, None),
 
@@ -817,31 +1045,10 @@ object GeoOps {
     // DuckDB allows several recursive CTEs under one WITH RECURSIVE);
     // agreement on cls and on the min-core-id cluster label at e6
     "geo_dbscan_label_agreement" ->
-      s"""WITH RECURSIVE $pointsOffSql,
-         |${candSqlSuf(4096L, None, "x")},
-         |${candSqlSuf(3000L, Some(8), "k")},
-         |${labelCteSql("x")},
-         |${labelCteSql("k")},
-         |j AS (SELECT x.cls AS cls_ex, x.cluster AS cl_ex,
-         |             k.cls AS cls_cap, k.cluster AS cl_cap
-         |      FROM lblx x FULL JOIN lblk k USING (user_id)),
-         |a AS (
-         |  SELECT count(*) AS n_points,
-         |         count(*) FILTER (WHERE cls_ex = cls_cap) AS n_cls_match,
-         |         count(*) FILTER (WHERE cl_ex = cl_cap) AS n_cluster_match,
-         |         count(*) FILTER (WHERE cls_ex = 'core') AS n_core_exact,
-         |         count(*) FILTER (WHERE cls_cap = 'core') AS n_core_capped
-         |  FROM j)
-         |SELECT n_points::BIGINT AS n_points,
-         |       n_cls_match::BIGINT AS n_cls_match,
-         |       n_cluster_match::BIGINT AS n_cluster_match,
-         |       (n_cls_match * 1000000 // greatest(n_points, 1))::BIGINT
-         |         AS cls_agreement_e6,
-         |       (n_cluster_match * 1000000 // greatest(n_points, 1))::BIGINT
-         |         AS cluster_agreement_e6,
-         |       n_core_exact::BIGINT AS n_core_exact,
-         |       n_core_capped::BIGINT AS n_core_capped
-         |FROM a""".stripMargin,
+      labelAgreementSqlOver(pointsOffSql),
+
+    "geo_dbscan_label_agreement_dense" ->
+      labelAgreementSqlOver(pointsOffDenseSql),
 
     "geo_trajectory_l1" ->
       """WITH pts AS (
