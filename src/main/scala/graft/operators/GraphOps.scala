@@ -127,21 +127,7 @@ object GraphOps {
     // support cut is both the faster AND the editorially-right graph —
     // communities detected on noise edges aren't communities.
     "graph_label_prop" -> ((s, dir) => {
-      val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
-      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .repartition(col("b")) // both rounds join on the neighbor key
-        .localCheckpoint()
-      val labels0 = Tables.part(s, dir)
-        .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
-        .join(edges.select(col("a").as("v")).distinct(), "v")
-      def propagate(labels: DataFrame): DataFrame =
-        edges.join(labels.withColumnRenamed("v", "b"), "b")
-          .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("v"))
-          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-          .select(col("v"), col("m.lbl").as("lbl"))
-      val l1 = propagate(labels0)
-      val l2 = propagate(l1)
+      val (labels0, l1, l2) = labelPropRounds(s, dir, pinned = false)
       def census(df: DataFrame, name: String) =
         df.groupBy(col("lbl").as("label")).agg(count(lit(1)).as(name))
       census(labels0, "n0")
@@ -152,6 +138,30 @@ object GraphOps {
           coalesce(col("n1"), lit(0L)).as("n1"),
           coalesce(col("n2"), lit(0L)).as("n2"))
         .orderBy(col("label"))
+    }),
+
+    // LABEL-PROPAGATION CHURN BOOKS (r15 — the convergence-witness
+    // discipline completed across the iterative family): the census
+    // above shows per-LABEL mass per round, but a census can sit
+    // still while labels churn underneath it (two equal-size swaps
+    // are census-invisible). This twin publishes, per round, how many
+    // vertices actually CHANGED label and how many distinct labels
+    // remain — the numbers that say whether the declared 2-round cut
+    // has settled. Same rounds, same tie-break, via the shared
+    // labelPropRounds builder (pinned: each round's frame feeds two
+    // book joins); the oracle replays the identical two unrolled
+    // rounds. All columns exact BIGINT.
+    "graph_label_prop_churn" -> ((s, dir) => {
+      val (l0, l1, l2) = labelPropRounds(s, dir, pinned = true)
+      def churn(t: Long, prev: DataFrame, cur: DataFrame) =
+        prev.select(col("v"), col("lbl").as("lp"))
+          .join(cur.select(col("v"), col("lbl").as("lc")), "v")
+          .agg(lit(t).as("round"),
+               count(lit(1)).as("n_nodes"),
+               count(when(col("lc") =!= col("lp"), 1)).as("n_changed"),
+               countDistinct(col("lc")).as("n_labels"))
+      churn(1L, l0, l1).unionByName(churn(2L, l1, l2))
+        .orderBy(col("round"))
     }),
 
     // Modularity decomposition of the label-prop partition — THE
@@ -505,6 +515,36 @@ object GraphOps {
     })
   )
 
+  /** The two label-propagation rounds over the support-2 co-purchase
+    * graph (brand seeds, max-count min-label tie-break) — ONE
+    * authoring path for graph_label_prop (census) and
+    * graph_label_prop_churn (round-over-round books), so the declared
+    * 2-round cut cannot drift between the two readouts. `pinned`
+    * localCheckpoints each round's frame when a caller consumes it
+    * more than once (the churn books join every frame twice);
+    * graph_label_prop passes false and keeps its frozen plan. */
+  private def labelPropRounds(s: SparkSession, dir: String,
+      pinned: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val e0 = graft.api.Graft.coPurchaseEdges(s, dir, minSupport = 2)
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")) // both rounds join on the neighbor key
+      .localCheckpoint()
+    def pin(df: DataFrame): DataFrame =
+      if (pinned) df.localCheckpoint(false) else df
+    val labels0 = pin(Tables.part(s, dir)
+      .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+      .join(edges.select(col("a").as("v")).distinct(), "v"))
+    def propagate(labels: DataFrame): DataFrame =
+      edges.join(labels.withColumnRenamed("v", "b"), "b")
+        .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("v"), col("m.lbl").as("lbl"))
+    val l1 = pin(propagate(labels0))
+    val l2 = pin(propagate(l1))
+    (labels0, l1, l2)
+  }
+
   /** Oracle for graph_pagerank_residual, GENERATED from the same
     * 4-round loop shape the Spark side runs: one authoring path, so
     * the unroll depth and the floor-division operation order can
@@ -636,6 +676,37 @@ object GraphOps {
         |  coalesce(n1, 0)::BIGINT AS n1, coalesce(n2, 0)::BIGINT AS n2
         |FROM h0 FULL JOIN h1 USING (label) FULL JOIN h2 USING (label)
         |ORDER BY label""".stripMargin,
+
+    // same two unrolled rounds (CTEs e0..l2 verbatim); books join each
+    // round against the previous on the vertex
+    "graph_label_prop_churn" ->
+      """WITH e0 AS (SELECT a, b FROM (
+        |    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+        |    FROM lineitem x JOIN lineitem y
+        |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |    GROUP BY a, b) WHERE w >= 2),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT p_partkey AS v, p_brand AS lbl FROM part
+        |  WHERE p_partkey IN (SELECT a FROM e)),
+        |c1 AS (SELECT e.a AS v, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON l0.v = e.b GROUP BY e.a, l0.lbl),
+        |l1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a AS v, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON l1.v = e.b GROUP BY e.a, l1.lbl),
+        |l2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |b1 AS (SELECT 1::BIGINT AS round, count(*)::BIGINT AS n_nodes,
+        |    count(*) FILTER (WHERE cur.lbl <> prev.lbl)::BIGINT AS n_changed,
+        |    count(DISTINCT cur.lbl)::BIGINT AS n_labels
+        |  FROM l1 cur JOIN l0 prev USING (v)),
+        |b2 AS (SELECT 2::BIGINT AS round, count(*)::BIGINT AS n_nodes,
+        |    count(*) FILTER (WHERE cur.lbl <> prev.lbl)::BIGINT AS n_changed,
+        |    count(DISTINCT cur.lbl)::BIGINT AS n_labels
+        |  FROM l2 cur JOIN l1 prev USING (v))
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2 ORDER BY round""".stripMargin,
 
     "graph_modularity" ->
       """WITH e0 AS (SELECT a, b FROM (
