@@ -238,6 +238,42 @@ class Round15bSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("graph_label_prop_churn: brute-force replay of both rounds " +
+       "on sf0.001") {
+    // support-2 co-purchase edges + brand seeds, collected once
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.toSeq.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val brand = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verts = adj.keySet
+    var lbl: Map[Long, String] = verts.map(v => v -> brand(v)).toMap
+    val books = (1 to 2).map { t =>
+      val next = verts.map { v =>
+        val cnt = adj(v).map(lbl).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        v -> cnt.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+      val changed = verts.count(v => next(v) != lbl(v))
+      val row = (t.toLong, verts.size.toLong, changed.toLong,
+                 next.values.toSet.size.toLong)
+      lbl = next
+      row
+    }
+    val got = SparkEntry.queries("graph_label_prop_churn")(spark, sf)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_nodes"),
+                 r.getAs[Long]("n_changed"), r.getAs[Long]("n_labels")))
+    assert(got.toSeq == books)
+  }
+
   // ---------------------------------------------------------------
   // skip-gram sequential patterns
   // ---------------------------------------------------------------
