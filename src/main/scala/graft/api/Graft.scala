@@ -2322,8 +2322,17 @@ object Graft {
       .groupBy(col("__rid"), col("__y"))
       .agg(sum(col("__we") * col("__xe")).as("__mq"))
 
-  private def logregNextW(x: DataFrame, n: DataFrame, w: DataFrame): DataFrame = {
-    val resid = logregMargins(x, w).select(col("__rid"),
+  private def logregNextW(x: DataFrame, n: DataFrame, w: DataFrame): DataFrame =
+    logregUpdate(x, n, w, logregMargins(x, w))
+
+  /** One GD update from a PRE-COMPUTED margins frame — the books twin
+    * pins each round's margins once and feeds it to both the book row
+    * and this update (the margins of round t ARE the pre-update
+    * margins of round t+1; recomputing them per consumer was the one
+    * redundancy the session self-review found). */
+  private def logregUpdate(x: DataFrame, n: DataFrame, w: DataFrame,
+      margins: DataFrame): DataFrame = {
+    val resid = margins.select(col("__rid"),
       (lit(1.0) / (lit(1.0) + exp(-(col("__mq") / 1e12))) - col("__y")).as("__rr"))
     val grad = x.join(broadcast(resid), "__rid")
       .groupBy(col("__j"))
@@ -2356,15 +2365,20 @@ object Graft {
     require(steps >= 1 && steps <= 8, s"steps in [1,8]: $steps")
     val (x, n, w0) = logregFeatures(df, idCol, labelCol, vecCol)
     var w = w0
+    // each round's margins are computed ONCE: round t's post-update
+    // margins feed its accuracy row AND round t+1's update
+    var m = logregMargins(x, w)
     val rows = (1 to steps).map { t =>
-      val next = logregNextW(x, n, w)
+      val next = logregUpdate(x, n, w, m)
         .localCheckpoint(false) // feeds the book row AND the next round
+      val mNext = logregMargins(x, next)
+        .localCheckpoint(false) // feeds the accuracy row AND next update
       val motion = next.select(col("__wj"), col("__we").as("__wn"))
         .join(w.select(col("__wj"), col("__we").as("__wp")), "__wj")
         .agg(lit(t.toLong).as("round"),
              sum(abs(col("__wn") - col("__wp"))).as("l1_dw_e6"),
              max(abs(col("__wn") - col("__wp"))).as("max_dw_e6"))
-      val acc = logregMargins(x, next)
+      val acc = mNext
         .agg(count(when((col("__mq") > 0) === (col("__y") === 1), 1))
                .as("n_correct"),
              count(lit(1)).as("n_rows"))
@@ -2373,6 +2387,7 @@ object Graft {
                 col("n_correct"), col("n_rows"),
                 expr("n_correct * 1000000 div n_rows").as("acc_e6"))
       w = next
+      m = mNext
       row
     }
     rows.reduce(_.unionByName(_))

@@ -703,9 +703,12 @@ object GeoOps {
     * 75 literal fixture rows unioned in, generated from denseSeq
     * itself — one source of truth for both engines' fixture. */
   private def pointsOffDenseSql: String = {
+    // plain join string: the injected lines carry no '|', so the outer
+    // stripMargin leaves them untouched (self-review: no nested
+    // stripMargin interplay)
     val values = denseSeq
       .map { case (id, x, y) => s"($id, $x, $y)" }
-      .grouped(4).map(_.mkString(", ")).mkString(",\n      |      ".stripMargin)
+      .grouped(4).map(_.mkString(", ")).mkString(",\n      ")
     s"""p AS (
        |  SELECT user_id,
        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT AS xi,

@@ -1537,21 +1537,24 @@ object RetrievalOps {
     * textually the ml_logreg_gd3 oracle's; ma/d/a/b add the
     * post-round margins and the exact-integer book columns. */
   private def logregResidualSql(steps: Int): String = {
+    // each round's margins CTE appears ONCE: m{t} (post-update margins
+    // of w{t}) feeds round t's accuracy AND round t+1's residual —
+    // mirroring the Scala loop, which pins exactly one margins frame
+    // per round
     val rounds = (1 to steps).map { t =>
-      s"""m$t AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
-         |  FROM x JOIN w${t - 1} ON j = wj GROUP BY rid, y),
-         |r$t AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr FROM m$t),
+      s"""r$t AS (SELECT rid, 1.0 / (1.0 + exp(-(mq / 1e12))) - y AS rr
+         |  FROM m${t - 1}),
          |g$t AS (SELECT j, sum(floor(rr * xe + 0.5)::BIGINT)::BIGINT AS gq
          |  FROM x JOIN r$t USING (rid) GROUP BY j),
          |w$t AS (SELECT wj, (we - floor(gq / nn + 0.5)::BIGINT)::BIGINT AS we
          |  FROM w${t - 1} JOIN g$t ON wj = j CROSS JOIN n),
-         |ma$t AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+         |m$t AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
          |  FROM x JOIN w$t ON j = wj GROUP BY rid, y),
          |d$t AS (SELECT sum(abs(a.we - b.we))::BIGINT AS l1_dw_e6,
          |    max(abs(a.we - b.we))::BIGINT AS max_dw_e6
          |  FROM w$t a JOIN w${t - 1} b USING (wj)),
          |a$t AS (SELECT count(CASE WHEN (mq > 0) = (y = 1) THEN 1 END)::BIGINT
-         |      AS n_correct, count(*)::BIGINT AS n_rows FROM ma$t),
+         |      AS n_correct, count(*)::BIGINT AS n_rows FROM m$t),
          |b$t AS (SELECT $t::BIGINT AS round, l1_dw_e6, max_dw_e6, n_correct,
          |    n_rows, (n_correct * 1000000 // n_rows)::BIGINT AS acc_e6
          |  FROM d$t CROSS JOIN a$t)""".stripMargin
@@ -1563,6 +1566,8 @@ object RetrievalOps {
        |    floor(unnest(v) * 1e6 + 0.5)::BIGINT AS xe FROM e),
        |n AS (SELECT count(*)::BIGINT AS nn FROM e),
        |w0 AS (SELECT DISTINCT j AS wj, 0::BIGINT AS we FROM x),
+       |m0 AS (SELECT rid, y, sum(we * xe)::BIGINT AS mq
+       |  FROM x JOIN w0 ON j = wj GROUP BY rid, y),
        |$rounds
        |$sel
        |ORDER BY round""".stripMargin
