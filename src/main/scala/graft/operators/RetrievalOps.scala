@@ -113,7 +113,7 @@ object RetrievalOps {
     * Session-memoized (r10 family sweep): ~8 retrieval/ann queries each
     * start from this identical cast+exchange, so it materializes once
     * per (session, dir) like the graph/dedup family exchanges. */
-  private def corpusMat(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusMat(s: SparkSession, dir: String): DataFrame =
     graft.api.Graft.memoizedExchange("retrieval_corpus_mat", s, dir) {
       corpus(s, dir).repartition(col("vec_id"))
     }
@@ -153,16 +153,33 @@ object RetrievalOps {
     * are supported (lists consumes the memoized centroids). */
   private def ivfModel8(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cent2 = graft.api.Graft.memoizedExchange("ann_ivf_cent2", s, dir) {
-      val c = corpusMat(s, dir)
-      val cent0 = kmCentroidsOf(c,
-        c.select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g")))
-      val cent1 = kmCentroidsOf(c, kmAssignTo(c, cent0))
-      kmCentroidsOf(c, kmAssignTo(c, cent1))
+      ivfLloydChain(corpusMat(s, dir), pinned = false)._2(2)
     }
     val lists = graft.api.Graft.memoizedExchange("ann_ivf_lists", s, dir) {
       kmAssignTo(corpusMat(s, dir), cent2)
     }
     (cent2, lists)
+  }
+
+  /** The full Lloyd chain — assignments (a0 = vec_id % 8 init, then
+    * E-steps a1, a2, and the final-quantizer assignment a3) and
+    * centroids (c0, c1, c2) — ONE authoring path for ivfModel8
+    * (which memoizes c2; its plan is unchanged, pin is identity when
+    * false and the unused a3 frame stays an unexecuted lazy plan) and
+    * the Lloyd churn books (which consume every assignment twice and
+    * pass pinned = true). Mirrors the oracle's ivfKmeansCte a0..a3. */
+  private[graft] def ivfLloydChain(c: DataFrame, pinned: Boolean)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
+    def pin(df: DataFrame): DataFrame =
+      if (pinned) df.localCheckpoint(false) else df
+    val a0 = pin(c.select(col("vec_id"), pmod(col("vec_id"), lit(8)).as("g")))
+    val c0 = kmCentroidsOf(c, a0)
+    val a1 = pin(kmAssignTo(c, c0))
+    val c1 = kmCentroidsOf(c, a1)
+    val a2 = pin(kmAssignTo(c, c1))
+    val c2 = kmCentroidsOf(c, a2)
+    val a3 = pin(kmAssignTo(c, c2))
+    (Seq(a0, a1, a2, a3), Seq(c0, c1, c2))
   }
 
   /** 4-file micro-batch fixture of the embeddings table (vec_id +
@@ -829,6 +846,33 @@ object RetrievalOps {
       import s.implicits._
       out.toDF("batch_seq", "list_g", "n_assigned", "share_e6")
         .orderBy(col("batch_seq"), col("list_g"))
+    }),
+
+    // LLOYD CHURN BOOKS (r15 — the books-twin discipline on the LAST
+    // fixed-depth family): the IVF quantizer declares "two Lloyd
+    // refinements" and its audits grade the RESULT (balance,
+    // silhouette) but nothing measures whether the declared depth had
+    // settled. Per round: how many vectors changed cell between
+    // successive assignments (a0 = vec_id % 8 init → a1 → a2 → final
+    // a3) and how many lists stay populated — exact counts from the
+    // cross-engine-load-bearing argmax assignment, no floats. Built
+    // on the SAME chain ivfModel8 trains through (ivfLloydChain — one
+    // authoring path; the oracle reuses ivfKmeansCte's a0..a3
+    // verbatim). This is the number that tells an index operator
+    // whether a third refinement would still move vectors before
+    // shipping the quantizer at 100 TB.
+    "v_ivf_lloyd_churn" -> ((s, dir) => {
+      val assigns = ivfLloydChain(corpusMat(s, dir), pinned = true)._1
+      def churn(t: Long, prev: DataFrame, cur: DataFrame) =
+        prev.select(col("vec_id"), col("g").as("gp"))
+          .join(cur.select(col("vec_id"), col("g").as("gc")), "vec_id")
+          .agg(lit(t).as("round"),
+               count(lit(1)).as("n_vecs"),
+               count(when(col("gc") =!= col("gp"), 1)).as("n_reassigned"),
+               countDistinct(col("gc")).as("n_lists"))
+      (1 to 3).map(t => churn(t.toLong, assigns(t - 1), assigns(t)))
+        .reduce(_.unionByName(_))
+        .orderBy(col("round"))
     }),
 
     "v_ivf_balance_audit" -> ((s, dir) => {
@@ -1687,6 +1731,25 @@ object RetrievalOps {
         |SELECT gc.b::BIGINT AS batch_seq, gc.g::BIGINT AS list_g, n_assigned,
         |  (n_assigned * 1000000 // bn)::BIGINT AS share_e6
         |FROM gc JOIN bt USING (b) ORDER BY batch_seq, list_g""".stripMargin,
+
+    // same chain (ivfKmeansCte a0..a3 verbatim); books join each
+    // assignment generation against the previous on the vector id
+    "v_ivf_lloyd_churn" ->
+      s"""$ivfKmeansCte,
+        |b1 AS (SELECT 1::BIGINT AS round, count(*)::BIGINT AS n_vecs,
+        |    count(*) FILTER (WHERE cur.g <> prev.g)::BIGINT AS n_reassigned,
+        |    count(DISTINCT cur.g)::BIGINT AS n_lists
+        |  FROM a1 cur JOIN a0 prev USING (vec_id)),
+        |b2 AS (SELECT 2::BIGINT AS round, count(*)::BIGINT AS n_vecs,
+        |    count(*) FILTER (WHERE cur.g <> prev.g)::BIGINT AS n_reassigned,
+        |    count(DISTINCT cur.g)::BIGINT AS n_lists
+        |  FROM a2 cur JOIN a1 prev USING (vec_id)),
+        |b3 AS (SELECT 3::BIGINT AS round, count(*)::BIGINT AS n_vecs,
+        |    count(*) FILTER (WHERE cur.g <> prev.g)::BIGINT AS n_reassigned,
+        |    count(DISTINCT cur.g)::BIGINT AS n_lists
+        |  FROM a3 cur JOIN a2 prev USING (vec_id))
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+        |ORDER BY round""".stripMargin,
 
     "v_ivf_balance_audit" ->
       s"""$ivfKmeansCte,

@@ -274,6 +274,32 @@ class Round15bSpec extends SparkSpec {
     assert(got.toSeq == books)
   }
 
+  test("v_ivf_lloyd_churn: pinned chain == unpinned chain row-for-row, " +
+       "final generation == the shipped quantizer's lists") {
+    val c = operators.RetrievalOps.corpusMat(spark, sf)
+    val pinnedA = operators.RetrievalOps.ivfLloydChain(c, pinned = true)._1
+    val plainA = operators.RetrievalOps.ivfLloydChain(c, pinned = false)._1
+    def rows(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("g"))).toSet
+    for (t <- 0 to 3)
+      assert(rows(pinnedA(t)) == rows(plainA(t)), s"generation $t")
+    // the final generation the books grade IS the shipped quantizer's
+    // inverted-list census (the one-authoring-path claim, on data)
+    val a3census = pinnedA(3).groupBy(col("g")).count().collect()
+      .map(r => r.getAs[Long]("g") -> r.getAs[Long]("count")).toMap
+    val listsCensus = SparkEntry.queries("v_ivf_balance_audit")(spark, sf)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Long]("n_vectors")).toMap
+    assert(a3census == listsCensus)
+    // registered books: 3 rounds, full corpus, K = 8 lists per round
+    val churn = SparkEntry.queries("v_ivf_lloyd_churn")(spark, sf)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_vecs"),
+                 r.getAs[Long]("n_reassigned"), r.getAs[Long]("n_lists")))
+    val nCorpus = Tables.embeddings(spark, sf).count()
+    assert(churn.length == 3)
+    assert(churn.forall(b => b._2 == nCorpus && b._4 == 8L))
+  }
+
   // ---------------------------------------------------------------
   // skip-gram sequential patterns
   // ---------------------------------------------------------------
