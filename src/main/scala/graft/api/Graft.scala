@@ -172,11 +172,20 @@ object Graft {
     // functionally determined by the id, e.g. a signature) so callers
     // verify inline instead of re-joining the source per side; the
     // star's representative payload comes off the same window (min_by).
+    // PINNED (r15 opt, guide §2.4): `tagged` feeds THREE consumers (the
+    // self-join's a/b sides + the hot-bucket star path). AQE turns the
+    // self-join into a broadcast join whose build side cannot reuse the
+    // probe side's exchange, so un-pinned each consumer replayed the
+    // full items lineage — for dedup_simhash that meant computing the
+    // corpus SimHash three times (3 parquet scans in the before-plan).
+    // The checkpoint materializes the windowed relation once; it is
+    // |items|-sized but narrow (ids + bucket keys + carried signatures),
+    // the same storage class as the session's memoized exchanges.
     val tagged = carryCols.foldLeft(items
         .withColumn("__bn", count(lit(1)).over(w))
         .withColumn("__rep", min(col(idCol)).over(w))) { (df, c) =>
       df.withColumn(s"__rep_$c", min_by(col(c), col(idCol)).over(w))
-    }
+    }.localCheckpoint(false)
     val normal = tagged.filter(col("__bn") <= maxBucketSize)
     val candNormal = normal.as("a").join(normal.as("b"),
         (bucketCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
@@ -1252,6 +1261,10 @@ object Graft {
     // whole rank as dangling mass. Degenerate weights are bad INPUT —
     // fail loudly at execution time (no extra validation job; the check
     // rides the normalization projection itself).
+    // PINNED (r15 opt, guide §2.4): edgeP is joined by EVERY iteration —
+    // un-pinned, each round replayed the edge build + out-weight join
+    // (50 Exchange nodes in graph_copurchase_pagerank's before-plan).
+    // |E|-narrow (src, dst, p).
     val edgeP = e.join(out, "src")
       .select(col("src"), col("dst"), (col("wgt") /
         when(col("__out_w").isNotNull && col("__out_w") =!= 0.0, col("__out_w"))
@@ -1259,6 +1272,7 @@ object Graft {
             lit("pageRank: out-weights of node "), col("src").cast("string"),
             lit(" sum to 0 or null; edge weights must sum nonzero per source"))))
         ).as("p"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     // one up-front probe: does the graph have sinks at all? Sink-free
@@ -1270,7 +1284,8 @@ object Graft {
       .isEmpty
     val n0 = nodes.crossJoin(
       broadcast(nodes.agg(count(lit(1)).cast("double").as("__n_nodes"))))
-    val n1 = if (hasDangling) n0.localCheckpoint() else n0
+    // n1 is re-joined every sink-free round too — same pin, lazily
+    val n1 = if (hasDangling) n0.localCheckpoint() else n0.localCheckpoint(false)
     var rank = n1.select(col("node"), (lit(1.0) / col("__n_nodes")).as("rank"))
     var rankIds = Set.empty[Int]
     for (_ <- 1 to iterations) {
@@ -2464,7 +2479,17 @@ object Graft {
     val ord = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
     val back = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    // forward carry via the REVERSED running frame (see
+    // gapFillInterpolate): first-non-null over [0, unboundedFollowing]
+    // ASC ≡ last-non-null over [unboundedPreceding, 0] with every sort
+    // key reversed ((__ts, __side, __tie) is a total order per key, so
+    // the flip is exact). Avoids Spark's per-row-rescan
+    // UnboundedFollowingWindowFunctionFrame — O(n²) in the size of one
+    // key's union — for the incremental O(n) running frame; identical
+    // values, one extra in-partition sort, no extra exchange.
+    val fwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side").desc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     def rOnly(c: Column) = when(col("__side") === rightSide, c)
     val withB =
       if (direction == "forward") u
@@ -2476,9 +2501,9 @@ object Graft {
     val withF =
       if (direction == "backward") withB
       else rightValueCols.foldLeft(
-        withB.withColumn("__fts", first(rOnly(col("__ts")), ignoreNulls = true).over(fwd))) {
+        withB.withColumn("__fts", last(rOnly(col("__ts")), ignoreNulls = true).over(fwd))) {
         (d, c) => d.withColumn(s"__f_$c",
-          first(rOnly(col(s"__rv_$c")), ignoreNulls = true).over(fwd))
+          last(rOnly(col(s"__rv_$c")), ignoreNulls = true).over(fwd))
       }
     val leftOnly = withF.filter(col("__side") =!= rightSide)
     val picked = direction match {
@@ -2598,15 +2623,25 @@ object Graft {
       .select(col("__k"), explode(sequence(col("__mn"), col("__mx"))).as("__m"))
     val wPrev = Window.partitionBy(col("__k")).orderBy(col("__m"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.partitionBy(col("__k")).orderBy(col("__m"))
-      .rowsBetween(1, Window.unboundedFollowing)
+    // forward neighbor via the REVERSED running frame: first-non-null
+    // over [1, unboundedFollowing] ASC ≡ last-non-null over
+    // [unboundedPreceding, -1] with the ordering reversed (__m is
+    // unique per key, so the reversal is an exact total-order flip).
+    // Spark executes [.., unboundedFollowing] frames with
+    // UnboundedFollowingWindowFunctionFrame, which RESCANS the frame
+    // remainder per row — O(n²) per partition (43k-minute spines →
+    // ~1e9 aggregate updates per type); the reversed frame is the
+    // incremental UnboundedPrecedingWindowFunctionFrame — O(n), one
+    // extra in-partition sort, zero extra exchanges, identical values.
+    val wNextRev = Window.partitionBy(col("__k")).orderBy(col("__m").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     spine.join(obs, Seq("__k", "__m"), "left")
       .withColumn("__pv", last(col("__x"), ignoreNulls = true).over(wPrev))
       .withColumn("__pm", last(when(col("__x").isNotNull, col("__m")),
         ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(col("__x"), ignoreNulls = true).over(wNext))
-      .withColumn("__nm", first(when(col("__x").isNotNull, col("__m")),
-        ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(col("__x"), ignoreNulls = true).over(wNextRev))
+      .withColumn("__nm", last(when(col("__x").isNotNull, col("__m")),
+        ignoreNulls = true).over(wNextRev))
       .filter(col("__x").isNull)
       .select(col("__k").as(keyCol), col("__m").as(ordCol),
         expr("(__pv * (__nm - __m) + __nv * (__m - __pm)) * 1000000" +
@@ -2679,8 +2714,15 @@ object Graft {
     * second-iteration authority mass. Each iteration is one equi-join
     * of the score vector with the edge list plus a sum-by-key. */
   def hitsAuthorities(edges: DataFrame, hubCol: String, authCol: String): DataFrame = {
+    // PINNED (r15 opt, guide §2.4): `e` feeds three passes (a1, h1, a2)
+    // and a1 feeds two — un-pinned, every consumer replayed the
+    // caller's edge build (for graph_hits_bipartite an orders⋈lineitem
+    // join + distinct, 16 parquet scans in the before-plan). The edge
+    // checkpoint is |E|-narrow; a1 is |authorities|-narrow.
     val e = edges.select(col(hubCol).as("__hc"), col(authCol).as("__ha")).distinct()
+      .localCheckpoint(false)
     val a1 = e.groupBy(col("__ha")).agg(count(lit(1)).as("a1"))
+      .localCheckpoint(false)
     val h1 = e.join(a1, "__ha").groupBy(col("__hc")).agg(sum(col("a1")).as("h1"))
     val a2 = e.join(h1, "__hc").groupBy(col("__ha")).agg(sum(col("h1")).as("a2"))
     a2.join(a1, "__ha")

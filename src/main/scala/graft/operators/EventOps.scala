@@ -531,8 +531,14 @@ object EventOps {
           substring_index(col("__k"), ":", 1))
         .groupBy(col("event_type"), col("r"))
         .agg(max(col("m")).as("m")) // the IVM merge: per-register max
+        // PINNED (r15 opt, guide §2.4): byBatch/direct each feed two
+        // consumers (register diff + estimate) — un-pinned, every
+        // consumer re-sketched the events table (10 scans in the
+        // before-plan). Both are |types|×64-row register tables.
+        .localCheckpoint(false)
       val direct = StatSketchOps.hllRegisters(ev, col("event_type"), col("user_id"))
         .select(col("__k").as("event_type"), col("r"), col("m").as("m_d"))
+        .localCheckpoint(false)
       val diff = byBatch.join(direct,
           byBatch("event_type") === direct("event_type") &&
           byBatch("r") === direct("r"), "full_outer")

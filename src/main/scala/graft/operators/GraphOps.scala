@@ -77,8 +77,14 @@ object GraphOps {
     // separate (single-use) build.
     "a_assoc_rules" -> ((s, dir) => {
       val minSup = 2
+      // PINNED (r15 opt, guide §2.4): `baskets` feeds 4 consumers
+      // (n_baskets scalar, item supports, both self-join sides) and the
+      // before-plan re-scanned lineitem + re-ran the distinct for each
+      // (10 parquet scans). One narrow (order, part) checkpoint; every
+      // consumer reads it. Same storage class as coPurchasePairs' memo.
       val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(false)
       val nBaskets = baskets.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val item = baskets.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))

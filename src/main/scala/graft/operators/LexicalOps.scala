@@ -126,18 +126,23 @@ object LexicalOps {
     // to bm25Rank — collection stats computed only for the broadcast
     // query vocabulary, one shuffle on (qid, doc_id).
     "retrieval_ql_dirichlet" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val tk = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val lens = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-      val ctot = tk.agg(count(lit(1)).as("c_tot"))
+      // (r15 opt, guide §2.4/§6): read the session inverted-index memos
+      // instead of re-tokenizing — the before-plan exploded the corpus
+      // 4× (42 Exchange nodes, 8 parquet scans). Value-identical by
+      // construction: postings tf = exact per-(doc,term) token count,
+      // so Σtf ≡ the old occurrence counts; docLens dl ≡ the old
+      // per-doc token count; c_tot ≡ Σ dl.
+      val post = postings(s, dir)
+      val lens = docLens(s, dir).select(col("doc_id"), col("dl").as("len"))
+      val ctot = docLens(s, dir).agg(sum(col("dl")).as("c_tot"))
       val qt = queriesDf(s)
         .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
       val nq = qt.groupBy(col("qid")).agg(count(lit(1)).as("n_qterms"))
       val qv = qt.select(col("term")).distinct()
-      val cf = tk.join(broadcast(qv), "term")
-        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
-      val tfd = tk.join(broadcast(qv), "term")
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val cf = post.join(broadcast(qv), "term")
+        .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      val tfd = post.join(broadcast(qv), "term")
+        .select(col("term"), col("doc_id"), col("tf"))
       val s1 = tfd.join(broadcast(cf), "term").crossJoin(broadcast(ctot))
         .withColumn("s1_e6", floor(log(lit(1.0) +
             (col("tf") * col("c_tot")).cast("double") /
@@ -213,6 +218,14 @@ object LexicalOps {
         // covers originals repeating themselves.)
         .select(col("qid"),
           array_join(array_distinct(split(col("qtext"), " ")), " ").as("qtext"))
+        // PINNED (r15 opt, guide §2.4): the expanded query table is a
+        // |queries|-row scalar, but bm25RankFromPostings consumes it on
+        // FOUR paths (term explode ×2, idf vocab probe, final broadcast)
+        // and each copy replays the WHOLE first BM25 pass + feedback
+        // mining lineage — the before-plan held 284 Exchange nodes for a
+        // 15-row result. One lazy 3-row checkpoint collapses the second
+        // pass to the same ~dozen-exchange shape as the first.
+        .localCheckpoint(false)
       graft.api.Graft.bm25RankFromPostings(
           post, docLens(s, dir), expanded, 5, k1 = K1, b = B)
         .orderBy(col("qid"), col("rank"))
@@ -265,9 +278,17 @@ object LexicalOps {
     // feasible — token-occurrence-level scoring would be Θ(corpus
     // tokens × |q|) with no reuse.
     "retrieval_token_maxsim" -> ((s, dir) => {
-      val dt = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0).distinct()
+      // (r15 opt, guide §2.4/§6): the distinct (doc_id, term) relation
+      // IS the posting memo's key set — read it from the session
+      // inverted-index checkpoint instead of re-tokenizing the corpus.
+      // dt has 3 consumers (candidate prune, vocab embed, final join);
+      // the before-plan re-ran scan+explode+distinct for each (6
+      // parquet scans of `documents`); now all three read the pinned
+      // postings RDD. Same rows: postings keys are distinct by
+      // construction, the length>0 filter matches the old explode path.
+      val dt = postings(s, dir)
+        .select(col("doc_id"), col("term"))
+        .filter(length(col("term")) > 0)
       val qt = queriesDf(s)
         .select(col("qid"), explode(split(col("qtext"), " ")).as("qterm"))
         .distinct()

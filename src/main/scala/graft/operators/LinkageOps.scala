@@ -174,7 +174,12 @@ object LinkageOps {
             emG(lit(0.5), lit(0.9), lit(0.1), lit(0.9), lit(0.1)))
           else pat.crossJoin(broadcast(prev)).withColumn("g",
             emG(col("p"), col("m1"), col("u1"), col("m2"), col("u2")))
-        val next = emMStep(withG)
+        // PINNED (r15 opt, guide §2.4): each round's 1-row parameter
+        // table feeds TWO consumers (next round's E-step and this
+        // round's delta row) — un-pinned the unroll replays every prior
+        // round per consumer (2^rounds growth, 60 Exchange nodes in the
+        // before-plan for 4 rounds over an 8-row census).
+        val next = emMStep(withG).localCheckpoint(false)
         val prevR = prev.select(col("p").as("pp"), col("m1").as("pm1"),
           col("u1").as("pu1"), col("m2").as("pm2"), col("u2").as("pu2"))
         val row = next.crossJoin(broadcast(prevR)).select(
@@ -397,7 +402,11 @@ object LinkageOps {
     // Fellegi–Sunter decision table: one row per agreement pattern with
     // pair count, true-match count, and the pattern's log2 match weight.
     "link_fellegi_sunter" -> ((s, dir) => {
-      val (clean, _) = sides(s, dir)
+      // PINNED (r15 opt, guide §2.4): the clean side feeds the three
+      // per-field u-probability passes — un-pinned each re-scanned
+      // customer (6 scans in the before-plan). 15k-row narrow frame.
+      val (clean0, _) = sides(s, dir)
+      val clean = clean0.localCheckpoint(false)
 
       // u-probabilities from the clean side's value distributions:
       // P(two random records agree on field f) = Σ_v (n_v / N)².
@@ -445,6 +454,9 @@ object LinkageOps {
         emG(lit(0.5), lit(0.9), lit(0.1), lit(0.9), lit(0.1))))
       val withG2 = pat.crossJoin(broadcast(p1)).withColumn("g",
         emG(col("p"), col("m1"), col("u1"), col("m2"), col("u2")))
+        // PINNED (r15 opt): consumed by p2 AND the report projection —
+        // un-pinned, round 1 (p1) replays once per consumer. ≤8 rows.
+        .localCheckpoint(false)
       val p2 = emMStep(withG2).select(
         col("p").as("p2"), col("m1").as("m1f"), col("u1").as("u1f"),
         col("m2").as("m2f"), col("u2").as("u2f"))

@@ -125,9 +125,13 @@ object RelationalExtOps {
     // match count + the tightest/widest in-band gap.
     "j_value_band_join" -> ((s, dir) => {
       val delta = 50L // integer cents
+      // PINNED (r15 opt, guide §2.4): both band-join sides derive from
+      // this projection; un-pinned, the AQE-broadcast side replayed the
+      // part scan (4 scans in the before-plan). One narrow checkpoint.
       val p = Tables.part(s, dir).select(col("p_partkey").as("pk"),
         col("p_brand").as("brand"),
         floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"))
+        .localCheckpoint(false)
       val a = p.withColumn("bkt", expr(s"cents div $delta"))
       val b = p.select(col("pk").as("pk2"), col("brand").as("brand2"),
           col("cents").as("cents2"))

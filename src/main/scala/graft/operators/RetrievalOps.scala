@@ -278,16 +278,23 @@ object RetrievalOps {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val byRel = Window.partitionBy(col("qid"))
         .orderBy(desc("rel_e6"), col("vec_id"))
+      // PINNED (r15 opt, guide §2.4/§5): the candidate table is consumed
+      // by `pairs` (both sides), s1, rest2, rest3 — without the cut every
+      // consumer re-runs the corpus×queries score + top-8 window (the
+      // physical plan held 6 copies of the corpus scan for a 40-row
+      // table). Both pins are |q|·8-bounded, lazy, inside the timed query.
       val cand = c.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("rel_e6", floor(dot(col("qv"), col("v")) * 1e6 + 0.5).cast("long"))
         .withColumn("rk", row_number().over(byRel))
         .filter(col("rk") <= 8)
         .select(col("qid"), col("vec_id"), col("v"), col("rel_e6"))
+        .localCheckpoint(false)
       val pairs = cand.select(col("qid"), col("vec_id").as("a_id"), col("v").as("va"))
         .join(cand.select(col("qid"), col("vec_id").as("b_id"), col("v").as("vb")), Seq("qid"))
         .filter(col("a_id") =!= col("b_id"))
         .select(col("qid"), col("a_id"), col("b_id"),
                 floor(dot(col("va"), col("vb")) * 1e6 + 0.5).cast("long").as("sim_e6"))
+        .localCheckpoint(false)
       // sim(c, sel): look up the candidate→selected pair similarity
       def simTo(rest: DataFrame, selCol: String, out: String): DataFrame =
         rest.join(
@@ -302,6 +309,8 @@ object RetrievalOps {
         cand.join(s1.select(col("qid"), col("s1_id")), Seq("qid"))
           .filter(col("vec_id") =!= col("s1_id")), "s1_id", "sim1")
         .withColumn("mmr10_e6", col("rel_e6") * 7 - col("sim1") * 3)
+        // consumed by s2 AND rest3 — pin the ≤|q|·7-row step frame too
+        .localCheckpoint(false)
       val byMmr = Window.partitionBy(col("qid")).orderBy(desc("mmr10_e6"), col("vec_id"))
       val s2 = rest2.withColumn("r", row_number().over(byMmr)).filter(col("r") === 1)
         .select(col("qid"), col("vec_id").as("s2_id"), col("mmr10_e6"))

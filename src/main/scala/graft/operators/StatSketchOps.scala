@@ -1461,14 +1461,23 @@ object StatSketchOps {
       val B = 16
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+      // PINNED scalars (r15 opt, guide §2.4): tot (1 row), obs and srcs
+      // (|sources| rows) each had 2-3 consumers, and every consumer
+      // replayed the documents scan+aggregate lineage — the before-plan
+      // scanned `documents` 10×. Pinned, the corpus is read once per
+      // aggregate (4 scans total), everything downstream reads ≤20-row
+      // checkpoints.
       val tot = docs.agg(count(lit(1)).as("n"), sum(col("len")).as("st"))
+        .localCheckpoint(false)
       val obs = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n1"), sum(col("len")).as("s1"))
         .crossJoin(broadcast(tot))
         .select(col("source"), col("n1").as("n_src"),
           expr("abs(s1 * (n - n1) - (st - s1) * n1)").as("a_obs"),
           expr("n1 * (n - n1)").as("d_obs"))
+        .localCheckpoint(false)
       val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n1o"))
+        .localCheckpoint(false)
       val grid = docs
         .crossJoin(broadcast(srcs.select(col("source").as("src"), col("n1o"))))
         .crossJoin(broadcast(tot))

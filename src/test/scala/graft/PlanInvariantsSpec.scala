@@ -47,7 +47,17 @@ class PlanInvariantsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(j.contains("REPARTITION_BY_NUM"), j.take(600))
     assert(j.contains("salt"), j.take(600))
-    assert(plan("dedup_simhash").contains("REPARTITION_BY_COL"))
+    // r15 opt: cappedBucketPairs pins its windowed candidate relation
+    // (localCheckpoint), which subsumes the old REPARTITION_BY_COL
+    // materialization barrier — the signature compute now runs exactly
+    // once and every self-join side reads the checkpoint RDD. The
+    // invariant is the stronger one: both join sides scan an RDD, and
+    // no exchange below the join recomputes the simhash.
+    val sh = plan("dedup_simhash")
+    // every pair-generation path (normal a/b sides + hot star) reads the
+    // checkpoint: ≥3 RDD scans, zero parquet scans / signature exprs
+    assert("Scan ExistingRDD".r.findAllIn(sh).size >= 3, sh.take(600))
+    assert(!sh.contains("Scan parquet"), sh.take(600))
   }
 
   test("q4 EXISTS plans as a semi join; q10 top-20 avoids a global sort") {
