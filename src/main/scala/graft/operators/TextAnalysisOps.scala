@@ -26,10 +26,14 @@ object TextAnalysisOps {
     // top-20 trigrams by corpus frequency (deterministic tie-break);
     // prediction = argmax profile overlap. Output = confusion matrix.
     "ta_langid" -> ((s, dir) => {
+      // PINNED (r15 opt, guide §2.4): consumed by profile training AND
+      // scoring — the profiles subtree is a broadcast build that cannot
+      // reuse the scoring side's exchange, so un-pinned the corpus
+      // trigram arrays were computed twice (4 parquet scans).
       val docTriArr = Tables.documentsSpread(s, dir) // parallelize trigram compute
         .select(col("doc_id"), col("lang"),
                 graft.functions.TextSignatures.charTrigrams(col("text")).as("tri"))
-        .repartition(col("doc_id")) // materialize trigram sets once
+        .localCheckpoint(false) // materialize trigram sets once
       // profiles: top-20 trigrams per language by document frequency,
       // TRAINED ON A DETERMINISTIC 20% HASH-SAMPLE (md5-bps, the
       // sample_stratified primitive): profile training is an aggregate

@@ -423,7 +423,16 @@ object TpchOps {
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
                 col("p_partkey"), col("p_name"),
-                round(col("cost"), 4).as("supplycost"))
+                // floor-quantized, NOT round(): Spark rounds the exact
+                // binary double (BigDecimal HALF_UP) while DuckDB rounds
+                // the IEEE product c*1e4 — at sf0.001 one cost's product
+                // lands exactly on .5 (26.24125: true value 1e-11 BELOW
+                // the boundary, but within half-ulp of it) and the two
+                // disagree by 1e-4. floor(c*1e4 + 0.5)/1e4 is the same
+                // IEEE op sequence in both engines — deterministic at
+                // every representable input. (r15 opt round, inherited
+                // fix; oracle uses the identical expression)
+                (floor(col("cost") * 1e4 + 0.5) / 1e4).as("supplycost"))
         .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
         .limit(100)
     }),
@@ -587,7 +596,7 @@ object TpchOps {
         |mc AS (SELECT l_partkey AS mc_partkey, min(cost) AS min_cost
         |  FROM ps GROUP BY l_partkey)
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-        |  round(cost, 4) AS supplycost
+        |  floor(cost * 1e4 + 0.5) / 1e4 AS supplycost
         |FROM ps
         |JOIN mc ON l_partkey = mc_partkey AND cost = min_cost
         |JOIN eur_supp ON l_suppkey = s_suppkey

@@ -814,7 +814,17 @@ object StreamingOps {
         .option("maxFilesPerTrigger", 1).json(srcDir)
       val banded = raw
         .filter(size(split(col("text"), " ")) >= 2)
-        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        // ingest time = doc_id + 1 seconds: doc 0 at epoch ZERO is
+        // exactly on Spark's initial watermark and fMGWS drops it as
+        // late, so its band state never seeds and the first island's
+        // canon silently shifts (surfaced at sf0.001, where doc 0 has
+        // band partners: spark emitted (50,82) where the oracle's
+        // replay has (0,50),(0,82)). The uniform +1 s shifts every
+        // timeout AND every watermark equally, so all id-relative
+        // eviction inequalities — and therefore the oracle's
+        // closed-form replay — are unchanged; only the epoch-zero
+        // late-drop artifact goes away. (r15 opt round, inherited fix)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
         .withWatermark("ts", "1 second")
         .withColumn("mhs", graft.functions.TextSignatures.minHashSig(
           graft.functions.TextSignatures.wordBigrams(col("text")), 12))
