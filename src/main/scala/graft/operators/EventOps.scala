@@ -281,12 +281,17 @@ object EventOps {
     // scan is filtered by type before any join.
     "funnel_signup_view_purchase" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      // PINNED (r15 opt, guide §2.4): su/vi each feed the next stage's
+      // join AND their census row — un-pinned each consumer re-scanned
+      // events (6 scans in the ledger). Per-user 1-row frames.
       val su = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+        .localCheckpoint(false)
       val vi = e.filter(col("event_type") === "view")
         .join(broadcast(su), "user_id")
         .filter(col("ts") >= col("signup_ts"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+        .localCheckpoint(false)
       val pu = e.filter(col("event_type") === "purchase")
         .join(broadcast(vi), "user_id")
         .filter(col("ts") >= col("view_ts"))
@@ -574,8 +579,13 @@ object EventOps {
     // the delta sides broadcast in practice; nothing re-shuffles the
     // historical join output.
     "mv_incremental_join" -> ((s, dir) => {
+      // PINNED (r15 opt, guide §2.4): the four batch sides and three
+      // delta joins each re-scanned events (8 scans in the ledger);
+      // one narrow projection checkpoint serves all of them.
       val ev = Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
+        .select(col("user_id"), col("day"), col("event_id"), col("event_type"))
+        .localCheckpoint(false)
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("user_id"), col("day"), col("event_id"))
       val (cOld, cNew) = (side("click").filter(col("event_id") % 2 === 0),
@@ -874,6 +884,7 @@ object EventOps {
         .select(new graft.functions.CmsAgg(width, depth).toColumn.name("cms"))
       val stats = ev.agg(count(lit(1)).as("total"),
                          countDistinct(col("user_id")).as("n_users"))
+        .localCheckpoint(false) // 1 row, 2 broadcast consumers (r15 opt)
       val candidates = ev.distinct()
         .crossJoin(broadcast(cms)).crossJoin(broadcast(stats))
         .filter(graft.functions.CmsFns.estimate("cms", "user_id", width, depth)

@@ -131,15 +131,20 @@ object QualityOps {
       // One aggregation pass per table (Graft.expectationRules:
       // violation predicates + uniqueness keys folded into a single
       // conditional aggregate, unpivoted after reduction).
+      // PINNED (r15 opt, guide §2.4): each rule table is consumed by the
+      // final union AND as the FK rows' `checked` denominator — un-pinned
+      // the full-table conditional aggregate ran twice per table.
       val ordRules = expectationRules(orders, "orders",
         Seq("not_null_o_custkey"        -> col("o_custkey").isNull,
             "range_o_totalprice_nonneg" -> (col("o_totalprice") < 0)),
         Seq("pk_unique_o_orderkey"      -> col("o_orderkey")))
+        .localCheckpoint(false)
       val liRules = expectationRules(li, "lineitem",
         Seq("range_l_discount_0_1" ->
               (col("l_discount") < 0 || col("l_discount") > 1),
             "range_l_quantity_pos" -> (col("l_quantity") <= 0),
             "domain_l_returnflag"  -> !col("l_returnflag").isin("A", "N", "R")))
+        .localCheckpoint(false)
       val docRules = expectationRules(Tables.documents(s, dir), "documents",
         Seq("not_blank_text" -> (col("text").isNull || trim(col("text")) === ""),
             "nonneg_n_chars" -> (col("n_chars") < 0)))

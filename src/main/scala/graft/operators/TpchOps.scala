@@ -402,9 +402,14 @@ object TpchOps {
             .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        // PINNED (r15 opt, guide §2.4): eurSupp/parts/ps each feed two
+        // broadcast builds — un-pinned, every build replayed its
+        // dimension join / fact aggregate (14 scans in the ledger).
+        .localCheckpoint(false)
       val parts = Tables.part(s, dir)
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name"))
+        .localCheckpoint(false)
       // unit price is an exact IEEE division both engines evaluate
       // identically; min() is order-independent, so the cost equality
       // below is deterministic across engines.
@@ -415,6 +420,7 @@ object TpchOps {
               col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        .localCheckpoint(false)
       val minCost = ps.groupBy(col("l_partkey").as("mc_partkey"))
         .agg(min(col("cost")).as("min_cost"))
       ps.join(broadcast(minCost),
