@@ -546,46 +546,60 @@ object RetrievalOps {
       // re-expands every prior hop per consumer — the r10 PlanLedger
       // caught this as a 516-exchange plan for a ≤50-row-per-stage
       // query (checkpointed: ~40). Tables are |queries|×(B·deg)-
-      // bounded, so the checkpoints are pennies. Hop-1 expands the
-      // SAME single-entry beam for every width, so its expansion is
-      // computed once and shared across the three curves.
-      def expand(beam: DataFrame): DataFrame =
+      // bounded, so the checkpoints are pennies.
+      //
+      // WIDTH-VECTORIZED (r15 opt, guide §1.2/§2.4): the three beam
+      // widths used to run three separate unrolled chains (6 expand
+      // joins, 6 keep windows, 3 visited distincts, 7 checkpoints —
+      // each a serialized stage barrier on ≤50-row frames). The widths
+      // differ ONLY in the keep threshold, and the keep window's
+      // ordering is width-independent, so a broadcast width column
+      // runs all three curves through ONE chain: rank per (bw, qid),
+      // filter rk <= bw, expand once per hop. Row-for-row identical
+      // output — each (bw, qid) partition sees exactly the rows the
+      // per-width chain saw (oracle unchanged, gate-verified).
+      import s.implicits._
+      val widths = Seq(2L, 4L, 8L).toDF("bw")
+      val wKeep = Window.partitionBy(col("bw"), col("qid"))
+        .orderBy(desc("s_e6"), col("vec_id"))
+      def expandW(beam: DataFrame): DataFrame =
         beam.union(beam.join(adj, beam("vec_id") === adj("src"))
-            .select(col("qid"), col("dst").as("vec_id")))
+            .select(col("bw"), col("qid"), col("dst").as("vec_id")))
           .distinct()
           .join(c, "vec_id").join(broadcast(q), "qid")
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
+          .select(col("bw"), col("qid"), col("vec_id"),
                   dotE6(col("qv"), col("v")).as("s_e6"))
           .localCheckpoint(false)
-      def keep(cand: DataFrame, bw: Int): DataFrame =
-        cand.withColumn("rk", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(desc("s_e6"), col("vec_id"))))
-          .filter(col("rk") <= bw).select(col("qid"), col("vec_id"))
+      def keepW(cand: DataFrame): DataFrame =
+        cand.withColumn("rk", row_number().over(wKeep))
+          .filter(col("rk") <= col("bw"))
+          .select(col("bw"), col("qid"), col("vec_id"))
       val exact = c.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("s_e6", dotE6(col("qv"), col("v")))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(desc("s_e6"), col("vec_id"))))
         .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
       val n = c.agg(count(lit(1)).as("n_corpus"))
-      val c1 = expand(beam0) // width-independent: beam0 is one entry/query
-      Seq(2, 4, 8).map { bw =>
-        val c2 = expand(keep(c1, bw))
-        val c3 = expand(keep(c2, bw))
-        val visited = c1.union(c2).union(c3).distinct() // scores re-agree
-        val top3 = visited.withColumn("rk", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(desc("s_e6"), col("vec_id"))))
-          .filter(col("rk") <= 3)
-        val hits = top3.join(exact, Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
-        visited.groupBy(col("qid")).agg(count(lit(1)).as("n_visited"))
-          .join(hits, Seq("qid"), "left")
-          .crossJoin(broadcast(n))
-          .select(col("qid"), lit(bw.toLong).as("beam_b"), col("n_visited"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            expr("coalesce(n_hits, 0L) * 1000000 div 3").as("recall_e6"),
-            expr("n_visited * 1000000 div (n_corpus - 1)").as("visited_e6"))
-      }.reduce(_ unionByName _).orderBy(col("qid"), col("beam_b"))
+      // hop-1 expansion is width-independent (beam0 is one entry/query):
+      // computed once, then replicated onto the 3-row width table
+      val c1 = expandW(beam0.crossJoin(broadcast(widths))
+        .select(col("bw"), col("qid"), col("vec_id")))
+      val c2 = expandW(keepW(c1))
+      val c3 = expandW(keepW(c2))
+      val visited = c1.union(c2).union(c3).distinct() // scores re-agree
+      val top3 = visited.withColumn("rk", row_number().over(wKeep))
+        .filter(col("rk") <= 3)
+      val hits = top3.join(exact, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("bw"), col("qid")).agg(count(lit(1)).as("n_hits"))
+      visited.groupBy(col("bw"), col("qid")).agg(count(lit(1)).as("n_visited"))
+        .join(hits, Seq("bw", "qid"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("qid"), col("bw").as("beam_b"), col("n_visited"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0L) * 1000000 div 3").as("recall_e6"),
+          expr("n_visited * 1000000 div (n_corpus - 1)").as("visited_e6"))
+        .orderBy(col("qid"), col("beam_b"))
     }),
 
     // IVF recall/cost CURVE (r8 verdict #8a) — the measurement that
@@ -946,7 +960,10 @@ object RetrievalOps {
     // vote and census aggregate k×|Q| rows. The corpus never shuffles.
     "retrieval_knn_label_eval" -> ((s, dir) => {
       val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-      val c = corpus(s, dir).join(lab, "vec_id")
+      // PINNED (r15 opt, guide §2.4): the labeled corpus feeds the query
+      // set AND the scored scan — un-pinned both consumers replayed the
+      // corpus⋈labels join (8 ledger scans between the two eval keys).
+      val c = corpus(s, dir).join(lab, "vec_id").localCheckpoint(false)
       val q = c.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("label").as("actual"))
@@ -982,7 +999,10 @@ object RetrievalOps {
     // metric aggregates k×|Q| rows. The corpus never shuffles.
     "retrieval_ndcg_eval" -> ((s, dir) => {
       val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-      val c = corpus(s, dir).join(lab, "vec_id")
+      // PINNED (r15 opt, guide §2.4): the labeled corpus feeds the query
+      // set AND the scored scan — un-pinned both consumers replayed the
+      // corpus⋈labels join (8 ledger scans between the two eval keys).
+      val c = corpus(s, dir).join(lab, "vec_id").localCheckpoint(false)
       val q = c.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("label").as("actual"))
